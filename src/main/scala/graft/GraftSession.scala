@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place to build a correctly-configured local session.
+  *
+  * Settings chosen for the driver's local[32] harness but written the way a
+  * 1000-executor cluster deployment would be: AQE on (runtime re-plan, skew
+  * join splitting, shuffle coalescing), shuffle partitions sized to the
+  * parallelism actually available (NOT the 200 default), session timezone
+  * pinned UTC so event-time semantics match the DuckDB oracle.
+  */
+object GraftSession {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.ts is parquet TIMESTAMP(NANOS) — unreadable without this
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
