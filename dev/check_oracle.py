@@ -21,6 +21,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif "int" in str(df[c].dtype):
+            df[c] = df[c].astype("int64")
         elif "float" in str(df[c].dtype):
             df[c] = df[c].round(6)
         elif "datetime" in str(df[c].dtype):

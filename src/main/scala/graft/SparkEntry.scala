@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{RuleBasedTrailClassifier, WeatherModel}
+import graft.ops.{EventOps, RelationalOps, RuleBasedTrailClassifier, WeatherModel}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -43,7 +43,32 @@ object SparkEntry {
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
-    })
+    },
+
+    // §2 operator inventory over the events stream table
+    "q_s1_dim_dedup" -> (EventOps.s1DimDedup _),
+    "q_p1_json_projection" -> (EventOps.p1JsonProjection _),
+    "q_p3_range_filter" -> (EventOps.p3RangeFilter _),
+    "q_p5_route_split" -> (EventOps.p5RouteSplit _),
+    "q_union_split" -> (EventOps.unionSplit _),
+    "q_p7_success_filter" -> (EventOps.p7SuccessFilter _),
+    "q_k6_dlq_split" -> (EventOps.k6DlqSplit _),
+    "q_p8_derived_task" -> (EventOps.p8DerivedTask _),
+    "q_p11_time_scalars" -> (EventOps.p11TimeScalars _),
+    "q_a9_antijoin_dedup" -> (EventOps.a9AntiJoinDedup _),
+    "q_a11_daily_rollup" -> (EventOps.a11DailyRollup _),
+    "q_w1_first24" -> (EventOps.w1First24 _),
+    "q_r8_rate_cap" -> (EventOps.r8RateCap _),
+    "q_r3_expiry_filter" -> (EventOps.r3ExpiryFilter _),
+    "q_k3_label_join" -> (EventOps.k3LabelJoin _),
+    "q_j1_range_join" -> (EventOps.j1RangeJoin _),
+    "q_j2_dim_join" -> (EventOps.j2DimJoin _),
+    "q_j3_cogroup_join" -> (EventOps.j3CogroupJoin _),
+
+    // relational core (TPC-H shapes)
+    "q3_shipping_priority" -> (RelationalOps.q3ShippingPriority _),
+    "q5_local_supplier_revenue" -> (RelationalOps.q5LocalSupplierRevenue _),
+    "q_top_orders_per_priority" -> (RelationalOps.topOrdersPerPriority _))
 
   def oracleSql: Map[String, String] = Map(
     "q_classifier" -> RuleBasedTrailClassifier.oracleSql(WeatherModel.Anchor),
@@ -58,5 +83,26 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_s1_dim_dedup" -> EventOps.s1DimDedupSql,
+    "q_p1_json_projection" -> EventOps.p1JsonProjectionSql,
+    "q_p3_range_filter" -> EventOps.p3RangeFilterSql,
+    "q_p5_route_split" -> EventOps.p5RouteSplitSql,
+    "q_union_split" -> EventOps.unionSplitSql,
+    "q_p7_success_filter" -> EventOps.p7SuccessFilterSql,
+    "q_k6_dlq_split" -> EventOps.k6DlqSplitSql,
+    "q_p8_derived_task" -> EventOps.p8DerivedTaskSql,
+    "q_p11_time_scalars" -> EventOps.p11TimeScalarsSql,
+    "q_a9_antijoin_dedup" -> EventOps.a9AntiJoinDedupSql,
+    "q_a11_daily_rollup" -> EventOps.a11DailyRollupSql,
+    "q_w1_first24" -> EventOps.w1First24Sql,
+    "q_r8_rate_cap" -> EventOps.r8RateCapSql,
+    "q_r3_expiry_filter" -> EventOps.r3ExpiryFilterSql,
+    "q_k3_label_join" -> EventOps.k3LabelJoinSql,
+    "q_j1_range_join" -> EventOps.j1RangeJoinSql,
+    "q_j2_dim_join" -> EventOps.j2DimJoinSql,
+    "q_j3_cogroup_join" -> EventOps.j3CogroupJoinSql,
+    "q3_shipping_priority" -> RelationalOps.q3ShippingPrioritySql,
+    "q5_local_supplier_revenue" -> RelationalOps.q5LocalSupplierRevenueSql,
+    "q_top_orders_per_priority" -> RelationalOps.topOrdersPerPrioritySql)
 }

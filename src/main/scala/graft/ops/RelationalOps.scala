@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational-core queries over the TPC-H-ish star schema: the join/agg
+  * shapes the reference's per-task lookups become at warehouse scale
+  * (SURVEY §2.4/§2.5). These are the bench headliners — each scaladoc notes
+  * the intended physical plan; `.explain` is audited in PlanAuditSpec.
+  */
+object RelationalOps {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.read(s, dir, n)
+
+  /** TPC-H Q3 shape: selective dim filter → join fan-in → top-k by revenue.
+    * customer(filtered) is small → broadcast into orders; orders(filtered) ⋈
+    * lineitem shuffles on orderkey. Top-10 is TakeOrderedAndProject (no
+    * global sort). At 100 TB: two broadcast-able sides, one big shuffle.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
+    val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").where(col("o_orderdate") < cutoff)
+    val li = t(s, dir, "lineitem").where(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingPrioritySql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: snowflake fan-in (region→nation→customer + supplier)
+    * around the orders⋈lineitem spine. All dimension sides broadcast; the
+    * only real shuffle is lineitem⋈orders on orderkey + the final group on
+    * nation. The co-located-nation predicate (c_nationkey = s_nationkey)
+    * mirrors Q5's local-supplier semantics.
+    */
+  def q5LocalSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val reg = t(s, dir, "region").where(col("r_name") === "ASIA")
+    val nat = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val ord = t(s, dir, "orders").where(
+      col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(
+        broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val q5LocalSupplierRevenueSql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Ranked-window top-k per group (§2.6 extension the reference gets from
+    * Catalyst for free): row_number over (priority, price desc). Spark 3.5+
+    * pushes a WindowGroupLimit below the shuffle, so each partition only
+    * keeps k rows — the scalable form of per-group top-k.
+    */
+  def topOrdersPerPriority(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rank_in_priority", row_number().over(w).cast("long"))
+      .where(col("rank_in_priority") <= 3)
+      .select(
+        col("o_orderpriority"), col("rank_in_priority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("o_orderpriority", "rank_in_priority")
+  }
+
+  val topOrdersPerPrioritySql: String =
+    """SELECT o_orderpriority, rank_in_priority, o_orderkey, round(o_totalprice, 2) AS totalprice
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_priority
+      |  FROM orders)
+      |WHERE rank_in_priority <= 3
+      |ORDER BY o_orderpriority, rank_in_priority""".stripMargin
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EventOps
+
+/** Semantic invariants per operator family (SURVEY §2) on sf0.001. */
+class EventOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("S1/A8: dedup yields unique keys and loses no key") {
+    val out = EventOps.s1DimDedup(spark, dir)
+    assert(out.count() == out.select("city_id").distinct().count())
+    val raw = graft.sources.Tables.read(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(out.count() == raw)
+  }
+
+  test("P1: JSON projection defaults missing keys to 0 and keeps all rows") {
+    val out = EventOps.p1JsonProjection(spark, dir)
+    assert(out.count() == 1000)
+    assert(out.where(col("k_value").isNull).count() == 0)
+  }
+
+  test("P5: route split partitions all rows across exactly the 3 routes") {
+    val out = EventOps.p5RouteSplit(spark, dir).collect()
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("forecast", "historical", "invalid"))
+    assert(out.map(_.getLong(1)).sum == 1000)
+  }
+
+  test("P7+K6: success filter and DLQ split are complementary") {
+    val ok = EventOps.p7SuccessFilter(spark, dir)
+      .agg(sum("n_success")).first().getLong(0)
+    val dlq = EventOps.k6DlqSplit(spark, dir).count()
+    assert(ok + dlq == 1000)
+  }
+
+  test("A9: anti-join result is disjoint from the processed set") {
+    val processed = graft.sources.Tables.read(spark, dir, "events")
+      .where(col("event_type") === "error" &&
+        col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+      .select(col("user_id")).distinct()
+    val out = EventOps.a9AntiJoinDedup(spark, dir)
+    assert(out.join(processed, out("city_id") === processed("user_id")).count() == 0)
+  }
+
+  test("A11: daily rollup counts re-sum to the table size") {
+    val out = EventOps.a11DailyRollup(spark, dir)
+    assert(out.agg(sum("n")).first().getLong(0) == 1000)
+  }
+
+  test("W1: first-24 slice never exceeds 24 rows per key") {
+    val out = EventOps.w1First24(spark, dir)
+    assert(out.agg(max("n_first24")).first().getLong(0) <= 24)
+  }
+
+  test("R8: rate cap keeps exactly min(n, 500) rows") {
+    assert(EventOps.r8RateCap(spark, dir).count() == 500)
+  }
+
+  test("R3: expiry filter keeps only the trailing 24h") {
+    import graft.sources.Tables
+    val ev = Tables.read(spark, dir, "events")
+    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
+    val fresh = EventOps.r3ExpiryFilter(spark, dir)
+      .agg(sum("n_fresh")).first().getLong(0)
+    val expect = ev.where(
+      col("ts") >= lit(maxTs) - expr("INTERVAL 24 HOURS")).count()
+    assert(fresh == expect)
+  }
+
+  test("J1: range join window spans at most 48h per key") {
+    val out = EventOps.j1RangeJoin(spark, dir)
+    assert(out.count() > 0)
+    // every key's window count <= its total count
+    val totals = graft.sources.Tables.read(spark, dir, "events")
+      .groupBy("user_id").count()
+    val joined = out.join(totals, "user_id")
+      .where(col("n_window") > col("count"))
+    assert(joined.count() == 0)
+  }
+
+  test("J3: cogroup join returns only keys present on both sides") {
+    val out = EventOps.j3CogroupJoin(spark, dir)
+    assert(out.where(col("max_hist_temp").isNull || col("min_fcst_temp").isNull).count() == 0)
+  }
+}
