@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{EventOps, RelationalOps, RuleBasedTrailClassifier, WeatherModel}
+import graft.ops.{DedupOps, EventOps, MultimodalOps, RelationalOps, RuleBasedTrailClassifier, SimilarityOps, TextOps, WeatherModel}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -68,7 +68,26 @@ object SparkEntry {
     // relational core (TPC-H shapes)
     "q3_shipping_priority" -> (RelationalOps.q3ShippingPriority _),
     "q5_local_supplier_revenue" -> (RelationalOps.q5LocalSupplierRevenue _),
-    "q_top_orders_per_priority" -> (RelationalOps.topOrdersPerPriority _))
+    "q_top_orders_per_priority" -> (RelationalOps.topOrdersPerPriority _),
+
+    // LLM-data pipeline: text analysis
+    "q_text_stats" -> (TextOps.textStats _),
+    "q_lang_id" -> (TextOps.langId _),
+    "q_doc_fingerprint" -> (TextOps.docFingerprint _),
+
+    // LLM-data pipeline: deduplication
+    "q_dedup_exact" -> (DedupOps.exactDedup _),
+    "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardDedup(s, d)),
+    "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshDedup(s, d)),
+    "q_dedup_simhash" -> (DedupOps.simhashFingerprint _),
+
+    // LLM-data pipeline: similarity search
+    "q_ann_cosine_topk" -> (SimilarityOps.annBruteForce _),
+    "q_ann_lsh_bucketed" -> (SimilarityOps.annLshBucketed _),
+    "q_centroid_assign" -> (SimilarityOps.centroidAssign _),
+
+    // LLM-data pipeline: multimodal metadata
+    "q_multimodal_meta" -> (MultimodalOps.mediaMeta _))
 
   def oracleSql: Map[String, String] = Map(
     "q_classifier" -> RuleBasedTrailClassifier.oracleSql(WeatherModel.Anchor),
@@ -104,5 +123,16 @@ object SparkEntry {
     "q_j3_cogroup_join" -> EventOps.j3CogroupJoinSql,
     "q3_shipping_priority" -> RelationalOps.q3ShippingPrioritySql,
     "q5_local_supplier_revenue" -> RelationalOps.q5LocalSupplierRevenueSql,
-    "q_top_orders_per_priority" -> RelationalOps.topOrdersPerPrioritySql)
+    "q_top_orders_per_priority" -> RelationalOps.topOrdersPerPrioritySql,
+    "q_text_stats" -> TextOps.textStatsSql,
+    "q_lang_id" -> TextOps.langIdSql,
+    "q_doc_fingerprint" -> TextOps.docFingerprintSql,
+    "q_dedup_exact" -> DedupOps.exactDedupSql,
+    "q_dedup_ngram_jaccard" -> DedupOps.ngramJaccardDedupSql(),
+    "q_dedup_minhash_lsh" -> DedupOps.minhashLshDedupSql(),
+    "q_dedup_simhash" -> DedupOps.simhashFingerprintSql,
+    "q_ann_cosine_topk" -> SimilarityOps.annBruteForceSql,
+    "q_ann_lsh_bucketed" -> SimilarityOps.annLshBucketedSql,
+    "q_centroid_assign" -> SimilarityOps.centroidAssignSql,
+    "q_multimodal_meta" -> MultimodalOps.mediaMetaSql)
 }

