@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = driver-only: give the single JVM real memory (the box has
+  // 128 GiB; 8g thrashes GC once a few dozen shuffles+broadcasts accumulate)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // dozens of whole-stage-codegen classes exhaust the default ~240 MB code
+  // cache mid-run, stalling C2 and leaving hot loops interpreted (observed:
+  // 5x slowdown on the first post-pressure query)
+  "-XX:ReservedCodeCacheSize=1g",
 )

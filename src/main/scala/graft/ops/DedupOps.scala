@@ -89,14 +89,18 @@ object DedupOps {
     * risk at the threshold).
     */
   def ngramJaccardDedup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    // join key = 64-bit hash of (source, shingle): the self-join shuffle
+    // moves 16-byte rows instead of source+shingle strings. xxhash64 is
+    // internal-only (never compared against the oracle); a collision
+    // inflating a common-count has probability ~rows²/2⁶⁴ — immaterial.
     val idx = shingleIndex(s, dir)
+      .select(col("doc_id"), xxhash64(col("source"), col("shingle")).as("k"))
     val counts = idx.groupBy(col("doc_id").as("c_doc")).agg(count(lit(1)).as("n_sh"))
-    val a = idx.select(col("doc_id").as("doc_a"), col("source"), col("shingle"))
-    val b = idx.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("shingle").as("shingle_b"))
+    val a = idx.select(col("doc_id").as("doc_a"), col("k"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("k").as("k_b"))
     val common = a.join(
       b,
-      col("shingle") === col("shingle_b") && col("source") === col("source_b") &&
-        col("doc_a") < col("doc_b"))
+      col("k") === col("k_b") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common
@@ -133,24 +137,40 @@ object DedupOps {
   val MinhashK = 8        // signature length
   val LshBands = 4        // bands of rows=2 → candidate iff a full band matches
 
+  /** MinHash prime modulus and the k affine hash functions
+    * sig_j = (A(j)·(h mod P) + B(j)) mod P over the base shingle hash h.
+    * ONE md5 per shingle + k integer ops replaces k md5s per shingle (8×
+    * fewer digests on the hot path); the affine family is the textbook
+    * universal-hash construction and both engines reproduce it exactly in
+    * 64-bit integer arithmetic (operands < 2⁶²).
+    */
+  val MinhashP = 2147483647L // 2³¹ − 1
+  def minhashA(j: Int): Long = 976369L * (2L * j + 1) % MinhashP
+  def minhashB(j: Int): Long = 1013904223L * (j + 1) % MinhashP
+
   /** Full MinHash/LSH pipeline, map-reduce form: explode shingles once
     * (split/md5 each evaluated exactly once per shingle — a nested
     * higher-order-function form re-evaluates `split(text)` per lambda
-    * element, which is O(n²)/row and 20× slower), cross with the k hash
+    * element, which is O(n²)/row and 20× slower), cross with the k affine
     * seeds, min-reduce to (doc, band) keys, bucket-join colliding bands,
     * verify candidates with exact bigram Jaccard. Output = verified
     * near-dup pairs. The bucket join is the only quadratic-ish step and it
     * only sees collisions.
     */
   def minhashLshDedup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    // (doc, shingle) × seed j, each md5 computed once
+    val aLit = typedLit((0 until MinhashK).map(minhashA))
+    val bLit = typedLit((0 until MinhashK).map(minhashB))
+    // (doc, shingle) hashed once, × seed j via cheap affine arithmetic
     val hashed = docs(s, dir)
       .select(col("doc_id"), explode(bigramShingles).as("sh"))
+      .withColumn("h1", hash60(col("sh")) % MinhashP)
       .select(
         col("doc_id"),
         explode(sequence(lit(0), lit(MinhashK - 1))).as("j"),
-        col("sh"))
-      .withColumn("h", hash60(concat(col("j").cast("string"), lit("#"), col("sh"))))
+        col("h1"))
+      .withColumn(
+        "h",
+        (element_at(aLit, col("j") + 1) * col("h1") + element_at(bLit, col("j") + 1)) % MinhashP)
     // one shuffle: per-(doc, band) signature halves via conditional mins
     val bands = hashed
       .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
@@ -188,9 +208,12 @@ object DedupOps {
     * oracle scale; values are identical to the exploded pipeline).
     */
   val minhashSignatureSql: String = {
-    val h = hash60Sql("j::VARCHAR || '#' || sh")
+    val as = (0 until MinhashK).map(minhashA).mkString("[", ", ", "]")
+    val bs = (0 until MinhashK).map(minhashB).mkString("[", ", ", "]")
+    val h1 = s"(${hash60Sql("sh")}) % $MinhashP"
     s"""list_transform(range(0, $MinhashK),
-       |  j -> list_min(list_transform(sh_set, sh -> $h)))""".stripMargin
+       |  j -> list_min(list_transform(sh_set,
+       |         sh -> ($as[(j + 1)::INTEGER] * ($h1) + $bs[(j + 1)::INTEGER]) % $MinhashP)))""".stripMargin
   }
 
   def minhashLshDedupSql(threshold: Double = 0.3): String =

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sink shapes (SURVEY §2.2). The reference's sinks are HTTP upserts into a
+  * weather store (`fetch-weather/src/weather.py:25-39`) made safe by
+  * idempotency (`DESIGN.md:41`); the Spark-native equivalents are keyed
+  * MERGE writes and side-output splits.
+  */
+object Sinks {
+
+  /** K1/K2 + R2: idempotent keyed upsert. New rows win on key collision, so
+    * replaying a batch (at-least-once delivery) converges — the property the
+    * reference gets from HTTP upserts.
+    *
+    * On a lakehouse table format this is `MERGE INTO` inside `foreachBatch`
+    * (transactional, no rewrite). Plain parquet has no transactional merge,
+    * so locally: read-union-dedup → write tmp → atomic-ish swap. The
+    * SEMANTICS (idempotence under replay) are what the tests pin down.
+    */
+  def upsertParquet(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(path)
+    val fs = target.getFileSystem(hconf)
+
+    val merged =
+      if (fs.exists(target)) {
+        val existing = spark.read.parquet(path).withColumn("__pri", lit(0))
+        val incoming = df.withColumn("__pri", lit(1))
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__pri").desc)
+        existing.unionByName(incoming)
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .drop("__pri", "__rn")
+      } else df
+
+    val tmp = new Path(path + "__tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+    ()
+  }
+
+  /** K6: split a transformed batch into (success, dead-letter) halves in
+    * one pass — the `when()` route of `TaskTransformationResult.is_success`
+    * (`fetch-weather/worker_ingestion.py:169-181`).
+    */
+  def successDlqSplit(df: DataFrame, isValid: org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame) = {
+    val flagged = df.withColumn("__ok", isValid)
+    (flagged.where(col("__ok")).drop("__ok"),
+      flagged.where(!col("__ok")).drop("__ok")
+        .withColumn("exception_type", lit("VALIDATION_FAILED"))
+        .withColumn("safe_to_retry", lit(true)))
+  }
+}

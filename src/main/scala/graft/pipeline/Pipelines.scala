@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EventOps, RuleBasedTrailClassifier, Sinks, WeatherModel}
+
+/** The reference's three services (SURVEY §3.1–3.3) as batch stage
+  * compositions. Queues, outboxes, worker threads, and PEL sweeps all
+  * collapse into DataFrame→DataFrame functions + one idempotent write per
+  * stage — the design the reference's own retrospective calls for
+  * (`/root/reference/DESIGN.md:71-73`).
+  *
+  * Scale: each stage is one or two shuffles keyed on city_id; stages chain
+  * without materialization unless a sink is interposed, so the whole
+  * pipeline is a single Spark job DAG.
+  */
+object Pipelines {
+
+  /** §3.1 scheduler: enumerate cities (paginated scan → partitioned scan),
+    * set-dedup (A8), stamp task ids. The outbox/flush stages are the write
+    * action + checkpointing.
+    */
+  def schedulerStage(spark: SparkSession, sfDir: String): DataFrame =
+    EventOps.s1DimDedup(spark, sfDir)
+      .select(
+        expr("uuid()").as("task_id"),
+        col("city_id"))
+
+  final case class IngestionOutput(
+      historical: DataFrame, forecast: DataFrame, derivedTasks: DataFrame,
+      deadLetters: DataFrame)
+
+  /** §3.2 ingestion: tasks × weather lookup (J1) → typed projection with
+    * validity (P1/P2/P6) → success/DLQ split (P7/K6) → upsert shapes
+    * (K1/K2) + derived categorization tasks (P8).
+    */
+  def ingestionStage(
+      spark: SparkSession, sfDir: String, tasks: DataFrame): DataFrame => IngestionOutput = {
+    weather =>
+      val joined = weather.join(
+        broadcast(tasks.select(col("city_id"))), Seq("city_id"))
+      val (ok, dlq) = Sinks.successDlqSplit(
+        joined, col("temperature_deg_c").isNotNull && col("rain_fall_total_mm") >= 0.0)
+      IngestionOutput(
+        historical = ok.where(WeatherModel.isHist),
+        forecast = ok.where(WeatherModel.isFcst),
+        derivedTasks = EventOps.p8DerivedTask(spark, sfDir),
+        deadLetters = dlq)
+  }
+
+  final case class CategorizationOutput(labels: DataFrame, deadLetters: DataFrame)
+
+  /** §3.3 categorization: dedup vs processed set (A9, left-anti) →
+    * per-city window fetch = the weather table itself (J2) → flagship
+    * classifier (§2.9) → label sink shape (K3).
+    */
+  def categorizationStage(
+      weather: DataFrame,
+      processedCityIds: DataFrame,
+      anchor: String = WeatherModel.Anchor): CategorizationOutput = {
+    val fresh = weather.join(
+      broadcast(processedCityIds), Seq("city_id"), "left_anti")
+    val labels = RuleBasedTrailClassifier.classify(fresh, anchor)
+    CategorizationOutput(
+      labels = labels,
+      deadLetters = labels.where(col("class_label").isNull))
+  }
+
+  /** Full three-stage flow on the shared tables: scheduler → ingestion →
+    * categorization, returning the final label table. One DAG, no
+    * intermediate materialization.
+    */
+  def endToEnd(spark: SparkSession, sfDir: String): DataFrame = {
+    val tasks = schedulerStage(spark, sfDir)
+    val weather = WeatherModel.weatherRecords(spark, sfDir)
+    val ingest = ingestionStage(spark, sfDir, tasks)(weather)
+    val processed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("city_id", org.apache.spark.sql.types.LongType))
+    categorizationStage(
+      ingest.historical.unionByName(ingest.forecast), processed).labels
+  }
+}

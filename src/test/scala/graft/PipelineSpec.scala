@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Sinks, WeatherModel}
+import graft.pipeline.Pipelines
+
+/** End-to-end pipeline compositions (SURVEY §3) + sink semantics. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  test("scheduler stage: one task per city with a fresh task id") {
+    val tasks = Pipelines.schedulerStage(spark, dir)
+    assert(tasks.count() == 15)
+    assert(tasks.select("task_id").distinct().count() == 15)
+  }
+
+  test("end-to-end: scheduler -> ingestion -> categorization produces labels") {
+    val labels = Pipelines.endToEnd(spark, dir)
+    assert(labels.count() > 0)
+    assert(labels.columns.toSeq == Seq("city_id", "class_label"))
+    // matches the flagship query on the same data
+    val flagship = graft.ops.RuleBasedTrailClassifier
+      .classify(WeatherModel.weatherRecords(spark, dir))
+    assert(labels.except(flagship).count() == 0)
+  }
+
+  test("categorization stage skips already-processed cities (A9)") {
+    val weather = WeatherModel.weatherRecords(spark, dir)
+    val processed = Seq(0L, 1L, 2L).toDF("city_id")
+    val out = Pipelines.categorizationStage(weather, processed).labels
+    assert(out.where(col("city_id").isin(0, 1, 2)).count() == 0)
+  }
+
+  test("upsertParquet: replay converges, new rows win on key collision") {
+    val path = Files.createTempDirectory("graft_upsert").toString + "/store"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Sinks.upsertParquet(v1, path, Seq("k"))
+    assert(spark.read.parquet(path).count() == 2)
+    // replay same batch → no dups
+    Sinks.upsertParquet(v1, path, Seq("k"))
+    assert(spark.read.parquet(path).count() == 2)
+    // updated value wins
+    val v2 = Seq((2L, "b2"), (3L, "c")).toDF("k", "v")
+    Sinks.upsertParquet(v2, path, Seq("k"))
+    val m = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+}
