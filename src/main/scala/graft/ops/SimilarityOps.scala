@@ -39,8 +39,18 @@ object SimilarityOps {
   def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, $Dim + 1), i -> $a[i] * $b[i]))"
 
-  def cosine(a: Column, b: Column): Column =
+  /** Composed higher-order form — six interpreted array walks; kept as the
+    * reference implementation the native expression is tested against.
+    */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Native codegen'd single-pass cosine (see
+    * [[graft.functions.CosineSimilarity]]); bit-identical to
+    * [[cosineComposed]] by construction.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine_sim(a, b)
 
   def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorExpressions.cosine_sim
+import graft.ops.SimilarityOps
+
+/** Native CosineSimilarity expression: codegen + interpreted parity, type
+  * checking, and bit-identity with the composed higher-order form.
+  */
+class VectorExpressionSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1.0, 0.0, 2.0), Seq(1.0, 0.0, 2.0)),   // identical → 1.0
+    (2L, Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),   // orthogonal → 0.0
+    (3L, Seq(1.0, 2.0, 3.0), Seq(-1.0, -2.0, -3.0)) // opposite → -1.0
+  ).toDF("id", "a", "b")
+
+  test("known geometry: identical/orthogonal/opposite vectors") {
+    val out = vecs.select($"id", round(cosine_sim($"a", $"b"), 9).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0 && out(2L) == 0.0 && out(3L) == -1.0)
+  }
+
+  test("bit-identical to the composed higher-order form on real embeddings") {
+    val e = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(transform($"embedding", x => x.cast("double")).as("vec"))
+    val q = e.limit(5).select($"vec".as("qv"))
+    val n = e.crossJoin(q)
+      .where(
+        cosine_sim($"vec", $"qv") =!=
+          SimilarityOps.cosineComposed($"vec", $"qv"))
+      .count()
+    assert(n == 0)
+  }
+
+  test("interpreted eval path matches codegen (null-safe too)") {
+    // force interpreted evaluation through the expression's eval()
+    val expr = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0, 4.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(4.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(math.abs(expr.eval(null).asInstanceOf[Double] - 24.0 / 25.0) < 1e-12)
+    val withNull = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      expr.right)
+    assert(withNull.eval(null) == null)
+  }
+
+  test("type check rejects non-array arguments with a named error") {
+    val bad = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(2.0))
+    val res = bad.checkInputDataTypes()
+    assert(!res.isSuccess)
+  }
+}
