@@ -87,7 +87,14 @@ object SparkEntry {
     "q_centroid_assign" -> (SimilarityOps.centroidAssign _),
 
     // LLM-data pipeline: multimodal metadata
-    "q_multimodal_meta" -> (MultimodalOps.mediaMeta _))
+    "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
+
+    // relational coverage: scan-only agg, grouping sets, semi join
+    "q6_forecast_revenue" -> (RelationalOps.q6ForecastRevenue _),
+    "q_rollup_pricing" -> (RelationalOps.rollupPricing _),
+    "q_semi_join_late" -> (RelationalOps.semiJoinLateOrders _),
+    // S7: generator source (no table input)
+    "q_s7_mock_weather" -> ((s, _) => graft.sources.MockWeather.hourlyForecast(s)))
 
   def oracleSql: Map[String, String] = Map(
     "q_classifier" -> RuleBasedTrailClassifier.oracleSql(WeatherModel.Anchor),
@@ -134,5 +141,9 @@ object SparkEntry {
     "q_ann_cosine_topk" -> SimilarityOps.annBruteForceSql,
     "q_ann_lsh_bucketed" -> SimilarityOps.annLshBucketedSql,
     "q_centroid_assign" -> SimilarityOps.centroidAssignSql,
-    "q_multimodal_meta" -> MultimodalOps.mediaMetaSql)
+    "q_multimodal_meta" -> MultimodalOps.mediaMetaSql,
+    "q6_forecast_revenue" -> RelationalOps.q6ForecastRevenueSql,
+    "q_rollup_pricing" -> RelationalOps.rollupPricingSql,
+    "q_semi_join_late" -> RelationalOps.semiJoinLateOrdersSql,
+    "q_s7_mock_weather" -> graft.sources.MockWeather.hourlyForecastSql())
 }

@@ -109,6 +109,76 @@ object RelationalOps {
       .orderBy("o_orderpriority", "rank_in_priority")
   }
 
+  /** TPC-H Q6 shape: pure scan-filter-agg — the pushdown showcase. Every
+    * predicate reaches the parquet reader; no shuffle at all (single global
+    * aggregate).
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(
+        col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
+          col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q6ForecastRevenueSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.02 AND l_discount <= 0.09
+      |  AND l_quantity < 24""".stripMargin
+
+  /** ROLLUP over (returnflag, linestatus) — grouping-set hierarchy the
+    * reference never had but Catalyst gives free (SURVEY §2.5). Null
+    * grouping markers are coalesced to 'ALL' so the oracle compare is
+    * null-free.
+    */
+  def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  val rollupPricingSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Left-semi join (EXISTS shape, §2.4): orders having at least one
+    * late-shipped line, counted per priority. The semi join never
+    * materializes lineitem columns — at scale that halves the shuffle.
+    */
+  def semiJoinLateOrders(s: SparkSession, dir: String): DataFrame = {
+    val late = t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_orderkey"))
+    t(s, dir, "orders")
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val semiJoinLateOrdersSql: String =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val topOrdersPerPrioritySql: String =
     """SELECT o_orderpriority, rank_in_priority, o_orderkey, round(o_totalprice, 2) AS totalprice
       |FROM (

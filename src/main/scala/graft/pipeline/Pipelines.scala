@@ -17,6 +17,26 @@ import graft.ops.{EventOps, RuleBasedTrailClassifier, Sinks, WeatherModel}
   */
 object Pipelines {
 
+  /** A10: running counters (`schedule-jobs/scheduler/worker_scheduler.py:
+    * 21-26` `total_num_flushed`; `fetch-weather/worker_ingestion.py:50-57`)
+    * via Spark's `Observation` API — declarative metrics collected as a side
+    * effect of the next action, with no UDF and no codegen/pushdown break
+    * (an accumulator-in-UDF counter would poison the whole plan).
+    */
+  final case class Observed(df: DataFrame, observation: org.apache.spark.sql.Observation) {
+    /** Metric values; blocks until the df's first action completes. */
+    def rows: Long = observation.get("rows").asInstanceOf[Long]
+    def sumValue: Double = observation.get("sum_value").asInstanceOf[Double]
+  }
+
+  /** Attach flushed-rows counters to any stage output. */
+  def withCounters(df: DataFrame, valueCol: String = "city_id"): Observed = {
+    val obs = org.apache.spark.sql.Observation()
+    Observed(
+      df.observe(obs, count(lit(1)).as("rows"), sum(col(valueCol)).cast("double").as("sum_value")),
+      obs)
+  }
+
   /** §3.1 scheduler: enumerate cities (paginated scan → partitioned scan),
     * set-dedup (A8), stamp task ids. The outbox/flush stages are the write
     * action + checkpointing.

