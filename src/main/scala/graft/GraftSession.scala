@@ -24,6 +24,9 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       // events.ts is parquet TIMESTAMP(NANOS) — unreadable without this
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep managed tables (bucketing tests) out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+import graft.sources.Tables
+
+/** Salted aggregation equals the direct form; bucketing removes the join
+  * exchange — the two explicit scale levers beyond AQE.
+  */
+class SkewSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("salted stats are exactly equal to direct stats (reassociatable aggs)") {
+    val ev = Tables.read(spark, dir, "events")
+    // build a skewed copy: map 80% of rows onto one hot key
+    val skewed = ev.withColumn(
+      "user_id",
+      when(col("event_id") % 5 =!= 0, 7L).otherwise(col("user_id")))
+    val direct = Skew.directStats(skewed, "user_id", "value")
+      .orderBy("user_id").collect()
+    val salted = Skew.saltedStats(skewed, "user_id", "value", salts = 8)
+      .orderBy("user_id").collect()
+    assert(direct.length == salted.length)
+    direct.zip(salted).foreach { case (d, s) =>
+      assert(d.getLong(0) == s.getLong(0))
+      assert(d.getLong(1) == s.getLong(1))           // counts exact
+      assert(math.abs(d.getDouble(2) - s.getDouble(2)) < 1e-6) // sums assoc-drift only
+      assert(d.getDouble(3) == s.getDouble(3) && d.getDouble(4) == s.getDouble(4))
+    }
+  }
+
+  test("salted join spreads a hot key and preserves the join result") {
+    val ev = Tables.read(spark, dir, "events")
+      .withColumn("user_id", lit(7L)) // everything on one key
+    val dim = Tables.read(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val plain = ev.join(dim, col("user_id") === col("c_custkey")).count()
+    val saltedFact = Skew.saltFactKey(ev, salts = 8)
+    val saltedDim = Skew.saltedDimForJoin(dim, "c_custkey", salts = 8)
+    val salted = saltedFact.join(
+      saltedDim,
+      col("user_id") === col("c_custkey") && saltedFact("__salt") === saltedDim("__salt"))
+      .count()
+    assert(plain == salted)
+  }
+
+  test("bucketed tables join without an exchange on the bucketed key") {
+    // the in-memory catalog forgets tables across JVMs but their warehouse
+    // dirs survive — clear both
+    Seq("ev_bucketed", "cust_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp"), "graft-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val ev = Tables.read(spark, dir, "events")
+    val cust = Tables.read(spark, dir, "customer")
+    ev.write.mode("overwrite").bucketBy(8, "user_id")
+      .sortBy("user_id").saveAsTable("ev_bucketed")
+    cust.write.mode("overwrite").bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").saveAsTable("cust_bucketed")
+    val joined = spark.table("ev_bucketed")
+      .join(
+        spark.table("cust_bucketed").hint("merge"),
+        col("user_id") === col("c_custkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located bucketed join: no shuffle exchange on either side
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+}
