@@ -47,17 +47,19 @@ object DedupOps {
 
   // ---- shared shingling ---------------------------------------------------
 
-  /** Distinct word-bigram shingles of `text`. Bigrams (not unigrams)
-    * because the corpus shares a small vocabulary — unigram sets barely
-    * discriminate; bigram Jaccard separates the planted near-dups (≥0.5)
-    * from random pairs (≈0.03) by an order of magnitude.
+  /** Distinct word-bigram shingles of a materialized `toks` array column.
+    * Bigrams (not unigrams) because the corpus shares a small vocabulary —
+    * unigram sets barely discriminate; bigram Jaccard separates the planted
+    * near-dups (≥0.5) from random pairs (≈0.03) by an order of magnitude.
+    *
+    * MUST be applied over an already-selected `toks` attribute: inlining
+    * `split(text)` into the lambda re-splits per element (O(n²)/row).
     */
-  def bigramShingles: Column = {
-    val toks = TextOps.tokens
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-  }
+  def bigramShingles: Column =
+    expr(
+      """array_distinct(transform(
+        |  sequence(1, greatest(size(toks) - 1, 1)),
+        |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))))""".stripMargin)
 
   val bigramShinglesSql: String =
     """list_distinct(list_transform(
@@ -68,11 +70,13 @@ object DedupOps {
   // the token; the oracle's coalesce(...,'') would differ ("w " vs "w"), but
   // both sides trim: see trailing handling below.
 
-  /** Exploded (doc_id, source, shingle) inverted index. */
+  /** Exploded (doc_id, source, shingle) inverted index — tokens
+    * materialized first (see [[bigramShingles]]).
+    */
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id"), col("source"),
-      explode(bigramShingles).as("shingle"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens.as("toks"))
+      .select(col("doc_id"), col("source"), explode(bigramShingles).as("shingle"))
 
   private val shingleIndexSql: String =
     """SELECT doc_id, source, unnest(
@@ -158,37 +162,33 @@ object DedupOps {
     * only sees collisions.
     */
   def minhashLshDedup(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val aLit = typedLit((0 until MinhashK).map(minhashA))
-    val bLit = typedLit((0 until MinhashK).map(minhashB))
-    // (doc, shingle) hashed once, × seed j via cheap affine arithmetic
-    val hashed = docs(s, dir)
-      .select(col("doc_id"), explode(bigramShingles).as("sh"))
-      .withColumn("h1", hash60(col("sh")) % MinhashP)
-      .select(
-        col("doc_id"),
-        explode(sequence(lit(0), lit(MinhashK - 1))).as("j"),
-        col("h1"))
-      .withColumn(
-        "h",
-        (element_at(aLit, col("j") + 1) * col("h1") + element_at(bLit, col("j") + 1)) % MinhashP)
-    // one shuffle: per-(doc, band) signature halves via conditional mins
-    val bands = hashed
-      .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
-      .agg(
-        min(when(col("j") % 2 === 0, col("h"))).as("s0"),
-        min(when(col("j") % 2 === 1, col("h"))).as("s1"))
-      .select(
-        col("doc_id"),
-        concat_ws(":", col("band").cast("string"),
-          col("s0").cast("string"), col("s1").cast("string")).as("band_key"))
+    // (doc, shingle) hashed once; all k affine mins computed as k aggregate
+    // columns over the SAME 475k-row frame (no ×k row blowup), one shuffle
+    // on doc_id
+    val base = shingleIndex(s, dir)
+      .select(col("doc_id"), (hash60(col("shingle")) % MinhashP).as("h1"))
+    val sigAggs = (0 until MinhashK).map { j =>
+      min((col("h1") * minhashA(j) + minhashB(j)) % MinhashP).as(s"s$j")
+    }
+    val sigs = base.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    // band keys assembled map-side from the k signature columns
+    val bandKeys = (0 until LshBands).map { b =>
+      concat_ws(":", lit(b).cast("string"),
+        col(s"s${2 * b}").cast("string"), col(s"s${2 * b + 1}").cast("string"))
+    }
+    val bands = sigs.select(
+      col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard over the shingle sets
-    val sh = docs(s, dir).select(col("doc_id"), bigramShingles.as("sh_set"))
+    // verify candidates with exact Jaccard over the shingle sets (collected
+    // from the fast exploded index — rows are already distinct per doc)
+    val sh = shingleIndex(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh_set"))
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .withColumnRenamed("sh_set", "sh_a")
@@ -243,29 +243,25 @@ object DedupOps {
   val SimhashBits = 32
 
   /** 32-bit SimHash per document: per-bit vote over shingle hashes, sign →
-    * bit. The bit-vote explode is (docs × shingles) rows grouped back by
-    * doc — one shuffle on doc_id; at scale this is the standard simhash
-    * map-reduce.
+    * bit. All 32 bit-votes are aggregate columns over the (doc, shingle)
+    * frame — no ×32 bit-explode, ONE shuffle on doc_id; the fingerprint is
+    * composed map-side from the vote columns.
     */
   def simhashFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val perShingle = docs(s, dir).select(
-      col("doc_id"),
-      explode(bigramShingles).as("sh"))
-      .withColumn("h", hash60(col("sh")))
-    val perBit = perShingle
-      .select(
-        col("doc_id"),
-        explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"),
-        col("h"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(
-        when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
-    perBit
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L))
-          .as("simhash"),
-        sum(when(col("vote") > 0, 1L).otherwise(0L)).as("n_set_bits"))
+    val perShingle = shingleIndex(s, dir)
+      .select(col("doc_id"), hash60(col("shingle")).as("h"))
+    val voteAggs = (0 until SimhashBits).map { b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val votes = perShingle.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val fingerprint = (0 until SimhashBits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    val nSet = (0 until SimhashBits)
+      .map(b => when(col(s"v$b") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(
+      col("doc_id"), fingerprint.as("simhash"), nSet.as("n_set_bits"))
       .orderBy("doc_id")
   }
 

@@ -121,20 +121,24 @@ object TextOps {
 
   /** Winnowing-style fingerprint: hash every 5-word shingle, keep the
     * minimum (one representative hash per document) plus the distinct
-    * shingle count. Entirely inside one `transform`/`aggregate` expression —
-    * no explode, no shuffle.
+    * shingle count.
+    *
+    * Shape: materialize the token array as an attribute FIRST, then build
+    * shingles in a generator. The generator boundary stops Catalyst from
+    * re-inlining `split(text)` into the per-element lambda (which would be
+    * O(n²)/row — measured 3.3× slower); the md5 then runs codegen'd per
+    * exploded row. One shuffle on doc_id.
     */
-  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val n = size(tokens)
-    val ids = sequence(lit(1), greatest(n - 4, lit(1)))
-    val shingleHashes = transform(
-      ids, i => hash60(concat_ws(" ", slice(tokens, i, lit(5)))))
-    docs(s, dir).select(
-      col("doc_id"),
-      array_min(shingleHashes).as("fingerprint"),
-      size(array_distinct(shingleHashes)).cast("long").as("n_shingles"))
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(toks) - 4, 1)), i -> concat_ws(' ', slice(toks, i, 5)))"))
+        .as("sh"))
+      .select(col("doc_id"), hash60(col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(min(col("h")).as("fingerprint"), countDistinct(col("h")).as("n_shingles"))
       .orderBy("doc_id")
-  }
 
   val docFingerprintSql: String = {
     val h = hash60Sql("array_to_string(list_slice(toks, i, i + 4), ' ')")
