@@ -94,7 +94,13 @@ object SparkEntry {
     "q_rollup_pricing" -> (RelationalOps.rollupPricing _),
     "q_semi_join_late" -> (RelationalOps.semiJoinLateOrders _),
     // S7: generator source (no table input)
-    "q_s7_mock_weather" -> ((s, _) => graft.sources.MockWeather.hourlyForecast(s)))
+    "q_s7_mock_weather" -> ((s, _) => graft.sources.MockWeather.hourlyForecast(s)),
+
+    // time-series extensions: as-of join, sessionization, pivot, HLL sketch
+    "q_asof_join" -> (graft.ops.TimeSeriesOps.asofJoin _),
+    "q_sessionize" -> (graft.ops.TimeSeriesOps.sessionize _),
+    "q_pivot_activity" -> (graft.ops.TimeSeriesOps.pivotActivity _),
+    "q_hll_distinct" -> (graft.ops.TimeSeriesOps.hllDistinct _))
 
   def oracleSql: Map[String, String] = Map(
     "q_classifier" -> RuleBasedTrailClassifier.oracleSql(WeatherModel.Anchor),
@@ -145,5 +151,10 @@ object SparkEntry {
     "q6_forecast_revenue" -> RelationalOps.q6ForecastRevenueSql,
     "q_rollup_pricing" -> RelationalOps.rollupPricingSql,
     "q_semi_join_late" -> RelationalOps.semiJoinLateOrdersSql,
-    "q_s7_mock_weather" -> graft.sources.MockWeather.hourlyForecastSql())
+    "q_s7_mock_weather" -> graft.sources.MockWeather.hourlyForecastSql(),
+    "q_asof_join" -> graft.ops.TimeSeriesOps.asofJoinSql,
+    "q_sessionize" -> graft.ops.TimeSeriesOps.sessionizeSql,
+    "q_pivot_activity" -> graft.ops.TimeSeriesOps.pivotActivitySql)
+    // q_hll_distinct deliberately has no oracle: HLL sketch values are
+    // engine-specific → driver records the weaker rows-only check.
 }
