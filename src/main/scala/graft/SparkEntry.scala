@@ -100,7 +100,9 @@ object SparkEntry {
     "q_asof_join" -> (graft.ops.TimeSeriesOps.asofJoin _),
     "q_sessionize" -> (graft.ops.TimeSeriesOps.sessionize _),
     "q_pivot_activity" -> (graft.ops.TimeSeriesOps.pivotActivity _),
-    "q_hll_distinct" -> (graft.ops.TimeSeriesOps.hllDistinct _))
+    "q_hll_distinct" -> (graft.ops.TimeSeriesOps.hllDistinct _),
+    "q_ann_ivf" -> (SimilarityOps.annIvf _),
+    "q_brand_revenue" -> (RelationalOps.brandRevenue _))
 
   def oracleSql: Map[String, String] = Map(
     "q_classifier" -> RuleBasedTrailClassifier.oracleSql(WeatherModel.Anchor),
@@ -154,7 +156,9 @@ object SparkEntry {
     "q_s7_mock_weather" -> graft.sources.MockWeather.hourlyForecastSql(),
     "q_asof_join" -> graft.ops.TimeSeriesOps.asofJoinSql,
     "q_sessionize" -> graft.ops.TimeSeriesOps.sessionizeSql,
-    "q_pivot_activity" -> graft.ops.TimeSeriesOps.pivotActivitySql)
+    "q_pivot_activity" -> graft.ops.TimeSeriesOps.pivotActivitySql,
+    "q_ann_ivf" -> SimilarityOps.annIvfSql,
+    "q_brand_revenue" -> RelationalOps.brandRevenueSql)
     // q_hll_distinct deliberately has no oracle: HLL sketch values are
     // engine-specific → driver records the weaker rows-only check.
 }

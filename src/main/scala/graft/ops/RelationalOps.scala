@@ -179,6 +179,27 @@ object RelationalOps {
       |    AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Brand revenue: lineitem ⋈ broadcast(part) — completes coverage of all
+    * ten shared tables and exercises the fact-⋈-product-dim shape.
+    */
+  def brandRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        round(avg(col("p_retailprice")), 4).as("avg_retail"))
+      .orderBy("p_brand")
+
+  val brandRevenueSql: String =
+    """SELECT p_brand, count(*) AS n_lines,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  round(avg(p_retailprice), 4) AS avg_retail
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val topOrdersPerPrioritySql: String =
     """SELECT o_orderpriority, rank_in_priority, o_orderkey, round(o_totalprice, 2) AS totalprice
       |FROM (

@@ -97,7 +97,7 @@ object SimilarityOps {
 
   // ---- sign-LSH bucketed ANN ---------------------------------------------
 
-  val LshPlanes = 6
+  val LshPlanes = 4
 
   /** Deterministic pseudo-random hyperplane weights for (plane p, dim d) in
     * [-1, 1): md5-derived so the oracle reproduces them exactly. The planes
@@ -147,19 +147,28 @@ object SimilarityOps {
        |    d -> $vec[d] * ${planeWeightSql("p", "d")})) >= 0
        |  THEN (1::BIGINT << p) ELSE 0 END))""".stripMargin
 
-  /** Bucketed ANN: queries only score candidates in their own sign-LSH
-    * bucket. Same output shape as brute force (top-3 per query, from the
-    * bucket), so recall vs the baseline is directly measurable.
+  /** Multi-probe bucketed ANN: each query scores candidates in its own
+    * sign-LSH bucket PLUS every bucket at Hamming distance 1 (flip one
+    * plane's bit) — the standard multi-probe trick that recovers most of
+    * the recall a single-bucket probe loses at bucket boundaries, while
+    * still scoring only (planes+1)/2^planes of the corpus. Output shape
+    * matches brute force so recall is directly measurable.
     */
   def annLshBucketed(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).withColumn("bucket", lshBucket(col("vec")))
+    val probeBuckets = array(
+      col("q_bucket") +: (0 until LshPlanes).map(p =>
+        expr(s"q_bucket ^ ${1L << p}")): _*)
     val q = e.where(col("vec_id") < NQueries)
       .select(
         col("vec_id").as("query_id"), col("vec").as("q_vec"),
         col("bucket").as("q_bucket"))
+      .select(
+        col("query_id"), col("q_vec"),
+        explode(probeBuckets).as("probe_bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+    e.join(broadcast(q), col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("vec"), col("q_vec")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 3)
@@ -169,19 +178,23 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
-  val annLshBucketedSql: String =
+  val annLshBucketedSql: String = {
+    val probeList = ("q_bucket" +: (0 until LshPlanes).map(p =>
+      s"xor(q_bucket, ${1L << p})")).mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, vec, ${lshBucketSql("vec")} AS bucket FROM ($embSql)),
-       |q AS (SELECT vec_id AS query_id, vec AS q_vec, bucket AS q_bucket
-       |      FROM e WHERE vec_id < $NQueries),
+       |q0 AS (SELECT vec_id AS query_id, vec AS q_vec, bucket AS q_bucket
+       |       FROM e WHERE vec_id < $NQueries),
+       |q AS (SELECT query_id, q_vec, unnest($probeList) AS probe_bucket FROM q0),
        |scored AS (
        |  SELECT query_id, e.vec_id AS neighbor_id, ${cosineSql("vec", "q_vec")} AS cos
-       |  FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.query_id),
+       |  FROM e JOIN q ON e.bucket = q.probe_bucket AND e.vec_id <> q.query_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   // ---- label-centroid assignment -----------------------------------------
 
@@ -190,9 +203,11 @@ object SimilarityOps {
     * nearest centroid by cosine. The centroid table is tiny → broadcast;
     * assignment is map-side.
     */
-  def centroidAssign(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val centroids = e
+  /** Per-label centroids (posexplode → per-dim avg rounded to 6dp so both
+    * engines proceed from identical values), collected back to arrays.
+    */
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
       .select(col("label"), posexplode(col("vec")).as(Seq("d", "x")))
       .groupBy(col("label").as("c_label"), col("d"))
       .agg(round(avg(col("x")), 6).as("cx"))
@@ -201,18 +216,94 @@ object SimilarityOps {
       .select(
         col("c_label"),
         transform(col("pairs"), p => p.getField("cx")).as("c_vec"))
+
+  /** Every vector's nearest centroid (its IVF cell). */
+  private def assignments(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("c_label"))
-    e.crossJoin(broadcast(centroids))
+    emb(s, dir).crossJoin(broadcast(centroids(s, dir)))
       .withColumn("cos", cosine(col("vec"), col("c_vec")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("vec"), col("c_label").as("cell"))
+  }
+
+  def centroidAssign(s: SparkSession, dir: String): DataFrame =
+    assignments(s, dir)
       .select(
         col("vec_id"), col("label"),
-        col("c_label").as("assigned_label"),
-        (col("label") === col("c_label")).as("is_match"))
+        col("cell").as("assigned_label"),
+        (col("label") === col("cell")).as("is_match"))
       .orderBy("vec_id")
+
+  /** IVF ANN: the centroid table is the coarse quantizer. Each query probes
+    * its `nprobe` nearest cells and scores ONLY vectors assigned there —
+    * the q·n/cells scale path (vs brute force's q·n), complementary to the
+    * sign-LSH variant. Output shape matches brute force so recall is
+    * directly measurable.
+    */
+  val IvfProbes = 2
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val assign = assignments(s, dir)
+    val cents = centroids(s, dir)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("c_label"))
+    val probes = emb(s, dir).where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_rn", row_number().over(probeW))
+      .where(col("c_rn") <= IvfProbes)
+      .select(col("query_id"), col("q_vec"), col("c_label").as("probe_cell"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assign
+      .join(broadcast(probes),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("vec"), col("q_vec")))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= 3)
+      .select(
+        col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
   }
+
+  val annIvfSql: String =
+    s"""WITH e AS ($embSql),
+       |flat AS (
+       |  SELECT label, d, avg(vec[d]) AS cx
+       |  FROM e, (SELECT unnest(range(1, $Dim + 1)) AS d)
+       |  GROUP BY label, d),
+       |cent AS (
+       |  SELECT label AS c_label, list(round(cx, 6) ORDER BY d) AS c_vec
+       |  FROM flat GROUP BY label),
+       |assign AS (
+       |  SELECT vec_id, vec, c_label AS cell FROM (
+       |    SELECT e.vec_id, e.vec, c_label,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("vec", "c_vec")} DESC, c_label) AS rn
+       |    FROM e, cent)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, q_vec, c_label AS probe_cell FROM (
+       |    SELECT e.vec_id AS query_id, e.vec AS q_vec, c_label,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("vec", "c_vec")} DESC, c_label) AS c_rn
+       |    FROM e, cent WHERE e.vec_id < $NQueries)
+       |  WHERE c_rn <= $IvfProbes),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    ${cosineSql("a.vec", "q_vec")} AS cos
+       |  FROM assign a JOIN probes p
+       |    ON a.cell = p.probe_cell AND a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val centroidAssignSql: String =
     s"""WITH e AS ($embSql),
