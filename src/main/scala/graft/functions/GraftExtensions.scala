@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions: registers the engine's native expressions for SQL
+  * users (`SELECT cosine_sim(a, b)`). Install via
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` — done by
+  * [[graft.GraftSession]] — or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` on a cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 2,
+          s"cosine_sim requires exactly 2 arguments (two array<double>), got ${children.size}")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

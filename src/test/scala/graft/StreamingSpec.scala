@@ -75,6 +75,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: watermarked self-join pairs clicks with later purchases") {
+    // S5 + J-family streaming form: click stream ⋈ purchase stream per user
+    // within a 1-hour event-time bound, both sides watermarked so join
+    // state is bounded.
+    val ev = StreamingPipeline.readEvents(spark, eventsPath)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = clicks.join(
+      purchases,
+      expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("ssjoin_out").count()
+      // batch reference computed over the same file
+      val bev = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      val bc = bev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val bp = bev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val expect = bc.join(bp,
+        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR")).count()
+      assert(n == expect, s"stream join $n vs batch $expect")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: replay is idempotent, DLQ side-output lands") {
     val base = Files.createTempDirectory("graft_stream").toString
     val store = s"$base/store"

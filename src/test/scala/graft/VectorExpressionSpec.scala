@@ -56,6 +56,13 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(withNull.eval(null) == null)
   }
 
+  test("cosine_sim is callable from SQL via GraftExtensions") {
+    val v = spark.sql(
+      "SELECT round(cosine_sim(array(3.0d, 4.0d), array(4.0d, 3.0d)), 6) AS c")
+      .first().getDouble(0)
+    assert(v == 0.96)
+  }
+
   test("type check rejects non-array arguments with a named error") {
     val bad = graft.functions.CosineSimilarity(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0),
