@@ -102,7 +102,10 @@ object SparkEntry {
     "q_pivot_activity" -> (graft.ops.TimeSeriesOps.pivotActivity _),
     "q_hll_distinct" -> (graft.ops.TimeSeriesOps.hllDistinct _),
     "q_ann_ivf" -> (SimilarityOps.annIvf _),
-    "q_brand_revenue" -> (RelationalOps.brandRevenue _))
+    "q_brand_revenue" -> (RelationalOps.brandRevenue _),
+    "q10_returned_items" -> (RelationalOps.q10ReturnedItems _),
+    "q14_promo_revenue" -> (RelationalOps.q14PromoRevenue _),
+    "q17_small_quantity" -> (RelationalOps.q17SmallQuantity _))
 
   def oracleSql: Map[String, String] = Map(
     "q_classifier" -> RuleBasedTrailClassifier.oracleSql(WeatherModel.Anchor),
@@ -158,7 +161,10 @@ object SparkEntry {
     "q_sessionize" -> graft.ops.TimeSeriesOps.sessionizeSql,
     "q_pivot_activity" -> graft.ops.TimeSeriesOps.pivotActivitySql,
     "q_ann_ivf" -> SimilarityOps.annIvfSql,
-    "q_brand_revenue" -> RelationalOps.brandRevenueSql)
+    "q_brand_revenue" -> RelationalOps.brandRevenueSql,
+    "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
+    "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,
+    "q17_small_quantity" -> RelationalOps.q17SmallQuantitySql)
     // q_hll_distinct deliberately has no oracle: HLL sketch values are
     // engine-specific → driver records the weaker rows-only check.
 }

@@ -179,6 +179,86 @@ object RelationalOps {
       |    AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q10 shape: returned-item revenue per customer, top 20. Three-way
+    * join with the selective filter (returnflag = 'R') applied BEFORE the
+    * joins so the big side shrinks first; top-20 via TakeOrderedAndProject.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val returned = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+    val ord = t(s, dir, "orders").where(
+      col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+    returned
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q14 shape: promo revenue share — conditional aggregate over a
+    * broadcast dim join, one output row.
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(
+        col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01 00:00:00").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("promo_revenue_pct"))
+
+  val q14PromoRevenueSql: String =
+    """SELECT round(
+      |  sum(CASE WHEN p_type = 'PROMO'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0 /
+      |  sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — the correlated scalar
+    * subquery (avg quantity per part) planned as an aggregate joined back,
+    * broadcast because it is one row per part.
+    */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .where(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(
+        round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17SmallQuantitySql: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      |  count(*) AS n_lines
+      |FROM lineitem l
+      |WHERE l_quantity < 0.5 * (
+      |  SELECT avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)""".stripMargin
+
   /** Brand revenue: lineitem ⋈ broadcast(part) — completes coverage of all
     * ten shared tables and exercises the fact-⋈-product-dim shape.
     */
