@@ -105,7 +105,8 @@ object SparkEntry {
     "q_brand_revenue" -> (RelationalOps.brandRevenue _),
     "q10_returned_items" -> (RelationalOps.q10ReturnedItems _),
     "q14_promo_revenue" -> (RelationalOps.q14PromoRevenue _),
-    "q17_small_quantity" -> (RelationalOps.q17SmallQuantity _))
+    "q17_small_quantity" -> (RelationalOps.q17SmallQuantity _),
+    "q_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(s, d)))
 
   def oracleSql: Map[String, String] = Map(
     "q_classifier" -> RuleBasedTrailClassifier.oracleSql(WeatherModel.Anchor),
@@ -164,7 +165,8 @@ object SparkEntry {
     "q_brand_revenue" -> RelationalOps.brandRevenueSql,
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,
-    "q17_small_quantity" -> RelationalOps.q17SmallQuantitySql)
+    "q17_small_quantity" -> RelationalOps.q17SmallQuantitySql,
+    "q_dedup_clusters" -> DedupOps.nearDupClustersSql())
     // q_hll_distinct deliberately has no oracle: HLL sketch values are
     // engine-specific → driver records the weaker rows-only check.
 }

@@ -238,6 +238,68 @@ object DedupOps {
        |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM verified
        |WHERE j >= $threshold ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- near-dup cluster formation ----------------------------------------
+
+  /** Final dedup step: group verified near-dup PAIRS into CLUSTERS
+    * (connected components) and elect the minimum doc_id as each cluster's
+    * canonical document — what a dedup pipeline actually keeps/drops.
+    *
+    * Components via fixed-iteration min-label propagation (5 rounds —
+    * near-dup cluster diameters are tiny; deterministic, so the oracle can
+    * unroll the same 5 rounds). Each round is one broadcast join + min-agg
+    * over the EDGE set only (∝ near-dup pairs, not corpus size) — at
+    * 100 TB this state is trivially small even when the corpus is not.
+    */
+  def nearDupClusters(s: SparkSession, dir: String, iterations: Int = 5): DataFrame = {
+    val pairs = minhashLshDedup(s, dir).select(col("doc_a"), col("doc_b"))
+    // ITERATIVE ALGORITHM: lineage MUST be truncated each round
+    // (localCheckpoint) — lazy iteration would embed the whole MinHash
+    // pipeline 2^iterations times into one plan. Same rule as any Pregel-
+    // style loop on Spark.
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("cluster", col("doc"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc", "nbr"), col("doc_b") === col("nbr"))
+        .select(col("doc_a").as("doc"), col("cluster"))
+      labels = labels.unionByName(viaNeighbors)
+        .groupBy(col("doc"))
+        .agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+    }
+    labels
+      .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"),
+        (col("doc") === col("cluster")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  def nearDupClustersSql(iterations: Int = 5): String = {
+    val base = minhashLshDedupSql()
+    val rounds = (1 to iterations).map { i =>
+      s"""l$i AS (
+         |  SELECT doc, min(cluster) AS cluster FROM (
+         |    SELECT doc, cluster FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.doc_a AS doc, l.cluster
+         |    FROM edges e JOIN l${i - 1} l ON e.doc_b = l.doc)
+         |  GROUP BY doc)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($base),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+       |l0 AS (SELECT DISTINCT doc_a AS doc, doc_a AS cluster FROM edges),
+       |$rounds
+       |SELECT doc AS doc_id, cluster AS cluster_id,
+       |  doc = cluster AS is_canonical
+       |FROM l$iterations ORDER BY doc_id""".stripMargin
+  }
+
   // ---- SimHash fingerprint ------------------------------------------------
 
   val SimhashBits = 32

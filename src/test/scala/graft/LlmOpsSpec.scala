@@ -64,6 +64,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty || exact.isEmpty)
   }
 
+  test("near-dup clusters: every pair lands in one cluster, canonical is the min member") {
+    val pairs = DedupOps.minhashLshDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupOps.nearDupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"canonical of $cid is not the min member")
+    }
+  }
+
   test("simhash: near-identical docs get near-identical fingerprints") {
     import spark.implicits._
     val fps = DedupOps.simhashFingerprint(spark, dir)
