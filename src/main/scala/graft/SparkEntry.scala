@@ -106,7 +106,11 @@ object SparkEntry {
     "q10_returned_items" -> (RelationalOps.q10ReturnedItems _),
     "q14_promo_revenue" -> (RelationalOps.q14PromoRevenue _),
     "q17_small_quantity" -> (RelationalOps.q17SmallQuantity _),
-    "q_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(s, d)))
+    "q_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(s, d)),
+    "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
+    "q_stratified_sample" -> ((s, d) => graft.ops.CorpusOps.stratifiedSample(s, d)),
+    "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
+    "q_kmeans" -> (SimilarityOps.kmeans _))
 
   def oracleSql: Map[String, String] = Map(
     "q_classifier" -> RuleBasedTrailClassifier.oracleSql(WeatherModel.Anchor),
@@ -166,7 +170,11 @@ object SparkEntry {
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,
     "q17_small_quantity" -> RelationalOps.q17SmallQuantitySql,
-    "q_dedup_clusters" -> DedupOps.nearDupClustersSql())
+    "q_dedup_clusters" -> DedupOps.nearDupClustersSql(),
+    "q_value_percentiles" -> graft.ops.CorpusOps.valuePercentilesSql,
+    "q_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(),
+    "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
+    "q_kmeans" -> SimilarityOps.kmeansSql)
     // q_hll_distinct deliberately has no oracle: HLL sketch values are
     // engine-specific → driver records the weaker rows-only check.
 }

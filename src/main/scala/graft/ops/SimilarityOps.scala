@@ -270,6 +270,84 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  // ---- deterministic k-means ---------------------------------------------
+
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  /** Deterministic spherical k-means (cosine assignment, 3 fixed Lloyd
+    * iterations): seeds = the first k vectors by id, centroids re-averaged
+    * per dim and ROUNDED to 6dp each round so the DuckDB oracle (same
+    * rounds unrolled) proceeds from identical values. The index-build op
+    * behind a real IVF; also the engine's demonstration of iterative ML
+    * discipline — lineage truncated per round (see nearDupClusters).
+    *
+    * Scale: per round, one broadcast of k centroids + one shuffle for the
+    * per-(cluster, dim) averages. Assignment is map-side.
+    */
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cid"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col("vec"), col("c_vec")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("vec"), col("cid"), col("cos"))
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(round(avg(col("x")), 6).as("cx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("pairs"))
+        .select(col("cid"), transform(col("pairs"), p => p.getField("cx")).as("c_vec"))
+
+    var cents = e.where(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"), col("vec").as("c_vec"))
+      .localCheckpoint()
+    for (_ <- 1 to KmeansIters)
+      cents = update(assign(cents)).localCheckpoint()
+
+    assign(cents)
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(avg(col("cos")), 4).as("avg_cosine"))
+      .orderBy("cid")
+  }
+
+  val kmeansSql: String = {
+    def assignCte(name: String, centCte: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, vec, cid, cos FROM (
+         |    SELECT e.vec_id, e.vec, c.cid, ${cosineSql("vec", "c_vec")} AS cos,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("vec", "c_vec")} DESC, c.cid) AS rn
+         |    FROM e, $centCte c)
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(name: String, assignCte: String): String =
+      s"""$name AS (
+         |  SELECT cid, list(round(cx, 6) ORDER BY d) AS c_vec FROM (
+         |    SELECT cid, d, avg(vec[d]) AS cx
+         |    FROM $assignCte, (SELECT unnest(range(1, $Dim + 1)) AS d)
+         |    GROUP BY cid, d)
+         |  GROUP BY cid)""".stripMargin
+    val rounds = (1 to KmeansIters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i")
+    }.mkString(",\n")
+    s"""WITH e AS ($embSql),
+       |c0 AS (SELECT vec_id AS cid, vec AS c_vec FROM e WHERE vec_id < $KmeansK),
+       |$rounds,
+       |${assignCte("afinal", s"c$KmeansIters")}
+       |SELECT cid, count(*) AS n_members, round(avg(cos), 4) AS avg_cosine
+       |FROM afinal GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   val annIvfSql: String =
     s"""WITH e AS ($embSql),
        |flat AS (
