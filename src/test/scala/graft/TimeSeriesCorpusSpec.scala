@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CorpusOps, SimilarityOps, TimeSeriesOps}
+import graft.sources.Tables
+
+/** Invariants for the time-series and corpus operator families on sf0.001. */
+class TimeSeriesCorpusSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("as-of join: one row per signup, -1 sentinel only when no prior click exists") {
+    val out = TimeSeriesOps.asofJoin(spark, dir)
+    val nSignups = Tables.read(spark, dir, "events")
+      .where(col("event_type") === "signup").count()
+    assert(out.count() == nSignups)
+    // a user whose first event is a signup must get the sentinel
+    val firstEvents = Tables.read(spark, dir, "events")
+      .withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"))
+      .where(col("rn") === 1 && col("event_type") === "signup")
+      .select(col("event_id"))
+    val sentinels = out.join(firstEvents, "event_id")
+    assert(sentinels.where(col("last_click_value") =!= -1.0).count() == 0)
+  }
+
+  test("sessionize: session counts bounded by event counts, all users present") {
+    val out = TimeSeriesOps.sessionize(spark, dir)
+    assert(out.count() == 15)
+    val joined = out.join(
+      Tables.read(spark, dir, "events").groupBy("user_id").count(), "user_id")
+    assert(joined.where(col("n_sessions") > col("count")).count() == 0)
+    assert(joined.where(col("longest_session_events") > col("count")).count() == 0)
+  }
+
+  test("pivot: row sums equal per-user event counts") {
+    val out = TimeSeriesOps.pivotActivity(spark, dir)
+      .withColumn("total",
+        col("click") + col("view") + col("purchase") + col("signup") + col("error"))
+    val joined = out.join(
+      Tables.read(spark, dir, "events").groupBy("user_id").count(), "user_id")
+    assert(joined.where(col("total") =!= col("count")).count() == 0)
+  }
+
+  test("percentiles: p50 <= p90 <= p99 per type") {
+    CorpusOps.valuePercentiles(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
+  test("stratified sample: deterministic and a strict subset") {
+    val a = CorpusOps.stratifiedSample(spark, dir).collect()
+    val b = CorpusOps.stratifiedSample(spark, dir).collect()
+    assert(a.sameElements(b))
+    assert(a.length > 0 && a.length < 500)
+  }
+
+  test("vocab: doc_freq <= coll_freq and doc_freq <= corpus size") {
+    CorpusOps.vocabTopK(spark, dir).collect().foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))
+      assert(r.getLong(1) <= 500)
+    }
+  }
+
+  test("kmeans: members total the corpus, cosine within [-1,1]") {
+    val out = SimilarityOps.kmeans(spark, dir).collect()
+    assert(out.map(_.getLong(1)).sum == 500)
+    out.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+  }
+}
