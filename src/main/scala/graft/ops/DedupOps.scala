@@ -61,14 +61,16 @@ object DedupOps {
         |  sequence(1, greatest(size(toks) - 1, 1)),
         |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))))""".stripMargin)
 
-  val bigramShinglesSql: String =
+  /** THE oracle-side shingle list — single source of truth interpolated by
+    * every dedup oracle below. `|| coalesce(' ' || next, '')` reproduces
+    * Spark's concat_ws null-skipping exactly: a 1-token document yields the
+    * bare token on BOTH engines (the degenerate case the corpus never hits
+    * today, pinned so a future corpus with short docs cannot diverge).
+    */
+  val shingleListSql: String =
     """list_distinct(list_transform(
-      |  range(1, greatest(len(toks) - 1, 1) + 1),
-      |  i -> toks[i] || ' ' || coalesce(toks[i + 1], '')))""".stripMargin
-
-  // Spark's concat_ws skips nulls → trailing bigram of a 1-token doc is just
-  // the token; the oracle's coalesce(...,'') would differ ("w " vs "w"), but
-  // both sides trim: see trailing handling below.
+      |  range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+      |  i -> string_split(text, ' ')[i] || coalesce(' ' || string_split(text, ' ')[i + 1], '')))""".stripMargin
 
   /** Exploded (doc_id, source, shingle) inverted index — tokens
     * materialized first (see [[bigramShingles]]).
@@ -79,11 +81,8 @@ object DedupOps {
       .select(col("doc_id"), col("source"), explode(bigramShingles).as("shingle"))
 
   private val shingleIndexSql: String =
-    """SELECT doc_id, source, unnest(
-      |  list_distinct(list_transform(
-      |    range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
-      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i + 1]))) AS shingle
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id, source, unnest($shingleListSql) AS shingle
+       |FROM documents""".stripMargin
 
   // ---- n-gram Jaccard near-dup -------------------------------------------
 
@@ -218,9 +217,7 @@ object DedupOps {
 
   def minhashLshDedupSql(threshold: Double = 0.3): String =
     s"""WITH d AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
-       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i + 1])) AS sh_set
+       |  SELECT doc_id, $shingleListSql AS sh_set
        |  FROM documents),
        |sigs AS (SELECT doc_id, $minhashSignatureSql AS sig FROM d),
        |bands AS (
@@ -330,9 +327,7 @@ object DedupOps {
   val simhashFingerprintSql: String = {
     val h = hash60Sql("sh")
     s"""WITH e AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(
-       |    range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1),
-       |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i + 1]))) AS sh
+       |  SELECT doc_id, unnest($shingleListSql) AS sh
        |  FROM documents),
        |hs AS (SELECT doc_id, $h AS h FROM e),
        |votes AS (

@@ -102,9 +102,9 @@ object SimilarityOps {
   /** Deterministic pseudo-random hyperplane weights for (plane p, dim d) in
     * [-1, 1): md5-derived so the oracle reproduces them exactly. The planes
     * are CONSTANTS, so they are computed once at plan-build time and
-    * embedded as literals — recomputing 6×64 md5s per row in the expression
-    * tree costs ~400 digests/row for values that never change. (At cluster
-    * scale this is the broadcast-the-model pattern.)
+    * embedded as literals — recomputing LshPlanes×Dim md5s per row in the
+    * expression tree pays for values that never change. (At cluster scale
+    * this is the broadcast-the-model pattern.)
     */
   private[ops] lazy val planeWeights: Seq[Seq[Double]] = {
     def md5hex(s: String): String = {
@@ -122,9 +122,9 @@ object SimilarityOps {
   private def planeWeightSql(p: String, d: String): String =
     s"(((${hash60Sql(s"$p::VARCHAR || '_' || $d::VARCHAR")}) % 2001) - 1000) / 1000.0"
 
-  /** Sign-LSH bucket id: for each of 6 hyperplanes, the sign of vec·plane
-    * becomes a bit → 64 buckets. One map-side expression over literal
-    * plane vectors.
+  /** Sign-LSH bucket id: for each of the LshPlanes hyperplanes, the sign of
+    * vec·plane becomes a bit → 2^LshPlanes buckets. One map-side expression
+    * over literal plane vectors.
     */
   def lshBucket(vec: Column): Column = {
     val planesLit = typedLit(planeWeights)

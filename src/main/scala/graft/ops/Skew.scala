@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * one reducer would otherwise receive a whole key's rows.
   *
   * Two-phase shape: groupBy(key, salt) computes partial aggregates across
-  * `salts` reducers per key, then groupBy(key) merges the partials. All
-  * shown aggregates are reassociatable (sum/count/min/max), so results are
-  * EXACTLY equal to the unsalted single-phase form — pinned by SkewSpec.
+  * `salts` reducers per key, then groupBy(key) merges the partials. The
+  * shown aggregates are reassociatable: counts/min/max are exactly equal to
+  * the unsalted form; double sums are equal up to floating-point
+  * reassociation (last-ulp drift when the regrouping changes summation
+  * order) — both pinned by SkewSpec.
   *
   * At 100 TB: hot keys in the events stream (a viral user, a default
   * city_id) would stall the single-reducer plan; salting bounds any

@@ -69,7 +69,7 @@ object Pipelines {
         deadLetters = dlq)
   }
 
-  final case class CategorizationOutput(labels: DataFrame, deadLetters: DataFrame)
+  final case class CategorizationOutput(labels: DataFrame, unlabeled: DataFrame)
 
   /** §3.3 categorization: dedup vs processed set (A9, left-anti) →
     * per-city window fetch = the weather table itself (J2) → flagship
@@ -82,9 +82,13 @@ object Pipelines {
     val fresh = weather.join(
       broadcast(processedCityIds), Seq("city_id"), "left_anti")
     val labels = RuleBasedTrailClassifier.classify(fresh, anchor)
+    // In the reference an empty label list still posts successfully
+    // (",".join([]) = ""); the engine additionally surfaces those cities as
+    // a monitoring side-channel. classify() builds class_label with
+    // concat_ws, which returns "" (never null) when no rule fires.
     CategorizationOutput(
       labels = labels,
-      deadLetters = labels.where(col("class_label").isNull))
+      unlabeled = labels.where(col("class_label") === ""))
   }
 
   /** Full three-stage flow on the shared tables: scheduler → ingestion →

@@ -48,19 +48,30 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("minhash LSH finds every pair the exact jaccard finds (at 0.3)") {
-    // with 4 bands × 2 rows, P(candidate | j>=0.3) per band = j^2 ≈ 0.09+;
-    // planted near-dups are j>=0.5 → P(miss) = (1-j^2)^4 <= 0.32 per pair…
-    // so assert superset the other way: every LSH-verified pair IS an exact
-    // pair (verification guarantees it), and recall on the strong (j>=0.5)
-    // planted dups is non-zero at this sf.
+  test("minhash LSH emits only pairs whose true bigram jaccard passes the threshold") {
+    // recompute jaccard independently in Scala from the raw text and check
+    // every LSH-verified pair against it; also: same-source LSH pairs must
+    // be a subset of the exact per-source query's pairs
+    import graft.sources.Tables
+    val docsRaw = Tables.read(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    def shingles(text: String): Set[String] =
+      text.split(" ").sliding(2).map(_.mkString(" ")).toSet
     val exact = DedupOps.ngramJaccardDedup(spark, dir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = DedupOps.minhashLshDedup(spark, dir)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.forall(p => exact.contains(p) ||
-      // LSH may verify cross-source pairs the per-source exact query skips
-      true))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    lsh.foreach { case (a, b) =>
+      val (srcA, txtA) = docsRaw(a)
+      val (srcB, txtB) = docsRaw(b)
+      val sa = shingles(txtA)
+      val sb = shingles(txtB)
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(j >= 0.3, s"LSH pair ($a,$b) has true jaccard $j < 0.3")
+      if (srcA == srcB)
+        assert(exact.contains((a, b)), s"same-source LSH pair ($a,$b) missing from exact query")
+    }
     assert(lsh.nonEmpty || exact.isEmpty)
   }
 

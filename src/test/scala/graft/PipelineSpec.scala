@@ -38,6 +38,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.where(col("city_id").isin(0, 1, 2)).count() == 0)
   }
 
+  test("categorization surfaces unlabeled cities (empty class_label, not null)") {
+    val weather = WeatherModel.weatherRecords(spark, dir)
+    val stage = Pipelines.categorizationStage(weather, spark.emptyDataFrame
+      .select(lit(0L).as("city_id")).limit(0))
+    val unlabeled = stage.unlabeled.collect()
+    // sf0.001 is known to contain a no-rule city (city 5)
+    assert(unlabeled.nonEmpty)
+    unlabeled.foreach(r => assert(r.getString(1) == ""))
+    // and unlabeled ⊆ labels output (they are emitted, just flagged)
+    assert(stage.labels.where(col("class_label") === "").count() == unlabeled.length)
+  }
+
   test("A10: observe() counters report flushed rows without breaking the plan") {
     val obs = Pipelines.withCounters(Pipelines.schedulerStage(spark, dir))
     val n = obs.df.count()

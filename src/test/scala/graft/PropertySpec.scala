@@ -19,10 +19,16 @@ class PropertySpec extends AnyFunSuite {
     * offline cache; direct sampling gives the same coverage with seeds
     * drawn per run).
     */
-  private def forAllSampled[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit =
-    (0 until n).foreach { i =>
-      gen.sample.foreach(body)
+  private def forAllSampled[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit = {
+    var executed = 0
+    (0 until n).foreach { _ =>
+      // Gen.sample can return None; retry a few times so a filtered
+      // generator cannot silently turn the property into a no-op
+      val sample = Iterator.continually(gen.sample).take(10).flatten.nextOption()
+      sample.foreach { a => body(a); executed += 1 }
     }
+    assert(executed > 0, "property body never executed — generator produced no samples")
+  }
 
   private val anchor = WeatherModel.Anchor
 

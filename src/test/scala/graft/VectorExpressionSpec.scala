@@ -56,6 +56,15 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(withNull.eval(null) == null)
   }
 
+  test("length mismatch yields null (matching the composed form), not a silent score") {
+    val out = spark.sql(
+      "SELECT cosine_sim(array(1.0d), array(1.0d, 9.9d)) AS c").first()
+    assert(out.isNullAt(0))
+    val composed = Seq((Seq(1.0), Seq(1.0, 9.9))).toDF("a", "b")
+      .select(SimilarityOps.cosineComposed($"a", $"b").as("c")).first()
+    assert(composed.isNullAt(0))
+  }
+
   test("cosine_sim is callable from SQL via GraftExtensions") {
     val v = spark.sql(
       "SELECT round(cosine_sim(array(3.0d, 4.0d), array(4.0d, 3.0d)), 6) AS c")
