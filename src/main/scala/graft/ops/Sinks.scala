@@ -45,6 +45,53 @@ object Sinks {
     ()
   }
 
+  /** K1/K2 at scale: PARTITION-SCOPED idempotent upsert. [[upsertParquet]]
+    * rewrites the whole store — correct but O(store) per batch; at 100 TB
+    * the store is partitioned (here by day) and a batch only touches a few
+    * partitions, so the merge reads+rewrites ONLY those. Implemented with
+    * dynamic partition overwrite (`partitionOverwriteMode=dynamic`), the
+    * parquet-level equivalent of a lakehouse MERGE's file pruning.
+    *
+    * `partitionCol` must be derivable from each row (it becomes the
+    * physical layout); `keys` dedupe within the touched partitions,
+    * new rows winning.
+    */
+  def upsertPartitioned(
+      df: DataFrame, path: String, keys: Seq[String], partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(path)
+    val fs = target.getFileSystem(hconf)
+
+    val merged =
+      if (fs.exists(target)) {
+        // collect the touched PARTITION VALUES (bounded metadata — days,
+        // not data) so the existing-side scan partition-prunes
+        val touched = df.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0))
+        val existing = spark.read.parquet(path)
+          .where(col(partitionCol).isin(touched: _*))
+          .withColumn("__pri", lit(0))
+        val incoming = df.withColumn("__pri", lit(1))
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__pri").desc)
+        existing.unionByName(incoming)
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1)
+          .drop("__pri", "__rn")
+          // materialize before overwriting the path we just read (Spark
+          // rejects a write whose plan still scans the target)
+          .localCheckpoint()
+      } else df
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** K6: split a transformed batch into (success, dead-letter) halves in
     * one pass — the `when()` route of `TaskTransformationResult.is_success`
     * (`fetch-weather/worker_ingestion.py:169-181`).

@@ -63,6 +63,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(g1.head.getDouble(2) == 18.0) // temp = 18.0 + i*0.1
   }
 
+  test("upsertPartitioned: only touched partitions rewritten, replay idempotent") {
+    val path = Files.createTempDirectory("graft_pupsert").toString + "/store"
+    val day1 = Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b")).toDF("k", "day", "v")
+    val day2 = Seq((3L, "2024-01-02", "c")).toDF("k", "day", "v")
+    Sinks.upsertPartitioned(day1, path, Seq("k"), "day")
+    Sinks.upsertPartitioned(day2, path, Seq("k"), "day")
+    // capture day1's physical files, then upsert into day2 only
+    val d1dir = new java.io.File(s"$path/day=2024-01-01")
+    val before = d1dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    val day2v2 = Seq((3L, "2024-01-02", "c2"), (4L, "2024-01-02", "d")).toDF("k", "day", "v")
+    Sinks.upsertPartitioned(day2v2, path, Seq("k"), "day")
+    val after = d1dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(before == after, "untouched partition was rewritten")
+    val m = spark.read.parquet(path).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "a", 2L -> "b", 3L -> "c2", 4L -> "d"))
+    // replay of the same batch converges
+    Sinks.upsertPartitioned(day2v2, path, Seq("k"), "day")
+    assert(spark.read.parquet(path).count() == 4)
+  }
+
   test("upsertParquet: replay converges, new rows win on key collision") {
     val path = Files.createTempDirectory("graft_upsert").toString + "/store"
     val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
