@@ -110,7 +110,8 @@ object SparkEntry {
     "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
     "q_stratified_sample" -> ((s, d) => graft.ops.CorpusOps.stratifiedSample(s, d)),
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
-    "q_kmeans" -> (SimilarityOps.kmeans _))
+    "q_kmeans" -> (SimilarityOps.kmeans _),
+    "q_pii_scrub" -> (graft.ops.CorpusOps.piiScrub _))
 
   def oracleSql: Map[String, String] = Map(
     "q_classifier" -> RuleBasedTrailClassifier.oracleSql(WeatherModel.Anchor),
@@ -174,7 +175,8 @@ object SparkEntry {
     "q_value_percentiles" -> graft.ops.CorpusOps.valuePercentilesSql,
     "q_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(),
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
-    "q_kmeans" -> SimilarityOps.kmeansSql)
+    "q_kmeans" -> SimilarityOps.kmeansSql,
+    "q_pii_scrub" -> graft.ops.CorpusOps.piiScrubSql)
     // q_hll_distinct deliberately has no oracle: HLL sketch values are
     // engine-specific → driver records the weaker rows-only check.
 }

@@ -48,6 +48,30 @@ object CorpusOps {
        |WHERE (${TextOps.hash60Sql("'split#' || doc_id::VARCHAR")}) % 100 < $pct
        |ORDER BY doc_id""".stripMargin
 
+  /** Training-data hygiene: PII-style scrubbing — redact numeric runs in
+    * the raw payload (events.props carries numbers) with a placeholder and
+    * count redactions. Stateless regexp map-side transform; the pattern is
+    * restricted to syntax with identical semantics in Java regex and RE2
+    * (no lookaround).
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val digitRun = "[0-9]+"
+    Tables.read(s, dir, "events").select(
+      col("event_id"),
+      regexp_replace(col("props"), digitRun, "<NUM>").as("scrubbed_props"),
+      (size(split(col("props"), digitRun, -1)) - 1).cast("long").as("n_redactions"))
+      .orderBy("event_id")
+  }
+
+  val piiScrubSql: String =
+    """SELECT event_id,
+      |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed_props,
+      |  (len(string_split_regex(props, '[0-9]+')) - 1)::BIGINT AS n_redactions
+      |FROM events ORDER BY event_id""".stripMargin
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
   /** Vocabulary stats: top-20 tokens by document frequency with their
     * collection frequency — the inverted-index aggregate feeding stopword
     * lists and tokenizer audits. One shuffle on the token.
