@@ -48,6 +48,8 @@ object SparkEntry {
     // §2 operator inventory over the events stream table
     "q_s1_dim_dedup" -> (EventOps.s1DimDedup _),
     "q_p1_json_projection" -> (EventOps.p1JsonProjection _),
+    "q_p1_strict_projection" -> (EventOps.p1StrictProjection _),
+    "q_r5_retry_ceiling" -> (EventOps.r5RetryCeiling _),
     "q_p3_range_filter" -> (EventOps.p3RangeFilter _),
     "q_p5_route_split" -> (EventOps.p5RouteSplit _),
     "q_union_split" -> (EventOps.unionSplit _),
@@ -129,6 +131,8 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_s1_dim_dedup" -> EventOps.s1DimDedupSql,
     "q_p1_json_projection" -> EventOps.p1JsonProjectionSql,
+    "q_p1_strict_projection" -> EventOps.p1StrictProjectionSql,
+    "q_r5_retry_ceiling" -> EventOps.r5RetryCeilingSql,
     "q_p3_range_filter" -> EventOps.p3RangeFilterSql,
     "q_p5_route_split" -> EventOps.p5RouteSplitSql,
     "q_union_split" -> EventOps.unionSplitSql,

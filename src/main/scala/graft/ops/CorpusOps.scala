@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -48,26 +48,52 @@ object CorpusOps {
        |WHERE (${TextOps.hash60Sql("'split#' || doc_id::VARCHAR")}) % 100 < $pct
        |ORDER BY doc_id""".stripMargin
 
-  /** Training-data hygiene: PII-style scrubbing — redact numeric runs in
-    * the raw payload (events.props carries numbers) with a placeholder and
-    * count redactions. Stateless regexp map-side transform; the pattern is
-    * restricted to syntax with identical semantics in Java regex and RE2
-    * (no lookaround).
+  /** Training-data hygiene: PII-style scrubbing — redact emails, phone
+    * numbers, and residual numeric runs in the raw payload with per-class
+    * placeholders and count total redactions. Stateless regexp map-side
+    * transform; every pattern is restricted to syntax with identical
+    * semantics in Java regex and RE2 (no lookaround, no backreferences),
+    * and both engines use leftmost-first alternation, so the single-pass
+    * redaction count matches the sequential per-class replacements exactly.
     */
-  def piiScrub(s: SparkSession, dir: String): DataFrame = {
-    val digitRun = "[0-9]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val DigitRunRe = "[0-9]+"
+
+  /** Alternation order matters: email before phone before digit run, so the
+    * count pass segments the string the same way the replace passes do
+    * (placeholders contain no digits or '@', so later passes never re-match
+    * earlier replacements).
+    */
+  private val piiAnyRe = s"$EmailRe|$PhoneRe|$DigitRunRe"
+
+  /** Per-class redaction of one string column (email → phone → digit run). */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      DigitRunRe, "<NUM>")
+
+  /** Total redactions a [[scrubPii]] pass performs on the column. */
+  def piiRedactionCount(c: Column): Column =
+    regexp_count(c, lit(piiAnyRe)).cast("long")
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "events").select(
       col("event_id"),
-      regexp_replace(col("props"), digitRun, "<NUM>").as("scrubbed_props"),
-      (size(split(col("props"), digitRun, -1)) - 1).cast("long").as("n_redactions"))
+      scrubPii(col("props")).as("scrubbed_props"),
+      piiRedactionCount(col("props")).as("n_redactions"))
       .orderBy("event_id")
-  }
 
   val piiScrubSql: String =
-    """SELECT event_id,
-      |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed_props,
-      |  (len(string_split_regex(props, '[0-9]+')) - 1)::BIGINT AS n_redactions
-      |FROM events ORDER BY event_id""".stripMargin
+    s"""SELECT event_id,
+       |  regexp_replace(regexp_replace(regexp_replace(props,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g'),
+       |    '$DigitRunRe', '<NUM>', 'g') AS scrubbed_props,
+       |  len(regexp_extract_all(props, '$EmailRe|$PhoneRe|$DigitRunRe'))::BIGINT AS n_redactions
+       |FROM events ORDER BY event_id""".stripMargin
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")

@@ -58,6 +58,43 @@ object EventOps {
       |  'daily' AS aggregation_level
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** P1/P6 FAILFAST policy: the reference RAISES on a missing MANDATORY
+    * field (`fetch-weather/src/api.py:62-63`) and only defaults the optional
+    * ones (`api.py:58-59`). [[p1JsonProjection]] is the PERMISSIVE/default
+    * route; this is the strict one — a lazily-evaluated `raise_error` branch
+    * guards the mandatory `$.k` extraction, so one bad row fails the job
+    * (the batch analogue of FAILFAST `from_json`). Still pure map-side,
+    * codegen'd; the guard costs one null check per row.
+    */
+  def strictKProjection(df: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k")
+    df.select(
+      col("event_id"),
+      when(k.isNotNull, k.cast("int"))
+        .otherwise(raise_error(concat(
+          lit("FAILFAST: mandatory field k missing in event "),
+          col("event_id").cast("string"))))
+        .as("k_value"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"))
+  }
+
+  /** Strict projection over the validated subset (the good branch after the
+    * K6 DLQ split) — the guard is live in the plan but never fires, which is
+    * exactly how the FAILFAST route runs in a healthy pipeline.
+    */
+  def p1StrictProjection(s: SparkSession, dir: String): DataFrame =
+    strictKProjection(
+      events(s, dir).where(get_json_object(col("props"), "$.k").isNotNull))
+      .orderBy("event_id")
+
+  val p1StrictProjectionSql: String =
+    """SELECT event_id,
+      |  try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k_value,
+      |  strftime(ts, '%Y-%m-%d') AS day
+      |FROM events
+      |WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+      |ORDER BY event_id""".stripMargin
+
   // ---- P3/W2: event-time range filter ------------------------------------
 
   /** `[start, start+duration)` horizon filter (`api.py:128-140`). The
@@ -169,6 +206,41 @@ object EventOps {
       |FROM events
       |WHERE value > 190.0 OR regexp_extract(props, '"k": ([0-9]+)', 1) = ''
       |ORDER BY event_id""".stripMargin
+
+  // ---- R5: bounded-retry ceiling → dead-letter ----------------------------
+
+  /** Divert-after-N-deliveries (R5): the reference retries a failed task
+    * until `delivery_count >= max_delivery_count = 6`, then dead-letters it
+    * (`categorize-trail-conditions/src/tasks.py:105-120`,
+    * `fetch-weather/src/config.py:37`). The failing subset (the K6 rows)
+    * carries its queue-redelivery count — modeled here as a deterministic
+    * hash of the event id so the oracle reproduces it — and the ceiling is
+    * one map-side CASE: below → RETRY, at-or-above → DEAD_LETTER. The
+    * streaming form is [[graft.ops.Sinks.deliveryCeilingSplit]] inside
+    * `foreachBatch`.
+    */
+  val MaxDeliveryCount = 6
+
+  def r5RetryCeiling(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("value") > 190.0 || get_json_object(col("props"), "$.k").isNull)
+      .withColumn(
+        "delivery_count",
+        TextOps.hash60(concat(lit("dlv#"), col("event_id").cast("string"))) % 9 + 1)
+      .select(
+        col("event_id"), col("delivery_count"),
+        when(col("delivery_count") >= MaxDeliveryCount, "DEAD_LETTER")
+          .otherwise("RETRY").as("disposition"))
+      .orderBy("event_id")
+
+  val r5RetryCeilingSql: String = {
+    val dlv = s"(${TextOps.hash60Sql("'dlv#' || event_id::VARCHAR")}) % 9 + 1"
+    s"""SELECT event_id, $dlv AS delivery_count,
+       |  CASE WHEN $dlv >= $MaxDeliveryCount THEN 'DEAD_LETTER' ELSE 'RETRY' END AS disposition
+       |FROM events
+       |WHERE value > 190.0 OR regexp_extract(props, '"k": ([0-9]+)', 1) = ''
+       |ORDER BY event_id""".stripMargin
+  }
 
   // ---- P8 + P11: derived-task projection with time scalars ---------------
 
@@ -374,14 +446,21 @@ object EventOps {
 
   /** Task × weather lookup with a time-range predicate (J1,
     * `fetch-weather/src/tasks.py:63-73`): per-key window anchors joined back
-    * against the fact stream. The anchor side is one row per key →
-    * broadcast; the range predicate evaluates map-side post-join.
+    * against the fact stream; the range predicate evaluates map-side
+    * post-join.
+    *
+    * The anchor side is one row PER KEY — small relative to the facts but
+    * unbounded in key count, so the broadcast is deliberately NOT forced:
+    * AQE broadcasts it when the built side is actually small and falls back
+    * to a shuffled hash join at ~100 M+ keys, where a forced broadcast
+    * would OOM the driver. (Pinned by PlanAuditSpec: no join hint survives
+    * to the optimized plan.)
     */
   def j1RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val anchors = ev.groupBy(col("user_id").as("a_user")).agg(min(col("ts")).as("start_ts"))
     ev.join(
-      broadcast(anchors),
+      anchors,
       col("user_id") === col("a_user") &&
         col("ts") >= col("start_ts") &&
         col("ts") < col("start_ts") + expr("INTERVAL 48 HOURS"))

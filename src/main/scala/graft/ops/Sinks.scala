@@ -92,6 +92,22 @@ object Sinks {
     }
   }
 
+  /** R5: bounded-retry ceiling. A failed row is retried until its
+    * queue-redelivery count reaches the ceiling, then diverted to the
+    * dead-letter side — `delivery_count >= max_delivery_count = 6`
+    * (`categorize-trail-conditions/src/tasks.py:105-120`,
+    * `fetch-weather/src/config.py:37`). `delivery_count` is queue metadata
+    * carried on the row (a Kafka redelivery header / SQS receive count);
+    * the split itself is one map-side predicate, no shuffle.
+    */
+  val MaxDeliveryCount = 6
+
+  def deliveryCeilingSplit(df: DataFrame, maxDeliveryCount: Int = MaxDeliveryCount)
+      : (DataFrame, DataFrame) =
+    (df.where(col("delivery_count") < maxDeliveryCount),
+      df.where(col("delivery_count") >= maxDeliveryCount)
+        .withColumn("exception_type", lit("MAX_DELIVERY_EXCEEDED")))
+
   /** K6: split a transformed batch into (success, dead-letter) halves in
     * one pass — the `when()` route of `TaskTransformationResult.is_success`
     * (`fetch-weather/worker_ingestion.py:169-181`).

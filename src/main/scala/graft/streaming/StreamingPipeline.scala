@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.ops.WeatherModel
+import graft.ops.{RuleBasedTrailClassifier, WeatherModel}
 
 /** The reference's streaming semantics (SURVEY §2.10) as Structured
   * Streaming. The batch engine treats streams as event-time tables (the
@@ -106,6 +106,171 @@ object StreamingPipeline {
       }
       .toDF()
   }
+
+  // ---- streaming flagship: label CHANGES via flatMapGroupsWithState -------
+
+  /** One weather observation in epoch seconds — the typed row the streaming
+    * classifier folds into its per-city state.
+    */
+  final case class WeatherEvent(
+      city_id: Long, epoch_s: Long, temp: Double, rain: Double, source: String)
+
+  /** A label transition emitted by the streaming classifier. `change_seq`
+    * counts transitions per city (1 = first label), so a consumer — or a
+    * test — can always recover the latest label without relying on sink
+    * ordering.
+    */
+  final case class LabelChange(city_id: Long, class_label: String, change_seq: Long)
+
+  /** Incremental form of the flagship's per-city aggregates
+    * (`RuleBasedTrailClassifier.classify`): every field is a running
+    * sum/max/min/flag, so folding rows in ANY delivery order converges to
+    * the batch aggregate. `hasHist`/`has24`/`has48` model the batch CASE's
+    * null aggregates (empty side → rule doesn't fire).
+    */
+  final case class TrailState(
+      rain2d: Double, warmDays: Boolean,
+      fcstRain24: Double, sumTemp24: Double, n24: Long,
+      maxHistTemp: Double, hasHist: Boolean,
+      minFcstTemp24: Double, has24: Boolean,
+      maxFcstTemp: Double, has48: Boolean,
+      lastLabel: String, changeSeq: Long)
+
+  private val emptyTrailState = TrailState(
+    0.0, warmDays = false, 0.0, 0.0, 0L,
+    Double.MinValue, hasHist = false,
+    Double.MaxValue, has24 = false,
+    Double.MinValue, has48 = false,
+    lastLabel = null, changeSeq = 0L)
+
+  /** Weather facts → typed epoch-second events (stream or batch frame). */
+  def weatherEvents(spark: SparkSession, weather: DataFrame): Dataset[WeatherEvent] = {
+    import spark.implicits._
+    weather.select(
+      col("city_id"),
+      col("timestamp_utc").cast("long").as("epoch_s"),
+      col("temperature_deg_c").as("temp"),
+      col("rain_fall_total_mm").as("rain"),
+      col("data_source").as("source")).as[WeatherEvent]
+  }
+
+  /** The reference's categorization worker as a STREAM: the rule-based
+    * classifier over per-city running state, emitting a row only when a
+    * city's label CHANGES (`categorize-trail-conditions/worker.py:29-40`
+    * drives `src/classifier.py:79-94` per delivery; the worker's output is
+    * exactly the label updates it pushes to the store). Same thresholds,
+    * same window predicates, same null-guard semantics as the batch
+    * flagship — StreamingSpec asserts the final labels are IDENTICAL to
+    * `RuleBasedTrailClassifier.classify` on the same data.
+    *
+    * Scale: state is one ~100-byte case class per city (bounded by key
+    * cardinality, not history); each micro-batch shuffles only its own rows
+    * once on city_id.
+    */
+  def streamingClassifier(
+      spark: SparkSession,
+      weather: Dataset[WeatherEvent],
+      anchor: String = WeatherModel.Anchor): Dataset[LabelChange] = {
+    import spark.implicits._
+    val anchorS = java.time.LocalDateTime
+      .parse(anchor.replace(' ', 'T'))
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val hist = WeatherModel.Historical
+    val day = 86400L
+
+    def relevant(e: WeatherEvent): Boolean =
+      (e.source == hist && e.epoch_s < anchorS) ||
+        (e.source != hist && e.epoch_s >= anchorS && e.epoch_s < anchorS + 2 * day)
+
+    def fold(st: TrailState, e: WeatherEvent): TrailState = {
+      val hist2d = e.source == hist &&
+        e.epoch_s >= anchorS - 2 * day && e.epoch_s < anchorS
+      val fcst24 = e.source != hist &&
+        e.epoch_s >= anchorS && e.epoch_s < anchorS + day
+      val fcst48 = e.source != hist &&
+        e.epoch_s >= anchorS && e.epoch_s < anchorS + 2 * day
+      val isHist = e.source == hist
+      st.copy(
+        rain2d = if (hist2d) st.rain2d + e.rain else st.rain2d,
+        warmDays = st.warmDays ||
+          (hist2d && e.temp > RuleBasedTrailClassifier.WarmDayC),
+        fcstRain24 = if (fcst24) st.fcstRain24 + e.rain else st.fcstRain24,
+        sumTemp24 = if (fcst24) st.sumTemp24 + e.temp else st.sumTemp24,
+        n24 = if (fcst24) st.n24 + 1 else st.n24,
+        maxHistTemp = if (isHist) math.max(st.maxHistTemp, e.temp) else st.maxHistTemp,
+        hasHist = st.hasHist || isHist,
+        minFcstTemp24 = if (fcst24) math.min(st.minFcstTemp24, e.temp) else st.minFcstTemp24,
+        has24 = st.has24 || fcst24,
+        maxFcstTemp = if (fcst48) math.max(st.maxFcstTemp, e.temp) else st.maxFcstTemp,
+        has48 = st.has48 || fcst48)
+    }
+
+    // Plain-Scala mirror of the batch CASE-WHEN tree (`classifier.py:85-91`
+    // rule order; null aggregates = has* guards).
+    def label(st: TrailState): String = {
+      import RuleBasedTrailClassifier._
+      val avgTemp24 = if (st.n24 > 0) st.sumTemp24 / st.n24 else 0.0
+      val mud =
+        if (st.rain2d >= RainThresholdMm && !st.warmDays) Some("TRAIL_MUD_WARNING")
+        else if (st.rain2d < RainThresholdMm && st.fcstRain24 < RainThresholdMm)
+          Some("TRAIL_DRY_EXCELLENT")
+        else None
+      val heat =
+        if (st.has48 && st.maxFcstTemp > HeatAdvisoryC) Some("HEAT_ADVISORY") else None
+      val snowpack =
+        if (st.hasHist && st.has24 &&
+          st.maxHistTemp > FreezingPointC && st.minFcstTemp24 < FreezingPointC)
+          Some("SNOWPACK_ICY_CONDITIONS")
+        else if (st.hasHist && st.has24 &&
+          st.maxHistTemp > SnowmeltWarmC && st.minFcstTemp24 > FreezingPointC)
+          Some("SNOWPACK_HEAVY_WET")
+        else None
+      val heavy =
+        if (st.fcstRain24 >= HeavyRainThresholdMm)
+          Some(if (avgTemp24 < FreezingPointC) "HEAVY_SNOW_WARNING"
+          else "TRAIL_CLOSED_HEAVY_RAIN")
+        else None
+      Seq(mud, heat, snowpack, heavy).flatten.mkString(",")
+    }
+
+    weather
+      .filter(relevant _)
+      .groupByKey(_.city_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (city: Long, rows: Iterator[WeatherEvent], state: GroupState[TrailState]) =>
+          val prev = state.getOption.getOrElse(emptyTrailState)
+          val next = rows.foldLeft(prev)(fold)
+          val newLabel = label(next)
+          if (prev.lastLabel == newLabel) {
+            state.update(next.copy(lastLabel = newLabel))
+            Iterator.empty
+          } else {
+            val updated = next.copy(lastLabel = newLabel, changeSeq = prev.changeSeq + 1)
+            state.update(updated)
+            Iterator(LabelChange(city, newLabel, updated.changeSeq))
+          }
+      }
+  }
+
+  /** R5 streaming form: each micro-batch of FAILED rows (each carrying its
+    * queue `delivery_count`) splits at the ceiling — below: re-enqueued on
+    * the retry path; at-or-above: dead-lettered with the exception tag.
+    */
+  def startRetrySink(
+      failures: DataFrame,
+      retryPath: String,
+      dlqPath: String,
+      checkpoint: String) =
+    failures.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (retry, dead) = graft.ops.Sinks.deliveryCeilingSplit(batch)
+        if (!retry.isEmpty) retry.write.mode("append").parquet(retryPath)
+        if (!dead.isEmpty) dead.write.mode("append").parquet(dlqPath)
+        ()
+      }
+      .start()
 
   /** Idempotent upsert + DLQ split sink (K1/K2/K6/R2) for the projected
     * stream: every micro-batch MERGEs good rows by key into the store

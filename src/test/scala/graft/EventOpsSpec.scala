@@ -88,4 +88,41 @@ class EventOpsSpec extends AnyFunSuite {
     val out = EventOps.j3CogroupJoin(spark, dir)
     assert(out.where(col("max_hist_temp").isNull || col("min_fcst_temp").isNull).count() == 0)
   }
+
+  // ---- P1/P6 policy pair: PERMISSIVE defaults vs FAILFAST raise -----------
+
+  test("P1 FAILFAST: strict projection raises on a missing mandatory field") {
+    import spark.implicits._
+    val bad = Seq(
+      (1L, """{"k": 7}""", "2024-01-01 00:00:00"),
+      (2L, """{"other": 1}""", "2024-01-01 00:00:00"))
+      .toDF("event_id", "props", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val e = intercept[Exception] {
+      EventOps.strictKProjection(bad).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(chain.contains("FAILFAST"), chain)
+  }
+
+  test("P1 FAILFAST: strict projection passes every validated row through") {
+    val strict = EventOps.p1StrictProjection(spark, dir)
+    val expect = graft.sources.Tables.read(spark, dir, "events")
+      .where(get_json_object(col("props"), "$.k").isNotNull).count()
+    assert(strict.count() == expect && expect > 0)
+    assert(strict.where(col("k_value").isNull).count() == 0)
+  }
+
+  // ---- R5: bounded-retry ceiling ------------------------------------------
+
+  test("R5: ceiling diverts exactly the delivery_count >= 6 rows, covering all failures") {
+    val out = EventOps.r5RetryCeiling(spark, dir).collect()
+    val failures = EventOps.k6DlqSplit(spark, dir).count()
+    assert(out.length == failures)
+    assert(out.forall(r =>
+      (r.getLong(1) >= EventOps.MaxDeliveryCount) == (r.getString(2) == "DEAD_LETTER")))
+    assert(out.exists(_.getString(2) == "DEAD_LETTER"))
+    assert(out.exists(_.getString(2) == "RETRY"))
+  }
 }

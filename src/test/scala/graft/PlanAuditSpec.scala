@@ -64,6 +64,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("J1 anchor join has no forced broadcast — AQE decides by actual size") {
+    // The anchor side is one row PER KEY (unbounded cardinality): a forced
+    // broadcast would OOM the driver at ~100M keys. The plan must leave the
+    // strategy to AQE, i.e. no join hint survives to the optimized plan.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val hints = EventOps.j1RangeJoin(spark, dir)
+      .queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    assert(hints.nonEmpty)
+    assert(hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty), hints.mkString(";"))
+  }
+
   test("flagship classifier is a single-shuffle hash aggregate") {
     val df = graft.ops.RuleBasedTrailClassifier.classify(
       graft.ops.WeatherModel.weatherRecords(spark, dir))

@@ -106,6 +106,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming flagship: label CHANGES converge exactly to the batch classifier") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val weather = graft.ops.WeatherModel.weatherRecords(spark, "/root/testdata/sf0.001")
+    val batchLabels = graft.ops.RuleBasedTrailClassifier.classify(weather)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val evs = StreamingPipeline.weatherEvents(spark, weather).collect().sortBy(_.epoch_s)
+    val input = MemoryStream[StreamingPipeline.WeatherEvent]
+    val q = StreamingPipeline.streamingClassifier(spark, input.toDS())
+      .writeStream.format("memory").queryName("flagship_out")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: labels can CHANGE between them
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      input.addData(h1.toSeq)
+      q.processAllAvailable()
+      input.addData(h2.toSeq)
+      q.processAllAvailable()
+
+      // suppression: a state-touching row that cannot move any aggregate
+      // (rain 0, −50° historical inside the 2-day window) must NOT re-emit
+      val before = spark.table("flagship_out").count()
+      input.addData(StreamingPipeline.WeatherEvent(
+        batchLabels.keys.head,
+        java.time.LocalDateTime.parse("2024-01-19T23:59:59")
+          .toEpochSecond(java.time.ZoneOffset.UTC),
+        -50.0, 0.0, graft.ops.WeatherModel.Historical))
+      q.processAllAvailable()
+      assert(spark.table("flagship_out").count() == before,
+        "a no-op update must not emit a label change")
+
+      val changes = spark.table("flagship_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val finalLabels = changes.groupBy(_._1).map { case (c, rs) => c -> rs.maxBy(_._3)._2 }
+      assert(finalLabels == batchLabels, "final streamed labels must equal the batch flagship")
+      assert(changes.count(_._3 == 1L) == batchLabels.size, "every city emits an initial label")
+    } finally q.stop()
+  }
+
+  test("R5: the delivery-count ceiling diverts the 6th delivery to the DLQ") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val base = Files.createTempDirectory("graft_retry").toString
+    val input = MemoryStream[(Long, Int)]
+    val q = StreamingPipeline.startRetrySink(
+      input.toDS().toDF("event_id", "delivery_count"),
+      s"$base/retry", s"$base/dlq", s"$base/cp")
+    try {
+      input.addData((1 to 5).map(n => (42L, n)): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/retry").count() == 5)
+      assert(!new java.io.File(s"$base/dlq").exists(), "no DLQ rows below the ceiling")
+      input.addData((42L, 6))
+      q.processAllAvailable()
+      val dead = spark.read.parquet(s"$base/dlq").collect()
+      assert(dead.length == 1)
+      assert(dead.head.getAs[String]("exception_type") == "MAX_DELIVERY_EXCEEDED")
+      assert(spark.read.parquet(s"$base/retry").count() == 5, "retry side unchanged")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: replay is idempotent, DLQ side-output lands") {
     val base = Files.createTempDirectory("graft_stream").toString
     val store = s"$base/store"

@@ -70,4 +70,30 @@ class TimeSeriesCorpusSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sum == 500)
     out.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
   }
+
+  test("HLL distinct stays within the configured 2% error bound (sf0.01)") {
+    // q_hll_distinct has no SQL oracle (sketch values are engine-specific);
+    // this spec is its checked guarantee instead.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val maxErr = TimeSeriesOps.hllDistinct(spark, d)
+        .agg(max(col("rel_error_pct"))).first().getDouble(0)
+      assert(maxErr <= 2.0, s"$d: max rel error $maxErr%")
+    }
+  }
+
+  test("PII scrub redacts emails, phones, and digit runs with matching counts") {
+    import spark.implicits._
+    val df = Seq(
+      "contact john.doe+spam@example.co.uk or 555-867-5309 ref 42",
+      "no pii here",
+      "+123 456 7890 and a@b.io").toDF("props")
+    val out = df.select(
+      CorpusOps.scrubPii(col("props")).as("s"),
+      CorpusOps.piiRedactionCount(col("props")).as("n")).collect()
+    assert(out(0).getString(0) == "contact <EMAIL> or <PHONE> ref <NUM>")
+    assert(out(0).getLong(1) == 3L)
+    assert(out(1).getString(0) == "no pii here" && out(1).getLong(1) == 0L)
+    assert(out(2).getString(0) == "<PHONE> and <EMAIL>")
+    assert(out(2).getLong(1) == 2L)
+  }
 }
