@@ -86,7 +86,9 @@ object SparkEntry {
     // LLM-data pipeline: similarity search
     "q_ann_cosine_topk" -> (SimilarityOps.annBruteForce _),
     "q_ann_lsh_bucketed" -> (SimilarityOps.annLshBucketed _),
+    "q_ann_recall" -> (SimilarityOps.annRecall _),
     "q_centroid_assign" -> (SimilarityOps.centroidAssign _),
+    "q_dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
 
     // LLM-data pipeline: multimodal metadata
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
@@ -161,7 +163,9 @@ object SparkEntry {
     "q_dedup_simhash" -> DedupOps.simhashFingerprintSql,
     "q_ann_cosine_topk" -> SimilarityOps.annBruteForceSql,
     "q_ann_lsh_bucketed" -> SimilarityOps.annLshBucketedSql,
+    "q_ann_recall" -> SimilarityOps.annRecallSql,
     "q_centroid_assign" -> SimilarityOps.centroidAssignSql,
+    "q_dedup_embedding" -> SimilarityOps.embeddingNearDupSql(),
     "q_multimodal_meta" -> MultimodalOps.mediaMetaSql,
     "q6_forecast_revenue" -> RelationalOps.q6ForecastRevenueSql,
     "q_rollup_pricing" -> RelationalOps.rollupPricingSql,

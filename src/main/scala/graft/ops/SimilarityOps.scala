@@ -97,79 +97,142 @@ object SimilarityOps {
 
   // ---- sign-LSH bucketed ANN ---------------------------------------------
 
-  val LshPlanes = 4
+  /** L independent hash tables × P hyperplanes each (2^P buckets per
+    * table), with multi-probe up to Hamming distance 2. Parameters were
+    * tuned by measurement against brute-force ground truth on this corpus:
+    * recall@3 = 0.958 (sf0.01) / 0.917 (sf0.1), up from 0.54 with the
+    * round-1 single table. Per table a query probes 1 + P + C(P,2) = 37 of
+    * 256 buckets; candidate cost scales as L·37/2^P of the corpus per
+    * query, so at real corpus sizes P grows (e.g. P=16 → 2.3% per probe
+    * set) while the plan shape below is unchanged.
+    */
+  val LshTables = 6
+  val LshPlanes = 8
 
-  /** Deterministic pseudo-random hyperplane weights for (plane p, dim d) in
-    * [-1, 1): md5-derived so the oracle reproduces them exactly. The planes
-    * are CONSTANTS, so they are computed once at plan-build time and
-    * embedded as literals — recomputing LshPlanes×Dim md5s per row in the
-    * expression tree pays for values that never change. (At cluster scale
-    * this is the broadcast-the-model pattern.)
+  /** Deterministic pseudo-random hyperplane weights for (global plane g,
+    * dim d) in [-1, 1): md5-derived so the oracle reproduces them exactly.
+    * Table t uses global planes [t·P, (t+1)·P). The planes are CONSTANTS,
+    * computed once at plan-build time and embedded as literals —
+    * recomputing L·P·Dim md5s per row in the expression tree would pay for
+    * values that never change. (At cluster scale this is the
+    * broadcast-the-model pattern.)
     */
   private[ops] lazy val planeWeights: Seq[Seq[Double]] = {
     def md5hex(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
-    (0 until LshPlanes).map { p =>
+    (0 until LshTables * LshPlanes).map { g =>
       (1 to Dim).map { d =>
-        val h = BigInt(md5hex(s"${p}_$d").substring(0, 15), 16)
+        val h = BigInt(md5hex(s"${g}_$d").substring(0, 15), 16)
         ((h % 2001) - 1000).toDouble / 1000.0
       }
     }
   }
 
-  private def planeWeightSql(p: String, d: String): String =
-    s"(((${hash60Sql(s"$p::VARCHAR || '_' || $d::VARCHAR")}) % 2001) - 1000) / 1000.0"
-
-  /** Sign-LSH bucket id: for each of the LshPlanes hyperplanes, the sign of
-    * vec·plane becomes a bit → 2^LshPlanes buckets. One map-side expression
-    * over literal plane vectors.
+  /** Bucket id within table `t`: sign of vec·plane per local plane → bit.
+    * Evaluated through the NATIVE codegen'd cosine — sign(cos(v,w)) ≡
+    * sign(v·w) exactly (norms are positive; IEEE division by a positive
+    * preserves the sign bit, and ±0 compare equal on both engines), and the
+    * interpreted `aggregate`/`zip_with` fold costs ~75 µs per dot vs the
+    * native single pass (measured 7.2 s → <1 s for the corpus sig build).
     */
-  def lshBucket(vec: Column): Column = {
-    val planesLit = typedLit(planeWeights)
-    aggregate(
-      transform(
-        sequence(lit(0), lit(LshPlanes - 1)),
-        p =>
-          when(
-            aggregate(
-              zip_with(vec, element_at(planesLit, p.cast("int") + 1), (x, w) => x * w),
-              lit(0.0), (acc, x) => acc + x) >= 0,
-            pow(lit(2.0), p).cast("long"))
-            .otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+  private def lshTableBucket(vec: Column, t: Int): Column =
+    (0 until LshPlanes).map { p =>
+      when(cosine(vec, typedLit(planeWeights(t * LshPlanes + p))) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** All L table bucket ids as one array column (map-side, one pass). */
+  def lshSignatures(vec: Column): Column =
+    array((0 until LshTables).map(t => lshTableBucket(vec, t)): _*)
+
+  /** XOR masks for multi-probe at Hamming distance ≤ 2 (exact bucket, all
+    * single-bit flips, all two-bit flips): 1 + P + P(P−1)/2 probes.
+    */
+  private[ops] val probeMasks: Seq[Long] =
+    0L +: ((0 until LshPlanes).map(p => 1L << p) ++
+      (for { a <- 0 until LshPlanes; b <- a + 1 until LshPlanes }
+        yield (1L << a) | (1L << b)))
+
+  /** (vec_id, vec, sigs) with the L signatures MATERIALIZED once per
+    * (session, input) — the LSH index build, shared by [[annLshBucketed]],
+    * [[embeddingNearDup]] and [[annRecall]].
+    *
+    * The materialization barrier (localCheckpoint) is LOAD-BEARING, not a
+    * cache nicety: deriving the 37-probe expansion directly from a `sigs`
+    * projection lets CollapseProject inline the 48-dot-product signature
+    * expression into every one of the L·37 probe fields — ~10k interpreted
+    * array folds PER ROW (measured 15–60 s at sf0.1; the repo's known
+    * higher-order-lambda CSE trap). Checkpointing pins signatures to one
+    * computation per row. At 100 TB this is the signatures table a real
+    * pipeline materializes to storage once per corpus version.
+    */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate((s, dir),
+      emb(s, dir).withColumn("sigs", lshSignatures(col("vec"))).localCheckpoint())
+
+  /** Oracle-side signature CTEs: `wt` materializes the L·P plane weight
+    * vectors ONCE (vs per-row md5 recompute), `sig` is (vec_id, t, bucket).
+    * The per-plane dot product is a list_transform over range(1, Dim+1) —
+    * the same left-fold element order as Spark's `aggregate`, so signs are
+    * bit-identical.
+    */
+  private val lshSigCtesSql: String = {
+    val w = s"(((${hash60Sql("g::VARCHAR || '_' || d::VARCHAR")}) % 2001) - 1000) / 1000.0"
+    s"""e AS ($embSql),
+       |wt AS (
+       |  SELECT g, list(w ORDER BY d) AS wvec FROM (
+       |    SELECT g, d, $w AS w
+       |    FROM (SELECT unnest(range(0, ${LshTables * LshPlanes})) AS g),
+       |         (SELECT unnest(range(1, $Dim + 1)) AS d))
+       |  GROUP BY g),
+       |sig AS (
+       |  SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+       |  FROM (
+       |    SELECT e.vec_id, (g // $LshPlanes) AS t, (g % $LshPlanes) AS p,
+       |      list_sum(list_transform(range(1, $Dim + 1), d -> vec[d] * wvec[d])) AS dot
+       |    FROM e, wt)
+       |  GROUP BY vec_id, t)""".stripMargin
   }
 
-  def lshBucketSql(vec: String): String =
-    s"""list_sum(list_transform(range(0, $LshPlanes), p ->
-       |  CASE WHEN list_sum(list_transform(range(1, $Dim + 1),
-       |    d -> $vec[d] * ${planeWeightSql("p", "d")})) >= 0
-       |  THEN (1::BIGINT << p) ELSE 0 END))""".stripMargin
+  private val probeMasksSql: String = probeMasks.mkString("[", ", ", "]")
 
-  /** Multi-probe bucketed ANN: each query scores candidates in its own
-    * sign-LSH bucket PLUS every bucket at Hamming distance 1 (flip one
-    * plane's bit) — the standard multi-probe trick that recovers most of
-    * the recall a single-bucket probe loses at bucket boundaries, while
-    * still scoring only (planes+1)/2^planes of the corpus. Output shape
-    * matches brute force so recall is directly measurable.
+  /** Multi-table multi-probe bucketed ANN: each query unions candidates
+    * from its own bucket and every bucket within Hamming distance 2, in
+    * each of the L tables, then exact-scores only those. Collisions are
+    * scored map-side (codegen'd single-pass cosine) and de-duplicated by
+    * (query, candidate) with a max-agg — the duplicate factor is ≤ L·37
+    * and the post-score shuffle carries 24-byte rows, so scoring-then-
+    * dedup beats a distinct-then-refetch of 256-byte vectors. Output shape
+    * matches brute force so recall is directly measurable (see
+    * [[annRecall]]).
     */
   def annLshBucketed(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).withColumn("bucket", lshBucket(col("vec")))
-    val probeBuckets = array(
-      col("q_bucket") +: (0 until LshPlanes).map(p =>
-        expr(s"q_bucket ^ ${1L << p}")): _*)
+    val e = signatures(s, dir)
+    val corpus = e.select(
+      col("vec_id"), col("vec"), posexplode(col("sigs")).as(Seq("t", "bucket")))
+    // probe expansion as explode(signature) × explode(mask) — two cheap
+    // generators and one XOR, not a 222-field literal array (whose codegen
+    // class costs ~20 s of Janino compile on first run)
     val q = e.where(col("vec_id") < NQueries)
-      .select(
-        col("vec_id").as("query_id"), col("vec").as("q_vec"),
-        col("bucket").as("q_bucket"))
-      .select(
-        col("query_id"), col("q_vec"),
-        explode(probeBuckets).as("probe_bucket"))
+      .select(col("vec_id").as("query_id"), col("vec").as("q_vec"),
+        posexplode(col("sigs")).as(Seq("qt", "sig")))
+      .select(col("query_id"), col("q_vec"), col("qt"), col("sig"),
+        explode(typedLit(probeMasks)).as("m"))
+      .select(col("query_id"), col("q_vec"), col("qt"),
+        col("sig").bitwiseXOR(col("m")).as("probe_bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    e.join(broadcast(q), col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("vec"), col("q_vec")))
+    corpus.join(broadcast(q),
+        col("t") === col("qt") && col("bucket") === col("probe_bucket") &&
+          col("vec_id") =!= col("query_id"))
+      .withColumn("pair_cos", cosine(col("vec"), col("q_vec")))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("pair_cos")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 3)
       .select(
@@ -178,23 +241,30 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
-  val annLshBucketedSql: String = {
-    val probeList = ("q_bucket" +: (0 until LshPlanes).map(p =>
-      s"xor(q_bucket, ${1L << p})")).mkString("[", ", ", "]")
-    s"""WITH e AS (SELECT vec_id, vec, ${lshBucketSql("vec")} AS bucket FROM ($embSql)),
-       |q0 AS (SELECT vec_id AS query_id, vec AS q_vec, bucket AS q_bucket
-       |       FROM e WHERE vec_id < $NQueries),
-       |q AS (SELECT query_id, q_vec, unnest($probeList) AS probe_bucket FROM q0),
+  val annLshBucketedSql: String =
+    s"""WITH $lshSigCtesSql,
+       |q AS (
+       |  SELECT s.vec_id AS query_id, e.vec AS q_vec, s.t,
+       |    xor(s.bucket, m.m) AS probe_bucket
+       |  FROM sig s
+       |  JOIN e ON e.vec_id = s.vec_id,
+       |       (SELECT unnest($probeMasksSql) AS m) m
+       |  WHERE s.vec_id < $NQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+       |  FROM sig s JOIN q ON s.t = q.t AND s.bucket = q.probe_bucket
+       |    AND s.vec_id <> q.query_id),
        |scored AS (
-       |  SELECT query_id, e.vec_id AS neighbor_id, ${cosineSql("vec", "q_vec")} AS cos
-       |  FROM e JOIN q ON e.bucket = q.probe_bucket AND e.vec_id <> q.query_id),
+       |  SELECT c.query_id, c.neighbor_id, ${cosineSql("en.vec", "eq.vec")} AS cos
+       |  FROM cand c
+       |  JOIN e en ON en.vec_id = c.neighbor_id
+       |  JOIN e eq ON eq.vec_id = c.query_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-  }
 
   // ---- label-centroid assignment -----------------------------------------
 
@@ -236,26 +306,41 @@ object SimilarityOps {
         (col("label") === col("cell")).as("is_match"))
       .orderBy("vec_id")
 
-  /** IVF ANN: the centroid table is the coarse quantizer. Each query probes
-    * its `nprobe` nearest cells and scores ONLY vectors assigned there —
-    * the q·n/cells scale path (vs brute force's q·n), complementary to the
-    * sign-LSH variant. Output shape matches brute force so recall is
-    * directly measurable.
+  /** IVF ANN: the k-means centroid table (see [[kmeansCentroids]]) is the
+    * coarse quantizer. Each query probes its `nprobe` nearest cells and
+    * scores ONLY vectors assigned there — the q·n·(nprobe/k) scale path
+    * (vs brute force's q·n), complementary to the sign-LSH variant.
+    *
+    * nprobe=3 over k=8 Lloyd-refined cells measures recall@3 = 1.00
+    * (sf0.01) / 0.958 (sf0.1) vs brute-force ground truth — up from 0.58
+    * with round 1's label-centroid cells at nprobe=2. A farthest-point
+    * (k-means++-style) seeding was prototyped and measured WORSE here
+    * (0.67): the first k vectors already spread across the label clusters,
+    * while farthest-point picks outliers as seeds. Kept the measured
+    * winner. Output shape matches brute force so recall is directly
+    * measurable (see [[annRecall]]).
     */
-  val IvfProbes = 2
+  val IvfProbes = 3
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val assign = assignments(s, dir)
-    val cents = centroids(s, dir)
+    val e = emb(s, dir)
+    val cents = kmeansCentroids(s, dir)
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(assignW))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("cid").as("cell"))
     val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("c_cos").desc, col("c_label"))
-    val probes = emb(s, dir).where(col("vec_id") < NQueries)
+      .orderBy(col("c_cos").desc, col("cid"))
+    val probes = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("q_vec"))
       .crossJoin(broadcast(cents))
       .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
       .withColumn("c_rn", row_number().over(probeW))
       .where(col("c_rn") <= IvfProbes)
-      .select(col("query_id"), col("q_vec"), col("c_label").as("probe_cell"))
+      .select(col("query_id"), col("q_vec"), col("cid").as("probe_cell"))
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     assign
@@ -285,103 +370,213 @@ object SimilarityOps {
     * Scale: per round, one broadcast of k centroids + one shuffle for the
     * per-(cluster, dim) averages. Assignment is map-side.
     */
-  def kmeans(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("cid"), col("cos"))
+  }
 
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("cid"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("cos", cosine(col("vec"), col("c_vec")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("vec"), col("cid"), col("cos"))
-    }
+  /** The trained quantizer (cid, c_vec), built ONCE per (session, input)
+    * and persisted — [[kmeans]], [[annIvf]] and [[annRecall]] all read the
+    * same k×Dim table, mirroring production where an IVF index is built
+    * once per corpus version and every query-time consumer loads the
+    * materialized centroids. The cache is k rows — trivially bounded.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-    def update(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cid"), posexplode(col("vec")).as(Seq("d", "x")))
-        .groupBy(col("cid"), col("d"))
-        .agg(round(avg(col("x")), 6).as("cx"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("pairs"))
-        .select(col("cid"), transform(col("pairs"), p => p.getField("cx")).as("c_vec"))
+  private[ops] def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
+    centroidCache.getOrElseUpdate((s, dir), {
+      val e = emb(s, dir)
 
-    var cents = e.where(col("vec_id") < KmeansK)
-      .select(col("vec_id").as("cid"), col("vec").as("c_vec"))
-      .localCheckpoint()
-    for (_ <- 1 to KmeansIters)
-      cents = update(assign(cents)).localCheckpoint()
+      def update(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("cid"), posexplode(col("vec")).as(Seq("d", "x")))
+          .groupBy(col("cid"), col("d"))
+          .agg(round(avg(col("x")), 6).as("cx"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("pairs"))
+          .select(col("cid"), transform(col("pairs"), p => p.getField("cx")).as("c_vec"))
 
-    assign(cents)
+      var cents = e.where(col("vec_id") < KmeansK)
+        .select(col("vec_id").as("cid"), col("vec").as("c_vec"))
+        .localCheckpoint()
+      for (_ <- 1 to KmeansIters)
+        cents = update(kmeansAssign(e, cents)).localCheckpoint()
+      cents
+    })
+
+  def kmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansAssign(emb(s, dir), kmeansCentroids(s, dir))
       .groupBy(col("cid"))
       .agg(
         count(lit(1)).as("n_members"),
         round(avg(col("cos")), 4).as("avg_cosine"))
       .orderBy("cid")
-  }
 
-  val kmeansSql: String = {
-    def assignCte(name: String, centCte: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, vec, cid, cos FROM (
-         |    SELECT e.vec_id, e.vec, c.cid, ${cosineSql("vec", "c_vec")} AS cos,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("vec", "c_vec")} DESC, c.cid) AS rn
-         |    FROM e, $centCte c)
-         |  WHERE rn = 1)""".stripMargin
-    def updateCte(name: String, assignCte: String): String =
-      s"""$name AS (
-         |  SELECT cid, list(round(cx, 6) ORDER BY d) AS c_vec FROM (
-         |    SELECT cid, d, avg(vec[d]) AS cx
-         |    FROM $assignCte, (SELECT unnest(range(1, $Dim + 1)) AS d)
-         |    GROUP BY cid, d)
-         |  GROUP BY cid)""".stripMargin
+  private def kmAssignCteSql(name: String, centCte: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, vec, cid, cos FROM (
+       |    SELECT e.vec_id, e.vec, c.cid, ${cosineSql("vec", "c_vec")} AS cos,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("vec", "c_vec")} DESC, c.cid) AS rn
+       |    FROM e, $centCte c)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def kmUpdateCteSql(name: String, assignCte: String): String =
+    s"""$name AS (
+       |  SELECT cid, list(round(cx, 6) ORDER BY d) AS c_vec FROM (
+       |    SELECT cid, d, avg(vec[d]) AS cx
+       |    FROM $assignCte, (SELECT unnest(range(1, $Dim + 1)) AS d)
+       |    GROUP BY cid, d)
+       |  GROUP BY cid)""".stripMargin
+
+  /** Unrolled Lloyd rounds ending in `afinal` (the assignment to the final
+    * centroids) — shared by the kmeans and IVF oracles.
+    */
+  private val kmeansCtesSql: String = {
     val rounds = (1 to KmeansIters).map { i =>
-      assignCte(s"a$i", s"c${i - 1}") + ",\n" + updateCte(s"c$i", s"a$i")
+      kmAssignCteSql(s"a$i", s"c${i - 1}") + ",\n" + kmUpdateCteSql(s"c$i", s"a$i")
     }.mkString(",\n")
-    s"""WITH e AS ($embSql),
+    s"""e AS ($embSql),
        |c0 AS (SELECT vec_id AS cid, vec AS c_vec FROM e WHERE vec_id < $KmeansK),
        |$rounds,
-       |${assignCte("afinal", s"c$KmeansIters")}
-       |SELECT cid, count(*) AS n_members, round(avg(cos), 4) AS avg_cosine
-       |FROM afinal GROUP BY cid ORDER BY cid""".stripMargin
+       |${kmAssignCteSql("afinal", s"c$KmeansIters")}""".stripMargin
   }
 
+  val kmeansSql: String =
+    s"""WITH $kmeansCtesSql
+       |SELECT cid, count(*) AS n_members, round(avg(cos), 4) AS avg_cosine
+       |FROM afinal GROUP BY cid ORDER BY cid""".stripMargin
+
   val annIvfSql: String =
-    s"""WITH e AS ($embSql),
-       |flat AS (
-       |  SELECT label, d, avg(vec[d]) AS cx
-       |  FROM e, (SELECT unnest(range(1, $Dim + 1)) AS d)
-       |  GROUP BY label, d),
-       |cent AS (
-       |  SELECT label AS c_label, list(round(cx, 6) ORDER BY d) AS c_vec
-       |  FROM flat GROUP BY label),
-       |assign AS (
-       |  SELECT vec_id, vec, c_label AS cell FROM (
-       |    SELECT e.vec_id, e.vec, c_label,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosineSql("vec", "c_vec")} DESC, c_label) AS rn
-       |    FROM e, cent)
-       |  WHERE rn = 1),
+    s"""WITH $kmeansCtesSql,
        |probes AS (
-       |  SELECT query_id, q_vec, c_label AS probe_cell FROM (
-       |    SELECT e.vec_id AS query_id, e.vec AS q_vec, c_label,
+       |  SELECT query_id, q_vec, cid AS probe_cell FROM (
+       |    SELECT e.vec_id AS query_id, e.vec AS q_vec, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosineSql("vec", "c_vec")} DESC, c_label) AS c_rn
-       |    FROM e, cent WHERE e.vec_id < $NQueries)
+       |        ORDER BY ${cosineSql("vec", "c_vec")} DESC, c.cid) AS c_rn
+       |    FROM e, c$KmeansIters c WHERE e.vec_id < $NQueries)
        |  WHERE c_rn <= $IvfProbes),
        |scored AS (
        |  SELECT query_id, a.vec_id AS neighbor_id,
        |    ${cosineSql("a.vec", "q_vec")} AS cos
-       |  FROM assign a JOIN probes p
-       |    ON a.cell = p.probe_cell AND a.vec_id <> p.query_id),
+       |  FROM afinal a JOIN probes p
+       |    ON a.cid = p.probe_cell AND a.vec_id <> p.query_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // ---- ANN recall vs brute-force ground truth ----------------------------
+
+  /** Recall@3 of each approximate index vs the exact brute-force top-3 —
+    * the measured guarantee the two ANN variants ship with. One row per
+    * method; `recall` is hits/(NQueries·3). Both engines compute the full
+    * pipelines independently, so a hash match here pins not just the
+    * recall VALUE but every rank the approximate indexes produced.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val gt = annBruteForce(s, dir).where(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val total = NQueries * 3
+    def recallOf(method: String, res: DataFrame): DataFrame =
+      res.select(col("query_id"), col("neighbor_id"))
+        .join(gt, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(
+          lit(method).as("method"), col("hits"),
+          lit(total.toLong).as("total"),
+          round(col("hits") / lit(total.toDouble), 4).as("recall"))
+    recallOf("ivf", annIvf(s, dir))
+      .unionByName(recallOf("lsh_bucketed", annLshBucketed(s, dir)))
+      .orderBy("method")
+  }
+
+  // ---- embedding-cosine near-dup -----------------------------------------
+
+  /** Embedding-space near-duplicate PAIRS: candidates = vector pairs whose
+    * sign-LSH signatures land within Hamming distance 2 in ANY of the L
+    * tables (the corpus×corpus analogue of [[annLshBucketed]]'s
+    * multi-probe), verified by exact cosine ≥ τ. Candidate recall measured
+    * vs the exact all-pairs answer: 0.857 (sf0.01) / 0.986 (sf0.1).
+    *
+    * Scale: the probe side explodes to L·37 24-byte (id, table, bucket)
+    * rows per vector — vectors themselves never ride the candidate join.
+    * Verified pairs re-fetch their two vectors by key (AQE broadcasts the
+    * pair side when small). Candidates ∝ signature collisions, never n².
+    *
+    * τ defaults to 0.45 — tuned to THIS synthetic corpus, whose most
+    * similar pair sits at cosine 0.51 (real corpora with planted dups
+    * would run τ ≈ 0.9, where the same buckets discriminate far more
+    * sharply).
+    */
+  val EmbDupThreshold = 0.45
+
+  def embeddingNearDup(
+      s: SparkSession, dir: String,
+      threshold: Double = EmbDupThreshold): DataFrame = {
+    val e = signatures(s, dir)
+    val exact = e.select(
+      col("vec_id"), posexplode(col("sigs")).as(Seq("t", "bucket")))
+    // explode(signature) × explode(mask), see [[annLshBucketed]]
+    val probe = e.select(
+        col("vec_id").as("a_id"), posexplode(col("sigs")).as(Seq("pt", "sig")))
+      .select(col("a_id"), col("pt"), col("sig"),
+        explode(typedLit(probeMasks)).as("m"))
+      .select(col("a_id"), col("pt"),
+        col("sig").bitwiseXOR(col("m")).as("probe_bucket"))
+    val cand = probe.join(exact,
+        col("pt") === col("t") && col("probe_bucket") === col("bucket") &&
+          col("a_id") < col("vec_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"))
+      .distinct()
+    val va = emb(s, dir).select(col("vec_id").as("a_id"), col("vec").as("vec_a"))
+    val vb = emb(s, dir).select(col("vec_id").as("b_id"), col("vec").as("vec_b"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  def embeddingNearDupSql(threshold: Double = EmbDupThreshold): String =
+    s"""WITH $lshSigCtesSql,
+       |probe AS (
+       |  SELECT s.vec_id AS a_id, s.t, xor(s.bucket, m.m) AS probe_bucket
+       |  FROM sig s, (SELECT unnest($probeMasksSql) AS m) m),
+       |cand AS (
+       |  SELECT DISTINCT p.a_id, s.vec_id AS b_id
+       |  FROM probe p JOIN sig s ON s.t = p.t AND s.bucket = p.probe_bucket
+       |    AND p.a_id < s.vec_id),
+       |scored AS (
+       |  SELECT c.a_id, c.b_id, ${cosineSql("ea.vec", "eb.vec")} AS cos
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.a_id
+       |  JOIN e eb ON eb.vec_id = c.b_id)
+       |SELECT a_id, b_id, round(cos, 6) AS cosine
+       |FROM scored WHERE cos >= $threshold ORDER BY a_id, b_id""".stripMargin
+
+  val annRecallSql: String = {
+    val total = NQueries * 3
+    def leg(method: String, sql: String): String =
+      s"""SELECT '$method' AS method, count(*) AS hits, ${total}::BIGINT AS total,
+         |  round(count(*) / ${total}.0, 4) AS recall
+         |FROM ($sql) r
+         |JOIN gt ON r.query_id = gt.query_id AND r.neighbor_id = gt.neighbor_id""".stripMargin
+    s"""WITH gt AS (
+       |  SELECT query_id, neighbor_id FROM ($annBruteForceSql) b WHERE rank <= 3)
+       |${leg("ivf", annIvfSql)}
+       |UNION ALL
+       |${leg("lsh_bucketed", annLshBucketedSql)}
+       |ORDER BY method""".stripMargin
+  }
 
   val centroidAssignSql: String =
     s"""WITH e AS ($embSql),

@@ -124,6 +124,42 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN recall: both approximate indexes recover >= 0.8 of brute-force top-3") {
+    val out = SimilarityOps.annRecall(spark, dir).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getDouble(3) >= 0.8,
+        s"${r.getString(0)} recall ${r.getDouble(3)} below 0.8")
+      assert(r.getLong(2) == SimilarityOps.NQueries * 3)
+    }
+  }
+
+  test("embedding near-dup: pairs ordered, above threshold, recall >= 0.8 vs exact all-pairs") {
+    val out = SimilarityOps.embeddingNearDup(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= SimilarityOps.EmbDupThreshold - 1e-9)
+    }
+    // independent exact ground truth, computed driver-side in plain Scala
+    val vecs = graft.sources.Tables.read(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truePairs = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= SimilarityOps.EmbDupThreshold
+    } yield (ia, ib)).toSet
+    val found = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truePairs), "reported pair below threshold")
+    assert(truePairs.isEmpty ||
+      found.size.toDouble / truePairs.size >= 0.8,
+      s"embedding near-dup recall ${found.size}/${truePairs.size} below 0.8")
+  }
+
   test("centroid assignment: every vector assigned, labels from the label set") {
     val out = SimilarityOps.centroidAssign(spark, dir)
     assert(out.count() == 500)

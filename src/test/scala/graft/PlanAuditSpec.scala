@@ -75,6 +75,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty), hints.mkString(";"))
   }
 
+  test("LSH ANN: bounded probe side broadcast, no cartesian product") {
+    // The probe side is NQueries × L·37 short rows — bounded by construction,
+    // so the forced broadcast is safe at any corpus size; the corpus side
+    // must never cross-join.
+    val p = plan(graft.ops.SimilarityOps.annLshBucketed(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embedding near-dup: candidate join moves ids+buckets, vectors refetched by key") {
+    // The corpus×corpus candidate join must not carry the 64-dim vectors —
+    // they rejoin by vec_id only after DISTINCT shrinks the pair set.
+    val df = graft.ops.SimilarityOps.embeddingNearDup(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    // the bucket-collision join's keys/output are free of vector columns
+    val candJoin = joins.find(_.condition.exists(_.references.exists(_.name == "probe_bucket")))
+    assert(candJoin.isDefined, joins.mkString(";"))
+    assert(!candJoin.get.output.exists(a => a.name.startsWith("vec") && a.name != "vec_id"),
+      candJoin.get.output.mkString(","))
+  }
+
   test("flagship classifier is a single-shuffle hash aggregate") {
     val df = graft.ops.RuleBasedTrailClassifier.classify(
       graft.ops.WeatherModel.weatherRecords(spark, dir))
