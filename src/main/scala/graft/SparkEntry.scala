@@ -102,6 +102,7 @@ object SparkEntry {
 
     // time-series extensions: as-of join, sessionization, pivot, HLL sketch
     "q_asof_join" -> (graft.ops.TimeSeriesOps.asofJoin _),
+    "q_interval_join" -> (graft.ops.TimeSeriesOps.intervalJoin _),
     "q_sessionize" -> (graft.ops.TimeSeriesOps.sessionize _),
     "q_pivot_activity" -> (graft.ops.TimeSeriesOps.pivotActivity _),
     "q_hll_distinct" -> (graft.ops.TimeSeriesOps.hllDistinct _),
@@ -172,6 +173,7 @@ object SparkEntry {
     "q_semi_join_late" -> RelationalOps.semiJoinLateOrdersSql,
     "q_s7_mock_weather" -> graft.sources.MockWeather.hourlyForecastSql(),
     "q_asof_join" -> graft.ops.TimeSeriesOps.asofJoinSql,
+    "q_interval_join" -> graft.ops.TimeSeriesOps.intervalJoinSql,
     "q_sessionize" -> graft.ops.TimeSeriesOps.sessionizeSql,
     "q_pivot_activity" -> graft.ops.TimeSeriesOps.pivotActivitySql,
     "q_ann_ivf" -> SimilarityOps.annIvfSql,

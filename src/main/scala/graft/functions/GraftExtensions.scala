@@ -5,13 +5,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session extensions: registers the engine's native expressions for SQL
-  * users (`SELECT cosine_sim(a, b)`). Install via
+  * users (`SELECT cosine_sim(a, b)`) and the custom-plan-tier strategies
+  * ([[graft.plans.RangeJoinStrategy]]). Install via
   * `SparkSession.builder.withExtensions(new GraftExtensions)` — done by
   * [[graft.GraftSession]] — or
   * `spark.sql.extensions=graft.functions.GraftExtensions` on a cluster.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

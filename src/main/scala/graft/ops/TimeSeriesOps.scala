@@ -143,4 +143,44 @@ object TimeSeriesOps {
         round(abs(col("approx_users") - col("exact_users")) * 100.0 /
           col("exact_users"), 2))
       .orderBy("event_type")
+
+  /** Pure interval (range) join — NO equi key: every event lands in each
+    * 84-hour analysis window it falls inside (windows overlap, start every
+    * 60 h from the stream's min event time). This is the logical shape
+    * vanilla Spark can only plan as BroadcastNestedLoopJoin, O(events ×
+    * windows); [[graft.plans.RangeJoinStrategy]] intercepts it and plans
+    * [[graft.plans.RangeJoinExec]] — the broadcast window side indexed by
+    * an interval tree, O(log windows + matches) per event (plan pinned in
+    * PlanAuditSpec). Users write a plain `join(wins, point >= lo && point
+    * < hi)`; the strategy supplies the physical operator.
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val t0 = ev.agg(min(col("ts")).as("t0"))
+    val wins = t0
+      .select(explode(sequence(lit(0), lit(9))).as("w_id"), col("t0"))
+      .select(
+        col("w_id"),
+        expr("timestampadd(HOUR, w_id * 60, t0)").as("w_lo"),
+        expr("timestampadd(HOUR, w_id * 60 + 84, t0)").as("w_hi"))
+    ev.join(wins, col("ts") >= col("w_lo") && col("ts") < col("w_hi"))
+      .groupBy(col("w_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("w_id")
+  }
+
+  val intervalJoinSql: String =
+    """WITH t0 AS (SELECT min(date_trunc('microseconds', ts)) AS t0 FROM events),
+      |wins AS (
+      |  SELECT w_id, t0 + to_hours(w_id * 60) AS w_lo,
+      |         t0 + to_hours(w_id * 60 + 84) AS w_hi
+      |  FROM t0, (SELECT unnest(range(0, 10)) AS w_id)),
+      |j AS (
+      |  SELECT w_id, value FROM events e JOIN wins w
+      |    ON date_trunc('microseconds', e.ts) >= w.w_lo
+      |   AND date_trunc('microseconds', e.ts) < w.w_hi)
+      |SELECT w_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM j GROUP BY w_id ORDER BY w_id""".stripMargin
 }
