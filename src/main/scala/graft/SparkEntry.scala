@@ -75,6 +75,8 @@ object SparkEntry {
     // LLM-data pipeline: text analysis
     "q_text_stats" -> (TextOps.textStats _),
     "q_lang_id" -> (TextOps.langId _),
+    "q_quality_repetition" -> (TextOps.qualityRepetition _),
+    "q_quality_filter" -> (TextOps.qualityFilter _),
     "q_doc_fingerprint" -> (TextOps.docFingerprint _),
 
     // LLM-data pipeline: deduplication
@@ -157,6 +159,8 @@ object SparkEntry {
     "q_top_orders_per_priority" -> RelationalOps.topOrdersPerPrioritySql,
     "q_text_stats" -> TextOps.textStatsSql,
     "q_lang_id" -> TextOps.langIdSql,
+    "q_quality_repetition" -> TextOps.qualityRepetitionSql,
+    "q_quality_filter" -> TextOps.qualityFilterSql,
     "q_doc_fingerprint" -> TextOps.docFingerprintSql,
     "q_dedup_exact" -> DedupOps.exactDedupSql,
     "q_dedup_ngram_jaccard" -> DedupOps.ngramJaccardDedupSql(),

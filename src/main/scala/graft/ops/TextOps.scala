@@ -117,6 +117,117 @@ object TextOps {
       |  lang AS labeled_lang
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---- repetition metrics + composite quality filter ---------------------
+
+  /** Gopher-style repetition signals per document, token-based (the corpus
+    * is single-line, so line/paragraph rules degenerate): fraction of
+    * tokens that are the single most frequent token, fraction of tokens
+    * occurring more than once, and the analogous top fraction over word
+    * bigrams.
+    *
+    * Shape: explode → count per (doc, gram) → per-doc agg. Both
+    * aggregations are partial (map-side combine) and key on (doc_id, gram)
+    * then doc_id — at 100 TB this is the vocab-stats shape, no stage sees
+    * the raw text after the explode.
+    */
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), tokens.as("toks"))
+    def gramStats(gram: Column, pfx: String) =
+      base.select(col("doc_id"), explode(gram).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          max(col("c")).as(s"${pfx}_top_c"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"${pfx}_dup_c"),
+          sum(col("c")).as(s"${pfx}_n"))
+    val uni = gramStats(col("toks"), "u")
+    val bi = gramStats(expr(
+      """transform(sequence(1, greatest(size(toks) - 1, 1)),
+        |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))""".stripMargin), "b")
+    uni.join(bi, "doc_id")
+      .select(
+        col("doc_id"),
+        round(col("u_top_c").cast("double") / col("u_n"), 4).as("top_token_frac"),
+        round(col("u_dup_c").cast("double") / col("u_n"), 4).as("dup_token_frac"),
+        round(col("b_top_c").cast("double") / col("b_n"), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-side NON-distinct bigram list (counts matter here, unlike
+    * [[graft.ops.DedupOps.shingleListSql]]).
+    */
+  private val bigramListSql: String =
+    """list_transform(
+      |  range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+      |  i -> string_split(text, ' ')[i] || coalesce(' ' || string_split(text, ' ')[i + 1], ''))""".stripMargin
+
+  val qualityRepetitionSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, tok, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |us AS (
+       |  SELECT doc_id, max(c) AS u_top_c,
+       |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS u_dup_c, sum(c) AS u_n
+       |  FROM u GROUP BY doc_id),
+       |b AS (
+       |  SELECT doc_id, bg, count(*) AS c
+       |  FROM (SELECT doc_id, unnest($bigramListSql) AS bg FROM documents)
+       |  GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, max(c) AS b_top_c, sum(c) AS b_n FROM b GROUP BY doc_id)
+       |SELECT us.doc_id,
+       |  round(u_top_c * 1.0 / u_n, 4) AS top_token_frac,
+       |  round(u_dup_c * 1.0 / u_n, 4) AS dup_token_frac,
+       |  round(b_top_c * 1.0 / b_n, 4) AS top_bigram_frac
+       |FROM us JOIN bs ON us.doc_id = bs.doc_id ORDER BY us.doc_id""".stripMargin
+
+  /** C4/Gopher-style composite keep/drop decision per document. Every rule
+    * compares in INTEGER arithmetic (`top_c * 20 <= n * 3` is
+    * top_token_frac ≤ 0.15) so the threshold boundary is exact on both
+    * engines — the float-division form would hash-diverge on ties.
+    * Thresholds chosen to split this corpus (top_token_frac spans
+    * 0.05–0.30 with median 0.09; dup_token_frac 0–0.99 median 0.83).
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val stats = docs(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"),
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_uniq"))
+    stats.select(
+      col("doc_id"),
+      (col("n_tok") >= 20 && col("n_tok") <= 1000).as("len_ok"),
+      (col("n_uniq") * 4 >= col("n_tok")).as("diversity_ok"),
+      (col("top_c") * 20 <= col("n_tok") * 3).as("top_token_ok"),
+      (col("dup_c") * 10 <= col("n_tok") * 9).as("dup_token_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("diversity_ok") &&
+          col("top_token_ok") && col("dup_token_ok"))
+      .orderBy("doc_id")
+  }
+
+  val qualityFilterSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT doc_id, max(c) AS top_c,
+      |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c,
+      |    sum(c) AS n_tok, count(*) AS n_uniq
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id,
+      |  n_tok >= 20 AND n_tok <= 1000 AS len_ok,
+      |  n_uniq * 4 >= n_tok AS diversity_ok,
+      |  top_c * 20 <= n_tok * 3 AS top_token_ok,
+      |  dup_c * 10 <= n_tok * 9 AS dup_token_ok,
+      |  (n_tok >= 20 AND n_tok <= 1000) AND n_uniq * 4 >= n_tok
+      |    AND top_c * 20 <= n_tok * 3 AND dup_c * 10 <= n_tok * 9 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ---- rolling-hash document fingerprint ---------------------------------
 
   /** Winnowing-style fingerprint: hash every 5-word shingle, keep the

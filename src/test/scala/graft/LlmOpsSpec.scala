@@ -20,6 +20,41 @@ class LlmOpsSpec extends AnyFunSuite {
         col("n_tokens") <= 0 || col("n_bpe_est") < col("n_tokens")).count() == 0)
   }
 
+  test("quality repetition: fractions match a driver-side recount on a sample") {
+    val out = TextOps.qualityRepetition(spark, dir)
+    assert(out.count() == 500)
+    // independent recount in plain Scala for the first 20 docs
+    val texts = graft.sources.Tables.read(spark, dir, "documents")
+      .select("doc_id", "text").where(col("doc_id") < 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = out.where(col("doc_id") < 20).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // Spark's round() is HALF_UP (0.78125 -> 0.7813), not rint's half-even
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val uni = toks.groupBy(identity).map(_._2.size)
+      val bis = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val bi = bis.groupBy(identity).map(_._2.size)
+      val exp = (
+        round4(uni.max.toDouble / toks.size),
+        round4(uni.filter(_ > 1).sum.toDouble / toks.size),
+        round4(bi.max.toDouble / bis.size))
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, expected $exp")
+    }
+  }
+
+  test("quality filter: keep is the conjunction of the rules and splits the corpus") {
+    val out = TextOps.qualityFilter(spark, dir).cache()
+    assert(out.count() == 500)
+    assert(out.where(col("keep") =!= (col("len_ok") && col("diversity_ok") &&
+      col("top_token_ok") && col("dup_token_ok"))).count() == 0)
+    val kept = out.where(col("keep")).count()
+    assert(kept > 0 && kept < 500, s"degenerate split: kept=$kept")
+    out.unpersist()
+  }
+
   test("lang id: every doc gets a prediction from the known set") {
     val out = TextOps.langId(spark, dir)
     assert(out.where(!col("predicted_lang").isin("en", "fr", "es", "de", "zh")).count() == 0)
