@@ -84,6 +84,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardDedup(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshDedup(s, d)),
     "q_dedup_simhash" -> (DedupOps.simhashFingerprint _),
+    "q_dedup_simhash_pairs" -> ((sp, d) => DedupOps.simhashNearPairs(sp, d)),
 
     // LLM-data pipeline: similarity search
     "q_ann_cosine_topk" -> (SimilarityOps.annBruteForce _),
@@ -101,6 +102,8 @@ object SparkEntry {
     "q_semi_join_late" -> (RelationalOps.semiJoinLateOrders _),
     // S7: generator source (no table input)
     "q_s7_mock_weather" -> ((s, _) => graft.sources.MockWeather.hourlyForecast(s)),
+    // JSONL source: parquet -> JSONL -> schema-on-read roundtrip
+    "q_jsonl_roundtrip" -> (graft.sources.Jsonl.roundtripAgg _),
 
     // time-series extensions: as-of join, sessionization, pivot, HLL sketch
     "q_asof_join" -> (graft.ops.TimeSeriesOps.asofJoin _),
@@ -166,6 +169,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> DedupOps.ngramJaccardDedupSql(),
     "q_dedup_minhash_lsh" -> DedupOps.minhashLshDedupSql(),
     "q_dedup_simhash" -> DedupOps.simhashFingerprintSql,
+    "q_dedup_simhash_pairs" -> DedupOps.simhashNearPairsSql(),
     "q_ann_cosine_topk" -> SimilarityOps.annBruteForceSql,
     "q_ann_lsh_bucketed" -> SimilarityOps.annLshBucketedSql,
     "q_ann_recall" -> SimilarityOps.annRecallSql,
@@ -176,6 +180,7 @@ object SparkEntry {
     "q_rollup_pricing" -> RelationalOps.rollupPricingSql,
     "q_semi_join_late" -> RelationalOps.semiJoinLateOrdersSql,
     "q_s7_mock_weather" -> graft.sources.MockWeather.hourlyForecastSql(),
+    "q_jsonl_roundtrip" -> graft.sources.Jsonl.roundtripAggSql,
     "q_asof_join" -> graft.ops.TimeSeriesOps.asofJoinSql,
     "q_interval_join" -> graft.ops.TimeSeriesOps.intervalJoinSql,
     "q_sessionize" -> graft.ops.TimeSeriesOps.sessionizeSql,

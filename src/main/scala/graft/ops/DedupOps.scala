@@ -339,7 +339,13 @@ object DedupOps {
     * frame — no ×32 bit-explode, ONE shuffle on doc_id; the fingerprint is
     * composed map-side from the vote columns.
     */
-  def simhashFingerprint(s: SparkSession, dir: String): DataFrame = {
+  def simhashFingerprint(s: SparkSession, dir: String): DataFrame =
+    simhashes(s, dir).orderBy("doc_id")
+
+  /** (doc_id, simhash, n_set_bits), unordered — shared by the fingerprint
+    * query and the near-pair bucket join.
+    */
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
     val perShingle = shingleIndex(s, dir)
       .select(col("doc_id"), hash60(col("shingle")).as("h"))
     val voteAggs = (0 until SimhashBits).map { b =>
@@ -354,7 +360,61 @@ object DedupOps {
       .reduce(_ + _)
     votes.select(
       col("doc_id"), fingerprint.as("simhash"), nSet.as("n_set_bits"))
-      .orderBy("doc_id")
+  }
+
+  /** SimHash near-duplicate PAIRS: band the 32-bit fingerprint into 4
+    * bytes and bucket-join on (band, value) — by pigeonhole, any pair at
+    * Hamming ≤ 3 differs in at most 3 of the 4 bands, so at least one
+    * band matches exactly and the bucket join is LOSSLESS at the default
+    * threshold (not an approximation). Candidates are verified with
+    * `bit_count(a ^ b)`. At 100 TB the join key is a (band, byte) pair —
+    * candidates ∝ band collisions, never doc×doc, the same scale shape as
+    * the MinHash band join.
+    */
+  def simhashNearPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val fp = simhashes(s, dir).select(col("doc_id"), col("simhash"))
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"), expr(s"shiftright(simhash, ${8 * b}) & 255").as("bv"))
+    }
+    val bands = fp.select(
+      col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"),
+        col("bd.band").as("band"), col("bd.bv").as("bv"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashNearPairsSql(maxHamming: Int = 3): String = {
+    val h = hash60Sql("sh")
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest($shingleListSql) AS sh FROM documents),
+       |hs AS (SELECT doc_id, $h AS h FROM e),
+       |votes AS (
+       |  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM hs, (SELECT unnest(range(0, $SimhashBits)) AS bit)
+       |  GROUP BY doc_id, bit),
+       |fp AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+       |  FROM fp, (SELECT unnest(range(0, 4)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
   }
 
   val simhashFingerprintSql: String = {

@@ -136,6 +136,19 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash near-pairs: band join is lossless vs driver-side all-pairs at hamming<=3") {
+    val fps = DedupOps.simhashFingerprint(spark, dir)
+      .select("doc_id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (a, sa) <- fps; (b, sb) <- fps
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    val got = DedupOps.simhashNearPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+  }
+
   test("ANN brute force: exactly k neighbors per query, cosine in [-1,1]") {
     val out = SimilarityOps.annBruteForce(spark, dir).collect()
     assert(out.length == SimilarityOps.NQueries * SimilarityOps.TopK)
