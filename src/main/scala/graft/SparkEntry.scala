@@ -120,6 +120,7 @@ object SparkEntry {
     "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
     "q_stratified_sample" -> ((s, d) => graft.ops.CorpusOps.stratifiedSample(s, d)),
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
+    "q_tfidf_topterms" -> ((s, d) => graft.ops.CorpusOps.tfIdfTopTerms(s, d)),
     "q_kmeans" -> (SimilarityOps.kmeans _),
     "q_pii_scrub" -> (graft.ops.CorpusOps.piiScrub _))
 
@@ -193,6 +194,7 @@ object SparkEntry {
     "q_dedup_clusters" -> DedupOps.nearDupClustersSql(),
     "q_value_percentiles" -> graft.ops.CorpusOps.valuePercentilesSql,
     "q_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(),
+    "q_tfidf_topterms" -> graft.ops.CorpusOps.tfIdfTopTermsSql(),
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
     "q_kmeans" -> SimilarityOps.kmeansSql,
     "q_pii_scrub" -> graft.ops.CorpusOps.piiScrubSql)

@@ -98,6 +98,60 @@ object CorpusOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
+  /** TF-IDF top-3 terms per document. tf = in-doc count / doc length;
+    * idf = ln(N / df) over the corpus. df is a tiny aggregate (≤ |vocab|
+    * rows) broadcast back onto the per-doc counts, so the whole query is
+    * ONE shuffle on (doc_id, term) plus the WindowGroupLimit top-k — at
+    * 100 TB the only large exchange is the term-count one, and the rank
+    * prunes per-partition before the final shuffle. Ties break on the
+    * term string; exact ties have bit-identical tfidf on both engines
+    * (same integer inputs), so the rank order is deterministic.
+    */
+  def tfIdfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(s, dir)
+      .select(col("doc_id"), TextOps.tokens.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tok"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"), first(col("n_tok")).as("n_tok"))
+    // corpus size as a broadcast 1-row frame, not a driver-side count():
+    // the query stays one lazy plan, no eager job at construction
+    val nDocs = docs(s, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("c").cast("double") / col("n_tok")) * log(col("n_docs") / col("df")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfIdfTopTermsSql(k: Int = 3): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS c, any_value(n_tok) AS n_tok
+       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+       |          unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id, tf.term,
+       |    (c * 1.0 / n_tok) * ln((SELECT n_docs FROM n) * 1.0 / df) AS tfidf
+       |  FROM tf JOIN idf ON tf.term = idf.term),
+       |ranked AS (
+       |  SELECT doc_id, term, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, round(tfidf, 4) AS tfidf, rank::BIGINT AS rank
+       |FROM ranked WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
   /** Vocabulary stats: top-20 tokens by document frequency with their
     * collection frequency — the inverted-index aggregate feeding stopword
     * lists and tokenizer audits. One shuffle on the token.

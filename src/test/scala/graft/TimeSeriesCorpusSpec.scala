@@ -65,6 +65,34 @@ class TimeSeriesCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("tf-idf: top terms match a driver-side recompute on a sample of docs") {
+    val out = CorpusOps.tfIdfTopTerms(spark, dir).cache()
+    assert(out.count() == 1500) // 500 docs x top-3
+    // WindowGroupLimit must prune below the rank shuffle
+    val plan = CorpusOps.tfIdfTopTerms(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val texts = Tables.read(spark, dir, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val nDocs = texts.length.toDouble
+    val dfMap = texts.flatMap { case (_, t) => t.split(" ", -1).distinct }
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val got = out.where(col("doc_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> (r.getString(1), r.getDouble(2))).toMap
+    texts.filter(_._1 < 10).foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val top = toks.groupBy(identity).map { case (w, g) =>
+        w -> g.size.toDouble / toks.size * math.log(nDocs / dfMap(w))
+      }.toSeq.sortBy { case (w, s) => (-s, w) }.take(3)
+      top.zipWithIndex.foreach { case ((w, s), i) =>
+        val (gw, gs) = got((id, i + 1L))
+        assert(gw == w && math.abs(gs - s) < 1e-3,
+          s"doc $id rank ${i + 1}: got ($gw,$gs), expected ($w,$s)")
+      }
+    }
+    out.unpersist()
+  }
+
   test("kmeans: members total the corpus, cosine within [-1,1]") {
     val out = SimilarityOps.kmeans(spark, dir).collect()
     assert(out.map(_.getLong(1)).sum == 500)
