@@ -118,6 +118,7 @@ object SparkEntry {
     "q17_small_quantity" -> (RelationalOps.q17SmallQuantity _),
     "q_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(s, d)),
     "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
+    "q_approx_percentiles" -> (graft.ops.CorpusOps.approxPercentiles _),
     "q_stratified_sample" -> ((s, d) => graft.ops.CorpusOps.stratifiedSample(s, d)),
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
     "q_tfidf_topterms" -> ((s, d) => graft.ops.CorpusOps.tfIdfTopTerms(s, d)),

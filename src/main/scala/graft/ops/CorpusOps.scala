@@ -32,6 +32,24 @@ object CorpusOps {
       |  round(quantile_cont(value, 0.99), 4) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The 100 TB percentile path made first-class: `approx_percentile`
+    * (a mergeable quantile sketch — bounded memory per partition, partial
+    * aggregation, no global sort) next to the exact answer, with the
+    * observed relative error as a column. Sketch internals are
+    * engine-specific, so like the HLL query this is rows-only for the
+    * driver; the ≤1% error guarantee is pinned by a spec instead.
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.9)"), 4).as("p90_exact"),
+        round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90_approx"))
+      .withColumn("rel_error_pct",
+        round(abs(col("p90_approx") - col("p90_exact")) * 100.0 /
+          greatest(abs(col("p90_exact")), lit(1e-9)), 3))
+      .orderBy("event_type")
+
   /** Deterministic stratified sample: ~10% of documents per language via a
     * content-independent hash split — the reproducible train/eval split
     * every data pipeline needs (no rand(), so replays and engines agree;

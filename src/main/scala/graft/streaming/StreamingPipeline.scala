@@ -79,6 +79,23 @@ object StreamingPipeline {
         col("user_id"), col("w.start").as("day_start"),
         col("n"), col("sum_value"), col("max_value"))
 
+  /** Streaming sessionization via `session_window`: gap-based windows
+    * (30 min of inactivity closes a session) maintained as merging state
+    * by the engine — the streaming twin of the batch
+    * [[graft.ops.TimeSeriesOps.sessionize]]. Watermark bounds the state:
+    * a session closes (and emits, in append mode) once the watermark
+    * passes its end. Per-key state is one open session struct — at
+    * 100 TB state size tracks ACTIVE users only, not history.
+    */
+  def sessionRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Per-city running state via mapGroupsWithState: the streaming form of
     * the classifier's per-city aggregates (running counts + extrema),
     * updated incrementally per micro-batch. State is one small case class

@@ -21,6 +21,38 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // At 100 TB a selective dim filter should become a row-level runtime
+    // filter on the fact scan (Spark's runtime bloom filter), killing
+    // fact rows before the shuffle. Local thresholds are tuned to let the
+    // tiny test tables qualify; the assertion is on the plan shape.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // the rule fires when the application side already shuffles
+      // (probablyHasShuffle) — the canonical shape is a fact-side join
+      // chain getting pruned by a later selective dim
+      val cust = Tables.read(spark, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val fact = Tables.read(spark, dir, "lineitem")
+        .join(Tables.read(spark, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val j = fact.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val p = plan(j).toLowerCase
+      assert(p.contains("bloom_filter_agg") &&
+        (p.contains("might_contain") || p.contains("mightcontain")), plan(j))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("P3 range filter is pushed to the parquet scan") {
     val p = plan(EventOps.p3RangeFilter(spark, dir))
     assert(p.contains("PushedFilters: ["), p)

@@ -61,6 +61,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window: streaming sessions equal a batch session_window agg") {
+    val q = StreamingPipeline
+      .sessionRollup(StreamingPipeline.readEvents(spark, eventsPath))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .orderBy("user_id", "session_start").collect().toSeq
+      val batch = graft.sources.Tables.read(spark, eventsPath, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start").collect().toSeq
+      assert(got.nonEmpty && got == batch)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-city running aggregates accumulate") {
     val weather = StreamingPipeline
       .projectWithValidity(StreamingPipeline.readEvents(spark, eventsPath))

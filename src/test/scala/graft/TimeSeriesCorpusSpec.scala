@@ -51,6 +51,17 @@ class TimeSeriesCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles stay within 1% of exact (5% at tiny SF)") {
+    // at sf0.001 groups are ~200 rows: the dominant "error" is the
+    // interpolating-exact vs value-returning-sketch definition gap, which
+    // shrinks as 1/n — hence the looser tiny-SF bound
+    Seq(dir -> 5.0, "/root/testdata/sf0.01" -> 1.0).foreach { case (d, bound) =>
+      val maxErr = CorpusOps.approxPercentiles(spark, d)
+        .agg(max(col("rel_error_pct"))).first().getDouble(0)
+      assert(maxErr <= bound, s"$d: rel error $maxErr% > $bound%")
+    }
+  }
+
   test("stratified sample: deterministic and a strict subset") {
     val a = CorpusOps.stratifiedSample(spark, dir).collect()
     val b = CorpusOps.stratifiedSample(spark, dir).collect()
