@@ -92,6 +92,7 @@ object SparkEntry {
     "q_ann_recall" -> (SimilarityOps.annRecall _),
     "q_centroid_assign" -> (SimilarityOps.centroidAssign _),
     "q_dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
+    "q_ann_pq_adc" -> (SimilarityOps.annPqAdc _),
 
     // LLM-data pipeline: multimodal metadata
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
@@ -188,6 +189,7 @@ object SparkEntry {
     "q_sessionize" -> graft.ops.TimeSeriesOps.sessionizeSql,
     "q_pivot_activity" -> graft.ops.TimeSeriesOps.pivotActivitySql,
     "q_ann_ivf" -> SimilarityOps.annIvfSql,
+    "q_ann_pq_adc" -> SimilarityOps.annPqAdcSql,
     "q_brand_revenue" -> RelationalOps.brandRevenueSql,
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,

@@ -596,4 +596,198 @@ object SimilarityOps {
        |  FROM scored)
        |SELECT vec_id, label, c_label AS assigned_label, label = c_label AS is_match
        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  // ---- product quantization (PQ-ADC) -------------------------------------
+
+  /** PQ constants: m=16 subspaces of 4 dims, 16-entry L2 codebook per
+    * subspace, 2 Lloyd rounds (unrolled in the oracle). A 64-float vector
+    * compresses to 16 one-byte codes (16× compression) — the memory
+    * transform that lets a 100 TB embedding corpus live in cluster RAM
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011). Parameters tuned by measurement: recall@3 after re-rank
+    * = 0.92 / 0.96 / 0.92 at sf0.001/0.01/0.1 (m=8 gave 0.83, m=4 gave
+    * 0.3 — the spec pins ≥0.9).
+    */
+  val PqM = 16
+  val SubDim: Int = Dim / PqM
+  val PqK = 16
+  val PqIters = 2
+  val PqShortlist = 64
+
+  private def subvec(c: Column, j: Int): Column = slice(c, j * SubDim + 1, SubDim)
+
+  /** Squared-L2 between equal-length double arrays (PQ's native metric). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  def l2sqSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, $SubDim + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** Per-subspace codebooks: deterministic L2 k-means (seeds = subvectors
+    * of the first k ids, per-round 6dp rounding), trained once per
+    * (session, input) and persisted — PQ mirrors the IVF pattern: train
+    * once per corpus version, every consumer loads the materialized
+    * codebooks. Output: (j, cid, c_vec).
+    */
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    // nearest codebook entry by L2, ties to the smaller cid
+    val w = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2").asc, col("cid"))
+    sub.join(broadcast(cents), "j")
+      .withColumn("d2", l2sq(col("sv"), col("c_vec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("sv"), col("cid"), col("d2"))
+  }
+
+  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    codebookCache.getOrElseUpdate((s, dir), {
+      val sub = pqSubvectors(s, dir)
+      def update(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+          .groupBy(col("j"), col("cid"), col("d"))
+          .agg(round(avg(col("x")), 6).as("cx"))
+          .groupBy(col("j"), col("cid"))
+          .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("pairs"))
+          .select(col("j"), col("cid"),
+            transform(col("pairs"), p => p.getField("cx")).as("c_vec"))
+      var cents = sub.where(col("vec_id") < PqK)
+        .select(col("j"), col("vec_id").as("cid"), col("sv").as("c_vec"))
+        .localCheckpoint()
+      for (_ <- 1 to PqIters)
+        cents = update(pqAssign(sub, cents)).localCheckpoint()
+      cents
+    })
+
+  /** (vec_id, j, sv): each vector L2-NORMALIZED then exploded into its m
+    * subvectors. Normalization first makes squared-L2 order-equivalent to
+    * cosine (‖a−b‖² = 2 − 2·cos on the unit sphere), so ADC ranks agree
+    * with the cosine ground truth the other ANN variants use.
+    */
+  private def pqSubvectors(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+      .withColumn("nvec", transform(col("vec"), x => x / col("nrm")))
+      .select(
+        col("vec_id"),
+        explode(array((0 until PqM).map(j =>
+          struct(lit(j).as("j"), subvec(col("nvec"), j).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.j").as("j"), col("p.sv").as("sv"))
+
+  /** PQ-ADC top-3: encode every vector as m codebook ids (map-side after a
+    * broadcast of the m·k codebooks), build the per-query distance lookup
+    * table (q × m × k rows — broadcast), and rank candidates by the
+    * asymmetric distance Σ_j table[j, code_j]. The sum folds the m
+    * sub-distances IN SUBSPACE ORDER on both engines (sorted array fold
+    * here, ORDER BY j list in the oracle) so reassociation can't flip a
+    * rank. Scan cost per query is m lookups per candidate instead of a
+    * 64-dim dot product; composition with the IVF cells of [[annIvf]]
+    * (probe cells, then ADC within) is the full IVF-PQ layout.
+    */
+  def annPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(s, dir)
+    val codes = pqAssign(pqSubvectors(s, dir), books)
+      .select(col("vec_id"), col("j"), col("cid"))
+    // per-query lookup table: d2 from every query subvector to every entry
+    val qsub = pqSubvectors(s, dir).where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("j"), col("sv").as("q_sv"))
+    val lut = qsub.join(broadcast(books), "j")
+      .select(col("query_id"), col("j"), col("cid"),
+        l2sq(col("q_sv"), col("c_vec")).as("d2"))
+    val shortW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id"))
+    val shortlist = codes
+      .join(broadcast(lut), Seq("j", "cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("d2")))).as("parts"))
+      .withColumn("adc_d2",
+        aggregate(col("parts"), lit(0.0), (acc, p) => acc + p.getField("d2")))
+      .withColumn("srank", row_number().over(shortW))
+      .where(col("srank") <= PqShortlist)
+    // exact re-rank of the shortlist: fetch the ORIGINAL vectors by key
+    // (codes/LUT never carried them) and score the true cosine
+    val e = emb(s, dir)
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(e.select(col("vec_id"), col("vec")), "vec_id")
+      .join(broadcast(e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("vec").as("q_vec"))), "query_id")
+      .withColumn("cos", cosine(col("vec"), col("q_vec")))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def pqAssignCteSql(name: String, subCte: String, centCte: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, j, sv, cid, d2 FROM (
+       |    SELECT s.vec_id, s.j, s.sv, c.cid, ${l2sqSql("sv", "c_vec")} AS d2,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY ${l2sqSql("sv", "c_vec")} ASC, c.cid) AS rn
+       |    FROM $subCte s JOIN $centCte c ON s.j = c.j)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def pqUpdateCteSql(name: String, assignCte: String): String =
+    s"""$name AS (
+       |  SELECT j, cid, list(round(cx, 6) ORDER BY d) AS c_vec FROM (
+       |    SELECT j, cid, d, avg(sv[d]) AS cx
+       |    FROM $assignCte, (SELECT unnest(range(1, $SubDim + 1)) AS d)
+       |    GROUP BY j, cid, d)
+       |  GROUP BY j, cid)""".stripMargin
+
+  val annPqAdcSql: String = {
+    val rounds = (1 to PqIters).map { i =>
+      pqAssignCteSql(s"pa$i", "sub", s"pc${i - 1}") + ",\n" +
+        pqUpdateCteSql(s"pc$i", s"pa$i")
+    }.mkString(",\n")
+    s"""WITH e AS ($embSql),
+       |n AS (
+       |  SELECT vec_id,
+       |    list_transform(vec, x -> x / sqrt(${dotSql("vec", "vec")})) AS nvec
+       |  FROM e),
+       |sub AS (
+       |  SELECT vec_id, j, list_slice(nvec, j * $SubDim + 1, (j + 1) * $SubDim) AS sv
+       |  FROM n, (SELECT unnest(range(0, $PqM)) AS j)),
+       |pc0 AS (SELECT j, vec_id AS cid, sv AS c_vec FROM sub WHERE vec_id < $PqK),
+       |$rounds,
+       |${pqAssignCteSql("codes", "sub", s"pc$PqIters")},
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, s.j, c.cid, ${l2sqSql("sv", "c_vec")} AS d2
+       |  FROM sub s JOIN pc$PqIters c ON s.j = c.j
+       |  WHERE s.vec_id < $NQueries),
+       |adc AS (
+       |  SELECT l.query_id, k.vec_id,
+       |    list_sum(list(l.d2 ORDER BY l.j)) AS adc_d2
+       |  FROM codes k JOIN lut l ON k.j = l.j AND k.cid = l.cid
+       |  WHERE k.vec_id <> l.query_id
+       |  GROUP BY l.query_id, k.vec_id),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_d2 ASC, vec_id) AS srank
+       |    FROM adc)
+       |  WHERE srank <= $PqShortlist),
+       |rer AS (
+       |  SELECT s.query_id, s.vec_id, ${cosineSql("en.vec", "eq.vec")} AS cos
+       |  FROM short s
+       |  JOIN e en ON s.vec_id = en.vec_id
+       |  JOIN e eq ON s.query_id = eq.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rer)
+       |SELECT query_id, rank::BIGINT AS rank, vec_id AS neighbor_id,
+       |  round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 }
