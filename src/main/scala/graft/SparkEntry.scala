@@ -117,6 +117,7 @@ object SparkEntry {
     "q10_returned_items" -> (RelationalOps.q10ReturnedItems _),
     "q14_promo_revenue" -> (RelationalOps.q14PromoRevenue _),
     "q17_small_quantity" -> (RelationalOps.q17SmallQuantity _),
+    "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
     "q_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(s, d)),
     "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
     "q_approx_percentiles" -> (graft.ops.CorpusOps.approxPercentiles _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,
     "q17_small_quantity" -> RelationalOps.q17SmallQuantitySql,
+    "q18_large_orders" -> RelationalOps.q18LargeOrdersSql,
     "q_dedup_clusters" -> DedupOps.nearDupClustersSql(),
     "q_value_percentiles" -> graft.ops.CorpusOps.valuePercentilesSql,
     "q_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(),

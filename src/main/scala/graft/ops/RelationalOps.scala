@@ -212,6 +212,43 @@ object RelationalOps {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume orders): a grouped HAVING feeding a
+    * LEFT SEMI join back onto the fact chain, then the customer/order
+    * rollup. The qualifying-order set is tiny (≈1% of orders at the 250
+    * threshold), so the semi join broadcasts it and the big tables never
+    * shuffle for the filter; the final aggregate groups the already-
+    * filtered rows. Top-k via orderBy+limit plans TakeOrderedAndProject.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val qualifying = li
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+      .where(col("sq") > 250)
+      .select(col("l_orderkey").as("q_orderkey"))
+    li
+      .join(broadcast(qualifying), col("l_orderkey") === col("q_orderkey"), "left_semi")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18LargeOrdersSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  round(sum(l_quantity), 2) AS total_qty
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(l_quantity) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 20""".stripMargin
+
   /** TPC-H Q14 shape: promo revenue share — conditional aggregate over a
     * broadcast dim join, one output row.
     */

@@ -53,6 +53,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("partition-pruned scan: a day-partitioned layout reads only matching partitions") {
+    // the 100 TB layout: facts written partitioned by day, query filters
+    // on the partition column -> the scan lists only matching directories
+    // (partition pruning), independent of row-group statistics
+    val base = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.read(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(base)
+    val q = spark.read.parquet(base)
+      .where(col("day") === "2024-01-03")
+      .agg(count(lit(1)).as("n"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-03"), scan)
+    // and the pruned count matches the unpartitioned filter
+    val expected = Tables.read(spark, dir, "events")
+      .where(to_date(col("ts")) === "2024-01-03").count()
+    assert(q.first().getLong(0) == expected && expected > 0)
+  }
+
   test("P3 range filter is pushed to the parquet scan") {
     val p = plan(EventOps.p3RangeFilter(spark, dir))
     assert(p.contains("PushedFilters: ["), p)
