@@ -23,5 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim requires exactly 2 arguments (two array<double>), got ${children.size}")
         CosineSimilarity(children.head, children(1))
       }))
+    e.injectFunction((
+      FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2SquaredDistance].getName, "l2_sq"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 2,
+          s"l2_sq requires exactly 2 arguments (two array<double>), got ${children.size}")
+        L2SquaredDistance(children.head, children(1))
+      }))
   }
 }

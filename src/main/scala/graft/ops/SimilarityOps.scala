@@ -616,9 +616,17 @@ object SimilarityOps {
 
   private def subvec(c: Column, j: Int): Column = slice(c, j * SubDim + 1, SubDim)
 
-  /** Squared-L2 between equal-length double arrays (PQ's native metric). */
-  def l2sq(a: Column, b: Column): Column =
+  /** Composed higher-order squared-L2 — the reference form the native
+    * expression is tested against (same left-fold, bit-identical).
+    */
+  def l2sqComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared-L2 between equal-length double arrays (PQ's native metric) —
+    * the codegen'd single-pass [[graft.functions.L2SquaredDistance]].
+    */
+  def l2sq(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.l2_sq(a, b)
 
   def l2sqSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, $SubDim + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"

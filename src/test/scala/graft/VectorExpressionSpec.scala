@@ -72,6 +72,33 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(v == 0.96)
   }
 
+  test("l2_sq: known geometry, bit-identity with composed form, null on mismatch") {
+    import graft.functions.VectorExpressions.l2_sq
+    val out = vecs.select($"id", l2_sq($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 2.0 && out(3L) == 56.0)
+    // bit-identity vs the composed fold on real embeddings
+    val e = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val pairs = e.as("x").crossJoin(e.as("y"))
+      .where(col("x.vec_id") < 4 && col("y.vec_id") < 4)
+    val diff = pairs.select(
+      (l2_sq(col("x.v"), col("y.v")) -
+        SimilarityOps.l2sqComposed(col("x.v"), col("y.v"))).as("d"))
+      .agg(max(abs(col("d")))).first().getDouble(0)
+    assert(diff == 0.0, s"native vs composed drift: $diff")
+    // mismatched lengths -> null
+    val m = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(l2_sq($"a", $"b").as("d")).first()
+    assert(m.isNullAt(0))
+  }
+
+  test("l2_sq is callable from SQL via GraftExtensions") {
+    val r = spark.sql("SELECT l2_sq(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d").first()
+    assert(r.getDouble(0) == 25.0)
+  }
+
   test("type check rejects non-array arguments with a named error") {
     val bad = graft.functions.CosineSimilarity(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0),
