@@ -118,6 +118,7 @@ object SparkEntry {
     "q14_promo_revenue" -> (RelationalOps.q14PromoRevenue _),
     "q17_small_quantity" -> (RelationalOps.q17SmallQuantity _),
     "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
+    "q_topk_aggregator" -> ((s, d) => RelationalOps.topOrdersAggregator(s, d)),
     "q_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(s, d)),
     "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
     "q_approx_percentiles" -> (graft.ops.CorpusOps.approxPercentiles _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,
     "q17_small_quantity" -> RelationalOps.q17SmallQuantitySql,
     "q18_large_orders" -> RelationalOps.q18LargeOrdersSql,
+    "q_topk_aggregator" -> RelationalOps.topOrdersAggregatorSql(),
     "q_dedup_clusters" -> DedupOps.nearDupClustersSql(),
     "q_value_percentiles" -> graft.ops.CorpusOps.valuePercentilesSql,
     "q_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(),

@@ -249,6 +249,40 @@ object RelationalOps {
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 20""".stripMargin
 
+  /** Grouped top-k via the typed [[graft.functions.TopKAggregator]] — the
+    * §2.11 `Aggregator` surface as a first-class query. Same result as the
+    * ranked-window form ([[topOrdersPerPriority]]'s shape), different
+    * physical contract: the aggregate is MERGEABLE, so map-side partials
+    * hold k rows per group and the exchange moves groups·k rows — the
+    * bound a 100 TB grouped top-k needs when a window's per-partition
+    * group-limit can't apply (e.g. opaque scoring models).
+    */
+  def topOrdersAggregator(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("topk"))
+      .flatMap { case (pri, items) =>
+        items.zipWithIndex.map { case ((price, okey), i) =>
+          (pri, (i + 1).toLong, okey, price)
+        }
+      }
+      .toDF("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  def topOrdersAggregatorSql(k: Int = 3): String =
+    s"""SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+       |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+       |  FROM orders)
+       |WHERE rank <= $k ORDER BY o_orderpriority, rank""".stripMargin
+
   /** TPC-H Q14 shape: promo revenue share — conditional aggregate over a
     * broadcast dim join, one output row.
     */

@@ -100,6 +100,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAggregator: merge is order/partition invariant and matches a plain sort") {
+    val g = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => (g.nextInt(50).toDouble, i.toLong))
+    val expected = rows.sortBy { case (sc, id) => (-sc, id) }.take(5)
+    val agg = new graft.functions.TopKAggregator(5)
+    // single-pass reduce
+    val direct = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(direct == expected)
+    // arbitrary partition splits + merges must give the identical buffer
+    Seq(1, 3, 7, 50).foreach { parts =>
+      val partials = rows.grouped(math.max(rows.size / parts, 1))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val merged = partials.foldLeft(agg.zero)(agg.merge)
+      assert(merged == expected, s"parts=$parts")
+    }
+    // and the Spark query equals the ranked-window oracle shape
+    val viaAgg = graft.ops.RelationalOps
+      .topOrdersAggregator(spark, "/root/testdata/sf0.001").collect().toSeq
+    val viaWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "orders")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank").collect().toSeq
+    }
+    assert(viaAgg == viaWindow)
+  }
+
   test("minhash affine family stays within the prime field") {
     forAllSampled(Gen.choose(0L, Long.MaxValue / 2), n = 20) { h =>
       (0 until DedupOps.MinhashK).foreach { j =>
