@@ -119,6 +119,7 @@ object SparkEntry {
     "q17_small_quantity" -> (RelationalOps.q17SmallQuantity _),
     "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
     "q_topk_aggregator" -> ((s, d) => RelationalOps.topOrdersAggregator(s, d)),
+    "q_snapshot_diff" -> (graft.ops.ChangeCapture.eventsSnapshotDiff _),
     "q_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(s, d)),
     "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
     "q_approx_percentiles" -> (graft.ops.CorpusOps.approxPercentiles _),
@@ -198,6 +199,7 @@ object SparkEntry {
     "q17_small_quantity" -> RelationalOps.q17SmallQuantitySql,
     "q18_large_orders" -> RelationalOps.q18LargeOrdersSql,
     "q_topk_aggregator" -> RelationalOps.topOrdersAggregatorSql(),
+    "q_snapshot_diff" -> graft.ops.ChangeCapture.eventsSnapshotDiffSql,
     "q_dedup_clusters" -> DedupOps.nearDupClustersSql(),
     "q_value_percentiles" -> graft.ops.CorpusOps.valuePercentilesSql,
     "q_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(),

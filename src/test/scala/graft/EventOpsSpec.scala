@@ -125,4 +125,31 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.exists(_.getString(2) == "DEAD_LETTER"))
     assert(out.exists(_.getString(2) == "RETRY"))
   }
+
+  test("snapshot diff: change classes match an independent driver-side diff") {
+    import graft.ops.ChangeCapture
+    val dir = "/root/testdata/sf0.001"
+    val out = ChangeCapture.eventsSnapshotDiff(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent reconstruction of both snapshots in plain Scala
+    def h60(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val ev = graft.sources.Tables.read(spark, dir, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def band(id: Long) = h60(id.toString) % 100
+    val old = ev.filter(e => band(e._1) < 80).map(e => e._1 -> ((e._2, e._3))).toMap
+    val neu = ev.filter(e => band(e._1) >= 10 && band(e._1) < 90)
+      .map(e => e._1 -> ((e._2,
+        if (band(e._1) >= 70) math.rint(e._3 * 2.0 * 100) / 100 else e._3))).toMap
+    val expected =
+      (neu.keySet -- old.keySet).map(_ -> "INSERT") ++
+        (old.keySet -- neu.keySet).map(_ -> "DELETE") ++
+        (old.keySet & neu.keySet).filter(k => old(k) != neu(k)).map(_ -> "UPDATE")
+    assert(out == expected.toMap)
+    assert(Set("INSERT", "DELETE", "UPDATE").subsetOf(out.values.toSet))
+  }
 }
