@@ -93,6 +93,7 @@ object SparkEntry {
     "q_centroid_assign" -> (SimilarityOps.centroidAssign _),
     "q_dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
     "q_ann_pq_adc" -> (SimilarityOps.annPqAdc _),
+    "q_embed_int8" -> (SimilarityOps.quantizeInt8 _),
 
     // LLM-data pipeline: multimodal metadata
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "q_topk_aggregator" -> ((s, d) => RelationalOps.topOrdersAggregator(s, d)),
     "q_snapshot_diff" -> (graft.ops.ChangeCapture.eventsSnapshotDiff _),
     "q_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(s, d)),
+    "q_dedup_keepdrop" -> (DedupOps.dedupKeepDrop _),
     "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
     "q_approx_percentiles" -> (graft.ops.CorpusOps.approxPercentiles _),
     "q_stratified_sample" -> ((s, d) => graft.ops.CorpusOps.stratifiedSample(s, d)),
@@ -176,6 +178,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> DedupOps.minhashLshDedupSql(),
     "q_dedup_simhash" -> DedupOps.simhashFingerprintSql,
     "q_dedup_simhash_pairs" -> DedupOps.simhashNearPairsSql(),
+    "q_dedup_keepdrop" -> DedupOps.dedupKeepDropSql(),
     "q_ann_cosine_topk" -> SimilarityOps.annBruteForceSql,
     "q_ann_lsh_bucketed" -> SimilarityOps.annLshBucketedSql,
     "q_ann_recall" -> SimilarityOps.annRecallSql,
@@ -193,6 +196,7 @@ object SparkEntry {
     "q_pivot_activity" -> graft.ops.TimeSeriesOps.pivotActivitySql,
     "q_ann_ivf" -> SimilarityOps.annIvfSql,
     "q_ann_pq_adc" -> SimilarityOps.annPqAdcSql,
+    "q_embed_int8" -> SimilarityOps.quantizeInt8Sql,
     "q_brand_revenue" -> RelationalOps.brandRevenueSql,
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,

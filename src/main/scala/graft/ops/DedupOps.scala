@@ -307,6 +307,62 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** The dedup pipeline's END PRODUCT: a per-document keep/drop decision.
+    * Near-dup clusters (shared pair table) elect ONE canonical member by
+    * QUALITY — highest type-token ratio, doc_id on ties — not by min id:
+    * a real training-data pipeline keeps the best copy, not the first.
+    * Unclustered documents keep themselves. Output covers the whole
+    * corpus: (doc_id, cluster_id, keep, canonical_id).
+    *
+    * Scale: clusters/quality join on doc_id (one shuffle), the canonical
+    * election is a per-cluster window over cluster members only (∝
+    * near-dups), and the corpus-wide left join keys on doc_id.
+    */
+  def dedupKeepDrop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = nearDupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(TextOps.textStats(s, dir).select(col("doc_id"), col("type_token_ratio")),
+        "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("type_token_ratio").desc, col("doc_id"))
+    val ranked = members.withColumn("rn", row_number().over(w))
+    val canon = ranked.where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+    docs(s, dir).select(col("doc_id"))
+      .join(ranked.select(col("doc_id"), col("cluster_id"), col("rn")), Seq("doc_id"), "left")
+      .join(canon, Seq("cluster_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("rn") === 1, lit(true)).as("keep"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  def dedupKeepDropSql(iterations: Int = 5): String =
+    s"""WITH cl AS (${nearDupClustersSql(iterations)}),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |m AS (
+       |  SELECT cl.doc_id, cl.cluster_id, q.ttr
+       |  FROM cl JOIN q ON cl.doc_id = q.doc_id),
+       |r AS (
+       |  SELECT doc_id, cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY ttr DESC, doc_id) AS rn
+       |  FROM m),
+       |c AS (SELECT cluster_id, doc_id AS canonical_id FROM r WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  coalesce(r.cluster_id, d.doc_id) AS cluster_id,
+       |  coalesce(r.rn = 1, TRUE) AS keep,
+       |  coalesce(c.canonical_id, d.doc_id) AS canonical_id
+       |FROM documents d
+       |LEFT JOIN r ON d.doc_id = r.doc_id
+       |LEFT JOIN c ON r.cluster_id = c.cluster_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def nearDupClustersSql(iterations: Int = 5): String = {
     val base = minhashLshDedupSql()
     val rounds = (1 to iterations).map { i =>

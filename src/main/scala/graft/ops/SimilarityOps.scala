@@ -597,6 +597,41 @@ object SimilarityOps {
        |SELECT vec_id, label, c_label AS assigned_label, label = c_label AS is_match
        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ---- int8 embedding quantization ---------------------------------------
+
+  /** Symmetric per-vector int8 quantization — the serving-side compression
+    * every embedding store applies (4 bytes -> 1 byte per dim): scale =
+    * max|x| / 127, code = clamp(floor(x/scale + 0.5), ±127). Entirely
+    * map-side (the scale is an array fold, no shuffle) — at 100 TB this
+    * runs at scan speed as a projection. Rounding is an explicit
+    * `floor(x + 0.5)` on BOTH engines, sidestepping round()'s half-even /
+    * half-up ambiguity at code boundaries.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .withColumn("scale",
+        greatest(
+          aggregate(col("vec"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0,
+          lit(1e-12)))
+      .select(col("vec_id"), col("scale"), posexplode(col("vec")).as(Seq("p", "x")))
+      .select(
+        col("vec_id"), (col("p") + 1).as("d"),
+        round(col("scale"), 9).as("scale"),
+        greatest(least(floor(col("x") / col("scale") + 0.5), lit(127.0)), lit(-127.0))
+          .cast("long").as("qcode"))
+      .orderBy("vec_id", "d")
+
+  val quantizeInt8Sql: String =
+    s"""WITH e AS ($embSql),
+       |sc AS (
+       |  SELECT vec_id, vec,
+       |    greatest(list_max(list_transform(vec, x -> abs(x))) / 127.0, 1e-12) AS scale
+       |  FROM e)
+       |SELECT vec_id, d, round(scale, 9) AS scale,
+       |  greatest(least(floor(vec[d] / scale + 0.5), 127.0), -127.0)::BIGINT AS qcode
+       |FROM sc, (SELECT unnest(range(1, $Dim + 1)) AS d)
+       |ORDER BY vec_id, d""".stripMargin
+
   // ---- product quantization (PQ-ADC) -------------------------------------
 
   /** PQ constants: m=16 subspaces of 4 dims, 16-entry L2 codebook per

@@ -149,6 +149,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
   }
 
+  test("keep/drop: covers the corpus, one kept canonical per cluster, drops point at it") {
+    val out = TextOps // force imports
+    val kd = DedupOps.dedupKeepDrop(spark, dir).cache()
+    assert(kd.count() == 500)
+    // exactly one kept member per cluster, and every row's canonical is kept
+    val perCluster = kd.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
+    assert(perCluster.where(col("n_kept") =!= 1).count() == 0)
+    val keptIds = kd.where(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kd.collect().forall(r => keptIds.contains(r.getLong(3))))
+    // dropped rows exist (the corpus has planted near-dups)
+    assert(kd.where(!col("keep")).count() > 0)
+    kd.unpersist()
+  }
+
+  test("int8 quantization: reconstruction error bounded by scale/2, codes in range") {
+    val q = graft.ops.SimilarityOps.quantizeInt8(spark, dir).cache()
+    assert(q.count() == 500L * 64)
+    assert(q.where(col("qcode") > 127 || col("qcode") < -127).count() == 0)
+    // x_hat = qcode * scale must be within scale/2 (+ eps for the 9dp
+    // rounding of the reported scale) of the original component
+    val e = graft.sources.Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("d"), col("x").cast("double").as("x"))
+    val bad = q.join(e, Seq("vec_id", "d"))
+      .where(abs(col("qcode") * col("scale") - col("x")) > col("scale") / 2 + lit(1e-6))
+      .count()
+    assert(bad == 0)
+    q.unpersist()
+  }
+
   test("ANN brute force: exactly k neighbors per query, cosine in [-1,1]") {
     val out = SimilarityOps.annBruteForce(spark, dir).collect()
     assert(out.length == SimilarityOps.NQueries * SimilarityOps.TopK)
