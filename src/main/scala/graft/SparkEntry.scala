@@ -94,6 +94,7 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
     "q_ann_pq_adc" -> (SimilarityOps.annPqAdc _),
     "q_embed_int8" -> (SimilarityOps.quantizeInt8 _),
+    "q_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
 
     // LLM-data pipeline: multimodal metadata
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
@@ -197,6 +198,7 @@ object SparkEntry {
     "q_ann_ivf" -> SimilarityOps.annIvfSql,
     "q_ann_pq_adc" -> SimilarityOps.annPqAdcSql,
     "q_embed_int8" -> SimilarityOps.quantizeInt8Sql,
+    "q_ann_ivfpq" -> SimilarityOps.annIvfPqSql,
     "q_brand_revenue" -> RelationalOps.brandRevenueSql,
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,

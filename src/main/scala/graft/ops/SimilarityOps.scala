@@ -833,4 +833,131 @@ object SimilarityOps {
        |  round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
+
+  // ---- IVF × PQ composition ----------------------------------------------
+
+  /** The full FAISS-style IVFADC layout, composed from the two trained
+    * index halves this engine already materializes: the k-means coarse
+    * quantizer ([[kmeansCentroids]]) restricts each query to its nprobe
+    * cells, and ADC over the PQ codes ([[pqCodebooks]]) scores ONLY those
+    * cells' members, with the usual exact re-rank of the shortlist. At
+    * 100 TB this is the query path: per query, (nprobe/k)·n candidates ×
+    * m byte-lookups, plus `PqShortlist` exact cosines — the corpus is
+    * touched only through its 16-byte codes and the probed cells.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = kmeansCentroids(s, dir)
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col("vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(assignW))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("cid"))
+    val probes = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_rn", row_number().over(probeW))
+      .where(col("c_rn") <= IvfProbes)
+      .select(col("query_id"), col("cid").as("probe_cell"))
+    val books = pqCodebooks(s, dir)
+    val codes = pqAssign(pqSubvectors(s, dir), books)
+      .select(col("vec_id"), col("j"), col("cid"))
+    val lut = pqSubvectors(s, dir).where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("j"), col("sv").as("q_sv"))
+      .join(broadcast(books), "j")
+      .select(col("query_id"), col("j"), col("cid"),
+        l2sq(col("q_sv"), col("c_vec")).as("d2"))
+    val cand = assign
+      .join(broadcast(probes),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val shortW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id"))
+    val shortlist = cand
+      .join(codes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "j", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("d2")))).as("parts"))
+      .withColumn("adc_d2",
+        aggregate(col("parts"), lit(0.0), (acc, p) => acc + p.getField("d2")))
+      .withColumn("srank", row_number().over(shortW))
+      .where(col("srank") <= PqShortlist)
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(e.select(col("vec_id"), col("vec")), "vec_id")
+      .join(broadcast(e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("vec").as("q_vec"))), "query_id")
+      .withColumn("cos", cosine(col("vec"), col("q_vec")))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfPqSql: String = {
+    val rounds = (1 to PqIters).map { i =>
+      pqAssignCteSql(s"pa$i", "sub", s"pc${i - 1}") + ",\n" +
+        pqUpdateCteSql(s"pc$i", s"pa$i")
+    }.mkString(",\n")
+    s"""WITH $kmeansCtesSql,
+       |probes AS (
+       |  SELECT query_id, cid AS probe_cell FROM (
+       |    SELECT e.vec_id AS query_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("vec", "c_vec")} DESC, c.cid) AS c_rn
+       |    FROM e, c$KmeansIters c WHERE e.vec_id < $NQueries)
+       |  WHERE c_rn <= $IvfProbes),
+       |nrm AS (
+       |  SELECT vec_id,
+       |    list_transform(vec, x -> x / sqrt(${dotSql("vec", "vec")})) AS nvec
+       |  FROM e),
+       |sub AS (
+       |  SELECT vec_id, j, list_slice(nvec, j * $SubDim + 1, (j + 1) * $SubDim) AS sv
+       |  FROM nrm, (SELECT unnest(range(0, $PqM)) AS j)),
+       |pc0 AS (SELECT j, vec_id AS cid, sv AS c_vec FROM sub WHERE vec_id < $PqK),
+       |$rounds,
+       |${pqAssignCteSql("codes", "sub", s"pc$PqIters")},
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, s.j, c.cid, ${l2sqSql("sv", "c_vec")} AS d2
+       |  FROM sub s JOIN pc$PqIters c ON s.j = c.j
+       |  WHERE s.vec_id < $NQueries),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM afinal a JOIN probes p
+       |    ON a.cid = p.probe_cell AND a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    list_sum(list(l.d2 ORDER BY l.j)) AS adc_d2
+       |  FROM cand c
+       |  JOIN codes k ON c.vec_id = k.vec_id
+       |  JOIN lut l ON l.query_id = c.query_id AND k.j = l.j AND k.cid = l.cid
+       |  GROUP BY c.query_id, c.vec_id),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_d2 ASC, vec_id) AS srank
+       |    FROM adc)
+       |  WHERE srank <= $PqShortlist),
+       |rer AS (
+       |  SELECT s.query_id, s.vec_id, ${cosineSql("en.vec", "eq.vec")} AS cos
+       |  FROM short s
+       |  JOIN e en ON s.vec_id = en.vec_id
+       |  JOIN e eq ON s.query_id = eq.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rer)
+       |SELECT query_id, rank::BIGINT AS rank, vec_id AS neighbor_id,
+       |  round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -240,18 +240,22 @@ class LlmOpsSpec extends AnyFunSuite {
       s"embedding near-dup recall ${found.size}/${truePairs.size} below 0.8")
   }
 
-  test("PQ-ADC: recall@3 vs brute-force ground truth >= 0.9 after re-rank") {
+  test("PQ-ADC and IVFxPQ: recall@3 vs brute-force ground truth >= 0.9 after re-rank") {
     Seq(dir, "/root/testdata/sf0.01").foreach { d =>
       val truth = SimilarityOps.annBruteForce(spark, d)
         .where(col("rank") <= 3).select("query_id", "neighbor_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val pq = SimilarityOps.annPqAdc(spark, d)
-        .select("query_id", "neighbor_id").collect()
-        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-      val recall = truth.map { case (q, t) =>
-        pq.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size
-      }.sum / truth.size
-      assert(recall >= 0.9, s"$d: PQ recall@3 $recall < 0.9")
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size
+        }.sum / truth.size
+      }
+      val pq = recallOf(SimilarityOps.annPqAdc(spark, d))
+      assert(pq >= 0.9, s"$d: PQ recall@3 $pq < 0.9")
+      val ivfpq = recallOf(SimilarityOps.annIvfPq(spark, d))
+      assert(ivfpq >= 0.9, s"$d: IVFxPQ recall@3 $ivfpq < 0.9")
     }
   }
 
