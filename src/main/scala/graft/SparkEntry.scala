@@ -78,6 +78,8 @@ object SparkEntry {
     "q_quality_repetition" -> (TextOps.qualityRepetition _),
     "q_quality_filter" -> (TextOps.qualityFilter _),
     "q_doc_fingerprint" -> (TextOps.docFingerprint _),
+    "q_lm_score" -> (TextOps.lmScore _),
+    "q_decontaminate" -> (TextOps.decontaminate _),
 
     // LLM-data pipeline: deduplication
     "q_dedup_exact" -> (DedupOps.exactDedup _),
@@ -172,6 +174,8 @@ object SparkEntry {
     "q_text_stats" -> TextOps.textStatsSql,
     "q_lang_id" -> TextOps.langIdSql,
     "q_quality_repetition" -> TextOps.qualityRepetitionSql,
+    "q_lm_score" -> TextOps.lmScoreSql,
+    "q_decontaminate" -> TextOps.decontaminateSql,
     "q_quality_filter" -> TextOps.qualityFilterSql,
     "q_doc_fingerprint" -> TextOps.docFingerprintSql,
     "q_dedup_exact" -> DedupOps.exactDedupSql,

@@ -228,6 +228,90 @@ object TextOps {
       |    AND top_c * 20 <= n_tok * 3 AND dup_c * 10 <= n_tok * 9 AS keep
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---- unigram-LM scoring (perplexity-style quality signal) --------------
+
+  /** CCNet-style language-model quality score: train a unigram LM on the
+    * corpus itself (MLE token probabilities), score each document by its
+    * mean token log-probability and perplexity. Low-probability token
+    * soup scores high perplexity → filter candidate. Two aggregates
+    * (token counts, per-doc sum of logprobs) — both partial-aggregated;
+    * the LM (≤|vocab| rows) broadcasts back onto the token stream, so at
+    * 100 TB the only big exchange keys on (doc, token).
+    *
+    * Numeric parity: ln on the SAME rational (count/total) on both
+    * engines; the per-doc mean folds in one aggregate (sum/n of
+    * identical doubles) and is rounded to 4dp — no rank depends on it.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+      .select(col("tok"), log(col("c").cast("double") / col("total")).as("logp"))
+    toks.join(broadcast(lm), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("logp")).as("sum_logp"))
+      .select(
+        col("doc_id"),
+        round(col("sum_logp") / col("n_tok"), 4).as("mean_logp"),
+        round(exp(-col("sum_logp") / col("n_tok")), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |lm AS (
+      |  SELECT tok, ln(count(*) * 1.0 / (SELECT count(*) FROM t)) AS logp
+      |  FROM t GROUP BY tok)
+      |SELECT doc_id,
+      |  round(sum(logp) / count(*), 4) AS mean_logp,
+      |  round(exp(-sum(logp) / count(*)), 4) AS perplexity
+      |FROM t JOIN lm ON t.tok = lm.tok
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- benchmark decontamination (n-gram overlap) ------------------------
+
+  /** Eval-set decontamination: documents sharing any 5-gram with the held
+    * "benchmark" slice (sources 'src0'/'src1' stand in for an eval
+    * set) are flagged with their overlap count. The eval side collapses
+    * to DISTINCT 5-gram hashes — at 100 TB a broadcast-sized set (eval
+    * suites are small) semi-joined against the corpus n-gram stream:
+    * corpus rows never shuffle, contaminated ids fall out of the join.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), col("source"), tokens.as("toks"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, greatest(size(toks) - 4, 1)), i -> concat_ws(' ', slice(toks, i, 5)))"))
+        .as("g"))
+      .select(col("doc_id"), col("source"), hash60(col("g")).as("h"))
+    val evalSet = grams.where(col("source").isin("src0", "src1"))
+      .select(col("h")).distinct()
+    grams.where(!col("source").isin("src0", "src1"))
+      .join(broadcast(evalSet), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = {
+    val h = hash60Sql("g")
+    s"""WITH grams AS (
+       |  SELECT doc_id, source, $h AS h FROM (
+       |    SELECT doc_id, source,
+       |      unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+       |        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' '))) AS g
+       |    FROM documents)),
+       |ev AS (
+       |  SELECT DISTINCT h FROM grams WHERE source IN ('src0', 'src1'))
+       |SELECT doc_id, count(DISTINCT grams.h)::BIGINT AS n_shared_grams
+       |FROM grams JOIN ev ON grams.h = ev.h
+       |WHERE source NOT IN ('src0', 'src1')
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- rolling-hash document fingerprint ---------------------------------
 
   /** Winnowing-style fingerprint: hash every 5-word shingle, keep the

@@ -55,6 +55,36 @@ class LlmOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("LM score: perplexity = exp(-mean_logp), mean_logp negative, sane range") {
+    val out = TextOps.lmScore(spark, dir).cache()
+    assert(out.count() == 500)
+    assert(out.where(col("mean_logp") >= 0).count() == 0)
+    // recompute exp(-mean) and compare at 3dp tolerance; perplexity must
+    // exceed 1 and stay below 1/p_min (rare-token docs exceed |vocab|)
+    val bad = out.where(
+      abs(exp(-col("mean_logp")) - col("perplexity")) > 0.002 ||
+        col("perplexity") <= 1.0 || col("perplexity") > 100.0).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
+  test("decontamination: flagged docs truly share a 5-gram with the eval slice") {
+    val flagged = TextOps.decontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent recomputation in plain Scala
+    val all = graft.sources.Tables.read(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).toSeq.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSet
+    val evalGrams = all.filter(d => Set("src0", "src1").contains(d._2))
+      .flatMap(d => grams(d._3)).toSet
+    val expected = all.filter(d => !Set("src0", "src1").contains(d._2))
+      .map(d => d._1 -> grams(d._3).count(evalGrams.contains).toLong)
+      .filter(_._2 > 0).toMap
+    assert(flagged == expected, s"got ${flagged.size}, expected ${expected.size}")
+  }
+
   test("lang id: every doc gets a prediction from the known set") {
     val out = TextOps.langId(spark, dir)
     assert(out.where(!col("predicted_lang").isin("en", "fr", "es", "de", "zh")).count() == 0)
