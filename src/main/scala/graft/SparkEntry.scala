@@ -104,6 +104,8 @@ object SparkEntry {
     // relational coverage: scan-only agg, grouping sets, semi join
     "q6_forecast_revenue" -> (RelationalOps.q6ForecastRevenue _),
     "q_rollup_pricing" -> (RelationalOps.rollupPricing _),
+    "q_cube_pricing" -> (RelationalOps.cubePricing _),
+    "q_running_revenue" -> (RelationalOps.runningRevenue _),
     "q_semi_join_late" -> (RelationalOps.semiJoinLateOrders _),
     // S7: generator source (no table input)
     "q_s7_mock_weather" -> ((s, _) => graft.sources.MockWeather.hourlyForecast(s)),
@@ -209,6 +211,8 @@ object SparkEntry {
     "q17_small_quantity" -> RelationalOps.q17SmallQuantitySql,
     "q18_large_orders" -> RelationalOps.q18LargeOrdersSql,
     "q_topk_aggregator" -> RelationalOps.topOrdersAggregatorSql(),
+    "q_cube_pricing" -> RelationalOps.cubePricingSql,
+    "q_running_revenue" -> RelationalOps.runningRevenueSql,
     "q_snapshot_diff" -> graft.ops.ChangeCapture.eventsSnapshotDiffSql,
     "q_dedup_clusters" -> DedupOps.nearDupClustersSql(),
     "q_value_percentiles" -> graft.ops.CorpusOps.valuePercentilesSql,

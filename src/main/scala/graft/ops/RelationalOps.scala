@@ -156,6 +156,58 @@ object RelationalOps {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** CUBE over the same pricing grain — all four grouping combinations in
+    * one pass (Spark expands grouping sets map-side; still one shuffle).
+    */
+  def cubePricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  val cubePricingSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Running (cumulative) daily revenue per return flag — the
+    * rows-unbounded-preceding window frame (§2.6). Frame state is one
+    * accumulator per partition row stream; the shuffle keys on the flag,
+    * order is within-partition — no global sort.
+    */
+  def runningRevenue(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("ship_day"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("day_rev"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("ship_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_rev", round(sum(col("day_rev")).over(w), 2))
+      .where(col("ship_day") < lit("1995-04-01").cast("date"))
+      .orderBy("l_returnflag", "ship_day")
+  }
+
+  val runningRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT l_returnflag, date_trunc('day', l_shipdate)::DATE AS ship_day,
+      |    round(sum(l_extendedprice), 2) AS day_rev
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, ship_day, day_rev,
+      |  round(sum(day_rev) OVER (PARTITION BY l_returnflag ORDER BY ship_day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev
+      |FROM daily
+      |WHERE ship_day < DATE '1995-04-01'
+      |ORDER BY l_returnflag, ship_day""".stripMargin
+
   /** Left-semi join (EXISTS shape, §2.4): orders having at least one
     * late-shipped line, counted per priority. The semi join never
     * materializes lineitem columns — at scale that halves the shuffle.
