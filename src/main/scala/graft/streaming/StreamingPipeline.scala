@@ -79,6 +79,20 @@ object StreamingPipeline {
         col("user_id"), col("w.start").as("day_start"),
         col("n"), col("sum_value"), col("max_value"))
 
+  /** Stream-static enrichment join: each micro-batch broadcast-joins the
+    * static city dimension (customer table as the city dim, the K3/J2
+    * lookup in streaming form). The static side is planned per batch —
+    * at scale Spark broadcasts it once per trigger; the stream side never
+    * shuffles for the join.
+    */
+  def enrichWithCities(events: DataFrame, cities: DataFrame): DataFrame =
+    events.join(
+      broadcast(cities.select(
+        col("c_custkey").as("city_key"), col("c_name").as("city_name"))),
+      col("user_id") === col("city_key"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value"), col("city_name"))
+
   /** Streaming sessionization via `session_window`: gap-based windows
     * (30 min of inactivity closes a session) maintained as merging state
     * by the engine — the streaming twin of the batch

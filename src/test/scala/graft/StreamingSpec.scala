@@ -61,6 +61,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: every batch row enriched from the static dim, no stream shuffle") {
+    val cities = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "customer")
+    val q = StreamingPipeline
+      .enrichWithCities(StreamingPipeline.readEvents(spark, eventsPath), cities)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+      assert(out.count() == 1000)
+      // user ids 1..15 all exist in the customer dim at this sf
+      assert(out.where(col("city_name").isNull).count() == 0)
+      assert(out.select("city_name").distinct().count() == 15)
+    } finally q.stop()
+  }
+
   test("session_window: streaming sessions equal a batch session_window agg") {
     val q = StreamingPipeline
       .sessionRollup(StreamingPipeline.readEvents(spark, eventsPath))
