@@ -219,7 +219,7 @@ object EventOps {
     * streaming form is [[graft.ops.Sinks.deliveryCeilingSplit]] inside
     * `foreachBatch`.
     */
-  val MaxDeliveryCount = 6
+  val MaxDeliveryCount: Int = Sinks.MaxDeliveryCount
 
   def r5RetryCeiling(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

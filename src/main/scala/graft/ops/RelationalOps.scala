@@ -266,10 +266,11 @@ object RelationalOps {
 
   /** TPC-H Q18 shape (large-volume orders): a grouped HAVING feeding a
     * LEFT SEMI join back onto the fact chain, then the customer/order
-    * rollup. The qualifying-order set is tiny (≈1% of orders at the 250
-    * threshold), so the semi join broadcasts it and the big tables never
-    * shuffle for the filter; the final aggregate groups the already-
-    * filtered rows. Top-k via orderBy+limit plans TakeOrderedAndProject.
+    * rollup. The qualifying-order set is ~1% of orders at the 250
+    * threshold — small at test scale but PROPORTIONAL to the corpus, so
+    * the join is left unhinted and AQE broadcasts only when the measured
+    * aggregate actually fits. Top-k via orderBy+limit plans
+    * TakeOrderedAndProject.
     */
   def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -278,8 +279,11 @@ object RelationalOps {
       .agg(sum(col("l_quantity")).as("sq"))
       .where(col("sq") > 250)
       .select(col("l_orderkey").as("q_orderkey"))
+    // no forced broadcast: the qualifying set scales with order count
+    // (~1% of orders) — at 100 TB that exceeds the broadcast limit, so
+    // AQE decides from the actual aggregate size (same rule as J1)
     li
-      .join(broadcast(qualifying), col("l_orderkey") === col("q_orderkey"), "left_semi")
+      .join(qualifying, col("l_orderkey") === col("q_orderkey"), "left_semi")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),

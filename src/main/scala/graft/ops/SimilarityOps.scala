@@ -706,6 +706,20 @@ object SimilarityOps {
       cents
     })
 
+  /** Encoded corpus (vec_id, j, cid) — the PQ codes table, built once per
+    * (session, input) and persisted like the codebooks: both ADC consumers
+    * ([[annPqAdc]], [[annIvfPq]]) read the same 16-codes-per-vector table
+    * instead of re-encoding the corpus.
+    */
+  private val codesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    codesCache.getOrElseUpdate((s, dir),
+      pqAssign(pqSubvectors(s, dir), pqCodebooks(s, dir))
+        .select(col("vec_id"), col("j"), col("cid"))
+        .persist())
+
   /** (vec_id, j, sv): each vector L2-NORMALIZED then exploded into its m
     * subvectors. Normalization first makes squared-L2 order-equivalent to
     * cosine (‖a−b‖² = 2 − 2·cos on the unit sphere), so ADC ranks agree
@@ -733,8 +747,7 @@ object SimilarityOps {
     */
   def annPqAdc(s: SparkSession, dir: String): DataFrame = {
     val books = pqCodebooks(s, dir)
-    val codes = pqAssign(pqSubvectors(s, dir), books)
-      .select(col("vec_id"), col("j"), col("cid"))
+    val codes = pqCodes(s, dir)
     // per-query lookup table: d2 from every query subvector to every entry
     val qsub = pqSubvectors(s, dir).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("j"), col("sv").as("q_sv"))
@@ -865,8 +878,7 @@ object SimilarityOps {
       .where(col("c_rn") <= IvfProbes)
       .select(col("query_id"), col("cid").as("probe_cell"))
     val books = pqCodebooks(s, dir)
-    val codes = pqAssign(pqSubvectors(s, dir), books)
-      .select(col("vec_id"), col("j"), col("cid"))
+    val codes = pqCodes(s, dir)
     val lut = pqSubvectors(s, dir).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("j"), col("sv").as("q_sv"))
       .join(broadcast(books), "j")

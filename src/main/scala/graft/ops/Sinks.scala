@@ -100,6 +100,10 @@ object Sinks {
     * carried on the row (a Kafka redelivery header / SQS receive count);
     * the split itself is one map-side predicate, no shuffle.
     */
+  /** Single source of truth shared with the batch R5 query
+    * ([[EventOps.MaxDeliveryCount]] aliases this) so the streaming sink
+    * and the oracle-checked query can never disagree on the ceiling.
+    */
   val MaxDeliveryCount = 6
 
   def deliveryCeilingSplit(df: DataFrame, maxDeliveryCount: Int = MaxDeliveryCount)

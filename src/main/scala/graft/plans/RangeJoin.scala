@@ -78,6 +78,17 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
       val bounds = conjuncts.map(c => c -> asBound(c, left, right))
       val lowers = bounds.collect { case (c, Some((p, r, true, st))) => (c, p, r, st) }
       val uppers = bounds.collect { case (c, Some((p, r, false, st))) => (c, p, r, st) }
+      // Broadcast-safety guard: this exec MUST broadcast the interval
+      // (right) side, so only fire when that is a safe choice — the side
+      // fits the auto-broadcast threshold, or it is no larger than the
+      // left side (in which case vanilla BNLJ would broadcast it anyway).
+      // Otherwise fall back to Spark's own strategies rather than force a
+      // driver-OOM-sized broadcast.
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val rightBroadcastSafe =
+        right.stats.sizeInBytes <= BigInt(math.max(threshold, 0L)) ||
+          right.stats.sizeInBytes <= left.stats.sizeInBytes
+      if (!rightBroadcastSafe) return Nil
       (lowers, uppers) match {
         case (Seq((lc, lp, lo, loStrict)), Seq((uc, up, hi, hiStrict)))
             if lp.semanticEquals(up) &&
@@ -116,6 +127,12 @@ case class RangeJoinExec(
   override def right: SparkPlan = broadcast
   override def output: Seq[Attribute] = streamed.output ++ broadcast.output
 
+  // rows pass through the streamed side untouched — keep its partitioning
+  // visible so a downstream groupBy on an already-partitioned key doesn't
+  // re-shuffle (BroadcastNestedLoopJoin does the same)
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    streamed.outputPartitioning
+
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
 
@@ -135,28 +152,34 @@ case class RangeJoinExec(
     val outputAttrs = output
 
     streamed.execute().mapPartitions { iter =>
-      // per-partition index build over the broadcast side: O(m log m),
-      // amortized across the partition's whole stream slice
-      val intervals = relation.value.flatMap { r =>
-        val lo = boundLo.eval(r)
-        val hi = boundHi.eval(r)
-        if (lo == null || hi == null) None else Some((lo, hi, r))
-      }.sortWith((x, y) => ordering.lt(x._1, y._1))
+      // index built once per EXECUTOR per broadcast (weak-keyed on the
+      // broadcast array so it is GC'd with the broadcast), not once per
+      // task — thousands of tasks would otherwise repeat the same
+      // O(m log m) sort+build over identical immutable rows
+      val (intervals, maxHi) = RangeJoinExec.indexFor(relation.value, {
+        val ivs = relation.value.flatMap { r =>
+          val lo = boundLo.eval(r)
+          val hi = boundHi.eval(r)
+          if (lo == null || hi == null) None else Some((lo, hi, r))
+        }.sortWith((x, y) => ordering.lt(x._1, y._1))
+        val n = ivs.length
+        val mh = new Array[Any](4 * math.max(n, 1))
+        def build(node: Int, s: Int, e: Int): Any = {
+          val v =
+            if (s == e) ivs(s)._2
+            else {
+              val m = (s + e) / 2
+              val l = build(2 * node, s, m)
+              val r = build(2 * node + 1, m + 1, e)
+              if (ordering.gteq(l, r)) l else r
+            }
+          mh(node) = v
+          v
+        }
+        if (n > 0) build(1, 0, n - 1)
+        (ivs, mh)
+      })
       val n = intervals.length
-      val maxHi = new Array[Any](4 * math.max(n, 1))
-      def build(node: Int, s: Int, e: Int): Any = {
-        val v =
-          if (s == e) intervals(s)._2
-          else {
-            val m = (s + e) / 2
-            val l = build(2 * node, s, m)
-            val r = build(2 * node + 1, m + 1, e)
-            if (ordering.gteq(l, r)) l else r
-          }
-        maxHi(node) = v
-        v
-      }
-      if (n > 0) build(1, 0, n - 1)
 
       def containsPoint(i: Int, p: Any): Boolean = {
         val okLo =
@@ -203,6 +226,30 @@ case class RangeJoinExec(
             .map(toUnsafe)
         }
       }
+    }
+  }
+}
+
+object RangeJoinExec {
+  /** Per-JVM (executor) index memo, weak-keyed on the broadcast row array
+    * so entries die with their broadcast. computeIfAbsent through the
+    * synchronized wrapper is not atomic across the compound op — a rare
+    * concurrent first use can build twice, which is harmless (idempotent
+    * value, last write wins).
+    */
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, (Array[(Any, Any, InternalRow)], Array[Any])]())
+
+  private[plans] def indexFor(
+      key: AnyRef,
+      build: => (Array[(Any, Any, InternalRow)], Array[Any]))
+      : (Array[(Any, Any, InternalRow)], Array[Any]) = {
+    val got = cache.get(key)
+    if (got != null) got
+    else {
+      val v = build
+      cache.put(key, v)
+      v
     }
   }
 }

@@ -34,21 +34,39 @@ object Jsonl {
     StructField("_corrupt", StringType)))
 
   /** Deterministic JSONL dump of the events table, written once per input
-    * dir per process (and reused across processes via a marker file). Lives
-    * under java.io.tmpdir — never inside the repo or testdata.
+    * dir (concurrent processes coordinate via write-to-temp + atomic
+    * rename). Lives under java.io.tmpdir — never inside the repo or
+    * testdata.
     */
   def dumpEvents(s: SparkSession, sfDir: String): String = {
     val tmp = System.getProperty("java.io.tmpdir", "/tmp")
     val out = s"$tmp/graft-jsonl/${java.util.UUID.nameUUIDFromBytes(sfDir.getBytes("UTF-8"))}"
-    val done = new java.io.File(out, "_GRAFT_DONE")
-    if (!done.exists()) {
+    // write-to-temp + atomic rename: a concurrent process either sees the
+    // complete dump or none — never a half-written/mid-overwrite directory
+    // (mode("overwrite") DELETES before writing, so a marker-file
+    // check-then-act would race across JVMs)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+      val staging = s"$out.tmp-${java.util.UUID.randomUUID()}"
       Tables.read(s, sfDir, "events")
         .select(to_json(struct(
           col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"), col("value"), col("props")))
           .as("value"))
-        .write.mode("overwrite").text(out)
-      done.createNewFile()
+        .write.mode("overwrite").text(staging)
+      try
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(staging), java.nio.file.Paths.get(out),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // another process won the rename — its complete dump is in place
+        case _: java.nio.file.FileAlreadyExistsException
+            | _: java.nio.file.DirectoryNotEmptyException =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(new java.io.File(staging))
+      }
     }
     out
   }

@@ -296,10 +296,14 @@ object StreamingPipeline {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (retry, dead) = graft.ops.Sinks.deliveryCeilingSplit(batch)
-        if (!retry.isEmpty) retry.write.mode("append").parquet(retryPath)
-        if (!dead.isEmpty) dead.write.mode("append").parquet(dlqPath)
-        ()
+        // persist: the two isEmpty probes and two writes would otherwise
+        // each re-evaluate the batch plan (4x work per trigger)
+        batch.persist()
+        try {
+          val (retry, dead) = graft.ops.Sinks.deliveryCeilingSplit(batch)
+          if (!retry.isEmpty) retry.write.mode("append").parquet(retryPath)
+          if (!dead.isEmpty) dead.write.mode("append").parquet(dlqPath)
+        } finally { batch.unpersist(); () }
       }
       .start()
 

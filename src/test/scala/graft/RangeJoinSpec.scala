@@ -74,6 +74,23 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == expected(strictHi = false).filter { case (id, w) => id != w })
   }
 
+  test("oversized interval side: strategy declines, Spark's BNLJ takes over") {
+    // stats say the right side is huge and larger than the left -> the
+    // broadcast-safety guard must fall back rather than force a broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val bigIvs = ivs.crossJoin(spark.range(2000).select(col("id").as("rep")))
+        .select(col("w"), col("lo"), col("hi"))
+      val small = pts.limit(3)
+      val j = small.join(bigIvs, col("p") >= col("lo") && col("p") <= col("hi"))
+      val p = planOf(j)
+      assert(!p.contains("RangeJoin"), p)
+      // Spark's own choice (BNLJ or cartesian with broadcasts disabled)
+      assert(p.contains("BroadcastNestedLoop") || p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("equi+range joins are left to Spark's native strategies") {
     val a = Seq((1L, 5L)).toDF("k", "p")
     val b = Seq((1L, 0L, 9L)).toDF("k2", "lo", "hi")
