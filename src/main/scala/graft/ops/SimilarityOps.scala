@@ -322,29 +322,34 @@ object SimilarityOps {
     */
   val IvfProbes = 3
 
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val cents = kmeansCentroids(s, dir)
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cid"))
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("cos", cosine(col("vec"), col("c_vec")))
-      .withColumn("rn", row_number().over(assignW))
-      .where(col("rn") === 1)
+  /** (vec_id, vec, cell): every vector's coarse cell — kmeansAssign with
+    * the IVF projection, shared by [[annIvf]] and [[annIvfPq]] so the
+    * tie-break (cos desc, cid) lives in ONE place next to its oracle.
+    */
+  private def coarseCells(s: SparkSession, dir: String): DataFrame =
+    kmeansAssign(emb(s, dir), kmeansCentroids(s, dir))
       .select(col("vec_id"), col("vec"), col("cid").as("cell"))
+
+  /** (query_id, q_vec, probe_cell): each query's nprobe nearest cells —
+    * shared probe logic for both IVF variants.
+    */
+  private def probeCells(s: SparkSession, dir: String): DataFrame = {
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("c_cos").desc, col("cid"))
-    val probes = e.where(col("vec_id") < NQueries)
+    emb(s, dir).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("q_vec"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(kmeansCentroids(s, dir)))
       .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
       .withColumn("c_rn", row_number().over(probeW))
       .where(col("c_rn") <= IvfProbes)
       .select(col("query_id"), col("q_vec"), col("cid").as("probe_cell"))
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    assign
-      .join(broadcast(probes),
+    coarseCells(s, dir)
+      .join(broadcast(probeCells(s, dir)),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("vec"), col("q_vec")))
       .withColumn("rank", row_number().over(rankW).cast("long"))
@@ -745,20 +750,38 @@ object SimilarityOps {
     * 64-dim dot product; composition with the IVF cells of [[annIvf]]
     * (probe cells, then ADC within) is the full IVF-PQ layout.
     */
-  def annPqAdc(s: SparkSession, dir: String): DataFrame = {
-    val books = pqCodebooks(s, dir)
-    val codes = pqCodes(s, dir)
-    // per-query lookup table: d2 from every query subvector to every entry
-    val qsub = pqSubvectors(s, dir).where(col("vec_id") < NQueries)
+  def annPqAdc(s: SparkSession, dir: String): DataFrame =
+    adcShortlistRerank(s, dir, cand = None)
+
+  /** Per-query ADC lookup table: d2 from every query subvector to every
+    * codebook entry (q × m × k rows — broadcast side).
+    */
+  private def pqLut(s: SparkSession, dir: String): DataFrame =
+    pqSubvectors(s, dir).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("j"), col("sv").as("q_sv"))
-    val lut = qsub.join(broadcast(books), "j")
+      .join(broadcast(pqCodebooks(s, dir)), "j")
       .select(col("query_id"), col("j"), col("cid"),
         l2sq(col("q_sv"), col("c_vec")).as("d2"))
+
+  /** The shared ADC tail used by [[annPqAdc]] (cand = None → every
+    * (query, vector) pair) and [[annIvfPq]] (cand = the probed-cell
+    * members): ADC sum folded IN SUBSPACE ORDER, `PqShortlist` shortlist,
+    * exact cosine re-rank, top-3. One implementation, one tie-break,
+    * mirrored by one oracle tail.
+    */
+  private def adcShortlistRerank(
+      s: SparkSession, dir: String, cand: Option[DataFrame]): DataFrame = {
+    val lut = pqLut(s, dir)
+    val scoredPairs = cand match {
+      case Some(c) => c.join(pqCodes(s, dir), "vec_id")
+        .join(broadcast(lut), Seq("query_id", "j", "cid"))
+      case None => pqCodes(s, dir)
+        .join(broadcast(lut), Seq("j", "cid"))
+        .where(col("vec_id") =!= col("query_id"))
+    }
     val shortW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("vec_id"))
-    val shortlist = codes
-      .join(broadcast(lut), Seq("j", "cid"))
-      .where(col("vec_id") =!= col("query_id"))
+    val shortlist = scoredPairs
       .groupBy(col("query_id"), col("vec_id"))
       .agg(array_sort(collect_list(struct(col("j"), col("d2")))).as("parts"))
       .withColumn("adc_d2",
@@ -859,58 +882,11 @@ object SimilarityOps {
     * touched only through its 16-byte codes and the probed cells.
     */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val cents = kmeansCentroids(s, dir)
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cid"))
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("cos", cosine(col("vec"), col("c_vec")))
-      .withColumn("rn", row_number().over(assignW))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("c_cos").desc, col("cid"))
-    val probes = e.where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("q_vec"))
-      .crossJoin(broadcast(cents))
-      .withColumn("c_cos", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("c_rn", row_number().over(probeW))
-      .where(col("c_rn") <= IvfProbes)
-      .select(col("query_id"), col("cid").as("probe_cell"))
-    val books = pqCodebooks(s, dir)
-    val codes = pqCodes(s, dir)
-    val lut = pqSubvectors(s, dir).where(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("j"), col("sv").as("q_sv"))
-      .join(broadcast(books), "j")
-      .select(col("query_id"), col("j"), col("cid"),
-        l2sq(col("q_sv"), col("c_vec")).as("d2"))
-    val cand = assign
-      .join(broadcast(probes),
+    val cand = coarseCells(s, dir).select(col("vec_id"), col("cell"))
+      .join(broadcast(probeCells(s, dir).select(col("query_id"), col("probe_cell"))),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-    val shortW = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_d2").asc, col("vec_id"))
-    val shortlist = cand
-      .join(codes, "vec_id")
-      .join(broadcast(lut), Seq("query_id", "j", "cid"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("j"), col("d2")))).as("parts"))
-      .withColumn("adc_d2",
-        aggregate(col("parts"), lit(0.0), (acc, p) => acc + p.getField("d2")))
-      .withColumn("srank", row_number().over(shortW))
-      .where(col("srank") <= PqShortlist)
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    shortlist
-      .join(e.select(col("vec_id"), col("vec")), "vec_id")
-      .join(broadcast(e.where(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("vec").as("q_vec"))), "query_id")
-      .withColumn("cos", cosine(col("vec"), col("q_vec")))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .where(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
-      .orderBy("query_id", "rank")
+    adcShortlistRerank(s, dir, cand = Some(cand))
   }
 
   val annIvfPqSql: String = {
