@@ -86,7 +86,7 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, dir),
+    IndexMemo(shingleCache, (s, dir))(
       docs(s, dir)
         .select(col("doc_id"), col("source"), TextOps.tokens.as("toks"))
         .select(col("doc_id"), col("source"), explode(bigramShingles).as("shingle"))
@@ -189,8 +189,8 @@ object DedupOps {
 
   def verifiedNearDupPairs(
       s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
-    pairsCache.getOrElseUpdate(
-      (s, dir, threshold), computeMinhashLsh(s, dir, threshold).persist())
+    IndexMemo(pairsCache, (s, dir, threshold))(
+      computeMinhashLsh(s, dir, threshold).persist())
 
   private def computeMinhashLsh(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     // (doc, shingle) hashed once; all k affine mins computed as k aggregate

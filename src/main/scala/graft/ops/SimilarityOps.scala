@@ -172,7 +172,7 @@ object SimilarityOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def signatures(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((s, dir),
+    IndexMemo(sigCache, (s, dir))(
       emb(s, dir).withColumn("sigs", lshSignatures(col("vec"))).localCheckpoint())
 
   /** Oracle-side signature CTEs: `wt` materializes the L·P plane weight
@@ -395,7 +395,7 @@ object SimilarityOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[ops] def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
-    centroidCache.getOrElseUpdate((s, dir), {
+    IndexMemo(centroidCache, (s, dir)) {
       val e = emb(s, dir)
 
       def update(assigned: DataFrame): DataFrame =
@@ -413,7 +413,7 @@ object SimilarityOps {
       for (_ <- 1 to KmeansIters)
         cents = update(kmeansAssign(e, cents)).localCheckpoint()
       cents
-    })
+    }
 
   def kmeans(s: SparkSession, dir: String): DataFrame =
     kmeansAssign(emb(s, dir), kmeansCentroids(s, dir))
@@ -692,7 +692,7 @@ object SimilarityOps {
   }
 
   private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
-    codebookCache.getOrElseUpdate((s, dir), {
+    IndexMemo(codebookCache, (s, dir)) {
       val sub = pqSubvectors(s, dir)
       def update(assigned: DataFrame): DataFrame =
         assigned
@@ -709,7 +709,7 @@ object SimilarityOps {
       for (_ <- 1 to PqIters)
         cents = update(pqAssign(sub, cents)).localCheckpoint()
       cents
-    })
+    }
 
   /** Encoded corpus (vec_id, j, cid) — the PQ codes table, built once per
     * (session, input) and persisted like the codebooks: both ADC consumers
@@ -720,7 +720,7 @@ object SimilarityOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def pqCodes(s: SparkSession, dir: String): DataFrame =
-    codesCache.getOrElseUpdate((s, dir),
+    IndexMemo(codesCache, (s, dir))(
       pqAssign(pqSubvectors(s, dir), pqCodebooks(s, dir))
         .select(col("vec_id"), col("j"), col("cid"))
         .persist())
