@@ -106,6 +106,7 @@ object SparkEntry {
     "q_rollup_pricing" -> (RelationalOps.rollupPricing _),
     "q_cube_pricing" -> (RelationalOps.cubePricing _),
     "q_running_revenue" -> (RelationalOps.runningRevenue _),
+    "q_revenue_deltas" -> (RelationalOps.revenueDeltas _),
     "q_semi_join_late" -> (RelationalOps.semiJoinLateOrders _),
     // S7: generator source (no table input)
     "q_s7_mock_weather" -> ((s, _) => graft.sources.MockWeather.hourlyForecast(s)),
@@ -213,6 +214,7 @@ object SparkEntry {
     "q_topk_aggregator" -> RelationalOps.topOrdersAggregatorSql(),
     "q_cube_pricing" -> RelationalOps.cubePricingSql,
     "q_running_revenue" -> RelationalOps.runningRevenueSql,
+    "q_revenue_deltas" -> RelationalOps.revenueDeltasSql,
     "q_snapshot_diff" -> graft.ops.ChangeCapture.eventsSnapshotDiffSql,
     "q_dedup_clusters" -> DedupOps.nearDupClustersSql(),
     "q_value_percentiles" -> graft.ops.CorpusOps.valuePercentilesSql,

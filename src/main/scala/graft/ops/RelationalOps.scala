@@ -208,6 +208,38 @@ object RelationalOps {
       |WHERE ship_day < DATE '1995-04-01'
       |ORDER BY l_returnflag, ship_day""".stripMargin
 
+  /** Day-over-day revenue deltas per return flag — the lag() window
+    * family (§2.6): previous-day revenue and the signed delta, null-safe
+    * on the first day of each partition. Same partitioning as
+    * [[runningRevenue]]: shuffle on the flag, order within partitions.
+    */
+  def revenueDeltas(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("ship_day"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("day_rev"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("ship_day"))
+    daily
+      .withColumn("prev_rev", lag(col("day_rev"), 1).over(w))
+      .withColumn("delta", round(col("day_rev") - coalesce(col("prev_rev"), col("day_rev")), 2))
+      .where(col("ship_day") < lit("1995-04-01").cast("date"))
+      .orderBy("l_returnflag", "ship_day")
+  }
+
+  val revenueDeltasSql: String =
+    """WITH daily AS (
+      |  SELECT l_returnflag, date_trunc('day', l_shipdate)::DATE AS ship_day,
+      |    round(sum(l_extendedprice), 2) AS day_rev
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, ship_day, day_rev,
+      |  lag(day_rev, 1) OVER (PARTITION BY l_returnflag ORDER BY ship_day) AS prev_rev,
+      |  round(day_rev - coalesce(
+      |    lag(day_rev, 1) OVER (PARTITION BY l_returnflag ORDER BY ship_day),
+      |    day_rev), 2) AS delta
+      |FROM daily
+      |WHERE ship_day < DATE '1995-04-01'
+      |ORDER BY l_returnflag, ship_day""".stripMargin
+
   /** Left-semi join (EXISTS shape, §2.4): orders having at least one
     * late-shipped line, counted per priority. The semi join never
     * materializes lineitem columns — at scale that halves the shuffle.
