@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 2,
+          s"dot_product requires exactly 2 arguments (two array<double>), got ${children.size}")
+        DotProduct(children.head, children(1))
+      }))
+    e.injectFunction((
       FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2SquaredDistance].getName, "l2_sq"),
       (children: Seq[Expression]) => {

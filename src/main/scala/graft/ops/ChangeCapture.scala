@@ -30,8 +30,11 @@ object ChangeCapture {
       df.select(
         col(key).as(s"${side}_key"),
         // \u0001 separator so adjacent columns cannot alias ("ab","c" vs
-        // "a","bc"); both engines' concat_ws skip NULLs identically
-        md5(concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*))
+        // "a","bc"); NULL is encoded POSITIONALLY as \u0002 — concat_ws
+        // SKIPS nulls, so without the sentinel (NULL,'a') and ('a',NULL)
+        // would hash identically and the UPDATE between them be missed
+        md5(concat_ws("\u0001",
+          cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
           .as(s"${side}_hash"))
     val o = hashed(oldDf, "o")
     val n = hashed(newDf, "n")
@@ -73,9 +76,11 @@ object ChangeCapture {
        |    CASE WHEN $b >= 70 THEN round(value * 2.0, 2) ELSE value END AS value
        |  FROM ev WHERE $b >= 10 AND $b < 90),
        |oh AS (SELECT event_id AS o_key,
-       |  md5(concat_ws(chr(1), event_type::VARCHAR, value::VARCHAR)) AS o_hash FROM old),
+       |  md5(concat_ws(chr(1), coalesce(event_type::VARCHAR, chr(2)),
+       |    coalesce(value::VARCHAR, chr(2)))) AS o_hash FROM old),
        |nh AS (SELECT event_id AS n_key,
-       |  md5(concat_ws(chr(1), event_type::VARCHAR, value::VARCHAR)) AS n_hash FROM neu),
+       |  md5(concat_ws(chr(1), coalesce(event_type::VARCHAR, chr(2)),
+       |    coalesce(value::VARCHAR, chr(2)))) AS n_hash FROM neu),
        |d AS (
        |  SELECT coalesce(n_key, o_key) AS event_id,
        |    CASE WHEN o_key IS NULL THEN 'INSERT'

@@ -83,7 +83,7 @@ object DedupOps {
     * dedup stage reads the materialization.
     */
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    IndexMemo.cache[(SparkSession, String), DataFrame]()
 
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     IndexMemo(shingleCache, (s, dir))(
@@ -185,7 +185,7 @@ object DedupOps {
     * verified near-dups, orders of magnitude smaller than the corpus.
     */
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
+    IndexMemo.cache[(SparkSession, String, Double), DataFrame]()
 
   def verifiedNearDupPairs(
       s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =

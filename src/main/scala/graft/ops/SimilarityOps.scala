@@ -131,15 +131,18 @@ object SimilarityOps {
   }
 
   /** Bucket id within table `t`: sign of vec·plane per local plane → bit.
-    * Evaluated through the NATIVE codegen'd cosine — sign(cos(v,w)) ≡
-    * sign(v·w) exactly (norms are positive; IEEE division by a positive
-    * preserves the sign bit, and ±0 compare equal on both engines), and the
-    * interpreted `aggregate`/`zip_with` fold costs ~75 µs per dot vs the
-    * native single pass (measured 7.2 s → <1 s for the corpus sig build).
+    * Evaluated through the NATIVE codegen'd dot product — the RAW dot, not
+    * cosine: for a zero-norm vector cosine is NaN (0/0) so `cos >= 0` would
+    * flip every bit to 0 while the oracle's `dot >= 0` says 1 — a silent
+    * signature-parity divergence. The raw dot has no such edge case and
+    * costs one array pass (the interpreted `aggregate`/`zip_with` fold
+    * costs ~75 µs per dot vs the native single pass — measured 7.2 s →
+    * <1 s for the corpus sig build).
     */
   private def lshTableBucket(vec: Column, t: Int): Column =
     (0 until LshPlanes).map { p =>
-      when(cosine(vec, typedLit(planeWeights(t * LshPlanes + p))) >= 0,
+      when(graft.functions.VectorExpressions.dot_product(
+          vec, typedLit(planeWeights(t * LshPlanes + p))) >= 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -169,7 +172,7 @@ object SimilarityOps {
     * pipeline materializes to storage once per corpus version.
     */
   private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    IndexMemo.cache[(SparkSession, String), DataFrame]()
 
   private def signatures(s: SparkSession, dir: String): DataFrame =
     IndexMemo(sigCache, (s, dir))(
@@ -269,23 +272,27 @@ object SimilarityOps {
   // ---- label-centroid assignment -----------------------------------------
 
   /** Per-label centroids (posexplode → per-dim avg, ROUNDED to 6dp so both
-    * engines proceed from identical centroids) → assign each vector to its
-    * nearest centroid by cosine. The centroid table is tiny → broadcast;
-    * assignment is map-side.
+    * engines proceed from identical centroids), collected back to arrays.
+    * A trained artifact like [[kmeansCentroids]], so it is built ONCE per
+    * (session, input) behind [[IndexMemo]] — the full-corpus posexplode is
+    * the expensive half of `q_centroid_assign`; re-deriving it per run pays
+    * that twice for a 10-row table every consumer could broadcast.
     */
-  /** Per-label centroids (posexplode → per-dim avg rounded to 6dp so both
-    * engines proceed from identical values), collected back to arrays.
-    */
+  private val labelCentroidCache =
+    IndexMemo.cache[(SparkSession, String), DataFrame]()
+
   private def centroids(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir)
-      .select(col("label"), posexplode(col("vec")).as(Seq("d", "x")))
-      .groupBy(col("label").as("c_label"), col("d"))
-      .agg(round(avg(col("x")), 6).as("cx"))
-      .groupBy(col("c_label"))
-      .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("pairs"))
-      .select(
-        col("c_label"),
-        transform(col("pairs"), p => p.getField("cx")).as("c_vec"))
+    IndexMemo(labelCentroidCache, (s, dir))(
+      emb(s, dir)
+        .select(col("label"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("label").as("c_label"), col("d"))
+        .agg(round(avg(col("x")), 6).as("cx"))
+        .groupBy(col("c_label"))
+        .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("pairs"))
+        .select(
+          col("c_label"),
+          transform(col("pairs"), p => p.getField("cx")).as("c_vec"))
+        .localCheckpoint())
 
   /** Every vector's nearest centroid (its IVF cell). */
   private def assignments(s: SparkSession, dir: String): DataFrame = {
@@ -392,7 +399,7 @@ object SimilarityOps {
     * materialized centroids. The cache is k rows — trivially bounded.
     */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    IndexMemo.cache[(SparkSession, String), DataFrame]()
 
   private[ops] def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
     IndexMemo(centroidCache, (s, dir)) {
@@ -678,7 +685,7 @@ object SimilarityOps {
     * codebooks. Output: (j, cid, c_vec).
     */
   private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    IndexMemo.cache[(SparkSession, String), DataFrame]()
 
   private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
     // nearest codebook entry by L2, ties to the smaller cid
@@ -717,7 +724,7 @@ object SimilarityOps {
     * instead of re-encoding the corpus.
     */
   private val codesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    IndexMemo.cache[(SparkSession, String), DataFrame]()
 
   private def pqCodes(s: SparkSession, dir: String): DataFrame =
     IndexMemo(codesCache, (s, dir))(

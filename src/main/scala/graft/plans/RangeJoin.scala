@@ -68,8 +68,15 @@ object RangeJoinStrategy extends SparkStrategy with PredicateHelper {
     case Join(left, right, Inner, Some(cond), hint)
         if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
       val conjuncts = splitConjunctivePredicates(cond)
+      // EqualNullSafe counts too: `a <=> b` is an equi-key for Spark's
+      // hash/sort-merge strategies, so intercepting that shape here would
+      // demote the equality to a residual filter and replace a hash join
+      // with an all-buckets interval probe.
       val hasEqui = conjuncts.exists {
         case EqualTo(a, b) =>
+          (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+            (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
+        case EqualNullSafe(a, b) =>
           (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
             (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
         case _ => false

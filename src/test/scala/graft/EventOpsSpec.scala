@@ -152,4 +152,18 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out == expected.toMap)
     assert(Set("INSERT", "DELETE", "UPDATE").subsetOf(out.values.toSet))
   }
+
+  test("snapshot diff: NULLs are positional — (NULL,'a') vs ('a',NULL) is an UPDATE") {
+    import graft.ops.ChangeCapture
+    import spark.implicits._
+    // concat_ws skips NULLs, so without positional NULL encoding these two
+    // rows hash identically and the UPDATE is silently missed
+    val old = Seq((1L, Option.empty[String], Option("a")), (2L, Option("x"), Option("y")))
+      .toDF("k", "c1", "c2")
+    val neu = Seq((1L, Option("a"), Option.empty[String]), (2L, Option("x"), Option("y")))
+      .toDF("k", "c1", "c2")
+    val out = ChangeCapture.snapshotDiff(old, neu, "k", Seq("c1", "c2"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "UPDATE")) // row 2 unchanged → absent
+  }
 }

@@ -99,6 +99,17 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(j.count() == 1)
   }
 
+  test("null-safe equi (<=>) + range keeps the hash join, not RangeJoinExec") {
+    val a = Seq((Some(1L), 5L), (None, 5L)).toDF("k", "p")
+    val b = Seq((Some(1L), 0L, 9L), (Option.empty[Long], 0L, 9L)).toDF("k2", "lo", "hi")
+    val j = a.join(b, $"k" <=> $"k2" && $"p" >= $"lo" && $"p" <= $"hi")
+    val p = planOf(j)
+    assert(!p.contains("RangeJoin"), p)
+    assert(p.contains("HashJoin"), p) // the equi-key must stay a hash key
+    // NULL <=> NULL matches, so both rows pair up
+    assert(j.count() == 2)
+  }
+
   test("q_interval_join: windowed rollup matches an independent computation") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.ops.TimeSeriesOps.intervalJoin(spark, dir).collect()

@@ -26,6 +26,25 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(out(1L) == 1.0 && out(2L) == 0.0 && out(3L) == -1.0)
   }
 
+  test("dot_product: parity with the composed fold, and zero-vector signs") {
+    import graft.functions.VectorExpressions.dot_product
+    val e = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(transform($"embedding", x => x.cast("double")).as("vec"))
+    val q = e.limit(5).select($"vec".as("qv"))
+    val n = e.crossJoin(q)
+      .where(dot_product($"vec", $"qv") =!= SimilarityOps.dot($"vec", $"qv"))
+      .count()
+    assert(n == 0)
+    // the LSH sign-bit edge case: a zero-norm vector has dot 0 (>= 0 → bit
+    // set) while cosine is NaN (>= 0 → false). The signature path must take
+    // the dot semantics, i.e. every plane bit set → bucket 2^P − 1.
+    val zero = Seq(Tuple1(Seq.fill(SimilarityOps.Dim)(0.0))).toDF("vec")
+    val sig = zero.select(SimilarityOps.lshSignatures($"vec").as("sigs"))
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == SimilarityOps.LshTables)
+    assert(sig.forall(_ == (1L << SimilarityOps.LshPlanes) - 1), sig.mkString(","))
+  }
+
   test("bit-identical to the composed higher-order form on real embeddings") {
     val e = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
       .select(transform($"embedding", x => x.cast("double")).as("vec"))
