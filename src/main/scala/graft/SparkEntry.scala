@@ -98,8 +98,9 @@ object SparkEntry {
     "q_embed_int8" -> (SimilarityOps.quantizeInt8 _),
     "q_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
 
-    // LLM-data pipeline: multimodal metadata
+    // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
+    "q_multimodal_decode" -> (MultimodalOps.decodePng _),
 
     // relational coverage: scan-only agg, grouping sets, semi join
     "q6_forecast_revenue" -> (RelationalOps.q6ForecastRevenue _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "q10_returned_items" -> (RelationalOps.q10ReturnedItems _),
     "q14_promo_revenue" -> (RelationalOps.q14PromoRevenue _),
     "q17_small_quantity" -> (RelationalOps.q17SmallQuantity _),
+    "q17_correlated_subquery" -> (RelationalOps.q17CorrelatedSubquery _),
     "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
     "q_topk_aggregator" -> ((s, d) => RelationalOps.topOrdersAggregator(s, d)),
     "q_snapshot_diff" -> (graft.ops.ChangeCapture.eventsSnapshotDiff _),
@@ -193,6 +195,7 @@ object SparkEntry {
     "q_centroid_assign" -> SimilarityOps.centroidAssignSql,
     "q_dedup_embedding" -> SimilarityOps.embeddingNearDupSql(),
     "q_multimodal_meta" -> MultimodalOps.mediaMetaSql,
+    "q_multimodal_decode" -> MultimodalOps.decodePngSql,
     "q6_forecast_revenue" -> RelationalOps.q6ForecastRevenueSql,
     "q_rollup_pricing" -> RelationalOps.rollupPricingSql,
     "q_semi_join_late" -> RelationalOps.semiJoinLateOrdersSql,
@@ -210,6 +213,7 @@ object SparkEntry {
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,
     "q17_small_quantity" -> RelationalOps.q17SmallQuantitySql,
+    "q17_correlated_subquery" -> RelationalOps.q17SmallQuantitySql,
     "q18_large_orders" -> RelationalOps.q18LargeOrdersSql,
     "q_topk_aggregator" -> RelationalOps.topOrdersAggregatorSql(),
     "q_cube_pricing" -> RelationalOps.cubePricingSql,
@@ -222,7 +226,9 @@ object SparkEntry {
     "q_tfidf_topterms" -> graft.ops.CorpusOps.tfIdfTopTermsSql(),
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
     "q_kmeans" -> SimilarityOps.kmeansSql,
-    "q_pii_scrub" -> graft.ops.CorpusOps.piiScrubSql)
-    // q_hll_distinct deliberately has no oracle: HLL sketch values are
-    // engine-specific → driver records the weaker rows-only check.
+    "q_pii_scrub" -> graft.ops.CorpusOps.piiScrubSql,
+    // exact-vs-sketch shape: the oracle computes the exact side and asserts
+    // within_bound = true, so the sketch error contract is hash-checked
+    "q_hll_distinct" -> graft.ops.TimeSeriesOps.hllDistinctSql,
+    "q_approx_percentiles" -> graft.ops.CorpusOps.approxPercentilesSql)
 }

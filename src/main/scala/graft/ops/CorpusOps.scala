@@ -34,21 +34,37 @@ object CorpusOps {
 
   /** The 100 TB percentile path made first-class: `approx_percentile`
     * (a mergeable quantile sketch — bounded memory per partition, partial
-    * aggregation, no global sort) next to the exact answer, with the
-    * observed relative error as a column. Sketch internals are
-    * engine-specific, so like the HLL query this is rows-only for the
-    * driver; the ≤1% error guarantee is pinned by a spec instead.
+    * aggregation, no global sort) next to the exact answer. Raw sketch
+    * values are engine-specific, so the ORACLED shape is exact-vs-sketch:
+    * the exact p90 (computable in DuckDB — parity proven by
+    * q_value_percentiles) plus `within_bound` = observed relative error ≤
+    * max(1%, 1000/n %): the dominant tiny-group "error" is the
+    * interpolating-exact vs value-returning-sketch definition gap, which
+    * shrinks as 1/n, so the bound does too (1% from n=1000 up). The oracle
+    * asserts `true`, so a sketch drifting out of its contract fails the
+    * hash — the bound is CHECKED per run, not just pinned by a spec.
     */
   def approxPercentiles(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
         round(expr("percentile(value, 0.9)"), 4).as("p90_exact"),
-        round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90_approx"))
+        round(expr("approx_percentile(value, 0.9, 10000)"), 4).as("p90_approx"),
+        count(lit(1)).as("n"))
       .withColumn("rel_error_pct",
         round(abs(col("p90_approx") - col("p90_exact")) * 100.0 /
           greatest(abs(col("p90_exact")), lit(1e-9)), 3))
+      .select(
+        col("event_type"), col("p90_exact"),
+        (col("rel_error_pct") <=
+          greatest(lit(1.0), lit(1000.0) / col("n"))).as("within_bound"))
       .orderBy("event_type")
+
+  val approxPercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.9), 4) AS p90_exact,
+      |  true AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Deterministic stratified sample: ~10% of documents per language via a
     * content-independent hash split — the reproducible train/eval split

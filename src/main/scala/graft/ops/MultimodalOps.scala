@@ -8,12 +8,16 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, plus a decode/feature-extract stage.
   *
-  * The container has no image/audio codecs, so the DECODE KERNEL IS A
-  * DETERMINISTIC STUB (clearly marked below); everything Spark-side —
-  * the schema, the binary column handling, the per-partition batch shape a
-  * vectorized decoder plugs into, and the metadata projection — is real and
-  * tested. Swapping `fakeDecode` for a JNI/FFmpeg call changes no plan
-  * shape.
+  * Two decode tiers:
+  *  - [[decodeFeatures]] keeps the deterministic byte-length stub as the
+  *    stand-in for codecs the JVM lacks (audio/video);
+  *  - [[decodePng]] is a REAL image decode: payloads are genuine PNGs
+  *    (synthesized map-side with `BufferedImage` + `ImageIO.write`, dims
+  *    and pixel colors deterministic functions of doc_id) and the decode
+  *    stage reads them back with `ImageIO.read`, emitting true width/
+  *    height plus the top-left pixel's RGB — values only a real pixel
+  *    decode can produce, yet mirrored exactly by the DuckDB oracle's
+  *    modular arithmetic (PNG is lossless).
   *
   * Scale: payloads never shuffle (all derivations are map-side); metadata
   * aggregations group on small derived columns. A real pipeline would also
@@ -75,6 +79,85 @@ object MultimodalOps {
         rows.map { case (id, kind, payload) => fakeDecode(id, kind, payload) }
       }
   }
+
+  // ---- real PNG decode ----------------------------------------------------
+
+  /** A decoded PNG record: true dimensions + top-left pixel channels. */
+  final case class DecodedPng(
+      media_id: Long, width: Int, height: Int, r0: Int, g0: Int, b0: Int)
+
+  /** Deterministic PNG payload for `id`: (id%13+4)×(id%7+3) TYPE_INT_RGB
+    * image, pixel (x,y) colored by modular arithmetic on (id, x, y). Runs
+    * map-side on executors — the synthesis stage of a binary-column table.
+    */
+  private[ops] def encodePng(id: Long): Array[Byte] = {
+    val w = (id % 13 + 4).toInt
+    val h = (id % 7 + 3).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + 31L * x + 17L * y) % 256).toInt
+        val g = ((id * 7 + 13L * x + 5L * y) % 256).toInt
+        val b = ((id * 13 + 3L * x + 11L * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** (media_id, payload binary) — a genuine PNG per document id. */
+  def pngTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.read(s, dir, "documents").select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, encodePng(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** REAL decode: `ImageIO.read` per payload (codec shareable per
+    * partition), emitting dimensions and pixel values read from the decoded
+    * raster. Mirrors [[decodeFeatures]]'s iterator-in/iterator-out batch
+    * shape; the oracle reproduces every output column from doc_id alone
+    * because the synthesis above is deterministic and PNG is lossless.
+    */
+  def decodePng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val rgb = img.getRGB(0, 0)
+          DecodedPng(
+            media_id = id,
+            width = img.getWidth,
+            height = img.getHeight,
+            r0 = (rgb >> 16) & 255,
+            g0 = (rgb >> 8) & 255,
+            b0 = rgb & 255)
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Decoded values re-derived arithmetically — what the oracle computes. */
+  val decodePngSql: String =
+    """SELECT doc_id AS media_id,
+      |  (doc_id % 13 + 4)::INTEGER AS width,
+      |  (doc_id % 7 + 3)::INTEGER AS height,
+      |  (doc_id % 256)::INTEGER AS r0,
+      |  ((doc_id * 7) % 256)::INTEGER AS g0,
+      |  ((doc_id * 13) % 256)::INTEGER AS b0
+      |FROM documents ORDER BY media_id""".stripMargin
 
   /** Oracle-able metadata projection over the media table — pure column
     * functions (byte length, content hash, stub dimensions), mirroring what

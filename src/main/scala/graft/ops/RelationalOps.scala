@@ -418,6 +418,24 @@ object RelationalOps {
       |WHERE l_quantity < 0.5 * (
       |  SELECT avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)""".stripMargin
 
+  /** The SAME Q17 semantics written as a GENUINE correlated scalar subquery
+    * through `spark.sql` — the decorrelation demo: Catalyst's
+    * RewriteCorrelatedScalarSubquery turns the per-row subquery into the
+    * aggregate-joined-back plan of [[q17SmallQuantity]] (a per-row
+    * re-execution would be O(n·n) at 100 TB; the rewrite makes it one
+    * aggregate + one join). The optimized plan is pinned subquery-free in
+    * PlanAuditSpec; correctness shares [[q17SmallQuantitySql]]'s oracle.
+    */
+  def q17CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |WHERE l_quantity < 0.5 * (
+        |  SELECT avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)""".stripMargin)
+  }
+
   /** Brand revenue: lineitem ⋈ broadcast(part) — completes coverage of all
     * ten shared tables and exercises the fact-⋈-product-dim shape.
     */

@@ -132,6 +132,14 @@ object TimeSeriesOps {
     * The sketch is THE 100 TB pattern for distinct counts: mergeable,
     * fixed-size state, one shuffle.
     */
+  /** HLL sketch values are engine-specific, so the ORACLED shape is
+    * exact-vs-sketch: exact distinct (computable in DuckDB) plus
+    * `within_bound` = observed relative error ≤ [[HllErrorPctBound]]
+    * (rsd=0.02; 2% measured at sf0.001/0.01, see TimeSeriesCorpusSpec).
+    * The oracle asserts `true`, so the error contract is checked per run.
+    */
+  val HllErrorPctBound = 2.0
+
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
@@ -142,7 +150,16 @@ object TimeSeriesOps {
         "rel_error_pct",
         round(abs(col("approx_users") - col("exact_users")) * 100.0 /
           col("exact_users"), 2))
+      .select(
+        col("event_type"), col("exact_users"),
+        (col("rel_error_pct") <= HllErrorPctBound).as("within_bound"))
       .orderBy("event_type")
+
+  val hllDistinctSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  true AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Pure interval (range) join — NO equi key: every event lands in each
     * 84-hour analysis window it falls inside (windows overlap, start every

@@ -319,6 +319,27 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: real PNGs round-trip through ImageIO with exact dims and pixels") {
+    // payloads are genuine PNGs (magic header), not fakes
+    MultimodalOps.pngTable(spark, dir).limit(3).collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      assert(b.length > 8)
+      assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+    }
+    // decoded width/height/top-left pixel match the synthesis arithmetic —
+    // values only a real pixel decode (lossless PNG) can reproduce
+    val out = MultimodalOps.decodePng(spark, dir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 13 + 4).toInt, s"width of $id")
+      assert(r.getInt(2) == (id % 7 + 3).toInt, s"height of $id")
+      assert(r.getInt(3) == (id % 256).toInt, s"r0 of $id")
+      assert(r.getInt(4) == (id * 7 % 256).toInt, s"g0 of $id")
+      assert(r.getInt(5) == (id * 13 % 256).toInt, s"b0 of $id")
+    }
+  }
+
   implicit class TupleOps(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }

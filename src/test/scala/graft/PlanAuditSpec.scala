@@ -86,6 +86,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
   }
 
+  test("Q17 correlated scalar subquery is decorrelated to an aggregate join") {
+    val df = RelationalOps.q17CorrelatedSubquery(spark, dir)
+    // the optimizer must rewrite the per-row subquery into an Aggregate
+    // joined back — a surviving scalar-subquery would re-execute per row
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("scalar-subquery"), opt)
+    assert(opt.contains("Join") && opt.contains("Aggregate"), opt)
+    // physical: the one-row-per-part aggregate joins back as a hash join
+    val p = plan(df)
+    assert(p.contains("HashJoin"), p)
+    // and it computes the same answer as the explicit-join form
+    val a = df.collect().head
+    val b = RelationalOps.q17SmallQuantity(spark, dir).collect().head
+    assert(a.getDouble(0) == b.getDouble(0) && a.getLong(1) == b.getLong(1))
+  }
+
   test("J2 dimension join broadcasts the small side — no fact shuffle") {
     val p = plan(EventOps.j2DimJoin(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -51,14 +51,15 @@ class TimeSeriesCorpusSpec extends AnyFunSuite {
     }
   }
 
-  test("approx percentiles stay within 1% of exact (5% at tiny SF)") {
-    // at sf0.001 groups are ~200 rows: the dominant "error" is the
-    // interpolating-exact vs value-returning-sketch definition gap, which
-    // shrinks as 1/n — hence the looser tiny-SF bound
-    Seq(dir -> 5.0, "/root/testdata/sf0.01" -> 1.0).foreach { case (d, bound) =>
-      val maxErr = CorpusOps.approxPercentiles(spark, d)
-        .agg(max(col("rel_error_pct"))).first().getDouble(0)
-      assert(maxErr <= bound, s"$d: rel error $maxErr% > $bound%")
+  test("approx percentiles stay within the size-scaled error bound") {
+    // the oracle hash-checks within_bound = true at sf0.01; this spec pins
+    // the same guarantee at both SFs (bound = max(1%, 1000/n %) — the
+    // definition gap between interpolating-exact and value-returning-sketch
+    // shrinks as 1/n)
+    Seq(dir, "/root/testdata/sf0.01").foreach { d =>
+      val out = CorpusOps.approxPercentiles(spark, d).collect()
+      assert(out.nonEmpty)
+      assert(out.forall(_.getBoolean(2)), s"$d: a group exceeded the sketch bound")
     }
   }
 
@@ -111,12 +112,12 @@ class TimeSeriesCorpusSpec extends AnyFunSuite {
   }
 
   test("HLL distinct stays within the configured 2% error bound (sf0.01)") {
-    // q_hll_distinct has no SQL oracle (sketch values are engine-specific);
-    // this spec is its checked guarantee instead.
+    // the oracle hash-checks within_bound = true; this spec pins the same
+    // guarantee at both SFs the driver doesn't run
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
-      val maxErr = TimeSeriesOps.hllDistinct(spark, d)
-        .agg(max(col("rel_error_pct"))).first().getDouble(0)
-      assert(maxErr <= 2.0, s"$d: max rel error $maxErr%")
+      val out = TimeSeriesOps.hllDistinct(spark, d).collect()
+      assert(out.nonEmpty)
+      assert(out.forall(_.getBoolean(2)), s"$d: a group exceeded the HLL bound")
     }
   }
 
