@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupOps
+
+/** Empirical scale validation (one-off, results recorded in ROADMAP.md):
+  * the 100 TB design claims of the dedup and range-join families argue from
+  * plan shape; this main MEASURES the quantities those claims rest on, at
+  * 1× and 10× synthetic corpus size:
+  *
+  *  1. MinHash-LSH candidate-pair count — claim: ∝ collisions (near-linear
+  *     for a fixed dup rate), never n². The band-key space is (2³¹)², so
+  *     random collisions are negligible at any realistic corpus size.
+  *  2. SimHash candidate-pair count at the shipped 32-bit/4×8-bit banding —
+  *     expected to go SUPER-LINEAR at 10× (random collisions ≈
+  *     4·n²/2·1/256 for uniform fingerprints) — and at the 60-bit/4×15-bit
+  *     parameterization, the fix that restores near-linear growth while
+  *     keeping the pigeonhole guarantee for Hamming ≤ 3.
+  *  3. RangeJoinExec vs BroadcastNestedLoopJoin wall time on 10⁵ intervals
+  *     (the BNLJ side is forced with a broadcast hint, which
+  *     RangeJoinStrategy deliberately declines).
+  *
+  * Synthetic data mirrors the real corpus statistics (31-token vocab,
+  * 10–99 tokens/doc, 20 sources, ~10% planted near-dups), deterministic
+  * seed so reruns reproduce.
+  */
+object ScaleProbe {
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def synthDocs(s: SparkSession, n: Int, vocabSize: Int): DataFrame = {
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until vocabSize).map(i => s"tok$i")
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, String, String)](n)
+    var i = 0
+    while (i < n) {
+      val text =
+        if (i % 10 == 9 && rows.nonEmpty) {
+          // planted near-dup of the previous doc: swap 2 tokens
+          val prev = rows(i - 1)._3.split(' ')
+          val mut = prev.clone()
+          mut(rnd.nextInt(prev.length)) = vocab(rnd.nextInt(vocab.length))
+          mut(rnd.nextInt(prev.length)) = vocab(rnd.nextInt(vocab.length))
+          mut.mkString(" ")
+        } else {
+          val len = 10 + rnd.nextInt(90)
+          Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        }
+      rows += ((i.toLong, s"src${i % 20}", text))
+      i += 1
+    }
+    rows.toSeq.toDF("doc_id", "source", "text")
+      .repartition(32).localCheckpoint()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32, "graft-scale-probe")
+    import spark.implicits._
+
+    // ---- candidate growth: 1× vs 10× corpus, corpus-like vs realistic
+    // vocabulary (the 31-token vocab gives RANDOM doc pairs a background
+    // bigram-Jaccard ≈0.03, which band-collides; a realistic vocabulary
+    // drives background Jaccard → 0 and candidates → ∝ planted dups)
+    for ((n, vocab) <- Seq((5000, 31), (50000, 31), (5000, 10000), (50000, 10000))) {
+      val d = synthDocs(spark, n, vocab)
+      val (mh, tMh) = time(DedupOps.minhashCandidatePairs(d).count())
+      val (sh8, tSh8) = time(DedupOps.simhashCandidatePairs(d, 32, 8).count())
+      val (sh15, tSh15) = time(DedupOps.simhashCandidatePairs(d, 60, 15).count())
+      println(
+        f"""{"probe":"dedup_candidates","n":$n,"vocab":$vocab,""" +
+          f""""minhash_pairs":$mh,"minhash_sec":$tMh%.1f,""" +
+          f""""simhash32_8_pairs":$sh8,"simhash32_8_sec":$tSh8%.1f,""" +
+          f""""simhash60_15_pairs":$sh15,"simhash60_15_sec":$tSh15%.1f}""")
+      d.unpersist()
+    }
+
+    // ---- RangeJoinExec vs BNLJ at 1e5 intervals ---------------------------
+    val ivs = spark.range(100000).select(
+      col("id").as("w"),
+      (col("id") * 37 % 1000000).as("lo"),
+      (col("id") * 37 % 1000000 + col("id") % 97 + 1).as("hi"))
+      .localCheckpoint()
+    val pts = spark.range(500000).select(
+      col("id").as("p_id"), (col("id") * 7919 % 1000000).as("p"))
+      .localCheckpoint()
+    val cond = col("p") >= col("lo") && col("p") <= col("hi")
+    val (nRj, tRj) = time(pts.join(ivs, cond).count())
+    // broadcast hint → RangeJoinStrategy declines → BroadcastNestedLoopJoin
+    val bnlj = pts.join(ivs.hint("broadcast"), cond)
+    val bnljPlan = bnlj.queryExecution.executedPlan.toString
+    require(bnljPlan.contains("BroadcastNestedLoop"), bnljPlan.take(400))
+    val rjPlan = pts.join(ivs, cond).queryExecution.executedPlan.toString
+    require(rjPlan.contains("RangeJoin"), rjPlan.take(400))
+    val (nBn, tBn) = time(bnlj.count())
+    require(nRj == nBn, s"result mismatch: $nRj vs $nBn")
+    println(
+      f"""{"probe":"range_join","intervals":100000,"points":500000,"matches":$nRj,""" +
+        f""""range_join_sec":$tRj%.1f,"bnlj_sec":$tBn%.1f}""")
+    spark.stop()
+  }
+}

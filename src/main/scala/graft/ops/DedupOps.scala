@@ -85,12 +85,17 @@ object DedupOps {
   private val shingleCache =
     IndexMemo.cache[(SparkSession, String), DataFrame]()
 
+  /** Exploded (doc_id, source, shingle) index of an arbitrary
+    * (doc_id, source, text) frame — the uncached form [[shingleIndex]]
+    * memoizes, also used directly by [[graft.ScaleProbe]] on synthetic
+    * corpora.
+    */
+  private[graft] def shingleIndexOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"), TextOps.tokens.as("toks"))
+      .select(col("doc_id"), col("source"), explode(bigramShingles).as("shingle"))
+
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
-    IndexMemo(shingleCache, (s, dir))(
-      docs(s, dir)
-        .select(col("doc_id"), col("source"), TextOps.tokens.as("toks"))
-        .select(col("doc_id"), col("source"), explode(bigramShingles).as("shingle"))
-        .persist())
+    IndexMemo(shingleCache, (s, dir))(shingleIndexOf(docs(s, dir)).persist())
 
   private val shingleIndexSql: String =
     s"""SELECT doc_id, source, unnest($shingleListSql) AS shingle
@@ -192,29 +197,43 @@ object DedupOps {
     IndexMemo(pairsCache, (s, dir, threshold))(
       computeMinhashLsh(s, dir, threshold).persist())
 
-  private def computeMinhashLsh(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    // (doc, shingle) hashed once; all k affine mins computed as k aggregate
-    // columns over the SAME 475k-row frame (no ×k row blowup), one shuffle
-    // on doc_id
-    val base = shingleIndex(s, dir)
+  /** MinHash band-collision CANDIDATE pairs (pre-verification) from a
+    * shingle index: (doc, shingle) hashed once; all k affine mins computed
+    * as k aggregate columns over the SAME frame (no ×k row blowup), one
+    * shuffle on doc_id; band keys assembled map-side. Exposed (via
+    * [[minhashCandidatePairs]]) so candidate growth vs corpus size is
+    * measurable — the quantity that decides whether the band join survives
+    * a 100× scale-up.
+    */
+  private def minhashCandidatesFromIndex(idx: DataFrame): DataFrame = {
+    val base = idx
       .select(col("doc_id"), (hash60(col("shingle")) % MinhashP).as("h1"))
     val sigAggs = (0 until MinhashK).map { j =>
       min((col("h1") * minhashA(j) + minhashB(j)) % MinhashP).as(s"s$j")
     }
     val sigs = base.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    // band keys assembled map-side from the k signature columns
     val bandKeys = (0 until LshBands).map { b =>
       concat_ws(":", lit(b).cast("string"),
         col(s"s${2 * b}").cast("string"), col(s"s${2 * b + 1}").cast("string"))
     }
     val bands = sigs.select(
       col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Diagnostic surface for [[graft.ScaleProbe]]: candidate pairs of an
+    * arbitrary (doc_id, source, text) frame.
+    */
+  private[graft] def minhashCandidatePairs(d: DataFrame): DataFrame =
+    minhashCandidatesFromIndex(shingleIndexOf(d))
+
+  private def computeMinhashLsh(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val cand = minhashCandidatesFromIndex(shingleIndex(s, dir))
     // verify candidates with exact Jaccard over the shingle sets (collected
     // from the fast exploded index — rows are already distinct per doc)
     val sh = shingleIndex(s, dir)
@@ -398,25 +417,30 @@ object DedupOps {
   def simhashFingerprint(s: SparkSession, dir: String): DataFrame =
     simhashes(s, dir).orderBy("doc_id")
 
-  /** (doc_id, simhash, n_set_bits), unordered — shared by the fingerprint
-    * query and the near-pair bucket join.
+  /** (doc_id, simhash, n_set_bits) over `bits` fingerprint bits for an
+    * arbitrary shingle index — shared by the fingerprint query, the
+    * near-pair bucket join, and (at other widths) [[graft.ScaleProbe]].
+    * `bits` must be ≤ 60 (hash60 has no higher bits to vote on).
     */
-  private def simhashes(s: SparkSession, dir: String): DataFrame = {
-    val perShingle = shingleIndex(s, dir)
-      .select(col("doc_id"), hash60(col("shingle")).as("h"))
-    val voteAggs = (0 until SimhashBits).map { b =>
+  private def simhashesFromIndex(idx: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"simhash bits must be in [1, 60], got $bits")
+    val perShingle = idx.select(col("doc_id"), hash60(col("shingle")).as("h"))
+    val voteAggs = (0 until bits).map { b =>
       sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val votes = perShingle.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
-    val fingerprint = (0 until SimhashBits)
+    val fingerprint = (0 until bits)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
-    val nSet = (0 until SimhashBits)
+    val nSet = (0 until bits)
       .map(b => when(col(s"v$b") > 0, 1L).otherwise(0L))
       .reduce(_ + _)
     votes.select(
       col("doc_id"), fingerprint.as("simhash"), nSet.as("n_set_bits"))
   }
+
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
+    simhashesFromIndex(shingleIndex(s, dir), SimhashBits)
 
   /** SimHash near-duplicate PAIRS: band the 32-bit fingerprint into 4
     * bytes and bucket-join on (band, value) — by pigeonhole, any pair at
@@ -427,10 +451,20 @@ object DedupOps {
     * candidates ∝ band collisions, never doc×doc, the same scale shape as
     * the MinHash band join.
     */
-  def simhashNearPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val fp = simhashes(s, dir).select(col("doc_id"), col("simhash"))
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"), expr(s"shiftright(simhash, ${8 * b}) & 255").as("bv"))
+  /** Band-bucket candidate join over a (doc_id, simhash) frame: `nBands`
+    * bands of `bandBits` bits each, candidates = pairs agreeing exactly on
+    * ≥1 band, annotated with the full-fingerprint Hamming distance. The
+    * bucket space per band is 2^bandBits — the parameter that controls
+    * random-collision growth: n²/2^bandBits pairs per band for uniform
+    * fingerprints, so bandBits must grow with log₂(corpus) (measured in
+    * ScaleProbe / ROADMAP.md).
+    */
+  private def simhashBandJoin(
+      fp: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(simhash, ${bandBits * b}) & $mask").as("bv"))
     }
     val bands = fp.select(
       col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bd"))
@@ -444,9 +478,24 @@ object DedupOps {
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
       .distinct()
+  }
+
+  /** Diagnostic surface for [[graft.ScaleProbe]]: raw band-collision
+    * candidates (no Hamming threshold) of an arbitrary (doc_id, source,
+    * text) frame at a chosen fingerprint width / band width. bits/bandBits
+    * bands keep the pigeonhole guarantee for Hamming ≤ bits/bandBits − 1.
+    */
+  private[graft] def simhashCandidatePairs(
+      d: DataFrame, bits: Int = SimhashBits, bandBits: Int = 8): DataFrame =
+    simhashBandJoin(
+      simhashesFromIndex(shingleIndexOf(d), bits).select(col("doc_id"), col("simhash")),
+      bits / bandBits, bandBits)
+
+  def simhashNearPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashBandJoin(
+      simhashes(s, dir).select(col("doc_id"), col("simhash")), 4, 8)
       .where(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
-  }
 
   def simhashNearPairsSql(maxHamming: Int = 3): String = {
     val h = hash60Sql("sh")
