@@ -87,6 +87,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshDedup(s, d)),
     "q_dedup_simhash" -> (DedupOps.simhashFingerprint _),
     "q_dedup_simhash_pairs" -> ((sp, d) => DedupOps.simhashNearPairs(sp, d)),
+    "q_dedup_simhash_wide" -> ((sp, d) => DedupOps.simhashNearPairsWide(sp, d)),
 
     // LLM-data pipeline: similarity search
     "q_ann_cosine_topk" -> (SimilarityOps.annBruteForce _),
@@ -188,6 +189,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> DedupOps.minhashLshDedupSql(),
     "q_dedup_simhash" -> DedupOps.simhashFingerprintSql,
     "q_dedup_simhash_pairs" -> DedupOps.simhashNearPairsSql(),
+    "q_dedup_simhash_wide" -> DedupOps.simhashNearPairsWideSql(),
     "q_dedup_keepdrop" -> DedupOps.dedupKeepDropSql(),
     "q_ann_cosine_topk" -> SimilarityOps.annBruteForceSql,
     "q_ann_lsh_bucketed" -> SimilarityOps.annLshBucketedSql,

@@ -497,22 +497,45 @@ object DedupOps {
       .where(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
 
-  def simhashNearPairsSql(maxHamming: Int = 3): String = {
+  /** The SCALE parameterization of [[simhashNearPairs]] as a first-class
+    * op: 60-bit fingerprints banded 4×15 bits. Same lossless pigeonhole
+    * guarantee for Hamming ≤ 3, but the per-band bucket space is 2¹⁵ not
+    * 2⁸ — ScaleProbe measured 144× fewer random band collisions at 50k
+    * docs (ROADMAP.md), the difference between a quadratic and a
+    * near-linear candidate stage. 60-bit Hamming ≤ 3 is a stricter
+    * similarity bar than 32-bit Hamming ≤ 3 (same absolute bit budget over
+    * ~2× the bits), so this finds a subset of the narrow query's pairs.
+    */
+  val SimhashWideBits = 60
+  val SimhashWideBandBits = 15
+
+  def simhashNearPairsWide(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashBandJoin(
+      simhashesFromIndex(shingleIndex(s, dir), SimhashWideBits)
+        .select(col("doc_id"), col("simhash")),
+      SimhashWideBits / SimhashWideBandBits, SimhashWideBandBits)
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+
+  private def simhashNearPairsSqlAt(
+      maxHamming: Int, bits: Int, bandBits: Int): String = {
     val h = hash60Sql("sh")
+    val nBands = bits / bandBits
+    val mask = (1L << bandBits) - 1
     s"""WITH e AS (
        |  SELECT doc_id, unnest($shingleListSql) AS sh FROM documents),
        |hs AS (SELECT doc_id, $h AS h FROM e),
        |votes AS (
        |  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-       |  FROM hs, (SELECT unnest(range(0, $SimhashBits)) AS bit)
+       |  FROM hs, (SELECT unnest(range(0, $bits)) AS bit)
        |  GROUP BY doc_id, bit),
        |fp AS (
        |  SELECT doc_id,
        |    sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
        |  FROM votes GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
-       |  FROM fp, (SELECT unnest(range(0, 4)) AS b)),
+       |  SELECT doc_id, simhash, b, (simhash >> (b * $bandBits)) & $mask AS bv
+       |  FROM fp, (SELECT unnest(range(0, $nBands)) AS b)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
@@ -521,6 +544,12 @@ object DedupOps {
        |SELECT doc_a, doc_b, hamming FROM cand
        |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  def simhashNearPairsSql(maxHamming: Int = 3): String =
+    simhashNearPairsSqlAt(maxHamming, SimhashBits, 8)
+
+  def simhashNearPairsWideSql(maxHamming: Int = 3): String =
+    simhashNearPairsSqlAt(maxHamming, SimhashWideBits, SimhashWideBandBits)
 
   val simhashFingerprintSql: String = {
     val h = hash60Sql("sh")

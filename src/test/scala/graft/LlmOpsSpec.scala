@@ -179,6 +179,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
   }
 
+  test("simhash wide (60-bit/4x15): hamming bound holds, pairs a subset of the narrow query's") {
+    val got = DedupOps.simhashNearPairsWide(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 <= 3))
+    // guaranteed subset: per-bit votes are identical, so the 32-bit
+    // fingerprint IS the low 32 bits of the 60-bit one — 32-bit hamming
+    // never exceeds 60-bit hamming, hence wide(H<=3) => narrow(H<=3)
+    val narrow = DedupOps.simhashNearPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val widePairs = got.map(t => (t._1, t._2))
+    assert(widePairs.subsetOf(narrow),
+      s"wide pairs not a subset: ${(widePairs -- narrow).take(5)}")
+  }
+
   test("keep/drop: covers the corpus, one kept canonical per cluster, drops point at it") {
     val out = TextOps // force imports
     val kd = DedupOps.dedupKeepDrop(spark, dir).cache()
