@@ -148,6 +148,25 @@ case class RangeJoinExec(
     copy(streamed = newLeft, broadcast = newRight)
 
   protected override def doExecute(): RDD[InternalRow] = {
+    import org.apache.spark.sql.types._
+    // All three bound expressions evaluate to a JVM integral? → the
+    // primitive probe path: bounds in long[] arrays, comparisons on
+    // primitives — no per-comparison boxing or Ordering dispatch. This is
+    // the dominant shape (timestamps, ids, dates); the boxed interpreted
+    // path remains for decimals/strings/doubles (doubles stay boxed so NaN
+    // keeps the interpreted total order rather than primitive-< semantics).
+    def integral(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+          TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    if (Seq(point, lower, upper).map(_.dataType).forall(integral))
+      doExecutePrimitive()
+    else doExecuteGeneric()
+  }
+
+  /** Boxed path: arbitrary orderable atomic types via interpreted Ordering. */
+  private def doExecuteGeneric(): RDD[InternalRow] = {
     val relation = broadcast.executeBroadcast[Array[InternalRow]]()
     val boundPoint = BindReferences.bindReference(point, streamed.output)
     val boundLo = BindReferences.bindReference(lower, broadcast.output)
@@ -157,13 +176,15 @@ case class RangeJoinExec(
     val loStrict = lowerStrict
     val hiStrict = upperStrict
     val outputAttrs = output
+    val subKey = s"gen:${lower.semanticHash()}:${upper.semanticHash()}"
 
     streamed.execute().mapPartitions { iter =>
       // index built once per EXECUTOR per broadcast (weak-keyed on the
       // broadcast array so it is GC'd with the broadcast), not once per
       // task — thousands of tasks would otherwise repeat the same
       // O(m log m) sort+build over identical immutable rows
-      val (intervals, maxHi) = RangeJoinExec.indexFor(relation.value, {
+      val (intervals, maxHi) = RangeJoinExec.indexFor[
+          (Array[(Any, Any, InternalRow)], Array[Any])](relation.value, subKey)({
         val ivs = relation.value.flatMap { r =>
           val lo = boundLo.eval(r)
           val hi = boundHi.eval(r)
@@ -235,27 +256,139 @@ case class RangeJoinExec(
       }
     }
   }
+
+  /** Primitive path: integral bound types normalized to Long; the sorted-lo
+    * array, hi array and subtree-max-hi segment tree are all long[] — the
+    * probe loop compares primitives only (ScaleProbe wall time 1.2 s →
+    * 0.9 s at 10⁵ intervals × 5·10⁵ points incl. job overhead; identical
+    * outputs — see ROADMAP.md).
+    */
+  private def doExecutePrimitive(): RDD[InternalRow] = {
+    val relation = broadcast.executeBroadcast[Array[InternalRow]]()
+    val boundPoint = BindReferences.bindReference(point, streamed.output)
+    val boundLo = BindReferences.bindReference(lower, broadcast.output)
+    val boundHi = BindReferences.bindReference(upper, broadcast.output)
+    val boundResidual = residual.map(BindReferences.bindReference(_, output))
+    val loStrict = lowerStrict
+    val hiStrict = upperStrict
+    val outputAttrs = output
+
+    def toLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+    }
+
+    val subKey = s"prim:${lower.semanticHash()}:${upper.semanticHash()}"
+    streamed.execute().mapPartitions { iter =>
+      val idx = RangeJoinExec.indexFor[RangeJoinExec.PrimitiveIndex](relation.value, subKey)({
+        val kept = relation.value.flatMap { r =>
+          val lo = boundLo.eval(r)
+          val hi = boundHi.eval(r)
+          if (lo == null || hi == null) None else Some((toLong(lo), toLong(hi), r))
+        }.sortBy(_._1)
+        val n = kept.length
+        val lo = new Array[Long](n)
+        val hi = new Array[Long](n)
+        val rows = new Array[InternalRow](n)
+        var i = 0
+        while (i < n) {
+          lo(i) = kept(i)._1; hi(i) = kept(i)._2; rows(i) = kept(i)._3
+          i += 1
+        }
+        val mh = new Array[Long](4 * math.max(n, 1))
+        def build(node: Int, s: Int, e: Int): Long = {
+          val v =
+            if (s == e) hi(s)
+            else {
+              val m = (s + e) / 2
+              math.max(build(2 * node, s, m), build(2 * node + 1, m + 1, e))
+            }
+          mh(node) = v
+          v
+        }
+        if (n > 0) build(1, 0, n - 1)
+        RangeJoinExec.PrimitiveIndex(lo, hi, rows, mh)
+      })
+      val lo = idx.lo
+      val hi = idx.hi
+      val rows = idx.rows
+      val maxHi = idx.maxHi
+      val n = lo.length
+
+      val joined = new JoinedRow
+      val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val matches = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+      def query(p: Long): Unit = {
+        def visit(node: Int, s: Int, e: Int): Unit = {
+          // prune: every hi in this subtree is below p
+          if (if (hiStrict) maxHi(node) <= p else maxHi(node) < p) return
+          // prune: every lo in this subtree is above p (lo-sorted array)
+          if (if (loStrict) lo(s) >= p else lo(s) > p) return
+          if (s == e) {
+            val okLo = if (loStrict) lo(s) < p else lo(s) <= p
+            val okHi = if (hiStrict) hi(s) > p else hi(s) >= p
+            if (okLo && okHi) matches += s
+          } else {
+            val m = (s + e) / 2
+            visit(2 * node, s, m)
+            visit(2 * node + 1, m + 1, e)
+          }
+        }
+        if (n > 0) visit(1, 0, n - 1)
+      }
+
+      iter.flatMap { srow =>
+        val p = boundPoint.eval(srow)
+        if (p == null) Iterator.empty
+        else {
+          matches.clear()
+          query(toLong(p))
+          matches.toArray.iterator
+            .map(i => joined(srow, rows(i)))
+            .filter(jr => boundResidual.forall(r => r.eval(jr) == true))
+            .map(toUnsafe)
+        }
+      }
+    }
+  }
 }
 
 object RangeJoinExec {
-  /** Per-JVM (executor) index memo, weak-keyed on the broadcast row array
-    * so entries die with their broadcast. computeIfAbsent through the
-    * synchronized wrapper is not atomic across the compound op — a rare
-    * concurrent first use can build twice, which is harmless (idempotent
-    * value, last write wins).
+  /** Index for the primitive (integral-typed) probe path: parallel long[]
+    * bound arrays + the subtree-max-hi segment tree, all unboxed.
+    */
+  final case class PrimitiveIndex(
+      lo: Array[Long], hi: Array[Long],
+      rows: Array[InternalRow], maxHi: Array[Long])
+
+  /** Per-JVM (executor) index memo: weak-keyed on the broadcast row array
+    * (entries die with their broadcast), sub-keyed by the bound
+    * expressions + index kind — two RangeJoinExec nodes CAN probe the same
+    * broadcast on different interval columns, and must not share an index.
+    * Writes through the synchronized/CHM layers are not atomic across the
+    * compound op — a rare concurrent first use can build twice, which is
+    * harmless (idempotent value, last write wins).
     */
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[AnyRef, (Array[(Any, Any, InternalRow)], Array[Any])]())
+    new java.util.WeakHashMap[
+      AnyRef, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]())
 
-  private[plans] def indexFor(
-      key: AnyRef,
-      build: => (Array[(Any, Any, InternalRow)], Array[Any]))
-      : (Array[(Any, Any, InternalRow)], Array[Any]) = {
-    val got = cache.get(key)
-    if (got != null) got
+  private[plans] def indexFor[T <: AnyRef](
+      key: AnyRef, subKey: String)(build: => T): T = {
+    var inner = cache.get(key)
+    if (inner == null) {
+      inner = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+      val prev = cache.putIfAbsent(key, inner)
+      if (prev != null) inner = prev
+    }
+    val got = inner.get(subKey)
+    if (got != null) got.asInstanceOf[T]
     else {
       val v = build
-      cache.put(key, v)
+      inner.put(subKey, v)
       v
     }
   }

@@ -57,6 +57,17 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == expected(strictHi = true))
   }
 
+  test("double-typed bounds take the boxed path and match a driver-side join") {
+    // doubles deliberately stay on the interpreted-Ordering path (NaN
+    // total-order semantics); results must equal the Long-typed expected set
+    val dpts = pts.select($"id", $"p".cast("double").as("p"))
+    val divs = ivs.select($"w", $"lo".cast("double").as("lo"), $"hi".cast("double").as("hi"))
+    val j = dpts.join(divs, $"p" >= $"lo" && $"p" <= $"hi")
+    assert(planOf(j).contains("RangeJoin"), planOf(j))
+    val got = j.select("id", "w").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == expected(strictHi = false))
+  }
+
   test("null points and null bounds never match") {
     val npts = Seq((1L, Some(5L)), (2L, None)).toDF("id", "p")
     val nivs = Seq((10L, Some(0L), Some(9L)), (11L, None, Some(9L)), (12L, Some(0L), None))
