@@ -114,6 +114,8 @@ object SparkEntry {
     "q_s7_mock_weather" -> ((s, _) => graft.sources.MockWeather.hourlyForecast(s)),
     // JSONL source: parquet -> JSONL -> schema-on-read roundtrip
     "q_jsonl_roundtrip" -> (graft.sources.Jsonl.roundtripAgg _),
+    // ORC source/sink: parquet -> ORC -> read-back digest vs parquet oracle
+    "q_orc_roundtrip" -> (graft.sources.Orc.roundtripAgg _),
 
     // time-series extensions: as-of join, sessionization, pivot, HLL sketch
     "q_asof_join" -> (graft.ops.TimeSeriesOps.asofJoin _),
@@ -130,6 +132,7 @@ object SparkEntry {
     "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
     "q_topk_aggregator" -> ((s, d) => RelationalOps.topOrdersAggregator(s, d)),
     "q_snapshot_diff" -> (graft.ops.ChangeCapture.eventsSnapshotDiff _),
+    "q_scd2_history" -> (graft.ops.ChangeCapture.scd2History _),
     "q_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(s, d)),
     "q_dedup_keepdrop" -> (DedupOps.dedupKeepDrop _),
     "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
@@ -203,6 +206,7 @@ object SparkEntry {
     "q_semi_join_late" -> RelationalOps.semiJoinLateOrdersSql,
     "q_s7_mock_weather" -> graft.sources.MockWeather.hourlyForecastSql(),
     "q_jsonl_roundtrip" -> graft.sources.Jsonl.roundtripAggSql,
+    "q_orc_roundtrip" -> graft.sources.Orc.roundtripAggSql,
     "q_asof_join" -> graft.ops.TimeSeriesOps.asofJoinSql,
     "q_interval_join" -> graft.ops.TimeSeriesOps.intervalJoinSql,
     "q_sessionize" -> graft.ops.TimeSeriesOps.sessionizeSql,
@@ -222,6 +226,7 @@ object SparkEntry {
     "q_running_revenue" -> RelationalOps.runningRevenueSql,
     "q_revenue_deltas" -> RelationalOps.revenueDeltasSql,
     "q_snapshot_diff" -> graft.ops.ChangeCapture.eventsSnapshotDiffSql,
+    "q_scd2_history" -> graft.ops.ChangeCapture.scd2HistorySql,
     "q_dedup_clusters" -> DedupOps.nearDupClustersSql(),
     "q_value_percentiles" -> graft.ops.CorpusOps.valuePercentilesSql,
     "q_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(),

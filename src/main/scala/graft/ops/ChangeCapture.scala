@@ -67,6 +67,68 @@ object ChangeCapture {
       .orderBy("event_id")
   }
 
+  /** SCD type-2 history build: collapse each key's event stream into
+    * maximal runs of a constant attribute with [effective_from,
+    * effective_to) validity and an is_current flag — the standard type-2
+    * dimension a warehouse keeps for every mutable entity, derived here
+    * from the events table (key = user_id, tracked attribute =
+    * event_type).
+    *
+    * Gaps-and-islands via a running change-flag sum; deterministic order
+    * (ts, event_id). Scale: ONE shuffle on user_id — both windows and the
+    * run aggregation share that partitioning, so Catalyst reuses the
+    * exchange; state per key ∝ runs, never events.
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.read(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(w))
+    val hist = runs.groupBy(col("user_id"), col("run_id"))
+      .agg(
+        min(col("event_type")).as("event_type"), // constant within a run
+        min(col("ts")).as("effective_from"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    hist
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(w2))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select(
+        col("user_id"), col("event_type"), col("effective_from"),
+        col("effective_to"), col("is_current"), col("n_events"))
+      .orderBy("user_id", "effective_from")
+  }
+
+  val scd2HistorySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type
+      |  FROM events),
+      |r AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |                   OR lag(event_type) OVER w <> event_type
+      |            THEN 1 ELSE 0 END AS chg
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM r),
+      |hist AS (
+      |  SELECT user_id, run_id, min(event_type) AS event_type,
+      |    min(ts) AS effective_from, count(*) AS n_events
+      |  FROM runs GROUP BY user_id, run_id)
+      |SELECT user_id, event_type, effective_from,
+      |  lead(effective_from) OVER w2 AS effective_to,
+      |  lead(effective_from) OVER w2 IS NULL AS is_current,
+      |  n_events
+      |FROM hist WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+      |ORDER BY user_id, effective_from""".stripMargin
+
   val eventsSnapshotDiffSql: String = {
     val b = s"(${TextOps.hash60Sql("event_id::VARCHAR")}) % 100"
     s"""WITH ev AS (SELECT event_id, event_type, value FROM events),

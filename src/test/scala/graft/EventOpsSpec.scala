@@ -153,6 +153,42 @@ class EventOpsSpec extends AnyFunSuite {
     assert(Set("INSERT", "DELETE", "UPDATE").subsetOf(out.values.toSet))
   }
 
+  test("SCD2 history: contiguous validity, maximal runs, one current row per key") {
+    import graft.ops.ChangeCapture
+    val hist = ChangeCapture.scd2History(spark, dir).collect()
+    val events = graft.sources.Tables.read(spark, dir, "events")
+    // completeness: every event is inside exactly one run
+    assert(hist.map(_.getLong(5)).sum == events.count())
+    val byUser = hist.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rows) =>
+      // exactly one open (current) row per key, and it is the last one
+      assert(rows.count(_.getBoolean(4)) == 1, s"user $u current-count")
+      assert(rows.last.getBoolean(4), s"user $u current not last")
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          // contiguity: each run's effective_to = successor's effective_from
+          assert(a.getTimestamp(3) == b.getTimestamp(2), s"user $u gap")
+          // maximality: adjacent runs differ in the tracked attribute
+          assert(a.getString(1) != b.getString(1), s"user $u non-maximal run")
+        case _ => ()
+      }
+    }
+  }
+
+  test("ORC roundtrip: read-back digest equals the same digest on the parquet side") {
+    import graft.sources.{Orc, Tables}
+    val viaOrc = Orc.roundtripAgg(spark, dir).collect().map(_.toSeq).toSeq
+    val direct = Tables.read(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(pmod(graft.ops.TextOps.hash60(col("text")), lit(1L << 40)))
+          .as("text_digest"))
+      .orderBy("lang").collect().map(_.toSeq).toSeq
+    assert(viaOrc == direct)
+  }
+
   test("snapshot diff: NULLs are positional — (NULL,'a') vs ('a',NULL) is an UPDATE") {
     import graft.ops.ChangeCapture
     import spark.implicits._
