@@ -140,4 +140,40 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("range join: primitive (long) and boxed (double) paths agree on any input") {
+    // the same random point/interval sets joined once with integral types
+    // (primitive long[] probe path) and once cast to double (interpreted
+    // Ordering path) must produce identical pair sets — both also equal a
+    // driver-side nested-loop reference
+    val caseGen = for {
+      nPts <- Gen.choose(1, 120)
+      nIvs <- Gen.choose(1, 60)
+      pts <- Gen.listOfN(nPts, Gen.choose(-50L, 50L))
+      los <- Gen.listOfN(nIvs, Gen.choose(-60L, 40L))
+      widths <- Gen.listOfN(nIvs, Gen.choose(0L, 30L))
+    } yield (pts, los.zip(widths))
+    forAllSampled(caseGen, n = 5) { case (ps, ivsRaw) =>
+      val pts = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "p")
+      val ivs = ivsRaw.zipWithIndex.map { case ((lo, w), i) => (i.toLong, lo, lo + w) }
+        .toDF("w", "lo", "hi")
+      def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        df.select("id", "w").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val prim = pts.join(ivs, $"p" >= $"lo" && $"p" < $"hi")
+      assert(prim.queryExecution.executedPlan.toString.contains("RangeJoin"))
+      val boxed = pts.select($"id", $"p".cast("double").as("p"))
+        .join(
+          ivs.select($"w", $"lo".cast("double").as("lo"), $"hi".cast("double").as("hi")),
+          $"p" >= $"lo" && $"p" < $"hi")
+      val reference = (for {
+        (id, p) <- ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        ((lo, w), wi) <- ivsRaw.zipWithIndex
+        if p >= lo && p < lo + w
+      } yield (id, wi.toLong)).sorted
+      assert(pairs(prim) == reference)
+      assert(pairs(boxed) == reference)
+    }
+  }
 }
