@@ -55,7 +55,8 @@ object Bench {
       val ok = samples.filter(_ >= 0)
       (n, median(ok), samples)
     }
-    def fmt(d: Double): String = "%.4f".format(d)
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val samplesJson = results.map { case (k, _, ss) =>

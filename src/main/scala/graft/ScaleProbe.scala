@@ -34,6 +34,10 @@ object ScaleProbe {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+  private def s1(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", d)
+
   private def synthDocs(s: SparkSession, n: Int, vocabSize: Int): DataFrame = {
     import s.implicits._
     val rnd = new scala.util.Random(42)
@@ -74,10 +78,10 @@ object ScaleProbe {
       val (sh8, tSh8) = time(DedupOps.simhashCandidatePairs(d, 32, 8).count())
       val (sh15, tSh15) = time(DedupOps.simhashCandidatePairs(d, 60, 15).count())
       println(
-        f"""{"probe":"dedup_candidates","n":$n,"vocab":$vocab,""" +
-          f""""minhash_pairs":$mh,"minhash_sec":$tMh%.1f,""" +
-          f""""simhash32_8_pairs":$sh8,"simhash32_8_sec":$tSh8%.1f,""" +
-          f""""simhash60_15_pairs":$sh15,"simhash60_15_sec":$tSh15%.1f}""")
+        s"""{"probe":"dedup_candidates","n":$n,"vocab":$vocab,""" +
+          s""""minhash_pairs":$mh,"minhash_sec":${s1(tMh)},""" +
+          s""""simhash32_8_pairs":$sh8,"simhash32_8_sec":${s1(tSh8)},""" +
+          s""""simhash60_15_pairs":$sh15,"simhash60_15_sec":${s1(tSh15)}}""")
       d.unpersist()
     }
 
@@ -101,8 +105,8 @@ object ScaleProbe {
     val (nBn, tBn) = time(bnlj.count())
     require(nRj == nBn, s"result mismatch: $nRj vs $nBn")
     println(
-      f"""{"probe":"range_join","intervals":100000,"points":500000,"matches":$nRj,""" +
-        f""""range_join_sec":$tRj%.1f,"bnlj_sec":$tBn%.1f}""")
+      s"""{"probe":"range_join","intervals":100000,"points":500000,"matches":$nRj,""" +
+        s""""range_join_sec":${s1(tRj)},"bnlj_sec":${s1(tBn)}}""")
     spark.stop()
   }
 }
