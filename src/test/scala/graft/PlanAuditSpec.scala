@@ -102,6 +102,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(a.getDouble(0) == b.getDouble(0) && a.getLong(1) == b.getLong(1))
   }
 
+  test("SCD2 history runs on a single user_id exchange (windows + agg reuse it)") {
+    val p = plan(graft.ops.ChangeCapture.scd2History(spark, dir))
+    // both window passes and the run aggregation are keyed on user_id —
+    // the plan must carry exactly ONE hash exchange (plus none for the
+    // final presentation sort, which is a range exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ORC roundtrip scans ORC and aggregates with one exchange") {
+    val df = graft.sources.Orc.roundtripAgg(spark, dir)
+    val p = plan(df)
+    assert(p.toLowerCase.contains("orc"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("J2 dimension join broadcasts the small side — no fact shuffle") {
     val p = plan(EventOps.j2DimJoin(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -118,6 +118,16 @@ class VectorExpressionSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 25.0)
   }
 
+  test("dot_product is callable from SQL; zero vector gives 0.0, not NaN") {
+    val r = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").first()
+    assert(r.getDouble(0) == 11.0)
+    val z = spark.sql("SELECT dot_product(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS d").first()
+    assert(z.getDouble(0) == 0.0)
+    // length mismatch -> null, same contract as the siblings
+    val m = spark.sql("SELECT dot_product(array(1.0d), array(1.0d, 2.0d)) AS d").first()
+    assert(m.isNullAt(0))
+  }
+
   test("type check rejects non-array arguments with a named error") {
     val bad = graft.functions.CosineSimilarity(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0),
