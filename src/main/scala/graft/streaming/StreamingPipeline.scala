@@ -283,6 +283,58 @@ object StreamingPipeline {
       }
   }
 
+  // ---- streaming SCD2: closed validity runs as they happen ----------------
+
+  /** One keyed attribute observation (micros event time). */
+  final case class AttrEvent(user_id: Long, event_id: Long, ts_us: Long, event_type: String)
+
+  /** A CLOSED type-2 run: [from_us, to_us) during which the key held
+    * `event_type`. `run_seq` numbers runs per key from 1.
+    */
+  final case class Scd2Run(
+      user_id: Long, event_type: String, from_us: Long, to_us: Long,
+      n_events: Long, run_seq: Long)
+
+  final case class Scd2State(
+      curType: String, fromUs: Long, n: Long, runSeq: Long)
+
+  /** Streaming form of [[graft.ops.ChangeCapture.scd2History]]: per-key
+    * state carries only the OPEN run; an attribute change emits the closed
+    * run immediately (append mode — history rows are immutable once
+    * closed, so no retraction is ever needed). The batch query's
+    * `is_current` rows are exactly the states still open here.
+    *
+    * Delivery contract: rows are sorted (ts, event_id) within each
+    * micro-batch; across batches the source must deliver each key's events
+    * with non-decreasing event time (the per-key-ordered log contract,
+    * e.g. a Kafka partition per key) — the same assumption any streaming
+    * CDC/SCD consumer makes. State is ~50 bytes per key, independent of
+    * history length.
+    */
+  def streamingScd2(spark: SparkSession, events: Dataset[AttrEvent]): Dataset[Scd2Run] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(Scd2State(null, 0L, 0L, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Scd2Run]
+          sorted.foreach { e =>
+            if (st.curType == null)
+              st = Scd2State(e.event_type, e.ts_us, 1L, 1L)
+            else if (st.curType == e.event_type)
+              st = st.copy(n = st.n + 1)
+            else {
+              closed += Scd2Run(uid, st.curType, st.fromUs, e.ts_us, st.n, st.runSeq)
+              st = Scd2State(e.event_type, e.ts_us, 1L, st.runSeq + 1)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+
   /** R5 streaming form: each micro-batch of FAILED rows (each carrying its
     * queue `delivery_count`) splits at the ceiling — below: re-enqueued on
     * the retry path; at-or-above: dead-lettered with the exception tag.

@@ -183,6 +183,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2: closed runs converge exactly to the batch history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+
+    // batch truth: every CLOSED run (is_current rows are the open states)
+    val batchClosed = graft.ops.ChangeCapture.scd2History(spark, dir)
+      .where(!col("is_current"))
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(effective_from)").as("from_us"),
+        expr("unix_micros(effective_to)").as("to_us"),
+        col("n_events"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    // feed the same events in event-time order across three micro-batches
+    // (the per-key-ordered log contract the op documents)
+    val evs = graft.sources.Tables.read(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      .as[StreamingPipeline.AttrEvent]
+      .collect().sortBy(e => (e.ts_us, e.event_id))
+    val input = MemoryStream[StreamingPipeline.AttrEvent]
+    val q = StreamingPipeline.streamingScd2(spark, input.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("scd2_out")
+        .select("user_id", "event_type", "from_us", "to_us", "n_events")
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(streamed == batchClosed,
+        s"streamed ${streamed.size} closed runs vs batch ${batchClosed.size}")
+    } finally q.stop()
+  }
+
   test("R5: the delivery-count ceiling diverts the 6th delivery to the DLQ") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
