@@ -129,6 +129,9 @@ object SparkEntry {
     "q14_promo_revenue" -> (RelationalOps.q14PromoRevenue _),
     "q17_small_quantity" -> (RelationalOps.q17SmallQuantity _),
     "q17_correlated_subquery" -> (RelationalOps.q17CorrelatedSubquery _),
+    "q4_late_orders" -> (RelationalOps.q4LateOrders _),
+    "q13_order_histogram" -> (RelationalOps.q13OrderHistogram _),
+    "q22_idle_balance" -> (RelationalOps.q22IdleBalance _),
     "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
     "q_topk_aggregator" -> ((s, d) => RelationalOps.topOrdersAggregator(s, d)),
     "q_snapshot_diff" -> (graft.ops.ChangeCapture.eventsSnapshotDiff _),
@@ -220,6 +223,9 @@ object SparkEntry {
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,
     "q17_small_quantity" -> RelationalOps.q17SmallQuantitySql,
     "q17_correlated_subquery" -> RelationalOps.q17SmallQuantitySql,
+    "q4_late_orders" -> RelationalOps.q4LateOrdersSql,
+    "q13_order_histogram" -> RelationalOps.q13OrderHistogramSql,
+    "q22_idle_balance" -> RelationalOps.q22IdleBalanceSql,
     "q18_large_orders" -> RelationalOps.q18LargeOrdersSql,
     "q_topk_aggregator" -> RelationalOps.topOrdersAggregatorSql(),
     "q_cube_pricing" -> RelationalOps.cubePricingSql,

@@ -436,6 +436,105 @@ object RelationalOps {
         |  SELECT avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)""".stripMargin)
   }
 
+  /** TPC-H Q4 shape: orders with at least one late-shipped line, counted by
+    * priority. The EXISTS subquery (correlated on orderkey AND an
+    * inequality against the outer row's date) plans as a LEFT SEMI hash
+    * join on the equi-key with the date comparison as its residual — the
+    * decorrelation shape distinct from Q17's scalar aggregate. The
+    * reference lacks commit/receipt dates, so "late" = shipped more than
+    * 90 days after order date.
+    */
+  def q4LateOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").where(
+      col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > expr("timestampadd(DAY, 90, o_orderdate)"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4LateOrdersSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape: the order-count DISTRIBUTION over customers,
+    * INCLUDING zero-order customers — the left-outer-join-then-count-child
+    * shape (count(o_orderkey) counts non-nulls, so unmatched customers
+    * contribute n_orders = 0). A join-condition filter (non-urgent orders
+    * only) must stay in the JOIN, not a WHERE — moving it would silently
+    * drop the zero bucket.
+    */
+  def q13OrderHistogram(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").where(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+    perCust
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+  }
+
+  val q13OrderHistogramSql: String =
+    """SELECT n_orders, count(*) AS n_customers FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS n_orders
+      |  FROM customer
+      |  LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC""".stripMargin
+
+  /** TPC-H Q22 shape: customers with above-average positive balance and NO
+    * URGENT orders — an uncorrelated scalar subquery (the average,
+    * broadcast as a one-row frame) plus NOT EXISTS (left ANTI join whose
+    * right side is pre-filtered; every customer here has SOME order, so
+    * the anti join must apply the priority filter on the build side, not
+    * as a residual, to produce a non-trivial result). The average is
+    * rounded to 4dp on BOTH engines before the comparison so summation
+    * order cannot flip a boundary row.
+    */
+  def q22IdleBalance(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val avgBal = cust.where(col("c_acctbal") > 0.0)
+      .agg(round(avg(col("c_acctbal")), 4).as("ab"))
+    cust
+      .crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("ab"))
+      .join(
+        t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(
+        count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("nation")
+  }
+
+  val q22IdleBalanceSql: String =
+    """SELECT c_nationkey AS nation, count(*) AS n_custs,
+      |  round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey ORDER BY nation""".stripMargin
+
   /** Brand revenue: lineitem ⋈ broadcast(part) — completes coverage of all
     * ten shared tables and exercises the fact-⋈-product-dim shape.
     */
