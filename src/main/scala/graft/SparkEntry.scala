@@ -132,6 +132,8 @@ object SparkEntry {
     "q4_late_orders" -> (RelationalOps.q4LateOrders _),
     "q13_order_histogram" -> (RelationalOps.q13OrderHistogram _),
     "q22_idle_balance" -> (RelationalOps.q22IdleBalance _),
+    "q19_banded_revenue" -> (RelationalOps.q19BandedRevenue _),
+    "q11_supplier_value" -> (RelationalOps.q11SupplierValue _),
     "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
     "q_topk_aggregator" -> ((s, d) => RelationalOps.topOrdersAggregator(s, d)),
     "q_snapshot_diff" -> (graft.ops.ChangeCapture.eventsSnapshotDiff _),
@@ -226,6 +228,8 @@ object SparkEntry {
     "q4_late_orders" -> RelationalOps.q4LateOrdersSql,
     "q13_order_histogram" -> RelationalOps.q13OrderHistogramSql,
     "q22_idle_balance" -> RelationalOps.q22IdleBalanceSql,
+    "q19_banded_revenue" -> RelationalOps.q19BandedRevenueSql,
+    "q11_supplier_value" -> RelationalOps.q11SupplierValueSql,
     "q18_large_orders" -> RelationalOps.q18LargeOrdersSql,
     "q_topk_aggregator" -> RelationalOps.topOrdersAggregatorSql(),
     "q_cube_pricing" -> RelationalOps.cubePricingSql,

@@ -535,6 +535,68 @@ object RelationalOps {
       |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY c_nationkey ORDER BY nation""".stripMargin
 
+  /** TPC-H Q19 shape: revenue under an OR of three conjunctive
+    * brand/size/quantity bands — the DISJUNCTIVE-predicate showcase.
+    * Catalyst distributes the common `p_partkey = l_partkey` out of the OR
+    * and pushes the per-table residuals (brand/size bands to the part
+    * scan, quantity bands to lineitem) so neither scan reads rows no
+    * branch could accept; the OR itself evaluates post-join.
+    */
+  def q19BandedRevenue(s: SparkSession, dir: String): DataFrame = {
+    def band(brand: String, szLo: Int, szHi: Int, qLo: Double, qHi: Double) =
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .where(
+        band("Brand#1", 1, 15, 1, 20) ||
+          band("Brand#13", 10, 30, 10, 30) ||
+          band("Brand#20", 20, 50, 20, 40))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19BandedRevenueSql: String =
+    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+      |        AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+      |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  /** TPC-H Q11 shape: per-supplier value with a HAVING threshold that is
+    * ITSELF an aggregate over the same data (suppliers holding > 0.2% of
+    * total line value). The scalar total is one broadcast row — computed
+    * once, not per group; threshold rounded to 2dp on both engines so
+    * summation order cannot flip a boundary supplier.
+    */
+  def q11SupplierValue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val perSupp = li.groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice")).as("value"))
+    val threshold = li.agg(
+      round(sum(col("l_extendedprice")) * 0.002, 2).as("cut"))
+    perSupp
+      .crossJoin(broadcast(threshold))
+      .where(col("value") > col("cut"))
+      .select(col("l_suppkey").as("suppkey"), round(col("value"), 2).as("value"))
+      .orderBy(col("value").desc, col("suppkey"))
+  }
+
+  val q11SupplierValueSql: String =
+    """SELECT l_suppkey AS suppkey, round(sum(l_extendedprice), 2) AS value
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING sum(l_extendedprice) > (
+      |  SELECT round(sum(l_extendedprice) * 0.002, 2) FROM lineitem)
+      |ORDER BY value DESC, suppkey""".stripMargin
+
   /** Brand revenue: lineitem ⋈ broadcast(part) — completes coverage of all
     * ten shared tables and exercises the fact-⋈-product-dim shape.
     */

@@ -102,6 +102,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(a.getDouble(0) == b.getDouble(0) && a.getLong(1) == b.getLong(1))
   }
 
+  test("Q19 disjunctive bands push per-table residuals into BOTH scans") {
+    val p = plan(RelationalOps.q19BandedRevenue(spark, dir))
+    // the OR of brand/size bands references only part columns -> it must
+    // reach the part scan as a pushed Or filter; lineitem gets the
+    // quantity-band disjunction likewise
+    val scans = p.split('\n').filter(_.contains("PushedFilters"))
+    assert(scans.exists(l => l.contains("p_brand") && l.contains("Or")), p)
+    assert(scans.exists(l => l.contains("l_quantity") && l.contains("Or")), p)
+  }
+
   test("SCD2 history runs on a single user_id exchange (windows + agg reuse it)") {
     val p = plan(graft.ops.ChangeCapture.scd2History(spark, dir))
     // both window passes and the run aggregation are keyed on user_id —
