@@ -143,6 +143,7 @@ object SparkEntry {
     "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
     "q_approx_percentiles" -> (graft.ops.CorpusOps.approxPercentiles _),
     "q_stratified_sample" -> ((s, d) => graft.ops.CorpusOps.stratifiedSample(s, d)),
+    "q_weighted_sample" -> ((s, d) => graft.ops.CorpusOps.weightedSample(s, d)),
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
     "q_tfidf_topterms" -> ((s, d) => graft.ops.CorpusOps.tfIdfTopTerms(s, d)),
     "q_kmeans" -> (SimilarityOps.kmeans _),
@@ -240,6 +241,7 @@ object SparkEntry {
     "q_dedup_clusters" -> DedupOps.nearDupClustersSql(),
     "q_value_percentiles" -> graft.ops.CorpusOps.valuePercentilesSql,
     "q_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(),
+    "q_weighted_sample" -> graft.ops.CorpusOps.weightedSampleSql(),
     "q_tfidf_topterms" -> graft.ops.CorpusOps.tfIdfTopTermsSql(),
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
     "q_kmeans" -> SimilarityOps.kmeansSql,

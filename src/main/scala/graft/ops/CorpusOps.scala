@@ -66,6 +66,46 @@ object CorpusOps {
       |  true AS within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Deterministic WEIGHTED sampling without replacement, k per language —
+    * Efraimidis–Spirakis: each doc draws a pseudo-uniform u ∈ (0,1) from a
+    * content-independent hash and competes on the exponential sort key
+    * −ln(u)/w (ascending ⇔ u^(1/w) descending); the k smallest keys per
+    * group are a weighted sample without replacement. THE one-pass
+    * distributed algorithm for the job: the key is map-side, the per-group
+    * top-k is a ranked window (WindowGroupLimit keeps k per partition
+    * before the shuffle), and partial top-ks merge associatively — no
+    * global sort, no rejection loop, replay-stable. Weight = n_chars
+    * (longer docs proportionally likelier), the mixture-building knob a
+    * training-data pipeline tunes. Key rounded to 9dp on both engines so a
+    * last-ulp ln() difference cannot flip a rank; doc_id breaks ties.
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (hash60(concat(lit("ws#"), col("doc_id").cast("string"))) % 1000003L +
+      lit(1L)).cast("double") / 1000004.0
+    val key = round(-log(u) / (col("n_chars").cast("double") / 100.0), 9)
+    val w = Window.partitionBy(col("lang")).orderBy(col("es_key"), col("doc_id"))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("es_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"), col("es_key"))
+      .orderBy("lang", "rank")
+  }
+
+  def weightedSampleSql(k: Int = 5): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, lang,
+       |    round(-ln((((${TextOps.hash60Sql("'ws#' || doc_id::VARCHAR")}) % 1000003) + 1) / 1000004.0)
+       |          / (n_chars / 100.0), 9) AS es_key
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT lang, doc_id, es_key,
+       |    row_number() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rank
+       |  FROM keyed)
+       |SELECT lang, rank, doc_id, es_key FROM ranked
+       |WHERE rank <= $k ORDER BY lang, rank""".stripMargin
+
   /** Deterministic stratified sample: ~10% of documents per language via a
     * content-independent hash split — the reproducible train/eval split
     * every data pipeline needs (no rand(), so replays and engines agree;

@@ -63,6 +63,26 @@ class TimeSeriesCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sample: deterministic, biased toward heavy docs, group-limited plan") {
+    val out = CorpusOps.weightedSample(spark, dir).collect()
+    val again = CorpusOps.weightedSample(spark, dir).collect()
+    assert(out.sameElements(again)) // replay-stable
+    assert(out.length == 25) // 5 langs x k=5
+    // weight = n_chars: the sampled mean length must exceed the corpus
+    // mean (E-S bias E[w^2]/E[w] > E[w]); deterministic, so not flaky
+    val docs = graft.sources.Tables.read(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampledMean = out.map(r => docs(r.getLong(2)).toDouble).sum / out.length
+    val corpusMean = docs.values.map(_.toDouble).sum / docs.size
+    assert(sampledMean > corpusMean,
+      s"sampled mean $sampledMean <= corpus mean $corpusMean")
+    // scale shape: per-group top-k must be group-limited before the shuffle
+    val p = CorpusOps.weightedSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("stratified sample: deterministic and a strict subset") {
     val a = CorpusOps.stratifiedSample(spark, dir).collect()
     val b = CorpusOps.stratifiedSample(spark, dir).collect()
