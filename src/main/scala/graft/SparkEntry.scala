@@ -135,6 +135,7 @@ object SparkEntry {
     "q19_banded_revenue" -> (RelationalOps.q19BandedRevenue _),
     "q11_supplier_value" -> (RelationalOps.q11SupplierValue _),
     "q7_trade_volume" -> (RelationalOps.q7TradeVolume _),
+    "q2_min_cost_supplier" -> (RelationalOps.q2MinCostSupplier _),
     "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
     "q_topk_aggregator" -> ((s, d) => RelationalOps.topOrdersAggregator(s, d)),
     "q_snapshot_diff" -> (graft.ops.ChangeCapture.eventsSnapshotDiff _),
@@ -233,6 +234,7 @@ object SparkEntry {
     "q19_banded_revenue" -> RelationalOps.q19BandedRevenueSql,
     "q11_supplier_value" -> RelationalOps.q11SupplierValueSql,
     "q7_trade_volume" -> RelationalOps.q7TradeVolumeSql,
+    "q2_min_cost_supplier" -> RelationalOps.q2MinCostSupplierSql,
     "q18_large_orders" -> RelationalOps.q18LargeOrdersSql,
     "q_topk_aggregator" -> RelationalOps.topOrdersAggregatorSql(),
     "q_cube_pricing" -> RelationalOps.cubePricingSql,

@@ -535,6 +535,28 @@ object RelationalOps {
       |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY c_nationkey ORDER BY nation""".stripMargin
 
+  /** TPC-H Q2 shape: ARGMIN per group via a correlated scalar EQUALITY
+    * subquery (`price = (SELECT min(price) ... WHERE same part)`) — the
+    * other decorrelation pattern beside Q17's inequality-vs-aggregate:
+    * Catalyst rewrites it to a per-part min aggregate joined back on
+    * (partkey, price). Expressed through `spark.sql` so the rewrite is
+    * exercised from SQL; the DuckDB oracle runs the IDENTICAL text.
+    */
+  private val q2ArgminText: String =
+    """SELECT l_partkey, l_suppkey, round(l_extendedprice, 2) AS min_price
+      |FROM lineitem l
+      |WHERE l_extendedprice = (
+      |  SELECT min(l_extendedprice) FROM lineitem
+      |  WHERE l_partkey = l.l_partkey)
+      |ORDER BY l_partkey, l_suppkey LIMIT 50""".stripMargin
+
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q2ArgminText)
+  }
+
+  val q2MinCostSupplierSql: String = q2ArgminText
+
   /** TPC-H Q7 shape: bilateral trade volume between two nations by year —
     * the DIMENSION-PAIR disjunction (either direction of the pair
     * qualifies) over the lineitem⋈orders spine with BOTH endpoints'

@@ -102,6 +102,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(a.getDouble(0) == b.getDouble(0) && a.getLong(1) == b.getLong(1))
   }
 
+  test("Q2 argmin equality subquery decorrelates to an aggregate join") {
+    val df = RelationalOps.q2MinCostSupplier(spark, dir)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("scalar-subquery"), opt)
+    assert(opt.contains("Join") && opt.contains("Aggregate"), opt)
+    // argmin semantics: every returned price IS its part's minimum
+    import spark.implicits._
+    val mins = Tables.read(spark, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(min(col("l_extendedprice")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    df.collect().foreach { r =>
+      assert(r.getDouble(2) == math.rint(mins(r.getLong(0)) * 100) / 100)
+    }
+  }
+
   test("Q19 disjunctive bands push per-table residuals into BOTH scans") {
     val p = plan(RelationalOps.q19BandedRevenue(spark, dir))
     // the OR of brand/size bands references only part columns -> it must
