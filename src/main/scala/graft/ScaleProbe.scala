@@ -77,11 +77,15 @@ object ScaleProbe {
       val (mh, tMh) = time(DedupOps.minhashCandidatePairs(d).count())
       val (sh8, tSh8) = time(DedupOps.simhashCandidatePairs(d, 32, 8).count())
       val (sh15, tSh15) = time(DedupOps.simhashCandidatePairs(d, 60, 15).count())
+      // bandBits 30 (2 bands of the 60-bit lane — the per-lane banding the
+      // 128-bit two-lane op uses): does n²/2^bandBits hold past 15?
+      val (sh30, tSh30) = time(DedupOps.simhashCandidatePairs(d, 60, 30).count())
       println(
         s"""{"probe":"dedup_candidates","n":$n,"vocab":$vocab,""" +
           s""""minhash_pairs":$mh,"minhash_sec":${s1(tMh)},""" +
           s""""simhash32_8_pairs":$sh8,"simhash32_8_sec":${s1(tSh8)},""" +
-          s""""simhash60_15_pairs":$sh15,"simhash60_15_sec":${s1(tSh15)}}""")
+          s""""simhash60_15_pairs":$sh15,"simhash60_15_sec":${s1(tSh15)},""" +
+          s""""simhash60_30_pairs":$sh30,"simhash60_30_sec":${s1(tSh30)}}""")
       d.unpersist()
     }
 

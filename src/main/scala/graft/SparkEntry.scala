@@ -88,6 +88,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (DedupOps.simhashFingerprint _),
     "q_dedup_simhash_pairs" -> ((sp, d) => DedupOps.simhashNearPairs(sp, d)),
     "q_dedup_simhash_wide" -> ((sp, d) => DedupOps.simhashNearPairsWide(sp, d)),
+    "q_dedup_simhash_wide128" -> ((sp, d) => DedupOps.simhashNearPairsWide128(sp, d)),
 
     // LLM-data pipeline: similarity search
     "q_ann_cosine_topk" -> (SimilarityOps.annBruteForce _),
@@ -102,6 +103,7 @@ object SparkEntry {
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
     "q_multimodal_decode" -> (MultimodalOps.decodePng _),
+    "q_multimodal_audio" -> (MultimodalOps.decodeWav _),
 
     // relational coverage: scan-only agg, grouping sets, semi join
     "q6_forecast_revenue" -> (RelationalOps.q6ForecastRevenue _),
@@ -137,6 +139,8 @@ object SparkEntry {
     "q7_trade_volume" -> (RelationalOps.q7TradeVolume _),
     "q2_min_cost_supplier" -> (RelationalOps.q2MinCostSupplier _),
     "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
+    "q21_waiting_suppliers" -> (RelationalOps.q21WaitingSuppliers _),
+    "q20_promo_suppliers" -> (RelationalOps.q20PromoSuppliers _),
     "q_topk_aggregator" -> ((s, d) => RelationalOps.topOrdersAggregator(s, d)),
     "q_snapshot_diff" -> (graft.ops.ChangeCapture.eventsSnapshotDiff _),
     "q_scd2_history" -> (graft.ops.ChangeCapture.scd2History _),
@@ -146,6 +150,7 @@ object SparkEntry {
     "q_approx_percentiles" -> (graft.ops.CorpusOps.approxPercentiles _),
     "q_stratified_sample" -> ((s, d) => graft.ops.CorpusOps.stratifiedSample(s, d)),
     "q_weighted_sample" -> ((s, d) => graft.ops.CorpusOps.weightedSample(s, d)),
+    "q_mixture_sample" -> ((s, d) => graft.ops.CorpusOps.mixtureSample(s, d)),
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
     "q_tfidf_topterms" -> ((s, d) => graft.ops.CorpusOps.tfIdfTopTerms(s, d)),
     "q_kmeans" -> (SimilarityOps.kmeans _),
@@ -201,6 +206,7 @@ object SparkEntry {
     "q_dedup_simhash" -> DedupOps.simhashFingerprintSql,
     "q_dedup_simhash_pairs" -> DedupOps.simhashNearPairsSql(),
     "q_dedup_simhash_wide" -> DedupOps.simhashNearPairsWideSql(),
+    "q_dedup_simhash_wide128" -> DedupOps.simhashNearPairsWide128Sql(),
     "q_dedup_keepdrop" -> DedupOps.dedupKeepDropSql(),
     "q_ann_cosine_topk" -> SimilarityOps.annBruteForceSql,
     "q_ann_lsh_bucketed" -> SimilarityOps.annLshBucketedSql,
@@ -209,6 +215,7 @@ object SparkEntry {
     "q_dedup_embedding" -> SimilarityOps.embeddingNearDupSql(),
     "q_multimodal_meta" -> MultimodalOps.mediaMetaSql,
     "q_multimodal_decode" -> MultimodalOps.decodePngSql,
+    "q_multimodal_audio" -> MultimodalOps.decodeWavSql,
     "q6_forecast_revenue" -> RelationalOps.q6ForecastRevenueSql,
     "q_rollup_pricing" -> RelationalOps.rollupPricingSql,
     "q_semi_join_late" -> RelationalOps.semiJoinLateOrdersSql,
@@ -236,6 +243,8 @@ object SparkEntry {
     "q7_trade_volume" -> RelationalOps.q7TradeVolumeSql,
     "q2_min_cost_supplier" -> RelationalOps.q2MinCostSupplierSql,
     "q18_large_orders" -> RelationalOps.q18LargeOrdersSql,
+    "q21_waiting_suppliers" -> RelationalOps.q21WaitingSuppliersSql,
+    "q20_promo_suppliers" -> RelationalOps.q20PromoSuppliersSql,
     "q_topk_aggregator" -> RelationalOps.topOrdersAggregatorSql(),
     "q_cube_pricing" -> RelationalOps.cubePricingSql,
     "q_running_revenue" -> RelationalOps.runningRevenueSql,
@@ -246,6 +255,7 @@ object SparkEntry {
     "q_value_percentiles" -> graft.ops.CorpusOps.valuePercentilesSql,
     "q_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(),
     "q_weighted_sample" -> graft.ops.CorpusOps.weightedSampleSql(),
+    "q_mixture_sample" -> graft.ops.CorpusOps.mixtureSampleSql(),
     "q_tfidf_topterms" -> graft.ops.CorpusOps.tfIdfTopTermsSql(),
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
     "q_kmeans" -> SimilarityOps.kmeansSql,

@@ -106,6 +106,72 @@ object CorpusOps {
        |SELECT lang, rank, doc_id, es_key FROM ranked
        |WHERE rank <= $k ORDER BY lang, rank""".stripMargin
 
+  /** Default mixture for [[mixtureSample]]: four sources with distinct
+    * target proportions (the remaining sources are excluded — a mixture
+    * spec defines the OUTPUT corpus, not a filter over it).
+    */
+  val DefaultMixture: Seq[(String, Double)] = Seq(
+    "src0" -> 0.40, "src1" -> 0.30, "src2" -> 0.20, "src3" -> 0.10)
+
+  /** Mixture/curriculum sampler — the most-run op in training-data
+    * assembly: given per-source target proportions and a total budget,
+    * emit a deterministic sample whose per-source counts hit the mixture
+    * exactly (round(budget·fraction), capped by availability). Composes
+    * the Efraimidis–Spirakis machinery of [[weightedSample]]: each doc
+    * draws a content-independent pseudo-uniform and competes on
+    * −ln(u)/w with w = n_chars/100 (the curriculum knob — longer docs
+    * proportionally likelier), and the per-source quota is taken from
+    * the ranked order.
+    *
+    * Scale shape: the ES key is map-side; the rank is a per-source
+    * window whose CONSTANT bound (max quota over the mixture) is applied
+    * first so Spark inserts a WindowGroupLimit — each partition keeps at
+    * most maxK rows per source BEFORE the shuffle (pinned in
+    * PlanAuditSpec). The per-source exact quota then comes from a
+    * broadcast join against the |mixture|-row spec — tiny by definition.
+    * One shuffle total at any corpus size.
+    */
+  def mixtureSample(s: SparkSession, dir: String,
+      mixture: Seq[(String, Double)] = DefaultMixture,
+      budget: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quota = mixture.map { case (src, f) => (src, math.round(budget * f)) }
+    val maxK = quota.map(_._2).max
+    val quotaDf = s.createDataFrame(quota).toDF("m_source", "target_k")
+    val u = (hash60(concat(lit("mx#"), col("doc_id").cast("string"))) % 1000003L +
+      lit(1L)).cast("double") / 1000004.0
+    val key = round(-log(u) / (col("n_chars").cast("double") / 100.0), 9)
+    val w = Window.partitionBy(col("source")).orderBy(col("es_key"), col("doc_id"))
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), key.as("es_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= maxK) // constant bound → WindowGroupLimit prunes
+      .join(broadcast(quotaDf), col("source") === col("m_source"))
+      .where(col("rank") <= col("target_k"))
+      .select(col("source"), col("rank"), col("doc_id"), col("target_k"))
+      .orderBy("source", "rank")
+  }
+
+  def mixtureSampleSql(mixture: Seq[(String, Double)] = DefaultMixture,
+      budget: Int = 20): String = {
+    val values = mixture
+      .map { case (src, f) => s"('$src', ${math.round(budget * f)})" }
+      .mkString(", ")
+    s"""WITH quota(m_source, target_k) AS (VALUES $values),
+       |keyed AS (
+       |  SELECT doc_id, source,
+       |    round(-ln((((${TextOps.hash60Sql("'mx#' || doc_id::VARCHAR")}) % 1000003) + 1) / 1000004.0)
+       |          / (n_chars / 100.0), 9) AS es_key
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, es_key,
+       |    row_number() OVER (PARTITION BY source ORDER BY es_key, doc_id) AS rank
+       |  FROM keyed)
+       |SELECT source, rank, doc_id, target_k::BIGINT AS target_k
+       |FROM ranked JOIN quota ON source = m_source
+       |WHERE rank <= target_k ORDER BY source, rank""".stripMargin
+  }
+
   /** Deterministic stratified sample: ~10% of documents per language via a
     * content-independent hash split — the reproducible train/eval split
     * every data pipeline needs (no rand(), so replays and engines agree;

@@ -123,10 +123,14 @@ object DedupOps {
       col("k") === col("k_b") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    // counts has ONE ROW PER DOCUMENT — linear in the corpus — so the two
+    // joins are deliberately unhinted: AQE broadcasts while the aggregate
+    // is small and falls back to a doc_id shuffle join at corpus scale
+    // (a forced broadcast would push 10⁹⁺ rows through the driver at 100 TB)
     common
-      .join(broadcast(counts).as("ca"), col("doc_a") === col("ca.c_doc"))
+      .join(counts.as("ca"), col("doc_a") === col("ca.c_doc"))
       .withColumnRenamed("n_sh", "n_a").drop("c_doc")
-      .join(broadcast(counts).as("cb"), col("doc_b") === col("cb.c_doc"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.c_doc"))
       .withColumnRenamed("n_sh", "n_b").drop("c_doc")
       .withColumn(
         "jaccard",
@@ -516,6 +520,117 @@ object DedupOps {
       SimhashWideBits / SimhashWideBandBits, SimhashWideBandBits)
       .where(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+
+  /** 120-bit SimHash in TWO independent 60-bit lanes — the >10⁶-docs/shard
+    * parameterization the single-long fingerprint cannot reach (hash60 has
+    * no bits above 60, so bandBits caps at 15 with 4 bands ⇒ bucket space
+    * 2¹⁵ ≈ n²-growth past ~10⁶ docs/shard; ROADMAP round-4 table). Lane 1
+    * re-hashes each shingle with a salt prefix, so the lanes are
+    * independent draws; 4 bands of 30 bits (2 per lane) keep the lossless
+    * pigeonhole guarantee for Hamming ≤ 3 while the per-band bucket space
+    * grows to 2³⁰ — random collisions n²/2³⁰, negligible to ~10⁹ docs/shard
+    * (model measured past bandBits 15 in ScaleProbe / ROADMAP).
+    *
+    * Scale shape unchanged from the narrow op: BOTH lanes' bit-votes are
+    * aggregate columns of the SAME groupBy (one shuffle on doc_id for 120
+    * votes), bands explode 4 rows/doc, candidates ∝ band collisions.
+    */
+  val Simhash128LaneBits = 60
+  val Simhash128BandBits = 30
+  private val Lane1Salt = "L2#"
+
+  /** (doc_id, simhash0, simhash1): two independent 60-bit lanes voted in a
+    * single aggregate pass over the shingle index.
+    */
+  private def simhashLanes(idx: DataFrame): DataFrame = {
+    val bits = Simhash128LaneBits
+    val hashed = idx.select(
+      col("doc_id"),
+      hash60(col("shingle")).as("h0"),
+      hash60(concat(lit(Lane1Salt), col("shingle"))).as("h1"))
+    val voteAggs = (0 to 1).flatMap { lane =>
+      (0 until bits).map { b =>
+        sum(when(expr(s"shiftright(h$lane, $b) & 1") === 1, 1).otherwise(-1))
+          .as(s"v${lane}_$b")
+      }
+    }
+    val votes = hashed.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val fps = (0 to 1).map { lane =>
+      (0 until bits)
+        .map(b => when(col(s"v${lane}_$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _).as(s"simhash$lane")
+    }
+    votes.select(col("doc_id") +: fps: _*)
+  }
+
+  /** Test/probe surface: the raw two-lane fingerprints. */
+  private[graft] def simhashLanes128(s: SparkSession, dir: String): DataFrame =
+    simhashLanes(shingleIndex(s, dir))
+
+  def simhashNearPairsWide128(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val bandBits = Simhash128BandBits
+    val perLane = Simhash128LaneBits / bandBits // 2 bands per lane
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 to 1).flatMap { lane =>
+      (0 until perLane).map { b =>
+        struct(lit(lane * perLane + b).as("band"),
+          expr(s"shiftright(simhash$lane, ${bandBits * b}) & $mask").as("bv"))
+      }
+    }
+    val fp = simhashLanes(shingleIndex(s, dir))
+    val bands = fp.select(
+      col("doc_id"), col("simhash0"), col("simhash1"),
+      explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("simhash0"), col("simhash1"),
+        col("bd.band").as("band"), col("bd.bv").as("bv"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (expr("bit_count(x.simhash0 ^ y.simhash0)") +
+          expr("bit_count(x.simhash1 ^ y.simhash1)")).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashNearPairsWide128Sql(maxHamming: Int = 3): String = {
+    val bits = Simhash128LaneBits
+    val bandBits = Simhash128BandBits
+    val perLane = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    val h0 = hash60Sql("sh")
+    val h1 = hash60Sql(s"'$Lane1Salt' || sh")
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest($shingleListSql) AS sh FROM documents),
+       |hs AS (SELECT doc_id, $h0 AS h0, $h1 AS h1 FROM e),
+       |votes AS (
+       |  SELECT doc_id, bit,
+       |    sum(CASE WHEN (h0 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+       |    sum(CASE WHEN (h1 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v1
+       |  FROM hs, (SELECT unnest(range(0, $bits)) AS bit)
+       |  GROUP BY doc_id, bit),
+       |fp AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN v0 > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash0,
+       |    sum(CASE WHEN v1 > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash1
+       |  FROM votes GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, simhash0, simhash1, lane * $perLane + b AS band,
+       |    ((CASE WHEN lane = 0 THEN simhash0 ELSE simhash1 END) >> (b * $bandBits)) & $mask AS bv
+       |  FROM fp, (SELECT unnest(range(0, 2)) AS lane),
+       |       (SELECT unnest(range(0, $perLane)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    (bit_count(xor(x.simhash0, y.simhash0)) +
+       |     bit_count(xor(x.simhash1, y.simhash1)))::BIGINT AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   private def simhashNearPairsSqlAt(
       maxHamming: Int, bits: Int, bandBits: Int): String = {

@@ -8,16 +8,22 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, plus a decode/feature-extract stage.
   *
-  * Two decode tiers:
+  * Three decode tiers:
   *  - [[decodeFeatures]] keeps the deterministic byte-length stub as the
-  *    stand-in for codecs the JVM lacks (audio/video);
+  *    stand-in for codecs the JVM lacks (now VIDEO only);
   *  - [[decodePng]] is a REAL image decode: payloads are genuine PNGs
   *    (synthesized map-side with `BufferedImage` + `ImageIO.write`, dims
   *    and pixel colors deterministic functions of doc_id) and the decode
   *    stage reads them back with `ImageIO.read`, emitting true width/
   *    height plus the top-left pixel's RGB — values only a real pixel
   *    decode can produce, yet mirrored exactly by the DuckDB oracle's
-  *    modular arithmetic (PNG is lossless).
+  *    modular arithmetic (PNG is lossless);
+  *  - [[decodeWav]] is a REAL audio decode via the JDK-native WAV codec
+  *    (`javax.sound.sampled.AudioSystem`): payloads are genuine RIFF/WAVE
+  *    files (16-bit PCM synthesized map-side, rate/channels/frames/samples
+  *    deterministic functions of doc_id) read back through
+  *    `getAudioInputStream`, emitting format fields and the first PCM
+  *    sample — again arithmetic-mirrored in the oracle (PCM is lossless).
   *
   * Scale: payloads never shuffle (all derivations are map-side); metadata
   * aggregations group on small derived columns. A real pipeline would also
@@ -48,10 +54,11 @@ object MultimodalOps {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"))
 
-  /** DECODE STUB — deterministic fake standing in for the codec call.
-    * A real implementation decodes `payload` (e.g. libjpeg/FFmpeg via JNI)
-    * per partition; this derives dimensions from the byte length so tests
-    * and oracles are reproducible.
+  /** DECODE STUB — deterministic fake standing in for the codec call, now
+    * needed for VIDEO only (image → [[decodePng]], audio → [[decodeWav]]
+    * are real decodes). A real implementation decodes `payload` (e.g.
+    * FFmpeg via JNI) per partition; this derives dimensions from the byte
+    * length so tests and oracles are reproducible.
     */
   private def fakeDecode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeature = {
     val n = payload.length.toLong
@@ -157,6 +164,100 @@ object MultimodalOps {
       |  (doc_id % 256)::INTEGER AS r0,
       |  ((doc_id * 7) % 256)::INTEGER AS g0,
       |  ((doc_id * 13) % 256)::INTEGER AS b0
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- real WAV (audio) decode --------------------------------------------
+
+  /** A decoded WAV record: format fields + the first PCM sample. */
+  final case class DecodedWav(
+      media_id: Long, sample_rate: Int, channels: Int, n_frames: Long,
+      first_sample: Int)
+
+  /** Deterministic RIFF/WAVE payload for `id`: 16-bit signed little-endian
+    * PCM, sample rate 8000 + (id%5)·2000 Hz, id%2+1 channels, id%50+20
+    * frames; sample (frame i, channel c) = (id·31 + 7i + 3c) mod 2¹⁶ −
+    * 2¹⁵. Synthesized map-side on executors with the JDK's own WAV writer.
+    */
+  private[ops] def encodeWav(id: Long): Array[Byte] = {
+    val sampleRate = (8000 + (id % 5) * 2000).toInt
+    val channels = (id % 2 + 1).toInt
+    val nFrames = (id % 50 + 20).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = (((id * 31 + 7L * i + 3L * c) % 65536L) - 32768L).toInt
+        val off = (i * channels + c) * 2
+        data(off) = (v & 0xff).toByte
+        data(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** (media_id, payload binary) — a genuine WAV file per document id. */
+  def wavTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.read(s, dir, "documents").select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, encodeWav(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the RIFF
+    * header (format, frame count) and streams the PCM body; the first
+    * 16-bit little-endian sample is read from the decoded stream. Same
+    * iterator-in/iterator-out codec slot as [[decodePng]]; every output
+    * column is re-derived arithmetically by the oracle.
+    */
+  def decodeWav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          // AudioInputStream reads WHOLE FRAMES only (a sub-frame length
+          // reads 0 bytes) — pull the first frame and take channel 0
+          val frameSize = fmt.getFrameSize
+          val buf = new Array[Byte](frameSize)
+          var got = 0
+          while (got < frameSize) {
+            val n = ais.read(buf, got, frameSize - got)
+            require(n > 0, s"EOF inside first frame of media $id")
+            got += n
+          }
+          DecodedWav(
+            media_id = id,
+            sample_rate = fmt.getSampleRate.toInt,
+            channels = fmt.getChannels,
+            n_frames = ais.getFrameLength,
+            first_sample = (buf(1) << 8) | (buf(0) & 0xff))
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Decoded WAV fields re-derived arithmetically — the oracle. */
+  val decodeWavSql: String =
+    """SELECT doc_id AS media_id,
+      |  (8000 + (doc_id % 5) * 2000)::INTEGER AS sample_rate,
+      |  (doc_id % 2 + 1)::INTEGER AS channels,
+      |  (doc_id % 50 + 20)::BIGINT AS n_frames,
+      |  ((doc_id * 31) % 65536 - 32768)::INTEGER AS first_sample
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** Oracle-able metadata projection over the media table — pure column

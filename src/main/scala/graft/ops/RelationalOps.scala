@@ -16,9 +16,11 @@ object RelationalOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables.read(s, dir, n)
 
   /** TPC-H Q3 shape: selective dim filter → join fan-in → top-k by revenue.
-    * customer(filtered) is small → broadcast into orders; orders(filtered) ⋈
-    * lineitem shuffles on orderkey. Top-10 is TakeOrderedAndProject (no
-    * global sort). At 100 TB: two broadcast-able sides, one big shuffle.
+    * customer scales linearly with SF (TPC-H SF×150k rows), so the join is
+    * deliberately UNHINTED: statistics/AQE broadcast the filtered side while
+    * it fits and fall back to a shuffle join at cluster scale — a forced
+    * `broadcast()` would pin a driver-OOM plan at 100 TB. Top-10 is
+    * TakeOrderedAndProject (no global sort).
     */
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-01-01 00:00:00").cast("timestamp")
@@ -26,7 +28,7 @@ object RelationalOps {
     val ord = t(s, dir, "orders").where(col("o_orderdate") < cutoff)
     val li = t(s, dir, "lineitem").where(col("l_shipdate") > cutoff)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"))
@@ -51,10 +53,12 @@ object RelationalOps {
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
   /** TPC-H Q5 shape: snowflake fan-in (region→nation→customer + supplier)
-    * around the orders⋈lineitem spine. All dimension sides broadcast; the
-    * only real shuffle is lineitem⋈orders on orderkey + the final group on
-    * nation. The co-located-nation predicate (c_nationkey = s_nationkey)
-    * mirrors Q5's local-supplier semantics.
+    * around the orders⋈lineitem spine. nation/region are CONSTANT-size →
+    * forced broadcast is always right; customer/supplier scale linearly
+    * with SF → left unhinted so statistics/AQE broadcast only while they
+    * fit (at sf0.001–0.1 the plan is identical to the hinted one, pinned
+    * in PlanAuditSpec). The co-located-nation predicate
+    * (c_nationkey = s_nationkey) mirrors Q5's local-supplier semantics.
     */
   def q5LocalSupplierRevenue(s: SparkSession, dir: String): DataFrame = {
     val reg = t(s, dir, "region").where(col("r_name") === "ASIA")
@@ -66,9 +70,9 @@ object RelationalOps {
         col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
     val li = t(s, dir, "lineitem")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(
-        broadcast(cust),
+        cust,
         col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
@@ -266,6 +270,8 @@ object RelationalOps {
   /** TPC-H Q10 shape: returned-item revenue per customer, top 20. Three-way
     * join with the selective filter (returnflag = 'R') applied BEFORE the
     * joins so the big side shrinks first; top-20 via TakeOrderedAndProject.
+    * customer is SF-scaled → unhinted (stats/AQE decide); nation is
+    * constant-size → hinted broadcast.
     */
   def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
     val returned = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
@@ -274,7 +280,7 @@ object RelationalOps {
         col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
     returned
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -317,7 +323,7 @@ object RelationalOps {
     li
       .join(qualifying, col("l_orderkey") === col("q_orderkey"), "left_semi")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"))
       .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
@@ -372,14 +378,15 @@ object RelationalOps {
        |WHERE rank <= $k ORDER BY o_orderpriority, rank""".stripMargin
 
   /** TPC-H Q14 shape: promo revenue share — conditional aggregate over a
-    * broadcast dim join, one output row.
+    * part-dim join, one output row. part is SF-scaled (TPC-H SF×200k), so
+    * the join is unhinted: parquet size stats broadcast it while small.
     */
   def q14PromoRevenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .where(
         col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1997-07-01 00:00:00").cast("timestamp"))
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .agg(
         round(
           sum(when(col("p_type") === "PROMO",
@@ -397,14 +404,16 @@ object RelationalOps {
       |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin
 
   /** TPC-H Q17 shape: small-quantity-order revenue — the correlated scalar
-    * subquery (avg quantity per part) planned as an aggregate joined back,
-    * broadcast because it is one row per part.
+    * subquery (avg quantity per part) planned as an aggregate joined back.
+    * The aggregate is one row PER PART (SF-scaled), so the join-back is
+    * unhinted: AQE broadcasts the measured aggregate while it fits and
+    * shuffles on partkey beyond that.
     */
   def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
-    li.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+    li.join(avgQty, col("l_partkey") === col("a_partkey"))
       .where(col("l_quantity") < col("avg_qty") * 0.5)
       .agg(
         round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
@@ -557,13 +566,79 @@ object RelationalOps {
 
   val q2MinCostSupplierSql: String = q2ArgminText
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS and
+    * NOT-EXISTS BOTH correlated against the same fact table — the last
+    * classic decorrelation pattern after Q2/Q4/Q17/Q22. A late line (shipped
+    * >90 days after order date, the Q4 lateness adaption — the reference
+    * schema has no commit/receipt dates) qualifies when its order has
+    * ANOTHER supplier's line (EXISTS → left-semi on orderkey with a
+    * supplier-inequality residual) but NO other supplier's LATE line
+    * (NOT EXISTS → left-anti whose correlated condition references TWO
+    * outer columns, l_orderkey and o_orderdate). Catalyst plans one semi
+    * and one anti hash join over the same scan — a per-row re-execution of
+    * either subquery would be O(n²) at 100 TB. Shared text: the DuckDB
+    * oracle runs the IDENTICAL query.
+    */
+  private val q21Text: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_1'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "nation")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q21Text)
+  }
+
+  val q21WaitingSuppliersSql: String = q21Text
+
+  /** TPC-H Q20 shape (part-availability supplier screen): the NESTED
+    * semi-join chain — an IN whose subquery itself contains an IN plus a
+    * grouped HAVING: suppliers shipping >90 units of some PROMO part since
+    * 1997 (~19% of suppliers at sf0.01). Catalyst decorrelates both levels to left-semi hash joins (part
+    * screen into the per-(supplier, part) aggregate, aggregate into
+    * supplier); nothing re-executes per row. Shared text with the oracle.
+    */
+  private val q20Text: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING sum(l_quantity) > 90)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def q20PromoSuppliers(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "part")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q20Text)
+  }
+
+  val q20PromoSuppliersSql: String = q20Text
+
   /** TPC-H Q7 shape: bilateral trade volume between two nations by year —
     * the DIMENSION-PAIR disjunction (either direction of the pair
     * qualifies) over the lineitem⋈orders spine with BOTH endpoints'
     * nation dims joined (supplier's and customer's), grouped on a derived
-    * year. All four dimension sides broadcast; the OR evaluates post-join
-    * on two broadcast-joined columns, and the only real shuffle is the
-    * final (nation, nation, year) aggregate.
+    * year. The two nation aliases are constant-size → hinted broadcast;
+    * supplier/customer are SF-scaled → unhinted (stats/AQE broadcast while
+    * they fit). The OR evaluates post-join on two broadcast-joined columns;
+    * the only real shuffle is the final (nation, nation, year) aggregate.
     */
   def q7TradeVolume(s: SparkSession, dir: String): DataFrame = {
     val n1 = t(s, dir, "nation")
@@ -572,8 +647,8 @@ object RelationalOps {
       .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
       .where(
@@ -666,12 +741,13 @@ object RelationalOps {
       |  SELECT round(sum(l_extendedprice) * 0.002, 2) FROM lineitem)
       |ORDER BY value DESC, suppkey""".stripMargin
 
-  /** Brand revenue: lineitem ⋈ broadcast(part) — completes coverage of all
-    * ten shared tables and exercises the fact-⋈-product-dim shape.
+  /** Brand revenue: lineitem ⋈ part — completes coverage of all ten shared
+    * tables and exercises the fact-⋈-product-dim shape. part is SF-scaled
+    * → unhinted (size stats broadcast it while small).
     */
   def brandRevenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_lines"),

@@ -194,6 +194,27 @@ class LlmOpsSpec extends AnyFunSuite {
       s"wide pairs not a subset: ${(widePairs -- narrow).take(5)}")
   }
 
+  test("simhash 128 (2x60 lanes / 4x30 bands): lossless vs all-pairs, lane0 extends wide") {
+    val lanes = DedupOps.simhashLanes128(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pigeonhole losslessness at the 120-bit scale parameterization: the
+    // 4x30 band join must find EXACTLY the all-pairs Hamming<=3 set
+    def ham(a: (Long, Long, Long), b: (Long, Long, Long)): Long =
+      (java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)).toLong
+    val expected = (for {
+      a <- lanes; b <- lanes
+      if a._1 < b._1 && ham(a, b) <= 3
+    } yield (a._1, b._1, ham(a, b))).toSet
+    val got = DedupOps.simhashNearPairsWide128(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    // 120-bit hamming >= lane-0 (60-bit) hamming, so every 128-wide pair is
+    // a wide-60 pair — the strictness ordering narrow ⊇ wide ⊇ wide128
+    val wide60 = DedupOps.simhashNearPairsWide(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)).subsetOf(wide60))
+  }
+
   test("keep/drop: covers the corpus, one kept canonical per cluster, drops point at it") {
     val out = TextOps // force imports
     val kd = DedupOps.dedupKeepDrop(spark, dir).cache()
@@ -352,6 +373,27 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(r.getInt(3) == (id % 256).toInt, s"r0 of $id")
       assert(r.getInt(4) == (id * 7 % 256).toInt, s"g0 of $id")
       assert(r.getInt(5) == (id * 13 % 256).toInt, s"b0 of $id")
+    }
+  }
+
+  test("multimodal: real WAVs round-trip through AudioSystem with exact format and PCM") {
+    // payloads are genuine RIFF/WAVE files (magic header), not fakes
+    MultimodalOps.wavTable(spark, dir).limit(3).collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      assert(b.length > 44) // RIFF header + fmt + data chunks
+      assert(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+      assert(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+    }
+    // decoded rate/channels/frames/first-sample match the synthesis
+    // arithmetic — values only a real WAV parse (lossless PCM) reproduces
+    val out = MultimodalOps.decodeWav(spark, dir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (8000 + (id % 5) * 2000).toInt, s"rate of $id")
+      assert(r.getInt(2) == (id % 2 + 1).toInt, s"channels of $id")
+      assert(r.getLong(3) == id % 50 + 20, s"frames of $id")
+      assert(r.getInt(4) == ((id * 31) % 65536 - 32768).toInt, s"sample of $id")
     }
   }
 

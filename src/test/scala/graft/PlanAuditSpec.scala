@@ -117,6 +117,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("Q21 EXISTS + NOT-EXISTS decorrelate to one semi and one anti join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti}
+    val df = RelationalOps.q21WaitingSuppliers(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    // no subquery may survive — a residual would re-execute per outer row
+    assert(!opt.toString.toLowerCase.contains("subquery"), opt.toString)
+    val joinTypes = opt.collect { case j: Join => j.joinType }
+    assert(joinTypes.contains(LeftSemi) && joinTypes.contains(LeftAnti),
+      joinTypes.mkString(","))
+  }
+
+  test("Q20 nested IN chain decorrelates to stacked semi joins") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val df = RelationalOps.q20PromoSuppliers(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(!opt.toString.toLowerCase.contains("subquery"), opt.toString)
+    val semis = opt.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.size == 2, opt.toString)
+  }
+
   test("Q19 disjunctive bands push per-table residuals into BOTH scans") {
     val p = plan(RelationalOps.q19BandedRevenue(spark, dir))
     // the OR of brand/size bands references only part columns -> it must
@@ -169,6 +191,48 @@ class PlanAuditSpec extends AnyFunSuite {
   test("per-group top-k inserts WindowGroupLimit below the shuffle") {
     val p = plan(RelationalOps.topOrdersPerPriority(spark, dir))
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("SF-scaled sides carry no forced broadcast; stats still pick broadcast locally") {
+    // customer/supplier/part scale linearly with SF — a forced broadcast()
+    // pins a driver-OOM plan at 100 TB. Constant-size nation/region keep
+    // their hints. Pin BOTH halves of the contract per query: (a) only the
+    // constant-size dims are hinted in the optimized plan, (b) parquet size
+    // statistics still plan every dim side broadcast-hash at this sf, so
+    // the local plan shape is unchanged by the un-hinting.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def hintedJoins(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+      }.size
+    val cases = Seq(
+      // (query, hinted joins expected = constant-size dims only, broadcast joins expected)
+      ("q3", RelationalOps.q3ShippingPriority(spark, dir), 0, 2),
+      ("q5", RelationalOps.q5LocalSupplierRevenue(spark, dir), 2, 4),
+      ("q7", RelationalOps.q7TradeVolume(spark, dir), 2, 4),
+      ("q10", RelationalOps.q10ReturnedItems(spark, dir), 1, 3),
+      ("q18", RelationalOps.q18LargeOrders(spark, dir), 0, 2),
+      ("q14", RelationalOps.q14PromoRevenue(spark, dir), 0, 1),
+      ("q17", RelationalOps.q17SmallQuantity(spark, dir), 0, 1),
+      ("brand", RelationalOps.brandRevenue(spark, dir), 0, 1))
+    cases.foreach { case (name, df, nHints, nBroadcast) =>
+      assert(hintedJoins(df) == nHints, s"$name hint count\n${df.queryExecution.optimizedPlan}")
+      val p = plan(df)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= nBroadcast, s"$name\n$p")
+    }
+  }
+
+  test("ngram-Jaccard per-doc counts join is unhinted and non-cartesian") {
+    // counts is one row per corpus document (linear): the hint is gone and
+    // AQE chooses broadcast at runtime from the measured aggregate size.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.ops.DedupOps.ngramJaccardDedup(spark, dir)
+    val hints = df.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    assert(hints.nonEmpty)
+    assert(hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty), hints.mkString(";"))
+    df.collect() // materialize so AQE finalizes join strategies
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("J1 anchor join has no forced broadcast — AQE decides by actual size") {

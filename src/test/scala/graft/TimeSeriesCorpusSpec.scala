@@ -83,6 +83,27 @@ class TimeSeriesCorpusSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("mixture sample: per-source counts hit the quota, deterministic, group-limited plan") {
+    val df = CorpusOps.mixtureSample(spark, dir) // 0.4/0.3/0.2/0.1 over budget 20
+    val out = df.collect()
+    val again = CorpusOps.mixtureSample(spark, dir).collect()
+    assert(out.sameElements(again)) // replay-stable
+    // each source contributes exactly round(budget*fraction) (25 available >= quota)
+    val bySource = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySource == Map("src0" -> 8, "src1" -> 6, "src2" -> 4, "src3" -> 2), bySource)
+    // sources outside the mixture spec are excluded
+    assert(out.forall(r => Set("src0", "src1", "src2", "src3")(r.getString(0))))
+    // ranks are 1..target_k per source — the quota is the ES-ranked prefix
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+    // scale shape: the constant max-quota bound must group-limit the window
+    // BEFORE the shuffle, and the quota spec joins as a broadcast
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("stratified sample: deterministic and a strict subset") {
     val a = CorpusOps.stratifiedSample(spark, dir).collect()
     val b = CorpusOps.stratifiedSample(spark, dir).collect()
