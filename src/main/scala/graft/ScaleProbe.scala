@@ -67,7 +67,18 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32, "graft-scale-probe")
     import spark.implicits._
+    // optional: "rangejoin <nIntervals>" runs ONLY the range-join probe at
+    // the given interval count (points scale 5×) — the 10⁶ measurement the
+    // RangeJoinExec-codegen decision rests on
+    val rangeOnly = args.headOption.contains("rangejoin")
+    val nIntervals = if (args.length > 1) args(1).toInt else 100000
 
+    if (!rangeOnly) probeDedupCandidates(spark)
+    probeRangeJoin(spark, nIntervals)
+    spark.stop()
+  }
+
+  private def probeDedupCandidates(spark: SparkSession): Unit = {
     // ---- candidate growth: 1× vs 10× corpus, corpus-like vs realistic
     // vocabulary (the 31-token vocab gives RANDOM doc pairs a background
     // bigram-Jaccard ≈0.03, which band-collides; a realistic vocabulary
@@ -88,29 +99,42 @@ object ScaleProbe {
           s""""simhash60_30_pairs":$sh30,"simhash60_30_sec":${s1(tSh30)}}""")
       d.unpersist()
     }
+  }
 
-    // ---- RangeJoinExec vs BNLJ at 1e5 intervals ---------------------------
-    val ivs = spark.range(100000).select(
+  /** RangeJoinExec vs BNLJ at `n` intervals × 5n points. The key domain
+    * scales with n so interval density (matches/point) stays constant —
+    * a fixed domain would make the BNLJ comparison quadratic in n for
+    * the wrong reason.
+    */
+  private def probeRangeJoin(spark: SparkSession, n: Int): Unit = {
+    val domain = n * 10L
+    val ivs = spark.range(n).select(
       col("id").as("w"),
-      (col("id") * 37 % 1000000).as("lo"),
-      (col("id") * 37 % 1000000 + col("id") % 97 + 1).as("hi"))
+      (col("id") * 37 % domain).as("lo"),
+      (col("id") * 37 % domain + col("id") % 97 + 1).as("hi"))
       .localCheckpoint()
-    val pts = spark.range(500000).select(
-      col("id").as("p_id"), (col("id") * 7919 % 1000000).as("p"))
+    val pts = spark.range(5L * n).select(
+      col("id").as("p_id"), (col("id") * 7919 % domain).as("p"))
       .localCheckpoint()
     val cond = col("p") >= col("lo") && col("p") <= col("hi")
     val (nRj, tRj) = time(pts.join(ivs, cond).count())
-    // broadcast hint → RangeJoinStrategy declines → BroadcastNestedLoopJoin
-    val bnlj = pts.join(ivs.hint("broadcast"), cond)
-    val bnljPlan = bnlj.queryExecution.executedPlan.toString
-    require(bnljPlan.contains("BroadcastNestedLoop"), bnljPlan.take(400))
+    // broadcast hint → RangeJoinStrategy declines → BroadcastNestedLoopJoin.
+    // Past 10⁶ intervals the BNLJ side is ~5·10¹² comparisons — skip it and
+    // report the range-join time alone (the comparison is settled at 10⁵).
+    val runBnlj = n <= 200000
+    val tBn =
+      if (runBnlj) {
+        val bnlj = pts.join(ivs.hint("broadcast"), cond)
+        val bnljPlan = bnlj.queryExecution.executedPlan.toString
+        require(bnljPlan.contains("BroadcastNestedLoop"), bnljPlan.take(400))
+        val (nBn, t) = time(bnlj.count())
+        require(nRj == nBn, s"result mismatch: $nRj vs $nBn")
+        t
+      } else -1.0
     val rjPlan = pts.join(ivs, cond).queryExecution.executedPlan.toString
     require(rjPlan.contains("RangeJoin"), rjPlan.take(400))
-    val (nBn, tBn) = time(bnlj.count())
-    require(nRj == nBn, s"result mismatch: $nRj vs $nBn")
     println(
-      s"""{"probe":"range_join","intervals":100000,"points":500000,"matches":$nRj,""" +
+      s"""{"probe":"range_join","intervals":$n,"points":${5L * n},"matches":$nRj,""" +
         s""""range_join_sec":${s1(tRj)},"bnlj_sec":${s1(tBn)}}""")
-    spark.stop()
   }
 }

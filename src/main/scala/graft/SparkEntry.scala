@@ -118,6 +118,8 @@ object SparkEntry {
     "q_jsonl_roundtrip" -> (graft.sources.Jsonl.roundtripAgg _),
     // ORC source/sink: parquet -> ORC -> read-back digest vs parquet oracle
     "q_orc_roundtrip" -> (graft.sources.Orc.roundtripAgg _),
+    // CSV source/sink: parquet -> CSV -> read-back digest vs parquet oracle
+    "q_csv_roundtrip" -> (graft.sources.Csv.roundtripAgg _),
 
     // time-series extensions: as-of join, sessionization, pivot, HLL sketch
     "q_asof_join" -> (graft.ops.TimeSeriesOps.asofJoin _),
@@ -141,6 +143,11 @@ object SparkEntry {
     "q18_large_orders" -> (RelationalOps.q18LargeOrders _),
     "q21_waiting_suppliers" -> (RelationalOps.q21WaitingSuppliers _),
     "q20_promo_suppliers" -> (RelationalOps.q20PromoSuppliers _),
+    "q12_ship_priority" -> (RelationalOps.q12ShipPriority _),
+    "q15_top_supplier" -> (RelationalOps.q15TopSupplier _),
+    "q16_supplier_counts" -> (RelationalOps.q16SupplierCounts _),
+    "q8_market_share" -> (RelationalOps.q8MarketShare _),
+    "q9_profit_by_nation" -> (RelationalOps.q9ProfitByNation _),
     "q_topk_aggregator" -> ((s, d) => RelationalOps.topOrdersAggregator(s, d)),
     "q_snapshot_diff" -> (graft.ops.ChangeCapture.eventsSnapshotDiff _),
     "q_scd2_history" -> (graft.ops.ChangeCapture.scd2History _),
@@ -151,6 +158,7 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => graft.ops.CorpusOps.stratifiedSample(s, d)),
     "q_weighted_sample" -> ((s, d) => graft.ops.CorpusOps.weightedSample(s, d)),
     "q_mixture_sample" -> ((s, d) => graft.ops.CorpusOps.mixtureSample(s, d)),
+    "q_pack_sequences" -> ((s, d) => graft.ops.CorpusOps.packSequences(s, d)),
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
     "q_tfidf_topterms" -> ((s, d) => graft.ops.CorpusOps.tfIdfTopTerms(s, d)),
     "q_kmeans" -> (SimilarityOps.kmeans _),
@@ -222,6 +230,7 @@ object SparkEntry {
     "q_s7_mock_weather" -> graft.sources.MockWeather.hourlyForecastSql(),
     "q_jsonl_roundtrip" -> graft.sources.Jsonl.roundtripAggSql,
     "q_orc_roundtrip" -> graft.sources.Orc.roundtripAggSql,
+    "q_csv_roundtrip" -> graft.sources.Csv.roundtripAggSql,
     "q_asof_join" -> graft.ops.TimeSeriesOps.asofJoinSql,
     "q_interval_join" -> graft.ops.TimeSeriesOps.intervalJoinSql,
     "q_sessionize" -> graft.ops.TimeSeriesOps.sessionizeSql,
@@ -245,6 +254,11 @@ object SparkEntry {
     "q18_large_orders" -> RelationalOps.q18LargeOrdersSql,
     "q21_waiting_suppliers" -> RelationalOps.q21WaitingSuppliersSql,
     "q20_promo_suppliers" -> RelationalOps.q20PromoSuppliersSql,
+    "q12_ship_priority" -> RelationalOps.q12ShipPrioritySql,
+    "q15_top_supplier" -> RelationalOps.q15TopSupplierSql,
+    "q16_supplier_counts" -> RelationalOps.q16SupplierCountsSql,
+    "q8_market_share" -> RelationalOps.q8MarketShareSql,
+    "q9_profit_by_nation" -> RelationalOps.q9ProfitByNationSql,
     "q_topk_aggregator" -> RelationalOps.topOrdersAggregatorSql(),
     "q_cube_pricing" -> RelationalOps.cubePricingSql,
     "q_running_revenue" -> RelationalOps.runningRevenueSql,
@@ -256,6 +270,7 @@ object SparkEntry {
     "q_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(),
     "q_weighted_sample" -> graft.ops.CorpusOps.weightedSampleSql(),
     "q_mixture_sample" -> graft.ops.CorpusOps.mixtureSampleSql(),
+    "q_pack_sequences" -> graft.ops.CorpusOps.packSequencesSql(),
     "q_tfidf_topterms" -> graft.ops.CorpusOps.tfIdfTopTermsSql(),
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
     "q_kmeans" -> SimilarityOps.kmeansSql,

@@ -188,6 +188,53 @@ object CorpusOps {
        |WHERE (${TextOps.hash60Sql("'split#' || doc_id::VARCHAR")}) % 100 < $pct
        |ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing — the pretraining batch-assembly op: assign documents
+    * to fixed token-budget packs (context windows) in a deterministic
+    * per-source order. Greedy bin packing is inherently sequential, so the
+    * distributed form uses the standard streaming-pack relaxation:
+    * pack_id = floor(preceding-cumulative-tokens / budget), which packs
+    * each bin to ≥ budget − (doc's own tokens) and overflows by at most
+    * one document — the contract sequence builders actually use (the
+    * trailing partial pack is padded/truncated downstream). Cumulative sum
+    * is one window per source (shuffle on source, order within partition);
+    * token count = the ceil(chars/4) BPE estimate from TextOps.
+    */
+  def packSequences(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = ceil(col("n_chars").cast("double") / 4.0).cast("long")
+    val packed = Tables.read(s, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      // floor(), not a bare cast: Spark long/int division is TRUE division
+      // (double), and a DuckDB double→BIGINT cast ROUNDS — explicit floor
+      // on both engines is the only order-safe integer-division mirror
+      .withColumn("pack_id", floor((col("cum_tok") - col("n_tok")) / budget))
+    packed
+      .groupBy(col("source"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
+  def packSequencesSql(budget: Int = 512): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, ceil(n_chars / 4.0)::BIGINT AS n_tok
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, source, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+       |  FROM toks)
+       |SELECT source, floor((cum_tok - n_tok) / $budget)::BIGINT AS pack_id,
+       |  count(*) AS n_docs, sum(n_tok)::BIGINT AS pack_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
   /** Training-data hygiene: PII-style scrubbing — redact emails, phone
     * numbers, and residual numeric runs in the raw payload with per-class
     * placeholders and count total redactions. Stateless regexp map-side

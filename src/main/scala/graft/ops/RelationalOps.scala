@@ -631,6 +631,91 @@ object RelationalOps {
 
   val q20PromoSuppliersSql: String = q20Text
 
+  /** TPC-H Q12 shape (shipping-priority split): join + TWO-WAY conditional
+    * aggregation — the high/low line counts branch on the SAME dimension
+    * column inside sum(CASE), so one pass computes both. The lateness band
+    * (shipped >60 days after order) filters before the group; the reference
+    * schema has no shipmode, so priority plays its role. One shuffle for
+    * the join, map-side partials for the conditional sums.
+    */
+  def q12ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Seq("1-URGENT", "2-HIGH")
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > expr("timestampadd(DAY, 60, o_orderdate)"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(urgent: _*), 1).otherwise(0))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin(urgent: _*), 1).otherwise(0))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12ShipPrioritySql: String =
+    """SELECT l_linestatus,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): an aggregated view referenced TWICE —
+    * once as the join input and once inside an uncorrelated scalar MAX
+    * subquery. The scalar side is one broadcast row; revenue is rounded to
+    * 2dp in the view on BOTH engines so summation order cannot break the
+    * equality with its own max. Shared Spark/DuckDB text.
+    */
+  private val q15Text: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q15Text)
+  }
+
+  val q15TopSupplierSql: String = q15Text
+
+  /** TPC-H Q16 shape (supplier screen): count DISTINCT suppliers per part
+    * attribute with a NOT IN exclusion — Spark plans the single-column
+    * NOT IN as a null-aware anti join (the decorrelation pattern distinct
+    * from NOT EXISTS' plain anti join). Keys here are non-null, so at
+    * 100 TB the equivalent NOT EXISTS rewrite (plain anti, shuffle-able
+    * build side) is the escape hatch if the excluded set outgrows a
+    * broadcast — noted because Spark only plans NAAJ as a broadcast hash
+    * join. The excluded set (negative-balance suppliers) is a small
+    * fraction by construction. Shared Spark/DuckDB text.
+    */
+  private val q16Text: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#13'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q16Text)
+  }
+
+  val q16SupplierCountsSql: String = q16Text
+
   /** TPC-H Q7 shape: bilateral trade volume between two nations by year —
     * the DIMENSION-PAIR disjunction (either direction of the pair
     * qualifies) over the lineitem⋈orders spine with BOTH endpoints'
@@ -678,6 +763,83 @@ object RelationalOps {
       |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
       |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): the full 8-table snowflake —
+    * two nation aliases on opposite ends of the spine (supplier's nation
+    * numerator, customer's nation → region market filter) — with a
+    * conditional-share aggregate sum(CASE)/sum per derived year. All
+    * SF-scaled sides (part/customer/supplier) unhinted; nation/region
+    * hinted. Share rounded to 4dp on both engines.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val natS = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val natC = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("c_rkey"))
+    val reg = t(s, dir, "region").where(col("r_name") === "ASIA")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").where(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("c_rkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_1", rev).otherwise(0.0)) / sum(rev),
+        4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8MarketShareSql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  round(sum(CASE WHEN n1.n_name = 'NATION_1'
+      |            THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |        / sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |JOIN region ON n2.n_regionkey = r_regionkey
+      |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q9 shape (product-line profit by nation and year): LIKE-filtered
+    * part dim, profit = revenue − cost proxy (0.5·retail·qty — the
+    * reference schema has no partsupp/supplycost), grouped on (supplier
+    * nation, derived year). One big shuffle (lineitem⋈orders on orderkey);
+    * part/supplier unhinted (SF-scaled), nation hinted.
+    */
+  def q9ProfitByNation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part").where(col("p_name").like("%red%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.5) * col("p_retailprice") * col("l_quantity")), 2).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  val q9ProfitByNationSql: String =
+    """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)
+      |            - 0.5 * p_retailprice * l_quantity), 2) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
 
   /** TPC-H Q19 shape: revenue under an OR of three conjunctive
     * brand/size/quantity bands — the DISJUNCTIVE-predicate showcase.

