@@ -93,6 +93,32 @@ object StreamingPipeline {
       .select(col("event_id"), col("user_id"), col("ts"),
         col("value"), col("city_name"))
 
+  /** Stream-stream LEFT OUTER interval join — click→purchase attribution
+    * with abandonment: each click pairs with that user's purchases in the
+    * following hour; a click with NO purchase emits once with null
+    * purchase columns when the watermark closes its window (the engine
+    * holds it in join state exactly until then). Both sides watermarked
+    * 2 h → state is bounded by in-flight rows, independent of history;
+    * the join shuffles both streams once on user. The inner-join rows are
+    * emitted immediately per micro-batch; only the null-extension waits
+    * for the watermark — the semantics a funnel/attribution pipeline
+    * needs at any scale.
+    */
+  def clickPurchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "2 hours")
+    clicks.join(
+      purchases,
+      expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
   /** Streaming sessionization via `session_window`: gap-based windows
     * (30 min of inactivity closes a session) maintained as merging state
     * by the engine — the streaming twin of the batch

@@ -141,6 +141,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: inner rows match batch; null rows only for closed windows") {
+    val joined = StreamingPipeline.clickPurchaseAttribution(
+      StreamingPipeline.readEvents(spark, eventsPath))
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("attr_out")
+      val matched = out.where(col("purchase_id").isNotNull)
+      val nulls = out.where(col("purchase_id").isNull)
+      // matched rows = the batch inner join exactly
+      val bev = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      val bc = bev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val bp = bev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val innerExpect = bc.join(bp,
+        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR")).count()
+      assert(matched.count() == innerExpect, s"${matched.count()} vs $innerExpect")
+      // null-extended rows appear ONLY for clicks whose 1 h window is fully
+      // below the final watermark (min over both inputs of max-ts − 2 h);
+      // clicks still inside the watermark horizon stay in state unemitted
+      val maxC = bc.agg(max(col("c_ts"))).head.getTimestamp(0)
+      val maxP = bp.agg(max(col("p_ts"))).head.getTimestamp(0)
+      val wmMs = math.min(maxC.getTime, maxP.getTime) - 2L * 3600 * 1000
+      val matchedClicks = bc.join(bp,
+        expr("c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "left_semi")
+      val expiredUnmatched = bc
+        .join(matchedClicks, Seq("click_id"), "left_anti")
+        .where(col("c_ts") + expr("INTERVAL 1 HOUR") <
+          lit(new java.sql.Timestamp(wmMs)))
+        .count()
+      assert(nulls.count() == expiredUnmatched,
+        s"null rows ${nulls.count()} vs expired unmatched $expiredUnmatched")
+      assert(nulls.count() > 0, "test data produced no abandoned clicks — widen the window")
+    } finally q.stop()
+  }
+
   test("streaming flagship: label CHANGES converge exactly to the batch classifier") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
