@@ -77,9 +77,11 @@ object SparkEntry {
     "q_lang_id" -> (TextOps.langId _),
     "q_quality_repetition" -> (TextOps.qualityRepetition _),
     "q_quality_filter" -> (TextOps.qualityFilter _),
+    "q_quality_adaptive" -> ((s, d) => TextOps.adaptiveQualityFilter(s, d)),
     "q_doc_fingerprint" -> (TextOps.docFingerprint _),
     "q_lm_score" -> (TextOps.lmScore _),
     "q_decontaminate" -> (TextOps.decontaminate _),
+    "q_decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(s, d)),
 
     // LLM-data pipeline: deduplication
     "q_dedup_exact" -> (DedupOps.exactDedup _),
@@ -206,7 +208,9 @@ object SparkEntry {
     "q_quality_repetition" -> TextOps.qualityRepetitionSql,
     "q_lm_score" -> TextOps.lmScoreSql,
     "q_decontaminate" -> TextOps.decontaminateSql,
+    "q_decontaminate_bloom" -> TextOps.decontaminateBloomSql,
     "q_quality_filter" -> TextOps.qualityFilterSql,
+    "q_quality_adaptive" -> TextOps.adaptiveQualityFilterSql(),
     "q_doc_fingerprint" -> TextOps.docFingerprintSql,
     "q_dedup_exact" -> DedupOps.exactDedupSql,
     "q_dedup_ngram_jaccard" -> DedupOps.ngramJaccardDedupSql(),

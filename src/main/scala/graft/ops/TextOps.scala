@@ -281,15 +281,9 @@ object TextOps {
     * corpus rows never shuffle, contaminated ids fall out of the join.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
-      .select(col("doc_id"), col("source"), tokens.as("toks"))
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(1, greatest(size(toks) - 4, 1)), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("g"))
-      .select(col("doc_id"), col("source"), hash60(col("g")).as("h"))
-    val evalSet = grams.where(col("source").isin("src0", "src1"))
-      .select(col("h")).distinct()
-    grams.where(!col("source").isin("src0", "src1"))
+    val grams = gramHashes(s, dir)
+    val evalSet = grams.where(isEval).select(col("h")).distinct()
+    grams.where(!isEval)
       .join(broadcast(evalSet), "h")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_shared_grams"))
@@ -310,6 +304,124 @@ object TextOps {
        |FROM grams JOIN ev ON grams.h = ev.h
        |WHERE source NOT IN ('src0', 'src1')
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- adaptive quality threshold ----------------------------------------
+
+  /** ADAPTIVE quality filtering: keep documents above their own language's
+    * P25 quality score — the data-driven form of the fixed-threshold
+    * [[qualityFilter]] (real pipelines cut per-language percentiles, not
+    * global constants, because score distributions differ by language).
+    * Two aggregates over the scored frame: the per-lang percentile (exact
+    * here for oracle parity; `approx_percentile` is the sketch swap-in at
+    * 100 TB) joined back on lang — a ≤|languages|-row side, unhinted.
+    * Score and cut are both rounded to 4dp on both engines so the strict
+    * boundary comparison cannot flip on a last-ulp difference.
+    */
+  def adaptiveQualityFilter(s: SparkSession, dir: String, pct: Double = 0.25): DataFrame = {
+    val n = size(tokens)
+    val nUniq = size(array_distinct(tokens))
+    val nStop = size(filter(tokens, t => t.isin("the", "a")))
+    val scored = docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      round(
+        lit(0.5) * (nUniq.cast("double") / n) +
+          lit(0.5) * (lit(1.0) - nStop.cast("double") / n), 4)
+        .as("quality_score"))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(round(expr(s"percentile(quality_score, $pct)"), 4).as("cut"))
+    scored.join(cuts, "lang")
+      .where(col("quality_score") > col("cut"))
+      .select(col("lang"), col("doc_id"), col("quality_score"), col("cut"))
+      .orderBy("lang", "doc_id")
+  }
+
+  def adaptiveQualityFilterSql(pct: Double = 0.25): String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    round(0.5 * (len(list_distinct(toks)) * 1.0 / len(toks))
+       |        + 0.5 * (1.0 - len(list_filter(toks, w -> w IN ('the','a'))) * 1.0 / len(toks)), 4)
+       |      AS quality_score
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
+       |cuts AS (
+       |  SELECT lang, round(quantile_cont(quality_score, $pct), 4) AS cut
+       |  FROM scored GROUP BY lang)
+       |SELECT s.lang AS lang, doc_id, quality_score, cut
+       |FROM scored s JOIN cuts c ON s.lang = c.lang
+       |WHERE quality_score > cut
+       |ORDER BY s.lang, doc_id""".stripMargin
+
+  // ---- Bloom-prefiltered decontamination ---------------------------------
+
+  /** The 100 TB form of [[decontaminate]]: a Bloom filter over the eval
+    * set's 5-gram hashes prefilters the corpus gram stream before the
+    * exact join. [[decontaminate]] broadcasts the full eval hash set —
+    * right while eval suites are small, but the broadcast grows with the
+    * eval corpus. Here the broadcast is a FIXED-size bitset (2^logM bits =
+    * 2^logM/64 longs ≈ 8 KB at the default), independent of eval size:
+    *
+    *  - build: eval hashes → 2 probe positions each (disjoint slices of
+    *    the 60-bit hash) → exploded → `bit_or` per 64-bit word — the
+    *    bitset materializes as ≤ 2^logM/64 rows, broadcast-joined twice
+    *    (word of probe 1, word of probe 2) into the corpus stream;
+    *  - prefilter: a gram survives iff BOTH probed bits are set
+    *    (fill ≈ 7% at sf0.01 → FP rate ≈ 0.5%, spec-measured);
+    *  - exact verify: survivors — true hits + the FP trickle — join the
+    *    real eval hash set, so the OUTPUT is bit-identical to
+    *    [[decontaminate]] and shares its oracle. Only candidates reach
+    *    the exact join: at 100 TB that join's input is ~0.5% of the
+    *    corpus gram stream instead of all of it.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String, logM: Int = 16): DataFrame = {
+    val evalHashes = gramHashes(s, dir).where(isEval)
+      .select(col("h")).distinct()
+    val candidates = bloomCandidates(s, dir, logM)
+    candidates
+      .join(evalHashes, "h") // exact verify; unhinted — AQE sizes the side
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Shares [[decontaminateSql]]'s oracle — the Bloom stage is a
+    * transparent prefilter.
+    */
+  val decontaminateBloomSql: String = decontaminateSql
+
+  private def isEval = col("source").isin("src0", "src1")
+
+  /** (doc_id, source, h): the 5-gram hash stream of every document. */
+  private def gramHashes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), tokens.as("toks"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, greatest(size(toks) - 4, 1)), i -> concat_ws(' ', slice(toks, i, 5)))"))
+        .as("g"))
+      .select(col("doc_id"), col("source"), hash60(col("g")).as("h"))
+
+  /** Corpus grams surviving the Bloom prefilter (true hits + FPs) —
+    * exposed for the spec's selectivity measurement.
+    */
+  private[graft] def bloomCandidates(s: SparkSession, dir: String, logM: Int = 16): DataFrame = {
+    val m = 1L << logM
+    val grams = gramHashes(s, dir)
+    val probed = grams
+      .withColumn("p1", pmod(col("h"), lit(m)))
+      .withColumn("p2", pmod(expr("shiftright(h, 20)"), lit(m)))
+    val bloomWords = probed.where(isEval)
+      .select(explode(array(col("p1"), col("p2"))).as("pos"))
+      .select(expr("shiftright(pos, 6)").as("w"),
+        expr("shiftleft(1L, cast(pos % 64 AS int))").as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("bits"))
+    val b1 = bloomWords.select(col("w").as("w1"), col("bits").as("bits1"))
+    val b2 = bloomWords.select(col("w").as("w2"), col("bits").as("bits2"))
+    probed.where(!isEval)
+      .join(broadcast(b1), expr("shiftright(p1, 6)") === col("w1"))
+      .join(broadcast(b2), expr("shiftright(p2, 6)") === col("w2"))
+      .where(
+        (col("bits1").bitwiseAND(expr("shiftleft(1L, cast(p1 % 64 AS int))")) =!= 0) &&
+          (col("bits2").bitwiseAND(expr("shiftleft(1L, cast(p2 % 64 AS int))")) =!= 0))
+      .select(col("doc_id"), col("h"))
   }
 
   // ---- rolling-hash document fingerprint ---------------------------------

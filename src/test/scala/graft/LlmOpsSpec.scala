@@ -376,6 +376,40 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive quality filter: per-lang P25 cut keeps <=75%, every kept score above its cut") {
+    val out = TextOps.adaptiveQualityFilter(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(2) > r.getDouble(3), r.toString))
+    // per language: strictly-above-P25 keeps at most 75% and at least half
+    val perLang = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val langSizes = graft.sources.Tables.read(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, kept) =>
+      val total = langSizes(lang).toDouble
+      assert(kept <= total * 0.75 + 1, s"$lang kept $kept of $total")
+      assert(kept >= total * 0.5, s"$lang kept only $kept of $total")
+    }
+  }
+
+  test("bloom decontamination: output identical to exact, prefilter actually prunes") {
+    val exact = TextOps.decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = TextOps.decontaminateBloom(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bloom == exact, s"bloom ${bloom.size} rows vs exact ${exact.size}")
+    // the prefilter must pass every true hit (no false negatives — implied
+    // by output equality above) while pruning the corpus gram stream hard:
+    // fill ~7% with 2 probes -> FP rate well under 5%
+    val corpusGrams = TextOps.bloomCandidates(spark, dir, logM = 16)
+    val nCandidates = corpusGrams.count()
+    val nAllGrams = graft.sources.Tables.read(spark, dir, "documents")
+      .where(!col("source").isin("src0", "src1"))
+      .select(explode(TextOps.tokens).as("t")).count() // upper bound on grams
+    assert(nCandidates < nAllGrams / 20,
+      s"prefilter too weak: $nCandidates candidates of ~$nAllGrams grams")
+  }
+
   test("multimodal: real WAVs round-trip through AudioSystem with exact format and PCM") {
     // payloads are genuine RIFF/WAVE files (magic header), not fakes
     MultimodalOps.wavTable(spark, dir).limit(3).collect().foreach { r =>
