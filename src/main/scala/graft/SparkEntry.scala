@@ -53,6 +53,7 @@ object SparkEntry {
     "q_p3_range_filter" -> (EventOps.p3RangeFilter _),
     "q_p5_route_split" -> (EventOps.p5RouteSplit _),
     "q_union_split" -> (EventOps.unionSplit _),
+    "q_set_ops" -> (EventOps.setOpsUsers _),
     "q_p7_success_filter" -> (EventOps.p7SuccessFilter _),
     "q_k6_dlq_split" -> (EventOps.k6DlqSplit _),
     "q_p8_derived_task" -> (EventOps.p8DerivedTask _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) => SimilarityOps.embeddingNearDup(s, d)),
     "q_ann_pq_adc" -> (SimilarityOps.annPqAdc _),
     "q_embed_int8" -> (SimilarityOps.quantizeInt8 _),
+    "q_embed_matryoshka" -> ((s, d) => SimilarityOps.matryoshkaEnergy(s, d)),
     "q_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
 
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
@@ -187,6 +189,7 @@ object SparkEntry {
     "q_p3_range_filter" -> EventOps.p3RangeFilterSql,
     "q_p5_route_split" -> EventOps.p5RouteSplitSql,
     "q_union_split" -> EventOps.unionSplitSql,
+    "q_set_ops" -> EventOps.setOpsUsersSql,
     "q_p7_success_filter" -> EventOps.p7SuccessFilterSql,
     "q_k6_dlq_split" -> EventOps.k6DlqSplitSql,
     "q_p8_derived_task" -> EventOps.p8DerivedTaskSql,
@@ -242,6 +245,7 @@ object SparkEntry {
     "q_ann_ivf" -> SimilarityOps.annIvfSql,
     "q_ann_pq_adc" -> SimilarityOps.annPqAdcSql,
     "q_embed_int8" -> SimilarityOps.quantizeInt8Sql,
+    "q_embed_matryoshka" -> SimilarityOps.matryoshkaEnergySql(),
     "q_ann_ivfpq" -> SimilarityOps.annIvfPqSql,
     "q_brand_revenue" -> RelationalOps.brandRevenueSql,
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,

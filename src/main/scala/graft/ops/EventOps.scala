@@ -163,6 +163,40 @@ object EventOps {
        |SELECT side, count(*) AS n, round(avg(temperature_deg_c), 4) AS avg_temp
        |FROM u GROUP BY side ORDER BY side""".stripMargin
 
+  /** INTERSECT / EXCEPT set semantics (§2.7's other half beside union):
+    * users who both clicked and purchased vs users who clicked and never
+    * purchased. Spark plans INTERSECT as a distinct LEFT SEMI join and
+    * EXCEPT as a distinct LEFT ANTI — one shuffle each on user_id; the
+    * same shape at any scale (no collect, no cross product).
+    */
+  def setOpsUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.where(col("event_type") === "click").select(col("user_id"))
+    val buys = ev.where(col("event_type") === "purchase").select(col("user_id"))
+    val both = clicks.intersect(buys).withColumn("relation", lit("click_and_buy"))
+    val only = clicks.except(buys).withColumn("relation", lit("click_only"))
+    both.unionByName(only)
+      .groupBy(col("relation"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+      .orderBy("relation")
+  }
+
+  val setOpsUsersSql: String =
+    """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT user_id, 'click_and_buy' AS relation FROM (
+      |    SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+      |  UNION ALL
+      |  SELECT user_id, 'click_only' AS relation FROM (
+      |    SELECT user_id FROM c EXCEPT SELECT user_id FROM p))
+      |SELECT relation, count(*) AS n_users,
+      |  min(user_id) AS min_user, max(user_id) AS max_user
+      |FROM u GROUP BY relation ORDER BY relation""".stripMargin
+
   // ---- P7 + K6: success filter / dead-letter split -----------------------
 
   /** Success-side filter (`fetch-weather/worker_ingestion.py:169-172`):

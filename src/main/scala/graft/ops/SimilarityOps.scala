@@ -644,6 +644,38 @@ object SimilarityOps {
        |FROM sc, (SELECT unnest(range(1, $Dim + 1)) AS d)
        |ORDER BY vec_id, d""".stripMargin
 
+  /** Matryoshka-style dimension truncation audit: keep the first k dims and
+    * report how much of each vector's energy (L2 mass) the prefix retains —
+    * the metric that decides whether truncated embeddings are usable for
+    * coarse search (the matryoshka-representation training contract).
+    * Map-side only; float→double casts are exact so both engines fold the
+    * identical doubles in the identical order, 6dp absorbs fold residue.
+    */
+  def matryoshkaEnergy(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val energy = (v: Column) => aggregate(v, lit(0.0), (a, x) => a + x * x)
+    emb(s, dir)
+      .select(col("vec_id"),
+        sqrt(energy(slice(col("vec"), 1, k))).as("sub"),
+        sqrt(energy(col("vec"))).as("full"))
+      .select(
+        col("vec_id"),
+        round(col("sub"), 6).as("sub_norm"),
+        round(col("full"), 6).as("full_norm"),
+        round(col("sub") / col("full"), 6).as("energy_kept"))
+      .orderBy("vec_id")
+  }
+
+  def matryoshkaEnergySql(k: Int = 16): String =
+    s"""WITH e AS ($embSql),
+       |n AS (
+       |  SELECT vec_id,
+       |    sqrt(list_sum(list_transform(list_slice(vec, 1, $k), x -> x * x))) AS sub,
+       |    sqrt(list_sum(list_transform(vec, x -> x * x))) AS "full"
+       |  FROM e)
+       |SELECT vec_id, round(sub, 6) AS sub_norm, round("full", 6) AS full_norm,
+       |  round(sub / "full", 6) AS energy_kept
+       |FROM n ORDER BY vec_id""".stripMargin
+
   // ---- product quantization (PQ-ADC) -------------------------------------
 
   /** PQ constants: m=16 subspaces of 4 dims, 16-entry L2 codebook per

@@ -19,6 +19,25 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.count() == raw)
   }
 
+  test("set ops: intersect/except partition the click-user set; semi/anti plan") {
+    val out = EventOps.setOpsUsers(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver-side reference on raw sets
+    val ev = graft.sources.Tables.read(spark, dir, "events")
+    def users(t: String) = ev.where(col("event_type") === t)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val c = users("click"); val p = users("purchase")
+    assert(out.getOrElse("click_and_buy", 0L) == (c & p).size.toLong)
+    assert(out.getOrElse("click_only", 0L) == (c -- p).size.toLong)
+    // INTERSECT/EXCEPT must plan as semi/anti joins, not anything quadratic
+    val plan = EventOps.setOpsUsers(spark, dir)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti}
+    val types = plan.collect { case j: Join => j.joinType }
+    assert(types.contains(LeftSemi) && types.contains(LeftAnti), types.mkString(","))
+  }
+
   test("P1: JSON projection defaults missing keys to 0 and keeps all rows") {
     val out = EventOps.p1JsonProjection(spark, dir)
     assert(out.count() == 1000)

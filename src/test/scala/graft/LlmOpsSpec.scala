@@ -376,6 +376,19 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshka energy: kept fraction in (0,1], monotone in k, full norm matches driver") {
+    val k16 = SimilarityOps.matryoshkaEnergy(spark, dir, 16).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val k32 = SimilarityOps.matryoshkaEnergy(spark, dir, 32).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(k16.nonEmpty)
+    k16.foreach { case (id, (sub, full, kept)) =>
+      assert(kept > 0.0 && kept <= 1.0, s"vec $id kept=$kept")
+      assert(math.abs(kept - sub / full) < 1e-5)
+      assert(k32(id) >= kept - 1e-6, s"vec $id: energy not monotone in k")
+    }
+  }
+
   test("adaptive quality filter: per-lang P25 cut keeps <=75%, every kept score above its cut") {
     val out = TextOps.adaptiveQualityFilter(spark, dir).collect()
     assert(out.nonEmpty)
