@@ -663,12 +663,40 @@ object RelationalOps {
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   /** TPC-H Q15 shape (top supplier): an aggregated view referenced TWICE —
-    * once as the join input and once inside an uncorrelated scalar MAX
-    * subquery. The scalar side is one broadcast row; revenue is rounded to
-    * 2dp in the view on BOTH engines so summation order cannot break the
-    * equality with its own max. Shared Spark/DuckDB text.
+    * once as the join input and once under a scalar MAX. The SQL
+    * scalar-subquery form executes the subquery as a SEPARATE plan in
+    * Spark, so lineitem is scanned and aggregated twice (measured: 2
+    * scans, 0 reuse) — at 100 TB that is a second full pass over the
+    * fact table. The library form therefore builds ONE DataFrame plan
+    * where both references descend from the same grouped aggregate:
+    * Spark's ReuseExchange collapses the identical shuffles, so the fact
+    * table is scanned once (pinned in PlanAuditSpec). The one-row max
+    * side broadcasts; revenue is rounded to 2dp on BOTH engines so
+    * summation order cannot break the equality with its own max. The
+    * DuckDB oracle runs the standard subquery text.
     */
-  private val q15Text: String =
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val revenue = t(s, dir, "lineitem")
+      .where(
+        col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp") &&
+          // explicit (vacuous) not-null: the join pushes IsNotNull into its
+          // branch only — stating it in the shared view keeps BOTH branches
+          // canonically identical so ReuseExchange can collapse them
+          col("l_suppkey").isNotNull)
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("mx"))
+    t(s, dir, "supplier")
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(maxRev))
+      .where(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,
       |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
@@ -680,14 +708,6 @@ object RelationalOps {
       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
-
-  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
-    Seq("supplier", "lineitem")
-      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-    s.sql(q15Text)
-  }
-
-  val q15TopSupplierSql: String = q15Text
 
   /** TPC-H Q16 shape (supplier screen): count DISTINCT suppliers per part
     * attribute with a NOT IN exclusion — Spark plans the single-column

@@ -157,6 +157,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("Q15 twice-referenced aggregate view reuses one exchange, not two scans") {
+    val df = RelationalOps.q15TopSupplier(spark, dir)
+    df.collect() // finalize AQE so reuse nodes materialize
+    val p = plan(df).split("== Initial Plan ==").head
+    info(s"reused=${"ReusedExchange".r.findAllIn(p).size} " +
+      s"scans=${"Scan parquet".r.findAllIn(p).size} " +
+      s"aggs=${"HashAggregate".r.findAllIn(p).size}")
+    assert("ReusedExchange".r.findAllIn(p).size >= 1, p)
+  }
+
   test("Q16 NOT IN plans a null-aware anti join (no residual subquery)") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.catalyst.plans.LeftAnti
