@@ -906,8 +906,14 @@ object RelationalOps {
     val li = t(s, dir, "lineitem")
     val perSupp = li.groupBy(col("l_suppkey"))
       .agg(sum(col("l_extendedprice")).as("value"))
-    val threshold = li.agg(
-      round(sum(col("l_extendedprice")) * 0.002, 2).as("cut"))
+    // grand total folded FROM the per-supplier sums (Σ groups ≡ Σ rows):
+    // both references then descend from the same supplier-keyed exchange,
+    // so ReuseExchange scans+pre-aggregates the fact table ONCE (pinned in
+    // PlanAuditSpec) — the SQL form's independent total would re-scan it.
+    // Summation-order drift is absorbed by the 2dp rounding on both
+    // engines (same tolerance the oracle comparison already relies on).
+    val threshold = perSupp.agg(
+      round(sum(col("value")) * 0.002, 2).as("cut"))
     perSupp
       .crossJoin(broadcast(threshold))
       .where(col("value") > col("cut"))

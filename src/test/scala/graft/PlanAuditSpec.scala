@@ -167,6 +167,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("ReusedExchange".r.findAllIn(p).size >= 1, p)
   }
 
+  test("Q11 threshold folds from the per-supplier aggregate — one fact scan") {
+    val df = RelationalOps.q11SupplierValue(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("ReusedExchange".r.findAllIn(p).size >= 1, p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("Q16 NOT IN plans a null-aware anti join (no residual subquery)") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.catalyst.plans.LeftAnti
