@@ -305,8 +305,17 @@ object CorpusOps {
     // corpus size as a broadcast 1-row frame, not a driver-side count():
     // the query stays one lazy plan, no eager job at construction
     val nDocs = docs(s, dir).agg(count(lit(1)).cast("double").as("n_docs"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "term")
+    // document frequency as a WINDOW over tf, not a second aggregate
+    // joined back: tf is unique on (doc_id, term), so count(*) over the
+    // term partition IS df — and the corpus is scanned + tokenized ONCE
+    // (a tf.groupBy(term) branch would re-derive tf from its own scan:
+    // column pruning specializes the two aggregates, defeating
+    // ReuseExchange — measured 2 scans; this shape measures 2 total, the
+    // tf scan plus the count-only nDocs scan). One extra term-keyed
+    // exchange of the compact tf frame replaces the full re-tokenize —
+    // the right trade at 100 TB where tokenization dominates.
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         (col("c").cast("double") / col("n_tok")) * log(col("n_docs") / col("df")))

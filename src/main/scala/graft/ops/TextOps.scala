@@ -246,8 +246,13 @@ object TextOps {
     val toks = docs(s, dir)
       .select(col("doc_id"), tokens.as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-    val lm = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+    // corpus token total folded from the per-token counts (Σ groups ≡
+    // Σ rows) so the total shares the unigram exchange instead of
+    // re-tokenizing the corpus a third time (q11/q15 reuse pattern;
+    // measured 3 scans → 2, the LM build plus the scoring pass)
+    val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val lm = cnt
+      .crossJoin(broadcast(cnt.agg(sum(col("c")).as("total"))))
       .select(col("tok"), log(col("c").cast("double") / col("total")).as("logp"))
     toks.join(broadcast(lm), "tok")
       .groupBy(col("doc_id"))

@@ -175,6 +175,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("tf-idf tokenizes the corpus once: df is a window over tf, not a rejoin") {
+    val df = graft.ops.CorpusOps.tfIdfTopTerms(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // 2 scans total: the tokenizing tf scan + the count-only nDocs scan
+    assert("Scan parquet".r.findAllIn(p).size == 2, p)
+  }
+
+  test("LM score folds the token total from the unigram counts — two scans, one reused exchange") {
+    val df = graft.ops.TextOps.lmScore(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(p).size == 2, p)
+    assert("ReusedExchange".r.findAllIn(p).size >= 1, p)
+  }
+
   test("Q16 NOT IN plans a null-aware anti join (no residual subquery)") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.catalyst.plans.LeftAnti
