@@ -324,6 +324,7 @@ object TextOps {
     * boundary comparison cannot flip on a last-ulp difference.
     */
   def adaptiveQualityFilter(s: SparkSession, dir: String, pct: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val n = size(tokens)
     val nUniq = size(array_distinct(tokens))
     val nStop = size(filter(tokens, t => t.isin("the", "a")))
@@ -333,9 +334,14 @@ object TextOps {
         lit(0.5) * (nUniq.cast("double") / n) +
           lit(0.5) * (lit(1.0) - nStop.cast("double") / n), 4)
         .as("quality_score"))
-    val cuts = scored.groupBy(col("lang"))
-      .agg(round(expr(s"percentile(quality_score, $pct)"), 4).as("cut"))
-    scored.join(cuts, "lang")
+    // the cut as a WINDOW aggregate over the lang partition, not a
+    // groupBy-join-back: a second aggregate branch would re-scan and
+    // re-SCORE the corpus (tokenize + distinct per doc — the expensive
+    // part); the window form scores once and pays one lang-keyed exchange
+    scored
+      .withColumn("cut", round(
+        expr(s"percentile(quality_score, $pct)")
+          .over(Window.partitionBy(col("lang"))), 4))
       .where(col("quality_score") > col("cut"))
       .select(col("lang"), col("doc_id"), col("quality_score"), col("cut"))
       .orderBy("lang", "doc_id")

@@ -175,6 +175,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("adaptive quality filter scores the corpus once (window cut, single scan)") {
+    val df = graft.ops.TextOps.adaptiveQualityFilter(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("tf-idf tokenizes the corpus once: df is a window over tf, not a rejoin") {
     val df = graft.ops.CorpusOps.tfIdfTopTerms(spark, dir)
     df.collect()
