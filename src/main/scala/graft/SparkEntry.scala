@@ -108,6 +108,8 @@ object SparkEntry {
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
     "q_multimodal_decode" -> (MultimodalOps.decodePng _),
     "q_multimodal_audio" -> (MultimodalOps.decodeWav _),
+    "q_multimodal_video" -> ((s, d) => MultimodalOps.decodeVideoFrames(s, d)),
+    "q_multimodal_thumbnail" -> ((s, d) => MultimodalOps.thumbnailDigest(s, d)),
 
     // relational coverage: scan-only agg, grouping sets, semi join
     "q6_forecast_revenue" -> (RelationalOps.q6ForecastRevenue _),
@@ -231,6 +233,8 @@ object SparkEntry {
     "q_multimodal_meta" -> MultimodalOps.mediaMetaSql,
     "q_multimodal_decode" -> MultimodalOps.decodePngSql,
     "q_multimodal_audio" -> MultimodalOps.decodeWavSql,
+    "q_multimodal_video" -> MultimodalOps.decodeVideoFramesSql(),
+    "q_multimodal_thumbnail" -> MultimodalOps.thumbnailDigestSql(),
     "q6_forecast_revenue" -> RelationalOps.q6ForecastRevenueSql,
     "q_rollup_pricing" -> RelationalOps.rollupPricingSql,
     "q_semi_join_late" -> RelationalOps.semiJoinLateOrdersSql,

@@ -8,9 +8,9 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, plus a decode/feature-extract stage.
   *
-  * Three decode tiers:
-  *  - [[decodeFeatures]] keeps the deterministic byte-length stub as the
-  *    stand-in for codecs the JVM lacks (now VIDEO only);
+  * Decode tiers — image, audio, and video are all REAL decodes now; the
+  * [[decodeFeatures]] stub remains only as the generic slot where an
+  * external codec (JNI FFmpeg et al.) would plug in:
   *  - [[decodePng]] is a REAL image decode: payloads are genuine PNGs
   *    (synthesized map-side with `BufferedImage` + `ImageIO.write`, dims
   *    and pixel colors deterministic functions of doc_id) and the decode
@@ -23,7 +23,11 @@ import graft.sources.Tables
   *    files (16-bit PCM synthesized map-side, rate/channels/frames/samples
   *    deterministic functions of doc_id) read back through
   *    `getAudioInputStream`, emitting format fields and the first PCM
-  *    sample — again arithmetic-mirrored in the oracle (PCM is lossless).
+  *    sample — again arithmetic-mirrored in the oracle (PCM is lossless);
+  *  - [[decodeVideoFrames]] is a REAL container parse + frame-sample +
+  *    per-frame pixel decode (length-prefixed stream of genuine PNGs, the
+  *    MJPEG framing pattern), and [[thumbnailDigest]] is a REAL
+  *    decode→nearest-neighbor-resize→digest chain.
   *
   * Scale: payloads never shuffle (all derivations are map-side); metadata
   * aggregations group on small derived columns. A real pipeline would also
@@ -93,22 +97,20 @@ object MultimodalOps {
   final case class DecodedPng(
       media_id: Long, width: Int, height: Int, r0: Int, g0: Int, b0: Int)
 
-  /** Deterministic PNG payload for `id`: (id%13+4)×(id%7+3) TYPE_INT_RGB
-    * image, pixel (x,y) colored by modular arithmetic on (id, x, y). Runs
-    * map-side on executors — the synthesis stage of a binary-column table.
+  /** Deterministic PNG payload: w×h TYPE_INT_RGB image whose pixel (x,y)
+    * is colored by modular arithmetic on (seed, x, y). Runs map-side on
+    * executors — the synthesis stage of a binary-column table.
     */
-  private[ops] def encodePng(id: Long): Array[Byte] = {
-    val w = (id % 13 + 4).toInt
-    val h = (id % 7 + 3).toInt
+  private[ops] def encodePngSized(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((id + 31L * x + 17L * y) % 256).toInt
-        val g = ((id * 7 + 13L * x + 5L * y) % 256).toInt
-        val b = ((id * 13 + 3L * x + 11L * y) % 256).toInt
+        val r = ((seed + 31L * x + 17L * y) % 256).toInt
+        val g = ((seed * 7 + 13L * x + 5L * y) % 256).toInt
+        val b = ((seed * 13 + 3L * x + 11L * y) % 256).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -118,6 +120,10 @@ object MultimodalOps {
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
   }
+
+  /** The single-image payload for `id`: (id%13+4)×(id%7+3), seeded by id. */
+  private[ops] def encodePng(id: Long): Array[Byte] =
+    encodePngSized(id, (id % 13 + 4).toInt, (id % 7 + 3).toInt)
 
   /** (media_id, payload binary) — a genuine PNG per document id. */
   def pngTable(s: SparkSession, dir: String): DataFrame = {
@@ -165,6 +171,147 @@ object MultimodalOps {
       |  ((doc_id * 7) % 256)::INTEGER AS g0,
       |  ((doc_id * 13) % 256)::INTEGER AS b0
       |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- real video container: parse + frame-sample + per-frame decode ------
+
+  /** A sampled, decoded video frame. */
+  final case class DecodedFrame(
+      media_id: Long, frame_idx: Int, n_frames: Int,
+      width: Int, height: Int, r0: Int)
+
+  /** Deterministic video payload for `id`: a length-prefixed container
+    * (4-byte big-endian frame count, then per frame 4-byte length + a
+    * GENUINE PNG) of id%5+2 frames sized (id%13+4)×(id%7+3), frame f
+    * seeded id·1000+f. The container framing is what MJPEG-style streams
+    * do; the frames are real codec output, so the decode stage below does
+    * real parsing AND real pixel decoding.
+    */
+  private[ops] def encodeVideo(id: Long): Array[Byte] = {
+    val w = (id % 13 + 4).toInt
+    val h = (id % 7 + 3).toInt
+    val nFrames = (id % 5 + 2).toInt
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(baos)
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val png = encodePngSized(id * 1000 + f, w, h)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    baos.toByteArray
+  }
+
+  /** (media_id, payload binary) — a genuine frame container per doc id. */
+  def videoTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.read(s, dir, "documents").select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, encodeVideo(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** REAL frame sampling + decode: parse the container, keep every
+    * `sampleEvery`-th frame (the brief's frame-sample op — at 100 TB you
+    * decode 1/k of the stream, never the whole payload), `ImageIO.read`
+    * each kept frame, emit true dims + the top-left pixel. Same
+    * iterator-in/iterator-out codec slot; payloads never shuffle (the
+    * explode happens AFTER decode, on small typed rows).
+    */
+  def decodeVideoFrames(s: SparkSession, dir: String, sampleEvery: Int = 2): DataFrame = {
+    import s.implicits._
+    videoTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val nFrames = in.readInt()
+          (0 until nFrames).iterator.flatMap { f =>
+            val len = in.readInt()
+            val png = new Array[Byte](len)
+            in.readFully(png)
+            if (f % sampleEvery != 0) None // sampled out: skip the decode
+            else {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(png))
+              Some(DecodedFrame(
+                media_id = id, frame_idx = f, n_frames = nFrames,
+                width = img.getWidth, height = img.getHeight,
+                r0 = (img.getRGB(0, 0) >> 16) & 255))
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** Sampled-frame fields re-derived arithmetically — the oracle. */
+  def decodeVideoFramesSql(sampleEvery: Int = 2): String =
+    s"""SELECT doc_id AS media_id, f::INTEGER AS frame_idx,
+       |  (doc_id % 5 + 2)::INTEGER AS n_frames,
+       |  (doc_id % 13 + 4)::INTEGER AS width,
+       |  (doc_id % 7 + 3)::INTEGER AS height,
+       |  ((doc_id * 1000 + f) % 256)::INTEGER AS r0
+       |FROM documents,
+       |  (SELECT unnest(range(0, 6)) AS f)
+       |WHERE f < doc_id % 5 + 2 AND f % $sampleEvery = 0
+       |ORDER BY media_id, frame_idx""".stripMargin
+
+  /** A decoded-and-resized thumbnail digest. */
+  final case class Thumbnail(
+      media_id: Long, thumb_w: Int, thumb_h: Int, red_sum: Long)
+
+  /** REAL resize: decode the PNG, nearest-neighbor resample to a fixed
+    * thumb_w×thumb_h raster (source pixel (x·w/tw, y·h/th) — the exact
+    * integer mapping, implemented directly over the decoded raster so
+    * the oracle can mirror it arithmetically), and digest the red
+    * channel. The decode→transform→reduce chain of a real image
+    * pipeline, all map-side.
+    */
+  def thumbnailDigest(s: SparkSession, dir: String, tw: Int = 4, th: Int = 3): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              val rgb = img.getRGB(x * w / tw, y * h / th)
+              sum += (rgb >> 16) & 255
+              x += 1
+            }
+            y += 1
+          }
+          Thumbnail(id, tw, th, sum)
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** The thumbnail digest re-derived arithmetically: red(x,y) =
+    * (id + 31·src_x + 17·src_y) mod 256 with the same integer
+    * nearest-neighbor source mapping.
+    */
+  def thumbnailDigestSql(tw: Int = 4, th: Int = 3): String =
+    s"""SELECT doc_id AS media_id, $tw AS thumb_w, $th AS thumb_h,
+       |  sum((doc_id
+       |       + 31 * ((x * (doc_id % 13 + 4)) // $tw)
+       |       + 17 * ((y * (doc_id % 7 + 3)) // $th)) % 256)::BIGINT AS red_sum
+       |FROM documents,
+       |  (SELECT unnest(range(0, $tw)) AS x),
+       |  (SELECT unnest(range(0, $th)) AS y)
+       |GROUP BY doc_id ORDER BY media_id""".stripMargin
 
   // ---- real WAV (audio) decode --------------------------------------------
 

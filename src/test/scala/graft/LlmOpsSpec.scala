@@ -444,6 +444,39 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: video container parses, sampled frames decode, thumbnails resize") {
+    // container framing is real: 4-byte count + per-frame length-prefixed PNGs
+    MultimodalOps.videoTable(spark, dir).limit(2).collect().foreach { r =>
+      val b = r.getAs[Array[Byte]]("payload")
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+      val n = in.readInt()
+      assert(n >= 2 && n <= 6)
+      val len = in.readInt()
+      val png = new Array[Byte](len); in.readFully(png)
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P') // a genuine PNG frame
+    }
+    // every-2nd-frame sampling: only even frame indices appear, dims real
+    val frames = MultimodalOps.decodeVideoFrames(spark, dir).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) % 2 == 0, s"unsampled frame emitted: $r")
+      assert(r.getInt(2) == (id % 5 + 2).toInt)
+      assert(r.getInt(3) == (id % 13 + 4).toInt && r.getInt(4) == (id % 7 + 3).toInt)
+      assert(r.getInt(5) == ((id * 1000 + r.getInt(1)) % 256).toInt)
+    }
+    // nearest-neighbor thumbnail digest matches a driver-side recompute
+    val thumbs = MultimodalOps.thumbnailDigest(spark, dir).collect()
+    assert(thumbs.length == 500)
+    thumbs.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((id % 13 + 4).toInt, (id % 7 + 3).toInt)
+      val expect = (for { y <- 0 until 3; x <- 0 until 4 }
+        yield (id + 31L * (x * w / 4) + 17L * (y * h / 3)) % 256).sum
+      assert(r.getLong(3) == expect, s"thumb digest of $id")
+    }
+  }
+
   implicit class TupleOps(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
   }
