@@ -125,14 +125,24 @@ object MultimodalOps {
   private[ops] def encodePng(id: Long): Array[Byte] =
     encodePngSized(id, (id % 13 + 4).toInt, (id % 7 + 3).toInt)
 
+  /** Synthesized payload tables are memoized per (session, dir, kind) —
+    * codec synthesis is the expensive stage, and two queries share the
+    * PNG table (decode + thumbnail). Same discipline as the shingle
+    * index: materialize once, every stage reads the materialization.
+    */
+  private val mediaCache =
+    IndexMemo.cache[(SparkSession, String, String), DataFrame]()
+
   /** (media_id, payload binary) — a genuine PNG per document id. */
-  def pngTable(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.read(s, dir, "documents").select(col("doc_id"))
-      .as[Long]
-      .mapPartitions(_.map(id => (id, encodePng(id))))
-      .toDF("media_id", "payload")
-  }
+  def pngTable(s: SparkSession, dir: String): DataFrame =
+    IndexMemo(mediaCache, (s, dir, "png")) {
+      import s.implicits._
+      Tables.read(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, encodePng(id))))
+        .toDF("media_id", "payload")
+        .persist()
+    }
 
   /** REAL decode: `ImageIO.read` per payload (codec shareable per
     * partition), emitting dimensions and pixel values read from the decoded
@@ -205,13 +215,15 @@ object MultimodalOps {
   }
 
   /** (media_id, payload binary) — a genuine frame container per doc id. */
-  def videoTable(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.read(s, dir, "documents").select(col("doc_id"))
-      .as[Long]
-      .mapPartitions(_.map(id => (id, encodeVideo(id))))
-      .toDF("media_id", "payload")
-  }
+  def videoTable(s: SparkSession, dir: String): DataFrame =
+    IndexMemo(mediaCache, (s, dir, "video")) {
+      import s.implicits._
+      Tables.read(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, encodeVideo(id))))
+        .toDF("media_id", "payload")
+        .persist()
+    }
 
   /** REAL frame sampling + decode: parse the container, keep every
     * `sampleEvery`-th frame (the brief's frame-sample op — at 100 TB you
