@@ -159,6 +159,7 @@ object SparkEntry {
     "q_scd2_history" -> (graft.ops.ChangeCapture.scd2History _),
     "q_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(s, d)),
     "q_dedup_keepdrop" -> (DedupOps.dedupKeepDrop _),
+    "q_dedup_stats" -> (DedupOps.dedupStats _),
     "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
     "q_approx_percentiles" -> (graft.ops.CorpusOps.approxPercentiles _),
     "q_stratified_sample" -> ((s, d) => graft.ops.CorpusOps.stratifiedSample(s, d)),
@@ -225,6 +226,7 @@ object SparkEntry {
     "q_dedup_simhash_wide" -> DedupOps.simhashNearPairsWideSql(),
     "q_dedup_simhash_wide128" -> DedupOps.simhashNearPairsWide128Sql(),
     "q_dedup_keepdrop" -> DedupOps.dedupKeepDropSql(),
+    "q_dedup_stats" -> DedupOps.dedupStatsSql(),
     "q_ann_cosine_topk" -> SimilarityOps.annBruteForceSql,
     "q_ann_lsh_bucketed" -> SimilarityOps.annLshBucketedSql,
     "q_ann_recall" -> SimilarityOps.annRecallSql,

@@ -386,6 +386,33 @@ object DedupOps {
        |LEFT JOIN c ON r.cluster_id = c.cluster_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-source dedup report — the summary a dedup stage actually
+    * publishes: docs, near-dup drops, distinct clusters, and drop rate
+    * per source shard. Pure composition over [[dedupKeepDrop]] (whose
+    * pair machinery is IndexMemo-shared), so the extra cost is one
+    * source-keyed aggregate.
+    */
+  def dedupStats(s: SparkSession, dir: String): DataFrame =
+    dedupKeepDrop(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        round(sum(when(!col("keep"), 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("drop_rate"))
+      .orderBy("source")
+
+  def dedupStatsSql(iterations: Int = 5): String =
+    s"""WITH kd AS (${dedupKeepDropSql(iterations)})
+       |SELECT source, count(*) AS n_docs,
+       |  sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       |  count(DISTINCT cluster_id) AS n_clusters,
+       |  round(sum(CASE WHEN NOT keep THEN 1.0 ELSE 0.0 END) / count(*), 4) AS drop_rate
+       |FROM kd JOIN documents USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def nearDupClustersSql(iterations: Int = 5): String = {
     val base = minhashLshDedupSql()
     val rounds = (1 to iterations).map { i =>

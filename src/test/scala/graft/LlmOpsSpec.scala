@@ -444,6 +444,17 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup stats: per-source rows cover the corpus, drops match keep/drop") {
+    val stats = DedupOps.dedupStats(spark, dir).collect()
+    assert(stats.map(_.getLong(1)).sum == 500) // n_docs covers the corpus
+    val kd = DedupOps.dedupKeepDrop(spark, dir).collect()
+    val dropped = kd.count(!_.getBoolean(2))
+    assert(stats.map(_.getLong(2)).sum == dropped.toLong)
+    stats.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1)) // clusters <= docs per source...
+    }
+  }
+
   test("multimodal: video container parses, sampled frames decode, thumbnails resize") {
     // container framing is real: 4-byte count + per-frame length-prefixed PNGs
     MultimodalOps.videoTable(spark, dir).limit(2).collect().foreach { r =>
