@@ -197,7 +197,9 @@ object CorpusOps {
     * one document — the contract sequence builders actually use (the
     * trailing partial pack is padded/truncated downstream). Cumulative sum
     * is one window per source (shuffle on source, order within partition);
-    * token count = the ceil(chars/4) BPE estimate from TextOps.
+    * token count = ceil(n_chars/4), the whole-doc form of the ~4-chars/
+    * token heuristic (TextOps.textStats estimates per word; here the doc
+    * total is all the packer needs).
     */
   def packSequences(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
