@@ -126,6 +126,8 @@ object SparkEntry {
     "q_orc_roundtrip" -> (graft.sources.Orc.roundtripAgg _),
     // CSV source/sink: parquet -> CSV -> read-back digest vs parquet oracle
     "q_csv_roundtrip" -> (graft.sources.Csv.roundtripAgg _),
+    // bucketed co-located join: no shuffle on the join key (plan pinned)
+    "q_bucketed_join" -> (graft.sources.Bucketed.bucketedJoinAgg _),
 
     // time-series extensions: as-of join, sessionization, pivot, HLL sketch
     "q_asof_join" -> (graft.ops.TimeSeriesOps.asofJoin _),
@@ -244,6 +246,7 @@ object SparkEntry {
     "q_jsonl_roundtrip" -> graft.sources.Jsonl.roundtripAggSql,
     "q_orc_roundtrip" -> graft.sources.Orc.roundtripAggSql,
     "q_csv_roundtrip" -> graft.sources.Csv.roundtripAggSql,
+    "q_bucketed_join" -> graft.sources.Bucketed.bucketedJoinAggSql,
     "q_asof_join" -> graft.ops.TimeSeriesOps.asofJoinSql,
     "q_interval_join" -> graft.ops.TimeSeriesOps.intervalJoinSql,
     "q_sessionize" -> graft.ops.TimeSeriesOps.sessionizeSql,

@@ -287,9 +287,8 @@ object TextOps {
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val grams = gramHashes(s, dir)
-    val evalSet = grams.where(isEval).select(col("h")).distinct()
     grams.where(!isEval)
-      .join(broadcast(evalSet), "h")
+      .join(broadcast(evalHashes(s, dir)), "h")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_shared_grams"))
       .orderBy("doc_id")
@@ -384,11 +383,9 @@ object TextOps {
     *    corpus gram stream instead of all of it.
     */
   def decontaminateBloom(s: SparkSession, dir: String, logM: Int = 16): DataFrame = {
-    val evalHashes = gramHashes(s, dir).where(isEval)
-      .select(col("h")).distinct()
     val candidates = bloomCandidates(s, dir, logM)
     candidates
-      .join(evalHashes, "h") // exact verify; unhinted — AQE sizes the side
+      .join(evalHashes(s, dir), "h") // exact verify; unhinted — AQE sizes the side
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_shared_grams"))
       .orderBy("doc_id")
@@ -400,6 +397,19 @@ object TextOps {
   val decontaminateBloomSql: String = decontaminateSql
 
   private def isEval = col("source").isin("src0", "src1")
+
+  /** The eval set's DISTINCT 5-gram hashes, materialized once per
+    * (session, dir) — both decontamination forms (and the Bloom build,
+    * which probes the same hashes) read the materialization instead of
+    * re-tokenizing the eval slice per query. Same IndexMemo discipline as
+    * the shingle index.
+    */
+  private val evalHashCache =
+    IndexMemo.cache[(SparkSession, String), DataFrame]()
+
+  private def evalHashes(s: SparkSession, dir: String): DataFrame =
+    IndexMemo(evalHashCache, (s, dir))(
+      gramHashes(s, dir).where(isEval).select(col("h")).distinct().persist())
 
   /** (doc_id, source, h): the 5-gram hash stream of every document. */
   private def gramHashes(s: SparkSession, dir: String): DataFrame =
@@ -415,18 +425,17 @@ object TextOps {
     */
   private[graft] def bloomCandidates(s: SparkSession, dir: String, logM: Int = 16): DataFrame = {
     val m = 1L << logM
-    val grams = gramHashes(s, dir)
-    val probed = grams
+    def probes(d: DataFrame): DataFrame = d
       .withColumn("p1", pmod(col("h"), lit(m)))
       .withColumn("p2", pmod(expr("shiftright(h, 20)"), lit(m)))
-    val bloomWords = probed.where(isEval)
+    val bloomWords = probes(evalHashes(s, dir))
       .select(explode(array(col("p1"), col("p2"))).as("pos"))
       .select(expr("shiftright(pos, 6)").as("w"),
         expr("shiftleft(1L, cast(pos % 64 AS int))").as("bit"))
       .groupBy(col("w")).agg(expr("bit_or(bit)").as("bits"))
     val b1 = bloomWords.select(col("w").as("w1"), col("bits").as("bits1"))
     val b2 = bloomWords.select(col("w").as("w2"), col("bits").as("bits2"))
-    probed.where(!isEval)
+    probes(gramHashes(s, dir).where(!isEval))
       .join(broadcast(b1), expr("shiftright(p1, 6)") === col("w1"))
       .join(broadcast(b2), expr("shiftright(p2, 6)") === col("w2"))
       .where(

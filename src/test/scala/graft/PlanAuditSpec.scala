@@ -208,6 +208,15 @@ class PlanAuditSpec extends AnyFunSuite {
       opt.toString)
   }
 
+  test("bucketed join: the only exchange is the group-by's — none on the join key") {
+    val df = graft.sources.Bucketed.bucketedJoinAgg(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!"Exchange hashpartitioning\\((l|o)_orderkey".r.findFirstIn(p).isDefined, p)
+  }
+
   test("CSV roundtrip scans CSV and aggregates with one exchange") {
     val df = graft.sources.Csv.roundtripAgg(spark, dir)
     val p = plan(df)
