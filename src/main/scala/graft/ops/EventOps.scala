@@ -344,8 +344,13 @@ object EventOps {
 
   /** The processed-ids dedup cache (`categorize-trail-conditions/src/db.py:
     * 24-27`, `DESIGN.md:38`) is a left-anti join of tasks against the
-    * processed set. The processed side is small (keys only) → broadcast
-    * anti join, no shuffle of the big side.
+    * processed set. The broadcast hint is deliberate AND bounded: the
+    * reference trims this cache to MAX_STREAM_SIZE recent ids (`db.py`
+    * stream cap), so the build side is retention-capped — distinct keys
+    * of ONE day's window here — not proportional to history. An unbounded
+    * processed set would have to drop the hint (AQE decides) or move to
+    * the streaming form (`dropDuplicatesWithinWatermark`, state bounded
+    * by the watermark), which this library also ships.
     */
   def a9AntiJoinDedup(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
