@@ -301,7 +301,25 @@ object DedupOps {
     * over the EDGE set only (∝ near-dup pairs, not corpus size) — at
     * 100 TB this state is trivially small even when the corpus is not.
     */
-  def nearDupClusters(s: SparkSession, dir: String, iterations: Int = 5): DataFrame = {
+  /** Clusters and keep/drop memos: `q_dedup_clusters`, `q_dedup_keepdrop`
+    * and `q_dedup_stats` all sit on the label-propagation output — without
+    * sharing, each call re-runs the 5 eager localCheckpoint rounds (the
+    * round-5 q_dedup_stats pathology: 17 s for "one extra aggregate").
+    * Same discipline as the shingle/pair caches above; at 100 TB both
+    * frames are the materialized dedup-decision tables a pipeline
+    * publishes once per corpus version.
+    */
+  private val clusterCache =
+    IndexMemo.cache[(SparkSession, String, Int), DataFrame]()
+  private val keepDropCache =
+    IndexMemo.cache[(SparkSession, String), DataFrame]()
+
+  def nearDupClusters(s: SparkSession, dir: String, iterations: Int = 5): DataFrame =
+    IndexMemo(clusterCache, (s, dir, iterations))(
+      computeNearDupClusters(s, dir, iterations))
+
+  private def computeNearDupClusters(
+      s: SparkSession, dir: String, iterations: Int): DataFrame = {
     // shares the persisted pair table with q_dedup_minhash_lsh — see
     // [[verifiedNearDupPairs]]
     val pairs = verifiedNearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
@@ -341,7 +359,10 @@ object DedupOps {
     * election is a per-cluster window over cluster members only (∝
     * near-dups), and the corpus-wide left join keys on doc_id.
     */
-  def dedupKeepDrop(s: SparkSession, dir: String): DataFrame = {
+  def dedupKeepDrop(s: SparkSession, dir: String): DataFrame =
+    IndexMemo(keepDropCache, (s, dir))(computeDedupKeepDrop(s, dir).persist())
+
+  private def computeDedupKeepDrop(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val members = nearDupClusters(s, dir)
       .select(col("doc_id"), col("cluster_id"))
@@ -453,18 +474,68 @@ object DedupOps {
     * near-pair bucket join, and (at other widths) [[graft.ScaleProbe]].
     * `bits` must be ≤ 60 (hash60 has no higher bits to vote on).
     */
+  // ---- packed bit-vote aggregation ---------------------------------------
+  //
+  // The naive vote pass is one sum(±1) aggregate column PER BIT — 60 bits
+  // ⇒ 60 columns, the two-lane 120-bit form ⇒ 120, which is over Spark's
+  // whole-stage-codegen field limit (spark.sql.codegen.maxFields = 100):
+  // the hash aggregate falls out of codegen into interpreted eval with a
+  // 120-slot buffer per group (measured 71 s vs ~2 s at sf0.1 — the
+  // round-5 bench pathology). The ±1 vote is redundant information:
+  //   sum(±1 over shingles) > 0  ⟺  2 · (#shingles with bit set) > n,
+  // so per bit we only need the ONES-COUNT, and ones-counts pack — three
+  // 20-bit fields per aggregated long. 60 bits ⇒ 20 packed columns + one
+  // shingle count; 120 bits ⇒ 41 columns total. Every stage stays inside
+  // whole-stage codegen (pinned in PlanAuditSpec) and the agg buffer
+  // shrinks 3×.
+
+  /** Field geometry: 3 ones-counts per long, 20 bits each. A field
+    * saturates at 2²⁰ shingles per document (≈1M word-bigrams — a ~4 MB
+    * document; corpus docs carry ~10² shingles, and a pipeline at that
+    * doc size shards documents before fingerprinting them).
+    */
+  private val VoteFieldBits = 20
+  private val VoteFieldsPerLong = 3
+  private val VoteFieldMask = (1L << VoteFieldBits) - 1
+
+  /** Packed ones-count aggregate columns for `bits` low bits of hash
+    * column `h`: packed column j sums, over the group, the 0/1 values of
+    * bits (3j, 3j+1, 3j+2) of `h` placed at 20-bit offsets.
+    */
+  private def packedVoteAggs(h: String, bits: Int, prefix: String): Seq[Column] = {
+    val nLongs = (bits + VoteFieldsPerLong - 1) / VoteFieldsPerLong
+    (0 until nLongs).map { j =>
+      val terms = (0 until VoteFieldsPerLong)
+        .map(i => (i, j * VoteFieldsPerLong + i))
+        .filter { case (_, b) => b < bits }
+        .map { case (i, b) =>
+          s"shiftleft(shiftright($h, $b) & 1, ${i * VoteFieldBits})"
+        }
+      sum(expr(terms.mkString(" + "))).as(s"$prefix$j")
+    }
+  }
+
+  /** Majority vote for bit b from the packed columns: set iff strictly
+    * more than half the group's shingles have the bit set — exactly
+    * sum(±1) > 0, the form the DuckDB oracle computes.
+    */
+  private def voteBitSet(prefix: String, b: Int, nShingles: Column): Column = {
+    val j = b / VoteFieldsPerLong
+    val off = (b % VoteFieldsPerLong) * VoteFieldBits
+    (expr(s"shiftright($prefix$j, $off)").bitwiseAND(lit(VoteFieldMask)) * 2) > nShingles
+  }
+
   private def simhashesFromIndex(idx: DataFrame, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 60, s"simhash bits must be in [1, 60], got $bits")
     val perShingle = idx.select(col("doc_id"), hash60(col("shingle")).as("h"))
-    val voteAggs = (0 until bits).map { b =>
-      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val votes = perShingle.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val aggs = packedVoteAggs("h", bits, "p") :+ count(lit(1)).as("n_sh")
+    val votes = perShingle.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val n = col("n_sh")
     val fingerprint = (0 until bits)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .map(b => when(voteBitSet("p", b, n), lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
     val nSet = (0 until bits)
-      .map(b => when(col(s"v$b") > 0, 1L).otherwise(0L))
+      .map(b => when(voteBitSet("p", b, n), 1L).otherwise(0L))
       .reduce(_ + _)
     votes.select(
       col("doc_id"), fingerprint.as("simhash"), nSet.as("n_set_bits"))
@@ -575,17 +646,17 @@ object DedupOps {
       col("doc_id"),
       hash60(col("shingle")).as("h0"),
       hash60(concat(lit(Lane1Salt), col("shingle"))).as("h1"))
-    val voteAggs = (0 to 1).flatMap { lane =>
-      (0 until bits).map { b =>
-        sum(when(expr(s"shiftright(h$lane, $b) & 1") === 1, 1).otherwise(-1))
-          .as(s"v${lane}_$b")
-      }
-    }
-    val votes = hashed.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
-    val fps = (0 to 1).map { lane =>
+    // 41 aggregate columns (2 × 20 packed + count), not 120 sum(±1)s —
+    // see the packed-vote section above: 120 fields forced this aggregate
+    // out of whole-stage codegen (the round-5 71 s bench pathology).
+    val aggs = packedVoteAggs("h0", bits, "a") ++
+      packedVoteAggs("h1", bits, "b") :+ count(lit(1)).as("n_sh")
+    val votes = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val n = col("n_sh")
+    val fps = Seq("a" -> "simhash0", "b" -> "simhash1").map { case (pfx, out) =>
       (0 until bits)
-        .map(b => when(col(s"v${lane}_$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_ + _).as(s"simhash$lane")
+        .map(b => when(voteBitSet(pfx, b, n), lit(1L << b)).otherwise(0L))
+        .reduce(_ + _).as(out)
     }
     votes.select(col("doc_id") +: fps: _*)
   }

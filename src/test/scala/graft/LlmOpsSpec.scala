@@ -444,6 +444,16 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster and keep/drop tables are memoized per (session, dir)") {
+    // q_dedup_clusters / q_dedup_keepdrop / q_dedup_stats all sit on the
+    // label-propagation output; without the memo each call re-ran the 5
+    // eager checkpoint rounds (round-5: q_dedup_stats 9× its parent)
+    assert(DedupOps.nearDupClusters(spark, dir) eq
+      DedupOps.nearDupClusters(spark, dir))
+    assert(DedupOps.dedupKeepDrop(spark, dir) eq
+      DedupOps.dedupKeepDrop(spark, dir))
+  }
+
   test("dedup stats: per-source rows cover the corpus, drops match keep/drop") {
     val stats = DedupOps.dedupStats(spark, dir).collect()
     assert(stats.map(_.getLong(1)).sum == 500) // n_docs covers the corpus

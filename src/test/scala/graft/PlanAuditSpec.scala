@@ -353,4 +353,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // codegen stages print as "*(n) HashAggregate..." in the compact tree
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan(df)).isDefined, plan(df))
   }
+
+  test("simhash two-lane vote aggregate stays inside whole-stage codegen") {
+    // The 120-bit fingerprint's vote pass packs ones-counts 3-per-long
+    // (41 agg columns) precisely to stay under spark.sql.codegen.maxFields
+    // = 100 — the naive 120-column sum(±1) form fell out of codegen and
+    // ran interpreted (round-5 bench: 71 s vs ~2 s). Pin it: EVERY
+    // HashAggregate in the fingerprint plan must carry the codegen star.
+    val df = graft.ops.DedupOps.simhashLanes128(spark, dir)
+    df.collect()
+    // audit the FINAL adaptive plan only — the string dump repeats the
+    // pre-execution "Initial Plan", whose stages never carry the star
+    val p = plan(df).split("== Initial Plan ==").head
+    val all = """(\*\(\d+\) )?HashAggregate""".r.findAllIn(p).toSeq
+    assert(all.nonEmpty, p)
+    assert(all.forall(_.startsWith("*")), p)
+  }
 }
