@@ -33,4 +33,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cache mid-run, stalling C2 and leaving hot loops interpreted (observed:
   // 5x slowdown on the first post-pressure query)
   "-XX:ReservedCodeCacheSize=1g",
-)
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.split("\\s+"))

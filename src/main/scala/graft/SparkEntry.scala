@@ -169,6 +169,8 @@ object SparkEntry {
     "q_mixture_sample" -> ((s, d) => graft.ops.CorpusOps.mixtureSample(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.ops.CorpusOps.packSequences(s, d)),
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
+    "q_freq_items" -> ((s, d) => graft.ops.CorpusOps.freqItems(s, d)),
+    "q_skew_join" -> (graft.ops.Skew.skewedJoinAgg _),
     "q_tfidf_topterms" -> ((s, d) => graft.ops.CorpusOps.tfIdfTopTerms(s, d)),
     "q_kmeans" -> (SimilarityOps.kmeans _),
     "q_pii_scrub" -> (graft.ops.CorpusOps.piiScrub _))
@@ -290,6 +292,8 @@ object SparkEntry {
     "q_pack_sequences" -> graft.ops.CorpusOps.packSequencesSql(),
     "q_tfidf_topterms" -> graft.ops.CorpusOps.tfIdfTopTermsSql(),
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
+    "q_freq_items" -> graft.ops.CorpusOps.freqItemsSql(),
+    "q_skew_join" -> graft.ops.Skew.skewedJoinAggSql,
     "q_kmeans" -> SimilarityOps.kmeansSql,
     "q_pii_scrub" -> graft.ops.CorpusOps.piiScrubSql,
     // exact-vs-sketch shape: the oracle computes the exact side and asserts

@@ -135,6 +135,13 @@ object CorpusOps {
       mixture: Seq[(String, Double)] = DefaultMixture,
       budget: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Quotas are INDEPENDENT per-source roundings of budget·fraction, not
+    // a budget-exact apportionment: a mixture not aligned to rounding
+    // (e.g. three 1/3 shares of 20 → 7+7+7 = 21) can over/undershoot the
+    // budget by up to |mixture|/2 rows. Deliberate: each source's quota is
+    // then a pure function of its own fraction (stable when the mixture
+    // spec gains/loses sources); a builder needing Σ = budget exactly
+    // applies largest-remainder apportionment to `mixture` BEFORE calling.
     val quota = mixture.map { case (src, f) => (src, math.round(budget * f)) }
     val maxK = quota.map(_._2).max
     val quotaDf = s.createDataFrame(quota).toDF("m_source", "target_k")
@@ -370,4 +377,72 @@ object CorpusOps {
        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
        |GROUP BY token
        |ORDER BY doc_freq DESC, coll_freq DESC, token LIMIT $k""".stripMargin
+
+  // ---- count–min sketch frequent items -----------------------------------
+
+  /** Count–min sketch geometry: d deterministic hash rows × w buckets.
+    * Sketch size is d·w counters REGARDLESS of corpus size — the mergeable
+    * 100 TB vocabulary path next to [[vocabTopK]]'s exact shuffle, the same
+    * exact-vs-sketch pairing as [[approxPercentiles]].
+    */
+  val CmsRows = 4
+  val CmsWidth = 1024
+
+  /** Frequent items via a count–min sketch, CHECKED against the exact
+    * counts: the sketch is the (r, bucket) → count table built in ONE
+    * aggregate over the token stream (map-side partial aggregation IS the
+    * sketch merge — each partition's partial sketch is ≤ d·w counters, so
+    * the shuffle carries bounded state at any corpus size). The top-k
+    * exact tokens then probe the sketch: estimate = min over rows of the
+    * token's bucket counter.
+    *
+    * Oracled shape (like [[approxPercentiles]]): exact coll_freq plus
+    * `within_bound` = (est ≥ exact) ∧ (est ≤ exact + ⌈e/w · N⌉) — the CM
+    * guarantees (estimate never undercounts; overcount ≤ εN with ε = e/w
+    * at probability 1 − e^(−d) per Markov). Deterministic hashes make the
+    * observed error reproducible, so the oracle asserts `true` and a
+    * sketch drifting out of contract fails the hash compare per run.
+    */
+  def freqItems(s: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val toks = Tables.read(s, dir, "documents")
+      .select(explode(TextOps.tokens).as("token"))
+    // d (r, bucket) probes per token, map-side; one shuffle on (r, bucket)
+    val rowCols = (0 until CmsRows).map { r =>
+      struct(lit(r).as("r"),
+        pmod(hash60(concat(lit(s"cms$r#"), col("token"))), lit(CmsWidth.toLong))
+          .as("bucket"))
+    }
+    val sketch = toks
+      .select(explode(array(rowCols: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("coll_freq"))
+      .orderBy(col("coll_freq").desc, col("token"))
+      .limit(k)
+    val probes = top.select(
+      col("token"), col("coll_freq"),
+      explode(array(rowCols: _*)).as("rb"))
+      .select(col("token"), col("coll_freq"),
+        col("rb.r").as("pr"), col("rb.bucket").as("pbucket"))
+    probes
+      .join(sketch, col("pr") === col("r") && col("pbucket") === col("bucket"))
+      .groupBy(col("token"), col("coll_freq"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("token"), col("coll_freq"),
+        (col("cms_est") >= col("coll_freq") &&
+          col("cms_est") <= col("coll_freq") +
+            ceil(lit(math.E / CmsWidth) * col("n_total")).cast("long"))
+          .as("within_bound"))
+      .orderBy(col("coll_freq").desc, col("token"))
+  }
+
+  def freqItemsSql(k: Int = 15): String =
+    s"""SELECT token, count(*)::BIGINT AS coll_freq, true AS within_bound
+       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY coll_freq DESC, token LIMIT $k""".stripMargin
 }

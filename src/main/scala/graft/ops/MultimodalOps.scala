@@ -388,16 +388,13 @@ object MultimodalOps {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))
           val fmt = ais.getFormat
-          // AudioInputStream reads WHOLE FRAMES only (a sub-frame length
-          // reads 0 bytes) — pull the first frame and take channel 0
+          // AudioInputStream reads WHOLE FRAMES only — a sub-frame request
+          // returns 0, so a byte-granular retry loop could spin on a short
+          // read. readFully delegates the retry to the stream layer and
+          // throws EOFException on a truncated frame.
           val frameSize = fmt.getFrameSize
           val buf = new Array[Byte](frameSize)
-          var got = 0
-          while (got < frameSize) {
-            val n = ais.read(buf, got, frameSize - got)
-            require(n > 0, s"EOF inside first frame of media $id")
-            got += n
-          }
+          new java.io.DataInputStream(ais).readFully(buf)
           DecodedWav(
             media_id = id,
             sample_rate = fmt.getSampleRate.toInt,

@@ -60,4 +60,63 @@ object Skew {
 
   def saltFactKey(fact: DataFrame, salts: Int = 16): DataFrame =
     fact.withColumn("__salt", (rand(seed = 42) * salts).cast("int"))
+
+  /** AQE skew-join split demonstrated as a first-class oracled query — the
+    * RUNTIME complement to the manual salting above: events are skewed
+    * deterministically onto one hot customer key (~90 % of rows), then
+    * joined to the customer dim under a sort-merge join and aggregated per
+    * market segment.
+    *
+    * The skew handling is CONFIG, not code: broadcast is disabled (at real
+    * scale both sides exceed any broadcast threshold) and the AQE skew
+    * thresholds are scaled to the test data's MBs (defaults are sized for
+    * 256 MB production partitions). The overrides live on a SESSION CLONE
+    * (`newSession()` shares the SparkContext but owns its SQLConf), so the
+    * returned frame executes under them whenever the driver materializes
+    * it, and the shared session is never mutated — the scoped-config
+    * pattern a multi-tenant job server uses for per-query tuning.
+    * OptimizeSkewedJoin then splits the hot partition into
+    * advisory-sized slices at runtime (SortMergeJoin(skew=true), pinned in
+    * SkewSpec); the unsalted single-reducer plan would stall one task with
+    * 90 % of the fact table.
+    */
+  def skewedJoinAgg(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val scoped = s.newSession()
+    Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB"
+    ).foreach { case (k, v) => scoped.conf.set(k, v) }
+    // Skew splitting slices a hot reduce partition at MAP-OUTPUT-BLOCK
+    // granularity: a partition fed by one mapper cannot be split at all.
+    // At 100 TB the fact scan has thousands of mappers naturally; the
+    // single-row-group test file has ONE, so spread it explicitly — the
+    // round-robin stands in for the real scan's mapper count, it is not
+    // part of the operator's scale shape.
+    val hot = graft.sources.Tables.read(scoped, dir, "events")
+      .repartition(32)
+      .select(
+        when(col("event_id") % 10 =!= 0, lit(7L))
+          .otherwise(pmod(col("user_id"), lit(100L))).as("cust_key"),
+        col("value"))
+    val dim = graft.sources.Tables.read(scoped, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    hot.join(dim, col("cust_key") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val skewedJoinAggSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM (
+      |  SELECT CASE WHEN event_id % 10 <> 0 THEN 7
+      |              ELSE user_id % 100 END AS cust_key, value
+      |  FROM events) e
+      |JOIN customer ON cust_key = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }

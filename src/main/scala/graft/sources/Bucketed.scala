@@ -23,18 +23,26 @@ object Bucketed {
     System.getProperty("java.io.tmpdir", "/tmp"), "graft-warehouse", table)
 
   private def ensure(s: SparkSession, sfDir: String): (String, String) = {
-    val suffix = java.util.UUID
+    // suffix includes the APPLICATION id, not just the input-dir hash: two
+    // JVMs sharing java.io.tmpdir (concurrent test + bench runs) would
+    // otherwise race the exists-check/delete/saveAsTable sequence on one
+    // directory — the per-JVM lock below cannot see the other process.
+    val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+    val dirTag = java.util.UUID
       .nameUUIDFromBytes(sfDir.getBytes("UTF-8")).toString.take(8).replace("-", "")
-    val li = s"li_bkt_$suffix"
-    val ord = s"ord_bkt_$suffix"
+    val li = s"li_bkt_${dirTag}_$appTag"
+    val ord = s"ord_bkt_${dirTag}_$appTag"
     def build(table: String, df: => DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(table)) {
-        // a prior JVM's managed dir without a catalog entry blocks CREATE
+        // belt-and-braces: an identically-named stale dir (appId collision
+        // across reboots) blocks CREATE; best-effort clear, tolerating a
+        // concurrent deletion
         val p = warehousePath(table)
         if (java.nio.file.Files.exists(p)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
+          try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          catch { case _: java.io.IOException => () }
         }
         df.write.mode("overwrite")
           .bucketBy(8, key).sortBy(key).saveAsTable(table)

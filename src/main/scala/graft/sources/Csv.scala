@@ -46,12 +46,17 @@ object Csv {
     out
   }
 
-  /** Read the CSV dump with the declared schema, FAILFAST. */
+  /** Read the CSV dump with the declared schema, FAILFAST. multiLine so a
+    * document text containing an embedded newline (quoted correctly on
+    * write) parses back instead of aborting — the write side never guards
+    * against newlines, so the read side must not assume their absence.
+    */
   def readDocuments(s: SparkSession, path: String): DataFrame =
     s.read
       .schema(Tables.documents)
       .option("header", "true")
       .option("mode", "FAILFAST")
+      .option("multiLine", "true")
       .csv(path)
 
   /** parquet → CSV → read-back → per-language digest (same digest contract

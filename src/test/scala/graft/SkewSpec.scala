@@ -48,6 +48,21 @@ class SkewSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("AQE OptimizeSkewedJoin splits the hot key of the skew demo query") {
+    // sf0.1 (the bench SF): the hot key carries ~90k of 100k events —
+    // ~0.7MB of shuffle blocks, far past the op's scaled 16KB skew
+    // threshold (smaller SFs compress under it and AQE just coalesces)
+    val df = Skew.skewedJoinAgg(spark, "/root/testdata/sf0.1")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // counts cover every event whose key matches a customer (hot key 7
+    // resolves — the skew is real data volume, not dropped rows)
+    assert(rows.map(_.getLong(1)).sum >= 90000L)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the sort-merge join must be the skew-split form, not a plain SMJ
+    assert(plan.contains("SortMergeJoin") && plan.contains("skew=true"), plan)
+  }
+
   test("bucketed tables join without an exchange on the bucketed key") {
     // the in-memory catalog forgets tables across JVMs but their warehouse
     // dirs survive — clear both
