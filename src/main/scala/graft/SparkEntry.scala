@@ -171,6 +171,9 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
     "q_freq_items" -> ((s, d) => graft.ops.CorpusOps.freqItems(s, d)),
     "q_skew_join" -> (graft.ops.Skew.skewedJoinAgg _),
+    "q_simhash_row_fp" -> ((s, d) => graft.streaming.StreamingDedup
+      .fingerprints(graft.sources.Tables.read(s, d, "documents"))
+      .orderBy("doc_id")),
     "q_tfidf_topterms" -> ((s, d) => graft.ops.CorpusOps.tfIdfTopTerms(s, d)),
     "q_kmeans" -> (SimilarityOps.kmeans _),
     "q_pii_scrub" -> (graft.ops.CorpusOps.piiScrub _))
@@ -294,6 +297,7 @@ object SparkEntry {
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
     "q_freq_items" -> graft.ops.CorpusOps.freqItemsSql(),
     "q_skew_join" -> graft.ops.Skew.skewedJoinAggSql,
+    "q_simhash_row_fp" -> graft.ops.DedupOps.simhashWideFingerprintSql,
     "q_kmeans" -> SimilarityOps.kmeansSql,
     "q_pii_scrub" -> graft.ops.CorpusOps.piiScrubSql,
     // exact-vs-sketch shape: the oracle computes the exact side and asserts

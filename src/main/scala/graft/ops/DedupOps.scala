@@ -764,6 +764,25 @@ object DedupOps {
   def simhashNearPairsWideSql(maxHamming: Int = 3): String =
     simhashNearPairsSqlAt(maxHamming, SimhashWideBits, SimhashWideBandBits)
 
+  /** 60-bit fingerprints-only oracle (doc_id, simhash) — the DuckDB twin
+    * of the WIDE vote, used by `q_simhash_row_fp` to pin the per-ROW
+    * streaming fingerprint expression ([[graft.streaming.StreamingDedup]])
+    * against the relational vote on both engines.
+    */
+  val simhashWideFingerprintSql: String = {
+    val h = hash60Sql("sh")
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest($shingleListSql) AS sh FROM documents),
+       |hs AS (SELECT doc_id, $h AS h FROM e),
+       |votes AS (
+       |  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM hs, (SELECT unnest(range(0, $SimhashWideBits)) AS bit)
+       |  GROUP BY doc_id, bit)
+       |SELECT doc_id,
+       |  sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val simhashFingerprintSql: String = {
     val h = hash60Sql("sh")
     s"""WITH e AS (

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.DedupOps
+
+/** INCREMENTAL dedup for the LLM-data tier — the streaming deployment of
+  * the batch dedup family (the round-5 verdict's remaining extension
+  * item). A training-data pipeline that ingests documents continuously
+  * cannot re-run corpus-wide dedup per drop; these operators admit one
+  * document at a time against bounded keyed state:
+  *
+  *  - exact dedup → `dropDuplicates` on the content hash: first arrival
+  *    wins, replicas of already-seen text never leave the stream. State =
+  *    one 32-byte hash per distinct document (the streaming twin of the
+  *    batch hash-groupBy, and of the reference's Redis processed-set —
+  *    `categorize-trail-conditions/src/db.py:24-27` — with the same
+  *    grow-with-corpus footprint).
+  *  - SimHash near-dup pairs → per-document fingerprint computed IN the
+  *    row (no corpus pass), banded 4×15 bits, and matched against
+  *    per-bucket state via `flatMapGroupsWithState`: each arriving
+  *    document is compared only to prior documents sharing ≥1 band —
+  *    the same candidates ∝ collisions shape as the batch band join,
+  *    incrementally. Emitted pairs match the BATCH
+  *    [[DedupOps.simhashNearPairsWide]] exactly (asserted in
+  *    StreamingSpec), because the per-row fingerprint expression
+  *    reproduces the batch vote bit-for-bit.
+  *
+  * State bounds: bucket state holds (doc_id, simhash) = 16 bytes per doc
+  * per band — 64 bytes/doc total across the 4 bands, ~6 GB per 10⁸ docs
+  * shard. A production deployment ages buckets out per corpus version
+  * (state TTL / `GroupStateTimeout`), exactly like re-materializing the
+  * batch index.
+  */
+object StreamingDedup {
+
+  /** Streaming scan of a documents parquet path with the declared schema. */
+  def readDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(graft.sources.Tables.documents)
+      .parquet(path)
+
+  // ---- exact dedup --------------------------------------------------------
+
+  /** First-arrival-wins exact dedup on the md5 content hash. Output =
+    * the kept stream (one row per distinct text). No watermark by design:
+    * corpus dedup state is bounded by corpus cardinality, not time — the
+    * documents table has no event time to bound it with.
+    */
+  def exactDedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .dropDuplicates("text_hash")
+
+  // ---- incremental SimHash near-pairs ------------------------------------
+
+  /** Per-ROW 60-bit SimHash — the streaming form of the batch vote, where
+    * one row carries the whole document so no shingle explode / groupBy is
+    * needed: distinct word-bigram shingles → 60-bit md5-prefix hash per
+    * shingle → majority vote per bit (set iff 2·ones > n, the exact batch
+    * tie rule). One `aggregate` pass over the shingle array per row; the
+    * inner 60-element fold is the same per-shingle work the batch form
+    * spreads over exploded rows.
+    */
+  private[streaming] def simhashRowExprSql(bits: Int): String = {
+    // Deliberately the PLAIN per-bit fold, not the batch packedVoteAggs
+    // 3-per-long packing: higher-order lambdas never enter codegen, so
+    // the batch trick's payoff (staying under the codegen field limit)
+    // does not exist here, and an A/B at sf0.1 measured the packed fold
+    // SLOWER (4.5 s vs 3.4 s in-bench — it does ~40 % more primitive ops
+    // per shingle). Per-row cost is O(shingles × bits) interpreted either
+    // way; the batch vote remains the fast path for bulk fingerprinting.
+    val shingles =
+      """array_distinct(transform(
+        |      sequence(1, greatest(size(toks) - 1, 1)),
+        |      i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))))"""
+        .stripMargin
+    val h = "cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)"
+    s"""aggregate(
+       |  transform($shingles, sh -> $h),
+       |  named_struct(
+       |    'n', cast(0 as bigint),
+       |    'ones', array_repeat(cast(0 as bigint), $bits)),
+       |  (acc, h) -> named_struct(
+       |    'n', acc.n + cast(1 as bigint),
+       |    'ones', zip_with(
+       |      acc.ones,
+       |      transform(sequence(0, ${bits - 1}), b -> shiftright(h, b) & cast(1 as bigint)),
+       |      (o, x) -> o + x)),
+       |  acc -> aggregate(
+       |    sequence(0, ${bits - 1}),
+       |    cast(0 as bigint),
+       |    (fp, b) -> fp + if(2 * element_at(acc.ones, b + 1) > acc.n,
+       |      shiftleft(cast(1 as bigint), b), cast(0 as bigint))))""".stripMargin
+  }
+
+  /** (doc_id, simhash): map-side fingerprints of a (streaming or batch)
+    * documents frame.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        expr(simhashRowExprSql(DedupOps.SimhashWideBits)).as("simhash"))
+
+  final case class DupPair(doc_a: Long, doc_b: Long, hamming: Long)
+
+  private val NBands = DedupOps.SimhashWideBits / DedupOps.SimhashWideBandBits
+  private val BandMask = (1L << DedupOps.SimhashWideBandBits) - 1
+
+  private def bandValue(sig: Long, band: Int): Long =
+    (sig >>> (DedupOps.SimhashWideBandBits * band)) & BandMask
+
+  /** The band index that OWNS a candidate pair: the lowest band where the
+    * two fingerprints agree. Every agreeing band's bucket sees the pair
+    * independently; letting exactly the minimum agreeing band emit makes
+    * the output duplicate-free WITHOUT a second stateful operator (the
+    * batch form pays a `distinct` for the same property).
+    */
+  private def owningBand(a: Long, b: Long): Int =
+    (0 until NBands).find(j => bandValue(a, j) == bandValue(b, j)).getOrElse(-1)
+
+  /** Incremental SimHash near-duplicate pairs at Hamming ≤ `maxHamming`:
+    * fingerprints are banded, grouped per (band, bucket-value), and each
+    * arriving document is compared to the bucket's prior members before
+    * being added to its state. Same lossless pigeonhole guarantee as the
+    * batch band join; output matches [[DedupOps.simhashNearPairsWide]]
+    * row-for-row. Within a micro-batch, bucket members are admitted in
+    * doc_id order so replays are deterministic.
+    */
+  def incrementalNearPairs(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): Dataset[DupPair] = {
+    import spark.implicits._
+    val fps = fingerprints(docs).as[(Long, Long)]
+    val banded = fps.flatMap { case (id, sig) =>
+      (0 until NBands).map(b => (s"$b:${bandValue(sig, b)}", b, id, sig))
+    }
+    banded
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Int, Long, Long)],
+         state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[DupPair]
+          rows.toSeq.sortBy(_._3).foreach { case (_, band, id, sig) =>
+            seen.foreach { case (oid, osig) =>
+              val hamming = java.lang.Long.bitCount(sig ^ osig)
+              if (hamming <= maxHamming && owningBand(sig, osig) == band)
+                out += DupPair(math.min(id, oid), math.max(id, oid), hamming.toLong)
+            }
+            seen = (id, sig) :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+}

@@ -23,6 +23,51 @@ class StreamingSpec extends AnyFunSuite {
     d.toString
   }
 
+  lazy val docsPath: String = {
+    val d = Files.createTempDirectory("graft_docs_stream")
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      d.resolve("documents.parquet"))
+    d.toString
+  }
+
+  test("incremental exact dedup: kept stream equals the batch distinct-hash count") {
+    import graft.streaming.StreamingDedup
+    val q = StreamingDedup
+      .exactDedupStream(StreamingDedup.readDocuments(spark, docsPath))
+      .writeStream.format("memory").queryName("sdedup_exact")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sdedup_exact")
+      val batchDistinct =
+        graft.ops.DedupOps.exactDedup(spark, "/root/testdata/sf0.001").count()
+      assert(out.count() == batchDistinct)
+      assert(out.select("text_hash").distinct().count() == batchDistinct)
+    } finally q.stop()
+  }
+
+  test("incremental simhash near-pairs: streamed output equals the batch band join") {
+    import graft.streaming.StreamingDedup
+    val q = StreamingDedup
+      .incrementalNearPairs(spark, StreamingDedup.readDocuments(spark, docsPath))
+      .writeStream.format("memory").queryName("sdedup_pairs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sdedup_pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.ops.DedupOps
+        .simhashNearPairsWide(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty) // the corpus plants near-dups — a vacuous pass hides bugs
+      assert(streamed == batch)
+      // duplicate-free WITHOUT a distinct: the owning-band rule emits each
+      // pair exactly once
+      assert(spark.table("sdedup_pairs").count() == streamed.size)
+    } finally q.stop()
+  }
+
   test("S5/append: stateless projection streams through with validity flag") {
     val q = StreamingPipeline
       .projectWithValidity(StreamingPipeline.readEvents(spark, eventsPath))
