@@ -56,10 +56,15 @@ object DedupOps {
     * `split(text)` into the lambda re-splits per element (O(n²)/row).
     */
   def bigramShingles: Column =
+    // try_element_at: a 1-token document probes index 2 of a 1-element
+    // array, which THROWS under ANSI mode — the null → concat_ws skips it
+    // and yields the bare token, exactly the oracle's
+    // `|| coalesce(' ' || next, '')` (pinned by the PropertySpec naive
+    // recount, whose generator does produce 1-token docs)
     expr(
       """array_distinct(transform(
         |  sequence(1, greatest(size(toks) - 1, 1)),
-        |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))))""".stripMargin)
+        |  i -> concat_ws(' ', element_at(toks, i), try_element_at(toks, i + 1))))""".stripMargin)
 
   /** THE oracle-side shingle list — single source of truth interpolated by
     * every dedup oracle below. `|| coalesce(' ' || next, '')` reproduces
@@ -543,6 +548,13 @@ object DedupOps {
 
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     simhashesFromIndex(shingleIndex(s, dir), SimhashBits)
+
+  /** Test/probe surface: packed-vote fingerprints of an arbitrary
+    * (doc_id, source, text) frame at any width — PropertySpec recomputes
+    * them naively on the driver to pin the bit-packing math.
+    */
+  private[graft] def simhashesOfDocs(d: DataFrame, bits: Int): DataFrame =
+    simhashesFromIndex(shingleIndexOf(d), bits)
 
   /** SimHash near-duplicate PAIRS: band the 32-bit fingerprint into 4
     * bytes and bucket-join on (band, value) — by pigeonhole, any pair at

@@ -72,10 +72,12 @@ object StreamingDedup {
     // SLOWER (4.5 s vs 3.4 s in-bench — it does ~40 % more primitive ops
     // per shingle). Per-row cost is O(shingles × bits) interpreted either
     // way; the batch vote remains the fast path for bulk fingerprinting.
+    // try_element_at for the same 1-token-doc ANSI edge as the batch
+    // bigramShingles (null → concat_ws skips → bare token, oracle-equal)
     val shingles =
       """array_distinct(transform(
         |      sequence(1, greatest(size(toks) - 1, 1)),
-        |      i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))))"""
+        |      i -> concat_ws(' ', element_at(toks, i), try_element_at(toks, i + 1))))"""
         .stripMargin
     val h = "cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)"
     s"""aggregate(

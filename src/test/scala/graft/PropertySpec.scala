@@ -176,4 +176,39 @@ class PropertySpec extends AnyFunSuite {
       assert(pairs(boxed) == reference)
     }
   }
+
+  test("packed-vote simhash equals a naive driver-side recount at every width") {
+    // pins the 20-bit-field / 3-per-long packing math (DedupOps
+    // packedVoteAggs): for random corpora and widths including the
+    // non-multiple-of-3 ones, the packed aggregate must reproduce the
+    // naive majority vote bit-for-bit
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val wordGen = Gen.oneOf("ridge", "creek", "mud", "snow", "dry", "wash", "rock")
+    val docGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    forAllSampled(Gen.zip(Gen.listOfN(8, docGen), Gen.oneOf(7, 32, 60)), n = 3) {
+      case (texts, bits) =>
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, "src", t) }
+          .toDF("doc_id", "source", "text")
+        val got = graft.ops.DedupOps.simhashesOfDocs(docs, bits)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        texts.zipWithIndex.foreach { case (t, i) =>
+          val toks = t.split(" ")
+          val shingles =
+            (if (toks.length < 2) Seq(toks.head)
+             else toks.sliding(2).map(_.mkString(" ")).toSeq).distinct
+          val hs = shingles.map(hash60)
+          val fp = (0 until bits).map { b =>
+            val ones = hs.count(h => ((h >> b) & 1L) == 1L)
+            if (2 * ones > hs.size) 1L << b else 0L
+          }.sum
+          val nSet = java.lang.Long.bitCount(fp).toLong
+          assert(got(i.toLong) == (fp, nSet), s"doc $i bits=$bits")
+        }
+    }
+  }
 }
