@@ -103,6 +103,8 @@ object SparkEntry {
     "q_embed_int8" -> (SimilarityOps.quantizeInt8 _),
     "q_embed_matryoshka" -> ((s, d) => SimilarityOps.matryoshkaEnergy(s, d)),
     "q_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
+    "q_sem_dedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
+    "q_zorder_stats" -> (graft.ops.Layout.zorderStats _),
 
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
@@ -128,6 +130,8 @@ object SparkEntry {
     "q_csv_roundtrip" -> (graft.sources.Csv.roundtripAgg _),
     // bucketed co-located join: no shuffle on the join key (plan pinned)
     "q_bucketed_join" -> (graft.sources.Bucketed.bucketedJoinAgg _),
+    // date-partitioned scan: partition pruning at listing time (plan pinned)
+    "q_partitioned_scan" -> (graft.sources.Partitioned.partitionedScanAgg _),
 
     // time-series extensions: as-of join, sessionization, pivot, HLL sketch
     "q_asof_join" -> (graft.ops.TimeSeriesOps.asofJoin _),
@@ -162,6 +166,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(s, d)),
     "q_dedup_keepdrop" -> (DedupOps.dedupKeepDrop _),
     "q_dedup_stats" -> (DedupOps.dedupStats _),
+    "q_dedup_weights" -> (DedupOps.dedupWeights _),
     "q_value_percentiles" -> (graft.ops.CorpusOps.valuePercentiles _),
     "q_approx_percentiles" -> (graft.ops.CorpusOps.approxPercentiles _),
     "q_stratified_sample" -> ((s, d) => graft.ops.CorpusOps.stratifiedSample(s, d)),
@@ -234,6 +239,7 @@ object SparkEntry {
     "q_dedup_simhash_wide128" -> DedupOps.simhashNearPairsWide128Sql(),
     "q_dedup_keepdrop" -> DedupOps.dedupKeepDropSql(),
     "q_dedup_stats" -> DedupOps.dedupStatsSql(),
+    "q_dedup_weights" -> DedupOps.dedupWeightsSql(),
     "q_ann_cosine_topk" -> SimilarityOps.annBruteForceSql,
     "q_ann_lsh_bucketed" -> SimilarityOps.annLshBucketedSql,
     "q_ann_recall" -> SimilarityOps.annRecallSql,
@@ -252,6 +258,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> graft.sources.Orc.roundtripAggSql,
     "q_csv_roundtrip" -> graft.sources.Csv.roundtripAggSql,
     "q_bucketed_join" -> graft.sources.Bucketed.bucketedJoinAggSql,
+    "q_partitioned_scan" -> graft.sources.Partitioned.partitionedScanAggSql,
     "q_asof_join" -> graft.ops.TimeSeriesOps.asofJoinSql,
     "q_interval_join" -> graft.ops.TimeSeriesOps.intervalJoinSql,
     "q_sessionize" -> graft.ops.TimeSeriesOps.sessionizeSql,
@@ -261,6 +268,8 @@ object SparkEntry {
     "q_embed_int8" -> SimilarityOps.quantizeInt8Sql,
     "q_embed_matryoshka" -> SimilarityOps.matryoshkaEnergySql(),
     "q_ann_ivfpq" -> SimilarityOps.annIvfPqSql,
+    "q_sem_dedup" -> SimilarityOps.semDedupSql(),
+    "q_zorder_stats" -> graft.ops.Layout.zorderStatsSql,
     "q_brand_revenue" -> RelationalOps.brandRevenueSql,
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,

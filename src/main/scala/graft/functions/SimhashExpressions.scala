@@ -1,0 +1,100 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native per-row SimHash (SURVEY §2.11 preference order (b)).
+  *
+  * The SQL-expression form in
+  * [[graft.streaming.StreamingDedup.simhashRowExprSql]] — an `aggregate`
+  * over `transform`ed shingles with a 60-element `zip_with` per shingle —
+  * runs entirely in interpreted higher-order lambdas: ~3.3 s for 5 000
+  * docs at sf0.1, the single largest steady cost left in the bench. This
+  * expression computes the IDENTICAL fingerprint in one compiled pass
+  * (distinct word-bigram shingles → 60-bit md5-prefix hash → per-bit
+  * majority vote), and `defineCodeGen` emits a single static call so the
+  * operator stays inside whole-stage codegen.
+  *
+  * Bit-parity contract (asserted in StreamingSpec and by the
+  * `q_simhash_row_fp` DuckDB oracle): shingle i (1-based, i ≤ max(n−1,1))
+  * is `concat_ws(' ', toks[i], toks[i+1])` — a 1-token document yields its
+  * bare token; hash = first 15 md5 hex digits as a 60-bit integer; bit b
+  * set iff 2·ones(b) > #distinct shingles (strict majority, ties clear).
+  */
+object SimhashRow {
+
+  /** Shared by interpreted eval and generated code — public static so the
+    * codegen'd call sites can reach it.
+    */
+  def compute(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[String]()
+    val ones = new Array[Int](bits)
+    var m = 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val top = math.max(n - 1, 1)
+    var i = 1
+    while (i <= top) {
+      val a = if (i - 1 < n && !arr.isNullAt(i - 1)) arr.getUTF8String(i - 1).toString else null
+      val b = if (i < n && !arr.isNullAt(i)) arr.getUTF8String(i).toString else null
+      // concat_ws(' ', a, b): null operands are skipped, never joined
+      val sh =
+        if (a == null) { if (b == null) "" else b }
+        else if (b == null) a
+        else a + " " + b
+      if (seen.add(sh)) {
+        m += 1
+        val d = md.digest(sh.getBytes(StandardCharsets.UTF_8))
+        // first 15 hex digits = first 7.5 bytes big-endian → 60-bit value
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+        h = h >>> 4
+        var bi = 0
+        while (bi < bits) { ones(bi) += ((h >>> bi) & 1L).toInt; bi += 1 }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var bi = 0
+    while (bi < bits) { if (2L * ones(bi) > m) fp |= 1L << bi; bi += 1 }
+    fp
+  }
+}
+
+case class SimhashRowFp(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 60, s"simhash bits must be in [1, 60], got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    SimhashRow.compute(a.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashRow.compute($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_row"
+}
+
+object SimhashExpressions {
+  /** Column API for [[SimhashRowFp]]. */
+  def simhash_row(toks: Column, bits: Int): Column =
+    Bridge.column(SimhashRowFp(Bridge.expression(toks), bits))
+}

@@ -439,6 +439,35 @@ object DedupOps {
        |FROM kd JOIN documents USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** SOFT dedup: instead of dropping near-duplicates, weight each document
+    * by 1/|cluster| so a training sampler sees every cluster with equal
+    * total mass — the alternative pipelines use when duplicates carry
+    * signal (popularity) they don't want to erase entirely. Pure
+    * composition over the memoized [[dedupKeepDrop]]: one cluster-size
+    * aggregate + a doc-keyed join back, both ∝ corpus rows with bounded
+    * per-key state — the same 100 TB shape as [[dedupStats]].
+    */
+  def dedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val kd = dedupKeepDrop(s, dir).select(col("doc_id"), col("cluster_id"))
+    val sizes = kd.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    kd.join(sizes, "cluster_id")
+      .select(
+        col("doc_id"), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  def dedupWeightsSql(iterations: Int = 5): String =
+    s"""WITH kd AS (${dedupKeepDropSql(iterations)}),
+       |sz AS (
+       |  SELECT cluster_id, count(*) AS cluster_size
+       |  FROM kd GROUP BY cluster_id)
+       |SELECT kd.doc_id, kd.cluster_id, sz.cluster_size,
+       |  round(1.0 / sz.cluster_size, 6) AS weight
+       |FROM kd JOIN sz USING (cluster_id)
+       |ORDER BY kd.doc_id""".stripMargin
+
   def nearDupClustersSql(iterations: Int = 5): String = {
     val base = minhashLshDedupSql()
     val rounds = (1 to iterations).map { i =>

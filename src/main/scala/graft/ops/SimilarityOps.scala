@@ -575,6 +575,62 @@ object SimilarityOps {
        |SELECT a_id, b_id, round(cos, 6) AS cosine
        |FROM scored WHERE cos >= $threshold ORDER BY a_id, b_id""".stripMargin
 
+  // ---- semantic dedup (cluster-then-pairwise, SemDeDup) ------------------
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with k-means, then compare each
+    * vector ONLY against other members of its own cluster — a pair is a
+    * semantic duplicate when its exact cosine ≥ τ, and within each
+    * duplicate group the lowest vec_id is kept (a vector is dropped iff
+    * some EARLIER cluster member sits within τ).
+    *
+    * Output: one row per vector with its cluster, its max cosine to any
+    * earlier member of the same cluster (null for the cluster's first
+    * member), and the keep verdict — so the hash-compare pins every
+    * intra-cluster pairwise maximum, not just the final keep set.
+    *
+    * Scale: this is the whole point of the clustering pass — pairwise cost
+    * drops from n² to Σ n_c² with n_c ≈ n/k, and k grows with the corpus so
+    * cluster size stays bounded. The join shuffles both sides on cid (a
+    * co-partitioned self-join); centroids are the memoized k×Dim broadcast
+    * ([[kmeansCentroids]]), so warm calls add exactly one shuffle. At
+    * 100 TB the same shape holds: no stage ever sees a cross-cluster pair.
+    * τ reuses [[EmbDupThreshold]] — tuned to this synthetic corpus (real
+    * corpora with planted dups would run τ ≈ 0.9).
+    */
+  def semDedup(
+      s: SparkSession, dir: String,
+      threshold: Double = EmbDupThreshold): DataFrame = {
+    val assigned = kmeansAssign(emb(s, dir), kmeansCentroids(s, dir))
+      .select(col("vec_id"), col("vec"), col("cid"))
+    val earlier = assigned.select(
+      col("cid").as("b_cid"), col("vec_id").as("b_id"), col("vec").as("b_vec"))
+    val maxPrior = assigned
+      .join(earlier,
+        col("cid") === col("b_cid") && col("b_id") < col("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(cosine(col("vec"), col("b_vec"))).as("max_cos"))
+    assigned.join(maxPrior, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("cid"),
+        round(col("max_cos"), 6).as("max_prior_cos"),
+        coalesce(col("max_cos") < threshold, lit(true)).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  def semDedupSql(threshold: Double = EmbDupThreshold): String =
+    s"""WITH $kmeansCtesSql,
+       |prior AS (
+       |  SELECT a.vec_id, max(${cosineSql("a.vec", "b.vec")}) AS max_cos
+       |  FROM afinal a JOIN afinal b
+       |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |  GROUP BY a.vec_id)
+       |SELECT f.vec_id, f.cid,
+       |  round(p.max_cos, 6) AS max_prior_cos,
+       |  coalesce(p.max_cos < $threshold, true) AS keep
+       |FROM afinal f LEFT JOIN prior p ON p.vec_id = f.vec_id
+       |ORDER BY f.vec_id""".stripMargin
+
   val annRecallSql: String = {
     val total = NQueries * 3
     def leg(method: String, sql: String): String =

@@ -65,13 +65,15 @@ object StreamingDedup {
     * spreads over exploded rows.
     */
   private[streaming] def simhashRowExprSql(bits: Int): String = {
-    // Deliberately the PLAIN per-bit fold, not the batch packedVoteAggs
-    // 3-per-long packing: higher-order lambdas never enter codegen, so
-    // the batch trick's payoff (staying under the codegen field limit)
-    // does not exist here, and an A/B at sf0.1 measured the packed fold
-    // SLOWER (4.5 s vs 3.4 s in-bench — it does ~40 % more primitive ops
-    // per shingle). Per-row cost is O(shingles × bits) interpreted either
-    // way; the batch vote remains the fast path for bulk fingerprinting.
+    // REFERENCE form only — [[fingerprints]] ships the native codegen'd
+    // [[graft.functions.SimhashRowFp]] (~6× cheaper at sf0.1: 3.3 → 0.5 s).
+    // Kept because this string is the exact executable spec the native
+    // expression is asserted bit-equal to (StreamingSpec), in the same SQL
+    // dialect as the DuckDB oracle. Deliberately the PLAIN per-bit fold,
+    // not the batch packedVoteAggs packing: higher-order lambdas never
+    // enter codegen, so the packing's payoff doesn't exist here (an A/B at
+    // sf0.1 measured it SLOWER, 4.5 vs 3.4 s — ~40 % more primitive ops
+    // per shingle).
     // try_element_at for the same 1-token-doc ANSI edge as the batch
     // bigramShingles (null → concat_ws skips → bare token, oracle-equal)
     val shingles =
@@ -99,9 +101,23 @@ object StreamingDedup {
   }
 
   /** (doc_id, simhash): map-side fingerprints of a (streaming or batch)
-    * documents frame.
+    * documents frame. Computed by the native codegen'd
+    * [[graft.functions.SimhashRowFp]] — bit-identical to
+    * [[simhashRowExprSql]] (StreamingSpec asserts equality), ~10× cheaper
+    * per row than the interpreted higher-order fold.
     */
   def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        graft.functions.SimhashExpressions
+          .simhash_row(col("toks"), DedupOps.SimhashWideBits).as("simhash"))
+
+  /** The SQL-expression reference form of [[fingerprints]] — kept as the
+    * spec the native expression is tested against.
+    */
+  private[graft] def fingerprintsReference(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(

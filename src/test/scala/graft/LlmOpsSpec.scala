@@ -231,6 +231,19 @@ class LlmOpsSpec extends AnyFunSuite {
     kd.unpersist()
   }
 
+  test("soft-dedup weights: each cluster's mass totals 1, singletons weigh 1") {
+    val w = DedupOps.dedupWeights(spark, dir).cache()
+    assert(w.count() == 500)
+    // per-cluster weight mass = cluster_size · (1/cluster_size) = 1
+    val mass = w.groupBy("cluster_id").agg(sum(col("weight")).as("mass"))
+      .collect().map(_.getDouble(1))
+    assert(mass.forall(m => math.abs(m - 1.0) < 1e-4))
+    // unclustered docs keep full weight; clustered docs are downweighted
+    assert(w.where(col("cluster_size") === 1 && col("weight") =!= 1.0).count() == 0)
+    assert(w.where(col("cluster_size") > 1).count() > 0)
+    w.unpersist()
+  }
+
   test("int8 quantization: reconstruction error bounded by scale/2, codes in range") {
     val q = graft.ops.SimilarityOps.quantizeInt8(spark, dir).cache()
     assert(q.count() == 500L * 64)

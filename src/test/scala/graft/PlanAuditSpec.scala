@@ -72,6 +72,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(q.first().getLong(0) == expected && expected > 0)
   }
 
+  test("q_partitioned_scan reads only the three matching day directories") {
+    val q = graft.sources.Partitioned.partitionedScanAgg(spark, dir)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    // the listing-time filter carries both date bounds
+    assert(scan.contains("2024-01-10") || scan.contains("19732"), scan)
+  }
+
   test("P3 range filter is pushed to the parquet scan") {
     val p = plan(EventOps.p3RangeFilter(spark, dir))
     assert(p.contains("PushedFilters: ["), p)

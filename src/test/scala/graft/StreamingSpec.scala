@@ -47,6 +47,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native simhash_row equals the SQL-expression reference fold") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    // real corpus plus the ANSI edge cases: 1-token doc, repeated bigrams,
+    // empty-string tokens from double spaces
+    val edge = Seq((9001L, "solo"), (9002L, "a b a b a"), (9003L, "x  y"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val docs = graft.sources.Tables
+      .read(spark, "/root/testdata/sf0.001", "documents")
+      .unionByName(edge.select("doc_id", "text", "lang", "source", "n_chars"))
+    val native = StreamingDedup.fingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = StreamingDedup.fingerprintsReference(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == ref)
+    // and the fingerprint projection stays inside whole-stage codegen
+    // (the `*(n)` prefix is the codegen-stage marker)
+    val plan = StreamingDedup.fingerprints(docs)
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[doc_id.*simhash_row""".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("incremental simhash near-pairs: streamed output equals the batch band join") {
     import graft.streaming.StreamingDedup
     val q = StreamingDedup

@@ -176,6 +176,21 @@ class TimeSeriesCorpusSpec extends AnyFunSuite {
     out.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
   }
 
+  test("semDedup: one row per vector, keep ⟺ no earlier cluster member within τ") {
+    val out = SimilarityOps.semDedup(spark, dir).collect()
+    assert(out.length == 500)
+    // keep must agree with the reported max_prior_cos under the threshold
+    out.foreach { r =>
+      val maxPrior = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      val keep = r.getBoolean(3)
+      assert(keep == maxPrior.forall(_ < SimilarityOps.EmbDupThreshold),
+        s"vec ${r.getLong(0)}: keep=$keep but max_prior_cos=$maxPrior")
+    }
+    // every cluster's first (lowest-id) member has a null prior and is kept
+    val firstPerCluster = out.groupBy(_.getLong(1)).values.map(_.minBy(_.getLong(0)))
+    firstPerCluster.foreach(r => assert(r.isNullAt(2) && r.getBoolean(3)))
+  }
+
   test("HLL distinct stays within the configured 2% error bound (sf0.01)") {
     // the oracle hash-checks within_bound = true; this spec pins the same
     // guarantee at both SFs the driver doesn't run
