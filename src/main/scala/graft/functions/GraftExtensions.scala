@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.NativeKernelRule)
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
@@ -40,6 +41,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.size == 2,
           s"l2_sq requires exactly 2 arguments (two array<double>), got ${children.size}")
         L2SquaredDistance(children.head, children(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("simhash_row"),
+      new ExpressionInfo(classOf[SimhashRowFp].getName, "simhash_row"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 2,
+          s"simhash_row requires exactly 2 arguments (array<string>, int bits), got ${children.size}")
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"simhash_row bits must be an integer literal, got $other")
+        }
+        SimhashRowFp(children.head, bits)
       }))
   }
 }
