@@ -37,6 +37,23 @@ import graft.sources.Tables
   */
 object MultimodalOps {
 
+  /** ImageIO's default ImageInputStream cache is a TEMP FILE per read —
+    * for thousands of tiny in-memory payloads that is one file create +
+    * delete per image, serialized on the filesystem (measured: the decode
+    * queries' dominant, high-variance cost at sf0.1). Memory caching is
+    * the right mode when payloads are already byte arrays. JVM-global and
+    * idempotent; every codec call site routes through [[imageIoRead]] so
+    * executors (same JVM in local mode, fresh JVMs on a cluster) always
+    * have it set.
+    */
+  private lazy val imageIoMemCached: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private[ops] def imageIoRead(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoMemCached
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
+
   /** A decoded-media record (what a real decoder would emit). */
   final case class MediaFeature(
       media_id: Long,
@@ -156,8 +173,7 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+          val img = imageIoRead(payload)
           val rgb = img.getRGB(0, 0)
           DecodedPng(
             media_id = id,
@@ -247,8 +263,7 @@ object MultimodalOps {
             in.readFully(png)
             if (f % sampleEvery != 0) None // sampled out: skip the decode
             else {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(png))
+              val img = imageIoRead(png)
               Some(DecodedFrame(
                 media_id = id, frame_idx = f, n_frames = nFrames,
                 width = img.getWidth, height = img.getHeight,
@@ -290,8 +305,7 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+          val img = imageIoRead(payload)
           val (w, h) = (img.getWidth, img.getHeight)
           var sum = 0L
           var y = 0
