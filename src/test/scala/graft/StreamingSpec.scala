@@ -93,6 +93,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mixture admission fills the batch quota contract then closes") {
+    import graft.streaming.{StreamingDedup, StreamingSampler}
+    val q = StreamingSampler
+      .mixtureAdmit(spark, StreamingDedup.readDocuments(spark, docsPath))
+      .writeStream.format("memory").queryName("smix")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("smix").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // per-source counts equal the BATCH op's quota rounding contract
+      val counts = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val expected = graft.ops.CorpusOps.DefaultMixture
+        .map { case (s, f) => s -> math.round(20 * f) }.toMap
+      assert(counts == expected, s"got $counts, want $expected")
+      // sources outside the mixture spec are never admitted
+      assert(out.forall(r => expected.contains(r._1)))
+      // admit_seq is a dense 1..k per source and never exceeds target_k
+      out.groupBy(_._1).foreach { case (s, rows) =>
+        assert(rows.map(_._3).sorted.toSeq == (1L to expected(s)).toSeq, s)
+        assert(rows.forall(r => r._3 <= r._4))
+      }
+      // single-batch determinism: the admitted ids are the k smallest per
+      // source (doc_id-ordered admission within a micro-batch)
+      val docs = graft.sources.Tables
+        .read(spark, "/root/testdata/sf0.001", "documents")
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      out.groupBy(_._1).foreach { case (s, rows) =>
+        val smallest = docs.filter(_._1 == s).map(_._2).sorted.take(expected(s).toInt)
+        assert(rows.map(_._2).sorted.toSeq == smallest.toSeq, s)
+      }
+    } finally q.stop()
+  }
+
   test("S5/append: stateless projection streams through with validity flag") {
     val q = StreamingPipeline
       .projectWithValidity(StreamingPipeline.readEvents(spark, eventsPath))
