@@ -56,5 +56,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SimhashRowFp(children.head, bits)
       }))
+    e.injectFunction((
+      FunctionIdentifier("fingerprint_row"),
+      new ExpressionInfo(classOf[FingerprintRowFp].getName, "fingerprint_row"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 2,
+          s"fingerprint_row requires exactly 2 arguments (array<string>, int gram), got ${children.size}")
+        val gram = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"fingerprint_row gram must be an integer literal, got $other")
+        }
+        FingerprintRowFp(children.head, gram)
+      }))
   }
 }

@@ -6,9 +6,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 
 /** Native per-row SimHash (SURVEY §2.11 preference order (b)).
   *
@@ -93,8 +94,92 @@ case class SimhashRowFp(child: Expression, bits: Int) extends UnaryExpression {
   override def prettyName: String = "simhash_row"
 }
 
+/** Native per-row winnowing fingerprint (SURVEY §2.11 preference order (b)).
+  *
+  * [[graft.ops.TextOps.docFingerprint]]'s declarative form explodes every
+  * k-word shingle, hashes each exploded row, then shuffles on `doc_id` to
+  * take min + countDistinct — but every shingle of a document comes from
+  * ONE input row, so the explode and the shuffle are pure overhead (3.3 s
+  * at sf0.1). This expression computes the identical
+  * `(min hash, distinct-shingle count)` pair in one compiled pass per row.
+  *
+  * Bit-parity contract (the `q_doc_fingerprint` DuckDB oracle): shingle i
+  * (1-based, i ≤ max(n−k+1, 1)) is `concat_ws(' ', slice(toks, i, k))` —
+  * a document shorter than k yields one shingle of all its tokens; hash =
+  * first 15 md5 hex digits as a 60-bit integer (TextOps.hash60);
+  * `n_shingles` counts distinct HASH values, exactly like the
+  * countDistinct it replaces.
+  */
+object FingerprintRow {
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, gram: Int): InternalRow = {
+    val n = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var minH = Long.MaxValue
+    val top = math.max(n - gram + 1, 1)
+    val sb = new java.lang.StringBuilder
+    var i = 1
+    while (i <= top) {
+      sb.setLength(0)
+      var j = i - 1
+      val end = math.min(i - 1 + gram, n)
+      var first = true
+      while (j < end) {
+        // concat_ws(' ', ...): null operands are skipped, never joined
+        if (!arr.isNullAt(j)) {
+          if (!first) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = h >>> 4 // first 15 hex digits = 60-bit value
+      seen.add(h)
+      if (h < minH) minH = h
+      i += 1
+    }
+    InternalRow(minH, seen.size.toLong)
+  }
+}
+
+case class FingerprintRowFp(child: Expression, gram: Int) extends UnaryExpression {
+
+  require(gram >= 1, s"fingerprint gram must be >= 1, got $gram")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(
+    Seq(StructField("fingerprint", LongType, nullable = false),
+      StructField("n_shingles", LongType, nullable = false)))
+
+  override def nullSafeEval(a: Any): Any =
+    FingerprintRow.compute(a.asInstanceOf[ArrayData], gram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FingerprintRow.compute($c, $gram)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "fingerprint_row"
+}
+
 object SimhashExpressions {
   /** Column API for [[SimhashRowFp]]. */
   def simhash_row(toks: Column, bits: Int): Column =
     Bridge.column(SimhashRowFp(Bridge.expression(toks), bits))
+
+  /** Column API for [[FingerprintRowFp]]. */
+  def fingerprint_row(toks: Column, gram: Int): Column =
+    Bridge.column(FingerprintRowFp(Bridge.expression(toks), gram))
 }

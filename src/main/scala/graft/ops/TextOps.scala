@@ -450,21 +450,21 @@ object TextOps {
     * minimum (one representative hash per document) plus the distinct
     * shingle count.
     *
-    * Shape: materialize the token array as an attribute FIRST, then build
-    * shingles in a generator. The generator boundary stops Catalyst from
-    * re-inlining `split(text)` into the per-element lambda (which would be
-    * O(n²)/row — measured 3.3× slower); the md5 then runs codegen'd per
-    * exploded row. One shuffle on doc_id.
+    * Every shingle of a document comes from one input row, so the whole
+    * reduction runs inside the native
+    * [[graft.functions.FingerprintRowFp]] expression — no explode, no
+    * shuffle (the earlier explode + groupBy(doc_id) form measured 3.3 s at
+    * sf0.1; this is ~0.4 s). The only exchange left is the output orderBy.
+    * The retired declarative form lives on as the oracle SQL and in the
+    * TextOpsSpec parity case.
     */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), tokens.as("toks"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(toks) - 4, 1)), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("sh"))
-      .select(col("doc_id"), hash60(col("sh")).as("h"))
-      .groupBy("doc_id")
-      .agg(min(col("h")).as("fingerprint"), countDistinct(col("h")).as("n_shingles"))
+      .select(col("doc_id"),
+        graft.functions.SimhashExpressions.fingerprint_row(tokens, 5).as("fp"))
+      .select(col("doc_id"),
+        col("fp.fingerprint").as("fingerprint"),
+        col("fp.n_shingles").as("n_shingles"))
       .orderBy("doc_id")
 
   val docFingerprintSql: String = {

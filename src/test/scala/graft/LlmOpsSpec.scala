@@ -97,6 +97,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("fingerprint: native expression is bit-parity with the declarative fold") {
+    // the retired explode + groupBy form, verbatim — the native
+    // FingerprintRowFp must reproduce it hash-for-hash (incl. short docs)
+    val declarative = graft.sources.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(toks) - 4, 1)), i -> concat_ws(' ', slice(toks, i, 5)))"))
+        .as("sh"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(sh), 1, 15), 16, 10) as long)").as("h"))
+      .groupBy("doc_id")
+      .agg(min(col("h")).as("fingerprint"), countDistinct(col("h")).as("n_shingles"))
+      .orderBy("doc_id")
+      .collect()
+    val native = TextOps.docFingerprint(spark, dir).collect()
+    assert(native.sameElements(declarative))
+    // SQL registration works and agrees
+    val viaSql = spark.sql(
+      s"SELECT doc_id, fingerprint_row(split(text, ' '), 5).fingerprint AS fingerprint " +
+        s"FROM parquet.`$dir/documents.parquet` ORDER BY doc_id").collect()
+    assert(viaSql.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      native.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("exact dedup: keeps one canonical id per distinct text") {
     val out = DedupOps.exactDedup(spark, dir)
     val nTexts = graft.sources.Tables.read(spark, dir, "documents")
