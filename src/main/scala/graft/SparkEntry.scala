@@ -173,6 +173,9 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, d) => graft.ops.CorpusOps.weightedSample(s, d)),
     "q_mixture_sample" -> ((s, d) => graft.ops.CorpusOps.mixtureSample(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.ops.CorpusOps.packSequences(s, d)),
+    "q_chunk_documents" -> ((s, d) => graft.ops.CorpusOps.chunkDocuments(s, d)),
+    "q_dedup_cross" -> ((s, d) => graft.ops.DedupOps.crossCorpusDedup(s, d)),
+    "q_dedup_spans" -> ((s, d) => graft.ops.DedupOps.duplicateSpanStats(s, d)),
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
     "q_freq_items" -> ((s, d) => graft.ops.CorpusOps.freqItems(s, d)),
     "q_skew_join" -> (graft.ops.Skew.skewedJoinAgg _),
@@ -302,6 +305,9 @@ object SparkEntry {
     "q_weighted_sample" -> graft.ops.CorpusOps.weightedSampleSql(),
     "q_mixture_sample" -> graft.ops.CorpusOps.mixtureSampleSql(),
     "q_pack_sequences" -> graft.ops.CorpusOps.packSequencesSql(),
+    "q_chunk_documents" -> graft.ops.CorpusOps.chunkDocumentsSql(),
+    "q_dedup_cross" -> graft.ops.DedupOps.crossCorpusDedupSql(),
+    "q_dedup_spans" -> graft.ops.DedupOps.duplicateSpanStatsSql(),
     "q_tfidf_topterms" -> graft.ops.CorpusOps.tfIdfTopTermsSql(),
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
     "q_freq_items" -> graft.ops.CorpusOps.freqItemsSql(),

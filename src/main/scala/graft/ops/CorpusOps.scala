@@ -244,6 +244,48 @@ object CorpusOps {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
+  /** Overlapping token-window chunking — the context-window prep step a
+    * training/RAG pipeline runs after cleaning (reference analog: the
+    * per-condition segmentation in categorize-trail-conditions/src/
+    * categorize.py:31-54 slices each report into classifier-sized pieces).
+    *
+    * Chunk i (1-based) covers tokens `[1+(i-1)·stride, …]` for `window`
+    * tokens; `n_chunks = max(⌈(n−window)/stride⌉+1, 1)` — every token is
+    * covered, the final chunk may be short, a short document yields one
+    * chunk. Stateless per-row generate → map-side at any scale; the only
+    * exchange is the presentation orderBy. Window/stride are token counts
+    * (a real pipeline would use tokenizer lengths; whitespace tokens are
+    * the corpus's contract, TextOps.tokens).
+    */
+  def chunkDocuments(
+      s: SparkSession, dir: String, window: Int = 64, stride: Int = 48): DataFrame =
+    Tables.read(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_chunks", greatest(
+        (ceil((size(col("toks")) - window) / lit(stride.toDouble)) + 1).cast("long"),
+        lit(1L)))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1L, n_chunks)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr(s"slice(toks, 1 + (chunk_id - 1) * $stride, $window)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  def chunkDocumentsSql(window: Int = 64, stride: Int = 48): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |  unnest(range(1, greatest(ceil((len(toks) - $window) / $stride.0)::BIGINT + 1, 1) + 1))
+       |    AS chunk_id
+       |  FROM t)
+       |SELECT doc_id, chunk_id,
+       |  len(list_slice(toks, 1 + (chunk_id - 1) * $stride,
+       |    (chunk_id - 1) * $stride + $window))::BIGINT AS n_tok,
+       |  array_to_string(list_slice(toks, 1 + (chunk_id - 1) * $stride,
+       |    (chunk_id - 1) * $stride + $window), ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Training-data hygiene: PII-style scrubbing — redact emails, phone
     * numbers, and residual numeric runs in the raw payload with per-class
     * placeholders and count total redactions. Stateless regexp map-side

@@ -771,6 +771,157 @@ object DedupOps {
        |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- duplicate-span stats ----------------------------------------------
+
+  /** Per-document duplicated-span signal — the exact-substring-dedup
+    * measurement of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", the NearDup/ExactSubstr split) at n-gram
+    * granularity: for every document, the fraction of its `gram`-token
+    * windows that also occur in at least one OTHER document. A pipeline
+    * trims or downweights docs with high `dup_frac`; the per-gram document
+    * frequency is computed on 8-byte hashes (never text), so the two
+    * shuffles move `positions × 8 bytes` and the df join is a plain
+    * hash-join on longs at any corpus size.
+    */
+  def duplicateSpanStats(s: SparkSession, dir: String, gram: Int = 10): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(size(toks) - ${gram - 1}, 1)), i -> concat_ws(' ', slice(toks, i, $gram)))"))
+        .as("g"))
+      .select(col("doc_id"), hash60(col("g")).as("h"))
+    val df = grams.distinct()
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup") / col("n_grams"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  def duplicateSpanStatsSql(gram: Int = 10): String = {
+    val h = hash60Sql(s"array_to_string(list_slice(toks, i, i + ${gram - 1}), ' ')")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(toks) - ${gram - 1}, 1) + 1),
+       |      i -> $h)) AS h
+       |  FROM t),
+       |df AS (
+       |  SELECT h, count(DISTINCT doc_id) AS df FROM g GROUP BY h)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |  sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       |  round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_frac
+       |FROM g JOIN df ON g.h = df.h
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  }
+
+  // ---- cross-corpus dedup -------------------------------------------------
+
+  /** Sources forming the frozen REFERENCE corpus — the same slice the
+    * decontamination ops treat as held-out (TextOps.isEval).
+    */
+  val CrossRefSources: Seq[String] = Seq("src0", "src1")
+
+  /** Cross-corpus dedup: flag documents of the INCOMING slice (source ∉
+    * reference) that duplicate the frozen reference corpus — the "dedupe
+    * the new crawl against what we already trained on" step (reference
+    * analog: the skip-if-already-categorized gate,
+    * categorize-trail-conditions/src/db.py:24-27, generalized from ids to
+    * content). Two detectors, each its own `kind` row:
+    *
+    *  - `exact`: identical text (60-bit md5-prefix content hash — the
+    *    shuffle moves 8 bytes/doc, never text);
+    *  - `near`:  60-bit SimHash Hamming ≤ maxHamming via the 4×15-bit
+    *    band join — lossless by pigeonhole at the default threshold, and
+    *    candidates are reference-band collisions only, never n², so the
+    *    incoming side streams against a bounded reference band table at
+    *    100 TB. An exact duplicate is also a near duplicate (Hamming 0) —
+    *    both rows appear; `kind` names the detector that fired.
+    *
+    * Output: one row per (incoming doc, kind): the match count and the
+    * smallest matching reference id.
+    */
+  def crossCorpusDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val isRef = col("source").isin(CrossRefSources: _*)
+    val byText = docs(s, dir).select(
+      col("doc_id"), col("source"), hash60(col("text")).as("th"))
+    val exact = byText.where(!isRef).as("n")
+      .join(byText.where(isRef).as("r"), col("n.th") === col("r.th"))
+      .select(col("n.doc_id").as("doc_id"), lit("exact").as("kind"),
+        col("r.doc_id").as("ref_id"))
+
+    val bandBits = SimhashWideBandBits
+    val nBands = SimhashWideBits / bandBits
+    val mask = (1L << bandBits) - 1
+    val srcOf = docs(s, dir).select(col("doc_id"), col("source"))
+    val fp = simhashesFromIndex(shingleIndex(s, dir), SimhashWideBits)
+      .join(srcOf, "doc_id")
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(simhash, ${bandBits * b}) & $mask").as("bv"))
+    }
+    val bands = fp.select(
+      col("doc_id"), col("source"), col("simhash"),
+      explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("source"), col("simhash"),
+        col("bd.band").as("band"), col("bd.bv").as("bv"))
+    val near = bands.where(!isRef).as("n")
+      .join(bands.where(isRef).as("r"),
+        col("n.band") === col("r.band") && col("n.bv") === col("r.bv"))
+      .where(expr("bit_count(n.simhash ^ r.simhash)") <= maxHamming)
+      .select(col("n.doc_id").as("doc_id"), lit("near").as("kind"),
+        col("r.doc_id").as("ref_id"))
+      .distinct()
+
+    exact.unionByName(near)
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(count(lit(1)).as("n_refs"), min(col("ref_id")).as("first_ref"))
+      .orderBy("doc_id", "kind")
+  }
+
+  def crossCorpusDedupSql(maxHamming: Int = 3): String = {
+    val h = hash60Sql("sh")
+    val bits = SimhashWideBits
+    val bandBits = SimhashWideBandBits
+    val nBands = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    val refList = CrossRefSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH src AS (
+       |  SELECT doc_id, source, ${hash60Sql("text")} AS th FROM documents),
+       |e AS (SELECT doc_id, unnest($shingleListSql) AS sh FROM documents),
+       |hs AS (SELECT doc_id, $h AS h FROM e),
+       |votes AS (
+       |  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM hs, (SELECT unnest(range(0, $bits)) AS bit)
+       |  GROUP BY doc_id, bit),
+       |fp AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |bands AS (
+       |  SELECT f.doc_id, s.source, f.simhash, b,
+       |    (f.simhash >> (b * $bandBits)) & $mask AS bv
+       |  FROM fp f JOIN src s ON s.doc_id = f.doc_id,
+       |       (SELECT unnest(range(0, $nBands)) AS b)),
+       |exact AS (
+       |  SELECT n.doc_id AS doc_id, 'exact' AS kind, r.doc_id AS ref_id
+       |  FROM src n JOIN src r ON n.th = r.th
+       |  WHERE n.source NOT IN ($refList) AND r.source IN ($refList)),
+       |near AS (
+       |  SELECT DISTINCT n.doc_id AS doc_id, 'near' AS kind, r.doc_id AS ref_id
+       |  FROM bands n JOIN bands r ON n.b = r.b AND n.bv = r.bv
+       |  WHERE n.source NOT IN ($refList) AND r.source IN ($refList)
+       |    AND bit_count(xor(n.simhash, r.simhash)) <= $maxHamming),
+       |flagged AS (
+       |  SELECT * FROM exact UNION ALL SELECT * FROM near)
+       |SELECT doc_id, kind, count(*) AS n_refs, min(ref_id) AS first_ref
+       |FROM flagged GROUP BY doc_id, kind ORDER BY doc_id, kind""".stripMargin
+  }
+
   private def simhashNearPairsSqlAt(
       maxHamming: Int, bits: Int, bandBits: Int): String = {
     val h = hash60Sql("sh")

@@ -121,6 +121,63 @@ class LlmOpsSpec extends AnyFunSuite {
       native.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("chunking: every token covered, windows exact, short docs get one chunk") {
+    val window = 64; val stride = 48
+    val nToks = graft.sources.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = graft.ops.CorpusOps.chunkDocuments(spark, dir, window, stride)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(chunks.map(_._1).toSet == nToks.keySet) // every doc chunked
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val n = nToks(id)
+      val c = cs.map(_._2).max
+      assert(cs.map(_._2).sorted.toSeq == (1L to c), s"doc $id chunk ids dense")
+      assert(c == math.max(math.ceil((n - window).toDouble / stride).toLong + 1, 1L))
+      // all but the last chunk are full windows; the last reaches token n
+      cs.filter(_._2 < c).foreach(ch => assert(ch._3 == window, s"doc $id"))
+      assert((c - 1) * stride + cs.find(_._2 == c).get._3 == math.max(n, (c - 1) * stride + 1))
+    }
+  }
+
+  test("cross-corpus dedup: flags only incoming docs, refs only reference docs") {
+    val srcOf = graft.sources.Tables.read(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = DedupOps.crossCorpusDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.foreach { case (id, kind, nRefs, firstRef) =>
+      assert(!DedupOps.CrossRefSources.contains(srcOf(id)), s"$id flagged but is reference")
+      assert(DedupOps.CrossRefSources.contains(srcOf(firstRef)), s"$firstRef not reference")
+      assert(Set("exact", "near").contains(kind) && nRefs >= 1)
+    }
+    // exact rows really are text-identical to their first_ref
+    val texts = graft.sources.Tables.read(spark, dir, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_._2 == "exact").foreach { case (id, _, _, ref) =>
+      assert(texts(id) == texts(ref), s"exact flag $id vs $ref")
+    }
+    // every exact duplicate is also a near duplicate (Hamming 0)
+    val byKind = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byKind.getOrElse("exact", Set()).subsetOf(byKind.getOrElse("near", Set())))
+  }
+
+  test("duplicate-span stats: planted exact pair saturates, fractions consistent") {
+    val out = DedupOps.duplicateSpanStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 500)
+    out.foreach { case (_, nGrams, nDup, frac) =>
+      assert(nDup >= 0 && nDup <= nGrams)
+      assert(math.abs(frac - BigDecimal(nDup.toDouble / nGrams)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // docs with an exact twin (from exactDedup: n_copies >= 2) have dup_frac 1.0
+    val twins = DedupOps.exactDedup(spark, dir).where(col("n_copies") >= 2)
+      .select("doc_id_kept").collect().map(_.getLong(0)).toSet
+    val fracOf = out.map(t => t._1 -> t._4).toMap
+    twins.foreach(id => assert(fracOf(id) == 1.0, s"twin $id should be fully duplicated"))
+  }
+
   test("exact dedup: keeps one canonical id per distinct text") {
     val out = DedupOps.exactDedup(spark, dir)
     val nTexts = graft.sources.Tables.read(spark, dir, "documents")
