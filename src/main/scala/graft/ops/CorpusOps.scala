@@ -403,6 +403,78 @@ object CorpusOps {
     * collection frequency — the inverted-index aggregate feeding stopword
     * lists and tokenizer audits. One shuffle on the token.
     */
+  /** BM25 top-k retrieval (Robertson et al.; the Lucene `1 +` idf variant
+    * so idf stays positive at any df): score every document against a
+    * fixed query and return the k best. The corpus side is the same
+    * single-tokenize tf shape as [[tfIdfTopTerms]], filtered to the query
+    * terms BEFORE the aggregate — the per-term exchange carries only
+    * matching (doc_id, term) pairs, so at 100 TB the shuffle is
+    * `matches × 16 bytes`, not the corpus. df/avgdl/N ride along as
+    * window + broadcast scalars. Ranking uses the ROUNDED score (then
+    * doc_id) so float summation-order drift can never reorder the two
+    * engines' ties.
+    */
+  val Bm25Query = "spark join window"
+
+  def bm25TopK(
+      s: SparkSession, dir: String, query: String = Bm25Query, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = query.split(" ").distinct.toSeq
+    val stats = docs(s, dir).agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(TextOps.tokens)).as("avgdl"))
+    val tf = docs(s, dir)
+      .select(col("doc_id"), TextOps.tokens.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("score"))
+      .orderBy("rank")
+  }
+
+  def bm25TopKSql(
+      query: String = Bm25Query, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = query.split(" ").distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH stats AS (
+       |  SELECT count(*)::DOUBLE AS n_docs,
+       |    avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+       |  FROM (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl,
+       |          unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term IN ($termList)
+       |  GROUP BY doc_id, term),
+       |idf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |      (tf * ($k1 + 1)) / (tf + $k1 * (1 - $b + $b * dl / avgdl))), 4) AS score
+       |  FROM tf JOIN idf USING (term), stats
+       |  GROUP BY doc_id),
+       |ranked AS (
+       |  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       |    doc_id, score
+       |  FROM scored)
+       |SELECT rank, doc_id, score FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   def vocabTopK(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.read(s, dir, "documents")
       .select(col("doc_id"), TextOps.tokens.as("toks"))

@@ -178,6 +178,39 @@ class LlmOpsSpec extends AnyFunSuite {
     twins.foreach(id => assert(fracOf(id) == 1.0, s"twin $id should be fully duplicated"))
   }
 
+  test("bm25: ranks dense, scores non-increasing, top score matches driver recompute") {
+    val out = graft.ops.CorpusOps.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == (1L to out.length))
+    assert(out.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
+    assert(out.forall(_._3 > 0))
+    // independent driver-side BM25 for the winner
+    val all = graft.sources.Tables.read(spark, dir, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val terms = graft.ops.CorpusOps.Bm25Query.split(" ").distinct
+    val n = all.length.toDouble
+    val dls = all.map { case (id, t) => id -> t.split(" ", -1).length.toDouble }.toMap
+    val avgdl = dls.values.sum / n
+    val dfs = terms.map(t =>
+      t -> all.count(_._2.split(" ", -1).contains(t)).toDouble).toMap
+    def score(id: Long, text: String): Double = {
+      val toks = text.split(" ", -1)
+      terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5)) *
+          tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls(id) / avgdl))
+      }.sum
+    }
+    val (_, topDoc, topScore) = out.head
+    val expected = BigDecimal(score(topDoc, all.find(_._1 == topDoc).get._2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(topScore - expected) <= 1e-4, s"got $topScore want $expected")
+    // and the winner really is argmax over the whole corpus
+    val best = all.map { case (id, t) => (score(id, t), id) }.max
+    assert(best._2 == topDoc || math.abs(best._1 - score(topDoc, all.find(_._1 == topDoc).get._2)) < 1e-12)
+  }
+
   test("exact dedup: keeps one canonical id per distinct text") {
     val out = DedupOps.exactDedup(spark, dir)
     val nTexts = graft.sources.Tables.read(spark, dir, "documents")
