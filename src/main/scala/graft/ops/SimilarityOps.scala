@@ -95,6 +95,65 @@ object SimilarityOps {
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  // ---- hard-negative mining ----------------------------------------------
+
+  /** Contrastive-training pair mining: for each anchor vector, the hardest
+    * negative (most-similar vector with a DIFFERENT label) and hardest
+    * positive (least-similar vector with the SAME label) — the batch
+    * construction step of triplet/InfoNCE training. One broadcast of the
+    * anchor set and ONE hash aggregate over the scored corpus: both
+    * extremes are conditional `min/max(struct(cos, id))` so the pass is
+    * map-side-combining and never ranks or re-scans (the negated-id field
+    * makes the struct max break cosine ties toward the SMALLEST id, the
+    * same tie rule as the min side). Cosine is rounded before the
+    * aggregate so both engines compare identical values. At 100 TB the
+    * anchor set is batched; the corpus-side shape is unchanged.
+    */
+  val HnAnchors = 16
+
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val a = e.where(col("vec_id") < HnAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("vec").as("a_vec"))
+    e.crossJoin(broadcast(a))
+      .where(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos", round(cosine(col("vec"), col("a_vec")), 6))
+      .groupBy(col("anchor_id"))
+      .agg(
+        max(when(col("label") =!= col("a_label"),
+          struct(col("cos"), (-col("vec_id")).as("nid")))).as("neg"),
+        min(when(col("label") === col("a_label"),
+          struct(col("cos"), col("vec_id").as("pid")))).as("pos"))
+      .select(
+        col("anchor_id"),
+        (-col("neg.nid")).as("neg_id"), col("neg.cos").as("neg_cos"),
+        col("pos.pid").as("pos_id"), col("pos.cos").as("pos_cos"))
+      .orderBy("anchor_id")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS ($embSql),
+       |a AS (SELECT vec_id AS anchor_id, label AS a_label, vec AS a_vec
+       |      FROM e WHERE vec_id < $HnAnchors),
+       |scored AS (
+       |  SELECT anchor_id, a_label, e.vec_id, e.label,
+       |    round(${cosineSql("vec", "a_vec")}, 6) AS cos
+       |  FROM e, a WHERE e.vec_id <> a.anchor_id),
+       |neg AS (
+       |  SELECT anchor_id, vec_id AS neg_id, cos AS neg_cos,
+       |    row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored WHERE label <> a_label),
+       |pos AS (
+       |  SELECT anchor_id, vec_id AS pos_id, cos AS pos_cos,
+       |    row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos ASC, vec_id ASC) AS rn
+       |  FROM scored WHERE label = a_label)
+       |SELECT n.anchor_id, n.neg_id, n.neg_cos, p.pos_id, p.pos_cos
+       |FROM neg n LEFT JOIN pos p ON p.anchor_id = n.anchor_id AND p.rn = 1
+       |WHERE n.rn = 1 ORDER BY n.anchor_id""".stripMargin
+
   // ---- sign-LSH bucketed ANN ---------------------------------------------
 
   /** L independent hash tables × P hyperplanes each (2^P buckets per

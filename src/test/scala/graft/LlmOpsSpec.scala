@@ -211,6 +211,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(best._2 == topDoc || math.abs(best._1 - score(topDoc, all.find(_._1 == topDoc).get._2)) < 1e-12)
   }
 
+  test("hard negatives: extremes verified against a driver-side argmax/argmin") {
+    val out = SimilarityOps.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(out.length == SimilarityOps.HnAnchors)
+    val all = graft.sources.Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = all.map(t => t._1 -> t).toMap
+    out.foreach { case (aid, negId, negCos, posId, posCos) =>
+      val (_, aLabel, aVec) = byId(aid)
+      assert(byId(negId)._2 != aLabel); assert(byId(posId)._2 == aLabel)
+      val negs = all.filter(t => t._1 != aid && t._2 != aLabel)
+        .map(t => (cos(t._3, aVec), t._1))
+      val poss = all.filter(t => t._1 != aid && t._2 == aLabel)
+        .map(t => (cos(t._3, aVec), t._1))
+      // (max cos, then min id) for negatives; (min cos, then min id) for positives
+      val bestNeg = negs.maxBy(t => (t._1, -t._2))
+      val bestPos = poss.minBy(t => (t._1, t._2))
+      assert((negCos, negId) == bestNeg, s"anchor $aid neg")
+      assert((posCos, posId) == bestPos, s"anchor $aid pos")
+    }
+  }
+
   test("exact dedup: keeps one canonical id per distinct text") {
     val out = DedupOps.exactDedup(spark, dir)
     val nTexts = graft.sources.Tables.read(spark, dir, "documents")
