@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 
@@ -174,6 +174,81 @@ case class FingerprintRowFp(child: Expression, gram: Int) extends UnaryExpressio
   override def prettyName: String = "fingerprint_row"
 }
 
+/** Native k-gram hash stream (SURVEY §2.11 preference order (b)).
+  *
+  * The declarative gram pipeline (`transform(sequence(...), i ->
+  * concat_ws(' ', slice(toks, i, k)))` then md5 per exploded row) pays an
+  * interpreted higher-order lambda per document plus a string explode —
+  * the steady cost of the decontamination family and the duplicate-span
+  * scan. This expression emits the hash60 of every k-token window
+  * (positions preserved, duplicates kept) in one compiled pass; callers
+  * explode the LONG array instead of shingle strings, so nothing wider
+  * than 8 bytes/gram leaves the expression.
+  *
+  * Bit-parity contract: window i (1-based, i ≤ max(n−k+1, 1)) is
+  * `concat_ws(' ', slice(toks, i, k))`; hash = first 15 md5 hex digits as
+  * a 60-bit integer (TextOps.hash60) — identical to the declarative form
+  * it replaces (pinned in LlmOpsSpec).
+  */
+object GramHashes {
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, gram: Int): ArrayData = {
+    val n = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val top = math.max(n - gram + 1, 1)
+    val out = new Array[Long](top)
+    val sb = new java.lang.StringBuilder
+    var i = 1
+    while (i <= top) {
+      sb.setLength(0)
+      var j = i - 1
+      val end = math.min(i - 1 + gram, n)
+      var first = true
+      while (j < end) {
+        if (!arr.isNullAt(j)) {
+          if (!first) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      out(i - 1) = h >>> 4
+      md.reset()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class GramHash60s(child: Expression, gram: Int) extends UnaryExpression {
+
+  require(gram >= 1, s"gram must be >= 1, got $gram")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    GramHashes.compute(a.asInstanceOf[ArrayData], gram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashes.compute($c, $gram)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "gram_hash60s"
+}
+
 object SimhashExpressions {
   /** Column API for [[SimhashRowFp]]. */
   def simhash_row(toks: Column, bits: Int): Column =
@@ -182,4 +257,8 @@ object SimhashExpressions {
   /** Column API for [[FingerprintRowFp]]. */
   def fingerprint_row(toks: Column, gram: Int): Column =
     Bridge.column(FingerprintRowFp(Bridge.expression(toks), gram))
+
+  /** Column API for [[GramHash60s]]. */
+  def gram_hash60s(toks: Column, gram: Int): Column =
+    Bridge.column(GramHash60s(Bridge.expression(toks), gram))
 }

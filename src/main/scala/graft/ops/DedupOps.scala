@@ -785,11 +785,8 @@ object DedupOps {
     */
   def duplicateSpanStats(s: SparkSession, dir: String, gram: Int = 10): DataFrame = {
     val grams = docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, greatest(size(toks) - ${gram - 1}, 1)), i -> concat_ws(' ', slice(toks, i, $gram)))"))
-        .as("g"))
-      .select(col("doc_id"), hash60(col("g")).as("h"))
+      .select(col("doc_id"), explode(graft.functions.SimhashExpressions
+        .gram_hash60s(split(col("text"), " "), gram)).as("h"))
     val df = grams.distinct()
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
     grams.join(df, "h")

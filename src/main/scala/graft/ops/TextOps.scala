@@ -411,14 +411,15 @@ object TextOps {
     IndexMemo(evalHashCache, (s, dir))(
       gramHashes(s, dir).where(isEval).select(col("h")).distinct().persist())
 
-  /** (doc_id, source, h): the 5-gram hash stream of every document. */
+  /** (doc_id, source, h): the 5-gram hash stream of every document —
+    * hashed inside the native [[graft.functions.GramHash60s]] pass, so the
+    * explode emits 8-byte longs, never shingle strings (parity with the
+    * declarative transform/concat_ws/md5 form pinned in LlmOpsSpec).
+    */
   private def gramHashes(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), col("source"), tokens.as("toks"))
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(1, greatest(size(toks) - 4, 1)), i -> concat_ws(' ', slice(toks, i, 5)))"))
-        .as("g"))
-      .select(col("doc_id"), col("source"), hash60(col("g")).as("h"))
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.SimhashExpressions.gram_hash60s(tokens, 5)).as("h"))
 
   /** Corpus grams surviving the Bloom prefilter (true hits + FPs) —
     * exposed for the spec's selectivity measurement.

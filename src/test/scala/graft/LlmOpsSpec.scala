@@ -242,6 +242,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gram hashes: native expression is bit-parity with the declarative fold") {
+    val docs = graft.sources.Tables.read(spark, dir, "documents")
+    for (g <- Seq(5, 10)) {
+      val declarative = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(
+          s"transform(sequence(1, greatest(size(toks) - ${g - 1}, 1)), " +
+            s"i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, $g))), 1, 15), 16, 10) as long))")
+          .as("hs"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+      val native = docs
+        .select(col("doc_id"), graft.functions.SimhashExpressions
+          .gram_hash60s(split(col("text"), " "), g).as("hs"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+      assert(native.sameElements(declarative), s"gram=$g")
+    }
+  }
+
   test("exact dedup: keeps one canonical id per distinct text") {
     val out = DedupOps.exactDedup(spark, dir)
     val nTexts = graft.sources.Tables.read(spark, dir, "documents")
