@@ -34,7 +34,14 @@ object SimhashRow {
   /** Shared by interpreted eval and generated code — public static so the
     * codegen'd call sites can reach it.
     */
-  def compute(arr: ArrayData, bits: Int): Long = {
+  def compute(arr: ArrayData, bits: Int): Long = compute(arr, bits, "")
+
+  /** Salted form: `salt` is prepended to every shingle before hashing —
+    * the independent second hash draw the two-lane 120-bit fingerprint
+    * uses (DedupOps.Lane1Salt). Constant-prefix salting is injective, so
+    * the distinct-shingle set (and the vote denominator) is unchanged.
+    */
+  def compute(arr: ArrayData, bits: Int, salt: String): Long = {
     val n = arr.numElements()
     val seen = new java.util.HashSet[String]()
     val ones = new Array[Int](bits)
@@ -52,7 +59,7 @@ object SimhashRow {
         else a + " " + b
       if (seen.add(sh)) {
         m += 1
-        val d = md.digest(sh.getBytes(StandardCharsets.UTF_8))
+        val d = md.digest((salt + sh).getBytes(StandardCharsets.UTF_8))
         // first 15 hex digits = first 7.5 bytes big-endian → 60-bit value
         var h = 0L
         var k = 0
@@ -70,7 +77,8 @@ object SimhashRow {
   }
 }
 
-case class SimhashRowFp(child: Expression, bits: Int) extends UnaryExpression {
+case class SimhashRowFp(child: Expression, bits: Int, salt: String = "")
+    extends UnaryExpression {
 
   require(bits >= 1 && bits <= 60, s"simhash bits must be in [1, 60], got $bits")
 
@@ -83,10 +91,12 @@ case class SimhashRowFp(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(a: Any): Any =
-    SimhashRow.compute(a.asInstanceOf[ArrayData], bits)
+    SimhashRow.compute(a.asInstanceOf[ArrayData], bits, salt)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashRow.compute($c, $bits)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltLit = "\"" + salt.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashRow.compute($c, $bits, $saltLit)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -251,8 +261,8 @@ case class GramHash60s(child: Expression, gram: Int) extends UnaryExpression {
 
 object SimhashExpressions {
   /** Column API for [[SimhashRowFp]]. */
-  def simhash_row(toks: Column, bits: Int): Column =
-    Bridge.column(SimhashRowFp(Bridge.expression(toks), bits))
+  def simhash_row(toks: Column, bits: Int, salt: String = ""): Column =
+    Bridge.column(SimhashRowFp(Bridge.expression(toks), bits, salt))
 
   /** Column API for [[FingerprintRowFp]]. */
   def fingerprint_row(toks: Column, gram: Int): Column =

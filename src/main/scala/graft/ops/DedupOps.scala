@@ -495,13 +495,30 @@ object DedupOps {
 
   val SimhashBits = 32
 
-  /** 32-bit SimHash per document: per-bit vote over shingle hashes, sign →
-    * bit. All 32 bit-votes are aggregate columns over the (doc, shingle)
-    * frame — no ×32 bit-explode, ONE shuffle on doc_id; the fingerprint is
-    * composed map-side from the vote columns.
+  /** 32-bit SimHash per document, computed in the native
+    * [[graft.functions.SimhashRowFp]] pass — every shingle of a document
+    * comes from ONE row, so the fingerprint needs no explode and no
+    * shuffle at all (the retired vote-aggregate form survives as
+    * [[simhashesOfDocs]], the PropertySpec/ScaleProbe surface pinning the
+    * packed-vote math, and as the DuckDB oracle). `n_set_bits` is
+    * `bit_count` of the fingerprint, exactly the majority-vote set count.
     */
   def simhashFingerprint(s: SparkSession, dir: String): DataFrame =
-    simhashes(s, dir).orderBy("doc_id")
+    nativeFingerprints(s, dir, SimhashBits)
+      .withColumn("n_set_bits", expr("bit_count(simhash)").cast("long"))
+      .orderBy("doc_id")
+
+  /** (doc_id, simhash) for the whole corpus via the compiled per-row
+    * expression — one scan, zero exchanges; bit-parity with the
+    * vote-aggregate form is pinned by `q_simhash_row_fp`'s oracle and
+    * LlmOpsSpec's lanes/subset cases.
+    */
+  private def nativeFingerprints(
+      s: SparkSession, dir: String, bits: Int, salt: String = ""): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.tokens.as("toks"))
+      .select(col("doc_id"), graft.functions.SimhashExpressions
+        .simhash_row(col("toks"), bits, salt).as("simhash"))
 
   /** (doc_id, simhash, n_set_bits) over `bits` fingerprint bits for an
     * arbitrary shingle index — shared by the fingerprint query, the
@@ -635,8 +652,7 @@ object DedupOps {
       bits / bandBits, bandBits)
 
   def simhashNearPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
-    simhashBandJoin(
-      simhashes(s, dir).select(col("doc_id"), col("simhash")), 4, 8)
+    simhashBandJoin(nativeFingerprints(s, dir, SimhashBits), 4, 8)
       .where(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
 
@@ -654,8 +670,7 @@ object DedupOps {
 
   def simhashNearPairsWide(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
     simhashBandJoin(
-      simhashesFromIndex(shingleIndex(s, dir), SimhashWideBits)
-        .select(col("doc_id"), col("simhash")),
+      nativeFingerprints(s, dir, SimhashWideBits),
       SimhashWideBits / SimhashWideBandBits, SimhashWideBandBits)
       .where(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
@@ -716,7 +731,15 @@ object DedupOps {
           expr(s"shiftright(simhash$lane, ${bandBits * b}) & $mask").as("bv"))
       }
     }
-    val fp = simhashLanes(shingleIndex(s, dir))
+    // two independent lanes = two native per-row draws (lane 1 salted);
+    // the vote-aggregate twin (simhashLanes128) remains the test surface
+    val fp = docs(s, dir)
+      .select(col("doc_id"), TextOps.tokens.as("toks"))
+      .select(col("doc_id"),
+        graft.functions.SimhashExpressions
+          .simhash_row(col("toks"), Simhash128LaneBits).as("simhash0"),
+        graft.functions.SimhashExpressions
+          .simhash_row(col("toks"), Simhash128LaneBits, Lane1Salt).as("simhash1"))
     val bands = fp.select(
       col("doc_id"), col("simhash0"), col("simhash1"),
       explode(array(bandCols: _*)).as("bd"))
@@ -854,9 +877,10 @@ object DedupOps {
     val bandBits = SimhashWideBandBits
     val nBands = SimhashWideBits / bandBits
     val mask = (1L << bandBits) - 1
-    val srcOf = docs(s, dir).select(col("doc_id"), col("source"))
-    val fp = simhashesFromIndex(shingleIndex(s, dir), SimhashWideBits)
-      .join(srcOf, "doc_id")
+    val fp = docs(s, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens.as("toks"))
+      .select(col("doc_id"), col("source"), graft.functions.SimhashExpressions
+        .simhash_row(col("toks"), SimhashWideBits).as("simhash"))
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         expr(s"shiftright(simhash, ${bandBits * b}) & $mask").as("bv"))

@@ -362,6 +362,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan(df)).isDefined, plan(df))
   }
 
+  test("doc fingerprint: single scan, zero hash exchanges (native per-row pass)") {
+    val df = graft.ops.TextOps.docFingerprint(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    // the only exchange is the presentation orderBy's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("chunking: single scan, generate-only pipeline, no hash exchange") {
+    val df = graft.ops.CorpusOps.chunkDocuments(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert("Generate".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("bm25: term filter sits below the tf aggregate; corpus stats broadcast") {
+    val df = graft.ops.CorpusOps.bm25TopK(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the tokenizing tf scan + the stats scan — never a third
+    assert("Scan parquet".r.findAllIn(p).size == 2, p)
+    assert("BroadcastExchange".r.findAllIn(p).nonEmpty, p)
+    // the term filter prunes exploded rows BEFORE the (doc_id, term)
+    // aggregate: no HashAggregate may appear below the Filter in the
+    // generate pipeline — i.e. the plan contains Filter ... Generate with
+    // no aggregate between them
+    val gen = p.split("\n").map(_.trim)
+    val genIdx = gen.indexWhere(_.contains("Generate explode"))
+    assert(genIdx >= 0, p)
+    val above = gen.slice(0, genIdx).reverse.takeWhile(!_.contains("Exchange"))
+    assert(above.exists(_.matches(".*Filter.*term.*")), p)
+  }
+
+  test("hard negatives: one hash exchange total (single conditional aggregate)") {
+    val df = graft.ops.SimilarityOps.hardNegatives(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("BroadcastExchange".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("simhash two-lane vote aggregate stays inside whole-stage codegen") {
     // The 120-bit fingerprint's vote pass packs ones-counts 3-per-long
     // (41 agg columns) precisely to stay under spark.sql.codegen.maxFields
