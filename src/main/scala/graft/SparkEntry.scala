@@ -179,6 +179,7 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
     "q_bm25_topk" -> ((s, d) => graft.ops.CorpusOps.bm25TopK(s, d)),
     "q_hard_negatives" -> (graft.ops.SimilarityOps.hardNegatives _),
+    "q_clean_corpus" -> ((s, d) => graft.ops.CorpusOps.cleanCorpus(s, d)),
     "q_freq_items" -> ((s, d) => graft.ops.CorpusOps.freqItems(s, d)),
     "q_skew_join" -> (graft.ops.Skew.skewedJoinAgg _),
     "q_simhash_row_fp" -> ((s, d) => graft.streaming.StreamingDedup
@@ -314,6 +315,7 @@ object SparkEntry {
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
     "q_bm25_topk" -> graft.ops.CorpusOps.bm25TopKSql(),
     "q_hard_negatives" -> graft.ops.SimilarityOps.hardNegativesSql,
+    "q_clean_corpus" -> graft.ops.CorpusOps.cleanCorpusSql(),
     "q_freq_items" -> graft.ops.CorpusOps.freqItemsSql(),
     "q_skew_join" -> graft.ops.Skew.skewedJoinAggSql,
     "q_simhash_row_fp" -> graft.ops.DedupOps.simhashWideFingerprintSql,

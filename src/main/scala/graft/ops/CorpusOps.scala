@@ -403,6 +403,62 @@ object CorpusOps {
     * collection frequency — the inverted-index aggregate feeding stopword
     * lists and tokenizer audits. One shuffle on the token.
     */
+  /** End-to-end corpus cleaning verdict — the single keep/drop-with-
+    * reasons table a training pipeline publishes, composed from the
+    * engine's own tiers (each already oracled on its own):
+    *
+    *  - `quality_ok`   — [[TextOps.qualityFilter]]'s integer-exact
+    *                     composite (length / diversity / top-token /
+    *                     dup-token);
+    *  - `dedup_ok`     — [[DedupOps.dedupKeepDrop]]'s canonical election
+    *                     (memoized cluster machinery — zero extra cost
+    *                     here);
+    *  - `decontam_ok`  — no 5-gram shared with the held-out slice
+    *                     ([[TextOps.decontaminate]]);
+    *  - `is_reference` — the doc IS the held-out slice (never trained on).
+    *
+    * `keep = quality_ok ∧ dedup_ok ∧ decontam_ok ∧ ¬is_reference`. All
+    * joins key on doc_id; the component costs are the components' own —
+    * this table adds three doc_id-keyed joins over frames that are linear
+    * in the corpus.
+    */
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val refs = DedupOps.CrossRefSources
+    val q = TextOps.qualityFilter(s, dir)
+      .select(col("doc_id"), col("keep").as("quality_ok"))
+    val kd = DedupOps.dedupKeepDrop(s, dir)
+      .select(col("doc_id"), col("keep").as("dedup_ok"))
+    val contam = TextOps.decontaminate(s, dir)
+      .select(col("doc_id"), col("n_shared_grams"))
+    Tables.read(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(q, "doc_id").join(kd, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"), col("quality_ok"), col("dedup_ok"),
+        (coalesce(col("n_shared_grams"), lit(0L)) === 0L).as("decontam_ok"),
+        col("source").isin(refs: _*).as("is_reference"))
+      .withColumn("keep",
+        col("quality_ok") && col("dedup_ok") && col("decontam_ok") && !col("is_reference"))
+      .orderBy("doc_id")
+  }
+
+  def cleanCorpusSql(): String = {
+    val refList = DedupOps.CrossRefSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH q AS (${TextOps.qualityFilterSql}),
+       |kd AS (${DedupOps.dedupKeepDropSql()}),
+       |contam AS (${TextOps.decontaminateSql})
+       |SELECT d.doc_id, d.source, q.keep AS quality_ok, kd.keep AS dedup_ok,
+       |  coalesce(contam.n_shared_grams, 0) = 0 AS decontam_ok,
+       |  d.source IN ($refList) AS is_reference,
+       |  q.keep AND kd.keep AND coalesce(contam.n_shared_grams, 0) = 0
+       |    AND d.source NOT IN ($refList) AS keep
+       |FROM documents d
+       |JOIN q ON q.doc_id = d.doc_id
+       |JOIN kd ON kd.doc_id = d.doc_id
+       |LEFT JOIN contam ON contam.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** BM25 top-k retrieval (Robertson et al.; the Lucene `1 +` idf variant
     * so idf stays positive at any df): score every document against a
     * fixed query and return the k best. The corpus side is the same

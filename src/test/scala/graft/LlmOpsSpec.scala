@@ -242,6 +242,29 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clean-corpus cascade: verdicts agree with each component tier") {
+    val out = graft.ops.CorpusOps.cleanCorpus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(out.length == 500)
+    out.foreach { case (_, src, q, d, c, ref, keep) =>
+      assert(keep == (q && d && c && !ref))
+      assert(ref == DedupOps.CrossRefSources.contains(src))
+    }
+    // spot-check each flag against its source-of-truth op
+    val qOk = TextOps.qualityFilter(spark, dir).select("doc_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val dOk = DedupOps.dedupKeepDrop(spark, dir).select("doc_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val contaminated = TextOps.decontaminate(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out.foreach { case (id, _, q, d, c, _, _) =>
+      assert(q == qOk(id) && d == dOk(id) && c == !contaminated.contains(id), s"doc $id")
+    }
+    // the cascade must actually discriminate on this corpus
+    assert(out.exists(_._7) && out.exists(!_._7))
+  }
+
   test("gram hashes: native expression is bit-parity with the declarative fold") {
     val docs = graft.sources.Tables.read(spark, dir, "documents")
     for (g <- Seq(5, 10)) {
