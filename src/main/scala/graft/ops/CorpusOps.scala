@@ -259,8 +259,14 @@ object CorpusOps {
     */
   def chunkDocuments(
       s: SparkSession, dir: String, window: Int = 64, stride: Int = 48): DataFrame =
-    Tables.read(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    chunkDocs(Tables.read(s, dir, "documents"), window, stride)
+
+  /** Frame-parametric core of [[chunkDocuments]] over any (doc_id, text)
+    * frame — also the PropertySpec surface.
+    */
+  private[graft] def chunkDocs(d: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window/stride must be >= 1: $window/$stride")
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n_chunks", greatest(
         (ceil((size(col("toks")) - window) / lit(stride.toDouble)) + 1).cast("long"),
         lit(1L)))
@@ -272,6 +278,7 @@ object CorpusOps {
         size(col("chunk")).cast("long").as("n_tok"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
+  }
 
   def chunkDocumentsSql(window: Int = 64, stride: Int = 48): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

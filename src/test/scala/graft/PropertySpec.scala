@@ -211,4 +211,28 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  test("chunking equals a naive sliding window for any doc/window/stride") {
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "dd", "e")
+    val docGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val caseGen = Gen.zip(
+      Gen.listOfN(6, docGen), Gen.choose(1, 12), Gen.choose(1, 12))
+    forAllSampled(caseGen, n = 5) { case (texts, window, stride) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.CorpusOps.chunkDocs(docs, window, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split(" ", -1)
+        val c = math.max(math.ceil((toks.length - window).toDouble / stride).toLong + 1, 1L)
+        (1L to c).map { cid =>
+          val start = ((cid - 1) * stride).toInt
+          val chunk = toks.slice(start, start + window)
+          (i.toLong, cid, chunk.length.toLong, chunk.mkString(" "))
+        }
+      }
+      assert(got.sorted.toSeq == expected.sorted.toSeq,
+        s"window=$window stride=$stride")
+    }
+  }
 }
