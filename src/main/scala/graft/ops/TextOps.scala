@@ -396,7 +396,7 @@ object TextOps {
     */
   val decontaminateBloomSql: String = decontaminateSql
 
-  private def isEval = col("source").isin("src0", "src1")
+  private[graft] def isEval = col("source").isin("src0", "src1")
 
   /** The eval set's DISTINCT 5-gram hashes, materialized once per
     * (session, dir) — both decontamination forms (and the Bloom build,
@@ -407,7 +407,7 @@ object TextOps {
   private val evalHashCache =
     IndexMemo.cache[(SparkSession, String), DataFrame]()
 
-  private def evalHashes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def evalHashes(s: SparkSession, dir: String): DataFrame =
     IndexMemo(evalHashCache, (s, dir))(
       gramHashes(s, dir).where(isEval).select(col("h")).distinct().persist())
 

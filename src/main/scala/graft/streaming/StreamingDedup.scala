@@ -175,4 +175,34 @@ object StreamingDedup {
           out.result().iterator
       }
   }
+
+  // ---- streaming decontamination -----------------------------------------
+
+  /** STREAMING benchmark decontamination — flag arriving documents sharing
+    * any 5-gram with the frozen eval slice. The eval set is a STATIC
+    * bounded table, so the stream side stays stateless: its distinct gram
+    * hashes are folded into ONE array row batch-side (materialized via the
+    * memoized [[graft.ops.TextOps.evalHashes]]) and broadcast; each
+    * arriving document intersects its native [[graft.functions.GramHash60s]]
+    * stream against it map-side. No watermark, no state store — a document
+    * is judged entirely from its own row, so replays are trivially
+    * idempotent. Output matches batch [[graft.ops.TextOps.decontaminate]]
+    * row-for-row (StreamingSpec). At eval-set sizes where one array row
+    * stops being sensible (≫10⁶ grams), the Bloom form
+    * ([[graft.ops.TextOps.decontaminateBloom]]) is the swap-in: same
+    * per-row shape, fixed 8 KB bitset.
+    */
+  def decontaminateStream(s: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+    val evalArr = broadcast(
+      graft.ops.TextOps.evalHashes(s, dir).agg(collect_list(col("h")).as("eval_hs")))
+    docs
+      .where(!graft.ops.TextOps.isEval)
+      .select(col("doc_id"), graft.functions.SimhashExpressions
+        .gram_hash60s(split(col("text"), " "), 5).as("grams"))
+      .crossJoin(evalArr)
+      .select(col("doc_id"),
+        size(array_intersect(col("grams"), col("eval_hs"))).cast("long")
+          .as("n_shared_grams"))
+      .where(col("n_shared_grams") > 0)
+  }
 }

@@ -128,6 +128,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination equals the batch op row-for-row") {
+    import graft.streaming.StreamingDedup
+    val q = StreamingDedup
+      .decontaminateStream(spark, StreamingDedup.readDocuments(spark, docsPath),
+        "/root/testdata/sf0.001")
+      .writeStream.format("memory").queryName("sdecon")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sdecon").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val batch = graft.ops.TextOps.decontaminate(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("S5/append: stateless projection streams through with validity flag") {
     val q = StreamingPipeline
       .projectWithValidity(StreamingPipeline.readEvents(spark, eventsPath))
