@@ -406,6 +406,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastExchange".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("meta-audit: no registered query plans a CartesianProduct") {
+    // The one plan shape with no 100 TB story at all: a non-broadcast
+    // cross join. Every intentional small-side cross in the repo rides a
+    // broadcast (1-row aggregates, query sets, LUTs) and plans
+    // BroadcastNestedLoopJoin instead. Sweep EVERY registered query's
+    // physical plan — construction only, no execution (memoized builders
+    // may run their own bounded jobs).
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val p = q(spark, dir).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("meta-audit: every registered query carries a DuckDB oracle") {
+    // The driver records a weaker rows-only check for queries without
+    // oracle SQL; the repo's contract is stronger — 1:1.
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"unoracled: ${(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).mkString(",")}; " +
+        s"dangling: ${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).mkString(",")}")
+  }
+
   test("simhash two-lane vote aggregate stays inside whole-stage codegen") {
     // The 120-bit fingerprint's vote pass packs ones-counts 3-per-long
     // (41 agg columns) precisely to stay under spark.sql.codegen.maxFields
