@@ -180,6 +180,7 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, d) => graft.ops.CorpusOps.bm25TopK(s, d)),
     "q_hard_negatives" -> (graft.ops.SimilarityOps.hardNegatives _),
     "q_clean_corpus" -> ((s, d) => graft.ops.CorpusOps.cleanCorpus(s, d)),
+    "q_multimodal_framedup" -> (graft.ops.MultimodalOps.frameDupGroups _),
     "q_freq_items" -> ((s, d) => graft.ops.CorpusOps.freqItems(s, d)),
     "q_skew_join" -> (graft.ops.Skew.skewedJoinAgg _),
     "q_simhash_row_fp" -> ((s, d) => graft.streaming.StreamingDedup
@@ -316,6 +317,7 @@ object SparkEntry {
     "q_bm25_topk" -> graft.ops.CorpusOps.bm25TopKSql(),
     "q_hard_negatives" -> graft.ops.SimilarityOps.hardNegativesSql,
     "q_clean_corpus" -> graft.ops.CorpusOps.cleanCorpusSql(),
+    "q_multimodal_framedup" -> graft.ops.MultimodalOps.frameDupGroupsSql(),
     "q_freq_items" -> graft.ops.CorpusOps.freqItemsSql(),
     "q_skew_join" -> graft.ops.Skew.skewedJoinAggSql,
     "q_simhash_row_fp" -> graft.ops.DedupOps.simhashWideFingerprintSql,

@@ -339,6 +339,122 @@ object MultimodalOps {
        |  (SELECT unnest(range(0, $th)) AS y)
        |GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // ---- perceptual frame dedup (aHash over decoded frames) -----------------
+
+  final case class FrameHash(media_id: Long, frame_idx: Int, ahash: Long)
+
+  /** Frameset synthesis rule: frames 0/1 of media `id` are the video's own
+    * (seed id·1000+f); frame 2 REPLAYS the group anchor's frame 0
+    * (seed (id − id%5)·1000) — the planted cross-video duplicate a frame
+    * dedup must find. All frames render at a fixed 8×6 so equal seeds ⇒
+    * bit-identical pixels. (Channel arithmetic depends on seed mod 256, so
+    * distant seed classes collide too — the realistic perceptual-collision
+    * tail; the oracle mirrors the arithmetic, so both engines agree
+    * exactly.)
+    */
+  private[ops] def framesetSeed(id: Long, f: Int): Long =
+    if (f == 2) (id - id % 5) * 1000 else id * 1000 + f
+
+  val FrameSetW = 8
+  val FrameSetH = 6
+  val FramesPerMedia = 3
+
+  /** (media_id, frame_idx, payload): three genuine PNGs per document. */
+  def framesetTable(s: SparkSession, dir: String): DataFrame =
+    IndexMemo(mediaCache, (s, dir, "frameset")) {
+      import s.implicits._
+      Tables.read(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.flatMap(id => (0 until FramesPerMedia).map(f =>
+          (id, f, encodePngSized(framesetSeed(id, f), FrameSetW, FrameSetH)))))
+        .toDF("media_id", "frame_idx", "payload")
+        .persist()
+    }
+
+  /** Perceptual frame dedup: decode every frame, compute its 64-bit
+    * average-hash (8×8 nearest-neighbor gray resample, bit j set iff
+    * 64·gray_j > Σgray — integer-exact threshold), and group identical
+    * hashes across ALL videos. The decode+hash runs in the codec slot
+    * (mapPartitions), emits 16 bytes/frame, and the only shuffle keys on
+    * the 8-byte hash — at 100 TB frame payloads never leave their
+    * partition, the same shape as the text exact-dedup. Output: one row
+    * per duplicate group (≥2 frames), keyed by its first (media, frame).
+    */
+  def frameDupGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    framesetTable(s, dir)
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, f, payload) =>
+          val img = imageIoRead(payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val grays = new Array[Int](64)
+          var sum = 0L
+          var j = 0
+          while (j < 64) {
+            val rgb = img.getRGB((j % 8) * w / 8, (j / 8) * h / 8)
+            val gray = (((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)) / 3
+            grays(j) = gray
+            sum += gray
+            j += 1
+          }
+          var hash = 0L
+          j = 0
+          while (j < 64) {
+            if (64L * grays(j) > sum) hash |= 1L << j
+            j += 1
+          }
+          FrameHash(id, f, hash)
+        }
+      }
+      .toDF()
+      // pair-encode (media, frame) so the group's FIRST member is one
+      // deterministic min on both engines
+      .groupBy(col("ahash"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        min(col("media_id") * FramesPerMedia + col("frame_idx")).as("k"))
+      .where(col("n_dups") >= 2)
+      .select(
+        (col("k") / FramesPerMedia).cast("long").as("first_media"),
+        pmod(col("k"), lit(FramesPerMedia)).cast("long").as("first_frame"),
+        col("n_dups"), col("ahash"))
+      .orderBy("first_media", "first_frame")
+  }
+
+  /** The aHash re-derived arithmetically from the synthesis rule. */
+  def frameDupGroupsSql(): String = {
+    val w = FrameSetW; val h = FrameSetH; val fpm = FramesPerMedia
+    // gray_j from seed: x = j%8 mapped via x*w/8, y = j/8 mapped via y*h/8
+    val gray =
+      s"""(((seed + 31 * (((j % 8) * $w) // 8) + 17 * ((j // 8) * $h // 8)) % 256)
+         | + ((seed * 7 + 13 * (((j % 8) * $w) // 8) + 5 * ((j // 8) * $h // 8)) % 256)
+         | + ((seed * 13 + 3 * (((j % 8) * $w) // 8) + 11 * ((j // 8) * $h // 8)) % 256)) // 3"""
+        .stripMargin.replace("\n", "")
+    s"""WITH fr AS (
+       |  SELECT doc_id AS media_id, f AS frame_idx,
+       |    CASE WHEN f = 2 THEN (doc_id - doc_id % 5) * 1000
+       |         ELSE doc_id * 1000 + f END AS seed
+       |  FROM documents, (SELECT unnest(range(0, $fpm)) AS f)),
+       |g AS (
+       |  SELECT media_id, frame_idx,
+       |    list_transform(range(0, 64), j -> $gray) AS grays
+       |  FROM fr),
+       |hs AS (
+       |  SELECT media_id, frame_idx,
+       |    list_sum(list_transform(range(0, 64),
+       |      j -> CASE WHEN 64 * grays[j + 1] > list_sum(grays)
+       |           THEN CASE WHEN j = 63 THEN -9223372036854775808::HUGEINT
+       |                     ELSE (1::BIGINT << j)::HUGEINT END
+       |           ELSE 0::HUGEINT END))::BIGINT AS ahash
+       |  FROM g)
+       |SELECT (min(media_id * $fpm + frame_idx) // $fpm)::BIGINT AS first_media,
+       |  (min(media_id * $fpm + frame_idx) % $fpm)::BIGINT AS first_frame,
+       |  count(*) AS n_dups, ahash
+       |FROM hs GROUP BY ahash HAVING count(*) >= 2
+       |ORDER BY first_media, first_frame""".stripMargin
+  }
+
   // ---- real WAV (audio) decode --------------------------------------------
 
   /** A decoded WAV record: format fields + the first PCM sample. */

@@ -265,6 +265,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.exists(_._7) && out.exists(!_._7))
   }
 
+  test("frame dedup: planted cross-video replays land in the anchor's group") {
+    val ids = MultimodalOps.framesetTable(spark, dir)
+      .select("media_id").distinct().collect().map(_.getLong(0)).sorted
+    val out = MultimodalOps.frameDupGroups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall(_._3 >= 2))
+    // frame 2 of every doc replays its anchor's frame 0 (identical PNG
+    // bytes), so each 5-doc block MUST contribute a duplicate group whose
+    // first member is the anchor's frame 0 — unless a mod-256 collision
+    // merged it into an earlier group, in which case the anchor appears as
+    // a non-first member; assert membership via group sizes instead:
+    // every (id, 2) shares a hash with ((id - id%5)*3, 0), so the number
+    // of frames covered by groups is at least ids.size (all frame-2s) +
+    // number of anchors
+    val anchors = ids.map(i => i - i % 5).distinct
+    val covered = out.map(_._3).sum
+    assert(covered >= ids.size + anchors.size,
+      s"covered $covered < ${ids.size} frame-2 replicas + ${anchors.size} anchors")
+    // and group firsts are genuine minima: strictly increasing pair keys
+    val keys = out.map(t => t._1 * 3 + t._2)
+    assert(keys.sorted.sameElements(keys) && keys.distinct.length == keys.length)
+  }
+
   test("gram hashes: native expression is bit-parity with the declarative fold") {
     val docs = graft.sources.Tables.read(spark, dir, "documents")
     for (g <- Seq(5, 10)) {
