@@ -392,7 +392,7 @@ object SimilarityOps {
     * the IVF projection, shared by [[annIvf]] and [[annIvfPq]] so the
     * tie-break (cos desc, cid) lives in ONE place next to its oracle.
     */
-  private def coarseCells(s: SparkSession, dir: String): DataFrame =
+  private[graft] def coarseCells(s: SparkSession, dir: String): DataFrame =
     kmeansAssign(emb(s, dir), kmeansCentroids(s, dir))
       .select(col("vec_id"), col("vec"), col("cid").as("cell"))
 
@@ -460,7 +460,7 @@ object SimilarityOps {
   private val centroidCache =
     IndexMemo.cache[(SparkSession, String), DataFrame]()
 
-  private[ops] def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
+  private[graft] def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
     IndexMemo(centroidCache, (s, dir)) {
       val e = emb(s, dir)
 

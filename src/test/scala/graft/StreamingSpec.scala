@@ -128,6 +128,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming centroid assignment equals the batch coarse cells bit-for-bit") {
+    import graft.streaming.StreamingSimilarity
+    val embsDir = Files.createTempDirectory("graft_embs_stream")
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      embsDir.resolve("embeddings.parquet"))
+    val stream = spark.readStream
+      .schema(graft.sources.Tables.embeddings)
+      .parquet(embsDir.toString)
+    val q = StreamingSimilarity
+      .assignStream(spark, stream, "/root/testdata/sf0.001")
+      .writeStream.format("memory").queryName("sassign")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sassign").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      val batch = graft.ops.SimilarityOps.coarseCells(spark, "/root/testdata/sf0.001")
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(streamed.map(t => (t._1, t._2)) == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.map(_._2).distinct.length > 1) // cells actually discriminate
+    } finally q.stop()
+  }
+
   test("streaming decontamination equals the batch op row-for-row") {
     import graft.streaming.StreamingDedup
     val q = StreamingDedup
