@@ -181,6 +181,7 @@ object SparkEntry {
     "q_hard_negatives" -> (graft.ops.SimilarityOps.hardNegatives _),
     "q_clean_corpus" -> ((s, d) => graft.ops.CorpusOps.cleanCorpus(s, d)),
     "q_multimodal_framedup" -> (graft.ops.MultimodalOps.frameDupGroups _),
+    "q_multimodal_audiodup" -> (graft.ops.MultimodalOps.audioDupGroups _),
     "q_freq_items" -> ((s, d) => graft.ops.CorpusOps.freqItems(s, d)),
     "q_skew_join" -> (graft.ops.Skew.skewedJoinAgg _),
     "q_simhash_row_fp" -> ((s, d) => graft.streaming.StreamingDedup
@@ -318,6 +319,7 @@ object SparkEntry {
     "q_hard_negatives" -> graft.ops.SimilarityOps.hardNegativesSql,
     "q_clean_corpus" -> graft.ops.CorpusOps.cleanCorpusSql(),
     "q_multimodal_framedup" -> graft.ops.MultimodalOps.frameDupGroupsSql(),
+    "q_multimodal_audiodup" -> graft.ops.MultimodalOps.audioDupGroupsSql(),
     "q_freq_items" -> graft.ops.CorpusOps.freqItemsSql(),
     "q_skew_join" -> graft.ops.Skew.skewedJoinAggSql,
     "q_simhash_row_fp" -> graft.ops.DedupOps.simhashWideFingerprintSql,

@@ -546,6 +546,104 @@ object MultimodalOps {
       |  ((doc_id * 31) % 65536 - 32768)::INTEGER AS first_sample
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- audio fingerprint dedup --------------------------------------------
+
+  final case class AudioFp(media_id: Long, n_frames: Int, afp: Long)
+
+  /** Audioset synthesis rule: every 4th document (id%4 == 3) REPLAYS its
+    * group anchor's audio (seed id − id%4) — the planted duplicate
+    * recording; all WAV parameters (rate, channels, frames, samples)
+    * derive from the seed, so replayed payloads are byte-identical.
+    */
+  private[ops] def audiosetSeed(id: Long): Long =
+    if (id % 4 == 3) id - id % 4 else id
+
+  /** (media_id, payload): a genuine WAV per document under the replay rule. */
+  def audiosetTable(s: SparkSession, dir: String): DataFrame =
+    IndexMemo(mediaCache, (s, dir, "audioset")) {
+      import s.implicits._
+      Tables.read(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => (id, encodeWav(audiosetSeed(id)))))
+        .toDF("media_id", "payload")
+        .persist()
+    }
+
+  /** Audio dedup by energy fingerprint: decode the FULL channel-0 PCM
+    * stream (real AudioSystem parse + readFully of every frame), split it
+    * into 16 equal windows, set bit w iff window w's mean |sample| exceeds
+    * the whole recording's (cross-multiplied — integer-exact), and group
+    * identical 16-bit fingerprints. Same scale shape as the frame dedup:
+    * decode in the codec slot, shuffle only the 8-byte fingerprint.
+    */
+  def audioDupGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audiosetTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val n = ais.getFrameLength.toInt
+          val frameSize = fmt.getFrameSize
+          val body = new Array[Byte](n * frameSize)
+          new java.io.DataInputStream(ais).readFully(body)
+          val absSamples = new Array[Long](n)
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            val off = i * frameSize
+            val v = (body(off + 1) << 8) | (body(off) & 0xff)
+            absSamples(i) = math.abs(v).toLong
+            total += absSamples(i)
+            i += 1
+          }
+          var fp = 0L
+          var w = 0
+          while (w < 16) {
+            val start = w * n / 16
+            val end = (w + 1) * n / 16
+            var sumW = 0L
+            var j = start
+            while (j < end) { sumW += absSamples(j); j += 1 }
+            if (sumW * n > total * (end - start)) fp |= 1L << w
+            w += 1
+          }
+          AudioFp(id, n, fp)
+        }
+      }
+      .toDF()
+      .groupBy(col("afp"), col("n_frames"))
+      .agg(count(lit(1)).as("n_dups"), min(col("media_id")).as("first_media"))
+      .where(col("n_dups") >= 2)
+      .select(col("first_media"), col("n_dups"), col("n_frames").cast("long").as("n_frames"),
+        col("afp"))
+      .orderBy("first_media")
+  }
+
+  /** The fingerprint re-derived arithmetically from the synthesis rule. */
+  def audioDupGroupsSql(): String =
+    """WITH sd AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 4 = 3 THEN doc_id - doc_id % 4 ELSE doc_id END AS seed
+      |  FROM documents),
+      |ss AS (
+      |  SELECT media_id, (seed % 50 + 20)::BIGINT AS n,
+      |    list_transform(range(0, seed % 50 + 20),
+      |      i -> abs(((seed * 31 + 7 * i) % 65536) - 32768)) AS samples
+      |  FROM sd),
+      |fp AS (
+      |  SELECT media_id, n,
+      |    list_sum(list_transform(range(0, 16), w ->
+      |      CASE WHEN list_sum(list_slice(samples, w * n // 16 + 1, (w + 1) * n // 16)) * n
+      |                > list_sum(samples) * ((w + 1) * n // 16 - w * n // 16)
+      |           THEN (1::BIGINT << w) ELSE 0 END))::BIGINT AS afp
+      |  FROM ss)
+      |SELECT min(media_id) AS first_media, count(*) AS n_dups, n AS n_frames, afp
+      |FROM fp GROUP BY afp, n HAVING count(*) >= 2
+      |ORDER BY first_media""".stripMargin
+
   /** Oracle-able metadata projection over the media table — pure column
     * functions (byte length, content hash, stub dimensions), mirroring what
     * [[decodeFeatures]] computes imperatively.

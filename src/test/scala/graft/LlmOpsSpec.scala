@@ -288,6 +288,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(keys.sorted.sameElements(keys) && keys.distinct.length == keys.length)
   }
 
+  test("audio dedup: planted replays are byte-identical and fully covered") {
+    val payloads = MultimodalOps.audiosetTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val ids = payloads.keySet
+    // every 4th doc replays its anchor byte-for-byte
+    ids.filter(id => id % 4 == 3 && ids.contains(id - 3)).foreach { id =>
+      assert(payloads(id).sameElements(payloads(id - 3)), s"replay $id != anchor")
+    }
+    val out = MultimodalOps.audioDupGroups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall(_._2 >= 2))
+    // identical payloads share a fingerprint, so every planted doc sits in
+    // some group: covered members >= 2 * #planted pairs
+    val planted = ids.count(id => id % 4 == 3 && ids.contains(id - 3))
+    assert(out.map(_._2).sum >= 2L * planted,
+      s"covered ${out.map(_._2).sum} < ${2 * planted}")
+  }
+
   test("gram hashes: native expression is bit-parity with the declarative fold") {
     val docs = graft.sources.Tables.read(spark, dir, "documents")
     for (g <- Seq(5, 10)) {
