@@ -70,5 +70,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         FingerprintRowFp(children.head, gram)
       }))
+    e.injectFunction((
+      FunctionIdentifier("gram_hash60s"),
+      new ExpressionInfo(classOf[GramHash60s].getName, "gram_hash60s"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 2,
+          s"gram_hash60s requires exactly 2 arguments (array<string>, int gram), got ${children.size}")
+        val gram = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"gram_hash60s gram must be an integer literal, got $other")
+        }
+        GramHash60s(children.head, gram)
+      }))
   }
 }

@@ -322,6 +322,17 @@ class LlmOpsSpec extends AnyFunSuite {
         .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
       assert(native.sameElements(declarative), s"gram=$g")
     }
+    // SQL registration works and agrees with the Column API
+    val viaSql = spark.sql(
+      s"SELECT doc_id, gram_hash60s(split(text, ' '), 5) AS hs " +
+        s"FROM parquet.`$dir/documents.parquet` ORDER BY doc_id LIMIT 5")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    val viaApi = graft.sources.Tables.read(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.SimhashExpressions
+        .gram_hash60s(split(col("text"), " "), 5).as("hs"))
+      .orderBy("doc_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+    assert(viaSql.sameElements(viaApi))
   }
 
   test("exact dedup: keeps one canonical id per distinct text") {
