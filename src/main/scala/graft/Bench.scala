@@ -22,8 +22,8 @@ import java.nio.file.{Files, Paths}
   * when stdout is truncated by the harness.
   *
   * Host-noise calibration: a FIXED workload (md5 over a constant buffer)
-  * on EVERY core in parallel is timed before and after the query loop and
-  * reported as `noise_cal_sec` [start, end]. The workload is data- and
+  * on EVERY core in parallel is timed before, halfway through, and after
+  * the query loop and reported as `noise_cal_sec` [start, mid, end]. The workload is data- and
   * Spark-independent; on an uncontended host the parallel wall time
   * matches the single-thread time (perfect scaling), so any inflation is
   * pure host contention over the cores the bench needs. (A single-thread
@@ -80,7 +80,13 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // a third calibration HALFWAY through the loop: round-6 observed one
+    // query's samples inflate 3x while the start/end probes sat in the
+    // quiet band — a mid-run spike is otherwise invisible
+    var calMid = -1.0
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i == names.size / 2) calMid = noiseCal()
       val samples = Seq.fill(3)(runOnce(n))
       val ok = samples.filter(_ >= 0)
       (n, median(ok), samples)
@@ -105,7 +111,7 @@ object Bench {
       .map { case (_, _, ss) => ss.filter(_ >= 0) }
       .collect { case ok if ok.nonEmpty => ok.min }.sum
     val calEnd = noiseCal()
-    val cal = s"""[${fmt(calStart)},${fmt(calEnd)}]"""
+    val cal = s"""[${fmt(calStart)},${fmt(calMid)},${fmt(calEnd)}]"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"noise_cal_sec":$cal,"sf":"$sfDir"}"""
     // durable copy first (stdout can be truncated by the harness); the file
