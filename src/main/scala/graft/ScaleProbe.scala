@@ -73,9 +73,38 @@ object ScaleProbe {
     val rangeOnly = args.headOption.contains("rangejoin")
     val nIntervals = if (args.length > 1) args(1).toInt else 100000
 
-    if (!rangeOnly) probeDedupCandidates(spark)
+    if (!rangeOnly) { probeDedupCandidates(spark); probeNativeKernels(spark) }
     probeRangeJoin(spark, nIntervals)
     spark.stop()
+  }
+
+  /** Wall time of the compiled per-row text kernels at 1× and 10× corpus —
+    * the claim is map-side linearity (zero exchanges, so throughput is the
+    * only scale question). Each timing materializes via a count over the
+    * kernel output so nothing is driver-collected.
+    */
+  private def probeNativeKernels(spark: SparkSession): Unit = {
+    import graft.functions.SimhashExpressions._
+    for (n <- Seq(5000, 50000)) {
+      val d = synthDocs(spark, n, 31)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // bit_count keeps the ANSI sum far from Long overflow while still
+      // consuming every row's kernel output
+      val (_, tSim) = time(
+        d.select(simhash_row(col("toks"), 60).as("fp"))
+          .agg(sum(expr("bit_count(fp)"))).collect())
+      val (_, tFpr) = time(
+        d.select(fingerprint_row(col("toks"), 5).as("fp"))
+          .agg(sum(expr("bit_count(fp.fingerprint)"))).collect())
+      val (_, tGrm) = time(
+        d.select(explode(gram_hash60s(col("toks"), 5)).as("h"))
+          .agg(count(lit(1))).collect())
+      println(
+        s"""{"probe":"native_kernels","n":$n,""" +
+          s""""simhash_row_sec":${s1(tSim)},"fingerprint_row_sec":${s1(tFpr)},""" +
+          s""""gram_hash60s_sec":${s1(tGrm)}}""")
+      d.unpersist()
+    }
   }
 
   private def probeDedupCandidates(spark: SparkSession): Unit = {
