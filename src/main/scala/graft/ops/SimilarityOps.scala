@@ -845,7 +845,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("j"), col("sv"), col("cid"), col("d2"))
   }
 
-  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
     IndexMemo(codebookCache, (s, dir)) {
       val sub = pqSubvectors(s, dir)
       def update(assigned: DataFrame): DataFrame =
@@ -873,7 +873,7 @@ object SimilarityOps {
   private val codesCache =
     IndexMemo.cache[(SparkSession, String), DataFrame]()
 
-  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     IndexMemo(codesCache, (s, dir))(
       pqAssign(pqSubvectors(s, dir), pqCodebooks(s, dir))
         .select(col("vec_id"), col("j"), col("cid"))
