@@ -176,6 +176,115 @@ object StreamingDedup {
       }
   }
 
+  // ---- incremental MinHash-LSH near-pairs --------------------------------
+
+  final case class MinhashPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** 60-bit md5-prefix hash of a string — TextOps.hash60's exact math. */
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+    h >>> 4
+  }
+
+  /** Distinct word-bigram shingle hashes + the k-element MinHash signature
+    * of one document — the per-row form of the batch pipeline's exploded
+    * index + min-aggregate, bit-identical: same bigram rule (1-token doc →
+    * bare token), same base hash (hash60 mod P), same affine family.
+    */
+  private def signatureOf(text: String): (Array[Long], Array[Long]) = {
+    val toks = text.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    val top = math.max(toks.length - 1, 1)
+    var i = 1
+    while (i <= top) {
+      val sh =
+        if (i < toks.length) toks(i - 1) + " " + toks(i) else toks(i - 1)
+      seen.add(sh)
+      i += 1
+    }
+    val hs = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { hs(n) = hash60(it.next()) % DedupOps.MinhashP; n += 1 }
+    val sig = Array.tabulate(DedupOps.MinhashK) { j =>
+      var m = Long.MaxValue
+      var x = 0
+      while (x < hs.length) {
+        val v = (hs(x) * DedupOps.minhashA(j) + DedupOps.minhashB(j)) % DedupOps.MinhashP
+        if (v < m) m = v
+        x += 1
+      }
+      m
+    }
+    (hs, sig)
+  }
+
+  private def minhashBandKey(sig: Array[Long], b: Int): String =
+    s"$b:${sig(2 * b)}:${sig(2 * b + 1)}"
+
+  /** Lowest band where two signatures agree — the owning-band rule that
+    * makes emission duplicate-free without a second stateful op (same
+    * device as [[incrementalNearPairs]]).
+    */
+  private def minhashOwningBand(a: Array[Long], b: Array[Long]): Int =
+    (0 until DedupOps.LshBands).find(j =>
+      a(2 * j) == b(2 * j) && a(2 * j + 1) == b(2 * j + 1)).getOrElse(-1)
+
+  /** Incremental MinHash-LSH VERIFIED near-pairs: per-row signature, band
+    * buckets as keyed state, each arriving document compared (exact
+    * Jaccard) only to prior bucket members — candidates ∝ collisions,
+    * exactly the batch band join run incrementally. Output matches the
+    * batch [[DedupOps.minhashLshDedup]] row-for-row (StreamingSpec).
+    *
+    * State carries each member's distinct shingle-HASH set (Jaccard over
+    * 60-bit hash sets ≡ over shingle strings barring md5-prefix
+    * collisions), so verification happens in-state: ~8 bytes/shingle/band.
+    * A production deployment at corpus scale would keep only (doc_id, sig)
+    * in state and verify candidates against the materialized shingle index
+    * out-of-band — the shape stays the same; this form trades state bytes
+    * for a single-operator demo.
+    */
+  def incrementalMinhashPairs(
+      spark: SparkSession, docs: DataFrame, threshold: Double = 0.3): Dataset[MinhashPair] = {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (hs, sig) = signatureOf(text)
+        (id, hs, sig)
+      }
+    val banded = sigs.flatMap { case (id, hs, sig) =>
+      (0 until DedupOps.LshBands).map(b => (minhashBandKey(sig, b), b, id, hs, sig))
+    }
+    banded
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Int, Long, Array[Long], Array[Long])],
+         state: GroupState[List[(Long, Array[Long], Array[Long])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[MinhashPair]
+          rows.toSeq.sortBy(_._3).foreach { case (_, band, id, hs, sig) =>
+            seen.foreach { case (oid, ohs, osig) =>
+              if (minhashOwningBand(sig, osig) == band) {
+                val a = hs.toSet
+                val b = ohs.toSet
+                val common = a.intersect(b).size
+                val j = common.toDouble / (a.size + b.size - common)
+                if (j >= threshold)
+                  out += MinhashPair(math.min(id, oid), math.max(id, oid),
+                    BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
+            }
+            seen = (id, hs, sig) :: seen
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
+
   // ---- streaming decontamination -----------------------------------------
 
   /** STREAMING benchmark decontamination — flag arriving documents sharing

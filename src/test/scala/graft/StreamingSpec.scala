@@ -154,6 +154,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental minhash pairs equal the batch LSH dedup row-for-row") {
+    import graft.streaming.StreamingDedup
+    val q = StreamingDedup
+      .incrementalMinhashPairs(spark, StreamingDedup.readDocuments(spark, docsPath))
+      .writeStream.format("memory").queryName("sminhash")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sminhash").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val batch = graft.ops.DedupOps.minhashLshDedup(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming decontamination equals the batch op row-for-row") {
     import graft.streaming.StreamingDedup
     val q = StreamingDedup
