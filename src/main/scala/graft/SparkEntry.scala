@@ -179,6 +179,7 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
     "q_bm25_topk" -> ((s, d) => graft.ops.CorpusOps.bm25TopK(s, d)),
     "q_hard_negatives" -> (graft.ops.SimilarityOps.hardNegatives _),
+    "q_knn_graph" -> (graft.ops.SimilarityOps.knnGraph _),
     "q_clean_corpus" -> ((s, d) => graft.ops.CorpusOps.cleanCorpus(s, d)),
     "q_multimodal_framedup" -> (graft.ops.MultimodalOps.frameDupGroups _),
     "q_multimodal_audiodup" -> (graft.ops.MultimodalOps.audioDupGroups _),
@@ -317,6 +318,7 @@ object SparkEntry {
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
     "q_bm25_topk" -> graft.ops.CorpusOps.bm25TopKSql(),
     "q_hard_negatives" -> graft.ops.SimilarityOps.hardNegativesSql,
+    "q_knn_graph" -> graft.ops.SimilarityOps.knnGraphSql,
     "q_clean_corpus" -> graft.ops.CorpusOps.cleanCorpusSql(),
     "q_multimodal_framedup" -> graft.ops.MultimodalOps.frameDupGroupsSql(),
     "q_multimodal_audiodup" -> graft.ops.MultimodalOps.audioDupGroupsSql(),

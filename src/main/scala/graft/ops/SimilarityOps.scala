@@ -690,6 +690,48 @@ object SimilarityOps {
        |FROM afinal f LEFT JOIN prior p ON p.vec_id = f.vec_id
        |ORDER BY f.vec_id""".stripMargin
 
+  /** kNN-graph construction (cell-restricted top-1): for every vector, its
+    * most-similar neighbor WITHIN its IVF cell — the building block of
+    * SemDeDup-style curation and graph-based corpus analysis, and the
+    * approximate-kNN-graph shape (exact within a cell, cells from the
+    * memoized quantizer) that scales as Σ n_c² instead of n². One
+    * conditional struct-extreme aggregate elects the neighbor (max cos,
+    * ties to the smallest id — the [[hardNegatives]] device); singleton
+    * cells surface with a null neighbor rather than vanishing.
+    */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansAssign(emb(s, dir), kmeansCentroids(s, dir))
+      .select(col("vec_id"), col("vec"), col("cid"))
+    val other = assigned.select(
+      col("cid").as("o_cid"), col("vec_id").as("o_id"), col("vec").as("o_vec"))
+    val nn = assigned
+      .join(other, col("cid") === col("o_cid") && col("o_id") =!= col("vec_id"))
+      .withColumn("cos", round(cosine(col("vec"), col("o_vec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("o_id")).as("nid"))).as("nn"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(nn, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        (-col("nn.nid")).as("nn_id"), col("nn.cos").as("nn_cos"))
+      .orderBy("vec_id")
+  }
+
+  def knnGraphSql: String =
+    s"""WITH $kmeansCtesSql,
+       |pairs AS (
+       |  SELECT a.vec_id, a.cid, b.vec_id AS o_id,
+       |    round(${cosineSql("a.vec", "b.vec")}, 6) AS cos
+       |  FROM afinal a JOIN afinal b
+       |    ON a.cid = b.cid AND b.vec_id <> a.vec_id),
+       |nn AS (
+       |  SELECT vec_id, o_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, o_id ASC) AS rn
+       |  FROM pairs)
+       |SELECT f.vec_id, f.cid, nn.o_id AS nn_id, nn.cos AS nn_cos
+       |FROM afinal f LEFT JOIN nn ON nn.vec_id = f.vec_id AND nn.rn = 1
+       |ORDER BY f.vec_id""".stripMargin
+
   val annRecallSql: String = {
     val total = NQueries * 3
     def leg(method: String, sql: String): String =

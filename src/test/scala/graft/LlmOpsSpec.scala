@@ -306,6 +306,38 @@ class LlmOpsSpec extends AnyFunSuite {
       s"covered ${out.map(_._2).sum} < ${2 * planted}")
   }
 
+  test("knn graph: neighbor is the in-cell argmax, cells consistent") {
+    val out = SimilarityOps.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.length == 500)
+    val cellOf = out.map(t => t._1 -> t._2).toMap
+    out.foreach { case (id, cid, nnId, nnCos) =>
+      nnId.foreach { n =>
+        assert(n != id && cellOf(n) == cid, s"vec $id neighbor $n cell mismatch")
+        assert(nnCos.isDefined)
+      }
+    }
+    // driver-side argmax recompute for the first 10 vectors
+    val vecs = graft.sources.Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.take(10).foreach { case (id, cid, nnId, nnCos) =>
+      val mates = out.filter(t => t._2 == cid && t._1 != id).map(_._1)
+      if (mates.nonEmpty) {
+        val best = mates.map(m => (cos(vecs(id), vecs(m)), -m)).max
+        assert(nnId.contains(-best._2) && nnCos.contains(best._1), s"vec $id")
+      } else assert(nnId.isEmpty)
+    }
+  }
+
   test("gram hashes: native expression is bit-parity with the declarative fold") {
     val docs = graft.sources.Tables.read(spark, dir, "documents")
     for (g <- Seq(5, 10)) {
