@@ -503,10 +503,18 @@ object CorpusOps {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("contrib")), 4).as("score"))
+    // Distributed top-k: orderBy+limit plans as TakeOrderedAndProject —
+    // each partition keeps its local k best, the driver merges k·p rows —
+    // so no partition ever holds every matching doc. The rank window runs
+    // AFTER the limit over k rows already in a single partition
+    // (SinglePartition satisfies the window's AllTuples requirement, so
+    // no exchange is added); the rounded-score + doc_id tiebreak keeps
+    // the result hash-identical to a global ranking.
     scored
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-      .where(col("rank") <= k)
       .select(col("rank"), col("doc_id"), col("score"))
       .orderBy("rank")
   }

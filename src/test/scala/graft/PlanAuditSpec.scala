@@ -396,6 +396,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(genIdx >= 0, p)
     val above = gen.slice(0, genIdx).reverse.takeWhile(!_.contains("Exchange"))
     assert(above.exists(_.matches(".*Filter.*term.*")), p)
+    // the final ranking is a distributed top-k, never a global sort of
+    // every matching doc: TakeOrderedAndProject keeps k per partition and
+    // merges k·p rows at the driver
+    assert("TakeOrderedAndProject".r.findAllIn(p).nonEmpty, p)
+    // the ONLY SinglePartition exchanges are one-row-per-partition scalar
+    // aggregates (the corpus n_docs/avgdl stats): each must feed a
+    // partial HashAggregate, never a Sort/Window over scored docs
+    val lines = p.split("\n").map(_.trim)
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val below = lines.slice(i + 1, i + 3).mkString(" ")
+        assert(below.contains("partial_"), s"SinglePartition exchange not a scalar-agg partial at line $i\n$p")
+    }
+    // and the ranking window (if present at all) runs over the already
+    // top-k-limited rows, i.e. above TakeOrderedAndProject, never below
+    val takeIdx = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx < 0 || winIdx < takeIdx, p)
   }
 
   test("hard negatives: one hash exchange total (single conditional aggregate)") {
