@@ -30,9 +30,15 @@ import graft.ops.DedupOps
   *
   * State bounds: bucket state holds (doc_id, simhash) = 16 bytes per doc
   * per band — 64 bytes/doc total across the 4 bands, ~6 GB per 10⁸ docs
-  * shard. A production deployment ages buckets out per corpus version
-  * (state TTL / `GroupStateTimeout`), exactly like re-materializing the
-  * batch index.
+  * shard. On an UNBOUNDED stream that still grows with the corpus, so the
+  * near-pair operators take an optional [[Retention]]: a watermark on the
+  * document event time drives BOTH member-level eviction (a bucket member
+  * older than the watermark can never pair again and is dropped the next
+  * time its bucket sees data) and `EventTimeTimeout` state removal for
+  * buckets that go quiet (expiry emits nothing). The horizon mirrors the
+  * reference's own retention discipline — 24 h expiry,
+  * `fetch-weather/src/config.py:43` — and within the horizon the output
+  * is identical to the unbounded form (StreamingSpec).
   */
 object StreamingDedup {
 
@@ -126,6 +132,23 @@ object StreamingDedup {
 
   final case class DupPair(doc_a: Long, doc_b: Long, hamming: Long)
 
+  /** Event-time retention for the incremental dedup state: `tsCol` is the
+    * document event-time column and `delay` the watermark lag — which IS
+    * the retention horizon (a member is comparable exactly while it is
+    * newer than the watermark). E.g. `Retention("ts", "24 hours")` is the
+    * reference's 24 h expiry.
+    */
+  final case class Retention(tsCol: String, delay: String)
+
+  /** Keyed band-bucket state: members (newest first) + the newest event
+    * time ever seen, which seeds the bucket's `EventTimeTimeout`.
+    */
+  final case class BandBucket(
+      members: List[(Long, Long, Long)], maxTsMs: Long)
+
+  final case class MinhashBucket(
+      members: List[(Long, Array[Long], Array[Long], Long)], maxTsMs: Long)
+
   private val NBands = DedupOps.SimhashWideBits / DedupOps.SimhashWideBandBits
   private val BandMask = (1L << DedupOps.SimhashWideBandBits) - 1
 
@@ -150,29 +173,65 @@ object StreamingDedup {
     * doc_id order so replays are deterministic.
     */
   def incrementalNearPairs(
-      spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): Dataset[DupPair] = {
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
+      retention: Option[Retention] = None): Dataset[DupPair] = {
     import spark.implicits._
-    val fps = fingerprints(docs).as[(Long, Long)]
-    val banded = fps.flatMap { case (id, sig) =>
-      (0 until NBands).map(b => (s"$b:${bandValue(sig, b)}", b, id, sig))
+    // watermark metadata does not survive typed serialization, so the raw
+    // timestamp rides the tuples and the watermark is declared on the
+    // BANDED frame, directly below the stateful operator
+    val tsCol = retention.map(r => col(r.tsCol).cast("timestamp"))
+      .getOrElse(lit(null).cast("timestamp"))
+    val fps = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"), tsCol.as("ts"))
+      .select(
+        col("doc_id"),
+        graft.functions.SimhashExpressions
+          .simhash_row(col("toks"), DedupOps.SimhashWideBits).as("simhash"),
+        col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    val banded0 = fps.flatMap { case (id, sig, ts) =>
+      (0 until NBands).map(b => (s"$b:${bandValue(sig, b)}", b, id, sig, ts))
     }
+    val banded = retention.fold(banded0)(r => banded0.withWatermark("_5", r.delay))
+    val timeout =
+      if (retention.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[(String, Int, Long, Long)],
-         state: GroupState[List[(Long, Long)]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = Seq.newBuilder[DupPair]
-          rows.toSeq.sortBy(_._3).foreach { case (_, band, id, sig) =>
-            seen.foreach { case (oid, osig) =>
-              val hamming = java.lang.Long.bitCount(sig ^ osig)
-              if (hamming <= maxHamming && owningBand(sig, osig) == band)
-                out += DupPair(math.min(id, oid), math.max(id, oid), hamming.toLong)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[(String, Int, Long, Long, java.sql.Timestamp)],
+         state: GroupState[BandBucket]) =>
+          if (state.hasTimedOut) {
+            // expiry emits nothing — the bucket simply stops existing
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(BandBucket(Nil, Long.MinValue))
+            // watermark-driven member eviction: anything older than the
+            // watermark can never pair with in-horizon arrivals again
+            val wm =
+              if (retention.isDefined) state.getCurrentWatermarkMs() else Long.MinValue
+            var seen = prior.members.filter(_._3 >= wm)
+            var maxTs = prior.maxTsMs
+            val out = Seq.newBuilder[DupPair]
+            rows.toSeq.sortBy(_._3).foreach { case (_, band, id, sig, t) =>
+              val ts = if (t == null) Long.MinValue else t.getTime
+              seen.foreach { case (oid, osig, _) =>
+                val hamming = java.lang.Long.bitCount(sig ^ osig)
+                if (hamming <= maxHamming && owningBand(sig, osig) == band)
+                  out += DupPair(math.min(id, oid), math.max(id, oid), hamming.toLong)
+              }
+              seen = (id, sig, ts) :: seen
+              if (ts > maxTs) maxTs = ts
             }
-            seen = (id, sig) :: seen
+            state.update(BandBucket(seen, maxTs))
+            if (retention.isDefined)
+              // quiet-bucket removal once the watermark passes the newest
+              // member (must stay ahead of the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(maxTs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
   }
 
@@ -249,39 +308,62 @@ object StreamingDedup {
     * for a single-operator demo.
     */
   def incrementalMinhashPairs(
-      spark: SparkSession, docs: DataFrame, threshold: Double = 0.3): Dataset[MinhashPair] = {
+      spark: SparkSession, docs: DataFrame, threshold: Double = 0.3,
+      retention: Option[Retention] = None): Dataset[MinhashPair] = {
     import spark.implicits._
-    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    val tsCol = retention.map(r => col(r.tsCol).cast("timestamp"))
+      .getOrElse(lit(null).cast("timestamp"))
+    val sigs = docs.select(col("doc_id"), col("text"), tsCol.as("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .map { case (id, text, ts) =>
         val (hs, sig) = signatureOf(text)
-        (id, hs, sig)
+        (id, hs, sig, ts)
       }
-    val banded = sigs.flatMap { case (id, hs, sig) =>
-      (0 until DedupOps.LshBands).map(b => (minhashBandKey(sig, b), b, id, hs, sig))
+    val banded0 = sigs.flatMap { case (id, hs, sig, ts) =>
+      (0 until DedupOps.LshBands).map(b => (minhashBandKey(sig, b), b, id, hs, sig, ts))
     }
+    val banded = retention.fold(banded0)(r => banded0.withWatermark("_6", r.delay))
+    val timeout =
+      if (retention.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[(String, Int, Long, Array[Long], Array[Long])],
-         state: GroupState[List[(Long, Array[Long], Array[Long])]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val out = Seq.newBuilder[MinhashPair]
-          rows.toSeq.sortBy(_._3).foreach { case (_, band, id, hs, sig) =>
-            seen.foreach { case (oid, ohs, osig) =>
-              if (minhashOwningBand(sig, osig) == band) {
-                val a = hs.toSet
-                val b = ohs.toSet
-                val common = a.intersect(b).size
-                val j = common.toDouble / (a.size + b.size - common)
-                if (j >= threshold)
-                  out += MinhashPair(math.min(id, oid), math.max(id, oid),
-                    BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: String,
+         rows: Iterator[(String, Int, Long, Array[Long], Array[Long], java.sql.Timestamp)],
+         state: GroupState[MinhashBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(MinhashBucket(Nil, Long.MinValue))
+            val wm =
+              if (retention.isDefined) state.getCurrentWatermarkMs() else Long.MinValue
+            var seen = prior.members.filter(_._4 >= wm)
+            var maxTs = prior.maxTsMs
+            val out = Seq.newBuilder[MinhashPair]
+            rows.toSeq.sortBy(_._3).foreach { case (_, band, id, hs, sig, t) =>
+              val ts = if (t == null) Long.MinValue else t.getTime
+              seen.foreach { case (oid, ohs, osig, _) =>
+                if (minhashOwningBand(sig, osig) == band) {
+                  val a = hs.toSet
+                  val b = ohs.toSet
+                  val common = a.intersect(b).size
+                  val j = common.toDouble / (a.size + b.size - common)
+                  if (j >= threshold)
+                    out += MinhashPair(math.min(id, oid), math.max(id, oid),
+                      BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                }
               }
+              seen = (id, hs, sig, ts) :: seen
+              if (ts > maxTs) maxTs = ts
             }
-            seen = (id, hs, sig) :: seen
+            state.update(MinhashBucket(seen, maxTs))
+            if (retention.isDefined)
+              state.setTimeoutTimestamp(
+                math.max(maxTs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
   }
 

@@ -171,6 +171,87 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retention: stale simhash buckets evict; in-horizon pairs unaffected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def ts(h: Long): java.sql.Timestamp = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.parse("2025-06-01T00:00:00").plusHours(h))
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val otherA = "completely different words about mountains rivers and weather patterns"
+    val otherB = "yet another unrelated document concerning oceans tides and currents"
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    // 24 h horizon under test + a wide-horizon control on the SAME input:
+    // any pair missing from the first but present in the second was
+    // removed by retention, not by the pairing logic
+    val q = StreamingDedup.incrementalNearPairs(spark, docs,
+        retention = Some(StreamingDedup.Retention("ts", "24 hours")))
+      .writeStream.format("memory").queryName("sttl_pairs")
+      .outputMode("append").start()
+    val qWide = StreamingDedup.incrementalNearPairs(spark, docs,
+        retention = Some(StreamingDedup.Retention("ts", "3650 days")))
+      .writeStream.format("memory").queryName("sttl_wide")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, dupText, ts(0)), (2L, dupText, ts(0)))
+      q.processAllAvailable(); qWide.processAllAvailable()
+      input.addData((3L, dupText, ts(48)))
+      q.processAllAvailable(); qWide.processAllAvailable()
+      // during this batch the 24 h watermark (T0+24h) has passed docs 1,2:
+      // they must never pair with doc 4
+      input.addData((4L, dupText, ts(49)))
+      q.processAllAvailable(); qWide.processAllAvailable()
+      def pairsOf(t: String) = spark.table(t).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairsOf("sttl_wide") ==
+        Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)))
+      assert(pairsOf("sttl_pairs") ==
+        Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), pairsOf("sttl_pairs"))
+
+      // idle-bucket PHYSICAL removal: advance the watermark with unrelated
+      // texts; the dup bucket sees no data, its EventTimeTimeout fires and
+      // the state rows disappear (each doc owns 4 band buckets)
+      input.addData((5L, otherA, ts(96)))
+      q.processAllAvailable()
+      input.addData((6L, otherB, ts(120)))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= 8, s"dup buckets not evicted: $stateRows state rows")
+    } finally { q.stop(); qWide.stop() }
+  }
+
+  test("retention: stale minhash buckets evict the same way") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def ts(h: Long): java.sql.Timestamp = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.parse("2025-06-01T00:00:00").plusHours(h))
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.incrementalMinhashPairs(spark, docs,
+        retention = Some(StreamingDedup.Retention("ts", "24 hours")))
+      .writeStream.format("memory").queryName("sttl_mh")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, dupText, ts(0)), (2L, dupText, ts(0)))
+      q.processAllAvailable()
+      input.addData((3L, dupText, ts(48)))
+      q.processAllAvailable()
+      input.addData((4L, dupText, ts(49)))
+      q.processAllAvailable()
+      val pairs = spark.table("sttl_mh").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), pairs)
+    } finally q.stop()
+  }
+
   test("streaming decontamination equals the batch op row-for-row") {
     import graft.streaming.StreamingDedup
     val q = StreamingDedup
