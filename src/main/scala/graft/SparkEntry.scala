@@ -28,6 +28,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.9 flagship: conditional window aggs + CASE-WHEN multi-label + K3 sink shape
     "q_classifier" -> ((s, dir) => classifierQuery(s, dir)),
+    "q_pipeline_e2e" -> ((s, dir) => graft.pipeline.Pipelines.pipelineE2E(s, dir)),
 
     // TPC-H Q1 shape: wide-scan hash aggregate (A-family at relational scale)
     "q1_pricing_summary" -> { (s, dir) =>
@@ -194,6 +195,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_classifier" -> RuleBasedTrailClassifier.oracleSql(WeatherModel.Anchor),
+    "q_pipeline_e2e" -> graft.pipeline.Pipelines.pipelineE2ESql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

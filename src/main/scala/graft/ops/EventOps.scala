@@ -352,14 +352,27 @@ object EventOps {
     * the streaming form (`dropDuplicatesWithinWatermark`, state bounded
     * by the watermark), which this library also ships.
     */
-  def a9AntiJoinDedup(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
-    val processed = ev
+  /** The deterministic "already-processed" set: cities that emitted an
+    * error event inside the retention day — the same bounded-cache rule the
+    * reference's dedup cache plays (trimmed to recent ids).
+    */
+  def processedIds(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
       .where(
         col("event_type") === "error" &&
           col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
           col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
       .select(col("user_id")).distinct()
+
+  val processedIdsSql: String =
+    """SELECT DISTINCT user_id FROM events
+      |WHERE event_type = 'error'
+      |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-06 00:00:00'""".stripMargin
+
+  def a9AntiJoinDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val processed = processedIds(s, dir)
     ev.select(col("user_id").as("city_id")).distinct()
       .join(broadcast(processed), col("city_id") === processed("user_id"), "left_anti")
       .orderBy("city_id")

@@ -117,12 +117,18 @@ object RuleBasedTrailClassifier extends TrailConditionClassifier {
       concat_ws(",", mud, heat, snowpack, heavy).as("class_label"))
   }
 
-  /** DuckDB oracle for [[classify]] over the shared events table. */
-  def oracleSql(anchor: String = Anchor): String = {
+  /** DuckDB oracle for [[classify]] over the shared events table.
+    * `weatherSql` swaps the weather source CTE — the end-to-end pipeline
+    * oracle reuses this exact classifier SQL over its deduped/validated
+    * slice instead of the raw projection.
+    */
+  def oracleSql(
+      anchor: String = Anchor,
+      weatherSql: String = weatherRecordsSql): String = {
     val h2 = hist2dSql(anchor)
     val f24 = fcst24Sql(anchor)
     val f48 = fcst48Sql(anchor)
-    s"""WITH w AS ($weatherRecordsSql),
+    s"""WITH w AS ($weatherSql),
        |agg AS (
        |  SELECT city_id,
        |    coalesce(sum(CASE WHEN $h2 THEN rain_fall_total_mm END), 0) AS rain_2d,

@@ -91,6 +91,46 @@ object Pipelines {
       unlabeled = labels.where(col("class_label") === ""))
   }
 
+  /** The WHOLE reference pipeline (SURVEY §3.1→§3.3) as ONE oracled query:
+    * S1 city enumeration + set-dedup → A9 left-anti dedup against the
+    * bounded processed cache → §3.2 ingest join (task × weather lookup,
+    * P1/P2 typed projection, P6 validity gate) → §2.9 flagship classifier →
+    * K3 label sink shape. Deterministic end to end (injected anchor, rule
+    * of [[EventOps.processedIds]] for the cache), so the driver's DuckDB
+    * compare pins the full composition, not just the stages.
+    *
+    * Scale: the task list and processed cache are per-key distinct
+    * aggregates over their own bounded key sets, then broadcast — so the
+    * weather FACTS shuffle exactly once, at the classifier aggregation on
+    * city_id (3 hash exchanges total, only one carrying fact rows; pinned
+    * in PlanAuditSpec).
+    */
+  def pipelineE2E(spark: SparkSession, sfDir: String): DataFrame = {
+    // §3.1 scheduler: enumerate + set-dedup the task list
+    val tasks = EventOps.s1DimDedup(spark, sfDir)
+    // §3.3 A9: skip cities already in the (bounded) processed cache
+    val fresh = tasks.join(
+      broadcast(EventOps.processedIds(spark, sfDir)
+        .select(col("user_id").as("city_id"))),
+      Seq("city_id"), "left_anti")
+    // §3.2 ingestion: task × weather lookup + typed projection + validity
+    val weather = WeatherModel.weatherRecords(spark, sfDir)
+      .join(broadcast(fresh), Seq("city_id"))
+      .where(col("temperature_deg_c").isNotNull && col("rain_fall_total_mm") >= 0.0)
+    // §3.3 categorization: flagship classifier → K3 label shape
+    RuleBasedTrailClassifier.classify(weather, WeatherModel.Anchor)
+      .orderBy("city_id")
+  }
+
+  /** Oracle: the classifier SQL verbatim, over the composed CTE pipeline. */
+  val pipelineE2ESql: String = RuleBasedTrailClassifier.oracleSql(
+    weatherSql = s"""SELECT w.* FROM (${WeatherModel.weatherRecordsSql}) w
+       |  JOIN (SELECT DISTINCT user_id AS city_id FROM events
+       |        WHERE user_id NOT IN (${EventOps.processedIdsSql})) fresh
+       |    USING (city_id)
+       |  WHERE w.temperature_deg_c IS NOT NULL AND w.rain_fall_total_mm >= 0
+       |""".stripMargin)
+
   /** Full three-stage flow on the shared tables: scheduler → ingestion →
     * categorization, returning the final label table. One DAG, no
     * intermediate materialization.

@@ -416,6 +416,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(winIdx < 0 || winIdx < takeIdx, p)
   }
 
+  test("pipeline e2e: facts shuffle once; task list and processed cache broadcast") {
+    val df = graft.pipeline.Pipelines.pipelineE2E(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // 3 hash exchanges: tasks distinct, processed distinct (both bounded
+    // key sets), and the single classifier aggregation — the ONLY one that
+    // carries fact rows
+    assert("\\+- Exchange hashpartitioning".r.findAllIn(p).size == 3, p)
+    // anti-join and ingest join build sides ride broadcasts
+    assert("\\+- BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("hard negatives: one hash exchange total (single conditional aggregate)") {
     val df = graft.ops.SimilarityOps.hardNegatives(spark, dir)
     df.collect()
