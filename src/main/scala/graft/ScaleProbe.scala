@@ -64,6 +64,22 @@ object ScaleProbe {
       .repartition(32).localCheckpoint()
   }
 
+  /** Run `body` over a fresh synthetic corpus, then release the
+    * localCheckpoint blocks it pinned. `DataFrame.unpersist` cannot do
+    * this (the checkpoint lives in the RDD layer, not the relation
+    * cache), so the helper diffs the persistent-RDD registry around the
+    * build and unpersists exactly what synthDocs created.
+    */
+  private def withSynthDocs[A](s: SparkSession, n: Int, vocabSize: Int)(
+      body: DataFrame => A): A = {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val d = synthDocs(s, n, vocabSize)
+    try body(d)
+    finally s.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32, "graft-scale-probe")
     import spark.implicits._
@@ -85,9 +101,8 @@ object ScaleProbe {
     */
   private def probeNativeKernels(spark: SparkSession): Unit = {
     import graft.functions.SimhashExpressions._
-    for (n <- Seq(5000, 50000)) {
-      val d = synthDocs(spark, n, 31)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    for (n <- Seq(5000, 50000)) withSynthDocs(spark, n, 31) { docs =>
+      val d = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       // bit_count keeps the ANSI sum far from Long overflow while still
       // consuming every row's kernel output
       val (_, tSim) = time(
@@ -103,7 +118,6 @@ object ScaleProbe {
         s"""{"probe":"native_kernels","n":$n,""" +
           s""""simhash_row_sec":${s1(tSim)},"fingerprint_row_sec":${s1(tFpr)},""" +
           s""""gram_hash60s_sec":${s1(tGrm)}}""")
-      d.unpersist()
     }
   }
 
@@ -112,8 +126,8 @@ object ScaleProbe {
     // vocabulary (the 31-token vocab gives RANDOM doc pairs a background
     // bigram-Jaccard ≈0.03, which band-collides; a realistic vocabulary
     // drives background Jaccard → 0 and candidates → ∝ planted dups)
-    for ((n, vocab) <- Seq((5000, 31), (50000, 31), (5000, 10000), (50000, 10000))) {
-      val d = synthDocs(spark, n, vocab)
+    for ((n, vocab) <- Seq((5000, 31), (50000, 31), (5000, 10000), (50000, 10000)))
+        withSynthDocs(spark, n, vocab) { d =>
       val (mh, tMh) = time(DedupOps.minhashCandidatePairs(d).count())
       val (sh8, tSh8) = time(DedupOps.simhashCandidatePairs(d, 32, 8).count())
       val (sh15, tSh15) = time(DedupOps.simhashCandidatePairs(d, 60, 15).count())
@@ -126,7 +140,6 @@ object ScaleProbe {
           s""""simhash32_8_pairs":$sh8,"simhash32_8_sec":${s1(tSh8)},""" +
           s""""simhash60_15_pairs":$sh15,"simhash60_15_sec":${s1(tSh15)},""" +
           s""""simhash60_30_pairs":$sh30,"simhash60_30_sec":${s1(tSh30)}}""")
-      d.unpersist()
     }
   }
 

@@ -113,10 +113,32 @@ object CorpusOps {
   val DefaultMixture: Seq[(String, Double)] = Seq(
     "src0" -> 0.40, "src1" -> 0.30, "src2" -> 0.20, "src3" -> 0.10)
 
+  /** Largest-remainder (Hamilton) apportionment: budget-exact integer
+    * quotas for a mixture spec. Weights are normalized by their sum, so
+    * Σ quota == budget for ANY positive weights — three 1/3 shares of 20
+    * yield 7+7+6, where independent rounding gives 7+7+7 = 21. Seats left
+    * after flooring go to the largest fractional remainders; ties break
+    * by source name so the result is deterministic and engine-agnostic.
+    */
+  def apportion(mixture: Seq[(String, Double)], budget: Int): Seq[(String, Long)] = {
+    require(mixture.nonEmpty && mixture.forall(_._2 > 0.0),
+      "mixture weights must be positive")
+    val total = mixture.map(_._2).sum
+    val exact = mixture.map { case (src, w) => (src, budget * w / total) }
+    val floors = exact.map { case (src, x) => (src, math.floor(x).toLong) }
+    // Σ remainders == budget − Σ floors in exact arithmetic; clamp guards fp
+    val left = math.max(0L, budget - floors.map(_._2).sum).toInt
+    val bump = exact.zip(floors)
+      .map { case ((src, x), (_, fl)) => (src, x - fl) }
+      .sortBy { case (src, rem) => (-rem, src) }
+      .take(math.min(left, mixture.size)).map(_._1).toSet
+    floors.map { case (src, fl) => (src, fl + (if (bump(src)) 1L else 0L)) }
+  }
+
   /** Mixture/curriculum sampler — the most-run op in training-data
     * assembly: given per-source target proportions and a total budget,
     * emit a deterministic sample whose per-source counts hit the mixture
-    * exactly (round(budget·fraction), capped by availability). Composes
+    * exactly ([[apportion]] quotas, capped by availability). Composes
     * the Efraimidis–Spirakis machinery of [[weightedSample]]: each doc
     * draws a content-independent pseudo-uniform and competes on
     * −ln(u)/w with w = n_chars/100 (the curriculum knob — longer docs
@@ -135,14 +157,7 @@ object CorpusOps {
       mixture: Seq[(String, Double)] = DefaultMixture,
       budget: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Quotas are INDEPENDENT per-source roundings of budget·fraction, not
-    // a budget-exact apportionment: a mixture not aligned to rounding
-    // (e.g. three 1/3 shares of 20 → 7+7+7 = 21) can over/undershoot the
-    // budget by up to |mixture|/2 rows. Deliberate: each source's quota is
-    // then a pure function of its own fraction (stable when the mixture
-    // spec gains/loses sources); a builder needing Σ = budget exactly
-    // applies largest-remainder apportionment to `mixture` BEFORE calling.
-    val quota = mixture.map { case (src, f) => (src, math.round(budget * f)) }
+    val quota = apportion(mixture, budget)
     val maxK = quota.map(_._2).max
     val quotaDf = s.createDataFrame(quota).toDF("m_source", "target_k")
     val u = (hash60(concat(lit("mx#"), col("doc_id").cast("string"))) % 1000003L +
@@ -161,8 +176,9 @@ object CorpusOps {
 
   def mixtureSampleSql(mixture: Seq[(String, Double)] = DefaultMixture,
       budget: Int = 20): String = {
-    val values = mixture
-      .map { case (src, f) => s"('$src', ${math.round(budget * f)})" }
+    // same apportion() quotas as the Spark side → oracle hash-identical
+    val values = apportion(mixture, budget)
+      .map { case (src, k) => s"('$src', $k)" }
       .mkString(", ")
     s"""WITH quota(m_source, target_k) AS (VALUES $values),
        |keyed AS (

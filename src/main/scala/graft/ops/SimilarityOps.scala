@@ -111,8 +111,16 @@ object SimilarityOps {
     */
   val HnAnchors = 16
 
-  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegativesFrom(emb(s, dir))
+
+  /** Core of [[hardNegatives]] over any (vec_id, label, vec) frame. An
+    * anchor whose label covers the whole corpus has no negative and emits
+    * NO row (there is no triplet to train on) — the same rule the oracle's
+    * neg-driven select applies, so a degenerate label distribution cannot
+    * diverge the two engines.
+    */
+  def hardNegativesFrom(e: DataFrame): DataFrame = {
     val a = e.where(col("vec_id") < HnAnchors)
       .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
         col("vec").as("a_vec"))
@@ -125,6 +133,7 @@ object SimilarityOps {
           struct(col("cos"), (-col("vec_id")).as("nid")))).as("neg"),
         min(when(col("label") === col("a_label"),
           struct(col("cos"), col("vec_id").as("pid")))).as("pos"))
+      .where(col("neg").isNotNull)
       .select(
         col("anchor_id"),
         (-col("neg.nid")).as("neg_id"), col("neg.cos").as("neg_cos"),

@@ -35,8 +35,8 @@ object StreamingSampler {
       mixture: Seq[(String, Double)] = CorpusOps.DefaultMixture,
       budget: Int = 20): Dataset[Admitted] = {
     import spark.implicits._
-    val quota: Map[String, Long] =
-      mixture.map { case (src, f) => (src, math.round(budget * f)) }.toMap
+    // same largest-remainder quotas as the batch op → streamed == batch
+    val quota: Map[String, Long] = CorpusOps.apportion(mixture, budget).toMap
     val q = spark.sparkContext.broadcast(quota)
     docs.select(col("source"), col("doc_id")).as[(String, Long)]
       .groupByKey(_._1)

@@ -22,10 +22,13 @@ object StreamingSimilarity {
     *
     * Parity contract with the batch [[SimilarityOps.coarseCells]]: the
     * cosine loop accumulates (dot, ‖a‖², ‖b‖²) in index order — the native
-    * kernel's exact order — and ties break toward the smaller cid
-    * (strict `>` while scanning cids ascending), so streamed assignments
-    * equal the batch window's `cos desc, cid` election bit-for-bit
-    * (StreamingSpec).
+    * kernel's exact order — and the election uses
+    * `java.lang.Double.compare` while scanning cids ascending, so ties
+    * break toward the smaller cid AND a NaN cosine (zero-norm vector or
+    * centroid) ranks GREATEST — exactly Spark's NaN-last ascending /
+    * NaN-first descending sort order, so streamed assignments equal the
+    * batch window's `cos desc, cid` election bit-for-bit even on
+    * degenerate inputs (StreamingSpec).
     */
   def assignStream(s: SparkSession, vecs: DataFrame, dir: String): Dataset[Assigned] = {
     import s.implicits._
@@ -50,7 +53,9 @@ object StreamingSimilarity {
             i += 1
           }
           val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-          if (cos > bestCos) { bestCos = cos; bestCid = cid }
+          // Double.compare, not >: NaN ranks greatest (Spark's sort order),
+          // so a zero-norm vector elects the same cell as the batch window
+          if (java.lang.Double.compare(cos, bestCos) > 0) { bestCos = cos; bestCid = cid }
         }
         Assigned(id, bestCid, bestCos)
       }

@@ -242,6 +242,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: degenerate label distributions match the oracle's neg-driven select") {
+    import spark.implicits._
+    // single-label corpus: no anchor has a negative → NO rows (the oracle
+    // drives from the neg side, so emitting null-neg rows would diverge)
+    val mono = Seq.tabulate(6)(i => (i.toLong, 0, Array(1.0 + i, 2.0, 3.0)))
+      .toDF("vec_id", "label", "vec")
+    assert(SimilarityOps.hardNegativesFrom(mono).count() == 0)
+    // two labels, one vector each: both anchors emit — neg present, pos
+    // null (the oracle LEFT JOINs pos, keeping the row)
+    val duo = Seq((0L, 0, Array(1.0, 0.0)), (1L, 1, Array(0.0, 1.0)))
+      .toDF("vec_id", "label", "vec")
+    val rows = SimilarityOps.hardNegativesFrom(duo).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(rows.forall(r => !r.isNullAt(1) && r.isNullAt(3)), rows.mkString(","))
+  }
+
   test("clean-corpus cascade: verdicts agree with each component tier") {
     val out = graft.ops.CorpusOps.cleanCorpus(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),

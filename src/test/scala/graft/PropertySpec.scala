@@ -235,4 +235,32 @@ class PropertySpec extends AnyFunSuite {
         s"window=$window stride=$stride")
     }
   }
+
+  test("apportion: quotas are budget-exact for any positive weights") {
+    val mixGen = for {
+      n <- Gen.choose(1, 8)
+      ws <- Gen.listOfN(n, Gen.choose(1e-3, 10.0))
+      budget <- Gen.choose(0, 1000)
+    } yield (ws.zipWithIndex.map { case (w, i) => (s"s$i", w) }, budget)
+    forAllSampled(mixGen, n = 20) { case (mixture, budget) =>
+      val quota = graft.ops.CorpusOps.apportion(mixture, budget)
+      assert(quota.map(_._2).sum == budget, s"$mixture budget=$budget → $quota")
+      // each quota is the floor or ceiling of its normalized exact share
+      val total = mixture.map(_._2).sum
+      quota.zip(mixture).foreach { case ((src, k), (_, w)) =>
+        val exact = budget * w / total
+        assert(k == math.floor(exact).toLong || k == math.ceil(exact).toLong,
+          s"$src k=$k exact=$exact")
+      }
+      // deterministic: same spec → same quotas
+      assert(quota == graft.ops.CorpusOps.apportion(mixture, budget))
+    }
+    // the motivating case: three equal shares of 20 sum to 20, not 21
+    val thirds = graft.ops.CorpusOps.apportion(
+      Seq("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3), 20)
+    assert(thirds.map(_._2).sum == 20 && thirds.map(_._2).toSet == Set(7L, 6L), thirds)
+    // DefaultMixture over 20 is unchanged by the apportionment swap
+    assert(graft.ops.CorpusOps.apportion(graft.ops.CorpusOps.DefaultMixture, 20) ==
+      Seq("src0" -> 8L, "src1" -> 6L, "src2" -> 4L, "src3" -> 2L))
+  }
 }

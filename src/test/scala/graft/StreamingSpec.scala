@@ -105,8 +105,8 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       // per-source counts equal the BATCH op's quota rounding contract
       val counts = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
-      val expected = graft.ops.CorpusOps.DefaultMixture
-        .map { case (s, f) => s -> math.round(20 * f) }.toMap
+      val expected =
+        graft.ops.CorpusOps.apportion(graft.ops.CorpusOps.DefaultMixture, 20).toMap
       assert(counts == expected, s"got $counts, want $expected")
       // sources outside the mixture spec are never admitted
       assert(out.forall(r => expected.contains(r._1)))
@@ -151,6 +151,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.map(t => (t._1, t._2)) == batch,
         s"streamed ${streamed.size} vs batch ${batch.size}")
       assert(streamed.map(_._2).distinct.length > 1) // cells actually discriminate
+    } finally q.stop()
+  }
+
+  test("streaming centroid assignment: zero-norm vector elects the batch window's cell (NaN parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSimilarity
+    import spark.implicits._
+    val cents = graft.ops.SimilarityOps.kmeansCentroids(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(r.fieldIndex("cid")),
+        r.getSeq[Double](r.fieldIndex("c_vec")).toArray))
+    val dim = cents.head._2.length
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    mem.addData((777L, Array.fill(dim)(0.0f)))
+    val q = StreamingSimilarity
+      .assignStream(spark, mem.toDF.toDF("vec_id", "embedding"), "/root/testdata/sf0.001")
+      .writeStream.format("memory").queryName("snan")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("snan").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // every cosine is NaN; Spark's `cos desc, cid` window sorts NaN first,
+      // ties to the smallest cid — the streamed argmax must elect the same
+      assert(out.length == 1 && out(0)._1 == 777L &&
+        out(0)._2 == cents.map(_._1).min && out(0)._3.isNaN,
+        out.mkString(","))
     } finally q.stop()
   }
 
