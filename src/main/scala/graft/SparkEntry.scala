@@ -177,6 +177,7 @@ object SparkEntry {
     "q_chunk_documents" -> ((s, d) => graft.ops.CorpusOps.chunkDocuments(s, d)),
     "q_dedup_cross" -> ((s, d) => graft.ops.DedupOps.crossCorpusDedup(s, d)),
     "q_dedup_spans" -> ((s, d) => graft.ops.DedupOps.duplicateSpanStats(s, d)),
+    "q_dedup_span_scrub" -> ((s, d) => graft.ops.DedupOps.duplicateSpanScrub(s, d)),
     "q_vocab_topk" -> ((s, d) => graft.ops.CorpusOps.vocabTopK(s, d)),
     "q_bm25_topk" -> ((s, d) => graft.ops.CorpusOps.bm25TopK(s, d)),
     "q_hard_negatives" -> (graft.ops.SimilarityOps.hardNegatives _),
@@ -316,6 +317,7 @@ object SparkEntry {
     "q_chunk_documents" -> graft.ops.CorpusOps.chunkDocumentsSql(),
     "q_dedup_cross" -> graft.ops.DedupOps.crossCorpusDedupSql(),
     "q_dedup_spans" -> graft.ops.DedupOps.duplicateSpanStatsSql(),
+    "q_dedup_span_scrub" -> graft.ops.DedupOps.duplicateSpanScrubSql(),
     "q_tfidf_topterms" -> graft.ops.CorpusOps.tfIdfTopTermsSql(),
     "q_vocab_topk" -> graft.ops.CorpusOps.vocabTopKSql(),
     "q_bm25_topk" -> graft.ops.CorpusOps.bm25TopKSql(),

@@ -839,6 +839,79 @@ object DedupOps {
        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   }
 
+  /** Duplicated-span REMOVAL — the end product the span signal exists for
+    * (Lee et al. 2022's ExactSubstr dedup rewrites documents instead of
+    * dropping them): every token that falls inside any `gram`-token window
+    * occurring in ≥ 2 documents is cut, and the document is reassembled
+    * from the surviving tokens. Output per doc: token counts before/after
+    * and the scrubbed text.
+    *
+    * Scale shape: the df aggregate and the start-position join both move
+    * 8-byte gram hashes (never text), exactly like [[duplicateSpanStats]];
+    * the rewrite itself is a map-side lambda over (tokens, covered
+    * positions). Covered positions are expanded per doc from its dup-window
+    * starts — bounded by doc length, no shuffle. The per-doc `exists` probe
+    * is O(tokens × covered), fine while covered ≪ tokens²; a sorted-merge
+    * over the two lists is the constant-factor upgrade if ever needed.
+    */
+  def duplicateSpanScrub(s: SparkSession, dir: String, gram: Int = 10): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.SimhashExpressions
+          .gram_hash60s(split(col("text"), " "), gram)))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
+    val dupHashes = grams
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2)
+      .select(col("h"))
+    val dupStarts = grams.join(dupHashes, "h")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("start")).as("ss"))
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      // covered = ∪ [start, start+gram) over this doc's duplicated windows
+      .withColumn("covered",
+        array_distinct(flatten(transform(
+          coalesce(col("ss"), array().cast("array<int>")),
+          s0 => sequence(s0, s0 + lit(gram - 1))))))
+      .withColumn("clean",
+        expr("filter(toks, (t, i) -> NOT array_contains(covered, i + 1))"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("clean"))).cast("long").as("n_removed"),
+        array_join(col("clean"), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  def duplicateSpanScrubSql(gram: Int = 10): String = {
+    val h = hash60Sql(s"array_to_string(list_slice(toks, start, start + ${gram - 1}), ' ')")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, toks,
+       |    unnest(range(1, greatest(len(toks) - ${gram - 1}, 1) + 1)) AS start
+       |  FROM t),
+       |gh AS (SELECT doc_id, start, $h AS h FROM g),
+       |dup AS (
+       |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM gh GROUP BY h)
+       |  WHERE df >= 2),
+       |ss AS (
+       |  SELECT doc_id,
+       |    list_distinct(flatten(list_transform(list(DISTINCT start),
+       |      s -> range(s, s + $gram)))) AS covered
+       |  FROM gh JOIN dup USING (h) GROUP BY doc_id),
+       |c AS (
+       |  SELECT t.doc_id, t.toks,
+       |    list_filter(t.toks,
+       |      (x, p) -> NOT list_contains(coalesce(ss.covered, []), p)) AS clean
+       |  FROM t LEFT JOIN ss ON t.doc_id = ss.doc_id)
+       |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |  (len(toks) - len(clean))::BIGINT AS n_removed,
+       |  array_to_string(clean, ' ') AS clean_text
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   // ---- cross-corpus dedup -------------------------------------------------
 
   /** Sources forming the frozen REFERENCE corpus — the same slice the
