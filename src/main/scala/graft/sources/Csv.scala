@@ -22,7 +22,8 @@ object Csv {
     */
   def dumpDocuments(s: SparkSession, sfDir: String): String = {
     val tmp = System.getProperty("java.io.tmpdir", "/tmp")
-    val out = s"$tmp/graft-csv/${java.util.UUID.nameUUIDFromBytes(sfDir.getBytes("UTF-8"))}"
+    val out = s"$tmp/graft-csv/${java.util.UUID.nameUUIDFromBytes(
+      Tables.fileIdent(sfDir, "documents").getBytes("UTF-8"))}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
       val staging = s"$out.tmp-${java.util.UUID.randomUUID()}"
       Tables.read(s, sfDir, "documents")

@@ -40,7 +40,12 @@ object Jsonl {
     */
   def dumpEvents(s: SparkSession, sfDir: String): String = {
     val tmp = System.getProperty("java.io.tmpdir", "/tmp")
-    val out = s"$tmp/graft-jsonl/${java.util.UUID.nameUUIDFromBytes(sfDir.getBytes("UTF-8"))}"
+    // cache key = source-file identity (see Tables.fileIdent): a
+    // regenerated events.parquet (the driver rewrites testdata between
+    // rounds, and has changed the ts encoding before) invalidates the dump
+    // instead of silently serving stale rows
+    val out = s"$tmp/graft-jsonl/${java.util.UUID.nameUUIDFromBytes(
+      Tables.fileIdent(sfDir, "events").getBytes("UTF-8"))}"
     // write-to-temp + atomic rename: a concurrent process either sees the
     // complete dump or none — never a half-written/mid-overwrite directory
     // (mode("overwrite") DELETES before writing, so a marker-file

@@ -70,18 +70,30 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  // events.ts is parquet TIMESTAMP(NANOS), which Spark cannot represent
-  // (PARQUET_TYPE_ILLEGAL): sessions set
-  // spark.sql.legacy.parquet.nanosAsLong=true, the scan reads raw int64
-  // nanos, and [[read]] converts to TimestampType via integer microsecond
-  // division (session tz pinned UTC).
-  val events: StructType = StructType(Seq(
+  // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
+  // TIMESTAMP(MICROS) across test-data generations. Spark cannot represent
+  // nanos (PARQUET_TYPE_ILLEGAL): sessions set
+  // spark.sql.legacy.parquet.nanosAsLong=true so a nanos column scans as raw
+  // int64 and [[read]] converts via integer microsecond division; a micros
+  // column scans as TimestampType directly. [[eventsTsIsNanos]] probes the
+  // footer once per directory (driver-side metadata read, cached) to pick
+  // the schema — per-row magnitude heuristics would be fragile.
+  def events(tsIsNanos: Boolean): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", if (tsIsNanos) LongType else TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  private val tsKindCache = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** True iff `<dir>/events.parquet` stores ts as TIMESTAMP(NANOS) (which a
+    * nanosAsLong session surfaces as LongType). Footer-only read, memoized.
+    */
+  def eventsTsIsNanos(spark: SparkSession, sfDir: String): Boolean =
+    tsKindCache.computeIfAbsent(sfDir, dir =>
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType)
 
   val documents: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -98,16 +110,30 @@ object Tables {
   private val schemas: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "customer" -> customer,
     "supplier" -> supplier, "part" -> part, "orders" -> orders,
-    "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+    "lineitem" -> lineitem, "documents" -> documents,
     "embeddings" -> embeddings)
+
+  /** Identity string for a source parquet (dir + size + mtime) — the cache
+    * key for cross-JVM dump directories (Jsonl/Orc/Csv): a regenerated
+    * source file must invalidate the cached dump, not silently serve stale
+    * rows. (The driver rewrites the testdata between rounds.)
+    */
+  def fileIdent(sfDir: String, name: String): String = {
+    val p = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
+    s"$sfDir/$name:${java.nio.file.Files.size(p)}:" +
+      java.nio.file.Files.getLastModifiedTime(p).toMillis
+  }
 
   /** Scan one table from a scale-factor directory with its declared schema. */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    // `ts div 1000` (integer division) — ns epochs exceed double's 2^53
-    // mantissa, so a float division here would corrupt timestamps.
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      if (eventsTsIsNanos(spark, sfDir))
+        // `ts div 1000` (integer division) — ns epochs exceed double's 2^53
+        // mantissa, so a float division here would corrupt timestamps.
+        spark.read.schema(events(tsIsNanos = true)).parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else
+        spark.read.schema(events(tsIsNanos = false)).parquet(s"$sfDir/events.parquet")
+    } else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
   }
 }

@@ -29,14 +29,19 @@ import graft.ops.{RuleBasedTrailClassifier, WeatherModel}
 object StreamingPipeline {
 
   /** Streaming scan of an events parquet path with the declared schema.
-    * (`nanosAsLong` session conf applies here too; ts arrives as int64
-    * nanos and is normalized exactly like the batch reader.)
+    * The ts encoding (TIMESTAMP(NANOS)-as-long vs TIMESTAMP(MICROS)) is
+    * probed from the footer of the files already staged in the directory,
+    * exactly like the batch reader — a file-streaming source needs its
+    * schema fixed up front, and both encodings have shipped in the test
+    * data. (`nanosAsLong` session conf applies here too.)
     */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(graft.sources.Tables.events)
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val nanos = graft.sources.Tables.eventsTsIsNanos(spark, path)
+    val raw = spark.readStream
+      .schema(graft.sources.Tables.events(tsIsNanos = nanos))
       .parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (nanos) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else raw
+  }
 
   /** Stateless stage: projection to weather shape + validity split flag.
     * Emits in append mode immediately (no state). The DLQ branch is the
