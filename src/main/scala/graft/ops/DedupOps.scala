@@ -908,7 +908,7 @@ object DedupOps {
        |  FROM t LEFT JOIN ss ON t.doc_id = ss.doc_id)
        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
        |  (len(toks) - len(clean))::BIGINT AS n_removed,
-       |  array_to_string(clean, ' ') AS clean_text
+       |  coalesce(array_to_string(clean, ' '), '') AS clean_text
        |FROM c ORDER BY doc_id""".stripMargin
   }
 

@@ -178,6 +178,36 @@ class LlmOpsSpec extends AnyFunSuite {
     twins.foreach(id => assert(fracOf(id) == 1.0, s"twin $id should be fully duplicated"))
   }
 
+  test("duplicate-span scrub: removal consistent with span stats, twins fully scrubbed") {
+    val out = DedupOps.duplicateSpanScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 500)
+    val texts = graft.sources.Tables.read(spark, dir, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, nTok, nRem, clean) =>
+      val orig = texts(id).split(" ", -1)
+      assert(nTok == orig.length)
+      assert(nRem >= 0 && nRem <= nTok)
+      val cleanToks = if (clean.isEmpty) Array.empty[String] else clean.split(" ", -1)
+      assert(cleanToks.length == nTok - nRem, s"doc $id token accounting")
+      // surviving tokens are a subsequence of the originals
+      var i = 0
+      cleanToks.foreach { t =>
+        while (i < orig.length && orig(i) != t) i += 1
+        assert(i < orig.length, s"doc $id: '$t' not in order in original")
+        i += 1
+      }
+    }
+    // docs with dup_frac 1.0 (every window duplicated) lose every token;
+    // docs with dup_frac 0.0 are untouched
+    val fracOf = DedupOps.duplicateSpanStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    out.foreach { case (id, nTok, nRem, clean) =>
+      if (fracOf(id) == 1.0) assert(nRem == nTok && clean.isEmpty, s"twin $id not fully scrubbed")
+      if (fracOf(id) == 0.0) assert(nRem == 0 && clean == texts(id), s"clean doc $id modified")
+    }
+  }
+
   test("bm25: ranks dense, scores non-increasing, top score matches driver recompute") {
     val out = graft.ops.CorpusOps.bm25TopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
