@@ -173,6 +173,8 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => graft.ops.CorpusOps.stratifiedSample(s, d)),
     "q_weighted_sample" -> ((s, d) => graft.ops.CorpusOps.weightedSample(s, d)),
     "q_mixture_sample" -> ((s, d) => graft.ops.CorpusOps.mixtureSample(s, d)),
+    "q_mixture_temperature" -> ((s, d) => graft.ops.CorpusOps.mixtureTemperature(s, d)),
+    "q_token_budget" -> ((s, d) => graft.ops.CorpusOps.tokenBudgetSelect(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.ops.CorpusOps.packSequences(s, d)),
     "q_chunk_documents" -> ((s, d) => graft.ops.CorpusOps.chunkDocuments(s, d)),
     "q_dedup_cross" -> ((s, d) => graft.ops.DedupOps.crossCorpusDedup(s, d)),
@@ -313,6 +315,8 @@ object SparkEntry {
     "q_stratified_sample" -> graft.ops.CorpusOps.stratifiedSampleSql(),
     "q_weighted_sample" -> graft.ops.CorpusOps.weightedSampleSql(),
     "q_mixture_sample" -> graft.ops.CorpusOps.mixtureSampleSql(),
+    "q_mixture_temperature" -> graft.ops.CorpusOps.mixtureTemperatureSql(),
+    "q_token_budget" -> graft.ops.CorpusOps.tokenBudgetSelectSql(),
     "q_pack_sequences" -> graft.ops.CorpusOps.packSequencesSql(),
     "q_chunk_documents" -> graft.ops.CorpusOps.chunkDocumentsSql(),
     "q_dedup_cross" -> graft.ops.DedupOps.crossCorpusDedupSql(),

@@ -651,4 +651,128 @@ object CorpusOps {
        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
        |GROUP BY token
        |ORDER BY coll_freq DESC, token LIMIT $k""".stripMargin
+
+  // ---- token-budget corpus selection (global prefix sum) -----------------
+
+  /** Greedy token-budget selection: order the corpus by a quality score
+    * (unique-token ratio, best first) and keep the maximal prefix whose
+    * cumulative token count fits the budget — "give me the best B tokens",
+    * the final assembly step after filtering/dedup (the reference's
+    * capped-batch discipline, `schedule-jobs/scheduler/tasks.py:28`, at
+    * corpus grain).
+    *
+    * The interesting part is the GLOBAL running sum without a global sort
+    * on one partition. TeraSort shape: `repartitionByRange` on the
+    * selection key gives totally-ordered partitions; per-partition token
+    * subtotals (one tiny row per partition) prefix-sum on the driver and
+    * broadcast back as offsets; the running sum inside each partition is
+    * an ordinary partitioned window. cum(doc) = partition offset + local
+    * running sum — exact, and every stage is parallel: the only
+    * SinglePartition construct anywhere is the ≤ numPartitions-row
+    * offsets frame. The stats frame carries (doc_id, n_tok, score) only —
+    * text never shuffles; `localCheckpoint` pins the range boundaries so
+    * the subtotal pass and the window pass see identical partitions.
+    */
+  def tokenBudgetSelect(s: SparkSession, dir: String, budget: Long = 18000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = docs(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"))
+      .withColumn("score", col("n_uniq").cast("double") / col("n_tok"))
+      .drop("n_uniq")
+    val ranged = stats
+      .repartitionByRange(col("score").desc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // bounded metadata collect: one row per shuffle partition
+    var acc = 0L
+    val offsets = ranged.groupBy(col("pid")).agg(sum(col("n_tok")).as("psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .map { case (pid, psum) => val off = (pid, acc); acc += psum; off }
+    val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), "pid")
+      .withColumn("cum_tokens", col("off") + sum(col("n_tok")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tok"),
+        round(col("score"), 6).as("quality"), col("cum_tokens"))
+      .orderBy("cum_tokens")
+  }
+
+  def tokenBudgetSelectSql(budget: Long = 18000L): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+       |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq
+       |  FROM documents),
+       |k AS (SELECT doc_id, n_tok, n_uniq::DOUBLE / n_tok AS score FROM s),
+       |c AS (
+       |  SELECT doc_id, n_tok, score,
+       |    (sum(n_tok) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+       |  FROM k)
+       |SELECT doc_id, n_tok, round(score, 6) AS quality, cum_tokens
+       |FROM c WHERE cum_tokens <= $budget ORDER BY cum_tokens""".stripMargin
+
+  // ---- temperature-reweighted mixture quotas ------------------------------
+
+  /** Temperature sampling over sources (mC4/multilingual discipline): the
+    * per-source sampling weight is share^α (α < 1 flattens the head,
+    * upsamples the tail), and the doc budget is apportioned over those
+    * weights with the same largest-remainder rule as [[apportion]] —
+    * except here the mixture comes from the DATA (per-source counts), so
+    * the whole computation stays declarative instead of inlining
+    * driver-computed quotas.
+    *
+    * Scale shape: one hash aggregate over the corpus (per-source counts);
+    * every frame after it is ≤ |sources| rows, so the scalar-agg
+    * cross-joins and the global rank window are bounded by the source
+    * vocabulary, not the corpus. Float parity: weights round to 12dp and
+    * exact quotas to 9dp before floor/remainder, absorbing
+    * summation-order drift between engines.
+    */
+  def mixtureTemperature(s: SparkSession, dir: String,
+      budget: Int = 1000, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = cnt.agg(sum(col("n_docs")).as("n_total"))
+    val wtd = cnt.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("wt", round(pow(col("share"), lit(alpha)), 12))
+    val wsum = wtd.agg(sum(col("wt")).as("wt_sum"))
+    val exact = wtd.crossJoin(broadcast(wsum))
+      .withColumn("exact_q", round(lit(budget.toDouble) * col("wt") / col("wt_sum"), 9))
+      .withColumn("fl", floor(col("exact_q")))
+      .withColumn("rem", round(col("exact_q") - col("fl"), 9))
+    val left = exact.agg((lit(budget.toLong) - sum(col("fl"))).as("n_left"))
+    val wOrd = Window.orderBy(col("rem").desc, col("source"))
+    exact.crossJoin(broadcast(left))
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("quota", col("fl") + when(col("rk") <= col("n_left"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"),
+        round(col("share"), 6).as("share"), col("quota"))
+      .orderBy("source")
+  }
+
+  def mixtureTemperatureSql(budget: Int = 1000, alpha: Double = 0.5): String =
+    s"""WITH cnt AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n_docs)::BIGINT AS n_total FROM cnt),
+       |wtd AS (
+       |  SELECT source, n_docs, n_docs::DOUBLE / n_total AS share,
+       |    round(pow(n_docs::DOUBLE / n_total, $alpha), 12) AS wt
+       |  FROM cnt, tot),
+       |ws AS (SELECT sum(wt) AS wt_sum FROM wtd),
+       |e AS (
+       |  SELECT source, n_docs, share,
+       |    round($budget * wt / wt_sum, 9) AS exact_q
+       |  FROM wtd, ws),
+       |f AS (SELECT *, floor(exact_q)::BIGINT AS fl,
+       |    round(exact_q - floor(exact_q), 9) AS rem FROM e),
+       |lft AS (SELECT ($budget - sum(fl))::BIGINT AS n_left FROM f),
+       |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM f)
+       |SELECT source, n_docs, round(share, 6) AS share,
+       |  (fl + CASE WHEN rk <= n_left THEN 1 ELSE 0 END)::BIGINT AS quota
+       |FROM r, lft ORDER BY source""".stripMargin
 }

@@ -104,6 +104,54 @@ class TimeSeriesCorpusSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("token budget select: equals the naive global-window prefix, parallel plan") {
+    val budget = 18000L
+    val df = CorpusOps.tokenBudgetSelect(spark, dir, budget)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // independent driver-side greedy: sort all docs by (score desc, doc_id),
+    // cumulative-sum tokens, keep the maximal prefix within budget
+    val stats = graft.sources.Tables.read(spark, dir, "documents")
+      .select("doc_id", "text").collect().map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        (r.getLong(0), toks.length.toLong,
+          toks.distinct.length.toDouble / toks.length)
+      }
+    val ordered = stats.sortBy { case (id, _, score) => (-score, id) }
+    var acc = 0L
+    val expect = ordered.map { case (id, n, _) => acc += n; (id, n, acc) }
+      .takeWhile(_._3 <= budget)
+    assert(out.sortBy(_._3).toSeq == expect.toSeq)
+    assert(out.map(_._3).max <= budget)
+    // maximality: the next doc in order would blow the budget
+    if (expect.length < ordered.length)
+      assert(expect.last._3 + ordered(expect.length)._2 > budget)
+    // scale shape: the running sum must NOT be a single-partition window —
+    // range partitions + broadcast offsets keep every stage parallel
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("mixture temperature: budget-exact quotas, flattens the head, matches apportion") {
+    val budget = 1000
+    val out = CorpusOps.mixtureTemperature(spark, dir, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.map(_._4).sum == budget, out.mkString(","))
+    // equals driver-side apportion over share^alpha weights
+    val n = out.map(_._2).sum.toDouble
+    val weights = out.map { case (src, c, _, _) =>
+      src -> BigDecimal(math.pow(c / n, 0.5))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val expect = CorpusOps.apportion(weights.toSeq, budget).toMap
+    out.foreach { case (src, _, _, q) => assert(q == expect(src), s"$src: $q vs ${expect(src)}") }
+    // temperature < 1 upsamples the tail relative to proportional share
+    val byCount = out.sortBy(_._2)
+    val (tail, head) = (byCount.head, byCount.last)
+    if (tail._2 < head._2)
+      assert(tail._4.toDouble / tail._2 > head._4.toDouble / head._2,
+        s"tail $tail not upsampled vs head $head")
+  }
+
   test("sequence packing: covers the corpus, budget contract holds per pack") {
     val budget = 512
     val out = CorpusOps.packSequences(spark, dir, budget).collect()
