@@ -26,9 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local mode = driver-only: give the single JVM real memory (the box has
-  // 128 GiB; 8g thrashes GC once a few dozen shuffles+broadcasts accumulate)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // local mode = driver-only single JVM. Heap is a measured CLIFF in both
+  // directions: 8g thrashes GC once a few dozen shuffles+broadcasts
+  // accumulate, while 48g makes G1 pathological on this allocation
+  // pattern — after one heavy memo build, an identical 1.2 s query
+  // settles at ~8 s STEADY-STATE (measured: q_dedup_simhash_wide128
+  // 1.38/1.18/1.07 s at 16g vs 1.82/8.57/8.20 s at 48g in the same
+  // query sequence; whole-bench total 128 s at 48g vs ~60 s at 16g).
+  // 16g keeps G1's young gen small enough that the 32-thread allocation
+  // storm evacuates cheaply.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // dozens of whole-stage-codegen classes exhaust the default ~240 MB code
   // cache mid-run, stalling C2 and leaving hot loops interpreted (observed:
   // 5x slowdown on the first post-pressure query)
