@@ -850,9 +850,11 @@ object DedupOps {
     * 8-byte gram hashes (never text), exactly like [[duplicateSpanStats]];
     * the rewrite itself is a map-side lambda over (tokens, covered
     * positions). Covered positions are expanded per doc from its dup-window
-    * starts — bounded by doc length, no shuffle. The per-doc `exists` probe
-    * is O(tokens × covered), fine while covered ≪ tokens²; a sorted-merge
-    * over the two lists is the constant-factor upgrade if ever needed.
+    * starts — bounded by doc length, no shuffle. Per-doc costs are linear:
+    * "shared by ≥ 2 docs" is min(doc) ≠ max(doc) (one cheap agg, not a
+    * countDistinct), and surviving positions come from hash-based
+    * `array_except` over the position range — O(tokens + covered), not the
+    * O(tokens × covered) of a per-token array_contains probe.
     */
   def duplicateSpanScrub(s: SparkSession, dir: String, gram: Int = 10): DataFrame = {
     val grams = docs(s, dir)
@@ -860,11 +862,15 @@ object DedupOps {
         posexplode(graft.functions.SimhashExpressions
           .gram_hash60s(split(col("text"), " "), gram)))
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
-    val dupHashes = grams
-      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
-      .where(col("df") >= 2)
-      .select(col("h"))
-    val dupStarts = grams.join(dupHashes, "h")
+    // in ≥ 2 distinct docs ⟺ min ≠ max over doc_id. A window over h beats
+    // the aggregate-then-rejoin form: the gram stream (24-byte rows, never
+    // text) shuffles ONCE and the explode pipeline runs once, where the
+    // df-join form pays the explode twice and moves the grams twice.
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val dupStarts = grams
+      .withColumn("d0", min(col("doc_id")).over(wh))
+      .withColumn("d1", max(col("doc_id")).over(wh))
+      .where(col("d0") =!= col("d1"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("start")).as("ss"))
     docs(s, dir)
@@ -872,11 +878,14 @@ object DedupOps {
       .join(dupStarts, Seq("doc_id"), "left")
       // covered = ∪ [start, start+gram) over this doc's duplicated windows
       .withColumn("covered",
-        array_distinct(flatten(transform(
+        flatten(transform(
           coalesce(col("ss"), array().cast("array<int>")),
-          s0 => sequence(s0, s0 + lit(gram - 1))))))
-      .withColumn("clean",
-        expr("filter(toks, (t, i) -> NOT array_contains(covered, i + 1))"))
+          s0 => sequence(s0, s0 + lit(gram - 1)))))
+      // surviving positions in order: hash-set difference, then project the
+      // tokens — linear in doc length
+      .withColumn("keep_pos",
+        array_except(sequence(lit(1), size(col("toks"))), col("covered")))
+      .withColumn("clean", transform(col("keep_pos"), p => element_at(col("toks"), p)))
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
