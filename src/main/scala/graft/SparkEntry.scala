@@ -194,6 +194,7 @@ object SparkEntry {
       .orderBy("doc_id")),
     "q_tfidf_topterms" -> ((s, d) => graft.ops.CorpusOps.tfIdfTopTerms(s, d)),
     "q_kmeans" -> (SimilarityOps.kmeans _),
+    "q_cluster_sample" -> ((s, d) => SimilarityOps.clusterSample(s, d)),
     "q_pii_scrub" -> (graft.ops.CorpusOps.piiScrub _))
 
   def oracleSql: Map[String, String] = Map(
@@ -334,6 +335,7 @@ object SparkEntry {
     "q_skew_join" -> graft.ops.Skew.skewedJoinAggSql,
     "q_simhash_row_fp" -> graft.ops.DedupOps.simhashWideFingerprintSql,
     "q_kmeans" -> SimilarityOps.kmeansSql,
+    "q_cluster_sample" -> SimilarityOps.clusterSampleSql(),
     "q_pii_scrub" -> graft.ops.CorpusOps.piiScrubSql,
     // exact-vs-sketch shape: the oracle computes the exact side and asserts
     // within_bound = true, so the sketch error contract is hash-checked

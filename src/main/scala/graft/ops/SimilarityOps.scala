@@ -544,6 +544,37 @@ object SimilarityOps {
        |SELECT cid, count(*) AS n_members, round(avg(cos), 4) AS avg_cosine
        |FROM afinal GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** Cluster-balanced sampling: the m most-representative vectors per
+    * k-means cell (highest cosine to their centroid) — the cluster-pruning
+    * step of embedding-based corpus curation (keep a balanced,
+    * prototype-centered subset instead of a frequency-biased one; the
+    * SemDeDup/DiverseEvol family's selection primitive over the same
+    * cells [[semDedup]] dedups in).
+    *
+    * Scale shape: assignment is map-side against broadcast centroids; the
+    * per-cell top-m is a ranked window with a CONSTANT bound, so
+    * WindowGroupLimit keeps ≤ m rows per cell per partition BEFORE the
+    * single shuffle on cid (same discipline as the samplers, pinned in
+    * spec).
+    */
+  def clusterSample(s: SparkSession, dir: String, m: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("cid")).orderBy(col("cos").desc, col("vec_id"))
+    kmeansAssign(emb(s, dir), kmeansCentroids(s, dir))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= m)
+      .select(col("cid"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("cid", "rank")
+  }
+
+  def clusterSampleSql(m: Int = 3): String =
+    s"""WITH $kmeansCtesSql
+       |SELECT cid, rank, vec_id, round(cos, 6) AS cosine FROM (
+       |  SELECT cid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS rank
+       |  FROM afinal)
+       |WHERE rank <= $m ORDER BY cid, rank""".stripMargin
+
   val annIvfSql: String =
     s"""WITH $kmeansCtesSql,
        |probes AS (

@@ -208,6 +208,28 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster sample: dense ranks, non-increasing cosine, every kmeans cell covered, group-limited plan") {
+    val df = SimilarityOps.clusterSample(spark, dir)
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byCell = out.groupBy(_._1)
+    byCell.foreach { case (cell, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length), s"cell $cell ranks not dense")
+      assert(rows.length <= 3, s"cell $cell over quota")
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4),
+        s"cell $cell cosine not non-increasing")
+    }
+    // every populated kmeans cell contributes min(3, n_members) rows
+    val cells = SimilarityOps.kmeans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCell.keySet == cells.keySet)
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.length == math.min(3L, cells(cell)), s"cell $cell quota mismatch")
+    }
+    // scale shape: constant rank bound group-limits before the shuffle
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("bm25: ranks dense, scores non-increasing, top score matches driver recompute") {
     val out = graft.ops.CorpusOps.bm25TopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
