@@ -89,9 +89,35 @@ object ScaleProbe {
     val rangeOnly = args.headOption.contains("rangejoin")
     val nIntervals = if (args.length > 1) args(1).toInt else 100000
 
-    if (!rangeOnly) { probeDedupCandidates(spark); probeNativeKernels(spark) }
+    if (!rangeOnly) {
+      probeDedupCandidates(spark); probeNativeKernels(spark)
+      probeSelectionOps(spark)
+    }
     probeRangeJoin(spark, nIntervals)
     spark.stop()
+  }
+
+  /** Wall-time growth of the round-7 selection/rewrite ops at 1× and 10×:
+    * the token-budget global prefix sum (claim: TeraSort shape — range
+    * shuffle of 24-byte stat rows + driver prefix over one row per
+    * partition, so wall time ∝ n) and the duplicate-span scrub (claim:
+    * one shuffle of the gram stream + linear map-side rewrite). Both
+    * materialize via aggregates, nothing driver-collected beyond the
+    * probe's own offsets row-per-partition.
+    */
+  private def probeSelectionOps(spark: SparkSession): Unit = {
+    for (n <- Seq(5000, 50000)) withSynthDocs(spark, n, 31) { d =>
+      // budget scales with n so the selected fraction stays comparable
+      val (kept, tTb) = time(
+        graft.ops.CorpusOps.tokenBudgetSelectOf(spark, d, 30L * n).count())
+      val (removed, tScrub) = time(
+        DedupOps.duplicateSpanScrubOf(d, 10)
+          .agg(sum(col("n_removed"))).collect()(0).getLong(0))
+      println(
+        s"""{"probe":"selection_ops","n":$n,""" +
+          s""""token_budget_kept":$kept,"token_budget_sec":${s1(tTb)},""" +
+          s""""span_scrub_removed":$removed,"span_scrub_sec":${s1(tScrub)}}""")
+    }
   }
 
   /** Wall time of the compiled per-row text kernels at 1× and 10× corpus —

@@ -673,9 +673,16 @@ object CorpusOps {
     * text never shuffles; `localCheckpoint` pins the range boundaries so
     * the subtotal pass and the window pass see identical partitions.
     */
-  def tokenBudgetSelect(s: SparkSession, dir: String, budget: Long = 18000L): DataFrame = {
+  def tokenBudgetSelect(s: SparkSession, dir: String, budget: Long = 18000L): DataFrame =
+    tokenBudgetSelectOf(s, docs(s, dir), budget)
+
+  /** Frame-based core of [[tokenBudgetSelect]] — exposed for
+    * [[graft.ScaleProbe]]'s growth measurement over synthetic corpora.
+    */
+  private[graft] def tokenBudgetSelectOf(
+      s: SparkSession, d: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stats = docs(s, dir).select(
+    val stats = d.select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"))

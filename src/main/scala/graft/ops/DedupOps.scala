@@ -856,8 +856,14 @@ object DedupOps {
     * `array_except` over the position range — O(tokens + covered), not the
     * O(tokens × covered) of a per-token array_contains probe.
     */
-  def duplicateSpanScrub(s: SparkSession, dir: String, gram: Int = 10): DataFrame = {
-    val grams = docs(s, dir)
+  def duplicateSpanScrub(s: SparkSession, dir: String, gram: Int = 10): DataFrame =
+    duplicateSpanScrubOf(docs(s, dir), gram)
+
+  /** Frame-based core of [[duplicateSpanScrub]] — exposed for
+    * [[graft.ScaleProbe]]'s growth measurement over synthetic corpora.
+    */
+  private[graft] def duplicateSpanScrubOf(d: DataFrame, gram: Int): DataFrame = {
+    val grams = d
       .select(col("doc_id"),
         posexplode(graft.functions.SimhashExpressions
           .gram_hash60s(split(col("text"), " "), gram)))
@@ -873,7 +879,7 @@ object DedupOps {
       .where(col("d0") =!= col("d1"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("start")).as("ss"))
-    docs(s, dir)
+    d
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .join(dupStarts, Seq("doc_id"), "left")
       // covered = ∪ [start, start+gram) over this doc's duplicated windows

@@ -115,4 +115,35 @@ class PlanAuditScaleSpec extends AnyFunSuite {
     val winIdx = lines.indexWhere(_.contains("Window"))
     assert(winIdx < 0 || winIdx < takeIdx, p)
   }
+
+  test("sf0.1 q_dedup_span_scrub: gram stream shuffles once, rewrite is map-side") {
+    val p = auditCommon("q_dedup_span_scrub")
+    // window dup-test on h + per-doc collect_set + the doc-side join:
+    // at most three key-partitioned exchanges, none of them text-bearing
+    // beyond the final doc join
+    assert(hashExchanges(p) <= 3, p)
+    // the global orderBy of the output is a range exchange, never a
+    // single-partition sort
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.split("\n").exists(_.contains("partial_")), p)
+  }
+
+  test("sf0.1 q_token_budget: no SinglePartition window at bench scale") {
+    val p = auditCommon("q_token_budget")
+    // the running sum must stay partitioned (pid window + broadcast
+    // offsets); the only SinglePartition exchanges allowed are scalar-agg
+    // partials (auditCommon), and the offsets join is a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Window .*pid".r.findFirstIn(p).isDefined ||
+      p.split("\n").exists(l => l.contains("Window") && l.contains("pid")), p)
+  }
+
+  test("sf0.1 q_cluster_sample: group-limited cid top-m over the assignment argmax") {
+    val p = auditCommon("q_cluster_sample")
+    // partial WindowGroupLimit trims to m per cell BEFORE the cid shuffle
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined, p)
+    // two key exchanges total: the vec_id argmax assignment window + cid
+    assert(hashExchanges(p) <= 2, p)
+  }
 }
