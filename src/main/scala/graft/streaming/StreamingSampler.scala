@@ -30,6 +30,45 @@ object StreamingSampler {
   final case class Admitted(
       source: String, doc_id: Long, admit_seq: Long, target_k: Long)
 
+  final case class TokenAdmitted(
+      source: String, doc_id: Long, n_tok: Long, cum_tokens: Long, budget: Long)
+
+  /** Token-budget admission — the STREAMING twin of
+    * [[CorpusOps.tokenBudgetSelect]]'s budget contract. A live ingest
+    * cannot rank the corpus by quality before admitting; it gates on
+    * TOKENS as documents arrive: a doc is admitted iff its source's
+    * admitted-token total plus its own tokens still fits that source's
+    * budget (skipped docs do NOT close the gate — a later shorter doc may
+    * still fit, the classic token-bucket rule). doc_id order within a
+    * micro-batch makes file-drop replays deterministic.
+    *
+    * State per source is ONE long (admitted tokens) — |sources| × 8 bytes
+    * forever. The batch form remains the right tool for QUALITY-ranked
+    * selection; this is the admission-control gate in front of it.
+    */
+  def tokenBudgetAdmit(
+      spark: SparkSession, docs: DataFrame,
+      budgetPerSource: Long = 2000L): Dataset[TokenAdmitted] = {
+    import spark.implicits._
+    docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val admitted = rows.toVector.sortBy(_._2).flatMap { case (_, id, n) =>
+            if (used + n <= budgetPerSource) {
+              used += n
+              Some(TokenAdmitted(src, id, n, used, budgetPerSource))
+            } else None
+          }
+          state.update(used)
+          admitted.iterator
+      }
+  }
+
   def mixtureAdmit(
       spark: SparkSession, docs: DataFrame,
       mixture: Seq[(String, Double)] = CorpusOps.DefaultMixture,

@@ -128,6 +128,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming token-budget admission: greedy per-source token bucket, bounded state") {
+    import graft.streaming.{StreamingDedup, StreamingSampler}
+    val budget = 2000L
+    val q = StreamingSampler
+      .tokenBudgetAdmit(spark, StreamingDedup.readDocuments(spark, docsPath), budget)
+      .writeStream.format("memory").queryName("stokbudget")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("stokbudget").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.nonEmpty)
+      // driver-side greedy token bucket per source over doc_id order — the
+      // single-file drop arrives as one micro-batch, so admission order is
+      // doc_id order and streamed must equal the greedy exactly
+      val docs = graft.sources.Tables
+        .read(spark, "/root/testdata/sf0.001", "documents")
+        .select("source", "doc_id", "text").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+      val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        var used = 0L
+        rows.sortBy(_._2).toSeq.flatMap { case (_, id, n) =>
+          if (used + n <= budget) { used += n; Some((src, id, n, used)) } else None
+        }
+      }.toSet
+      assert(out.toSet == expected,
+        s"streamed ${out.length} vs greedy ${expected.size}")
+      // budget respected; skipped docs do not close the gate (cum is the
+      // running ADMITTED total, never exceeds budget)
+      out.groupBy(_._1).foreach { case (src, rows) =>
+        assert(rows.map(_._4).max <= budget, src)
+        val byId = rows.sortBy(_._2)
+        assert(byId.map(_._3).sum == byId.last._4, src)
+      }
+    } finally q.stop()
+  }
+
   test("streaming centroid assignment equals the batch coarse cells bit-for-bit") {
     import graft.streaming.StreamingSimilarity
     val embsDir = Files.createTempDirectory("graft_embs_stream")
