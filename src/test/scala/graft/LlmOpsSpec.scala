@@ -208,6 +208,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate-span scrub: planted synthetic duplicates (data-independent corners)") {
+    // the driver-generated corpus may carry no exact twins (round-7 data
+    // has none at this SF), which would leave the full-scrub corner
+    // unexercised — plant them explicitly
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")  // 12 tokens ≥ gram=10
+    val uniqA = (1 to 15).map(i => s"a$i").mkString(" ")
+    val uniqB = (1 to 15).map(i => s"b$i").mkString(" ")
+    val rows = Seq(
+      (0L, shared, "s0"),                       // exact twin of 1 → fully scrubbed
+      (1L, shared, "s0"),
+      (2L, s"$uniqA $shared", "s1"),            // shared suffix cut, prefix survives
+      (3L, uniqB, "s1"))                        // untouched
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = graft.ops.DedupOps.duplicateSpanScrubOf(d, 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((12L, 12L, "")) && out(1L) == ((12L, 12L, "")))
+    assert(out(3L) == ((15L, 15L - 15L, uniqB)))
+    // doc 2: every 10-gram window fully inside `shared` is duplicated; the
+    // windows straddling uniqA are unique, so exactly the tokens covered by
+    // shared-only windows are cut. shared-only windows in doc2 start at
+    // position 16 (tokens 16..27) → covered = 16..27 (12 tokens cut)
+    val (n2, rem2, clean2) = out(2L)
+    assert(n2 == 27L && rem2 == 12L && clean2 == uniqA, s"doc2: $rem2 '$clean2'")
+  }
+
   test("cluster sample: dense ranks, non-increasing cosine, every kmeans cell covered, group-limited plan") {
     val df = SimilarityOps.clusterSample(spark, dir)
     val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
