@@ -201,10 +201,19 @@ object DedupOps {
   private val pairsCache =
     IndexMemo.cache[(SparkSession, String, Double), DataFrame]()
 
+  /** Artifact name carrying the sf-dir tag so [[IndexStore.loadOrBuild]]'s
+    * stale-generation cleanup never evicts a DIFFERENT scale factor's
+    * artifact, only an older generation of this one.
+    */
+  private def artifactName(base: String, dir: String): String =
+    s"$base-${java.nio.file.Paths.get(dir).getFileName}"
+
   def verifiedNearDupPairs(
       s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
     IndexMemo(pairsCache, (s, dir, threshold))(
-      computeMinhashLsh(s, dir, threshold).persist())
+      IndexStore.loadOrBuild(s, artifactName("neardup-pairs", dir),
+        s"${Tables.fileIdent(dir, "documents")}|t=$threshold|k=$MinhashK|b=$LshBands")(
+        computeMinhashLsh(s, dir, threshold)))
 
   /** MinHash band-collision CANDIDATE pairs (pre-verification) from a
     * shingle index: (doc, shingle) hashed once; all k affine mins computed
@@ -310,9 +319,14 @@ object DedupOps {
     * and `q_dedup_stats` all sit on the label-propagation output — without
     * sharing, each call re-runs the 5 eager localCheckpoint rounds (the
     * round-5 q_dedup_stats pathology: 17 s for "one extra aggregate").
-    * Same discipline as the shingle/pair caches above; at 100 TB both
-    * frames are the materialized dedup-decision tables a pipeline
-    * publishes once per corpus version.
+    * Both are DURABLE via [[IndexStore.loadOrBuild]]: at 100 TB these are
+    * the materialized dedup-decision tables a pipeline publishes once per
+    * corpus version, and every later process (and every composition in
+    * THIS process — [[dedupStats]], [[dedupWeights]], the clean cascade)
+    * reads a plain bounded parquet scan instead of re-deriving or dragging
+    * a deep cached lineage through its plan (the round-7 warm-path
+    * regression: composites over the in-memory memo paid seconds in a
+    * session with 130 queries of accumulated cache/GC state).
     */
   private val clusterCache =
     IndexMemo.cache[(SparkSession, String, Int), DataFrame]()
@@ -321,7 +335,10 @@ object DedupOps {
 
   def nearDupClusters(s: SparkSession, dir: String, iterations: Int = 5): DataFrame =
     IndexMemo(clusterCache, (s, dir, iterations))(
-      computeNearDupClusters(s, dir, iterations))
+      IndexStore.loadOrBuild(s, artifactName("neardup-clusters", dir),
+        s"${Tables.fileIdent(dir, "documents")}|iters=$iterations")(
+        computeNearDupClusters(s, dir, iterations))
+        .orderBy("doc_id"))
 
   private def computeNearDupClusters(
       s: SparkSession, dir: String, iterations: Int): DataFrame = {
@@ -350,7 +367,6 @@ object DedupOps {
     labels
       .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"),
         (col("doc") === col("cluster")).as("is_canonical"))
-      .orderBy("doc_id")
   }
 
   /** The dedup pipeline's END PRODUCT: a per-document keep/drop decision.
@@ -365,7 +381,10 @@ object DedupOps {
     * near-dups), and the corpus-wide left join keys on doc_id.
     */
   def dedupKeepDrop(s: SparkSession, dir: String): DataFrame =
-    IndexMemo(keepDropCache, (s, dir))(computeDedupKeepDrop(s, dir).persist())
+    IndexMemo(keepDropCache, (s, dir))(
+      IndexStore.loadOrBuild(s, artifactName("dedup-keepdrop", dir),
+        Tables.fileIdent(dir, "documents"))(computeDedupKeepDrop(s, dir))
+        .orderBy("doc_id"))
 
   private def computeDedupKeepDrop(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -386,7 +405,6 @@ object DedupOps {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         coalesce(col("rn") === 1, lit(true)).as("keep"),
         coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
-      .orderBy("doc_id")
   }
 
   def dedupKeepDropSql(iterations: Int = 5): String =

@@ -1,25 +1,108 @@
 package graft.ops
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persistence for the similarity tier's trained index artifacts — the
-  * operational "build once per corpus version, query many" contract. The
-  * in-session [[IndexMemo]] caches stand in for these materializations
-  * during one run; this writes the same tables to parquet so a LATER
-  * session (or another cluster) loads the index instead of re-training:
+/** Persistence for trained/derived index artifacts — the operational
+  * "build once per corpus version, query many" contract. The in-session
+  * [[IndexMemo]] caches stand in for these materializations during one
+  * run; this writes the same tables to parquet so a LATER session (or
+  * another cluster) loads the index instead of re-training:
   *
   *  - IVF coarse quantizer: (cid, c_vec) — k rows;
   *  - PQ codebooks:        (j, cid, c_vec) — m·k rows;
   *  - PQ codes:            (vec_id, j, code) — n·m rows, the 16×-compressed
-  *                         corpus representation ADC scans at query time.
+  *                         corpus representation ADC scans at query time;
+  *  - dedup decision tables (verified pairs, keep/drop) via [[loadOrBuild]].
   *
-  * All three round-trip exactly (parquet doubles are lossless), so loaded
-  * indexes reproduce memoized-path results bit-for-bit — pinned in
+  * All round-trip exactly (parquet ints/doubles are lossless), so loaded
+  * artifacts reproduce memoized-path results bit-for-bit — pinned in
   * IndexStoreSpec by recomputing centroid assignments from a LOADED
   * quantizer and comparing to the in-session path.
+  *
+  * The reference keeps its dedup cache durable in Redis
+  * (`categorize-trail-conditions/src/db.py:24-27`) so a restarted worker
+  * never re-categorizes; [[loadOrBuild]] is the engine's equivalent
+  * durability for every expensive memo.
   */
 object IndexStore {
+
+  /** Artifact cache root: override with GRAFT_INDEX_CACHE; defaults under
+    * the system temp dir (NOT the repo tree). Artifacts are bounded index
+    * tables (k·dim centroids, near-dup pairs, per-doc decisions) — never
+    * the corpus itself.
+    */
+  private def cacheRoot: String =
+    sys.env.getOrElse("GRAFT_INDEX_CACHE",
+      s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-index-cache")
+
+  /** Per-process record of which artifacts were loaded vs built this
+    * session — surfaced by [[graft.Bench]] so cold-build cost attribution
+    * is explicit in bench output.
+    */
+  val events: TrieMap[String, String] = TrieMap.empty
+
+  private def sha16(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** Durable build-once memo: if a parquet artifact for (`name`,
+    * `identity`) exists, scan it (tiny logical plan — downstream queries
+    * compose over a plain file scan instead of a deep cached lineage);
+    * otherwise evaluate `build`, materialize it to parquet, and scan the
+    * materialization. `identity` must encode the INPUT FILE IDENTITY
+    * (size+mtime via [[graft.sources.Tables.fileIdent]]) plus every
+    * parameter the artifact depends on — the driver regenerates testdata
+    * between rounds, and a stale artifact must miss, not silently serve.
+    *
+    * Concurrency: in-process builds are serialized per key by the
+    * [[IndexMemo]] callers wrapping this; across processes the write goes
+    * to a unique temp dir then an atomic rename — a losing racer deletes
+    * its temp dir and reads the winner's artifact. Older generations of
+    * the same `name` are deleted best-effort on build (bounded /tmp).
+    */
+  def loadOrBuild(s: SparkSession, name: String, identity: String)(
+      build: => DataFrame): DataFrame = {
+    val dirName = s"$name-${sha16(identity)}"
+    val target = Paths.get(cacheRoot, dirName)
+    if (Files.exists(target.resolve("_SUCCESS"))) {
+      events.putIfAbsent(name, "load")
+      s.read.parquet(target.toString)
+    } else {
+      events.put(name, "build")
+      val tmp = Paths.get(cacheRoot,
+        s"$dirName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException =>
+          deleteRecursively(tmp) // another process won the build race
+      }
+      // stale generations of this artifact (older testdata) are dead weight
+      val root = Paths.get(cacheRoot)
+      if (Files.isDirectory(root)) {
+        val stale = Files.list(root).iterator()
+        while (stale.hasNext) {
+          val p = stale.next()
+          val n = p.getFileName.toString
+          if (n.startsWith(s"$name-") && n != dirName && !n.contains(".tmp-"))
+            deleteRecursively(p)
+        }
+      }
+      s.read.parquet(target.toString)
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+      while (it.hasNext) { try Files.delete(it.next()) catch { case _: Exception => () } }
+    }
 
   /** Write the trained IVF + PQ artifacts for `dir`'s corpus under `out`. */
   def saveIndexes(s: SparkSession, dir: String, out: String): Unit = {

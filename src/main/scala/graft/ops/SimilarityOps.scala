@@ -480,8 +480,17 @@ object SimilarityOps {
   private val centroidCache =
     IndexMemo.cache[(SparkSession, String), DataFrame]()
 
+  /** Artifact name carrying the sf-dir tag — see the DedupOps twin. */
+  private def artifactName(base: String, dir: String): String =
+    s"$base-${java.nio.file.Paths.get(dir).getFileName}"
+
   private[graft] def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
-    IndexMemo(centroidCache, (s, dir)) {
+    IndexMemo(centroidCache, (s, dir))(
+      IndexStore.loadOrBuild(s, artifactName("ivf-centroids", dir),
+        s"${Tables.fileIdent(dir, "embeddings")}|k=$KmeansK|iters=$KmeansIters")(
+        computeKmeansCentroids(s, dir)))
+
+  private def computeKmeansCentroids(s: SparkSession, dir: String): DataFrame = {
       val e = emb(s, dir)
 
       def update(assigned: DataFrame): DataFrame =
@@ -499,7 +508,7 @@ object SimilarityOps {
       for (_ <- 1 to KmeansIters)
         cents = update(kmeansAssign(e, cents)).localCheckpoint()
       cents
-    }
+  }
 
   def kmeans(s: SparkSession, dir: String): DataFrame =
     kmeansAssign(emb(s, dir), kmeansCentroids(s, dir))
@@ -954,7 +963,12 @@ object SimilarityOps {
   }
 
   private[graft] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
-    IndexMemo(codebookCache, (s, dir)) {
+    IndexMemo(codebookCache, (s, dir))(
+      IndexStore.loadOrBuild(s, artifactName("pq-codebooks", dir),
+        s"${Tables.fileIdent(dir, "embeddings")}|m=$PqM|k=$PqK|iters=$PqIters")(
+        computePqCodebooks(s, dir)))
+
+  private def computePqCodebooks(s: SparkSession, dir: String): DataFrame = {
       val sub = pqSubvectors(s, dir)
       def update(assigned: DataFrame): DataFrame =
         assigned
@@ -971,7 +985,7 @@ object SimilarityOps {
       for (_ <- 1 to PqIters)
         cents = update(pqAssign(sub, cents)).localCheckpoint()
       cents
-    }
+  }
 
   /** Encoded corpus (vec_id, j, cid) — the PQ codes table, built once per
     * (session, input) and persisted like the codebooks: both ADC consumers
@@ -983,9 +997,10 @@ object SimilarityOps {
 
   private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame =
     IndexMemo(codesCache, (s, dir))(
-      pqAssign(pqSubvectors(s, dir), pqCodebooks(s, dir))
-        .select(col("vec_id"), col("j"), col("cid"))
-        .persist())
+      IndexStore.loadOrBuild(s, artifactName("pq-codes", dir),
+        s"${Tables.fileIdent(dir, "embeddings")}|m=$PqM|k=$PqK|iters=$PqIters")(
+        pqAssign(pqSubvectors(s, dir), pqCodebooks(s, dir))
+          .select(col("vec_id"), col("j"), col("cid"))))
 
   /** (vec_id, j, sv): each vector L2-NORMALIZED then exploded into its m
     * subvectors. Normalization first makes squared-L2 order-equivalent to
