@@ -676,6 +676,9 @@ object CorpusOps {
   def tokenBudgetSelect(s: SparkSession, dir: String, budget: Long = 18000L): DataFrame =
     tokenBudgetSelectOf(s, docs(s, dir), budget)
 
+  private val lastRangedCheckpoint =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Frame-based core of [[tokenBudgetSelect]] — exposed for
     * [[graft.ScaleProbe]]'s growth measurement over synthetic corpora.
     */
@@ -692,6 +695,12 @@ object CorpusOps {
       .repartitionByRange(col("score").desc, col("doc_id").asc)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
+    // One-slot retention: the checkpoint must stay pinned until the caller
+    // consumes the returned (lazy) frame, but repeated bench/streaming
+    // invocations must not accumulate pinned blocks for the session
+    // lifetime — release the previous call's checkpoint now.
+    Option(lastRangedCheckpoint.getAndSet(ranged))
+      .foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
     // bounded metadata collect: one row per shuffle partition
     var acc = 0L
     val offsets = ranged.groupBy(col("pid")).agg(sum(col("n_tok")).as("psum"))
@@ -737,23 +746,38 @@ object CorpusOps {
     * every frame after it is ≤ |sources| rows, so the scalar-agg
     * cross-joins and the global rank window are bounded by the source
     * vocabulary, not the corpus. Float parity: weights round to 12dp and
-    * exact quotas to 9dp before floor/remainder, absorbing
-    * summation-order drift between engines.
+    * remainders to 9dp (tie-break only — floor sees the raw quota, so
+    * sum(quota) == budget holds exactly), absorbing summation-order
+    * drift between engines.
     */
   def mixtureTemperature(s: SparkSession, dir: String,
-      budget: Int = 1000, alpha: Double = 0.5): DataFrame = {
+      budget: Int = 1000, alpha: Double = 0.5): DataFrame =
+    mixtureTemperatureOf(s, docs(s, dir), budget, alpha)
+
+  /** Frame-based core of [[mixtureTemperature]] — exposed so specs can
+    * drive adversarial source distributions at the budget-exactness
+    * contract (sum(quota) == budget for ANY positive counts).
+    */
+  private[graft] def mixtureTemperatureOf(s: SparkSession, d: DataFrame,
+      budget: Int, alpha: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cnt = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val cnt = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val tot = cnt.agg(sum(col("n_docs")).as("n_total"))
     val wtd = cnt.crossJoin(broadcast(tot))
       .withColumn("share", col("n_docs").cast("double") / col("n_total"))
       .withColumn("wt", round(pow(col("share"), lit(alpha)), 12))
     val wsum = wtd.agg(sum(col("wt")).as("wt_sum"))
+    // floor/remainder work on the UNROUNDED exact quota: rounding exact_q
+    // first can round a k-5e-10 up to k, making sum(floor) exceed the
+    // budget and n_left negative. Only the remainder is rounded (9dp, for
+    // cross-engine tie-break parity), and n_left clamps at 0 against the
+    // residual fp case where sum(share)≈1 drift still overshoots.
     val exact = wtd.crossJoin(broadcast(wsum))
-      .withColumn("exact_q", round(lit(budget.toDouble) * col("wt") / col("wt_sum"), 9))
+      .withColumn("exact_q", lit(budget.toDouble) * col("wt") / col("wt_sum"))
       .withColumn("fl", floor(col("exact_q")))
       .withColumn("rem", round(col("exact_q") - col("fl"), 9))
-    val left = exact.agg((lit(budget.toLong) - sum(col("fl"))).as("n_left"))
+    val left = exact.agg(
+      greatest(lit(0L), lit(budget.toLong) - sum(col("fl"))).as("n_left"))
     val wOrd = Window.orderBy(col("rem").desc, col("source"))
     exact.crossJoin(broadcast(left))
       .withColumn("rk", row_number().over(wOrd).cast("long"))
@@ -773,11 +797,11 @@ object CorpusOps {
        |ws AS (SELECT sum(wt) AS wt_sum FROM wtd),
        |e AS (
        |  SELECT source, n_docs, share,
-       |    round($budget * wt / wt_sum, 9) AS exact_q
+       |    $budget * wt / wt_sum AS exact_q
        |  FROM wtd, ws),
        |f AS (SELECT *, floor(exact_q)::BIGINT AS fl,
        |    round(exact_q - floor(exact_q), 9) AS rem FROM e),
-       |lft AS (SELECT ($budget - sum(fl))::BIGINT AS n_left FROM f),
+       |lft AS (SELECT greatest(0, $budget - sum(fl))::BIGINT AS n_left FROM f),
        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM f)
        |SELECT source, n_docs, round(share, 6) AS share,
        |  (fl + CASE WHEN rk <= n_left THEN 1 ELSE 0 END)::BIGINT AS quota

@@ -89,11 +89,13 @@ object Tables {
   private val tsKindCache = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   /** True iff `<dir>/events.parquet` stores ts as TIMESTAMP(NANOS) (which a
-    * nanosAsLong session surfaces as LongType). Footer-only read, memoized.
+    * nanosAsLong session surfaces as LongType). Footer-only read, memoized by
+    * file identity (size+mtime) so a regenerated events.parquet within one
+    * JVM lifetime re-probes instead of serving a stale encoding.
     */
   def eventsTsIsNanos(spark: SparkSession, sfDir: String): Boolean =
-    tsKindCache.computeIfAbsent(sfDir, dir =>
-      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType)
+    tsKindCache.computeIfAbsent(fileIdent(sfDir, "events"), _ =>
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType == LongType)
 
   val documents: StructType = StructType(Seq(
     StructField("doc_id", LongType),

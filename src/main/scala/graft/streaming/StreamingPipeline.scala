@@ -30,13 +30,25 @@ object StreamingPipeline {
 
   /** Streaming scan of an events parquet path with the declared schema.
     * The ts encoding (TIMESTAMP(NANOS)-as-long vs TIMESTAMP(MICROS)) is
-    * probed from the footer of the files already staged in the directory,
+    * probed from the footer of a file already staged in the directory,
     * exactly like the batch reader — a file-streaming source needs its
     * schema fixed up front, and both encodings have shipped in the test
     * data. (`nanosAsLong` session conf applies here too.)
+    *
+    * First-file-wins: the directory's encoding is fixed by whatever is
+    * staged when the stream starts; one encoding per directory is the
+    * contract (files arriving later with the other encoding belong in a
+    * separate stream). An EMPTY staging directory is valid — the schema is
+    * declared — and defaults to the nanos encoding, the generator's
+    * historical default.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    val nanos = graft.sources.Tables.eventsTsIsNanos(spark, path)
+    val staged = Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val nanos =
+      if (staged.isEmpty) true
+      else spark.read.parquet(staged.head.getPath).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
     val raw = spark.readStream
       .schema(graft.sources.Tables.events(tsIsNanos = nanos))
       .parquet(path)

@@ -12,4 +12,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage pinned by a `localCheckpoint()`ed
+    * frame. `Dataset.unpersist` only consults the CacheManager, which does
+    * not track checkpoint RDDs — the pinned blocks live on the internal
+    * RDD inside the checkpoint's `LogicalRDD` leaf, reachable only from
+    * `private[sql]` territory (hence this bridge).
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
 }

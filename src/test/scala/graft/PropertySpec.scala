@@ -263,4 +263,31 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.ops.CorpusOps.apportion(graft.ops.CorpusOps.DefaultMixture, 20) ==
       Seq("src0" -> 8L, "src1" -> 6L, "src2" -> 4L, "src3" -> 2L))
   }
+
+  test("mixtureTemperature: sum(quota) == budget for adversarial source counts") {
+    // Floor must see the UNROUNDED exact quota: a 9dp pre-round turns
+    // k-5e-10 into k, sum(floor) overshoots, n_left goes negative and the
+    // quotas underfill the budget. Drive distributions that make exact
+    // quotas land arbitrarily close to integers (equal counts, near-integer
+    // splits, single source, long tails).
+    val cases = Seq(
+      Seq(3, 3, 3)            -> 999,   // equal thirds of a divisible budget
+      Seq(1, 1, 1)            -> 1000,  // equal thirds, non-divisible
+      Seq(7)                  -> 123,   // single source: quota == budget exactly
+      Seq(100, 1)             -> 10,    // extreme head/tail under alpha
+      Seq(2, 2, 2, 2, 2, 2)   -> 6,     // quota exactly 1 per source
+      Seq(5, 5, 5, 5)         -> 2,     // budget below source count
+      Seq(9, 3, 1, 1, 1, 1, 1, 1) -> 97)
+    cases.foreach { case (counts, budget) =>
+      val rows = counts.zipWithIndex.flatMap { case (n, i) =>
+        (0 until n).map(j => (i.toLong * 1000 + j, "w " * 3, "en", s"s$i", 5L))
+      }
+      val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = graft.ops.CorpusOps.mixtureTemperatureOf(spark, d, budget, 0.5)
+        .collect().map(r => (r.getString(0), r.getLong(3)))
+      assert(out.map(_._2).sum == budget,
+        s"counts=$counts budget=$budget → ${out.mkString(",")}")
+      assert(out.forall(_._2 >= 0), out.mkString(","))
+    }
+  }
 }
