@@ -824,17 +824,43 @@ object DedupOps {
     * shuffles move `positions × 8 bytes` and the df join is a plain
     * hash-join on longs at any corpus size.
     */
-  def duplicateSpanStats(s: SparkSession, dir: String, gram: Int = 10): DataFrame = {
-    val grams = docs(s, dir)
+  def duplicateSpanStats(s: SparkSession, dir: String, gram: Int = 10): DataFrame =
+    duplicateSpanStatsOf(docs(s, dir), gram)
+
+  /** Frame-based core of [[duplicateSpanStats]] — exposed so SkewSpec can
+    * plant a boilerplate gram shared by every document and pin the
+    * hot-key-safe shape.
+    *
+    * Skew hardening (the round-7 watch item): a boilerplate gram repeated
+    * across millions of documents must never concentrate on one task. The
+    * per-(h, doc_id) pre-aggregate spreads a hot `h` over its documents;
+    * the df count over those distinct pairs is partial-aggregated map-side
+    * (≤ one row per partition per gram enters the shuffle); and the only
+    * place all rows of a hot `h` meet — the df join probe — is a plain
+    * equi-join AQE's skew-join split can subdivide, unlike a
+    * `Window.partitionBy(h)`, which is irreparably single-partition-per-key.
+    * The (h, doc_id) exchange is built once and reused by both branches
+    * (ReusedExchange — the explode pipeline runs once).
+    */
+  private[graft] def duplicateSpanStatsOf(d: DataFrame, gram: Int): DataFrame = {
+    val grams = d
       .select(col("doc_id"), explode(graft.functions.SimhashExpressions
         .gram_hash60s(split(col("text"), " "), gram)).as("h"))
-    val df = grams.distinct()
-      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
-    grams.join(df, "h")
+    val pairs = grams.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"))
+    // df = rows per h over the distinct pairs. Phrased over n_pos (≥ 1 by
+    // construction, so least(n_pos, 1) ≡ 1) instead of count(1): a plain
+    // count lets column pruning drop n_pos from THIS branch's copy of the
+    // pre-aggregate, the two subtrees stop being identical, and the
+    // (h, doc_id) exchange is built twice — referencing n_pos keeps both
+    // branches on ONE exchange (ReusedExchange, pinned in SkewSpec).
+    val dfh = pairs.groupBy(col("h"))
+      .agg(sum(least(col("n_pos"), lit(1L))).as("df"))
+    pairs.join(dfh, "h")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        sum(col("n_pos")).as("n_grams"),
+        sum(when(col("df") >= 2, col("n_pos")).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         round(col("n_dup") / col("n_grams"), 4).as("dup_frac"))
       .orderBy("doc_id")
@@ -881,22 +907,42 @@ object DedupOps {
     * [[graft.ScaleProbe]]'s growth measurement over synthetic corpora.
     */
   private[graft] def duplicateSpanScrubOf(d: DataFrame, gram: Int): DataFrame = {
+    // explicit isNotNull: the per-doc reassembly join infers it on ITS
+    // branch only, which would desynchronize the two copies of the shared
+    // pre-aggregate subtree and defeat ReusedExchange — stating it once in
+    // the shared scan keeps both branches byte-identical
     val grams = d
+      .where(col("doc_id").isNotNull)
       .select(col("doc_id"),
         posexplode(graft.functions.SimhashExpressions
           .gram_hash60s(split(col("text"), " "), gram)))
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
-    // in ≥ 2 distinct docs ⟺ min ≠ max over doc_id. A window over h beats
-    // the aggregate-then-rejoin form: the gram stream (24-byte rows, never
-    // text) shuffles ONCE and the explode pipeline runs once, where the
-    // df-join form pays the explode twice and moves the grams twice.
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val dupStarts = grams
-      .withColumn("d0", min(col("doc_id")).over(wh))
-      .withColumn("d1", max(col("doc_id")).over(wh))
-      .where(col("d0") =!= col("d1"))
+    // in ≥ 2 distinct docs ⟺ the per-(h, doc_id) PRE-AGGREGATE has ≥ 2
+    // rows for h — NOT a Window.partitionBy(h): a boilerplate gram
+    // repeated across millions of docs makes the window's
+    // one-partition-per-key shape a hot task no optimizer can split,
+    // while here the hot h is spread over its documents in the first
+    // aggregate, count partials collapse it map-side in the second, and
+    // the rejoin is an equi-join AQE skew-split can subdivide. The count
+    // runs over the aggregate's GROUPS (min/max over doc_id would be
+    // pushed straight through to the raw gram stream, splitting the
+    // branches), so the (h, doc_id) exchange is planned once and reused by
+    // both branches (ReusedExchange, pinned in SkewSpec) — the explode
+    // pipeline still runs ONCE.
+    val perDoc = grams.groupBy(col("h"), col("doc_id"))
+      .agg(collect_list(col("start")).as("starts"))
+    // member-doc count phrased over starts (non-empty by construction, so
+    // least(size, 1) ≡ 1): a plain count(1) lets column pruning drop
+    // `starts` from this branch's copy of the pre-aggregate and the shared
+    // exchange splits in two — same device as [[duplicateSpanStatsOf]]
+    val dupH = perDoc.groupBy(col("h"))
+      .agg(sum(least(size(col("starts")), lit(1)).cast("long")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("h"))
+    val dupStarts = perDoc
+      .join(dupH, "h")
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("start")).as("ss"))
+      .agg(flatten(collect_list(col("starts"))).as("ss"))
     d
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .join(dupStarts, Seq("doc_id"), "left")

@@ -116,12 +116,17 @@ class PlanAuditScaleSpec extends AnyFunSuite {
     assert(winIdx < 0 || winIdx < takeIdx, p)
   }
 
-  test("sf0.1 q_dedup_span_scrub: gram stream shuffles once, rewrite is map-side") {
+  test("sf0.1 q_dedup_span_scrub: skew-safe dup test, one gram exchange, no window") {
     val p = auditCommon("q_dedup_span_scrub")
-    // window dup-test on h + per-doc collect_set + the doc-side join:
-    // at most three key-partitioned exchanges, none of them text-bearing
-    // beyond the final doc join
-    assert(hashExchanges(p) <= 3, p)
+    // (h, doc_id) pre-aggregate + df count + dup rejoin + per-doc
+    // reassembly + the doc-side join: at most four key-partitioned
+    // exchanges, none of them text-bearing beyond the final doc join
+    assert(hashExchanges(p) <= 4, p)
+    // the hot-gram path must NOT be a per-key window (round-7 skew watch
+    // item): the dup test rides aggregates with map-side partials, and the
+    // (h, doc_id) exchange is built once for both branches
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ReusedExchange"), p)
     // the global orderBy of the output is a range exchange, never a
     // single-partition sort
     assert(!p.contains("Exchange SinglePartition") ||

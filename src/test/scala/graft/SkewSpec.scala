@@ -91,4 +91,62 @@ class SkewSpec extends AnyFunSuite {
     // co-located bucketed join: no shuffle exchange on either side
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("gram-df ops survive a planted hot gram: no per-key window, outputs exact") {
+    import spark.implicits._
+    // one boilerplate trigram shared by EVERY doc (the 100 TB hot-gram
+    // scenario in miniature) + per-doc unique filler, one genuine dup pair
+    val boiler = "terms of service"
+    val docs = (0L until 200L).map { i =>
+      val unique =
+        if (i == 7L || i == 13L) "copied copied body text here" // cross-doc dup span
+        else s"u${i}a u${i}b u${i}c u${i}d"
+      (i, s"$boiler $unique", "en", "s0", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val gram = 3
+    def windows(text: String): Seq[Seq[String]] = {
+      val t = text.split(" ").toSeq
+      if (t.length < gram) Seq(t) else t.sliding(gram).toSeq
+    }
+    val allWins = docs.collect().map(r => r.getLong(0) -> windows(r.getString(1))).toMap
+    val dfCount: Map[Seq[String], Int] =
+      allWins.toSeq.flatMap { case (id, ws) => ws.distinct.map(w => (w, id)) }
+        .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+
+    // stats: n_dup counts positions whose gram occurs in >= 2 docs
+    val stats = graft.ops.DedupOps.duplicateSpanStatsOf(docs, gram)
+    val got = stats.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    allWins.foreach { case (id, ws) =>
+      val (nGrams, nDup) = got(id)
+      assert(nGrams == ws.length, s"doc $id n_grams")
+      assert(nDup == ws.count(w => dfCount(w) >= 2), s"doc $id n_dup")
+    }
+    // every doc's boilerplate positions are dup; the unique filler is not
+    assert(got.values.forall(_._2 >= 1))
+
+    // scrub: every token covered by a >=2-doc window is cut
+    val scrub = graft.ops.DedupOps.duplicateSpanScrubOf(docs, gram)
+    val cleans = scrub.collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    allWins.foreach { case (id, ws) =>
+      val toks = docs.collect().find(_.getLong(0) == id).get.getString(1).split(" ")
+      val covered = ws.zipWithIndex.collect {
+        case (w, i) if dfCount(w) >= 2 => i until math.min(i + gram, toks.length)
+      }.flatten.toSet
+      val expect = toks.zipWithIndex.collect {
+        case (t, i) if !covered(i) => t
+      }.mkString(" ")
+      assert(cleans(id) == expect, s"doc $id scrub")
+    }
+
+    // scale shape: the hot gram must not route through a per-key window,
+    // and the (h, doc_id) exchange is built once (explode runs once)
+    Seq("stats" -> stats, "scrub" -> scrub).foreach { case (tag, q) =>
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$tag: ${plan.take(2000)}")
+      assert(plan.contains("ReusedExchange"),
+        s"$tag should reuse the (h, doc_id) exchange across branches")
+    }
+  }
 }
