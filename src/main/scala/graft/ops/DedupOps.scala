@@ -906,17 +906,25 @@ object DedupOps {
   /** Frame-based core of [[duplicateSpanScrub]] — exposed for
     * [[graft.ScaleProbe]]'s growth measurement over synthetic corpora.
     */
-  private[graft] def duplicateSpanScrubOf(d: DataFrame, gram: Int): DataFrame = {
-    // explicit isNotNull: the per-doc reassembly join infers it on ITS
-    // branch only, which would desynchronize the two copies of the shared
-    // pre-aggregate subtree and defeat ReusedExchange — stating it once in
-    // the shared scan keeps both branches byte-identical
-    val grams = d
+  /** (doc_id, start, h): every `gram`-token window of every document as a
+    * 1-based start position + 60-bit hash — 24-byte rows, never text.
+    * Shared by the batch scrub and its streaming twin.
+    */
+  private[graft] def gramPositions(d: DataFrame, gram: Int): DataFrame =
+    d
       .where(col("doc_id").isNotNull)
       .select(col("doc_id"),
         posexplode(graft.functions.SimhashExpressions
           .gram_hash60s(split(col("text"), " "), gram)))
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
+
+  private[graft] def duplicateSpanScrubOf(d: DataFrame, gram: Int): DataFrame = {
+    // explicit isNotNull (inside gramPositions): the per-doc reassembly
+    // join infers it on ITS branch only, which would desynchronize the two
+    // copies of the shared pre-aggregate subtree and defeat ReusedExchange
+    // — stating it once in the shared scan keeps both branches
+    // byte-identical
+    val grams = gramPositions(d, gram)
     // in ≥ 2 distinct docs ⟺ the per-(h, doc_id) PRE-AGGREGATE has ≥ 2
     // rows for h — NOT a Window.partitionBy(h): a boilerplate gram
     // repeated across millions of docs makes the window's
@@ -943,6 +951,19 @@ object DedupOps {
       .join(dupH, "h")
       .groupBy(col("doc_id"))
       .agg(flatten(collect_list(col("starts"))).as("ss"))
+    applySpanScrub(d, dupStarts, gram).orderBy("doc_id")
+  }
+
+  /** The rewrite half of the span scrub, shared with the STREAMING twin:
+    * given per-doc duplicated window starts `dupStarts` = (doc_id,
+    * ss: array<int>), cut every token covered by a duplicated window and
+    * reassemble. Map-side per doc after the left join — covered positions
+    * expand from this doc's starts only (bounded by doc length), and the
+    * surviving-position projection is hash-based `array_except` over the
+    * position range: O(tokens + covered), not O(tokens × covered).
+    */
+  private[graft] def applySpanScrub(
+      d: DataFrame, dupStarts: DataFrame, gram: Int): DataFrame =
     d
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .join(dupStarts, Seq("doc_id"), "left")
@@ -961,8 +982,6 @@ object DedupOps {
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("clean"))).cast("long").as("n_removed"),
         array_join(col("clean"), " ").as("clean_text"))
-      .orderBy("doc_id")
-  }
 
   def duplicateSpanScrubSql(gram: Int = 10): String = {
     val h = hash60Sql(s"array_to_string(list_slice(toks, start, start + ${gram - 1}), ' ')")

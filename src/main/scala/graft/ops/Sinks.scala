@@ -86,9 +86,15 @@ object Sinks {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // the write consumed the checkpoint — release its pinned blocks so a
+      // long-running streaming sink doesn't accumulate one per batch
+      // (no-op on the fresh-store branch, which has no checkpoint leaf)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(merged)
     }
   }
 

@@ -383,6 +383,117 @@ object StreamingDedup {
     * ([[graft.ops.TextOps.decontaminateBloom]]) is the swap-in: same
     * per-row shape, fixed 8 KB bitset.
     */
+  // ---- streaming duplicate-span scrub ------------------------------------
+
+  /** STREAMING ExactSubstr scrub — the incremental twin of
+    * [[DedupOps.duplicateSpanScrub]]. Exact cross-doc gram document
+    * frequency cannot be kept on an unbounded stream, so prior-batch
+    * knowledge lives in a FIXED-size Bloom bitset over the 60-bit gram
+    * hashes (2^logM bits — 128 KB at the default, independent of corpus
+    * length; the fixed-state discipline of
+    * [[graft.ops.TextOps.decontaminateBloom]], 2 probe positions from
+    * disjoint hash slices), persisted as a (word, bits) parquet table one
+    * generation per batch:
+    *
+    *  - WITHIN a micro-batch, duplicated spans are detected EXACTLY by the
+    *    batch operator's own skew-safe two-level aggregate;
+    *  - ACROSS batches, a gram probing positive against the prior
+    *    generation's bitset is duplicated — a doc arriving AFTER its
+    *    duplicate partner is scrubbed exactly like the batch op, while the
+    *    first arrival was already emitted clean (the same one-sided
+    *    relaxation as the admission samplers); Bloom false positives
+    *    over-scrub at the bitset fill rate ε and never under-scrub.
+    *
+    * Replay idempotence: output lands in an overwrite-per-batch partition
+    * directory and the bitset is versioned per batch id — a replayed batch
+    * reloads the generation written BEFORE it, so both its scrub decisions
+    * and its regenerated bitset are bit-identical. Generations older than
+    * the current batch's predecessor are pruned (disk ≤ 2 bitsets).
+    */
+  def startSpanScrubSink(
+      docs: DataFrame, outPath: String, statePath: String, checkpoint: String,
+      gram: Int = 10, logM: Int = 20) = {
+    val m = 1L << logM
+    def probed(g: DataFrame): DataFrame = g
+      .withColumn("p1", pmod(col("h"), lit(m)))
+      .withColumn("p2", pmod(expr("shiftright(h, 20)"), lit(m)))
+    def wordsOf(g: DataFrame): DataFrame = probed(g)
+      .select(explode(array(col("p1"), col("p2"))).as("pos"))
+      .select(expr("shiftright(pos, 6)").as("w"),
+        expr("shiftleft(1L, cast(pos % 64 AS int))").as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("bits"))
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        batch.persist()
+        try {
+          val grams = DedupOps.gramPositions(batch, gram)
+          // newest bitset generation STRICTLY BEFORE this batch — replay-safe
+          val gens = Option(new java.io.File(statePath).listFiles)
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => f.getName.startsWith("gen-") &&
+              new java.io.File(f, "_SUCCESS").exists)
+            .map(f => f.getName.stripPrefix("gen-").toLong -> f)
+            .filter(_._1 < batchId)
+          val prior = gens.sortBy(_._1).lastOption
+            .map(g => s.read.parquet(g._2.getPath))
+          val priorHit = prior match {
+            case None => grams.limit(0).select(col("doc_id"), col("start"))
+            case Some(words) =>
+              val b1 = broadcast(words.select(col("w").as("w1"), col("bits").as("bits1")))
+              val b2 = broadcast(words.select(col("w").as("w2"), col("bits").as("bits2")))
+              probed(grams)
+                .join(b1, expr("shiftright(p1, 6)") === col("w1"), "left")
+                .join(b2, expr("shiftright(p2, 6)") === col("w2"), "left")
+                .where(
+                  col("bits1").isNotNull && col("bits2").isNotNull &&
+                    (col("bits1")
+                      .bitwiseAND(expr("shiftleft(1L, cast(p1 % 64 AS int))")) =!= 0) &&
+                    (col("bits2")
+                      .bitwiseAND(expr("shiftleft(1L, cast(p2 % 64 AS int))")) =!= 0))
+                .select(col("doc_id"), col("start"))
+          }
+          // exact within-batch detection: the batch op's skew-safe shape
+          val perDoc = grams.groupBy(col("h"), col("doc_id"))
+            .agg(collect_list(col("start")).as("starts"))
+          val dupH = perDoc.groupBy(col("h"))
+            .agg(sum(least(size(col("starts")), lit(1)).cast("long")).as("n_docs"))
+            .where(col("n_docs") >= 2).select(col("h"))
+          val inBatch = perDoc.join(dupH, "h")
+            .select(col("doc_id"), explode(col("starts")).as("start"))
+          val dupStarts = inBatch.unionByName(priorHit)
+            .groupBy(col("doc_id")).agg(collect_set(col("start")).as("ss"))
+          DedupOps.applySpanScrub(batch, dupStarts, gram)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          // fold this batch's grams into the bitset → next generation
+          val newWords = prior.fold(wordsOf(grams))(w =>
+            wordsOf(grams).unionByName(w)
+              .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits")))
+          newWords.coalesce(1).write.mode("overwrite")
+            .parquet(s"$statePath/gen-$batchId")
+          // prune: the current generation + its predecessor (replay anchor)
+          val keep = Set(batchId) ++ gens.map(_._1).sorted.lastOption
+          Option(new java.io.File(statePath).listFiles)
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => f.getName.startsWith("gen-") &&
+              !keep.contains(f.getName.stripPrefix("gen-").toLong))
+            .foreach { f =>
+              val it = java.nio.file.Files.walk(f.toPath)
+                .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .iterator()
+              while (it.hasNext) {
+                try java.nio.file.Files.delete(it.next())
+                catch { case _: Exception => () }
+              }
+            }
+          ()
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+  }
+
   def decontaminateStream(s: SparkSession, docs: DataFrame, dir: String): DataFrame = {
     val evalArr = broadcast(
       graft.ops.TextOps.evalHashes(s, dir).agg(collect_list(col("h")).as("eval_hs")))

@@ -402,6 +402,33 @@ object StreamingPipeline {
       }
       .start()
 
+  /** K1/K2 at 100 TB, streaming form: the PARTITION-SCOPED merge sink.
+    * Each micro-batch upserts by key into ONLY the day-partitions it
+    * touches ([[graft.ops.Sinks.upsertPartitioned]]: dynamic partition
+    * overwrite — the parquet-level equivalent of a lakehouse `MERGE INTO`'s
+    * file pruning; on Delta/Iceberg this body becomes a real MERGE and the
+    * shape is unchanged). Cost per trigger is O(touched partitions), not
+    * O(store) — the full-store rewrite of [[startUpsertSink]]'s
+    * `upsertParquet` is the small-store form only. Replay converges:
+    * new-rows-win dedup per key inside the touched partitions
+    * (StreamingSpec pins replay idempotence AND that untouched partitions
+    * are never rewritten).
+    */
+  def startPartitionedUpsertSink(
+      projected: DataFrame,
+      storePath: String,
+      checkpoint: String) =
+    projected.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withDay = batch.withColumn("day", to_date(col("timestamp_utc")))
+        graft.ops.Sinks.upsertPartitioned(
+          withDay, storePath, Seq("event_id"), "day")
+        ()
+      }
+      .start()
+
   /** Idempotent upsert + DLQ split sink (K1/K2/K6/R2) for the projected
     * stream: every micro-batch MERGEs good rows by key into the store
     * (here: parquet keyed-overwrite, on a lakehouse: MERGE INTO) and

@@ -620,4 +620,146 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterFirst == afterReplay, "upsert sink must be idempotent under replay")
     assert(spark.read.parquet(dlq).count() > 0)
   }
+
+  test("streaming span scrub: in-batch exact, later arrival matches batch, first stays clean") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val base = Files.createTempDirectory("graft_span_stream").toString
+    val boiler = "alpha beta gamma delta epsilon"
+    val d1 = (1L, s"$boiler u1a u1b")           // batch 1, boiler's first arrival
+    val d2 = (2L, "u2a u2b u2c u2d")            // unique everywhere
+    val d3 = (3L, "shared span here x3a")       // in-batch dup pair with d4
+    val d4 = (4L, "shared span here x4a")
+    val d5 = (5L, s"$boiler u5a u5b")           // batch 2, duplicates d1's boiler
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.startSpanScrubSink(
+      input.toDF().toDF("doc_id", "text"),
+      s"$base/out", s"$base/state", s"$base/cp", gram = 3)
+    try {
+      input.addData(d1, d2, d3, d4)
+      q.processAllAvailable()
+      input.addData(d5)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(s"$base/out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.size == 5)
+
+    // within-batch cross-doc dup: exact, both members scrubbed
+    assert(out(3L) == ((4L, 3L, "x3a")), out(3L))
+    assert(out(4L) == ((4L, 3L, "x4a")), out(4L))
+    // unique doc untouched
+    assert(out(2L) == ((4L, 0L, "u2a u2b u2c u2d")), out(2L))
+    // FIRST arrival of the boiler was emitted before its duplicate existed
+    // — clean, the documented one-sided relaxation
+    assert(out(1L) == ((7L, 0L, s"$boiler u1a u1b")), out(1L))
+    // LATER arrival: scrubbed exactly like the batch operator over the
+    // full corpus
+    val batch = graft.ops.DedupOps.duplicateSpanScrubOf(
+      Seq(d1, d2, d3, d4, d5).toDF("doc_id", "text"), 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(5L) == batch(5L), s"streamed ${out(5L)} vs batch ${batch(5L)}")
+    assert(batch(5L)._3 == "u5a u5b")
+
+    // bounded state on disk: at most 2 bitset generations survive pruning
+    val gens = new java.io.File(s"$base/state").listFiles
+      .filter(_.getName.startsWith("gen-"))
+    assert(gens.length <= 2, gens.map(_.getName).mkString(","))
+  }
+
+  test("partitioned merge sink: replay idempotent, untouched day partitions not rewritten") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    def ts(day: Int, h: Int): java.sql.Timestamp = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2025, 6, day, h, 0))
+    val drop1 = Seq((1L, 10L, ts(1, 8), 20.0), (2L, 10L, ts(2, 9), 21.0))
+    val drop2 = Seq((3L, 11L, ts(2, 10), 25.0), (2L, 10L, ts(2, 9), 99.0))
+
+    def runOnce(store: String, cp: String): Unit = {
+      val input = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+      val q = StreamingPipeline.startPartitionedUpsertSink(
+        input.toDF().toDF("event_id", "city_id", "timestamp_utc", "temperature_deg_c"),
+        store, cp)
+      try {
+        input.addData(drop1: _*)
+        q.processAllAvailable()
+        // day=2025-06-01 exists now; record its physical files
+        val day1 = new java.io.File(s"$store/day=2025-06-01")
+        val before = day1.listFiles.filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified).toMap
+        input.addData(drop2: _*) // touches day 2 ONLY
+        q.processAllAvailable()
+        val after = day1.listFiles.filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified).toMap
+        assert(before == after,
+          s"day-1 partition rewritten by a day-2 batch: $before vs $after")
+      } finally q.stop()
+    }
+
+    val base = Files.createTempDirectory("graft_pupsert").toString
+    runOnce(s"$base/store1", s"$base/cp1")
+    def rowsOf(store: String) = spark.read.parquet(store)
+      .select("event_id", "temperature_deg_c").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val first = rowsOf(s"$base/store1")
+    // key 2 merged new-wins; keys 1 and 3 present
+    assert(first == Set((1L, 20.0), (2L, 99.0), (3L, 25.0)), first)
+    // full redelivery into a fresh checkpoint converges to the same store
+    runOnce(s"$base/store1", s"$base/cp2")
+    assert(rowsOf(s"$base/store1") == first, "partitioned merge not idempotent")
+  }
+
+  test("streaming quality-budget admission converges to the batch greedy selection") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSampler
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // three quality tiers, 10 tokens per doc: score 0.9 / 0.5 / 0.1
+    def doc(score: Double, id: Long): (Long, String, String) = {
+      val nUniq = (score * 10).toInt
+      val toks = (0 until 10).map(i => s"w${math.min(i, nUniq - 1)}")
+      (id, toks.mkString(" "), "s0")
+    }
+    val tier = (base: Long, sc: Double) => (0L until 10L).map(i => doc(sc, base + i))
+    val warm = tier(100L, 0.9) ++ tier(200L, 0.5) ++ tier(300L, 0.1) // observe-only
+    val live = tier(400L, 0.9) ++ tier(500L, 0.5) ++ tier(600L, 0.1)
+    val budget = 100L // exactly the ten top-tier docs
+
+    def runOnce(name: String): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String, String)]
+      val q = StreamingSampler.qualityBudgetAdmit(
+          spark, input.toDF().toDF("doc_id", "text", "source"), budget)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData(warm: _*) // mass 300 ≥ minHistory → threshold fits here
+        q.processAllAvailable()
+        input.addData(live: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    }
+
+    val admitted = runOnce("qba1")
+    // warmup batch emitted nothing (history below one budget of mass at
+    // batch start); live batch admits EXACTLY the batch-greedy choice:
+    // the ten top-tier docs, 100 tokens
+    assert(admitted.map(_._1) == (400L until 410L).toSet, admitted)
+    assert(admitted.toSeq.map(_._2).sum == budget, admitted)
+    // and that matches the batch quality-ranked selection over the live drop
+    val batchSel = graft.ops.CorpusOps.tokenBudgetSelectOf(
+        spark, live.toDF("doc_id", "text", "source").select(col("doc_id"), col("text")),
+        budget)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted.map(_._1) == batchSel, s"streamed $admitted vs batch $batchSel")
+    // budget is a hard cap and replays are deterministic
+    assert(runOnce("qba2") == admitted)
+  }
 }
