@@ -107,6 +107,12 @@ object SparkEntry {
     "q_sem_dedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
     "q_zorder_stats" -> (graft.ops.Layout.zorderStats _),
 
+    // table maintenance + monitoring tier
+    "q_sketch_rollup" -> (graft.ops.SketchOps.sketchRollup _),
+    "q_profile_table" -> ((s, d) => graft.ops.SketchOps.profileTable(s, d)),
+    "q_shuffle_shard" -> ((s, d) => graft.ops.ShardOps.shuffleShardStats(s, d)),
+    "q_compact_digest" -> (graft.ops.Compaction.compactDigest _),
+
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
     "q_multimodal_decode" -> (MultimodalOps.decodePng _),
@@ -285,6 +291,10 @@ object SparkEntry {
     "q_ann_ivfpq" -> SimilarityOps.annIvfPqSql,
     "q_sem_dedup" -> SimilarityOps.semDedupSql(),
     "q_zorder_stats" -> graft.ops.Layout.zorderStatsSql,
+    "q_sketch_rollup" -> graft.ops.SketchOps.sketchRollupSql,
+    "q_profile_table" -> graft.ops.SketchOps.profileTableSql,
+    "q_shuffle_shard" -> graft.ops.ShardOps.shuffleShardStatsSql(),
+    "q_compact_digest" -> graft.ops.Compaction.compactDigestSql,
     "q_brand_revenue" -> RelationalOps.brandRevenueSql,
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,

@@ -1,0 +1,126 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Small-file compaction — the table-maintenance job every 100 TB ingest
+  * needs: a streaming or many-executor write leaves each day partition as
+  * hundreds of small files (one per task per micro-batch); scans then pay
+  * per-file open/footer/listing costs that dwarf the IO, and the NameNode/
+  * object-store listing itself becomes the bottleneck.
+  *
+  * The compactor is one REBALANCE-hinted shuffle per maintenance run:
+  * `hint("rebalance", partitionCol)` hashes rows to their partition and
+  * lets AQE size the reduce side — small days COALESCE into one task
+  * (merging their files), hot days SPLIT across tasks (capped file size)
+  * because `optimizeSkewsInRebalancePartitions` slices oversized
+  * partitions at map-block granularity. That beats the two naive forms:
+  * `coalesce(n)` (no per-partition control, skew-blind) and
+  * `repartition(partitionCol)` (exactly one task — and one giant file —
+  * per hot day). Target file size is the scoped
+  * `advisoryPartitionSizeInBytes`, the same knob a real maintenance job
+  * exposes. CompactionSpec pins the file counts before/after and that hot
+  * days still produce >1 bounded file.
+  */
+object Compaction {
+
+  /** Per-day fragment count the synthetic pre-state writes — stands in for
+    * "hundreds of micro-batch files per partition". */
+  val FragmentFactor = 24
+
+  private def base(tag: String) = Paths.get(
+    System.getProperty("java.io.tmpdir", "/tmp"), "graft-compact", tag)
+
+  /** Deliberately fragmented date-partitioned copy of `events`:
+    * round-robin into [[FragmentFactor]] tasks BEFORE `partitionBy`, so
+    * every day directory lands as ~FragmentFactor files — the post-ingest
+    * state a compactor faces. Keyed by (input dir, app id) like
+    * [[graft.sources.Partitioned.ensure]] so concurrent JVMs never race. */
+  def ensureFragmented(s: SparkSession, sfDir: String): String = {
+    val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+    val dirTag = java.util.UUID
+      .nameUUIDFromBytes(sfDir.getBytes("UTF-8")).toString.take(8).replace("-", "")
+    val path = base(s"events_frag_${dirTag}_$appTag")
+    Compaction.synchronized {
+      if (!Files.exists(path.resolve("_SUCCESS"))) {
+        Tables.read(s, sfDir, "events")
+          .withColumn("event_date", to_date(col("ts")))
+          .repartition(FragmentFactor)
+          .write.partitionBy("event_date").mode("overwrite")
+          .parquet(path.toString)
+      }
+    }
+    path.toString
+  }
+
+  /** Compact `inPath` (date-partitioned parquet) into `outPath` with
+    * target file size `targetBytes`. One shuffle; AQE owns the output
+    * file count per day. */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      targetBytes.toString)
+    scoped.conf.set(
+      "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled", "true")
+    scoped.read.parquet(inPath)
+      .hint("rebalance", col("event_date"))
+      .write.partitionBy("event_date").mode("overwrite")
+      .parquet(outPath)
+  }
+
+  /** Files per day directory of a partitioned parquet table — the metric
+    * compaction exists to shrink. Driver-side listing of PARTITION
+    * DIRECTORIES only (bounded: one entry per day), never of data rows. */
+  def filesPerDay(path: String): Map[String, Int] = {
+    val root = Paths.get(path)
+    val days = Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("event_date="))
+    days.map { d =>
+      val n = Files.list(d).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      d.getFileName.toString -> n
+    }.toMap
+  }
+
+  private val compactedCache =
+    IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Oracled round-trip: fragment → compact → read back → per-day digest
+    * against the RAW events table. Any row lost, duplicated, or moved to
+    * the wrong day partition by the compactor breaks the hash; the file
+    * counts themselves are spec territory (CompactionSpec), not oracle
+    * territory. The tiny targetBytes makes AQE's sizing decisions visible
+    * even at test scale. */
+  def compactDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val out = IndexMemo(compactedCache, (s, sfDir)) {
+      val in = ensureFragmented(s, sfDir)
+      val outPath = in.replace("events_frag_", "events_compact_")
+      compact(s, in, outPath, targetBytes = 4L * 1024 * 1024)
+      outPath
+    }
+    s.read.parquet(out)
+      .groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(pmod(TextOps.hash60(concat_ws(":", col("event_id"), col("user_id"))),
+          lit(1L << 40))).as("row_digest"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_date")
+  }
+
+  val compactDigestSql: String = {
+    val h = TextOps.hash60Sql("concat(event_id, ':', user_id)")
+    s"""SELECT date_trunc('day', ts)::DATE AS event_date,
+       |  count(*) AS n_events,
+       |  sum(($h) % ${1L << 40})::BIGINT AS row_digest,
+       |  round(sum(value), 2) AS value_sum
+       |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin
+  }
+}
