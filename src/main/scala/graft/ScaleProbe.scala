@@ -91,7 +91,7 @@ object ScaleProbe {
 
     if (!rangeOnly) {
       probeDedupCandidates(spark); probeNativeKernels(spark)
-      probeSelectionOps(spark)
+      probeSelectionOps(spark); probeMaintenanceOps(spark)
     }
     probeRangeJoin(spark, nIntervals)
     spark.stop()
@@ -117,6 +117,29 @@ object ScaleProbe {
         s"""{"probe":"selection_ops","n":$n,""" +
           s""""token_budget_kept":$kept,"token_budget_sec":${s1(tTb)},""" +
           s""""span_scrub_removed":$removed,"span_scrub_sec":${s1(tScrub)}}""")
+    }
+  }
+
+  /** Wall-time growth of the round-8 maintenance tier at 1× and 10×:
+    * shuffle-shard (claim: ONE hash shuffle + per-shard local sort, so
+    * ∝ n log(n/shards)), the one-pass profiler in its approx form (claim:
+    * single scan, mergeable sketch partials, no Expand), and the exact
+    * form (claim: same scan with the ×6 Expand multiplier — the measured
+    * gap IS the documented cost of exactness).
+    */
+  private def probeMaintenanceOps(spark: SparkSession): Unit = {
+    for (n <- Seq(5000, 50000)) withSynthDocs(spark, n, 31) { d0 =>
+      val d = d0.withColumn("lang", lit("en"))
+      val (_, tShard) = time(
+        graft.ops.ShardOps.shuffleShardStatsOf(d, 8, 42).collect())
+      val (_, tProfA) = time(
+        graft.ops.SketchOps.profileTableOf(d, exact = false).collect())
+      val (_, tProfE) = time(
+        graft.ops.SketchOps.profileTableOf(d, exact = true).collect())
+      println(
+        s"""{"probe":"maintenance_ops","n":$n,""" +
+          s""""shard_sec":${s1(tShard)},"profile_approx_sec":${s1(tProfA)},""" +
+          s""""profile_exact_sec":${s1(tProfE)}}""")
     }
   }
 

@@ -36,9 +36,14 @@ object ShardOps {
     * (seed, nShards) — PropertySpec pins permutation-invariance and that
     * two runs agree row-for-row. */
   def shuffleShard(s: SparkSession, dir: String,
-      nShards: Int = 8, seed: Int = 42): DataFrame = {
+      nShards: Int = 8, seed: Int = 42): DataFrame =
+    shuffleShardOf(docs(s, dir), nShards, seed)
+
+  /** Core form over any (doc_id, text) frame — ScaleProbe drives this
+    * directly at synthetic 1×/10× corpus sizes. */
+  def shuffleShardOf(docs: DataFrame, nShards: Int, seed: Int): DataFrame = {
     val key = TextOps.hash60(concat_ws(":", col("doc_id"), lit(seed)))
-    docs(s, dir)
+    docs
       .select(col("doc_id"), col("text"), key.as("k"))
       .withColumn("shard_id", pmod(col("k"), lit(nShards.toLong)))
       .withColumn("position",
@@ -52,7 +57,11 @@ object ShardOps {
     * sum over ≤10^7 rows < 2^63: no overflow under ANSI mode. */
   def shuffleShardStats(s: SparkSession, dir: String,
       nShards: Int = 8, seed: Int = 42): DataFrame =
-    shuffleShard(s, dir, nShards, seed)
+    shuffleShardStatsOf(docs(s, dir), nShards, seed)
+
+  def shuffleShardStatsOf(docs: DataFrame,
+      nShards: Int = 8, seed: Int = 42): DataFrame =
+    shuffleShardOf(docs, nShards, seed)
       .groupBy(col("shard_id"))
       .agg(
         count(lit(1)).as("n_docs"),

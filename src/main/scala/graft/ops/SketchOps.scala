@@ -97,8 +97,15 @@ object SketchOps {
     * exact). `text` is profiled by md5 (distinct) and length (min/max/avg)
     * so no full-text bytes ever enter the shuffle.
     */
-  def profileTable(s: SparkSession, dir: String, exact: Boolean = true): DataFrame = {
-    val docs = Tables.read(s, dir, "documents")
+  def profileTable(s: SparkSession, dir: String, exact: Boolean = true): DataFrame =
+    profileTableOf(Tables.read(s, dir, "documents"), exact)
+
+  /** Core form over any documents-shaped frame (ScaleProbe drives this at
+    * synthetic 1×/10× corpus sizes; n_chars may be derived). */
+  def profileTableOf(docsIn: DataFrame, exact: Boolean): DataFrame = {
+    val docs =
+      if (docsIn.columns.contains("n_chars")) docsIn
+      else docsIn.withColumn("n_chars", length(col("text")).cast("long"))
     def dcount(c: Column): Column =
       if (exact) countDistinct(c) else approx_count_distinct(c, rsd = 0.01)
     def nulls(name: String): Column =
