@@ -89,7 +89,12 @@ object Bench {
     // plus one noise outlier
     def nSamples(n: String): Int =
       if (n.startsWith("q_dedup_") || n == "q_clean_corpus" ||
-        n.startsWith("q_ann_") || n == "q_doc_fingerprint") 5 else 3
+        n.startsWith("q_ann_") || n == "q_doc_fingerprint" ||
+        // fixture-building queries: sample 1 pays a one-off table write
+        // (fragmented copy / bucketed twins / synthesized media blobs) —
+        // 5 samples so the median sits past the cold build
+        n == "q_compact_digest" || n == "q_bucketed_join" ||
+        n.startsWith("q_multimodal_") || n == "q_snapshot_diff") 5 else 3
     // a third calibration HALFWAY through the loop: round-6 observed one
     // query's samples inflate 3x while the start/end probes sat in the
     // quiet band — a mid-run spike is otherwise invisible

@@ -109,6 +109,7 @@ object SparkEntry {
 
     // table maintenance + monitoring tier
     "q_sketch_rollup" -> (graft.ops.SketchOps.sketchRollup _),
+    "q_sketch_intersect" -> (graft.ops.SketchOps.sketchIntersect _),
     "q_profile_table" -> ((s, d) => graft.ops.SketchOps.profileTable(s, d)),
     "q_shuffle_shard" -> ((s, d) => graft.ops.ShardOps.shuffleShardStats(s, d)),
     "q_compact_digest" -> (graft.ops.Compaction.compactDigest _),
@@ -292,6 +293,7 @@ object SparkEntry {
     "q_sem_dedup" -> SimilarityOps.semDedupSql(),
     "q_zorder_stats" -> graft.ops.Layout.zorderStatsSql,
     "q_sketch_rollup" -> graft.ops.SketchOps.sketchRollupSql,
+    "q_sketch_intersect" -> graft.ops.SketchOps.sketchIntersectSql,
     "q_profile_table" -> graft.ops.SketchOps.profileTableSql,
     "q_shuffle_shard" -> graft.ops.ShardOps.shuffleShardStatsSql(),
     "q_compact_digest" -> graft.ops.Compaction.compactDigestSql,

@@ -49,6 +49,7 @@ object Compaction {
     val path = base(s"events_frag_${dirTag}_$appTag")
     Compaction.synchronized {
       if (!Files.exists(path.resolve("_SUCCESS"))) {
+        IndexStore.recordFixtureBuild("fragmented-events")
         Tables.read(s, sfDir, "events")
           .withColumn("event_date", to_date(col("ts")))
           .repartition(FragmentFactor)
@@ -73,6 +74,42 @@ object Compaction {
       .hint("rebalance", col("event_date"))
       .write.partitionBy("event_date").mode("overwrite")
       .parquet(outPath)
+  }
+
+  /** Incremental compaction — the form a nightly maintenance job actually
+    * runs: list the partition directories (bounded driver-side metadata,
+    * one entry per day), pick ONLY the days whose file count exceeds
+    * `minFiles`, and rewrite just those via dynamic partition overwrite.
+    * Healthy partitions are never read, never rewritten — their files stay
+    * byte-identical — so the job's cost is ∝ fragmented data, not table
+    * size. Returns the day values it compacted.
+    *
+    * This is `OPTIMIZE ... WHERE` semantics on plain parquet: the same
+    * file-count trigger Delta/Iceberg maintenance uses, with the touched-
+    * partition pruning of [[graft.ops.Sinks.upsertPartitioned]]. */
+  def compactIncremental(s: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 4): Seq[String] = {
+    val fragmented = filesPerDay(path).collect {
+      case (day, n) if n > minFiles => day.stripPrefix("event_date=")
+    }.toSeq.sorted
+    if (fragmented.nonEmpty) {
+      val scoped = s.newSession()
+      scoped.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        targetBytes.toString)
+      scoped.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val staged = scoped.read.parquet(path)
+        // resolves against the PARTITION column: only fragmented day
+        // directories are listed/read; the write then replaces only the
+        // day partitions present in the frame (dynamic overwrite)
+        .where(col("event_date").isin(fragmented: _*))
+        .hint("rebalance", col("event_date"))
+        // materialize before overwriting the directories being read
+        .localCheckpoint()
+      try staged.write.partitionBy("event_date").mode("overwrite").parquet(path)
+      finally org.apache.spark.sql.graftbridge.Bridge
+        .unpersistLocalCheckpoint(staged)
+    }
+    fragmented
   }
 
   /** Files per day directory of a partitioned parquet table — the metric

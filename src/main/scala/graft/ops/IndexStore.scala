@@ -46,6 +46,14 @@ object IndexStore {
     */
   val events: TrieMap[String, String] = TrieMap.empty
 
+  /** Record a one-off SESSION FIXTURE build (bucketed twin tables,
+    * partitioned/fragmented copies, format dumps, synthesized media) in
+    * the same attribution log as durable artifacts — so a bench sample
+    * that paid a fixture write is explainable from bench.json alone. */
+  def recordFixtureBuild(tag: String): Unit = {
+    events.put(s"fixture-$tag", "build"); ()
+  }
+
   private def sha16(s: String): String =
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString

@@ -153,6 +153,7 @@ object MultimodalOps {
   /** (media_id, payload binary) — a genuine PNG per document id. */
   def pngTable(s: SparkSession, dir: String): DataFrame =
     IndexMemo(mediaCache, (s, dir, "png")) {
+      IndexStore.recordFixtureBuild("media-png")
       import s.implicits._
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]
@@ -233,6 +234,7 @@ object MultimodalOps {
   /** (media_id, payload binary) — a genuine frame container per doc id. */
   def videoTable(s: SparkSession, dir: String): DataFrame =
     IndexMemo(mediaCache, (s, dir, "video")) {
+      IndexStore.recordFixtureBuild("media-video")
       import s.implicits._
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]
@@ -362,6 +364,7 @@ object MultimodalOps {
   /** (media_id, frame_idx, payload): three genuine PNGs per document. */
   def framesetTable(s: SparkSession, dir: String): DataFrame =
     IndexMemo(mediaCache, (s, dir, "frameset")) {
+      IndexStore.recordFixtureBuild("media-frameset")
       import s.implicits._
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]
@@ -561,6 +564,7 @@ object MultimodalOps {
   /** (media_id, payload): a genuine WAV per document under the replay rule. */
   def audiosetTable(s: SparkSession, dir: String): DataFrame =
     IndexMemo(mediaCache, (s, dir, "audioset")) {
+      IndexStore.recordFixtureBuild("media-audioset")
       import s.implicits._
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]

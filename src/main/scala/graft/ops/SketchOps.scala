@@ -80,6 +80,64 @@ object SketchOps {
       |  true AS within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Distinct-INTERSECTION cardinality from sketches — the audience-overlap
+    * question ("how many users did BOTH click and purchase?") that a plain
+    * distinct-union sketch cannot answer. HLL supports only union, so the
+    * intersection comes from inclusion-exclusion over three union-able
+    * estimates: |A∩B| = |A| + |B| − |A∪B| — every term computable from the
+    * SAME stored per-type sketches the rollup already maintains, so the
+    * overlap matrix for any pair of dimensions never rescans raw events
+    * and never shuffles raw user ids.
+    *
+    * Error note (documented, gated): inclusion-exclusion compounds the
+    * three estimates' errors, and the RELATIVE error grows as the true
+    * intersection shrinks — fine here (event-type audiences overlap
+    * heavily; each user emits many event types) and for any
+    * large-overlap monitoring question; for small intersections a Theta
+    * sketch family (which intersects natively) is the right tool. The
+    * oracle pins exact counts and the bound flag.
+    */
+  def sketchIntersect(s: SparkSession, dir: String): DataFrame = {
+    val perType = events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), LgK).as("sk"),
+        countDistinct(col("user_id")).as("exact_n"))
+    val a = perType.select(col("event_type").as("type_a"),
+      col("sk").as("sk_a"), col("exact_n").as("n_a"))
+    val b = perType.select(col("event_type").as("type_b"),
+      col("sk").as("sk_b"), col("exact_n").as("n_b"))
+    // exact gate: dedup to (user, type) FIRST (≤ |users|·|types| rows),
+    // then self-join — never a raw event × event join
+    val ut = events(s, dir).select(col("user_id"), col("event_type")).distinct()
+    val exactBoth = ut.alias("x")
+      .join(ut.alias("y"), Seq("user_id"))
+      .where(col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(countDistinct(col("user_id")).as("exact_both"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("approx_both",
+        hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b")) -
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+      .join(exactBoth, Seq("type_a", "type_b"))
+      .select(
+        col("type_a"), col("type_b"), col("exact_both"),
+        (abs(col("approx_both") - col("exact_both")) * 100.0 /
+          greatest(col("exact_both"), lit(1L)) <= HllRollupErrPctBound * 3)
+          .as("within_bound"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** The exact-side oracle self-joins DISTINCT (user, type) pairs — the
+    * same result as the engine's exact branch. */
+  val sketchIntersectSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(DISTINCT a.user_id) AS exact_both,
+      |  true AS within_bound
+      |FROM ut a JOIN ut b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- one-pass table profile --------------------------------------------
 
   /** Deequ-style column profile of the `documents` table in ONE scan: for

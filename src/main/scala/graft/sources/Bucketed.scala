@@ -34,6 +34,7 @@ object Bucketed {
     val ord = s"ord_bkt_${dirTag}_$appTag"
     def build(table: String, df: => DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(table)) {
+        graft.ops.IndexStore.recordFixtureBuild(s"bucketed-$table")
         // belt-and-braces: an identically-named stale dir (appId collision
         // across reboots) blocks CREATE; best-effort clear, tolerating a
         // concurrent deletion

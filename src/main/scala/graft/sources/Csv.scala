@@ -25,6 +25,7 @@ object Csv {
     val out = s"$tmp/graft-csv/${java.util.UUID.nameUUIDFromBytes(
       Tables.fileIdent(sfDir, "documents").getBytes("UTF-8"))}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+      graft.ops.IndexStore.recordFixtureBuild("csv-dump")
       val staging = s"$out.tmp-${java.util.UUID.randomUUID()}"
       Tables.read(s, sfDir, "documents")
         .write.mode("overwrite")

@@ -51,6 +51,7 @@ object Jsonl {
     // (mode("overwrite") DELETES before writing, so a marker-file
     // check-then-act would race across JVMs)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+      graft.ops.IndexStore.recordFixtureBuild("jsonl-dump")
       val staging = s"$out.tmp-${java.util.UUID.randomUUID()}"
       Tables.read(s, sfDir, "events")
         .select(to_json(struct(

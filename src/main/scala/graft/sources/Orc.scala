@@ -24,6 +24,7 @@ object Orc {
     val out = s"$tmp/graft-orc/${java.util.UUID.nameUUIDFromBytes(
       Tables.fileIdent(sfDir, "documents").getBytes("UTF-8"))}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+      graft.ops.IndexStore.recordFixtureBuild("orc-dump")
       val staging = s"$out.tmp-${java.util.UUID.randomUUID()}"
       Tables.read(s, sfDir, "documents")
         .write.mode("overwrite").orc(staging)

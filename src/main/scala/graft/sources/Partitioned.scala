@@ -30,6 +30,7 @@ object Partitioned {
     val path = basePath(s"events_${dirTag}_$appTag")
     Partitioned.synchronized {
       if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+        graft.ops.IndexStore.recordFixtureBuild("partitioned-events")
         Tables.read(s, sfDir, "events")
           .withColumn("event_date", to_date(col("ts")))
           .repartition(col("event_date"))

@@ -67,6 +67,52 @@ class MaintenanceSpec extends AnyFunSuite {
       spark.read.parquet(in).count())
   }
 
+  test("incremental compaction touches ONLY fragmented days") {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"),
+      "graft-compact", s"incr_${spark.sparkContext.applicationId}").toString
+    val ev = Tables.read(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    val days = ev.select("event_date").distinct().orderBy("event_date")
+      .collect().map(_.getDate(0).toString)
+    val (healthyDay, hotDay) = (days.head, days.last)
+    // healthy day: one file; hot day: 24 fragments
+    ev.where(col("event_date") === lit(healthyDay).cast("date"))
+      .repartition(1)
+      .write.partitionBy("event_date").mode("overwrite").parquet(root)
+    ev.where(col("event_date") === lit(hotDay).cast("date"))
+      .repartition(24)
+      .write.partitionBy("event_date").mode("append").parquet(root)
+
+    def fileState(day: String): Set[(String, Long, Long)] = {
+      val d = java.nio.file.Paths.get(root, s"event_date=$day")
+      val s = java.nio.file.Files.list(d).iterator()
+      val b = Set.newBuilder[(String, Long, Long)]
+      while (s.hasNext) {
+        val p = s.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          b += ((p.getFileName.toString, java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      }
+      b.result()
+    }
+    val healthyBefore = fileState(healthyDay)
+    val rowsBefore = spark.read.parquet(root).count()
+
+    val touched = graft.ops.Compaction.compactIncremental(
+      spark, root, targetBytes = 64L * 1024 * 1024, minFiles = 4)
+    assert(touched == Seq(hotDay), s"touched $touched")
+    // the healthy day's files are BYTE-IDENTICAL (same names/sizes/mtimes)
+    assert(fileState(healthyDay) == healthyBefore)
+    // the hot day collapsed
+    val after = graft.ops.Compaction.filesPerDay(root)
+    assert(after(s"event_date=$hotDay") <= 2, s"still fragmented: $after")
+    assert(spark.read.parquet(root).count() == rowsBefore)
+    // second run: nothing left to do
+    assert(graft.ops.Compaction.compactIncremental(
+      spark, root, minFiles = 4).isEmpty)
+  }
+
   // ---- profiler -----------------------------------------------------------
 
   test("profile: exact form plans the Expand, approx form does not") {
@@ -157,6 +203,17 @@ class MaintenanceSpec extends AnyFunSuite {
     val l = viaDaily.orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
     val r = direct.orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(l.toSeq == r.toSeq)
+  }
+
+  test("sketch intersect: all type pairs covered, inclusion-exclusion in bound") {
+    val rows = SketchOps.sketchIntersect(spark, dir).collect()
+    val types = Tables.read(spark, dir, "events")
+      .select("event_type").distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2) // every unordered pair
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"), s"out of bound: $r")
+      assert(r.getAs[Long]("exact_both") > 0)
+    }
   }
 
   test("sketch rollup: bound holds and rollup really merges >1 day") {

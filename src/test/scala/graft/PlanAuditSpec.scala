@@ -476,4 +476,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(all.nonEmpty, p)
     assert(all.forall(_.startsWith("*")), p)
   }
+
+  test("shuffle-shard: keyed window, no SinglePartition, one data shuffle") {
+    // the training-shard shuffle must stay a hash permutation: a window
+    // PARTITIONED by shard_id (thousands of independent sorts at scale),
+    // never an unpartitioned global sort of the corpus
+    val df = graft.ops.ShardOps.shuffleShardStats(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(shard_id"), p)
+    // exchanges: the shard_id hash (window + reused by the aggregate) and
+    // the 8-row final orderBy — nothing proportional to corpus size beyond
+    // the one hash shuffle
+    val nEx = "Exchange ".r.findAllIn(p).length
+    assert(nEx <= 2, s"$nEx exchanges\n$p")
+  }
+
+  test("sketch rollup: daily sketches are map-side partials, merge is bounded") {
+    // the raw-events aggregate must plan partial_hll_sketch_agg (each task
+    // sketches its split; only kilobyte registers cross the wire), and the
+    // rollup side must merge via hll_union_agg over the bounded sketch rows
+    val df = graft.ops.SketchOps.sketchRollup(spark, dir)
+    val p = plan(df)
+    assert(p.contains("partial_hll_sketch_agg"), p)
+    assert(p.contains("hll_union_agg"), p)
+  }
 }
