@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingProfile
+
+/** The live data-quality profile must equal a single-shot batch fold of
+  * the same rows EXACTLY (all stats mergeable; HLL union associative),
+  * and replayed batch ids must not double-count.
+  */
+class StreamingProfileSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-prof-$tag")
+    p.toFile.deleteOnExit(); p.toString
+  }
+
+  // (doc_id, text, lang) with some null langs and varied lengths
+  private val rows: Seq[(Long, String, String)] =
+    (0 until 240).map { i =>
+      (i.toLong,
+        ("tok " * (5 + i % 40)).trim,
+        if (i % 11 == 0) null else Seq("en", "de", "fr")(i % 3))
+    }
+
+  test("streamed profile == one-shot batch fold, exactly; stats are sane") {
+    val store = tmpDir("s") + "/prof"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingProfile.startProfileSink(
+      input.toDF().toDF("doc_id", "text", "lang"), store, tmpDir("c"))
+    try {
+      rows.grouped(80).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val oneShot = tmpDir("o") + "/prof"
+    StreamingProfile.mergeBatchIntoStore(
+      rows.toDF("doc_id", "text", "lang"), oneShot, 0L)
+
+    val a = StreamingProfile.profileFromStore(spark, store)
+      .collect().map(_.toString).toSeq
+    val b = StreamingProfile.profileFromStore(spark, oneShot)
+      .collect().map(_.toString).toSeq
+    assert(a == b, s"streamed $a\nvs one-shot $b")
+
+    val byCol = StreamingProfile.profileFromStore(spark, store)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(byCol("doc_id").getAs[Long]("n_rows") == 240)
+    assert(byCol("doc_id").getAs[Long]("n_distinct_est") == 240) // exact-range HLL
+    assert(byCol("lang").getAs[Long]("n_nulls") == rows.count(_._3 == null))
+    assert(byCol("lang").getAs[String]("min_str") == "de")
+    assert(byCol("text_len").getAs[Double]("min_num") > 0)
+  }
+
+  test("replayed or stale batch ids never double-count") {
+    val store = tmpDir("r") + "/prof"
+    val b0 = rows.take(100).toDF("doc_id", "text", "lang")
+    StreamingProfile.mergeBatchIntoStore(b0, store, 0L)
+    val before = StreamingProfile.profileFromStore(spark, store)
+      .collect().map(_.toString).toSeq
+    StreamingProfile.mergeBatchIntoStore(b0, store, 0L) // exact replay
+    val after = StreamingProfile.profileFromStore(spark, store)
+      .collect().map(_.toString).toSeq
+    assert(before == after)
+    // progress still possible after the skip
+    StreamingProfile.mergeBatchIntoStore(
+      rows.slice(100, 140).toDF("doc_id", "text", "lang"), store, 1L)
+    val counts = StreamingProfile.profileFromStore(spark, store)
+      .where(col("column_name") === "doc_id").collect()(0)
+    assert(counts.getAs[Long]("n_rows") == 140)
+  }
+}
