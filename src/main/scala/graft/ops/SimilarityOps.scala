@@ -1040,29 +1040,65 @@ object SimilarityOps {
       .select(col("query_id"), col("j"), col("cid"),
         l2sq(col("q_sv"), col("c_vec")).as("d2"))
 
+  /** Wide form of the codes table: (vec_id, codes[m]) with codes[j] = the
+    * j-th subspace's codebook id. THIS is the production layout — m bytes
+    * per vector (16 here), the 16×-compressed corpus a 100 TB ADC scan
+    * reads — while the long (vec_id, j, cid) artifact stays the
+    * oracle-friendly normal form. One n-group fold over the loaded
+    * artifact, derived per plan (bounded: n rows × m entries).
+    */
+  private def pqCodesWide(s: SparkSession, dir: String): DataFrame =
+    pqCodes(s, dir)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("cid")))).as("parts"))
+      .select(col("vec_id"),
+        transform(col("parts"), p => p.getField("cid")).as("codes"))
+
+  /** Wide per-query ADC lookup table: (query_id, dtab[m·k]) with
+    * dtab[j·k + cid] = d2(query subvector j, codebook entry cid) — the
+    * flat distance table a real ADC kernel indexes. q rows, broadcast.
+    */
+  private def pqLutWide(s: SparkSession, dir: String): DataFrame =
+    pqLut(s, dir)
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("cid"), col("d2"))))
+        .as("parts"))
+      .select(col("query_id"),
+        transform(col("parts"), p => p.getField("d2")).as("dtab"))
+
   /** The shared ADC tail used by [[annPqAdc]] (cand = None → every
     * (query, vector) pair) and [[annIvfPq]] (cand = the probed-cell
     * members): ADC sum folded IN SUBSPACE ORDER, `PqShortlist` shortlist,
     * exact cosine re-rank, top-3. One implementation, one tie-break,
     * mirrored by one oracle tail.
+    *
+    * Scale shape: the scan side carries only (vec_id, codes[m]) — m small
+    * ints per corpus vector — and each query's flat distance table rides
+    * in as a broadcast row; the ADC sum is a MAP-SIDE fixed-order fold
+    * (j = 0..m−1, so reassociation can't flip a rank vs the oracle's
+    * ORDER BY j list_sum), m array lookups per candidate, no shuffle until
+    * the per-query shortlist. The previous long-form shape joined codes to
+    * the LUT on (j, cid) — an n·m·q-row shuffle into an m-way
+    * collect_list per pair — which at 100 TB moves m rows per
+    * (vector, query) where this moves one.
     */
   private def adcShortlistRerank(
       s: SparkSession, dir: String, cand: Option[DataFrame]): DataFrame = {
-    val lut = pqLut(s, dir)
-    val scoredPairs = cand match {
-      case Some(c) => c.join(pqCodes(s, dir), "vec_id")
-        .join(broadcast(lut), Seq("query_id", "j", "cid"))
-      case None => pqCodes(s, dir)
-        .join(broadcast(lut), Seq("j", "cid"))
+    val lutW = pqLutWide(s, dir)
+    val pairs = cand match {
+      case Some(c) => c.join(pqCodesWide(s, dir), "vec_id")
+        .join(broadcast(lutW), "query_id")
+      case None => pqCodesWide(s, dir)
+        .crossJoin(broadcast(lutW))
         .where(col("vec_id") =!= col("query_id"))
     }
     val shortW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("vec_id"))
-    val shortlist = scoredPairs
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("j"), col("d2")))).as("parts"))
+    val shortlist = pairs
       .withColumn("adc_d2",
-        aggregate(col("parts"), lit(0.0), (acc, p) => acc + p.getField("d2")))
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("dtab"),
+            (j * PqK + element_at(col("codes"), j + 1) + 1).cast("int"))))
       .withColumn("srank", row_number().over(shortW))
       .where(col("srank") <= PqShortlist)
     // exact re-rank of the shortlist: fetch the ORIGINAL vectors by key
@@ -1119,12 +1155,14 @@ object SimilarityOps {
        |  SELECT s.vec_id AS query_id, s.j, c.cid, ${l2sqSql("sv", "c_vec")} AS d2
        |  FROM sub s JOIN pc$PqIters c ON s.j = c.j
        |  WHERE s.vec_id < $NQueries),
+       |codesw AS (SELECT vec_id, list(cid ORDER BY j) AS codes FROM codes GROUP BY vec_id),
+       |lutw AS (SELECT query_id, list(d2 ORDER BY j, cid) AS dtab FROM lut GROUP BY query_id),
        |adc AS (
        |  SELECT l.query_id, k.vec_id,
-       |    list_sum(list(l.d2 ORDER BY l.j)) AS adc_d2
-       |  FROM codes k JOIN lut l ON k.j = l.j AND k.cid = l.cid
-       |  WHERE k.vec_id <> l.query_id
-       |  GROUP BY l.query_id, k.vec_id),
+       |    list_sum(list_transform(range(0, $PqM),
+       |      j -> l.dtab[j * $PqK + k.codes[j + 1] + 1])) AS adc_d2
+       |  FROM codesw k, lutw l
+       |  WHERE k.vec_id <> l.query_id),
        |short AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
@@ -1197,13 +1235,15 @@ object SimilarityOps {
        |  SELECT p.query_id, a.vec_id
        |  FROM afinal a JOIN probes p
        |    ON a.cid = p.probe_cell AND a.vec_id <> p.query_id),
+       |codesw AS (SELECT vec_id, list(cid ORDER BY j) AS codes FROM codes GROUP BY vec_id),
+       |lutw AS (SELECT query_id, list(d2 ORDER BY j, cid) AS dtab FROM lut GROUP BY query_id),
        |adc AS (
        |  SELECT c.query_id, c.vec_id,
-       |    list_sum(list(l.d2 ORDER BY l.j)) AS adc_d2
+       |    list_sum(list_transform(range(0, $PqM),
+       |      j -> l.dtab[j * $PqK + k.codes[j + 1] + 1])) AS adc_d2
        |  FROM cand c
-       |  JOIN codes k ON c.vec_id = k.vec_id
-       |  JOIN lut l ON l.query_id = c.query_id AND k.j = l.j AND k.cid = l.cid
-       |  GROUP BY c.query_id, c.vec_id),
+       |  JOIN codesw k ON c.vec_id = k.vec_id
+       |  JOIN lutw l ON l.query_id = c.query_id),
        |short AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
