@@ -87,6 +87,7 @@ object SparkEntry {
 
     // LLM-data pipeline: deduplication
     "q_dedup_exact" -> (DedupOps.exactDedup _),
+    "q_dedup_normalized" -> (DedupOps.normalizedDedup _),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardDedup(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshDedup(s, d)),
     "q_dedup_simhash" -> (DedupOps.simhashFingerprint _),
@@ -182,6 +183,7 @@ object SparkEntry {
     "q_mixture_sample" -> ((s, d) => graft.ops.CorpusOps.mixtureSample(s, d)),
     "q_mixture_temperature" -> ((s, d) => graft.ops.CorpusOps.mixtureTemperature(s, d)),
     "q_token_budget" -> ((s, d) => graft.ops.CorpusOps.tokenBudgetSelect(s, d)),
+    "q_dsir_weights" -> ((s, d) => graft.ops.CorpusOps.dsirWeights(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.ops.CorpusOps.packSequences(s, d)),
     "q_chunk_documents" -> ((s, d) => graft.ops.CorpusOps.chunkDocuments(s, d)),
     "q_dedup_cross" -> ((s, d) => graft.ops.DedupOps.crossCorpusDedup(s, d)),
@@ -253,6 +255,7 @@ object SparkEntry {
     "q_quality_adaptive" -> TextOps.adaptiveQualityFilterSql(),
     "q_doc_fingerprint" -> TextOps.docFingerprintSql,
     "q_dedup_exact" -> DedupOps.exactDedupSql,
+    "q_dedup_normalized" -> DedupOps.normalizedDedupSql,
     "q_dedup_ngram_jaccard" -> DedupOps.ngramJaccardDedupSql(),
     "q_dedup_minhash_lsh" -> DedupOps.minhashLshDedupSql(),
     "q_dedup_simhash" -> DedupOps.simhashFingerprintSql,
@@ -330,6 +333,7 @@ object SparkEntry {
     "q_mixture_sample" -> graft.ops.CorpusOps.mixtureSampleSql(),
     "q_mixture_temperature" -> graft.ops.CorpusOps.mixtureTemperatureSql(),
     "q_token_budget" -> graft.ops.CorpusOps.tokenBudgetSelectSql(),
+    "q_dsir_weights" -> graft.ops.CorpusOps.dsirWeightsSql,
     "q_pack_sequences" -> graft.ops.CorpusOps.packSequencesSql(),
     "q_chunk_documents" -> graft.ops.CorpusOps.chunkDocumentsSql(),
     "q_dedup_cross" -> graft.ops.DedupOps.crossCorpusDedupSql(),

@@ -806,4 +806,128 @@ object CorpusOps {
        |SELECT source, n_docs, round(share, 6) AS share,
        |  (fl + CASE WHEN rk <= n_left THEN 1 ELSE 0 END)::BIGINT AS quota
        |FROM r, lft ORDER BY source""".stripMargin
+
+  // ---- DSIR importance weights -------------------------------------------
+
+  /** Hashed-feature bucket count for DSIR. Small here because the corpus
+    * vocabulary is small; at web scale the paper uses 10⁴ — the op's cost
+    * is independent of B except for the B-row broadcast. */
+  val DsirBuckets = 128
+
+  /** Unigram + bigram feature stream of a (doc_id, lang, text) frame:
+    * (doc_id, lang, b) with b = hash60(feature) mod [[DsirBuckets]].
+    * Features keep their multiplicity (DSIR scores term FREQUENCIES, so no
+    * array_distinct, unlike the dedup shingles). Bigrams pair each token
+    * with its successor via zip_with against the tail slice; the null pad
+    * on the last position is filtered on both engines (a 1-token document
+    * contributes its unigram only).
+    */
+  private[graft] def dsirFeatures(d: DataFrame): DataFrame = {
+    val toksD = d.select(col("doc_id"), col("lang"), TextOps.tokens.as("toks"))
+    val bigrams = filter(
+      zip_with(
+        col("toks"),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(1))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    toksD
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("toks"), bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"),
+        pmod(hash60(col("f")), lit(DsirBuckets.toLong)).as("b"))
+  }
+
+  /** Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how much more likely its
+    * hashed n-gram features are under a TARGET distribution than under the
+    * raw corpus distribution. Feature space = word unigrams + bigrams
+    * hashed into [[DsirBuckets]] buckets; both distributions are bucket
+    * multinomials with add-one smoothing; a document's weight is its
+    * log-likelihood ratio Σ_f (ln p_tgt[b(f)] − ln p_raw[b(f)]). Target
+    * here = the English slice (lang = 'en'), the corpus's own metadata
+    * standing in for the paper's high-quality target set. The weights
+    * compose with the samplers above ([[weightedSample]] /
+    * [[tokenBudgetSelect]]) to realize the resampling step.
+    *
+    * Scale shape: feature extraction is map-side; each bucket histogram is
+    * one partial+final aggregate over the exploded features (B-row
+    * output); the per-bucket log-ratio table is B rows BROADCAST back;
+    * the per-doc sum shuffles map-side-combined (doc_id, partial) pairs.
+    * Selection weights for 100 TB cost two feature scans plus a doc-keyed
+    * aggregate — nothing materialized grows past B rows.
+    *
+    * Determinism: the log-ratio is rounded to 6dp at the BUCKET level so
+    * both engines sum identical summands; the per-doc sum then lies ON
+    * the 1e-6 decimal grid (±1e-12 association drift), so rounding it at
+    * the SAME 6dp grain is boundary-safe — the nearest rounding boundary
+    * is 5e-7 away. (Rounding coarser, e.g. 4dp, is NOT safe: a sum of
+    * 1e-6-grid values can land exactly on a 5e-5 half-boundary, where the
+    * two engines' ±1e-12 drift flips the digit — observed on 1/500 docs.)
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(docs(s, dir))
+
+  /** Core form over any (doc_id, lang, text) frame — ScaleProbe and specs
+    * drive this directly on synthetic corpora. */
+  private[graft] def dsirWeightsOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    val feats = dsirFeatures(d)
+    val B = DsirBuckets
+    val tgtCnt = feats.where(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val srcCnt = feats.groupBy(col("b")).agg(count(lit(1)).as("sc"))
+    val totals = feats.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
+      count(lit(1)).as("st"))
+    val logRatio = s.range(B).select(col("id").as("b"))
+      .join(tgtCnt, Seq("b"), "left")
+      .join(srcCnt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(
+          log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("tt") + B).cast("double")) -
+          log((coalesce(col("sc"), lit(0L)) + 1).cast("double") /
+            (col("st") + B).cast("double")), 6).as("logr"))
+    feats
+      .join(broadcast(logRatio), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_features"), sum(col("logr")).as("lw"))
+      .select(col("doc_id"), col("lang"), col("n_features"),
+        round(col("lw"), 6).as("dsir_logw"),
+        round(col("lw") / col("n_features"), 6).as("dsir_logw_mean"))
+      .orderBy("doc_id")
+  }
+
+  def dsirWeightsSql: String = {
+    val B = DsirBuckets
+    val h = TextOps.hash60Sql("f")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |feats AS (
+       |  SELECT doc_id, lang, ($h) % $B AS b
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(list_concat(toks,
+       |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS f
+       |    FROM t)),
+       |tot AS (
+       |  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tt,
+       |         count(*)::BIGINT AS st
+       |  FROM feats),
+       |tc AS (SELECT b, count(*)::BIGINT AS tc FROM feats WHERE lang = 'en' GROUP BY b),
+       |sc AS (SELECT b, count(*)::BIGINT AS sc FROM feats GROUP BY b),
+       |lr AS (
+       |  SELECT r.b,
+       |    round(ln((coalesce(tc.tc, 0) + 1) * 1.0 / (tot.tt + $B)) -
+       |          ln((coalesce(sc.sc, 0) + 1) * 1.0 / (tot.st + $B)), 6) AS logr
+       |  FROM (SELECT unnest(range($B)) AS b) r
+       |  LEFT JOIN tc ON r.b = tc.b
+       |  LEFT JOIN sc ON r.b = sc.b, tot)
+       |SELECT f.doc_id, f.lang, count(*)::BIGINT AS n_features,
+       |  round(sum(l.logr), 6) AS dsir_logw,
+       |  round(sum(l.logr) / count(*), 6) AS dsir_logw_mean
+       |FROM feats f JOIN lr l ON f.b = l.b
+       |GROUP BY f.doc_id, f.lang
+       |ORDER BY f.doc_id""".stripMargin
+  }
 }

@@ -45,6 +45,45 @@ object DedupOps {
     """SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies, md5(text) AS text_hash
       |FROM documents GROUP BY md5(text) ORDER BY doc_id_kept""".stripMargin
 
+  /** Normalization-aware exact dedup (the Gopher/MassiveText "fuzzy exact"
+    * tier between [[exactDedup]] and MinHash): documents are keyed by the
+    * md5 of their NORMALIZED text — lowercased, punctuation replaced by
+    * space, whitespace collapsed, trimmed — so trivially reformatted
+    * copies (casing, punctuation, spacing) collapse into one group that
+    * the raw hash misses. `n_raw_variants` counts the distinct RAW hashes
+    * each normalized group absorbed (> 1 ⟺ normalization did work).
+    * Same 100 TB shape as [[exactDedup]]: normalization is map-side, the
+    * one shuffle carries a 32-byte hash per document, and the variant
+    * count is a distinct over ≤ n_copies hashes per group.
+    */
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame =
+    normalizedDedupOf(docs(s, dir))
+
+  /** Core form over any (doc_id, text) frame — spec-driven with planted
+    * reformatted copies (the real corpus has none). */
+  private[graft] def normalizedDedupOf(d: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    d
+      .select(col("doc_id"), md5(col("text")).as("raw_hash"), md5(norm).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(
+        min(col("doc_id")).as("doc_id_kept"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_hash")).as("n_raw_variants"))
+      .select(col("doc_id_kept"), col("n_copies"), col("n_raw_variants"),
+        col("norm_hash"))
+      .orderBy("doc_id_kept")
+  }
+
+  val normalizedDedupSql: String =
+    """SELECT min(doc_id) AS doc_id_kept, count(*) AS n_copies,
+      |  count(DISTINCT md5(text)) AS n_raw_variants,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      |FROM documents
+      |GROUP BY norm_hash ORDER BY doc_id_kept""".stripMargin
+
   // ---- shared shingling ---------------------------------------------------
 
   /** Distinct word-bigram shingles of a materialized `toks` array column.

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CorpusOps, DedupOps}
+
+/** DSIR importance weights + normalization-aware exact dedup. */
+class SelectionDedupOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  // ---- normalized dedup ---------------------------------------------------
+
+  test("normalized dedup: reformatted copies collapse, raw variants counted") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO  world."),
+      (4L, "a different doc entirely")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.normalizedDedupOf(d).collect()
+    assert(out.length === 2)
+    val merged = out.find(_.getAs[Long]("doc_id_kept") == 1L).get
+    assert(merged.getAs[Long]("n_copies") === 3L)
+    // three distinct raw texts fused by normalization alone
+    assert(merged.getAs[Long]("n_raw_variants") === 3L)
+    val alone = out.find(_.getAs[Long]("doc_id_kept") == 4L).get
+    assert(alone.getAs[Long]("n_copies") === 1L)
+    assert(alone.getAs[Long]("n_raw_variants") === 1L)
+  }
+
+  test("normalized dedup refines exact dedup: never more groups, full coverage") {
+    val exact = DedupOps.exactDedup(spark, sf)
+    val norm = DedupOps.normalizedDedup(spark, sf)
+    // every raw-identical group is inside one normalized group, so the
+    // normalized partition can only be coarser
+    assert(norm.count() <= exact.count())
+    // both partition the whole corpus
+    assert(norm.agg(sum("n_copies")).head.getLong(0) ===
+      exact.agg(sum("n_copies")).head.getLong(0))
+  }
+
+  // ---- DSIR importance weights -------------------------------------------
+
+  test("DSIR: target-vocabulary docs score positive, disjoint vocab negative") {
+    import spark.implicits._
+    // en docs draw from vocabulary A, de docs from disjoint vocabulary B:
+    // the LLR vs the en target must separate them with a wide margin
+    val a = "alpha beta gamma delta epsilon"
+    val b = "zulu yankee xray whiskey victor"
+    val d = (0L to 19L).map { i =>
+      if (i % 2 == 0) (i, "en", s"$a $a") else (i, "de", s"$b $b")
+    }.toDF("doc_id", "lang", "text")
+    val w = CorpusOps.dsirWeightsOf(d).collect()
+    val en = w.filter(_.getAs[String]("lang") == "en").map(_.getAs[Double]("dsir_logw_mean"))
+    val de = w.filter(_.getAs[String]("lang") == "de").map(_.getAs[Double]("dsir_logw_mean"))
+    assert(en.forall(_ > 0.0), s"en weights not positive: ${en.toSeq}")
+    assert(de.forall(_ < 0.0), s"de weights not negative: ${de.toSeq}")
+  }
+
+  test("DSIR on the corpus: English slice has the highest mean weight; " +
+    "n_features = 2*tokens - 1") {
+    val w = CorpusOps.dsirWeights(spark, sf)
+    val byLang = w.groupBy("lang").agg(avg("dsir_logw_mean").as("m"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("m")).toMap
+    val best = byLang.maxBy(_._2)._1
+    assert(best === "en", s"expected en to top the target-likeness ranking: $byLang")
+    // unigrams + bigrams of an n-token doc = n + (n-1)
+    val docs = graft.sources.Tables.read(spark, sf, "documents")
+      .select(col("doc_id"), (size(split(col("text"), " ")) * 2 - 1).as("expect"))
+    val bad = w.join(docs, "doc_id")
+      .where(col("n_features") =!= col("expect")).count()
+    assert(bad === 0L)
+  }
+
+  test("DSIR weights are deterministic across runs") {
+    val w1 = CorpusOps.dsirWeights(spark, sf).collect().map(_.toString)
+    val w2 = CorpusOps.dsirWeights(spark, sf).collect().map(_.toString)
+    assert(w1.toSeq === w2.toSeq)
+  }
+}
