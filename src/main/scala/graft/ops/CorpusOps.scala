@@ -869,7 +869,12 @@ object CorpusOps {
 
   /** Core form over any (doc_id, lang, text) frame — ScaleProbe and specs
     * drive this directly on synthetic corpora. */
-  private[graft] def dsirWeightsOf(d: DataFrame): DataFrame = {
+  /** The trained half of DSIR: the B-row (b, logr) bucket table — the
+    * artifact a scorer ships. Train once on the reference corpus, apply
+    * map-side anywhere (batch below, [[graft.streaming.StreamingSampler
+    * .dsirScoreStream]] over a live ingest).
+    */
+  private[graft] def dsirLogRatioOf(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     val feats = dsirFeatures(d)
     val B = DsirBuckets
@@ -879,7 +884,7 @@ object CorpusOps {
     val totals = feats.agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
       count(lit(1)).as("st"))
-    val logRatio = s.range(B).select(col("id").as("b"))
+    s.range(B).select(col("id").as("b"))
       .join(tgtCnt, Seq("b"), "left")
       .join(srcCnt, Seq("b"), "left")
       .crossJoin(broadcast(totals))
@@ -889,6 +894,11 @@ object CorpusOps {
             (col("tt") + B).cast("double")) -
           log((coalesce(col("sc"), lit(0L)) + 1).cast("double") /
             (col("st") + B).cast("double")), 6).as("logr"))
+  }
+
+  private[graft] def dsirWeightsOf(d: DataFrame): DataFrame = {
+    val feats = dsirFeatures(d)
+    val logRatio = dsirLogRatioOf(d)
     feats
       .join(broadcast(logRatio), "b")
       .groupBy(col("doc_id"), col("lang"))

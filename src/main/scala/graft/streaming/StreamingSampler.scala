@@ -161,6 +161,64 @@ object StreamingSampler {
       }
   }
 
+  final case class DsirScored(
+      doc_id: Long, lang: String, n_features: Long,
+      dsir_logw: Double, dsir_logw_mean: Double)
+
+  /** DSIR scoring over a live document stream — the STREAMING twin of
+    * [[CorpusOps.dsirWeights]]. The trained half (the B-row bucket
+    * log-ratio table, [[CorpusOps.dsirLogRatioOf]]) is computed on the
+    * REFERENCE corpus at `dir` and collected ONCE at stream definition —
+    * B doubles in the task closure, the same ship-the-artifact pattern as
+    * [[StreamingSimilarity.assignStream]]'s centroids — and each arriving
+    * document is scored map-side: hash its unigram+bigram features,
+    * accumulate the bucket log-ratios, round on the shared 6dp grid. No
+    * state store, idempotent replay, throughput = scan speed.
+    *
+    * Parity contract: features and hash are the batch op's exactly
+    * (whitespace unigrams + successor bigrams; md5-prefix 60-bit bucket),
+    * the summands are the SAME 6dp-rounded table values, and the per-doc
+    * sum lies on the 1e-6 grid, so streamed == batch row-for-row
+    * regardless of summation order (StreamingSpec pins it).
+    */
+  def dsirScoreStream(
+      spark: SparkSession, docs: DataFrame, dir: String): Dataset[DsirScored] = {
+    import spark.implicits._
+    val B = CorpusOps.DsirBuckets
+    val table = new Array[Double](B)
+    CorpusOps.dsirLogRatioOf(graft.sources.Tables.read(spark, dir, "documents"))
+      .collect()
+      .foreach(r => table(r.getAs[Long]("b").toInt) = r.getAs[Double]("logr"))
+    val bc = spark.sparkContext.broadcast(table)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val t = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucket(f: String): Int = {
+          val hex = md.digest(f.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 15)
+          (java.lang.Long.parseLong(hex, 16) % B).toInt
+        }
+        val toks = text.split(" ", -1)
+        var sum = 0.0
+        var n = 0L
+        var i = 0
+        while (i < toks.length) {
+          sum += t(bucket(toks(i)))
+          n += 1
+          if (i + 1 < toks.length) {
+            sum += t(bucket(toks(i) + " " + toks(i + 1)))
+            n += 1
+          }
+          i += 1
+        }
+        DsirScored(id, lang, n, round6(sum), round6(sum / n))
+      }
+  }
+
   def mixtureAdmit(
       spark: SparkSession, docs: DataFrame,
       mixture: Seq[(String, Double)] = CorpusOps.DefaultMixture,

@@ -333,6 +333,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR scoring equals the batch weights row-for-row") {
+    import graft.streaming.{StreamingDedup, StreamingSampler}
+    val q = StreamingSampler
+      .dsirScoreStream(spark, StreamingDedup.readDocuments(spark, docsPath),
+        "/root/testdata/sf0.001")
+      .writeStream.format("memory").queryName("sdsir")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sdsir").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+      val batch = graft.ops.CorpusOps.dsirWeights(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+      assert(streamed.size == batch.size && streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("S5/append: stateless projection streams through with validity flag") {
     val q = StreamingPipeline
       .projectWithValidity(StreamingPipeline.readEvents(spark, eventsPath))
