@@ -493,6 +493,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nEx <= 2, s"$nEx exchanges\n$p")
   }
 
+  test("DSIR: bucket table broadcasts back; histograms are map-side partials") {
+    // the B-row log-ratio table must BROADCAST to the feature stream (a
+    // shuffle join there would hash every exploded feature), and the two
+    // bucket histograms must plan partial+final hash aggregates so only
+    // B-row partials cross the wire at 100 TB
+    val df = graft.ops.CorpusOps.dsirWeights(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the totals crossJoin must be a broadcast of its single aggregate
+    // row (BroadcastNestedLoopJoin), never an unbroadcast cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    // nothing proportional to the corpus is globally sorted except the
+    // final doc_id presentation order
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.contains("rangepartitioning"), p)
+  }
+
+  test("normalized dedup: one exchange on the 16-byte hash, map-side normalize") {
+    // normalization + both hashes are scan-side projections; the only
+    // corpus-sized exchange is the norm_hash group-by (plus the bounded
+    // presentation sort) — same contract as exact dedup
+    val df = graft.ops.DedupOps.normalizedDedup(spark, dir)
+    val p = plan(df)
+    assert(p.contains("hashpartitioning(norm_hash"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val nEx = "Exchange ".r.findAllIn(p).length
+    assert(nEx <= 3, s"$nEx exchanges\n$p")
+  }
+
   test("sketch rollup: daily sketches are map-side partials, merge is bounded") {
     // the raw-events aggregate must plan partial_hll_sketch_agg (each task
     // sketches its split; only kilobyte registers cross the wire), and the
