@@ -88,6 +88,7 @@ object SparkEntry {
     // LLM-data pipeline: deduplication
     "q_dedup_exact" -> (DedupOps.exactDedup _),
     "q_dedup_normalized" -> (DedupOps.normalizedDedup _),
+    "q_cluster_split" -> ((s, d) => DedupOps.clusterSplit(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardDedup(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshDedup(s, d)),
     "q_dedup_simhash" -> (DedupOps.simhashFingerprint _),
@@ -256,6 +257,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> TextOps.docFingerprintSql,
     "q_dedup_exact" -> DedupOps.exactDedupSql,
     "q_dedup_normalized" -> DedupOps.normalizedDedupSql,
+    "q_cluster_split" -> DedupOps.clusterSplitSql(),
     "q_dedup_ngram_jaccard" -> DedupOps.ngramJaccardDedupSql(),
     "q_dedup_minhash_lsh" -> DedupOps.minhashLshDedupSql(),
     "q_dedup_simhash" -> DedupOps.simhashFingerprintSql,

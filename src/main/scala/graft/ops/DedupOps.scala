@@ -525,6 +525,43 @@ object DedupOps {
        |FROM kd JOIN sz USING (cluster_id)
        |ORDER BY kd.doc_id""".stripMargin
 
+  /** Leakage-safe train/val/test split: the split unit is the NEAR-DUP
+    * CLUSTER, not the document — a seeded hash of cluster_id lands every
+    * member of a cluster in the same split, so a near-duplicate of a
+    * training document can never leak into validation or test (the
+    * contamination mode plain random splits are blind to; singleton
+    * documents are their own cluster via [[dedupKeepDrop]]'s coalesce).
+    * 80/10/10 by hash bucket: deterministic in (corpus version, seed),
+    * stable under re-partitioning and retries — no `rand()`.
+    *
+    * Scale: one map-side hash over the memoized keep/drop table; the
+    * split decision never shuffles (the presentation orderBy is the only
+    * exchange). Re-splitting 100 TB is a metadata-cost scan.
+    */
+  def clusterSplit(s: SparkSession, dir: String, seed: Int = 42): DataFrame =
+    dedupKeepDrop(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("bucket",
+        pmod(hash60(concat_ws(":", col("cluster_id"), lit(seed))), lit(100L)))
+      .select(
+        col("doc_id"), col("cluster_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  def clusterSplitSql(seed: Int = 42, iterations: Int = 5): String =
+    s"""WITH kd AS (${dedupKeepDropSql(iterations)}),
+       |b AS (
+       |  SELECT doc_id, cluster_id,
+       |    (${hash60Sql(s"cluster_id::VARCHAR || ':$seed'")}) % 100 AS bucket
+       |  FROM kd)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   def nearDupClustersSql(iterations: Int = 5): String = {
     val base = minhashLshDedupSql()
     val rounds = (1 to iterations).map { i =>

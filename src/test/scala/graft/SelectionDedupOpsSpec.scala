@@ -76,6 +76,24 @@ class SelectionDedupOpsSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("cluster split: no near-dup pair straddles splits; proportions hold") {
+    val split = DedupOps.clusterSplit(spark, sf)
+    // leakage-safety: every cluster lands in exactly one split
+    val multi = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("k")).where(col("k") > 1).count()
+    assert(multi === 0L)
+    // determinism
+    val a = DedupOps.clusterSplit(spark, sf).collect().map(_.toString).toSeq
+    val b = DedupOps.clusterSplit(spark, sf).collect().map(_.toString).toSeq
+    assert(a === b)
+    // rough 80/10/10 by hash bucket (wide tolerance at 500 docs)
+    val n = split.count().toDouble
+    val frac = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac)
+    assert(frac.getOrElse("val", 0.0) > 0.03 && frac.getOrElse("test", 0.0) > 0.03, frac)
+  }
+
   test("DSIR weights are deterministic across runs") {
     val w1 = CorpusOps.dsirWeights(spark, sf).collect().map(_.toString)
     val w2 = CorpusOps.dsirWeights(spark, sf).collect().map(_.toString)
