@@ -97,6 +97,7 @@ object SparkEntry {
     "q_dedup_simhash_wide128" -> ((sp, d) => DedupOps.simhashNearPairsWide128(sp, d)),
 
     // LLM-data pipeline: similarity search
+    "q_hybrid_rrf" -> ((s, d) => graft.ops.SimilarityOps.hybridRetrieval(s, d)),
     "q_ann_cosine_topk" -> (SimilarityOps.annBruteForce _),
     "q_ann_lsh_bucketed" -> (SimilarityOps.annLshBucketed _),
     "q_ann_recall" -> (SimilarityOps.annRecall _),
@@ -267,6 +268,7 @@ object SparkEntry {
     "q_dedup_keepdrop" -> DedupOps.dedupKeepDropSql(),
     "q_dedup_stats" -> DedupOps.dedupStatsSql(),
     "q_dedup_weights" -> DedupOps.dedupWeightsSql(),
+    "q_hybrid_rrf" -> graft.ops.SimilarityOps.hybridRetrievalSql(),
     "q_ann_cosine_topk" -> SimilarityOps.annBruteForceSql,
     "q_ann_lsh_bucketed" -> SimilarityOps.annLshBucketedSql,
     "q_ann_recall" -> SimilarityOps.annRecallSql,

@@ -95,6 +95,80 @@ object SimilarityOps {
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  // ---- hybrid retrieval (RRF fusion) -------------------------------------
+
+  /** Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    * (Cormack/Clarke/Büttcher, SIGIR'09): the BM25 top-k for the standing
+    * text query ([[CorpusOps.bm25TopK]]) and the cosine top-k for a query
+    * vector are fused per candidate as Σ 1/(rrfK + rank), the standard
+    * score-free combiner hybrid search engines use (ranks only — no score
+    * normalization across incomparable scales). A document missing from
+    * one list simply contributes nothing for it.
+    *
+    * Scale: both halves are already distributed top-ks
+    * (TakeOrderedAndProject — each partition keeps k, driver merges k·p);
+    * the fusion joins two k-row lists — driver-trivial at any corpus
+    * size. Cosines are rounded to 6dp BEFORE ranking so both engines
+    * rank identical values (doc_id breaks ties).
+    */
+  def hybridRetrieval(
+      s: SparkSession, dir: String, queryVecId: Long = 0L,
+      k: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex = CorpusOps.bm25TopK(s, dir, k = k)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val e = emb(s, dir)
+    val qv = e.where(col("vec_id") === queryVecId)
+      .select(col("vec").as("q_vec"))
+    val wv = Window.orderBy(col("cos").desc, col("vec_id"))
+    val vec = e.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", round(cosine(col("vec"), col("q_vec")), 6))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    val wf = Window.orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("lex_rank") + rrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("vec_rank") + rrfK), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .select(
+        row_number().over(wf).cast("long").as("rank"),
+        col("doc_id"), col("rrf"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .orderBy("rank")
+  }
+
+  def hybridRetrievalSql(
+      queryVecId: Long = 0L, k: Int = 20, rrfK: Int = 60): String =
+    s"""WITH e AS ($embSql),
+       |lex AS (SELECT doc_id, rank AS lex_rank FROM (${CorpusOps.bm25TopKSql(k = k)})),
+       |qv AS (SELECT vec AS q_vec FROM e WHERE vec_id = $queryVecId),
+       |vs AS (
+       |  SELECT vec_id, round(${cosineSql("vec", "q_vec")}, 6) AS cos
+       |  FROM e, qv WHERE vec_id <> $queryVecId),
+       |vr AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id AS doc_id,
+       |      row_number() OVER (ORDER BY cos DESC, vec_id) AS vec_rank
+       |    FROM vs)
+       |  WHERE vec_rank <= $k),
+       |f AS (
+       |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    coalesce(l.lex_rank, 0)::BIGINT AS lex_rank,
+       |    coalesce(v.vec_rank, 0)::BIGINT AS vec_rank,
+       |    round(
+       |      (CASE WHEN l.lex_rank IS NULL THEN 0.0 ELSE 1.0 / (l.lex_rank + $rrfK) END) +
+       |      (CASE WHEN v.vec_rank IS NULL THEN 0.0 ELSE 1.0 / (v.vec_rank + $rrfK) END),
+       |      6) AS rrf
+       |  FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id)
+       |SELECT * FROM (
+       |  SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+       |    doc_id, rrf, lex_rank, vec_rank
+       |  FROM f)
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+
   // ---- hard-negative mining ----------------------------------------------
 
   /** Contrastive-training pair mining: for each anchor vector, the hardest

@@ -94,6 +94,24 @@ class SelectionDedupOpsSpec extends AnyFunSuite {
     assert(frac.getOrElse("val", 0.0) > 0.03 && frac.getOrElse("test", 0.0) > 0.03, frac)
   }
 
+  test("hybrid RRF: ranks contiguous, fused docs beat single-list docs at equal rank") {
+    import graft.ops.SimilarityOps
+    val out = SimilarityOps.hybridRetrieval(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to out.length))
+    // RRF monotonicity: any doc present in BOTH lists scores strictly above
+    // a doc whose best single-list rank is no better
+    val both = out.filter(r => r.getAs[Long]("lex_rank") > 0 && r.getAs[Long]("vec_rank") > 0)
+    val single = out.filter(r => r.getAs[Long]("lex_rank") == 0 ^ r.getAs[Long]("vec_rank") == 0)
+    for (b <- both; s0 <- single) {
+      val bBest = math.min(
+        if (b.getAs[Long]("lex_rank") > 0) b.getAs[Long]("lex_rank") else Long.MaxValue,
+        if (b.getAs[Long]("vec_rank") > 0) b.getAs[Long]("vec_rank") else Long.MaxValue)
+      val sBest = math.max(s0.getAs[Long]("lex_rank"), s0.getAs[Long]("vec_rank"))
+      if (bBest <= sBest)
+        assert(b.getAs[Double]("rrf") > s0.getAs[Double]("rrf"), s"$b vs $s0")
+    }
+  }
+
   test("DSIR weights are deterministic across runs") {
     val w1 = CorpusOps.dsirWeights(spark, sf).collect().map(_.toString)
     val w2 = CorpusOps.dsirWeights(spark, sf).collect().map(_.toString)
