@@ -113,10 +113,16 @@ object ScaleProbe {
       val (removed, tScrub) = time(
         DedupOps.duplicateSpanScrubOf(d, 10)
           .agg(sum(col("n_removed"))).collect()(0).getLong(0))
+      // DSIR (claim: map-side feature hash, B-row histograms, broadcast
+      // back — wall ∝ the two scans)
+      val dl = d.withColumn("lang",
+        when(col("doc_id") % 5 === 0, "en").otherwise("xx"))
+      val (nW, tDsir) = time(graft.ops.CorpusOps.dsirWeightsOf(dl).count())
       println(
         s"""{"probe":"selection_ops","n":$n,""" +
           s""""token_budget_kept":$kept,"token_budget_sec":${s1(tTb)},""" +
-          s""""span_scrub_removed":$removed,"span_scrub_sec":${s1(tScrub)}}""")
+          s""""span_scrub_removed":$removed,"span_scrub_sec":${s1(tScrub)},""" +
+          s""""dsir_docs":$nW,"dsir_sec":${s1(tDsir)}}""")
     }
   }
 
