@@ -822,20 +822,25 @@ object CorpusOps {
     * on the last position is filtered on both engines (a 1-token document
     * contributes its unigram only).
     */
-  private[graft] def dsirFeatures(d: DataFrame): DataFrame = {
-    val toksD = d.select(col("doc_id"), col("lang"), TextOps.tokens.as("toks"))
+  /** Feature array of a materialized `toks` column: unigrams ++ successor
+    * bigrams (zip against the tail slice; the null pad on the last
+    * position is filtered, so a 1-token doc contributes its unigram only).
+    */
+  private def dsirFeatureArray: Column = {
     val bigrams = filter(
       zip_with(
         col("toks"),
         slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(1))),
         (a, b) => concat(a, lit(" "), b)),
       x => x.isNotNull)
-    toksD
-      .select(col("doc_id"), col("lang"),
-        explode(concat(col("toks"), bigrams)).as("f"))
+    concat(col("toks"), bigrams)
+  }
+
+  private[graft] def dsirFeatures(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"), TextOps.tokens.as("toks"))
+      .select(col("doc_id"), col("lang"), explode(dsirFeatureArray).as("f"))
       .select(col("doc_id"), col("lang"),
         pmod(hash60(col("f")), lit(DsirBuckets.toLong)).as("b"))
-  }
 
   /** Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
     * arXiv:2302.03169): score every document by how much more likely its
@@ -865,7 +870,7 @@ object CorpusOps {
     * two engines' ±1e-12 drift flips the digit — observed on 1/500 docs.)
     */
   def dsirWeights(s: SparkSession, dir: String): DataFrame =
-    dsirWeightsOf(docs(s, dir))
+    dsirWeightsOf(docs(s, dir), Some(dsirTable(s, dir)))
 
   /** Core form over any (doc_id, lang, text) frame — ScaleProbe and specs
     * drive this directly on synthetic corpora. */
@@ -876,17 +881,18 @@ object CorpusOps {
     */
   private[graft] def dsirLogRatioOf(d: DataFrame): DataFrame = {
     val s = d.sparkSession
-    val feats = dsirFeatures(d)
     val B = DsirBuckets
-    val tgtCnt = feats.where(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
-    val srcCnt = feats.groupBy(col("b")).agg(count(lit(1)).as("sc"))
-    val totals = feats.agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
-      count(lit(1)).as("st"))
+    // ONE corpus scan: both histograms fold in a single conditional
+    // aggregate, and the totals are sums OVER the B-row histogram — the
+    // training pass never touches the corpus twice
+    val hist = dsirFeatures(d)
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("sc"))
+    val totals = hist.agg(sum(col("tc")).as("tt"), sum(col("sc")).as("st"))
     s.range(B).select(col("id").as("b"))
-      .join(tgtCnt, Seq("b"), "left")
-      .join(srcCnt, Seq("b"), "left")
+      .join(hist, Seq("b"), "left")
       .crossJoin(broadcast(totals))
       .select(col("b"),
         round(
@@ -896,11 +902,49 @@ object CorpusOps {
             (col("st") + B).cast("double")), 6).as("logr"))
   }
 
-  private[graft] def dsirWeightsOf(d: DataFrame): DataFrame = {
-    val feats = dsirFeatures(d)
-    val logRatio = dsirLogRatioOf(d)
-    feats
-      .join(broadcast(logRatio), "b")
+  /** The collected trained table: logr indexed by bucket. B doubles —
+    * the bounded-artifact pattern the streaming scorer and centroid
+    * assigner use. */
+  private[graft] def dsirTableOf(d: DataFrame): Array[Double] = {
+    val lr = new Array[Double](DsirBuckets)
+    dsirLogRatioOf(d).collect()
+      .foreach(r => lr(r.getAs[Long]("b").toInt) = r.getAs[Double]("logr"))
+    lr
+  }
+
+  /** Session-memoized + durable trained table for a corpus directory:
+    * the training scan runs once per corpus version; later sessions load
+    * the B-row parquet artifact instead of rescanning. */
+  private val dsirTableCache =
+    IndexMemo.cache[(SparkSession, String), Array[Double]]()
+
+  private[graft] def dsirTable(s: SparkSession, dir: String): Array[Double] =
+    IndexMemo(dsirTableCache, (s, dir)) {
+      val name = s"dsir-logratio-${java.nio.file.Paths.get(dir).getFileName}"
+      val df = graft.ops.IndexStore.loadOrBuild(s, name,
+        s"${Tables.fileIdent(dir, "documents")}|B=$DsirBuckets|tgt=en")(
+        dsirLogRatioOf(docs(s, dir)))
+      val lr = new Array[Double](DsirBuckets)
+      df.collect()
+        .foreach(r => lr(r.getAs[Long]("b").toInt) = r.getAs[Double]("logr"))
+      lr
+    }
+
+  private[graft] def dsirWeightsOf(
+      d: DataFrame, table: Option[Array[Double]] = None): DataFrame = {
+    // SCORING: explode the feature stream, but resolve each feature's
+    // contribution IN THE PROJECTION via element_at on the literal
+    // trained table — md5 + lookup stay inside whole-stage codegen (an
+    // interpreted per-array HOF fold measured 5× slower), there is no
+    // join at all, and the only shuffle is the map-side-combined per-doc
+    // sum. The trained table itself is B collected doubles.
+    val B = DsirBuckets
+    val lrArr = typedLit(table.getOrElse(dsirTableOf(d)).toSeq)
+    d.select(col("doc_id"), col("lang"), TextOps.tokens.as("toks"))
+      .select(col("doc_id"), col("lang"), explode(dsirFeatureArray).as("f"))
+      .select(col("doc_id"), col("lang"),
+        element_at(lrArr,
+          (pmod(hash60(col("f")), lit(B.toLong)) + 1).cast("int")).as("logr"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_features"), sum(col("logr")).as("lw"))
       .select(col("doc_id"), col("lang"), col("n_features"),

@@ -185,11 +185,9 @@ object StreamingSampler {
       spark: SparkSession, docs: DataFrame, dir: String): Dataset[DsirScored] = {
     import spark.implicits._
     val B = CorpusOps.DsirBuckets
-    val table = new Array[Double](B)
-    CorpusOps.dsirLogRatioOf(graft.sources.Tables.read(spark, dir, "documents"))
-      .collect()
-      .foreach(r => table(r.getAs[Long]("b").toInt) = r.getAs[Double]("logr"))
-    val bc = spark.sparkContext.broadcast(table)
+    // shared memoized + durable trained table (same artifact the batch
+    // scorer loads)
+    val bc = spark.sparkContext.broadcast(CorpusOps.dsirTable(spark, dir))
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     docs.select(col("doc_id"), col("lang"), col("text"))

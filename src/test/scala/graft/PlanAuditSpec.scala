@@ -493,22 +493,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nEx <= 2, s"$nEx exchanges\n$p")
   }
 
-  test("DSIR: bucket table broadcasts back; histograms are map-side partials") {
-    // the B-row log-ratio table must BROADCAST to the feature stream (a
-    // shuffle join there would hash every exploded feature), and the two
-    // bucket histograms must plan partial+final hash aggregates so only
-    // B-row partials cross the wire at 100 TB
-    val df = graft.ops.CorpusOps.dsirWeights(spark, dir)
-    val p = plan(df)
-    assert(p.contains("BroadcastHashJoin"), p)
-    // the totals crossJoin must be a broadcast of its single aggregate
-    // row (BroadcastNestedLoopJoin), never an unbroadcast cartesian
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
-    // nothing proportional to the corpus is globally sorted except the
-    // final doc_id presentation order
-    assert(!p.contains("Exchange SinglePartition") ||
-      p.contains("rangepartitioning"), p)
+  test("DSIR: training histogram is one partial aggregate; scoring is joinless map-side") {
+    // training: the bucket histogram must plan partial+final hash
+    // aggregates so only B-row partials cross the wire at 100 TB, and the
+    // totals crossJoin must broadcast its single row (never cartesian)
+    val train = graft.ops.CorpusOps.dsirLogRatioOf(
+      Tables.read(spark, dir, "documents"))
+    val pt = plan(train)
+    assert(pt.contains("HashAggregate"), pt)
+    assert(!pt.contains("CartesianProduct"), pt)
+    // scoring: every feature's contribution resolves in the PROJECTION
+    // via element_at on the collected literal table — NO join anywhere;
+    // the exchanges are the map-side-combined per-doc sum and the doc_id
+    // presentation sort, nothing else
+    val score = graft.ops.CorpusOps.dsirWeights(spark, dir)
+    val ps = plan(score)
+    assert(!ps.toLowerCase.contains("join"), ps)
+    val nEx = "Exchange ".r.findAllIn(ps).length
+    assert(nEx <= 2 && !ps.contains("Exchange SinglePartition"), ps)
   }
 
   test("normalized dedup: one exchange on the 16-byte hash, map-side normalize") {
