@@ -153,13 +153,15 @@ object MultimodalOps {
   /** (media_id, payload binary) — a genuine PNG per document id. */
   def pngTable(s: SparkSession, dir: String): DataFrame =
     IndexMemo(mediaCache, (s, dir, "png")) {
-      IndexStore.recordFixtureBuild("media-png")
       import s.implicits._
+      IndexStore.loadOrBuild(s,
+        s"media-png-${java.nio.file.Paths.get(dir).getFileName}",
+        Tables.fileIdent(dir, "documents")) {
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]
         .mapPartitions(_.map(id => (id, encodePng(id))))
         .toDF("media_id", "payload")
-        .persist()
+      }
     }
 
   /** REAL decode: `ImageIO.read` per payload (codec shareable per
@@ -234,13 +236,15 @@ object MultimodalOps {
   /** (media_id, payload binary) — a genuine frame container per doc id. */
   def videoTable(s: SparkSession, dir: String): DataFrame =
     IndexMemo(mediaCache, (s, dir, "video")) {
-      IndexStore.recordFixtureBuild("media-video")
       import s.implicits._
+      IndexStore.loadOrBuild(s,
+        s"media-video-${java.nio.file.Paths.get(dir).getFileName}",
+        Tables.fileIdent(dir, "documents")) {
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]
         .mapPartitions(_.map(id => (id, encodeVideo(id))))
         .toDF("media_id", "payload")
-        .persist()
+      }
     }
 
   /** REAL frame sampling + decode: parse the container, keep every
@@ -364,14 +368,16 @@ object MultimodalOps {
   /** (media_id, frame_idx, payload): three genuine PNGs per document. */
   def framesetTable(s: SparkSession, dir: String): DataFrame =
     IndexMemo(mediaCache, (s, dir, "frameset")) {
-      IndexStore.recordFixtureBuild("media-frameset")
       import s.implicits._
+      IndexStore.loadOrBuild(s,
+        s"media-frameset-${java.nio.file.Paths.get(dir).getFileName}",
+        Tables.fileIdent(dir, "documents")) {
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]
         .mapPartitions(_.flatMap(id => (0 until FramesPerMedia).map(f =>
           (id, f, encodePngSized(framesetSeed(id, f), FrameSetW, FrameSetH)))))
         .toDF("media_id", "frame_idx", "payload")
-        .persist()
+      }
     }
 
   /** Perceptual frame dedup: decode every frame, compute its 64-bit
@@ -564,13 +570,15 @@ object MultimodalOps {
   /** (media_id, payload): a genuine WAV per document under the replay rule. */
   def audiosetTable(s: SparkSession, dir: String): DataFrame =
     IndexMemo(mediaCache, (s, dir, "audioset")) {
-      IndexStore.recordFixtureBuild("media-audioset")
       import s.implicits._
+      IndexStore.loadOrBuild(s,
+        s"media-audioset-${java.nio.file.Paths.get(dir).getFileName}",
+        Tables.fileIdent(dir, "documents")) {
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]
         .mapPartitions(_.map(id => (id, encodeWav(audiosetSeed(id)))))
         .toDF("media_id", "payload")
-        .persist()
+      }
     }
 
   /** Audio dedup by energy fingerprint: decode the FULL channel-0 PCM
