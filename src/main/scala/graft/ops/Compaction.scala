@@ -42,23 +42,21 @@ object Compaction {
     * every day directory lands as ~FragmentFactor files — the post-ingest
     * state a compactor faces. Keyed by (input dir, app id) like
     * [[graft.sources.Partitioned.ensure]] so concurrent JVMs never race. */
-  def ensureFragmented(s: SparkSession, sfDir: String): String = {
-    val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
-    val dirTag = java.util.UUID
-      .nameUUIDFromBytes(sfDir.getBytes("UTF-8")).toString.take(8).replace("-", "")
-    val path = base(s"events_frag_${dirTag}_$appTag")
+  def ensureFragmented(s: SparkSession, sfDir: String): String =
+    // durable per corpus version via identity-keyed atomic-rename publish
+    // — the fragmented PRE-state is deterministic in the input, so later
+    // processes load it instead of re-fragmenting
     Compaction.synchronized {
-      if (!Files.exists(path.resolve("_SUCCESS"))) {
-        IndexStore.recordFixtureBuild("fragmented-events")
+      IndexStore.loadOrBuildDir(
+        s"fragmented-events-${java.nio.file.Paths.get(sfDir).getFileName}",
+        Tables.fileIdent(sfDir, "events")) { tmp =>
         Tables.read(s, sfDir, "events")
           .withColumn("event_date", to_date(col("ts")))
           .repartition(FragmentFactor)
           .write.partitionBy("event_date").mode("overwrite")
-          .parquet(path.toString)
+          .parquet(tmp.toString)
       }
     }
-    path.toString
-  }
 
   /** Compact `inPath` (date-partitioned parquet) into `outPath` with
     * target file size `targetBytes`. One shuffle; AQE owns the output
@@ -138,7 +136,12 @@ object Compaction {
   def compactDigest(s: SparkSession, sfDir: String): DataFrame = {
     val out = IndexMemo(compactedCache, (s, sfDir)) {
       val in = ensureFragmented(s, sfDir)
-      val outPath = in.replace("events_frag_", "events_compact_")
+      // compaction OUTPUT is per-process scratch (the compact run itself
+      // is what the query measures) — never a sibling of the durable
+      // fixture, and appId-tagged so concurrent JVMs cannot race it
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val outPath = base(
+        s"${java.nio.file.Paths.get(in).getFileName}-compacted-$appTag").toString
       compact(s, in, outPath, targetBytes = 4L * 1024 * 1024)
       outPath
     }

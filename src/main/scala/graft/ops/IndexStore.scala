@@ -106,6 +106,51 @@ object IndexStore {
     }
   }
 
+  /** Directory variant of [[loadOrBuild]] for fixtures that are FORMAT
+    * DIRECTORIES rather than DataFrames (date-partitioned layouts,
+    * deliberately fragmented pre-states): `build` writes into a unique
+    * temp dir, an atomic rename publishes it under the identity-keyed
+    * name, and a losing concurrent racer deletes its temp dir and uses
+    * the winner's — the same no-race discipline, without the per-appId
+    * keying that forced every process to rebuild.
+    */
+  def loadOrBuildDir(name: String, identity: String)(
+      build: java.nio.file.Path => Unit): String = {
+    val dirName = s"$name-${sha16(identity)}"
+    val target = Paths.get(cacheRoot, dirName)
+    if (Files.exists(target.resolve("_SUCCESS"))) {
+      events.putIfAbsent(name, "load")
+      target.toString
+    } else {
+      events.put(name, "build")
+      val tmp = Paths.get(cacheRoot,
+        s"$dirName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      build(tmp)
+      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException =>
+          deleteRecursively(tmp)
+      }
+      dropStaleGenerations(name, dirName)
+      target.toString
+    }
+  }
+
+  /** Older generations of `name` (stale testdata) are dead /tmp weight. */
+  private def dropStaleGenerations(name: String, keep: String): Unit = {
+    val root = Paths.get(cacheRoot)
+    if (Files.isDirectory(root)) {
+      val it = Files.list(root).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith(s"$name-") && n != keep && !n.contains(".tmp-"))
+          deleteRecursively(p)
+      }
+    }
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()

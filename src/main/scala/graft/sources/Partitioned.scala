@@ -18,28 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Partitioned {
 
-  private def basePath(table: String) = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir", "/tmp"), "graft-partitioned", table)
-
-  private def ensure(s: SparkSession, sfDir: String): String = {
-    // path keyed by (input dir, application id): see Bucketed.ensure — two
-    // JVMs sharing the tmpdir must never race one directory
-    val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
-    val dirTag = java.util.UUID
-      .nameUUIDFromBytes(sfDir.getBytes("UTF-8")).toString.take(8).replace("-", "")
-    val path = basePath(s"events_${dirTag}_$appTag")
+  private def ensure(s: SparkSession, sfDir: String): String =
+    // durable per corpus version: identity-keyed atomic-rename publish
+    // (concurrent JVMs race safely; later processes LOAD instead of
+    // rewriting the layout)
     Partitioned.synchronized {
-      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
-        graft.ops.IndexStore.recordFixtureBuild("partitioned-events")
+      graft.ops.IndexStore.loadOrBuildDir(
+        s"partitioned-events-${java.nio.file.Paths.get(sfDir).getFileName}",
+        Tables.fileIdent(sfDir, "events")) { tmp =>
         Tables.read(s, sfDir, "events")
           .withColumn("event_date", to_date(col("ts")))
           .repartition(col("event_date"))
           .write.partitionBy("event_date").mode("overwrite")
-          .parquet(path.toString)
+          .parquet(tmp.toString)
       }
     }
-    path.toString
-  }
 
   /** 3-day windowed aggregate over the partitioned table. The date filter
     * resolves against the PARTITION column, so the scan lists only the

@@ -27,7 +27,8 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(before.values.min >= Compaction.FragmentFactor / 2,
       s"pre-state not fragmented: $before")
 
-    val out = in.replace("events_frag_", "events_compactspec_")
+    val out = java.nio.file.Files.createTempDirectory("graft_compactspec")
+      .resolve("out").toString
     Compaction.compact(spark, in, out, targetBytes = 64L * 1024 * 1024)
     val after = Compaction.filesPerDay(out)
     assert(after.keySet == before.keySet) // no day lost or invented
