@@ -60,6 +60,19 @@ object StreamingDedup {
       .withColumn("text_hash", md5(col("text")))
       .dropDuplicates("text_hash")
 
+  /** Normalization-aware streaming dedup — the incremental twin of
+    * [[graft.ops.DedupOps.normalizedDedup]]: first arrival per NORMALIZED
+    * content hash wins, so trivially reformatted copies (casing,
+    * punctuation, spacing) dedup against each other across micro-batches.
+    * Same state story as [[exactDedupStream]]: one 32-char hash per
+    * distinct normalized document.
+    */
+  def normalizedDedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm_hash", md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))))
+      .dropDuplicates("norm_hash")
+
   // ---- incremental SimHash near-pairs ------------------------------------
 
   /** Per-ROW 60-bit SimHash — the streaming form of the batch vote, where

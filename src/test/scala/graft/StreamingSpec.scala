@@ -333,6 +333,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming normalized dedup: reformatted copies collapse across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup
+      .normalizedDedupStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("snormdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "Hello, World!"), (2L, "something different"))
+      q.processAllAvailable()
+      // cross-batch: both reformatted twins of doc 1 must drop
+      mem.addData((3L, "hello world"), (4L, "HELLO  world."), (5L, "another doc"))
+      q.processAllAvailable()
+      val kept = spark.table("snormdedup")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 2L, 5L), kept)
+    } finally q.stop()
+  }
+
   test("streaming DSIR scoring equals the batch weights row-for-row") {
     import graft.streaming.{StreamingDedup, StreamingSampler}
     val q = StreamingSampler
