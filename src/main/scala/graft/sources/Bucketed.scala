@@ -12,47 +12,48 @@ import org.apache.spark.sql.functions._
   * path — for two co-bucketed fact tables that IS the scale-correct plan
   * (broadcast is off the table by size).
   *
-  * Tables are managed (session catalog) under the graft warehouse dir in
-  * java.io.tmpdir, one pair per input dir; a fresh session rebuilds them
-  * (the in-memory catalog does not persist), clearing any stale dir a
-  * previous JVM left behind.
+  * The bucketed DATA is durable per corpus version: it is written once as
+  * an external table into an identity-keyed directory (atomic-rename
+  * publish, same race discipline as every IndexStore artifact) and each
+  * later session re-creates only the CATALOG ENTRY over the existing
+  * files (`CREATE TABLE … CLUSTERED BY … LOCATION`) — metadata-only, so
+  * no process after the first ever re-shuffles the facts. That split is
+  * exactly the production story: the expensive partitioned write happens
+  * once per corpus version, sessions attach to it.
   */
 object Bucketed {
 
-  private def warehousePath(table: String) = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir", "/tmp"), "graft-warehouse", table)
-
   private def ensure(s: SparkSession, sfDir: String): (String, String) = {
-    // suffix includes the APPLICATION id, not just the input-dir hash: two
-    // JVMs sharing java.io.tmpdir (concurrent test + bench runs) would
-    // otherwise race the exists-check/delete/saveAsTable sequence on one
-    // directory — the per-JVM lock below cannot see the other process.
     val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
     val dirTag = java.util.UUID
       .nameUUIDFromBytes(sfDir.getBytes("UTF-8")).toString.take(8).replace("-", "")
-    val li = s"li_bkt_${dirTag}_$appTag"
-    val ord = s"ord_bkt_${dirTag}_$appTag"
-    def build(table: String, df: => DataFrame, key: String): Unit =
+    val li = s"li_bkt_$dirTag"
+    val ord = s"ord_bkt_$dirTag"
+    def build(table: String, src: String, df: => DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(table)) {
-        graft.ops.IndexStore.recordFixtureBuild(s"bucketed-$table")
-        // belt-and-braces: an identically-named stale dir (appId collision
-        // across reboots) blocks CREATE; best-effort clear, tolerating a
-        // concurrent deletion
-        val p = warehousePath(table)
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-          catch { case _: java.io.IOException => () }
+        val frame = df
+        val path = graft.ops.IndexStore.loadOrBuildDir(
+          s"bucketed-$table", Tables.fileIdent(sfDir, src)) { tmp =>
+          // write the bucketed files as an EXTERNAL table at the temp
+          // path, then drop only the catalog entry — the files stay and
+          // loadOrBuildDir's atomic rename publishes them
+          val tmpTbl = s"${table}_build_$appTag"
+          frame.write.mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", tmp.toString).saveAsTable(tmpTbl)
+          s.sql(s"DROP TABLE $tmpTbl")
         }
-        df.write.mode("overwrite")
-          .bucketBy(8, key).sortBy(key).saveAsTable(table)
+        s.sql(
+          s"""CREATE TABLE $table (${frame.schema.toDDL})
+             |USING PARQUET
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+             |LOCATION '$path'""".stripMargin)
       }
     Bucketed.synchronized {
-      build(li, Tables.read(s, sfDir, "lineitem")
+      build(li, "lineitem", Tables.read(s, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
         "l_orderkey")
-      build(ord, Tables.read(s, sfDir, "orders")
+      build(ord, "orders", Tables.read(s, sfDir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
     }
     (li, ord)
