@@ -186,6 +186,7 @@ object SparkEntry {
     "q_mixture_temperature" -> ((s, d) => graft.ops.CorpusOps.mixtureTemperature(s, d)),
     "q_token_budget" -> ((s, d) => graft.ops.CorpusOps.tokenBudgetSelect(s, d)),
     "q_dsir_weights" -> ((s, d) => graft.ops.CorpusOps.dsirWeights(s, d)),
+    "q_source_drift" -> ((s, d) => graft.ops.CorpusOps.sourceDrift(s, d)),
     "q_pack_sequences" -> ((s, d) => graft.ops.CorpusOps.packSequences(s, d)),
     "q_chunk_documents" -> ((s, d) => graft.ops.CorpusOps.chunkDocuments(s, d)),
     "q_dedup_cross" -> ((s, d) => graft.ops.DedupOps.crossCorpusDedup(s, d)),
@@ -338,6 +339,7 @@ object SparkEntry {
     "q_mixture_temperature" -> graft.ops.CorpusOps.mixtureTemperatureSql(),
     "q_token_budget" -> graft.ops.CorpusOps.tokenBudgetSelectSql(),
     "q_dsir_weights" -> graft.ops.CorpusOps.dsirWeightsSql,
+    "q_source_drift" -> graft.ops.CorpusOps.sourceDriftSql,
     "q_pack_sequences" -> graft.ops.CorpusOps.packSequencesSql(),
     "q_chunk_documents" -> graft.ops.CorpusOps.chunkDocumentsSql(),
     "q_dedup_cross" -> graft.ops.DedupOps.crossCorpusDedupSql(),

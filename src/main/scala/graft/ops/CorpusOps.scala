@@ -984,4 +984,85 @@ object CorpusOps {
        |GROUP BY f.doc_id, f.lang
        |ORDER BY f.doc_id""".stripMargin
   }
+
+  // ---- per-source distribution drift -------------------------------------
+
+  /** Distribution-drift monitor: KL divergence of each source's hashed
+    * unigram distribution against the whole corpus — the data-ops check
+    * that flags an ingest source whose content distribution shifted (a
+    * scraper gone wrong, a feed swapped mid-stream) BEFORE it pollutes a
+    * training mix. Both distributions are [[DsirBuckets]]-bucket
+    * multinomials with add-one smoothing (zero-count buckets contribute
+    * their smoothed mass, so KL is finite and every source sums over the
+    * same B buckets).
+    *
+    * Scale shape: one token scan into a (source, bucket) count aggregate
+    * (map-side partials, ≤ |sources|·B rows out); everything after is
+    * arithmetic over that bounded frame — corpus histogram as a bucket
+    * re-aggregate, the sources × B spine as a crossJoin of two bounded
+    * sides, one broadcast join each for counts and totals. A 100 TB drift
+    * report costs one scan.
+    *
+    * Determinism: each bucket's KL term is rounded to 6dp, so the
+    * per-source sum of B terms lies on the 1e-6 grid and rounding it at
+    * the SAME grain is boundary-safe (the dsir lesson).
+    */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame =
+    sourceDriftOf(docs(s, dir))
+
+  private[graft] def sourceDriftOf(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    val B = DsirBuckets
+    val toks = d
+      .select(col("source"), explode(TextOps.tokens).as("tok"))
+      .select(col("source"), pmod(hash60(col("tok")), lit(B.toLong)).as("b"))
+    val srcCnt = toks.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = srcCnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val corpusCnt = srcCnt.groupBy(col("b")).agg(sum(col("c")).as("cc"))
+    val corpusTot = corpusCnt.agg(sum(col("cc")).as("nn"))
+    val spine = srcTot.select(col("source"), col("n"))
+      .crossJoin(s.range(B).select(col("id").as("b")))
+    spine
+      .join(srcCnt, Seq("source", "b"), "left")
+      .join(broadcast(corpusCnt), Seq("b"), "left")
+      .crossJoin(broadcast(corpusTot))
+      .select(col("source"), col("n"),
+        ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("n") + B).cast("double")).as("p"),
+        ((coalesce(col("cc"), lit(0L)) + 1).cast("double") /
+          (col("nn") + B).cast("double")).as("q"))
+      .select(col("source"), col("n"),
+        round(col("p") * log(col("p") / col("q")), 6).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_tokens"), round(sum(col("term")), 6).as("kl_nats"))
+      .orderBy("source")
+  }
+
+  def sourceDriftSql: String = {
+    val B = DsirBuckets
+    val h = TextOps.hash60Sql("tok")
+    s"""WITH toks AS (
+       |  SELECT source, ($h) % $B AS b
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |sc AS (SELECT source, b, count(*)::BIGINT AS c FROM toks GROUP BY source, b),
+       |st AS (SELECT source, sum(c)::BIGINT AS n FROM sc GROUP BY source),
+       |cc AS (SELECT b, sum(c)::BIGINT AS cc FROM sc GROUP BY b),
+       |ct AS (SELECT sum(cc)::BIGINT AS nn FROM cc),
+       |spine AS (
+       |  SELECT st.source, st.n, r.b
+       |  FROM st, (SELECT unnest(range($B)) AS b) r),
+       |terms AS (
+       |  SELECT sp.source, sp.n,
+       |    round(
+       |      ((coalesce(sc.c, 0) + 1) * 1.0 / (sp.n + $B)) *
+       |      ln(((coalesce(sc.c, 0) + 1) * 1.0 / (sp.n + $B)) /
+       |         ((coalesce(cc.cc, 0) + 1) * 1.0 / (ct.nn + $B))), 6) AS term
+       |  FROM spine sp
+       |  LEFT JOIN sc ON sp.source = sc.source AND sp.b = sc.b
+       |  LEFT JOIN cc ON sp.b = cc.b, ct)
+       |SELECT source, max(n)::BIGINT AS n_tokens,
+       |  round(sum(term), 6) AS kl_nats
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+  }
 }
