@@ -81,10 +81,28 @@ object EventOps {
   /** Strict projection over the validated subset (the good branch after the
     * K6 DLQ split) — the guard is live in the plan but never fires, which is
     * exactly how the FAILFAST route runs in a healthy pipeline.
+    *
+    * The JSON parse is PROJECTED ONCE and the filter/guard reference the
+    * extracted attribute: composing the raw filter + [[strictKProjection]]
+    * evaluated `get_json_object` three times per row (filter, null guard,
+    * cast) — CollapseProject declines to duplicate the expensive parse
+    * into downstream references, so this shape keeps one parse per row
+    * (plus at most the pushed-down filter's) and was measured ~2× faster
+    * at sf0.1 on the bench's slowest query.
     */
   def p1StrictProjection(s: SparkSession, dir: String): DataFrame =
-    strictKProjection(
-      events(s, dir).where(get_json_object(col("props"), "$.k").isNotNull))
+    events(s, dir)
+      .select(col("event_id"), col("ts"),
+        get_json_object(col("props"), "$.k").as("k_raw"))
+      .where(col("k_raw").isNotNull)
+      .select(
+        col("event_id"),
+        when(col("k_raw").isNotNull, col("k_raw").cast("int"))
+          .otherwise(raise_error(concat(
+            lit("FAILFAST: mandatory field k missing in event "),
+            col("event_id").cast("string"))))
+          .as("k_value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .orderBy("event_id")
 
   val p1StrictProjectionSql: String =
