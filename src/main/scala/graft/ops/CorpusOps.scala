@@ -1010,14 +1010,23 @@ object CorpusOps {
   def sourceDrift(s: SparkSession, dir: String): DataFrame =
     sourceDriftOf(docs(s, dir))
 
-  private[graft] def sourceDriftOf(d: DataFrame): DataFrame = {
-    val s = d.sparkSession
+  private[graft] def sourceDriftOf(d: DataFrame): DataFrame =
+    klFromSourceBucketCounts(
+      d.select(col("source"), explode(TextOps.tokens).as("tok"))
+        .select(col("source"),
+          pmod(hash60(col("tok")), lit(DsirBuckets.toLong)).as("b"))
+        .groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("c")))
+
+  /** The KL arithmetic over a (source, b, c) bucket-count frame — shared
+    * by the batch op above and the incremental monitor
+    * ([[graft.streaming.StreamingDrift]]), whose mergeable store holds
+    * exactly these counts: streamed == batch because the math is this
+    * one function either way.
+    */
+  private[graft] def klFromSourceBucketCounts(srcCnt: DataFrame): DataFrame = {
+    val s = srcCnt.sparkSession
     val B = DsirBuckets
-    val toks = d
-      .select(col("source"), explode(TextOps.tokens).as("tok"))
-      .select(col("source"), pmod(hash60(col("tok")), lit(B.toLong)).as("b"))
-    val srcCnt = toks.groupBy(col("source"), col("b"))
-      .agg(count(lit(1)).as("c"))
     val srcTot = srcCnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val corpusCnt = srcCnt.groupBy(col("b")).agg(sum(col("c")).as("cc"))
     val corpusTot = corpusCnt.agg(sum(col("cc")).as("nn"))

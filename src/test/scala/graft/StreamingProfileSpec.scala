@@ -77,4 +77,36 @@ class StreamingProfileSpec extends AnyFunSuite {
       .where(col("column_name") === "doc_id").collect()(0)
     assert(counts.getAs[Long]("n_rows") == 140)
   }
+
+  test("streamed drift report == batch sourceDrift row-for-row; replay-safe") {
+    import graft.streaming.StreamingDrift
+    val docsDf = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val docRows = docsDf.select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+    val store = tmpDir("d") + "/drift"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingDrift.startDriftSink(
+      input.toDF().toDF("doc_id", "source", "text"), store, tmpDir("dc"))
+    try {
+      docRows.grouped(170).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = StreamingDrift.driftFromStore(spark, store)
+      .collect().map(_.toString).toSeq
+    val batch = graft.ops.CorpusOps.sourceDrift(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+
+    // replaying the last batch id must not move the report
+    StreamingDrift.mergeBatchIntoStore(
+      docRows.takeRight(170).toDF("doc_id", "source", "text"), store, 0L)
+    val after = StreamingDrift.driftFromStore(spark, store)
+      .collect().map(_.toString).toSeq
+    assert(after == streamed)
+  }
 }
