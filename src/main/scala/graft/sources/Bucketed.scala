@@ -27,8 +27,15 @@ object Bucketed {
     val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
     val dirTag = java.util.UUID
       .nameUUIDFromBytes(sfDir.getBytes("UTF-8")).toString.take(8).replace("-", "")
-    val li = s"li_bkt_$dirTag"
-    val ord = s"ord_bkt_$dirTag"
+    // the table NAME carries the input identity: if the testdata is
+    // regenerated while this JVM lives, a newer-data process will GC the
+    // old artifact directory — the stale catalog entry must simply never
+    // be consulted again (new identity → new name → fresh attach)
+    def identTag(src: String): String = java.util.UUID
+      .nameUUIDFromBytes(Tables.fileIdent(sfDir, src).getBytes("UTF-8"))
+      .toString.take(8).replace("-", "")
+    val li = s"li_bkt_${dirTag}_${identTag("lineitem")}"
+    val ord = s"ord_bkt_${dirTag}_${identTag("orders")}"
     def build(table: String, src: String, df: => DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(table)) {
         val frame = df
