@@ -114,14 +114,20 @@ object Compaction {
     * compaction exists to shrink. Driver-side listing of PARTITION
     * DIRECTORIES only (bounded: one entry per day), never of data rows. */
   def filesPerDay(path: String): Map[String, Int] = {
-    val root = Paths.get(path)
-    val days = Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("event_date="))
-    days.map { d =>
-      val n = Files.list(d).iterator().asScala
-        .count(_.getFileName.toString.endsWith(".parquet"))
-      d.getFileName.toString -> n
-    }.toMap
+    def withListing[A](p: java.nio.file.Path)(
+        body: Iterator[java.nio.file.Path] => A): A = {
+      val stream = Files.list(p)
+      try body(stream.iterator().asScala) finally stream.close()
+    }
+    withListing(Paths.get(path)) { entries =>
+      entries
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("event_date="))
+        .map { d =>
+          d.getFileName.toString -> withListing(d)(
+            _.count(_.getFileName.toString.endsWith(".parquet")))
+        }.toMap
+    }
   }
 
   private val compactedCache =

@@ -676,8 +676,16 @@ object CorpusOps {
   def tokenBudgetSelect(s: SparkSession, dir: String, budget: Long = 18000L): DataFrame =
     tokenBudgetSelectOf(s, docs(s, dir), budget)
 
-  private val lastRangedCheckpoint =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  /** FIFO of the most recent ranged checkpoints (bounded = no session-
+    * lifetime block accumulation). Depth 2, not 1: a caller that still
+    * holds the PREVIOUS invocation's lazy frame (hold-one-build-next, an
+    * A/B compare, a concurrent spec) must not lose its checkpoint blocks
+    * the moment a new invocation starts — localCheckpoint lineage cannot
+    * be recomputed. Contract: a returned frame must be consumed before
+    * two further invocations on the same session.
+    */
+  private val rangedCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Frame-based core of [[tokenBudgetSelect]] — exposed for
     * [[graft.ScaleProbe]]'s growth measurement over synthetic corpora.
@@ -695,12 +703,12 @@ object CorpusOps {
       .repartitionByRange(col("score").desc, col("doc_id").asc)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    // One-slot retention: the checkpoint must stay pinned until the caller
-    // consumes the returned (lazy) frame, but repeated bench/streaming
-    // invocations must not accumulate pinned blocks for the session
-    // lifetime — release the previous call's checkpoint now.
-    Option(lastRangedCheckpoint.getAndSet(ranged))
-      .foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
+    // Bounded retention (see rangedCheckpoints): pin this call's
+    // checkpoint, release the oldest beyond depth 2.
+    rangedCheckpoints.add(ranged)
+    while (rangedCheckpoints.size() > 2)
+      Option(rangedCheckpoints.poll())
+        .foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
     // bounded metadata collect: one row per shuffle partition
     var acc = 0L
     val offsets = ranged.groupBy(col("pid")).agg(sum(col("n_tok")).as("psum"))

@@ -250,8 +250,11 @@ object DedupOps {
   def verifiedNearDupPairs(
       s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
     IndexMemo(pairsCache, (s, dir, threshold))(
-      IndexStore.loadOrBuild(s, artifactName("neardup-pairs", dir),
-        s"${Tables.fileIdent(dir, "documents")}|t=$threshold|k=$MinhashK|b=$LshBands")(
+      // caller-variable params live in the NAME, not just the identity:
+      // the stale-generation sweep deletes same-name siblings, and two
+      // thresholds must be two artifacts, not one thrashing slot
+      IndexStore.loadOrBuild(s, artifactName(s"neardup-pairs-t$threshold", dir),
+        s"${Tables.fileIdent(dir, "documents")}|k=$MinhashK|b=$LshBands")(
         computeMinhashLsh(s, dir, threshold)))
 
   /** MinHash band-collision CANDIDATE pairs (pre-verification) from a
@@ -374,8 +377,8 @@ object DedupOps {
 
   def nearDupClusters(s: SparkSession, dir: String, iterations: Int = 5): DataFrame =
     IndexMemo(clusterCache, (s, dir, iterations))(
-      IndexStore.loadOrBuild(s, artifactName("neardup-clusters", dir),
-        s"${Tables.fileIdent(dir, "documents")}|iters=$iterations")(
+      IndexStore.loadOrBuild(s, artifactName(s"neardup-clusters-i$iterations", dir),
+        Tables.fileIdent(dir, "documents"))(
         computeNearDupClusters(s, dir, iterations))
         .orderBy("doc_id"))
 

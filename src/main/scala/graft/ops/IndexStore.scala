@@ -91,17 +91,7 @@ object IndexStore {
             _: java.nio.file.DirectoryNotEmptyException =>
           deleteRecursively(tmp) // another process won the build race
       }
-      // stale generations of this artifact (older testdata) are dead weight
-      val root = Paths.get(cacheRoot)
-      if (Files.isDirectory(root)) {
-        val stale = Files.list(root).iterator()
-        while (stale.hasNext) {
-          val p = stale.next()
-          val n = p.getFileName.toString
-          if (n.startsWith(s"$name-") && n != dirName && !n.contains(".tmp-"))
-            deleteRecursively(p)
-        }
-      }
+      dropStaleGenerations(name, dirName)
       s.read.parquet(target.toString)
     }
   }
@@ -137,24 +127,37 @@ object IndexStore {
     }
   }
 
-  /** Older generations of `name` (stale testdata) are dead /tmp weight. */
+  /** Older generations of `name` (stale testdata) are dead /tmp weight.
+    * `name` must carry every caller-variable parameter (the sweep deletes
+    * ALL same-name siblings) — identity hashes distinguish generations,
+    * not variants.
+    */
   private def dropStaleGenerations(name: String, keep: String): Unit = {
     val root = Paths.get(cacheRoot)
     if (Files.isDirectory(root)) {
-      val it = Files.list(root).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.startsWith(s"$name-") && n != keep && !n.contains(".tmp-"))
-          deleteRecursively(p)
-      }
+      val stream = Files.list(root)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith(s"$name-") && n != keep && !n.contains(".tmp-"))
+            deleteRecursively(p)
+        }
+      } finally stream.close()
     }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
-      while (it.hasNext) { try Files.delete(it.next()) catch { case _: Exception => () } }
+      val stream = Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          try Files.delete(it.next()) catch { case _: Exception => () }
+        }
+      } finally stream.close()
     }
 
   /** Write the trained IVF + PQ artifacts for `dir`'s corpus under `out`. */

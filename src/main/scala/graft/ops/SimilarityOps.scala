@@ -1131,14 +1131,29 @@ object SimilarityOps {
   /** Wide per-query ADC lookup table: (query_id, dtab[m·k]) with
     * dtab[j·k + cid] = d2(query subvector j, codebook entry cid) — the
     * flat distance table a real ADC kernel indexes. q rows, broadcast.
+    *
+    * Built over a DENSE (query, j, cid) spine, not the codebook rows
+    * alone: k-means may STARVE a codebook entry (the update step emits no
+    * row for an empty cluster), and a flat table with a silent gap shifts
+    * every lookup after it. Missing entries hold an inert sentinel
+    * (1e18) — never read, because [[pqAssign]] only ever codes against
+    * EXISTING centroids, so no `codes[j]` can reference a starved cid; a
+    * sentinel (not null) keeps both engines' list semantics trivially
+    * index-aligned.
     */
-  private def pqLutWide(s: SparkSession, dir: String): DataFrame =
-    pqLut(s, dir)
+  private def pqLutWide(s: SparkSession, dir: String): DataFrame = {
+    val lut = pqLut(s, dir)
+    val spine = lut.select(col("query_id")).distinct()
+      .crossJoin(s.range(PqM.toLong).select(col("id").cast("int").as("j")))
+      .crossJoin(s.range(PqK.toLong).select(col("id").as("cid")))
+    spine
+      .join(lut, Seq("query_id", "j", "cid"), "left")
       .groupBy(col("query_id"))
-      .agg(array_sort(collect_list(struct(col("j"), col("cid"), col("d2"))))
-        .as("parts"))
+      .agg(array_sort(collect_list(struct(col("j"), col("cid"),
+        coalesce(col("d2"), lit(1e18)).as("d2")))).as("parts"))
       .select(col("query_id"),
         transform(col("parts"), p => p.getField("d2")).as("dtab"))
+  }
 
   /** The shared ADC tail used by [[annPqAdc]] (cand = None → every
     * (query, vector) pair) and [[annIvfPq]] (cand = the probed-cell
@@ -1230,7 +1245,15 @@ object SimilarityOps {
        |  FROM sub s JOIN pc$PqIters c ON s.j = c.j
        |  WHERE s.vec_id < $NQueries),
        |codesw AS (SELECT vec_id, list(cid ORDER BY j) AS codes FROM codes GROUP BY vec_id),
-       |lutw AS (SELECT query_id, list(d2 ORDER BY j, cid) AS dtab FROM lut GROUP BY query_id),
+       |lutw AS (
+       |  SELECT q.query_id, list(coalesce(l.d2, 1e18) ORDER BY sp.j, sp.cid) AS dtab
+       |  FROM (SELECT DISTINCT query_id FROM lut) q
+       |  CROSS JOIN (
+       |    SELECT j1.j, c1.cid
+       |    FROM (SELECT unnest(range($PqM)) AS j) j1,
+       |         (SELECT unnest(range($PqK)) AS cid) c1) sp
+       |  LEFT JOIN lut l ON l.query_id = q.query_id AND l.j = sp.j AND l.cid = sp.cid
+       |  GROUP BY q.query_id),
        |adc AS (
        |  SELECT l.query_id, k.vec_id,
        |    list_sum(list_transform(range(0, $PqM),
@@ -1310,7 +1333,15 @@ object SimilarityOps {
        |  FROM afinal a JOIN probes p
        |    ON a.cid = p.probe_cell AND a.vec_id <> p.query_id),
        |codesw AS (SELECT vec_id, list(cid ORDER BY j) AS codes FROM codes GROUP BY vec_id),
-       |lutw AS (SELECT query_id, list(d2 ORDER BY j, cid) AS dtab FROM lut GROUP BY query_id),
+       |lutw AS (
+       |  SELECT q.query_id, list(coalesce(l.d2, 1e18) ORDER BY sp.j, sp.cid) AS dtab
+       |  FROM (SELECT DISTINCT query_id FROM lut) q
+       |  CROSS JOIN (
+       |    SELECT j1.j, c1.cid
+       |    FROM (SELECT unnest(range($PqM)) AS j) j1,
+       |         (SELECT unnest(range($PqK)) AS cid) c1) sp
+       |  LEFT JOIN lut l ON l.query_id = q.query_id AND l.j = sp.j AND l.cid = sp.cid
+       |  GROUP BY q.query_id),
        |adc AS (
        |  SELECT c.query_id, c.vec_id,
        |    list_sum(list_transform(range(0, $PqM),

@@ -36,11 +36,17 @@ object Bucketed {
       .toString.take(8).replace("-", "")
     val li = s"li_bkt_${dirTag}_${identTag("lineitem")}"
     val ord = s"ord_bkt_${dirTag}_${identTag("orders")}"
-    def build(table: String, src: String, df: => DataFrame, key: String): Unit =
+    // artifact name WITHOUT identTag (identity goes in the hash): the
+    // store's stale-generation sweep can then GC the previous testdata's
+    // bucketed copy — the identity-bearing TABLE name above only protects
+    // this JVM's catalog from attaching to a GC'd path
+    def artifact(kind: String): String = s"bucketed-${kind}_$dirTag"
+    def build(table: String, artifactKind: String, src: String,
+        df: => DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(table)) {
         val frame = df
         val path = graft.ops.IndexStore.loadOrBuildDir(
-          s"bucketed-$table", Tables.fileIdent(sfDir, src)) { tmp =>
+          artifact(artifactKind), Tables.fileIdent(sfDir, src)) { tmp =>
           // write the bucketed files as an EXTERNAL table at the temp
           // path, then drop only the catalog entry — the files stay and
           // loadOrBuildDir's atomic rename publishes them
@@ -57,10 +63,10 @@ object Bucketed {
              |LOCATION '$path'""".stripMargin)
       }
     Bucketed.synchronized {
-      build(li, "lineitem", Tables.read(s, sfDir, "lineitem")
+      build(li, "li", "lineitem", Tables.read(s, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
         "l_orderkey")
-      build(ord, "orders", Tables.read(s, sfDir, "orders")
+      build(ord, "ord", "orders", Tables.read(s, sfDir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority")), "o_orderkey")
     }
     (li, ord)

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-safe generation store shared by the streaming maintenance sinks
+  * (sketch / profile / drift). The store root holds `gen-<batchId>`
+  * parquet directories; a generation is COMPLETE iff its `_SUCCESS`
+  * marker exists, and readers always take the newest complete one. That
+  * makes the publish all-or-nothing without any rename of the live store:
+  * a crash mid-write leaves an incomplete `gen-` dir that no reader ever
+  * selects, the replayed batch rewrites it (mode=overwrite), and older
+  * generations are pruned only AFTER the new one is complete — the
+  * delete-then-rename publish this replaces had a window where a crash
+  * lost the whole store.
+  *
+  * Replay guard: streaming batch ids are monotonic and only the last
+  * uncommitted batch ever replays, so "already merged" ⟺
+  * `batchId ≤ newest complete generation id`.
+  */
+private[streaming] object GenStore {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Newest complete generation as (batchId, path). */
+  def latest(spark: SparkSession, root: String): Option[(Long, String)] = {
+    val f = fs(spark, root)
+    val rootP = new Path(root)
+    if (!f.exists(rootP)) None
+    else f.listStatus(rootP).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("gen-") &&
+        f.exists(new Path(p, "_SUCCESS")))
+      .map(p => p.getName.stripPrefix("gen-").toLong -> p.toString)
+      .sortBy(_._1)
+      .lastOption
+  }
+
+  def mergedThrough(spark: SparkSession, root: String): Option[Long] =
+    latest(spark, root).map(_._1)
+
+  /** Write `merged` as generation `batchId`, then prune older complete
+    * generations (best-effort — a crash between write and prune only
+    * leaves an extra readable generation). */
+  def publish(merged: DataFrame, root: String, batchId: Long): Unit = {
+    val spark = merged.sparkSession
+    merged.write.mode("overwrite").parquet(s"$root/gen-$batchId")
+    val f = fs(spark, root)
+    f.listStatus(new Path(root)).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("gen-") &&
+        p.getName.stripPrefix("gen-").toLong < batchId)
+      .foreach(p => f.delete(p, true))
+    ()
+  }
+
+  /** Read the newest complete generation; None if the store is empty. */
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+    latest(spark, root).map { case (_, p) => spark.read.parquet(p) }
+}

@@ -493,13 +493,18 @@ object StreamingDedup {
             .filter(f => f.getName.startsWith("gen-") &&
               !keep.contains(f.getName.stripPrefix("gen-").toLong))
             .foreach { f =>
-              val it = java.nio.file.Files.walk(f.toPath)
+              // close the walk stream — this prune runs EVERY micro-batch
+              // of a long-lived stream, and unclosed DirectoryStreams
+              // accumulate fds until GC
+              val stream = java.nio.file.Files.walk(f.toPath)
                 .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                .iterator()
-              while (it.hasNext) {
-                try java.nio.file.Files.delete(it.next())
-                catch { case _: Exception => () }
-              }
+              try {
+                val it = stream.iterator()
+                while (it.hasNext) {
+                  try java.nio.file.Files.delete(it.next())
+                  catch { case _: Exception => () }
+                }
+              } finally stream.close()
             }
           ()
         } finally { batch.unpersist(); () }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
@@ -18,14 +17,15 @@ import graft.ops.{CorpusOps, TextOps}
   * StreamingProfileSpec).
   *
   * Replay safety mirrors [[StreamingProfile]]: counts are not idempotent
-  * under re-merge, so the store carries the highest merged batch id and a
-  * replayed batch is skipped; the tmp-write + atomic-rename publish makes
-  * the check all-or-nothing.
+  * under re-merge, so a replayed batch id is skipped via the [[GenStore]]
+  * generation guard, and the generation publish is crash-safe (an
+  * incomplete write is never read; older generations are pruned only
+  * after the new one is complete).
   */
 object StreamingDrift {
 
   /** (source, b, c) counts of one micro-batch. */
-  private def batchCounts(batch: DataFrame, batchId: Long): DataFrame =
+  private def batchCounts(batch: DataFrame): DataFrame =
     batch
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .select(col("source"),
@@ -33,32 +33,22 @@ object StreamingDrift {
           lit(CorpusOps.DsirBuckets.toLong)).as("b"))
       .groupBy(col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("merged_through", lit(batchId))
 
-  /** Fold one micro-batch into the drift store; no-op on replay. */
+  /** Fold one micro-batch into the drift store; no-op on replay
+    * (generation guard — see [[GenStore]]). */
   def mergeBatchIntoStore(batch: DataFrame, storePath: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val target = new Path(storePath)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (fs.exists(target)) Some(spark.read.parquet(storePath)) else None
-    val already = existing.exists(
-      _.agg(max(col("merged_through"))).collect()(0).getLong(0) >= batchId)
-    if (!already) {
-      val merged = existing match {
+    if (!GenStore.mergedThrough(spark, storePath).exists(_ >= batchId)) {
+      val counts = batchCounts(batch)
+      val merged = GenStore.read(spark, storePath) match {
         case Some(store) =>
-          store.unionByName(batchCounts(batch, batchId))
+          store.unionByName(counts)
             .groupBy(col("source"), col("b"))
-            .agg(sum(col("c")).as("c"),
-              max(col("merged_through")).as("merged_through"))
-        case None => batchCounts(batch, batchId)
+            .agg(sum(col("c")).as("c"))
+        case None => counts
       }
-      val tmp = new Path(storePath + "__tmp")
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(target)) fs.delete(target, true)
-      fs.rename(tmp, target)
+      GenStore.publish(merged, storePath, batchId)
     }
-    ()
   }
 
   /** The maintenance sink over a documents-shaped stream. */
@@ -77,5 +67,7 @@ object StreamingDrift {
   /** The live drift report — identical arithmetic to the batch op. */
   def driftFromStore(s: SparkSession, storePath: String): DataFrame =
     CorpusOps.klFromSourceBucketCounts(
-      s.read.parquet(storePath).select(col("source"), col("b"), col("c")))
+      GenStore.read(s, storePath)
+        .getOrElse(sys.error(s"no complete drift generation under $storePath"))
+        .select(col("source"), col("b"), col("c")))
 }

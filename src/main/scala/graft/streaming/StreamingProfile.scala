@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
@@ -19,11 +18,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * sketch-accurate for distincts — no raw row is ever revisited.
   *
   * Replay safety differs from [[StreamingSketch]]: counts and sums are
-  * NOT idempotent under re-merge, so the store carries the highest merged
-  * batch id and [[mergeBatchIntoStore]] skips a batch it has already
-  * folded in. The tmp-write + atomic-rename publish makes that check
-  * all-or-nothing: a crash mid-publish leaves the pre-batch store, and
-  * the replay re-merges cleanly.
+  * NOT idempotent under re-merge, so [[mergeBatchIntoStore]] skips a
+  * batch the store has already folded in ([[GenStore]] generation guard).
+  * The generation publish makes a crash mid-write harmless: an
+  * incomplete generation is never read, and the prior generation is
+  * pruned only after the new one is complete.
   */
 object StreamingProfile {
 
@@ -63,17 +62,12 @@ object StreamingProfile {
   }
 
   /** Fold one micro-batch into the profile store; no-op if `batchId` is
-    * already merged (replay). */
+    * already merged (replay — [[GenStore]] generation guard; the
+    * generation publish is also what makes a crash mid-write harmless). */
   def mergeBatchIntoStore(batch: DataFrame, storePath: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val target = new Path(storePath)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (fs.exists(target)) Some(spark.read.parquet(storePath)) else None
-    val already = existing.exists(
-      _.agg(max(col("merged_through"))).collect()(0).getLong(0) >= batchId)
-    if (!already) {
-      val merged = existing match {
+    if (!GenStore.mergedThrough(spark, storePath).exists(_ >= batchId)) {
+      val merged = GenStore.read(spark, storePath) match {
         case Some(store) =>
           store.unionByName(batchStats(batch, batchId))
             .groupBy(col("column_name"))
@@ -89,12 +83,8 @@ object StreamingProfile {
               max(col("merged_through")).as("merged_through"))
         case None => batchStats(batch, batchId)
       }
-      val tmp = new Path(storePath + "__tmp")
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(target)) fs.delete(target, true)
-      fs.rename(tmp, target)
+      GenStore.publish(merged, storePath, batchId)
     }
-    ()
   }
 
   /** The maintenance sink over a documents-shaped stream. */
@@ -113,7 +103,8 @@ object StreamingProfile {
   /** Read the live profile: exact count/nulls/min/max/mean + sketch
     * distinct estimate, one row per column. */
   def profileFromStore(s: SparkSession, storePath: String): DataFrame =
-    s.read.parquet(storePath)
+    GenStore.read(s, storePath)
+      .getOrElse(sys.error(s"no complete profile generation under $storePath"))
       .select(
         col("column_name"), col("n_rows"), col("n_nulls"),
         hll_sketch_estimate(col("sk")).as("n_distinct_est"),

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
@@ -26,27 +25,25 @@ object StreamingSketch {
   /** Merge one micro-batch's events into the sketch store. Batch side:
     * one partial+final aggregate over the batch; store side: a bounded
     * scan of |types|×|days| sketch rows; the merge is a union + one more
-    * sketch aggregate. Atomic tmp-write + rename as in
-    * [[graft.ops.Sinks.upsertParquet]]. */
+    * sketch aggregate. Published as a [[GenStore]] generation (auto-
+    * incremented id — re-merging the same batch converges by HLL union
+    * idempotence, so no replay guard is needed) so a crash mid-write
+    * never loses the accumulated store. */
   def mergeBatchIntoStore(batch: DataFrame, storePath: String): Unit = {
     val spark = batch.sparkSession
     val batchSk = batch
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id"), LgK).as("sk"))
-    val target = new Path(storePath)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(target))
-        spark.read.parquet(storePath)
+    val merged = GenStore.read(spark, storePath) match {
+      case Some(store) =>
+        store
           .unionByName(batchSk)
           .groupBy(col("event_type"), col("day"))
           .agg(hll_union_agg(col("sk"), allowDifferentLgConfigK = false).as("sk"))
-      else batchSk
-    val tmp = new Path(storePath + "__tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
-    ()
+      case None => batchSk
+    }
+    GenStore.publish(merged, storePath,
+      GenStore.mergedThrough(spark, storePath).getOrElse(-1L) + 1)
   }
 
   /** The maintenance sink: every micro-batch folds into the store. */
@@ -65,7 +62,8 @@ object StreamingSketch {
   /** Rollup read over the maintained store: per event_type distinct-user
     * estimate from the merged daily sketches — never touches raw events. */
   def sketchEstimates(s: SparkSession, storePath: String): DataFrame =
-    s.read.parquet(storePath)
+    GenStore.read(s, storePath)
+      .getOrElse(sys.error(s"no complete sketch generation under $storePath"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("days_merged"),
