@@ -1141,19 +1141,18 @@ object SimilarityOps {
     * sentinel (not null) keeps both engines' list semantics trivially
     * index-aligned.
     */
-  private def pqLutWide(s: SparkSession, dir: String): DataFrame = {
-    val lut = pqLut(s, dir)
-    val spine = lut.select(col("query_id")).distinct()
-      .crossJoin(s.range(PqM.toLong).select(col("id").cast("int").as("j")))
-      .crossJoin(s.range(PqK.toLong).select(col("id").as("cid")))
-    spine
-      .join(lut, Seq("query_id", "j", "cid"), "left")
+  private def pqLutWide(s: SparkSession, dir: String): DataFrame =
+    pqLut(s, dir)
       .groupBy(col("query_id"))
-      .agg(array_sort(collect_list(struct(col("j"), col("cid"),
-        coalesce(col("d2"), lit(1e18)).as("d2")))).as("parts"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("j") * PqK + col("cid")).cast("int").as("slot"),
+        col("d2").as("d2")))).as("mp"))
+      // densify IN the projection (no spine join, no extra exchange):
+      // every slot 0..m·k−1 resolves through the map, absent slots take
+      // the sentinel
       .select(col("query_id"),
-        transform(col("parts"), p => p.getField("d2")).as("dtab"))
-  }
+        transform(sequence(lit(0), lit(PqM * PqK - 1)),
+          i => coalesce(element_at(col("mp"), i), lit(1e18))).as("dtab"))
 
   /** The shared ADC tail used by [[annPqAdc]] (cand = None → every
     * (query, vector) pair) and [[annIvfPq]] (cand = the probed-cell
