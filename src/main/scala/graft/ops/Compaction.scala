@@ -48,7 +48,7 @@ object Compaction {
     // processes load it instead of re-fragmenting
     Compaction.synchronized {
       IndexStore.loadOrBuildDir(
-        s"fragmented-events-${java.nio.file.Paths.get(sfDir).getFileName}",
+        IndexStore.scopedName("fragmented-events", sfDir),
         Tables.fileIdent(sfDir, "events")) { tmp =>
         Tables.read(s, sfDir, "events")
           .withColumn("event_date", to_date(col("ts")))

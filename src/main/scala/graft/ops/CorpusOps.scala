@@ -880,8 +880,6 @@ object CorpusOps {
   def dsirWeights(s: SparkSession, dir: String): DataFrame =
     dsirWeightsOf(docs(s, dir), Some(dsirTable(s, dir)))
 
-  /** Core form over any (doc_id, lang, text) frame — ScaleProbe and specs
-    * drive this directly on synthetic corpora. */
   /** The trained half of DSIR: the B-row (b, logr) bucket table — the
     * artifact a scorer ships. Train once on the reference corpus, apply
     * map-side anywhere (batch below, [[graft.streaming.StreamingSampler
@@ -913,9 +911,12 @@ object CorpusOps {
   /** The collected trained table: logr indexed by bucket. B doubles —
     * the bounded-artifact pattern the streaming scorer and centroid
     * assigner use. */
-  private[graft] def dsirTableOf(d: DataFrame): Array[Double] = {
+  private[graft] def dsirTableOf(d: DataFrame): Array[Double] =
+    dsirTableFrom(dsirLogRatioOf(d))
+
+  private def dsirTableFrom(logRatio: DataFrame): Array[Double] = {
     val lr = new Array[Double](DsirBuckets)
-    dsirLogRatioOf(d).collect()
+    logRatio.collect()
       .foreach(r => lr(r.getAs[Long]("b").toInt) = r.getAs[Double]("logr"))
     lr
   }
@@ -928,14 +929,11 @@ object CorpusOps {
 
   private[graft] def dsirTable(s: SparkSession, dir: String): Array[Double] =
     IndexMemo(dsirTableCache, (s, dir)) {
-      val name = s"dsir-logratio-${java.nio.file.Paths.get(dir).getFileName}"
+      val name = graft.ops.IndexStore.scopedName("dsir-logratio", dir)
       val df = graft.ops.IndexStore.loadOrBuild(s, name,
         s"${Tables.fileIdent(dir, "documents")}|B=$DsirBuckets|tgt=en")(
         dsirLogRatioOf(docs(s, dir)))
-      val lr = new Array[Double](DsirBuckets)
-      df.collect()
-        .foreach(r => lr(r.getAs[Long]("b").toInt) = r.getAs[Double]("logr"))
-      lr
+      dsirTableFrom(df)
     }
 
   private[graft] def dsirWeightsOf(
@@ -946,13 +944,10 @@ object CorpusOps {
     // interpreted per-array HOF fold measured 5× slower), there is no
     // join at all, and the only shuffle is the map-side-combined per-doc
     // sum. The trained table itself is B collected doubles.
-    val B = DsirBuckets
     val lrArr = typedLit(table.getOrElse(dsirTableOf(d)).toSeq)
-    d.select(col("doc_id"), col("lang"), TextOps.tokens.as("toks"))
-      .select(col("doc_id"), col("lang"), explode(dsirFeatureArray).as("f"))
+    dsirFeatures(d)
       .select(col("doc_id"), col("lang"),
-        element_at(lrArr,
-          (pmod(hash60(col("f")), lit(B.toLong)) + 1).cast("int")).as("logr"))
+        element_at(lrArr, (col("b") + 1).cast("int")).as("logr"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_features"), sum(col("logr")).as("lw"))
       .select(col("doc_id"), col("lang"), col("n_features"),
@@ -1019,12 +1014,17 @@ object CorpusOps {
     sourceDriftOf(docs(s, dir))
 
   private[graft] def sourceDriftOf(d: DataFrame): DataFrame =
-    klFromSourceBucketCounts(
-      d.select(col("source"), explode(TextOps.tokens).as("tok"))
-        .select(col("source"),
-          pmod(hash60(col("tok")), lit(DsirBuckets.toLong)).as("b"))
-        .groupBy(col("source"), col("b"))
-        .agg(count(lit(1)).as("c")))
+    klFromSourceBucketCounts(sourceBucketCountsOf(d))
+
+  /** (source, b, c) hashed-unigram bucket counts — the counting half
+    * shared verbatim with the streaming drift store, so streamed == batch
+    * holds by construction on BOTH halves of the op. */
+  private[graft] def sourceBucketCountsOf(d: DataFrame): DataFrame =
+    d.select(col("source"), explode(TextOps.tokens).as("tok"))
+      .select(col("source"),
+        pmod(hash60(col("tok")), lit(DsirBuckets.toLong)).as("b"))
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
 
   /** The KL arithmetic over a (source, b, c) bucket-count frame — shared
     * by the batch op above and the incremental monitor

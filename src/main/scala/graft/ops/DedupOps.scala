@@ -245,7 +245,7 @@ object DedupOps {
     * artifact, only an older generation of this one.
     */
   private def artifactName(base: String, dir: String): String =
-    s"$base-${java.nio.file.Paths.get(dir).getFileName}"
+    IndexStore.scopedName(base, dir)
 
   def verifiedNearDupPairs(
       s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =

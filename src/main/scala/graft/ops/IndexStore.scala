@@ -58,6 +58,17 @@ object IndexStore {
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
+  /** Canonical artifact name for (`base`, input directory): the readable
+    * basename PLUS a short full-path hash. The path hash matters because
+    * the stale-generation sweep deletes ALL same-name siblings — two
+    * corpus dirs that share a basename (/a/sf1 vs /b/sf1) must be two
+    * artifact names, or each build deletes the other's live artifact.
+    */
+  def scopedName(base: String, dir: String): String = {
+    val p = Paths.get(dir).toAbsolutePath
+    s"$base-${p.getFileName}-${sha16(p.toString).take(6)}"
+  }
+
   /** Durable build-once memo: if a parquet artifact for (`name`,
     * `identity`) exists, scan it (tiny logical plan — downstream queries
     * compose over a plain file scan instead of a deep cached lineage);

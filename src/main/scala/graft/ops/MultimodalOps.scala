@@ -155,7 +155,7 @@ object MultimodalOps {
     IndexMemo(mediaCache, (s, dir, "png")) {
       import s.implicits._
       IndexStore.loadOrBuild(s,
-        s"media-png-${java.nio.file.Paths.get(dir).getFileName}",
+        IndexStore.scopedName("media-png", dir),
         Tables.fileIdent(dir, "documents")) {
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]
@@ -238,7 +238,7 @@ object MultimodalOps {
     IndexMemo(mediaCache, (s, dir, "video")) {
       import s.implicits._
       IndexStore.loadOrBuild(s,
-        s"media-video-${java.nio.file.Paths.get(dir).getFileName}",
+        IndexStore.scopedName("media-video", dir),
         Tables.fileIdent(dir, "documents")) {
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]
@@ -370,7 +370,7 @@ object MultimodalOps {
     IndexMemo(mediaCache, (s, dir, "frameset")) {
       import s.implicits._
       IndexStore.loadOrBuild(s,
-        s"media-frameset-${java.nio.file.Paths.get(dir).getFileName}",
+        IndexStore.scopedName("media-frameset", dir),
         Tables.fileIdent(dir, "documents")) {
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]
@@ -572,7 +572,7 @@ object MultimodalOps {
     IndexMemo(mediaCache, (s, dir, "audioset")) {
       import s.implicits._
       IndexStore.loadOrBuild(s,
-        s"media-audioset-${java.nio.file.Paths.get(dir).getFileName}",
+        IndexStore.scopedName("media-audioset", dir),
         Tables.fileIdent(dir, "documents")) {
       Tables.read(s, dir, "documents").select(col("doc_id"))
         .as[Long]

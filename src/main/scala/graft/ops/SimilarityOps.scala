@@ -556,7 +556,7 @@ object SimilarityOps {
 
   /** Artifact name carrying the sf-dir tag — see the DedupOps twin. */
   private def artifactName(base: String, dir: String): String =
-    s"$base-${java.nio.file.Paths.get(dir).getFileName}"
+    IndexStore.scopedName(base, dir)
 
   private[graft] def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
     IndexMemo(centroidCache, (s, dir))(
@@ -1149,10 +1149,12 @@ object SimilarityOps {
         col("d2").as("d2")))).as("mp"))
       // densify IN the projection (no spine join, no extra exchange):
       // every slot 0..m·k−1 resolves through the map, absent slots take
-      // the sentinel
+      // the sentinel. try_element_at, NOT element_at: under ANSI (this
+      // engine's default) a missing map key THROWS before coalesce runs —
+      // exactly on the starved-centroid case this densification exists for
       .select(col("query_id"),
         transform(sequence(lit(0), lit(PqM * PqK - 1)),
-          i => coalesce(element_at(col("mp"), i), lit(1e18))).as("dtab"))
+          i => coalesce(try_element_at(col("mp"), i), lit(1e18))).as("dtab"))
 
   /** The shared ADC tail used by [[annPqAdc]] (cand = None → every
     * (query, vector) pair) and [[annIvfPq]] (cand = the probed-cell

@@ -24,7 +24,7 @@ object Partitioned {
     // rewriting the layout)
     Partitioned.synchronized {
       graft.ops.IndexStore.loadOrBuildDir(
-        s"partitioned-events-${java.nio.file.Paths.get(sfDir).getFileName}",
+        graft.ops.IndexStore.scopedName("partitioned-events", sfDir),
         Tables.fileIdent(sfDir, "events")) { tmp =>
         Tables.read(s, sfDir, "events")
           .withColumn("event_date", to_date(col("ts")))

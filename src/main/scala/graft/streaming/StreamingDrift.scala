@@ -24,15 +24,11 @@ import graft.ops.{CorpusOps, TextOps}
   */
 object StreamingDrift {
 
-  /** (source, b, c) counts of one micro-batch. */
+  /** (source, b, c) counts of one micro-batch — the batch op's own
+    * counting half ([[CorpusOps.sourceBucketCountsOf]]), so parity holds
+    * by construction. */
   private def batchCounts(batch: DataFrame): DataFrame =
-    batch
-      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("source"),
-        pmod(TextOps.hash60(col("tok")),
-          lit(CorpusOps.DsirBuckets.toLong)).as("b"))
-      .groupBy(col("source"), col("b"))
-      .agg(count(lit(1)).as("c"))
+    CorpusOps.sourceBucketCountsOf(batch)
 
   /** Fold one micro-batch into the drift store; no-op on replay
     * (generation guard — see [[GenStore]]). */

@@ -196,9 +196,15 @@ object StreamingSampler {
         val t = bc.value
         val md = java.security.MessageDigest.getInstance("MD5")
         def bucket(f: String): Int = {
-          val hex = md.digest(f.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.substring(0, 15)
-          (java.lang.Long.parseLong(hex, 16) % B).toInt
+          // the batch hash60 is the first 15 HEX CHARS of the md5 = the
+          // top 60 bits of the first 8 digest bytes — computed here
+          // directly from the bytes (the hex-format/parse round-trip
+          // allocated ~3 objects per token in this per-row hot loop)
+          val d = md.digest(f.getBytes("UTF-8"))
+          var top = 0L
+          var i = 0
+          while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }
+          ((top >>> 4) % B).toInt
         }
         val toks = text.split(" ", -1)
         var sum = 0.0
