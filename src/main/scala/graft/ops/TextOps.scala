@@ -130,8 +130,11 @@ object TextOps {
     * then doc_id — at 100 TB this is the vocab-stats shape, no stage sees
     * the raw text after the explode.
     */
-  def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), tokens.as("toks"))
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame =
+    qualityRepetitionOf(docs(s, dir))
+
+  private[graft] def qualityRepetitionOf(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), tokens.as("toks"))
     def gramStats(gram: Column, pfx: String) =
       base.select(col("doc_id"), explode(gram).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
@@ -140,9 +143,14 @@ object TextOps {
           sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"${pfx}_dup_c"),
           sum(col("c")).as(s"${pfx}_n"))
     val uni = gramStats(col("toks"), "u")
+    // try_element_at on the successor: a 1-token document probes index 2
+    // of a 1-element array, which THROWS under ANSI — the null →
+    // concat_ws skips it and yields the bare token, exactly the oracle's
+    // `|| coalesce(' ' || next, '')` (same convention as
+    // [[graft.ops.DedupOps.bigramShingles]])
     val bi = gramStats(expr(
       """transform(sequence(1, greatest(size(toks) - 1, 1)),
-        |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))""".stripMargin), "b")
+        |  i -> concat_ws(' ', element_at(toks, i), try_element_at(toks, i + 1)))""".stripMargin), "b")
     uni.join(bi, "doc_id")
       .select(
         col("doc_id"),

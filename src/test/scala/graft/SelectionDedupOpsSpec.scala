@@ -134,6 +134,19 @@ class SelectionDedupOpsSpec extends AnyFunSuite {
     assert(out.values.forall(_ >= -0.001), out)
   }
 
+  test("quality repetition survives a 1-token document under ANSI") {
+    import spark.implicits._
+    // the bigram lambda probes toks[2] on a 1-element array — ANSI throws
+    // without try_element_at; the degenerate bigram is the bare token
+    // (oracle convention), so the fractions stay defined
+    val d = Seq((1L, "solo"), (2L, "a a b")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.qualityRepetitionOf(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("top_token_frac") === 1.0)
+    assert(out(1L).getAs[Double]("top_bigram_frac") === 1.0)
+    assert(out(2L).getAs[Double]("dup_token_frac") === 0.6667)
+  }
+
   test("DSIR weights are deterministic across runs") {
     val w1 = CorpusOps.dsirWeights(spark, sf).collect().map(_.toString)
     val w2 = CorpusOps.dsirWeights(spark, sf).collect().map(_.toString)
