@@ -45,7 +45,11 @@ object EventOps {
   def p1JsonProjection(s: SparkSession, dir: String): DataFrame =
     events(s, dir).select(
       col("event_id"),
-      coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(0))
+      // try_cast, not cast: this is the PERMISSIVE route — a malformed
+      // (non-numeric) k must default to 0 like the oracle's try_cast,
+      // not throw under ANSI (the strict twin below is where a bad row
+      // is SUPPOSED to fail the job)
+      coalesce(get_json_object(col("props"), "$.k").try_cast("int"), lit(0))
         .as("k_value"),
       date_format(col("ts"), "yyyy-MM-dd").as("day"),
       lit("daily").as("aggregation_level"))
