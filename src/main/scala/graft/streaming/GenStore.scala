@@ -30,11 +30,18 @@ private[streaming] object GenStore {
     if (!f.exists(rootP)) None
     else f.listStatus(rootP).toSeq
       .map(_.getPath)
-      .filter(p => p.getName.startsWith("gen-") &&
-        f.exists(new Path(p, "_SUCCESS")))
+      // digit guard: foreign entries under a store root (a checkpoint
+      // dir, a gen-named file from another writer) must be ignored, not
+      // throw in toLong
+      .filter(p => isGen(p.getName) && f.exists(new Path(p, "_SUCCESS")))
       .map(p => p.getName.stripPrefix("gen-").toLong -> p.toString)
       .sortBy(_._1)
       .lastOption
+  }
+
+  private def isGen(name: String): Boolean = {
+    val id = name.stripPrefix("gen-")
+    name.startsWith("gen-") && id.nonEmpty && id.forall(_.isDigit)
   }
 
   def mergedThrough(spark: SparkSession, root: String): Option[Long] =
@@ -48,7 +55,7 @@ private[streaming] object GenStore {
     merged.write.mode("overwrite").parquet(s"$root/gen-$batchId")
     val f = fs(spark, root)
     f.listStatus(new Path(root)).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("gen-") &&
+      .filter(p => isGen(p.getName) &&
         p.getName.stripPrefix("gen-").toLong < batchId)
       .foreach(p => f.delete(p, true))
     ()
