@@ -78,6 +78,20 @@ class StreamingProfileSpec extends AnyFunSuite {
     assert(counts.getAs[Long]("n_rows") == 140)
   }
 
+  test("gen store ignores foreign entries under its root") {
+    import graft.streaming.StreamingDrift
+    val store = tmpDir("g") + "/drift"
+    StreamingDrift.mergeBatchIntoStore(
+      Seq((1L, "s0", "alpha beta")).toDF("doc_id", "source", "text"), store, 0L)
+    // junk a checkpoint-ish dir and a non-numeric gen name into the root
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store, "gen-abc"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store, "_spark_metadata"))
+    // both reader and a further merge must skip them (no NumberFormatException)
+    StreamingDrift.mergeBatchIntoStore(
+      Seq((2L, "s0", "gamma delta")).toDF("doc_id", "source", "text"), store, 1L)
+    assert(StreamingDrift.driftFromStore(spark, store).count() === 1L)
+  }
+
   test("streamed drift report == batch sourceDrift row-for-row; replay-safe") {
     import graft.streaming.StreamingDrift
     val docsDf = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
