@@ -109,6 +109,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> (SimilarityOps.annIvfPq _),
     "q_sem_dedup" -> ((s, d) => SimilarityOps.semDedup(s, d)),
     "q_zorder_stats" -> (graft.ops.Layout.zorderStats _),
+    "q_quantizer_drift" -> (SimilarityOps.quantizerDrift _),
 
     // table maintenance + monitoring tier
     "q_sketch_rollup" -> (graft.ops.SketchOps.sketchRollup _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_profile_table" -> ((s, d) => graft.ops.SketchOps.profileTable(s, d)),
     "q_shuffle_shard" -> ((s, d) => graft.ops.ShardOps.shuffleShardStats(s, d)),
     "q_compact_digest" -> (graft.ops.Compaction.compactDigest _),
+    "q_merge_upsert" -> (graft.ops.MergeTable.mergeUpsertDigest _),
 
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
@@ -300,11 +302,13 @@ object SparkEntry {
     "q_ann_ivfpq" -> SimilarityOps.annIvfPqSql,
     "q_sem_dedup" -> SimilarityOps.semDedupSql(),
     "q_zorder_stats" -> graft.ops.Layout.zorderStatsSql,
+    "q_quantizer_drift" -> SimilarityOps.quantizerDriftSql,
     "q_sketch_rollup" -> graft.ops.SketchOps.sketchRollupSql,
     "q_sketch_intersect" -> graft.ops.SketchOps.sketchIntersectSql,
     "q_profile_table" -> graft.ops.SketchOps.profileTableSql,
     "q_shuffle_shard" -> graft.ops.ShardOps.shuffleShardStatsSql(),
     "q_compact_digest" -> graft.ops.Compaction.compactDigestSql,
+    "q_merge_upsert" -> graft.ops.MergeTable.mergeUpsertDigestSql,
     "q_brand_revenue" -> RelationalOps.brandRevenueSql,
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,

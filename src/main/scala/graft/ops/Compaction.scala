@@ -146,8 +146,12 @@ object Compaction {
       // is what the query measures) — never a sibling of the durable
       // fixture, and appId-tagged so concurrent JVMs cannot race it
       val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      // "scratch-" prefix: keeps the per-process output OUTSIDE the durable
+      // fixture's stale-generation namespace (a name that startsWith the
+      // fixture prefix would be swept by a rebuild while this app is still
+      // mid-measurement)
       val outPath = base(
-        s"${java.nio.file.Paths.get(in).getFileName}-compacted-$appTag").toString
+        s"scratch-${java.nio.file.Paths.get(in).getFileName}-compacted-$appTag").toString
       compact(s, in, outPath, targetBytes = 4L * 1024 * 1024)
       outPath
     }

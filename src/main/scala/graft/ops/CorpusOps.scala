@@ -676,16 +676,21 @@ object CorpusOps {
   def tokenBudgetSelect(s: SparkSession, dir: String, budget: Long = 18000L): DataFrame =
     tokenBudgetSelectOf(s, docs(s, dir), budget)
 
-  /** FIFO of the most recent ranged checkpoints (bounded = no session-
-    * lifetime block accumulation). Depth 2, not 1: a caller that still
-    * holds the PREVIOUS invocation's lazy frame (hold-one-build-next, an
-    * A/B compare, a concurrent spec) must not lose its checkpoint blocks
-    * the moment a new invocation starts — localCheckpoint lineage cannot
-    * be recomputed. Contract: a returned frame must be consumed before
-    * two further invocations on the same session.
+  /** PER-SESSION FIFOs of the most recent ranged checkpoints (bounded =
+    * no session-lifetime block accumulation). Depth 2, not 1: a caller
+    * that still holds the PREVIOUS invocation's lazy frame
+    * (hold-one-build-next, an A/B compare, a concurrent spec) must not
+    * lose its checkpoint blocks the moment a new invocation starts —
+    * localCheckpoint lineage cannot be recomputed. Keyed by session so a
+    * concurrent tenant's invocations can never evict THIS session's
+    * still-held checkpoint (a global FIFO let any third invocation
+    * anywhere unpersist a frame a slow consumer still held). Contract
+    * per session: a returned frame must be consumed before two further
+    * invocations on the SAME session.
     */
   private val rangedCheckpoints =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
   /** Frame-based core of [[tokenBudgetSelect]] — exposed for
     * [[graft.ScaleProbe]]'s growth measurement over synthetic corpora.
@@ -704,10 +709,13 @@ object CorpusOps {
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     // Bounded retention (see rangedCheckpoints): pin this call's
-    // checkpoint, release the oldest beyond depth 2.
-    rangedCheckpoints.add(ranged)
-    while (rangedCheckpoints.size() > 2)
-      Option(rangedCheckpoints.poll())
+    // checkpoint, release the oldest beyond depth 2 — within THIS
+    // session's queue only.
+    val sessionQueue = rangedCheckpoints.computeIfAbsent(
+      s, _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+    sessionQueue.add(ranged)
+    while (sessionQueue.size() > 2)
+      Option(sessionQueue.poll())
         .foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
     // bounded metadata collect: one row per shuffle partition
     var acc = 0L

@@ -138,21 +138,38 @@ object IndexStore {
     }
   }
 
+  /** Grace period before a stale generation is deleted: another live JVM
+    * (still keyed to the PREVIOUS testdata) may be mid-scan over the old
+    * artifact, and yanking its data files fails that process's in-flight
+    * queries with FileNotFound. Age-gating the sweep bounds the race: a
+    * sibling younger than the grace is spared this sweep and collected by
+    * a later build once its readers are plausibly gone. Testdata
+    * regenerations are rounds (hours) apart, so truly stale artifacts are
+    * always past the gate by the time the rebuild sweeps. */
+  private val StaleGraceMs: Long =
+    sys.env.get("GRAFT_INDEX_STALE_GRACE_MS").map(_.toLong)
+      .getOrElse(30L * 60 * 1000)
+
   /** Older generations of `name` (stale testdata) are dead /tmp weight.
     * `name` must carry every caller-variable parameter (the sweep deletes
     * ALL same-name siblings) — identity hashes distinguish generations,
-    * not variants.
+    * not variants. Crash-orphaned `.tmp-` staging dirs age out through
+    * the same gate.
     */
   private def dropStaleGenerations(name: String, keep: String): Unit = {
     val root = Paths.get(cacheRoot)
     if (Files.isDirectory(root)) {
+      val cutoff = System.currentTimeMillis() - StaleGraceMs
+      def pastGrace(p: java.nio.file.Path): Boolean =
+        try Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: Exception => false } // vanished concurrently — skip
       val stream = Files.list(root)
       try {
         val it = stream.iterator()
         while (it.hasNext) {
           val p = it.next()
           val n = p.getFileName.toString
-          if (n.startsWith(s"$name-") && n != keep && !n.contains(".tmp-"))
+          if (n.startsWith(s"$name-") && n != keep && pastGrace(p))
             deleteRecursively(p)
         }
       } finally stream.close()

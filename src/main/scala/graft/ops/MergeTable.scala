@@ -1,0 +1,392 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.sources.Tables
+
+/** Transactional keyed MERGE on plain parquet — the at-scale form of the
+  * K1/K2 idempotent-upsert contract (reference `DESIGN.md:41`; the plain
+  * rewrite forms live in [[Sinks.upsertParquet]] / [[Sinks.upsertPartitioned]]).
+  * No lakehouse jars ship in this environment, so the table format is a
+  * minimal own implementation of the same public design (the Delta/Iceberg
+  * commit-log pattern):
+  *
+  *  - `_graft_log/v<N>.json` — one manifest per committed version listing
+  *    the table's live data files with per-file cluster-key min/max stats
+  *    and per-writer transaction watermarks;
+  *  - `data/<commit-uuid>/part-*.parquet` — immutable data files, written
+  *    once, never modified; a commit only ADDS files and drops references;
+  *  - commit = write manifest to a temp name, then a single ATOMIC_MOVE to
+  *    `v<N+1>.json`. The move fails if the version exists — optimistic
+  *    concurrency: the losing writer re-reads the new snapshot and replays
+  *    its merge (serializable by version CAS), exactly the protocol Delta
+  *    runs against an object store.
+  *
+  * MERGE cost is O(touched files + batch), never O(table):
+  *
+  *  1. incoming keys → file pruning: a data file is TOUCHED iff some
+  *     incoming cluster key falls inside its [min,max]. Because the writer
+  *     range-clusters every commit's output by the cluster key, file
+  *     intervals are tight and most files prune away — the same
+  *     clustering-enables-MERGE discipline as OPTIMIZE/Z-order. The
+  *     overlap test is a point-in-interval join of the (distinct) batch
+  *     keys against the broadcast ≤|files|-row interval table (planned by
+  *     [[graft.plans.RangeJoinStrategy]] when eligible), collecting only
+  *     the bounded touched-file id list;
+  *  2. survivors = touched-file rows whose key is NOT in the batch
+  *     (left_anti on the merge keys);
+  *  3. new files = batch ∪ survivors, range-clustered on the cluster key,
+  *     one parquet file per range partition, per-file min/max recorded
+  *     from the SAME pinned partitioning that wrote the files;
+  *  4. new manifest = untouched files + new files.
+  *
+  * Untouched files are carried by reference — byte-identical, never read.
+  *
+  * Streaming exactly-once: a commit can carry a (writerId, version)
+  * transaction; a merge whose version is ≤ the manifest's recorded
+  * watermark for that writer is a no-op. With writerId = the sink's
+  * checkpoint location and version = the micro-batch id, `foreachBatch`
+  * replay after a crash converges without re-applying — the documented
+  * Delta `txnAppId`/`txnVersion` idiom ([[graft.streaming.StreamingPipeline]]
+  * wires it).
+  *
+  * Scale notes: the manifest is a full file listing per commit — right up
+  * to ~10⁵ files; past that a real implementation splits the log into
+  * incremental actions + periodic checkpoints (the Delta log layout), an
+  * additive change to this commit protocol. Cluster-key stats are kept as
+  * longs (ids / epoch keys — the common case); a typed-stats extension
+  * widens the manifest, not the protocol.
+  */
+object MergeTable {
+
+  /** One live data file: path relative to the table root, cluster-key
+    * bounds, and row count (bounds are inclusive). */
+  case class DataFileEntry(path: String, minKey: Long, maxKey: Long, numRows: Long)
+
+  /** One committed table version. `txns` maps writerId → highest applied
+    * transaction version (the replay watermark). */
+  case class TableManifest(
+      version: Long,
+      schemaJson: String,
+      keys: Seq[String],
+      clusterBy: String,
+      files: Seq[DataFileEntry],
+      txns: Map[String, Long])
+
+  private implicit val jsonFormats: org.json4s.Formats =
+    org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+
+  private def logDir(table: String) = Paths.get(table, "_graft_log")
+
+  private def versionOf(name: String): Option[Long] = {
+    // digit guard: foreign files under the log dir are ignored, not thrown on
+    val core = name.stripPrefix("v").stripSuffix(".json")
+    if (name.startsWith("v") && name.endsWith(".json") &&
+      core.nonEmpty && core.forall(_.isDigit)) Some(core.toLong) else None
+  }
+
+  /** Latest committed manifest, or None for a not-yet-created table. */
+  def latestManifest(table: String): Option[TableManifest] = {
+    val ld = logDir(table)
+    if (!Files.isDirectory(ld)) None
+    else {
+      val latest = {
+        val stream = Files.list(ld)
+        try stream.iterator().asScala
+          .flatMap(p => versionOf(p.getFileName.toString))
+          .foldLeft(Option.empty[Long])((a, v) => Some(a.fold(v)(math.max(_, v))))
+        finally stream.close()
+      }
+      latest.map { v =>
+        val txt = new String(
+          Files.readAllBytes(ld.resolve(f"v$v%020d.json")), "UTF-8")
+        // the FILENAME is the CAS slot and therefore the authoritative
+        // version; trusting a divergent embedded version would re-commit
+        // into an occupied slot forever
+        org.json4s.jackson.Serialization.read[TableManifest](txt).copy(version = v)
+      }
+    }
+  }
+
+  /** Snapshot read of the latest committed version. Empty-table reads
+    * reproduce the schema from the manifest. */
+  def read(s: SparkSession, table: String): DataFrame =
+    latestManifest(table) match {
+      case None => sys.error(s"no committed version under $table")
+      case Some(m) if m.files.isEmpty =>
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+      case Some(m) =>
+        s.read.schema(DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+          .parquet(m.files.map(f => s"$table/${f.path}"): _*)
+    }
+
+  /** Attempt to publish `m` as version `m.version`; false = lost the CAS.
+    *
+    * The publish primitive is a HARD LINK, not a rename: POSIX rename(2)
+    * (what ATOMIC_MOVE maps to) silently REPLACES an existing target, so a
+    * rename-based commit would clobber a concurrent writer's version
+    * instead of failing — link(2) is atomic AND errors with EEXIST, the
+    * put-if-absent a version CAS needs. (On an object store the same slot
+    * is a conditional PUT.)
+    */
+  private def tryCommit(table: String, m: TableManifest): Boolean = {
+    val ld = logDir(table)
+    Files.createDirectories(ld)
+    val tmp = ld.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, org.json4s.jackson.Serialization.write(m).getBytes("UTF-8"))
+    val target = ld.resolve(f"v${m.version}%020d.json")
+    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+      case _: java.nio.file.FileSystemException if Files.exists(target) =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  /** MERGE INTO `table` USING `batch` ON `keys` — incoming rows win on key
+    * collision (WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT ALL).
+    * The batch must be key-unique (the standard MERGE precondition; a
+    * multi-match is rejected, as `MERGE INTO` proper does). Returns true
+    * if a new version committed, false if `txn` was already applied.
+    *
+    * `clusterBy` must be a long-castable column (it becomes the file
+    * clustering key and the pruning statistic); merge MATCHING uses the
+    * full `keys`.
+    */
+  def mergeUpsert(
+      s: SparkSession,
+      table: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      clusterBy: String,
+      targetRowsPerFile: Long = 4096,
+      txn: Option[(String, Long)] = None,
+      maxAttempts: Int = 20): Boolean = {
+    require(keys.nonEmpty, "merge keys must be non-empty")
+    val dupKeys = batch.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"MERGE source is not key-unique on ${keys.mkString(",")} — " +
+        "a key with multiple source rows has no deterministic winner")
+
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snapshot = latestManifest(table)
+      // replay guard FIRST, against the freshest manifest
+      val replayed = (snapshot, txn) match {
+        case (Some(m), Some((writer, v))) => m.txns.get(writer).exists(_ >= v)
+        case _ => false
+      }
+      if (replayed) return false
+
+      val existingFiles = snapshot.map(_.files).getOrElse(Seq.empty)
+      val touched: Set[String] =
+        if (existingFiles.isEmpty) Set.empty
+        else {
+          import s.implicits._
+          val intervals = existingFiles
+            .map(f => (f.path, f.minKey, f.maxKey)).toDF("path", "mn", "mx")
+          batch.select(col(clusterBy).cast("long").as("k")).distinct()
+            .join(broadcast(intervals),
+              col("k") >= col("mn") && col("k") <= col("mx"))
+            .select(col("path")).distinct()
+            .as[String].collect().toSet // bounded: ≤ |files| rows
+        }
+
+      val schema = snapshot
+        .map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+        .getOrElse(batch.schema)
+      val merged =
+        if (touched.isEmpty) batch
+        else {
+          val old = s.read.schema(schema)
+            .parquet(touched.toSeq.sorted.map(p => s"$table/$p"): _*)
+          val incomingKeys = batch.select(keys.map(col): _*).distinct()
+          batch.unionByName(old.join(incomingKeys, keys, "left_anti"))
+        }
+
+      // range-cluster the rewrite on the cluster key; localCheckpoint pins
+      // the sampled range boundaries so the stats pass and the file write
+      // see the SAME partitioning (the token-budget discipline)
+      val n = merged.count()
+      val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      val staged = merged
+        .repartitionByRange(nFiles, col(clusterBy).cast("long").asc)
+        .localCheckpoint()
+      try {
+        val commitId = java.util.UUID.randomUUID().toString.take(12)
+        val rel = s"data/$commitId"
+        staged.write.mode("overwrite").parquet(s"$table/$rel")
+        // per-partition stats keyed by partition id; partition i wrote the
+        // file whose name parses to part index i (empty partitions write
+        // no file and emit no stats group — both sides skip them)
+        val stats = staged
+          .select(spark_partition_id().as("pid"),
+            col(clusterBy).cast("long").as("k"))
+          .groupBy(col("pid"))
+          .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+            count(lit(1)).as("cnt"))
+          .collect().map(r =>
+            r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        val newFiles = {
+          val stream = Files.list(Paths.get(table, "data", commitId))
+          try stream.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+            .toSeq.sorted
+          finally stream.close()
+        }.flatMap { f =>
+          val idx = f.stripPrefix("part-").takeWhile(_.isDigit).toInt
+          stats.get(idx).map { case (mn, mx, cnt) =>
+            DataFileEntry(s"$rel/$f", mn, mx, cnt)
+          }
+        }
+
+        val untouched = existingFiles.filterNot(f => touched.contains(f.path))
+        val newTxns = snapshot.map(_.txns).getOrElse(Map.empty) ++
+          txn.map { case (w, v) => w -> v }
+        val next = TableManifest(
+          version = snapshot.map(_.version + 1).getOrElse(0L),
+          schemaJson = schema.json,
+          keys = keys,
+          clusterBy = clusterBy,
+          files = untouched ++ newFiles,
+          txns = newTxns)
+        if (tryCommit(table, next)) return true
+        // lost the version CAS: drop this attempt's files and replay the
+        // merge against the winner's snapshot
+        deleteDir(Paths.get(table, "data", commitId))
+      } finally org.apache.spark.sql.graftbridge.Bridge
+        .unpersistLocalCheckpoint(staged)
+    }
+    sys.error(s"merge into $table lost the commit race $maxAttempts times")
+  }
+
+  /** VACUUM: delete data files no longer referenced by the latest manifest
+    * and commit files older than the retained horizon. Age-gated like the
+    * [[IndexStore]] sweep — an in-flight reader pinned to a PREVIOUS
+    * version must survive the collection (lakehouse VACUUM's retention
+    * contract). Returns the deleted file count.
+    */
+  def vacuum(table: String, graceMs: Long = 30L * 60 * 1000): Int = {
+    val m = latestManifest(table).getOrElse(return 0)
+    val live = m.files.map(_.path).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var deleted = 0
+    val dataRoot = Paths.get(table, "data")
+    if (Files.isDirectory(dataRoot)) {
+      val commits = { val s0 = Files.list(dataRoot)
+        try s0.iterator().asScala.toSeq finally s0.close() }
+      commits.foreach { c =>
+        val fs0 = { val s1 = Files.list(c)
+          try s1.iterator().asScala.toSeq finally s1.close() }
+        fs0.foreach { f =>
+          val rel = s"data/${c.getFileName}/${f.getFileName}"
+          val old = try Files.getLastModifiedTime(f).toMillis < cutoff
+            catch { case _: Exception => false }
+          if (!live.contains(rel) && old &&
+            f.getFileName.toString.endsWith(".parquet")) {
+            Files.deleteIfExists(f); deleted += 1
+          }
+        }
+        val empty = { val s2 = Files.list(c)
+          try !s2.iterator().hasNext finally s2.close() }
+        if (empty) Files.deleteIfExists(c)
+      }
+    }
+    val ld = logDir(table)
+    if (Files.isDirectory(ld)) {
+      val logs = { val s3 = Files.list(ld)
+        try s3.iterator().asScala.toSeq finally s3.close() }
+      logs.foreach { p =>
+        versionOf(p.getFileName.toString).foreach { v =>
+          val old = try Files.getLastModifiedTime(p).toMillis < cutoff
+            catch { case _: Exception => false }
+          if (v < m.version && old) { Files.deleteIfExists(p); deleted += 1 }
+        }
+      }
+    }
+    deleted
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          try Files.delete(it.next()) catch { case _: Exception => () }
+        }
+      } finally stream.close()
+    }
+
+  // ---- oracled round-trip over the merged table ---------------------------
+
+  private val mergedCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** `q_merge_upsert`: three deterministic MERGE commits over `events`
+    * (full load, then two overlapping update waves), read back from the
+    * committed snapshot and digested per event_type. Any row lost,
+    * duplicated, or left at a stale version by the merge protocol breaks
+    * the hash. The oracle computes the same last-writer-wins outcome as a
+    * CASE over the raw table — protocol-independent by construction.
+    * File-level behavior (untouched files by reference, pruning, replay,
+    * commit races) is MergeTableSpec territory.
+    */
+  def mergeUpsertDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val table = IndexMemo(mergedCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("merge-table")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val t = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge", s"events-$appTag").toString
+      deleteDir(Paths.get(t))
+      val ev = Tables.read(s, sfDir, "events")
+      val keys = Seq("event_id")
+      // wave 0: initial full load
+      mergeUpsert(s, t, ev, keys, "event_id", txn = Some(("seed", 0L)))
+      // wave 1: ~40% of keys re-delivered with updated payloads
+      mergeUpsert(s, t,
+        ev.where(pmod(col("event_id"), lit(5)) < 2)
+          .withColumn("value", col("value") + 100.0)
+          .withColumn("event_type", lit("updated")),
+        keys, "event_id", txn = Some(("seed", 1L)))
+      // wave 2: a second overlapping wave (wins over wave 1 where both hit)
+      mergeUpsert(s, t,
+        ev.where(pmod(col("event_id"), lit(7)) === 0)
+          .withColumn("value", col("value") + 200.0),
+        keys, "event_id", txn = Some(("seed", 2L)))
+      t
+    }
+    read(s, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val mergeUpsertDigestSql: String =
+    s"""WITH final AS (
+       |  SELECT event_id, user_id,
+       |    CASE WHEN event_id % 7 = 0 THEN event_type
+       |         WHEN event_id % 5 < 2 THEN 'updated'
+       |         ELSE event_type END AS event_type,
+       |    CASE WHEN event_id % 7 = 0 THEN value + 200.0
+       |         WHEN event_id % 5 < 2 THEN value + 100.0
+       |         ELSE value END AS value
+       |  FROM events)
+       |SELECT event_type, count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(sum(value), 2) AS value_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+}

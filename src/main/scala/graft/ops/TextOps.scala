@@ -432,18 +432,46 @@ object TextOps {
   /** Corpus grams surviving the Bloom prefilter (true hits + FPs) —
     * exposed for the spec's selectivity measurement.
     */
-  private[graft] def bloomCandidates(s: SparkSession, dir: String, logM: Int = 16): DataFrame = {
+  /** The two Bloom probe positions of a 60-bit gram hash — ONE definition
+    * shared by the bitset build, the batch prefilter, and the streaming
+    * per-row test, so build and test can never disagree (a mismatch would
+    * produce false NEGATIVES, breaking exactness).
+    */
+  private[graft] def bloomP1(h: Column, m: Long): Column = pmod(h, lit(m))
+  private[graft] def bloomP2(h: Column, m: Long): Column =
+    pmod(shiftright(h, 20), lit(m))
+
+  /** The eval set's Bloom bitset as (word index, 64-bit word) rows —
+    * ≤ 2^logM/64 rows, built with one `bit_or` word aggregation. */
+  private[graft] def bloomWords(s: SparkSession, dir: String, logM: Int): DataFrame = {
     val m = 1L << logM
-    def probes(d: DataFrame): DataFrame = d
-      .withColumn("p1", pmod(col("h"), lit(m)))
-      .withColumn("p2", pmod(expr("shiftright(h, 20)"), lit(m)))
-    val bloomWords = probes(evalHashes(s, dir))
-      .select(explode(array(col("p1"), col("p2"))).as("pos"))
+    evalHashes(s, dir)
+      .select(explode(array(bloomP1(col("h"), m), bloomP2(col("h"), m))).as("pos"))
       .select(expr("shiftright(pos, 6)").as("w"),
         expr("shiftleft(1L, cast(pos % 64 AS int))").as("bit"))
       .groupBy(col("w")).agg(expr("bit_or(bit)").as("bits"))
-    val b1 = bloomWords.select(col("w").as("w1"), col("bits").as("bits1"))
-    val b2 = bloomWords.select(col("w").as("w2"), col("bits").as("bits2"))
+  }
+
+  /** The same bitset as a DENSE long array (2^logM/64 entries ≈ 8 KB at
+    * the default) — the closure-shippable form the STREAMING
+    * decontaminator tests per row. Fixed size in the eval-set size by
+    * construction.
+    */
+  private[graft] def bloomWordArray(s: SparkSession, dir: String, logM: Int = 16): Array[Long] = {
+    val arr = new Array[Long]((1L << logM >> 6).toInt)
+    bloomWords(s, dir, logM).collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  private[graft] def bloomCandidates(s: SparkSession, dir: String, logM: Int = 16): DataFrame = {
+    val m = 1L << logM
+    def probes(d: DataFrame): DataFrame = d
+      .withColumn("p1", bloomP1(col("h"), m))
+      .withColumn("p2", bloomP2(col("h"), m))
+    val words = bloomWords(s, dir, logM)
+    val b1 = words.select(col("w").as("w1"), col("bits").as("bits1"))
+    val b2 = words.select(col("w").as("w2"), col("bits").as("bits2"))
     probes(gramHashes(s, dir).where(!isEval))
       .join(broadcast(b1), expr("shiftright(p1, 6)") === col("w1"))
       .join(broadcast(b2), expr("shiftright(p2, 6)") === col("w2"))

@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * uncommitted batch ever replays, so "already merged" ⟺
   * `batchId ≤ newest complete generation id`.
   */
-private[streaming] object GenStore {
+private[graft] object GenStore {
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -49,14 +49,27 @@ private[streaming] object GenStore {
 
   /** Write `merged` as generation `batchId`, then prune older complete
     * generations (best-effort — a crash between write and prune only
-    * leaves an extra readable generation). */
+    * leaves an extra readable generation).
+    *
+    * Retention is TWO complete generations, not one: [[read]] and the
+    * report functions hand back a LAZY frame pinned to the then-latest
+    * generation path, so a monitoring read whose action executes after a
+    * concurrent micro-batch publishes would hit FileNotFound if the prune
+    * were immediate. Keeping latest-1 gives every in-flight reader a full
+    * publish cycle to finish — the same one-extra-snapshot grace a
+    * lakehouse VACUUM applies before collecting unreferenced files. */
   def publish(merged: DataFrame, root: String, batchId: Long): Unit = {
     val spark = merged.sparkSession
     merged.write.mode("overwrite").parquet(s"$root/gen-$batchId")
     val f = fs(spark, root)
+    val complete = f.listStatus(new Path(root)).toSeq.map(_.getPath)
+      .filter(p => isGen(p.getName) && f.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.stripPrefix("gen-").toLong)
+      .sorted(Ordering[Long].reverse)
+    val floor = complete.take(2).lastOption.getOrElse(batchId)
     f.listStatus(new Path(root)).toSeq.map(_.getPath)
       .filter(p => isGen(p.getName) &&
-        p.getName.stripPrefix("gen-").toLong < batchId)
+        p.getName.stripPrefix("gen-").toLong < floor)
       .foreach(p => f.delete(p, true))
     ()
   }

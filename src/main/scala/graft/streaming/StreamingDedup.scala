@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -512,17 +512,59 @@ object StreamingDedup {
       .start()
   }
 
+  /** Streaming decontamination with BOUNDED state in the eval-set size.
+    * The previous form broadcast `collect_list` of ALL eval hashes into
+    * every row — correct, but the broadcast grows with the eval registry.
+    * This form is the batch Bloom design ([[graft.ops.TextOps
+    * .decontaminateBloom]]) translated to a stream:
+    *
+    *  1. per-row prefilter against the eval set's Bloom bitset — a DENSE
+    *    8 KB long-array LITERAL (fixed size at ANY eval-set size), two
+    *    probes per gram, tested inside a codegen'd `filter` lambda; a doc
+    *    with no surviving gram drops here, so the explode below carries
+    *    only true hits + the ~0.5 % FP trickle;
+    *  2. exact verify = stream-STATIC inner join of the surviving gram
+    *    stream against the real eval-hash table — stateless per
+    *    micro-batch, and the static side scales on DISK (a distributed
+    *    join), never as per-row or broadcast memory;
+    *  3. per-doc distinct count via a ZERO-state flatMapGroupsWithState
+    *    (state is never set — each doc's grams arrive in one row, so the
+    *    group is complete within its micro-batch; the state store holds
+    *    nothing at any eval or corpus size).
+    *
+    * Output equals [[graft.ops.TextOps.decontaminate]] row-for-row
+    * (StreamingSpec) — the Bloom stage is a transparent prefilter.
+    */
   def decontaminateStream(s: SparkSession, docs: DataFrame, dir: String): DataFrame = {
-    val evalArr = broadcast(
-      graft.ops.TextOps.evalHashes(s, dir).agg(collect_list(col("h")).as("eval_hs")))
+    import s.implicits._
+    val logM = 16
+    val m = 1L << logM
+    val words = lit(graft.ops.TextOps.bloomWordArray(s, dir, logM))
+    def bloomHit(p: Column): Column =
+      element_at(words, (shiftright(p, 6) + 1).cast("int"))
+        // call_function: the Scala shiftleft() overload takes a literal
+        // shift only; the SQL function accepts a column shift
+        .bitwiseAND(call_function("shiftleft",
+          lit(1L), pmod(p, lit(64)).cast("int"))) =!= 0
+    val evalStatic = graft.ops.TextOps.evalHashes(s, dir)
     docs
       .where(!graft.ops.TextOps.isEval)
       .select(col("doc_id"), graft.functions.SimhashExpressions
         .gram_hash60s(split(col("text"), " "), 5).as("grams"))
-      .crossJoin(evalArr)
       .select(col("doc_id"),
-        size(array_intersect(col("grams"), col("eval_hs"))).cast("long")
-          .as("n_shared_grams"))
-      .where(col("n_shared_grams") > 0)
+        explode(array_distinct(filter(col("grams"), g =>
+          bloomHit(graft.ops.TextOps.bloomP1(g, m)) &&
+            bloomHit(graft.ops.TextOps.bloomP2(g, m))))).as("h"))
+      .join(evalStatic, "h") // exact verify: FPs die here
+      .select(col("doc_id"), col("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (doc, rows, _) =>
+          Iterator.single((doc, rows.map(_._2).toSet.size.toLong))
+      }
+      .toDF("doc_id", "n_shared_grams")
   }
 }

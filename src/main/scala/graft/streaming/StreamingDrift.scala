@@ -30,9 +30,48 @@ object StreamingDrift {
   private def batchCounts(batch: DataFrame): DataFrame =
     CorpusOps.sourceBucketCountsOf(batch)
 
+  /** Store cardinality guard: the store holds |sources|·B rows, which is
+    * fine for any sane source vocabulary but unbounded against a
+    * pathological one (a mis-tagged feed minting a source per request
+    * would grow the store without limit). Sources beyond the top
+    * `MaxSources − 1` by total token mass roll up into [[OtherSource]] —
+    * standard heavy-hitter truncation: per-source drift stays exact for
+    * every source that matters, the tail is monitored in aggregate, and
+    * the store is bounded at MaxSources·B rows forever. A demoted source
+    * that later grows re-enters with its counts from that point on (its
+    * earlier mass stays in the rollup — the usual top-N tradeoff).
+    */
+  val MaxSources = 1000
+  val OtherSource = "__other"
+
+  private def capSources(counts: DataFrame, maxSources: Int): DataFrame = {
+    val rank = rank_over_mass(counts)
+    counts.join(rank, Seq("source"))
+      .select(
+        when(col("source_rank") <= maxSources - 1, col("source"))
+          .otherwise(lit(OtherSource)).as("source"),
+        col("b"), col("c"))
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** (source, source_rank) by total token mass — a ≤|sources|-row frame
+    * (dense_rank over the per-source totals, deterministic tie-break on
+    * the name). */
+  private def rank_over_mass(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts.groupBy(col("source")).agg(sum(col("c")).as("mass"))
+      .select(col("source"), row_number().over(
+        Window.orderBy(col("mass").desc, col("source"))).as("source_rank"))
+  }
+
   /** Fold one micro-batch into the drift store; no-op on replay
-    * (generation guard — see [[GenStore]]). */
-  def mergeBatchIntoStore(batch: DataFrame, storePath: String, batchId: Long): Unit = {
+    * (generation guard — see [[GenStore]]). `maxSources` bounds the store
+    * ([[capSources]]); the default is far above any sane vocabulary, so
+    * streamed == batch parity is unaffected for real corpora.
+    */
+  def mergeBatchIntoStore(batch: DataFrame, storePath: String, batchId: Long,
+      maxSources: Int = MaxSources): Unit = {
     val spark = batch.sparkSession
     if (!GenStore.mergedThrough(spark, storePath).exists(_ >= batchId)) {
       val counts = batchCounts(batch)
@@ -43,7 +82,7 @@ object StreamingDrift {
             .agg(sum(col("c")).as("c"))
         case None => counts
       }
-      GenStore.publish(merged, storePath, batchId)
+      GenStore.publish(capSources(merged, maxSources), storePath, batchId)
     }
   }
 

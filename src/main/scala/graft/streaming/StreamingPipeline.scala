@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.ops.{RuleBasedTrailClassifier, WeatherModel}
 
@@ -425,6 +425,35 @@ object StreamingPipeline {
         val withDay = batch.withColumn("day", to_date(col("timestamp_utc")))
         graft.ops.Sinks.upsertPartitioned(
           withDay, storePath, Seq("event_id"), "day")
+        ()
+      }
+      .start()
+
+  /** K1/K2 at 100 TB, TRANSACTIONAL form: every micro-batch is one
+    * `MERGE INTO` against the commit-log table
+    * ([[graft.ops.MergeTable]]) — file-pruned by the batch's key range,
+    * committed atomically, and EXACTLY-ONCE under replay: the commit
+    * carries (writerId = this sink's checkpoint location, version =
+    * micro-batch id), and a replayed batch id at or below the table's
+    * recorded watermark is a no-op — the Delta `txnAppId`/`txnVersion`
+    * idiom. This strengthens [[startPartitionedUpsertSink]]'s
+    * convergent-replay (idempotent rewrite) to true no-reapply, and the
+    * commit protocol additionally tolerates CONCURRENT writers (version
+    * CAS + merge replay), which dynamic partition overwrite does not.
+    */
+  def startMergeSink(
+      projected: DataFrame,
+      tablePath: String,
+      checkpoint: String,
+      keys: Seq[String] = Seq("event_id"),
+      clusterBy: String = "event_id"): StreamingQuery =
+    projected.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.MergeTable.mergeUpsert(
+          batch.sparkSession, tablePath, batch, keys, clusterBy,
+          txn = Some((checkpoint, batchId)))
         ()
       }
       .start()

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MergeTable
+
+/** The transactional MERGE table's file-level contracts — the parts the
+  * q_merge_upsert oracle (value-level last-writer-wins) cannot see:
+  * untouched files carried by reference, key-range file pruning, txn
+  * replay watermark, the key-unique MERGE precondition, vacuum retention.
+  */
+class MergeTableSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-mergetable-$tag")
+    Files.delete(p) // mergeUpsert creates the tree
+    p.toString
+  }
+
+  private def rows(ids: Seq[Long], v: Double) =
+    ids.map(id => (id, s"u$id", v)).toDF("event_id", "tag", "value")
+
+  test("new rows win on key collision; read returns the merged snapshot") {
+    val t = freshTable("basic")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 10L, 1.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(8L to 12L, 2.0), Seq("event_id"), "event_id")
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(out.size == 12)
+    assert((1L to 7L).forall(out(_) == 1.0))
+    assert((8L to 12L).forall(out(_) == 2.0))
+    val m = MergeTable.latestManifest(t).get
+    assert(m.version == 1L)
+    assert(m.files.map(_.numRows).sum == 12L)
+  }
+
+  test("file pruning: a batch touching one file's key range rewrites only it") {
+    val t = freshTable("prune")
+    // 4096 rows/file default → force multiple files with a small target
+    MergeTable.mergeUpsert(spark, t, rows(1L to 1000L, 1.0),
+      Seq("event_id"), "event_id", targetRowsPerFile = 100)
+    val m0 = MergeTable.latestManifest(t).get
+    assert(m0.files.size >= 8, s"want many files, got ${m0.files.size}")
+    // range-clustered commit → per-file bounds are tight and disjoint
+    val sorted = m0.files.sortBy(_.minKey)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey < b.minKey, s"$a overlaps $b")
+      case _ => ()
+    }
+    // batch hits keys inside exactly one file's [min,max]
+    val victim = sorted(3)
+    val batchKeys = Seq(victim.minKey, victim.maxKey)
+    MergeTable.mergeUpsert(spark, t, rows(batchKeys, 9.0),
+      Seq("event_id"), "event_id", targetRowsPerFile = 100)
+    val m1 = MergeTable.latestManifest(t).get
+    val kept = m1.files.map(_.path).toSet
+    // every file except the victim survives BY REFERENCE (same path)
+    m0.files.foreach { f =>
+      if (f.path == victim.path) assert(!kept.contains(f.path), "victim not rewritten")
+      else assert(kept.contains(f.path), s"untouched ${f.path} was rewritten")
+    }
+    // and values merged correctly
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(out.size == 1000)
+    assert(batchKeys.forall(out(_) == 9.0))
+    assert(out(victim.minKey + 1) == 1.0)
+  }
+
+  test("txn watermark: a replayed (writer, version) is a no-op") {
+    val t = freshTable("txn")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 1.0),
+      Seq("event_id"), "event_id", txn = Some(("w", 0L)))
+    val applied = MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 2.0),
+      Seq("event_id"), "event_id", txn = Some(("w", 0L)))
+    assert(!applied, "replayed txn must be skipped")
+    assert(MergeTable.latestManifest(t).get.version == 0L)
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(out.values.forall(_ == 1.0), "replayed batch must not re-apply")
+    // a NEW version from the same writer applies
+    assert(MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 3.0),
+      Seq("event_id"), "event_id", txn = Some(("w", 1L))))
+    assert(MergeTable.read(spark, t).where(col("value") === 3.0).count() == 5)
+  }
+
+  test("MERGE rejects a key-duplicated source batch") {
+    val t = freshTable("dup")
+    val dup = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("event_id", "tag", "value")
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.mergeUpsert(spark, t, dup, Seq("event_id"), "event_id")
+    }
+    assert(e.getMessage.contains("key-unique"))
+  }
+
+  test("commit CAS: a foreign commit at the next version forces a retry that lands after it") {
+    val t = freshTable("cas")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 1.0), Seq("event_id"), "event_id")
+    // a concurrent writer publishes v1 out from under the next merge: copy
+    // v0's manifest bytes to v1 (a valid committed manifest)
+    val log = Paths.get(t, "_graft_log")
+    Files.copy(log.resolve("v" + "0" * 20 + ".json"),
+      log.resolve("v" + "0" * 19 + "1.json"))
+    MergeTable.mergeUpsert(spark, t, rows(3L to 6L, 2.0), Seq("event_id"), "event_id")
+    val m = MergeTable.latestManifest(t).get
+    assert(m.version == 2L, s"merge must commit AFTER the foreign v1, got ${m.version}")
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(out.size == 6 && out(3L) == 2.0 && out(1L) == 1.0)
+  }
+
+  test("vacuum removes unreferenced data files and old commits, keeps the live set") {
+    val t = freshTable("vacuum")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 50L, 1.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 50L, 2.0), Seq("event_id"), "event_id")
+    val before = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    val deleted = MergeTable.vacuum(t, graceMs = 0L)
+    assert(deleted > 0, "v0's replaced files + v0's manifest should collect")
+    // live snapshot unaffected
+    val after = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(after == before)
+    assert(MergeTable.latestManifest(t).get.version == 1L)
+  }
+
+  test("foreign files under the log dir are ignored") {
+    val t = freshTable("foreign")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), "event_id")
+    val log = Paths.get(t, "_graft_log")
+    Files.write(log.resolve("vnotanumber.json"), "junk".getBytes)
+    Files.write(log.resolve("_spark_metadata"), "junk".getBytes)
+    assert(MergeTable.latestManifest(t).get.version == 0L)
+    assert(MergeTable.read(spark, t).count() == 3)
+  }
+}

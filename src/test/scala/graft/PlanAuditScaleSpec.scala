@@ -24,8 +24,18 @@ class PlanAuditScaleSpec extends AnyFunSuite {
   private def finalPlan(name: String): String = planCache.getOrElseUpdate(name, {
     val df: DataFrame = SparkEntry.queries(name)(spark, dir)
     df.collect()
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // strip cached-build subtrees BEFORE dropping the initial-plan echo: a
+    // nested AdaptiveSparkPlan inside an InMemoryRelation prints its own
+    // "== Initial Plan ==", and splitting on the raw string would truncate
+    // the OUTER final plan at that nested marker
+    stripCachedBuilds(df.queryExecution.executedPlan.toString)
+      .split("== Initial Plan ==").head
   })
+
+  /** Cached-build subtrees run once at cache fill, not per execution —
+    * excluded from per-execution budgets (shared rule, see PlanReport). */
+  private def stripCachedBuilds(p: String): String =
+    PlanReport.stripCachedBuilds(p)
 
   private def hashExchanges(p: String): Int =
     "\\+- Exchange hashpartitioning".r.findAllIn(p).size

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.StreamingProfile
+import graft.streaming.{GenStore, StreamingProfile}
 
 /** The live data-quality profile must equal a single-shot batch fold of
   * the same rows EXACTLY (all stats mergeable; HLL union associative),
@@ -76,6 +76,33 @@ class StreamingProfileSpec extends AnyFunSuite {
     val counts = StreamingProfile.profileFromStore(spark, store)
       .where(col("column_name") === "doc_id").collect()(0)
     assert(counts.getAs[Long]("n_rows") == 140)
+  }
+
+  test("drift store is bounded under pathological source cardinality") {
+    import graft.streaming.StreamingDrift
+    val store = tmpDir("cap") + "/drift"
+    // 10⁴ distinct sources, one doc each — a mis-tagged feed minting a
+    // source per request; an uncapped store would hold 10⁴·B rows
+    val pathological = (0 until 10000)
+      .map(i => (i.toLong, s"src-$i", "alpha beta gamma"))
+      .toDF("doc_id", "source", "text")
+    StreamingDrift.mergeBatchIntoStore(pathological, store, 0L, maxSources = 50)
+    val stored = GenStore.read(spark, store).get
+    val srcCount = stored.select("source").distinct().count()
+    assert(srcCount <= 50, s"store holds $srcCount sources, cap is 50")
+    assert(stored.where(col("source") === StreamingDrift.OtherSource).count() > 0,
+      "tail sources must roll into the __other bucket")
+    // mass is conserved: the rollup redistributes, never drops
+    val totalTokens = stored.agg(sum(col("c"))).collect()(0).getLong(0)
+    assert(totalTokens == 3L * 10000, s"token mass lost: $totalTokens")
+    // and a further merge stays within the cap
+    StreamingDrift.mergeBatchIntoStore(
+      (0 until 100).map(i => (100000L + i, s"late-$i", "delta epsilon"))
+        .toDF("doc_id", "source", "text"),
+      store, 1L, maxSources = 50)
+    val after = GenStore.read(spark, store).get
+    assert(after.select("source").distinct().count() <= 50)
+    assert(after.agg(sum(col("c"))).collect()(0).getLong(0) == 3L * 10000 + 2L * 100)
   }
 
   test("gen store ignores foreign entries under its root") {

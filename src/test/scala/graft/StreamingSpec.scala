@@ -759,6 +759,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rowsOf(s"$base/store1") == first, "partitioned merge not idempotent")
   }
 
+  test("transactional MERGE sink: exactly-once under checkpoint replay, versions advance once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.MergeTable
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val base = Files.createTempDirectory("graft_mergesink").toString
+    val table = s"$base/table"
+    val cp = s"$base/cp"
+    val drop1 = Seq((1L, "a", 20.0), (2L, "a", 21.0))
+    val drop2 = Seq((3L, "b", 25.0), (2L, "b", 99.0))
+
+    def runOnce(checkpoint: String): Unit = {
+      val input = MemoryStream[(Long, String, Double)]
+      val q = StreamingPipeline.startMergeSink(
+        input.toDF().toDF("event_id", "tag", "value"), table, checkpoint)
+      try {
+        input.addData(drop1: _*); q.processAllAvailable()
+        input.addData(drop2: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    runOnce(cp)
+    def rowsOf = MergeTable.read(spark, table)
+      .select("event_id", "value").as[(Long, Double)].collect().toSet
+    val first = rowsOf
+    assert(first == Set((1L, 20.0), (2L, 99.0), (3L, 25.0)), first)
+    val v1 = MergeTable.latestManifest(table).get.version
+
+    // SAME checkpoint torn down and replayed from scratch: the txn
+    // watermark (writerId = checkpoint path) makes every batch a no-op —
+    // not merely convergent, the table version must not advance at all
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+    runOnce(cp)
+    assert(rowsOf == first, "merge sink replay changed the table")
+    assert(MergeTable.latestManifest(table).get.version == v1,
+      "replayed batches must not commit new versions")
+
+    // a DIFFERENT writer (new checkpoint) applies normally and converges
+    runOnce(s"$base/cp2")
+    assert(rowsOf == first, "second-writer merge not convergent")
+    assert(MergeTable.latestManifest(table).get.version > v1)
+  }
+
   test("streaming quality-budget admission converges to the batch greedy selection") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingSampler
