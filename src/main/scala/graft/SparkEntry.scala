@@ -118,6 +118,7 @@ object SparkEntry {
     "q_shuffle_shard" -> ((s, d) => graft.ops.ShardOps.shuffleShardStats(s, d)),
     "q_compact_digest" -> (graft.ops.Compaction.compactDigest _),
     "q_merge_upsert" -> (graft.ops.MergeTable.mergeUpsertDigest _),
+    "q_merge_cdf" -> (graft.ops.MergeTable.mergeChanges _),
 
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
@@ -309,6 +310,7 @@ object SparkEntry {
     "q_shuffle_shard" -> graft.ops.ShardOps.shuffleShardStatsSql(),
     "q_compact_digest" -> graft.ops.Compaction.compactDigestSql,
     "q_merge_upsert" -> graft.ops.MergeTable.mergeUpsertDigestSql,
+    "q_merge_cdf" -> graft.ops.MergeTable.mergeChangesSql,
     "q_brand_revenue" -> RelationalOps.brandRevenueSql,
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,

@@ -103,29 +103,48 @@ object MergeTable {
           .foldLeft(Option.empty[Long])((a, v) => Some(a.fold(v)(math.max(_, v))))
         finally stream.close()
       }
-      latest.map { v =>
-        val txt = new String(
-          Files.readAllBytes(ld.resolve(f"v$v%020d.json")), "UTF-8")
-        // the FILENAME is the CAS slot and therefore the authoritative
-        // version; trusting a divergent embedded version would re-commit
-        // into an occupied slot forever
-        org.json4s.jackson.Serialization.read[TableManifest](txt).copy(version = v)
-      }
+      latest.flatMap(v => manifestAt(table, v))
+    }
+  }
+
+  /** The manifest of one SPECIFIC committed version — the time-travel
+    * primitive. Available until [[vacuum]] retires the version. */
+  def manifestAt(table: String, v: Long): Option[TableManifest] = {
+    val f = logDir(table).resolve(f"v$v%020d.json")
+    if (!Files.exists(f)) None
+    else {
+      val txt = new String(Files.readAllBytes(f), "UTF-8")
+      // the FILENAME is the CAS slot and therefore the authoritative
+      // version; trusting a divergent embedded version would re-commit
+      // into an occupied slot forever
+      Some(org.json4s.jackson.Serialization.read[TableManifest](txt).copy(version = v))
     }
   }
 
   /** Snapshot read of the latest committed version. Empty-table reads
     * reproduce the schema from the manifest. */
   def read(s: SparkSession, table: String): DataFrame =
-    latestManifest(table) match {
-      case None => sys.error(s"no committed version under $table")
-      case Some(m) if m.files.isEmpty =>
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-      case Some(m) =>
-        s.read.schema(DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-          .parquet(m.files.map(f => s"$table/${f.path}"): _*)
-    }
+    readManifest(s, table, latestManifest(table)
+      .getOrElse(sys.error(s"no committed version under $table")))
+
+  /** TIME TRAVEL: snapshot read AS OF a specific committed version —
+    * data files are immutable and a commit only drops references, so any
+    * un-vacuumed version reads back exactly as committed (audit "what did
+    * the table say when the model trained", reproducible re-runs,
+    * incident rollback reads).
+    */
+  def readVersion(s: SparkSession, table: String, version: Long): DataFrame =
+    readManifest(s, table, manifestAt(table, version)
+      .getOrElse(sys.error(s"version $version not found under $table " +
+        "(never committed, or retired by vacuum)")))
+
+  private def readManifest(s: SparkSession, table: String, m: TableManifest): DataFrame =
+    if (m.files.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+    else
+      s.read.schema(DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+        .parquet(m.files.map(f => s"$table/${f.path}"): _*)
 
   /** Attempt to publish `m` as version `m.version`; false = lost the CAS.
     *
@@ -202,73 +221,207 @@ object MergeTable {
             .as[String].collect().toSet // bounded: ≤ |files| rows
         }
 
-      val schema = snapshot
+      // ADDITIVE schema evolution: a batch may carry columns the table has
+      // never seen — they join the schema, and rows from files written
+      // before the widening read back with nulls (parquet name-based
+      // reads fill declared-but-absent columns with null, so OLD files
+      // are never rewritten for a schema change). Dropping or retyping a
+      // column is rejected — those need an explicit migration.
+      val tableSchema = snapshot
         .map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-        .getOrElse(batch.schema)
+      tableSchema.foreach { ts =>
+        batch.schema.fields.foreach { f =>
+          ts.find(_.name == f.name).foreach { existing =>
+            require(existing.dataType == f.dataType,
+              s"column ${f.name}: batch type ${f.dataType} != table type " +
+                s"${existing.dataType} — retyping needs an explicit migration")
+          }
+        }
+      }
+      val schema = tableSchema match {
+        case None => batch.schema
+        case Some(ts) => StructType(ts.fields ++
+          batch.schema.fields.filterNot(f => ts.exists(_.name == f.name)))
+      }
       val merged =
-        if (touched.isEmpty) batch
+        if (touched.isEmpty) withAllColumns(batch, schema)
         else {
           val old = s.read.schema(schema)
             .parquet(touched.toSeq.sorted.map(p => s"$table/$p"): _*)
           val incomingKeys = batch.select(keys.map(col): _*).distinct()
-          batch.unionByName(old.join(incomingKeys, keys, "left_anti"))
+          withAllColumns(batch, schema)
+            .unionByName(old.join(incomingKeys, keys, "left_anti"))
         }
 
-      // range-cluster the rewrite on the cluster key; localCheckpoint pins
-      // the sampled range boundaries so the stats pass and the file write
-      // see the SAME partitioning (the token-budget discipline)
-      val n = merged.count()
-      val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-      val staged = merged
-        .repartitionByRange(nFiles, col(clusterBy).cast("long").asc)
-        .localCheckpoint()
-      try {
-        val commitId = java.util.UUID.randomUUID().toString.take(12)
-        val rel = s"data/$commitId"
-        staged.write.mode("overwrite").parquet(s"$table/$rel")
-        // per-partition stats keyed by partition id; partition i wrote the
-        // file whose name parses to part index i (empty partitions write
-        // no file and emit no stats group — both sides skip them)
-        val stats = staged
-          .select(spark_partition_id().as("pid"),
-            col(clusterBy).cast("long").as("k"))
-          .groupBy(col("pid"))
-          .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
-            count(lit(1)).as("cnt"))
-          .collect().map(r =>
-            r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-        val newFiles = {
-          val stream = Files.list(Paths.get(table, "data", commitId))
-          try stream.iterator().asScala
-            .map(_.getFileName.toString)
-            .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
-            .toSeq.sorted
-          finally stream.close()
-        }.flatMap { f =>
-          val idx = f.stripPrefix("part-").takeWhile(_.isDigit).toInt
-          stats.get(idx).map { case (mn, mx, cnt) =>
-            DataFileEntry(s"$rel/$f", mn, mx, cnt)
-          }
-        }
-
-        val untouched = existingFiles.filterNot(f => touched.contains(f.path))
-        val newTxns = snapshot.map(_.txns).getOrElse(Map.empty) ++
-          txn.map { case (w, v) => w -> v }
-        val next = TableManifest(
-          version = snapshot.map(_.version + 1).getOrElse(0L),
-          schemaJson = schema.json,
-          keys = keys,
-          clusterBy = clusterBy,
-          files = untouched ++ newFiles,
-          txns = newTxns)
-        if (tryCommit(table, next)) return true
-        // lost the version CAS: drop this attempt's files and replay the
-        // merge against the winner's snapshot
-        deleteDir(Paths.get(table, "data", commitId))
-      } finally org.apache.spark.sql.graftbridge.Bridge
-        .unpersistLocalCheckpoint(staged)
+      val (commitId, newFiles) =
+        writeClusteredFiles(table, merged, clusterBy, targetRowsPerFile)
+      val untouched = existingFiles.filterNot(f => touched.contains(f.path))
+      val newTxns = snapshot.map(_.txns).getOrElse(Map.empty) ++
+        txn.map { case (w, v) => w -> v }
+      val next = TableManifest(
+        version = snapshot.map(_.version + 1).getOrElse(0L),
+        schemaJson = schema.json,
+        keys = keys,
+        clusterBy = clusterBy,
+        files = untouched ++ newFiles,
+        txns = newTxns)
+      if (tryCommit(table, next)) return true
+      // lost the version CAS: drop this attempt's files and replay the
+      // merge against the winner's snapshot
+      deleteDir(Paths.get(table, "data", commitId))
     }
     sys.error(s"merge into $table lost the commit race $maxAttempts times")
+  }
+
+  /** `df` widened to `schema`'s full column set (missing columns as typed
+    * nulls, order normalized) — the incoming half of additive schema
+    * evolution: a batch written BEFORE a later batch added a column, or a
+    * batch missing an existing optional column, lands with nulls. */
+  private def withAllColumns(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+
+  /** Write `df` as one range-clustered file set under `data/<commitId>`
+    * and return (commitId, manifest entries with per-file cluster-key
+    * stats). localCheckpoint pins the sampled range boundaries so the
+    * stats pass and the file write see the SAME partitioning (the
+    * token-budget discipline). Shared by MERGE, DELETE and OPTIMIZE — one
+    * writer, one stats discipline.
+    */
+  private def writeClusteredFiles(
+      table: String, df: DataFrame, clusterBy: String,
+      targetRowsPerFile: Long): (String, Seq[DataFileEntry]) = {
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val staged = df
+      .repartitionByRange(nFiles, col(clusterBy).cast("long").asc)
+      .localCheckpoint()
+    try {
+      val commitId = java.util.UUID.randomUUID().toString.take(12)
+      val rel = s"data/$commitId"
+      staged.write.mode("overwrite").parquet(s"$table/$rel")
+      // per-partition stats keyed by partition id; partition i wrote the
+      // file whose name parses to part index i (empty partitions write
+      // no file and emit no stats group — both sides skip them)
+      val stats = staged
+        .select(spark_partition_id().as("pid"),
+          col(clusterBy).cast("long").as("k"))
+        .groupBy(col("pid"))
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+          count(lit(1)).as("cnt"))
+        .collect().map(r =>
+          r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val newFiles = {
+        val stream = Files.list(Paths.get(table, "data", commitId))
+        try stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+          .toSeq.sorted
+        finally stream.close()
+      }.flatMap { f =>
+        val idx = f.stripPrefix("part-").takeWhile(_.isDigit).toInt
+        stats.get(idx).map { case (mn, mx, cnt) =>
+          DataFileEntry(s"$rel/$f", mn, mx, cnt)
+        }
+      }
+      (commitId, newFiles)
+    } finally org.apache.spark.sql.graftbridge.Bridge
+      .unpersistLocalCheckpoint(staged)
+  }
+
+  /** Keyed DELETE — the right-to-be-forgotten sweep: remove every row
+    * whose merge key appears in `delKeys`, touching ONLY the files whose
+    * cluster-key range overlaps the delete set (same pruning as MERGE).
+    * At 100 TB a GDPR purge list is a tiny frame against a huge clustered
+    * table: cost is O(touched files + list), never O(table). Returns the
+    * number of rows deleted; replay-safe via the same txn watermark.
+    */
+  def mergeDelete(
+      s: SparkSession,
+      table: String,
+      delKeys: DataFrame,
+      targetRowsPerFile: Long = 4096,
+      txn: Option[(String, Long)] = None,
+      maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snapshot = latestManifest(table)
+        .getOrElse(sys.error(s"no committed version under $table"))
+      val replayed = txn.exists { case (w, v) => snapshot.txns.get(w).exists(_ >= v) }
+      if (replayed) return 0L
+
+      val keys = snapshot.keys
+      val clusterBy = snapshot.clusterBy
+      val touched: Set[String] = {
+        import s.implicits._
+        val intervals = snapshot.files
+          .map(f => (f.path, f.minKey, f.maxKey)).toDF("path", "mn", "mx")
+        delKeys.select(col(clusterBy).cast("long").as("k")).distinct()
+          .join(broadcast(intervals),
+            col("k") >= col("mn") && col("k") <= col("mx"))
+          .select(col("path")).distinct()
+          .as[String].collect().toSet
+      }
+      if (touched.isEmpty) return 0L // nothing overlaps — zero-cost no-op
+
+      val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
+      val old = s.read.schema(schema)
+        .parquet(touched.toSeq.sorted.map(p => s"$table/$p"): _*)
+      val survivors = old.join(
+        delKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      val oldCount = snapshot.files
+        .filter(f => touched.contains(f.path)).map(_.numRows).sum
+
+      val (commitId, newFiles) =
+        writeClusteredFiles(table, survivors, clusterBy, targetRowsPerFile)
+      val untouched = snapshot.files.filterNot(f => touched.contains(f.path))
+      val next = snapshot.copy(
+        version = snapshot.version + 1,
+        files = untouched ++ newFiles,
+        txns = snapshot.txns ++ txn.map { case (w, v) => w -> v })
+      if (tryCommit(table, next)) return oldCount - newFiles.map(_.numRows).sum
+      deleteDir(Paths.get(table, "data", commitId))
+    }
+    sys.error(s"delete from $table lost the commit race $maxAttempts times")
+  }
+
+  /** OPTIMIZE: rewrite under-sized data files (fragmentation from many
+    * small merges) into full clustered files — same semantics as a
+    * lakehouse `OPTIMIZE`, committed as a normal version so readers
+    * never block and time travel still sees the pre-compaction layout.
+    * Only files below half the target participate; well-sized files are
+    * carried by reference untouched. Returns the number of files
+    * compacted (0 = nothing to do, no commit).
+    */
+  def optimize(
+      s: SparkSession,
+      table: String,
+      targetRowsPerFile: Long = 4096,
+      maxAttempts: Int = 20): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snapshot = latestManifest(table)
+        .getOrElse(sys.error(s"no committed version under $table"))
+      val small = snapshot.files.filter(_.numRows < targetRowsPerFile / 2)
+      if (small.size < 2) return 0 // nothing worth merging
+
+      val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
+      val frag = s.read.schema(schema)
+        .parquet(small.map(f => s"$table/${f.path}"): _*)
+      val (commitId, newFiles) =
+        writeClusteredFiles(table, frag, snapshot.clusterBy, targetRowsPerFile)
+      val smallPaths = small.map(_.path).toSet
+      val next = snapshot.copy(
+        version = snapshot.version + 1,
+        files = snapshot.files.filterNot(f => smallPaths.contains(f.path)) ++ newFiles)
+      if (tryCommit(table, next)) return small.size
+      deleteDir(Paths.get(table, "data", commitId))
+    }
+    sys.error(s"optimize of $table lost the commit race $maxAttempts times")
   }
 
   /** VACUUM: delete data files no longer referenced by the latest manifest
@@ -334,17 +487,14 @@ object MergeTable {
 
   private val mergedCache = IndexMemo.cache[(SparkSession, String), String]()
 
-  /** `q_merge_upsert`: three deterministic MERGE commits over `events`
-    * (full load, then two overlapping update waves), read back from the
-    * committed snapshot and digested per event_type. Any row lost,
-    * duplicated, or left at a stale version by the merge protocol breaks
-    * the hash. The oracle computes the same last-writer-wins outcome as a
-    * CASE over the raw table — protocol-independent by construction.
-    * File-level behavior (untouched files by reference, pruning, replay,
-    * commit races) is MergeTableSpec territory.
+  /** Five deterministic commits over `events` — the shared fixture behind
+    * BOTH merge queries: full load (v0), two overlapping update waves
+    * (v1, v2), a keyed DELETE (v3), and an insert-only wave (v4). Built
+    * once per (session, input); both queries read committed versions of
+    * the same table.
     */
-  def mergeUpsertDigest(s: SparkSession, sfDir: String): DataFrame = {
-    val table = IndexMemo(mergedCache, (s, sfDir)) {
+  private def buildMergedEvents(s: SparkSession, sfDir: String): String =
+    IndexMemo(mergedCache, (s, sfDir)) {
       IndexStore.recordFixtureBuild("merge-table")
       val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
       val t = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
@@ -365,15 +515,38 @@ object MergeTable {
         ev.where(pmod(col("event_id"), lit(7)) === 0)
           .withColumn("value", col("value") + 200.0),
         keys, "event_id", txn = Some(("seed", 2L)))
+      // wave 3: keyed delete (the GDPR sweep) — every %11==3 key purged
+      mergeDelete(s, t,
+        ev.where(pmod(col("event_id"), lit(11)) === 3).select(col("event_id")),
+        txn = Some(("seed", 3L)))
+      // wave 4: insert-only wave — offset clones, no key collision
+      mergeUpsert(s, t,
+        ev.where(pmod(col("event_id"), lit(13)) === 0)
+          .withColumn("event_id", col("event_id") + 100000L)
+          .withColumn("event_type", lit("cloned"))
+          .withColumn("value", col("value") + 500.0),
+        keys, "event_id", txn = Some(("seed", 4L)))
       t
     }
-    read(s, table)
+
+  /** `q_merge_upsert`: TIME-TRAVEL read of version 2 (after the two
+    * update waves, before the delete/insert waves that later commits
+    * added on top), digested per event_type. Data files are immutable and
+    * commits only drop references, so v2 must read back exactly as it was
+    * committed no matter what happened after — any row lost, duplicated,
+    * or left at a stale version by the merge protocol breaks the hash.
+    * The oracle computes the same last-writer-wins outcome as a CASE over
+    * the raw table — protocol-independent by construction. File-level
+    * behavior (untouched files by reference, pruning, replay, commit
+    * races) is MergeTableSpec territory.
+    */
+  def mergeUpsertDigest(s: SparkSession, sfDir: String): DataFrame =
+    readVersion(s, buildMergedEvents(s, sfDir), 2L)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         round(sum(col("value")), 2).as("value_sum"))
       .orderBy("event_type")
-  }
 
   val mergeUpsertDigestSql: String =
     s"""WITH final AS (
@@ -389,4 +562,47 @@ object MergeTable {
        |  count(DISTINCT user_id) AS n_users,
        |  round(sum(value), 2) AS value_sum
        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** `q_merge_cdf`: the table's CHANGE DATA FEED between version 0 and the
+    * latest snapshot, derived entirely from time travel + the engine's own
+    * CDC diff ([[ChangeCapture.snapshotDiff]]) — INSERTs from the clone
+    * wave, DELETEs from the purge wave, UPDATEs from the two payload
+    * waves. A lakehouse CDF without a log of row-level changes: immutable
+    * versions make any (v_a, v_b) diff computable after the fact, at
+    * keyed-full-outer-join cost over the two snapshots. The oracle
+    * rebuilds both versions from the raw table with the same wave CASEs.
+    */
+  def mergeChanges(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildMergedEvents(s, sfDir)
+    val cols = Seq("event_type", "value")
+    def slim(df: DataFrame) = df.select(("event_id" +: cols).map(col): _*)
+    ChangeCapture.snapshotDiff(
+      slim(readVersion(s, t, 0L)), slim(read(s, t)), "event_id", cols)
+      .orderBy("event_id")
+  }
+
+  val mergeChangesSql: String =
+    s"""WITH v0 AS (SELECT event_id, event_type, value FROM events),
+       |final AS (
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 7 = 0 THEN event_type
+       |         WHEN event_id % 5 < 2 THEN 'updated'
+       |         ELSE event_type END AS event_type,
+       |    CASE WHEN event_id % 7 = 0 THEN value + 200.0
+       |         WHEN event_id % 5 < 2 THEN value + 100.0
+       |         ELSE value END AS value
+       |  FROM events WHERE event_id % 11 <> 3
+       |  UNION ALL
+       |  SELECT event_id + 100000, 'cloned', value + 500.0
+       |  FROM events WHERE event_id % 13 = 0),
+       |diff AS (
+       |  SELECT coalesce(f.event_id, o.event_id) AS event_id,
+       |    CASE WHEN o.event_id IS NULL THEN 'INSERT'
+       |         WHEN f.event_id IS NULL THEN 'DELETE'
+       |         WHEN f.event_type <> o.event_type OR f.value <> o.value
+       |           THEN 'UPDATE' END AS change_type,
+       |    f.event_type AS event_type, f.value AS value
+       |  FROM v0 o FULL OUTER JOIN final f ON o.event_id = f.event_id)
+       |SELECT event_id, change_type, event_type, value FROM diff
+       |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin
 }

@@ -130,6 +130,101 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.latestManifest(t).get.version == 1L)
   }
 
+  test("time travel: every committed version reads back exactly as committed") {
+    val t = freshTable("tt")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 10L, 1.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(5L to 8L, 2.0), Seq("event_id"), "event_id")
+    MergeTable.mergeDelete(spark, t, rows(Seq(1L, 2L), 0.0))
+    def at(v: Long) = MergeTable.readVersion(spark, t, v)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(at(0L) == (1L to 10L).map(_ -> 1.0).toMap)
+    assert(at(1L) == ((1L to 4L) ++ (9L to 10L)).map(_ -> 1.0).toMap
+      ++ (5L to 8L).map(_ -> 2.0).toMap)
+    assert(at(2L).keySet == (3L to 10L).toSet)
+    // latest == highest version
+    assert(MergeTable.read(spark, t)
+      .select("event_id").as[Long].collect().toSet == at(2L).keySet)
+    val e = intercept[RuntimeException](MergeTable.readVersion(spark, t, 99L))
+    assert(e.getMessage.contains("not found"))
+  }
+
+  test("keyed delete prunes to overlapping files and reports the removed count") {
+    val t = freshTable("del")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 1000L, 1.0),
+      Seq("event_id"), "event_id", targetRowsPerFile = 100)
+    val m0 = MergeTable.latestManifest(t).get
+    val sorted = m0.files.sortBy(_.minKey)
+    val victim = sorted(2)
+    // delete two keys inside ONE file's range
+    val n = MergeTable.mergeDelete(spark, t,
+      rows(Seq(victim.minKey, victim.minKey + 1), 0.0), targetRowsPerFile = 100)
+    assert(n == 2L, s"expected 2 deleted, got $n")
+    val m1 = MergeTable.latestManifest(t).get
+    assert(m1.files.map(_.numRows).sum == 998L)
+    // untouched files carried by reference
+    m0.files.foreach { f =>
+      if (f.path != victim.path)
+        assert(m1.files.map(_.path).contains(f.path), s"${f.path} rewritten")
+    }
+    // a delete set overlapping NOTHING is a zero-cost no-op (no new version)
+    val before = m1.version
+    assert(MergeTable.mergeDelete(spark, t, rows(Seq(1000000L), 0.0)) == 0L)
+    assert(MergeTable.latestManifest(t).get.version == before)
+  }
+
+  test("optimize merges under-sized files, preserves content, leaves full files alone") {
+    val t = freshTable("opt")
+    // many tiny merges → fragmented layout
+    (0 until 6).foreach { i =>
+      MergeTable.mergeUpsert(spark, t,
+        rows((i * 10 + 1L) to (i * 10 + 10L), 1.0),
+        Seq("event_id"), "event_id", targetRowsPerFile = 100)
+    }
+    val before = MergeTable.latestManifest(t).get
+    assert(before.files.size >= 2)
+    val content = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toSet
+    val compacted = MergeTable.optimize(spark, t, targetRowsPerFile = 100)
+    assert(compacted >= 2, s"expected a compaction, got $compacted")
+    val after = MergeTable.latestManifest(t).get
+    assert(after.files.size < before.files.size)
+    assert(MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toSet == content)
+    // idempotent: a second optimize finds nothing to do and commits nothing
+    val v = after.version
+    assert(MergeTable.optimize(spark, t, targetRowsPerFile = 100) == 0)
+    assert(MergeTable.latestManifest(t).get.version == v)
+  }
+
+  test("additive schema evolution: new columns widen, old rows read back null") {
+    val t = freshTable("schema")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 1.0), Seq("event_id"), "event_id")
+    // a later batch carries a column the table has never seen
+    val widened = Seq((6L, "u6", 2.0, "eu-west"), (3L, "u3x", 3.0, "us-east"))
+      .toDF("event_id", "tag", "value", "region")
+    MergeTable.mergeUpsert(spark, t, widened, Seq("event_id"), "event_id")
+    val out = MergeTable.read(spark, t)
+    assert(out.columns.toSet == Set("event_id", "tag", "value", "region"))
+    val byId = out.select("event_id", "value", "region")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), Option(r.getString(2)))).toMap
+    assert(byId(6L) == ((2.0, Some("eu-west"))))
+    assert(byId(3L) == ((3.0, Some("us-east"))))
+    // pre-widening rows: region null, never rewritten for the schema change
+    assert(byId(1L) == ((1.0, None)))
+    // a batch MISSING an existing column lands with nulls, not an error
+    val narrow = Seq((7L, 4.0)).toDF("event_id", "value")
+    MergeTable.mergeUpsert(spark, t, narrow, Seq("event_id"), "event_id")
+    val r7 = MergeTable.read(spark, t).where(col("event_id") === 7L)
+      .select("tag", "region").collect()(0)
+    assert(r7.isNullAt(0) && r7.isNullAt(1))
+    // retyping an existing column is rejected
+    val retyped = Seq((8L, 9)).toDF("event_id", "value") // value int, table double
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.mergeUpsert(spark, t, retyped, Seq("event_id"), "event_id")
+    }
+    assert(e.getMessage.contains("migration"))
+  }
+
   test("foreign files under the log dir are ignored") {
     val t = freshTable("foreign")
     MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), "event_id")
