@@ -119,6 +119,7 @@ object SparkEntry {
     "q_compact_digest" -> (graft.ops.Compaction.compactDigest _),
     "q_merge_upsert" -> (graft.ops.MergeTable.mergeUpsertDigest _),
     "q_merge_cdf" -> (graft.ops.MergeTable.mergeChanges _),
+    "q_ann_incremental" -> (SimilarityOps.annPqAdcIncremental _),
 
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
     "q_multimodal_meta" -> (MultimodalOps.mediaMeta _),
@@ -311,6 +312,9 @@ object SparkEntry {
     "q_compact_digest" -> graft.ops.Compaction.compactDigestSql,
     "q_merge_upsert" -> graft.ops.MergeTable.mergeUpsertDigestSql,
     "q_merge_cdf" -> graft.ops.MergeTable.mergeChangesSql,
+    // the incremental index must equal the single-shot index bit-for-bit:
+    // SAME oracle as q_ann_pq_adc, different build path
+    "q_ann_incremental" -> SimilarityOps.annPqAdcSql,
     "q_brand_revenue" -> RelationalOps.brandRevenueSql,
     "q10_returned_items" -> RelationalOps.q10ReturnedItemsSql,
     "q14_promo_revenue" -> RelationalOps.q14PromoRevenueSql,

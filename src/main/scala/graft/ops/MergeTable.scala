@@ -471,6 +471,10 @@ object MergeTable {
     deleted
   }
 
+  /** Remove a table tree entirely (fixture builders start clean). */
+  private[ops] def dropTable(table: String): Unit =
+    deleteDir(Paths.get(table))
+
   private def deleteDir(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val stream = Files.walk(p)
@@ -572,12 +576,31 @@ object MergeTable {
     * keyed-full-outer-join cost over the two snapshots. The oracle
     * rebuilds both versions from the raw table with the same wave CASEs.
     */
+  /** Row-level changes between two committed versions of any merge
+    * table: keyed full-outer diff over the two immutable snapshots. The
+    * general CDF primitive behind [[mergeChanges]]; `cols` defaults to
+    * every non-key column of the newer version.
+    */
+  def changesBetween(
+      s: SparkSession, table: String, fromVersion: Long, toVersion: Long,
+      cols: Seq[String] = Seq.empty): DataFrame = {
+    val m = manifestAt(table, toVersion)
+      .getOrElse(sys.error(s"version $toVersion not found under $table"))
+    require(m.keys.size == 1,
+      "changesBetween supports single-column keys (snapshotDiff contract)")
+    val key = m.keys.head
+    val newer = readVersion(s, table, toVersion)
+    val payload =
+      if (cols.nonEmpty) cols else newer.columns.filterNot(_ == key).toSeq
+    def slim(df: DataFrame) = df.select((key +: payload).map(col): _*)
+    ChangeCapture.snapshotDiff(
+      slim(readVersion(s, table, fromVersion)), slim(newer), key, payload)
+  }
+
   def mergeChanges(s: SparkSession, sfDir: String): DataFrame = {
     val t = buildMergedEvents(s, sfDir)
-    val cols = Seq("event_type", "value")
-    def slim(df: DataFrame) = df.select(("event_id" +: cols).map(col): _*)
-    ChangeCapture.snapshotDiff(
-      slim(readVersion(s, t, 0L)), slim(read(s, t)), "event_id", cols)
+    changesBetween(s, t, 0L, latestManifest(t).get.version,
+      Seq("event_type", "value"))
       .orderBy("event_id")
   }
 

@@ -1287,12 +1287,14 @@ object SimilarityOps {
     * (vector, query) where this moves one.
     */
   private def adcShortlistRerank(
-      s: SparkSession, dir: String, cand: Option[DataFrame]): DataFrame = {
+      s: SparkSession, dir: String, cand: Option[DataFrame],
+      codesOverride: Option[DataFrame] = None): DataFrame = {
     val lutW = pqLutWide(s, dir)
+    val codes = codesOverride.getOrElse(pqCodesWide(s, dir))
     val pairs = cand match {
-      case Some(c) => c.join(pqCodesWide(s, dir), "vec_id")
+      case Some(c) => c.join(codes, "vec_id")
         .join(broadcast(lutW), "query_id")
-      case None => pqCodesWide(s, dir)
+      case None => codes
         .crossJoin(broadcast(lutW))
         .where(col("vec_id") =!= col("query_id"))
     }
@@ -1320,6 +1322,41 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
       .orderBy("query_id", "rank")
+  }
+
+  // ---- incremental index maintenance --------------------------------------
+
+  private val incrCodesCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** `q_ann_incremental`: the PQ codes live in a TRANSACTIONAL
+    * [[MergeTable]] and the index grows incrementally — wave 0 indexes
+    * half the corpus, wave 1 encodes the other half against the FROZEN
+    * codebooks and MERGEs it in (txn-guarded, so a replayed ingest batch
+    * can't double-index). The ADC query then runs over the incremental
+    * table and must equal the single-shot index BIT-FOR-BIT — the oracle
+    * is [[annPqAdcSql]] verbatim. This is the "add new vectors after
+    * training" path the durable-index tier needs: encoding is per-vector
+    * map-side against the broadcast codebooks, the merge touches only
+    * key-range-overlapping files, and un-indexing a vector is the same
+    * table's keyed DELETE.
+    */
+  def annPqAdcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val table = IndexMemo(incrCodesCache, (s, dir)) {
+      IndexStore.recordFixtureBuild("incr-pq-codes")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val t = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge", s"pqcodes-$appTag").toString
+      MergeTable.dropTable(t)
+      val wide = pqCodesWide(s, dir)
+      MergeTable.mergeUpsert(s, t, wide.where(pmod(col("vec_id"), lit(2)) === 0),
+        Seq("vec_id"), "vec_id", txn = Some(("ann-ingest", 0L)))
+      MergeTable.mergeUpsert(s, t, wide.where(pmod(col("vec_id"), lit(2)) === 1),
+        Seq("vec_id"), "vec_id", txn = Some(("ann-ingest", 1L)))
+      t
+    }
+    adcShortlistRerank(s, dir, cand = None,
+      codesOverride = Some(MergeTable.read(s, table)))
   }
 
   private def pqAssignCteSql(name: String, subCte: String, centCte: String): String =

@@ -225,6 +225,60 @@ class MergeTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("migration"))
   }
 
+  test("changesBetween: any (v_a, v_b) pair diffs correctly, not just 0->latest") {
+    val t = freshTable("cdf")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 6L, 1.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(5L to 8L, 2.0), Seq("event_id"), "event_id")
+    MergeTable.mergeDelete(spark, t, rows(Seq(1L), 0.0))
+    // v1 -> v2: only the delete
+    val d12 = MergeTable.changesBetween(spark, t, 1L, 2L)
+      .select("event_id", "change_type").as[(Long, String)].collect().toMap
+    assert(d12 == Map(1L -> "DELETE"))
+    // v0 -> v1: updates 5,6 (value change) + inserts 7,8
+    val d01 = MergeTable.changesBetween(spark, t, 0L, 1L)
+      .select("event_id", "change_type").as[(Long, String)].collect().toMap
+    assert(d01 == Map(5L -> "UPDATE", 6L -> "UPDATE", 7L -> "INSERT", 8L -> "INSERT"))
+    // identical versions: empty feed
+    assert(MergeTable.changesBetween(spark, t, 1L, 1L).count() == 0)
+  }
+
+  test("property: random upsert/delete sequences equal a driver-side map fold") {
+    import org.scalacheck.Gen
+    val opGen: Gen[(Boolean, Seq[Long], Double)] = for {
+      del <- Gen.frequency(3 -> false, 1 -> true)
+      ks <- Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(_.distinct)
+      v <- Gen.choose(1.0, 9.0).map(x => math.rint(x * 10) / 10)
+    } yield (del, ks, v)
+    val seqGen = Gen.listOfN(6, opGen)
+    // sample a handful of sequences (each drives a real table: Spark jobs
+    // per op, so a few deep sequences beat many shallow ones)
+    (1 to 3).foreach { i =>
+      val ops = Iterator.continually(seqGen.sample).flatten.next()
+      val t = freshTable(s"prop$i")
+      val model = scala.collection.mutable.Map.empty[Long, Double]
+      ops.foreach { case (del, ks, v) =>
+        if (del) {
+          if (model.nonEmpty) { // delete on an uncommitted table is undefined
+            MergeTable.mergeDelete(spark, t, rows(ks, 0.0), targetRowsPerFile = 7)
+            ks.foreach(model.remove)
+          }
+        } else {
+          MergeTable.mergeUpsert(spark, t, rows(ks, v),
+            Seq("event_id"), "event_id", targetRowsPerFile = 7)
+          ks.foreach(k => model(k) = v)
+        }
+      }
+      if (model.nonEmpty || MergeTable.latestManifest(t).isDefined) {
+        val out = MergeTable.read(spark, t)
+          .select("event_id", "value").as[(Long, Double)].collect().toMap
+        assert(out == model.toMap, s"sequence $ops diverged: $out vs $model")
+        // manifest row accounting stays consistent with the content
+        assert(MergeTable.latestManifest(t).get.files.map(_.numRows).sum ==
+          model.size.toLong)
+      }
+    }
+  }
+
   test("foreign files under the log dir are ignored") {
     val t = freshTable("foreign")
     MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), "event_id")
