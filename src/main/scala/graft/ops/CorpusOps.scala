@@ -710,13 +710,30 @@ object CorpusOps {
       .localCheckpoint()
     // Bounded retention (see rangedCheckpoints): pin this call's
     // checkpoint, release the oldest beyond depth 2 — within THIS
-    // session's queue only.
+    // session's queue only. The MAP itself is bounded too: beyond 4
+    // tracked sessions the stalest other session's queue is drained and
+    // evicted, so short-lived sessions (spec suites, per-call clones)
+    // can't pin their SessionState + checkpoint blocks for the JVM
+    // lifetime. Total pinned checkpoints ≤ 2 × 4 at any moment.
     val sessionQueue = rangedCheckpoints.computeIfAbsent(
       s, _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
     sessionQueue.add(ranged)
     while (sessionQueue.size() > 2)
       Option(sessionQueue.poll())
         .foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
+    if (rangedCheckpoints.size() > 4) {
+      import scala.jdk.CollectionConverters._
+      rangedCheckpoints.keys().asScala.filterNot(_ eq s)
+        .take(rangedCheckpoints.size() - 4).foreach { victim =>
+          Option(rangedCheckpoints.remove(victim)).foreach { q =>
+            var df = q.poll()
+            while (df != null) {
+              org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(df)
+              df = q.poll()
+            }
+          }
+        }
+    }
     // bounded metadata collect: one row per shuffle partition
     var acc = 0L
     val offsets = ranged.groupBy(col("pid")).agg(sum(col("n_tok")).as("psum"))

@@ -85,10 +85,14 @@ object MergeTable {
   private def logDir(table: String) = Paths.get(table, "_graft_log")
 
   private def versionOf(name: String): Option[Long] = {
-    // digit guard: foreign files under the log dir are ignored, not thrown on
+    // digit guard: foreign files under the log dir are ignored, not thrown
+    // on — including all-digit junk past Long range (legit names are
+    // %020d, so 20 digits alone can't distinguish; Try absorbs overflow)
     val core = name.stripPrefix("v").stripSuffix(".json")
     if (name.startsWith("v") && name.endsWith(".json") &&
-      core.nonEmpty && core.forall(_.isDigit)) Some(core.toLong) else None
+      core.nonEmpty && core.forall(_.isDigit))
+      scala.util.Try(core.toLong).toOption
+    else None
   }
 
   /** Latest committed manifest, or None for a not-yet-created table. */
@@ -190,6 +194,17 @@ object MergeTable {
       txn: Option[(String, Long)] = None,
       maxAttempts: Int = 20): Boolean = {
     require(keys.nonEmpty, "merge keys must be non-empty")
+    // pruning soundness: a file is skipped when no batch CLUSTER value
+    // falls in its range — valid only if a matched old row's cluster
+    // value EQUALS the batch row's, i.e. the cluster key is part of the
+    // match key. And the stats/pruning arithmetic needs real longs: a
+    // null or uncastable cluster value would silently prune wrong
+    // (missed matches → duplicate keys) and NPE the stats pass.
+    require(keys.contains(clusterBy),
+      s"clusterBy '$clusterBy' must be one of the merge keys " +
+        s"${keys.mkString("(", ",", ")")} — file pruning assumes a matched " +
+        "row's cluster value equals the batch row's")
+    requireClusterable(batch, clusterBy, "MERGE source")
     val dupKeys = batch.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).count()
     require(dupKeys == 0,
@@ -273,6 +288,17 @@ object MergeTable {
     sys.error(s"merge into $table lost the commit race $maxAttempts times")
   }
 
+  /** The cluster column must be non-null and long-castable in every row —
+    * `try_cast` (not `cast`: ANSI mode throws mid-job on garbage, this
+    * names the offending contract instead). */
+  private def requireClusterable(df: DataFrame, clusterBy: String, what: String): Unit = {
+    val bad = df.where(col(clusterBy).isNull ||
+      col(clusterBy).try_cast("long").isNull).limit(1).count()
+    require(bad == 0,
+      s"$what: cluster key '$clusterBy' must be non-null and long-castable " +
+        "in every row (it is the file-pruning statistic)")
+  }
+
   /** `df` widened to `schema`'s full column set (missing columns as typed
     * nulls, order normalized) — the incoming half of additive schema
     * evolution: a batch written BEFORE a later batch added a column, or a
@@ -293,11 +319,26 @@ object MergeTable {
   private def writeClusteredFiles(
       table: String, df: DataFrame, clusterBy: String,
       targetRowsPerFile: Long): (String, Seq[DataFileEntry]) = {
-    val n = df.count()
-    val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val staged = df
-      .repartitionByRange(nFiles, col(clusterBy).cast("long").asc)
-      .localCheckpoint()
+    // checkpoint the MERGED frame before counting: count() would
+    // otherwise execute the full plan (touched-file reads + anti join)
+    // once, and the range-repartition below a second time — doubling
+    // every commit's I/O on the streaming hot path
+    val pinned = df.localCheckpoint()
+    try {
+      val n = pinned.count()
+      val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      writeStaged(table,
+        pinned.repartitionByRange(nFiles, col(clusterBy).cast("long").asc),
+        clusterBy)
+    } finally org.apache.spark.sql.graftbridge.Bridge
+      .unpersistLocalCheckpoint(pinned)
+  }
+
+  /** Write the staged frame (one file per range partition) and derive the
+    * per-file stats from the SAME pinned partitioning. */
+  private def writeStaged(
+      table: String, toStage: DataFrame, clusterBy: String): (String, Seq[DataFileEntry]) = {
+    val staged = toStage.localCheckpoint()
     try {
       val commitId = java.util.UUID.randomUUID().toString.take(12)
       val rel = s"data/$commitId"
@@ -355,6 +396,7 @@ object MergeTable {
 
       val keys = snapshot.keys
       val clusterBy = snapshot.clusterBy
+      if (attempt == 1) requireClusterable(delKeys, clusterBy, "DELETE key set")
       val touched: Set[String] = {
         import s.implicits._
         val intervals = snapshot.files
@@ -365,25 +407,39 @@ object MergeTable {
           .select(col("path")).distinct()
           .as[String].collect().toSet
       }
-      if (touched.isEmpty) return 0L // nothing overlaps — zero-cost no-op
+      if (touched.isEmpty) {
+        // nothing overlaps — but the txn watermark must STILL be recorded,
+        // or a crash-replay of this batch after a concurrent writer lands
+        // the keys would re-run the delete against data the original run
+        // never saw (the exactly-once contract). Metadata-only commit:
+        // same files, bumped version, watermark advanced.
+        txn match {
+          case None => return 0L // untracked caller: a true zero-cost no-op
+          case Some((w, v)) =>
+            val next = snapshot.copy(
+              version = snapshot.version + 1,
+              txns = snapshot.txns + (w -> v))
+            if (tryCommit(table, next)) return 0L
+        }
+      } else {
+        val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
+        val old = s.read.schema(schema)
+          .parquet(touched.toSeq.sorted.map(p => s"$table/$p"): _*)
+        val survivors = old.join(
+          delKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        val oldCount = snapshot.files
+          .filter(f => touched.contains(f.path)).map(_.numRows).sum
 
-      val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
-      val old = s.read.schema(schema)
-        .parquet(touched.toSeq.sorted.map(p => s"$table/$p"): _*)
-      val survivors = old.join(
-        delKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      val oldCount = snapshot.files
-        .filter(f => touched.contains(f.path)).map(_.numRows).sum
-
-      val (commitId, newFiles) =
-        writeClusteredFiles(table, survivors, clusterBy, targetRowsPerFile)
-      val untouched = snapshot.files.filterNot(f => touched.contains(f.path))
-      val next = snapshot.copy(
-        version = snapshot.version + 1,
-        files = untouched ++ newFiles,
-        txns = snapshot.txns ++ txn.map { case (w, v) => w -> v })
-      if (tryCommit(table, next)) return oldCount - newFiles.map(_.numRows).sum
-      deleteDir(Paths.get(table, "data", commitId))
+        val (commitId, newFiles) =
+          writeClusteredFiles(table, survivors, clusterBy, targetRowsPerFile)
+        val untouched = snapshot.files.filterNot(f => touched.contains(f.path))
+        val next = snapshot.copy(
+          version = snapshot.version + 1,
+          files = untouched ++ newFiles,
+          txns = snapshot.txns ++ txn.map { case (w, v) => w -> v })
+        if (tryCommit(table, next)) return oldCount - newFiles.map(_.numRows).sum
+        deleteDir(Paths.get(table, "data", commitId))
+      }
     }
     sys.error(s"delete from $table lost the commit race $maxAttempts times")
   }
@@ -461,10 +517,17 @@ object MergeTable {
       val logs = { val s3 = Files.list(ld)
         try s3.iterator().asScala.toSeq finally s3.close() }
       logs.foreach { p =>
-        versionOf(p.getFileName.toString).foreach { v =>
-          val old = try Files.getLastModifiedTime(p).toMillis < cutoff
-            catch { case _: Exception => false }
-          if (v < m.version && old) { Files.deleteIfExists(p); deleted += 1 }
+        def old = try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: Exception => false }
+        versionOf(p.getFileName.toString) match {
+          case Some(v) =>
+            if (v < m.version && old) { Files.deleteIfExists(p); deleted += 1 }
+          case None =>
+            // crash-orphaned staging manifests (writer died between the
+            // tmp write and the link) age out here too
+            if (p.getFileName.toString.startsWith(".tmp-") && old) {
+              Files.deleteIfExists(p); deleted += 1
+            }
         }
       }
     }
@@ -592,7 +655,12 @@ object MergeTable {
     val newer = readVersion(s, table, toVersion)
     val payload =
       if (cols.nonEmpty) cols else newer.columns.filterNot(_ == key).toSeq
-    def slim(df: DataFrame) = df.select((key +: payload).map(col): _*)
+    // schema evolution: the OLDER snapshot may predate columns the newer
+    // one carries — widen it with typed nulls so a widening boundary
+    // reports UPDATEs (null → value) instead of failing to resolve
+    val target = StructType((key +: payload).map(c => newer.schema(c)))
+    def slim(df: DataFrame) =
+      withAllColumns(df, target).select((key +: payload).map(col): _*)
     ChangeCapture.snapshotDiff(
       slim(readVersion(s, table, fromVersion)), slim(newer), key, payload)
   }

@@ -662,9 +662,17 @@ object SimilarityOps {
     * integer units with explicit floor(x+0.5) — HALF_UP on both engines
     * (Spark round() vs DuckDB round() differ at half boundaries; the
     * recorded quantizer-parity rule). Integer residuals make every
-    * downstream mean/threshold comparison exact. */
+    * downstream mean/threshold comparison exact.
+    *
+    * NaN cosine (zero-norm vector) books the MAXIMUM residual (10⁴):
+    * degenerate arrivals must push a cell toward retrain, never vanish —
+    * and the guard keeps this column, the streaming twin's Scala
+    * computation, and the oracle's CASE in agreement (an unguarded
+    * NaN→long cast throws under ANSI here and would zero on the
+    * streaming side: three different answers for one input). */
   private def residIntCol =
-    floor((lit(1.0) - col("cos")) * 10000 + lit(0.5)).cast("long")
+    when(isnan(col("cos")), lit(10000L))
+      .otherwise(floor((lit(1.0) - col("cos")) * 10000 + lit(0.5)).cast("long"))
 
   /** Shared staleness verdict over per-cell (n_base, n_inc, rs_base,
     * rs_inc) counts — the SAME projection serves the batch op and the
@@ -724,7 +732,9 @@ object SimilarityOps {
     s"""WITH $kmeansCtesSql,
        |r AS (
        |  SELECT cid, vec_id % 2 AS win,
-       |    CAST(floor((1 - cos) * 10000 + 0.5) AS BIGINT) AS resid_i
+       |    CASE WHEN isnan(cos) THEN 10000
+       |         ELSE CAST(floor((1 - cos) * 10000 + 0.5) AS BIGINT)
+       |    END AS resid_i
        |  FROM afinal),
        |g AS (
        |  SELECT cid,

@@ -279,12 +279,64 @@ class MergeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("no-overlap delete with a txn still advances the watermark (metadata-only commit)") {
+    val t = freshTable("delwm")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 1.0), Seq("event_id"), "event_id")
+    // batch 0 of a delete sink: keys don't exist yet — no files touched,
+    // but the watermark MUST land or a crash-replay after a concurrent
+    // writer adds the keys would delete rows the original run never saw
+    assert(MergeTable.mergeDelete(spark, t, rows(Seq(100L), 0.0),
+      txn = Some(("delsink", 0L))) == 0L)
+    val m = MergeTable.latestManifest(t).get
+    assert(m.txns.get("delsink").contains(0L), "watermark not recorded")
+    assert(m.files.map(_.numRows).sum == 5L, "metadata-only commit moved data")
+    // a concurrent writer lands key 100; the replayed batch 0 must no-op
+    MergeTable.mergeUpsert(spark, t, rows(Seq(100L), 9.0), Seq("event_id"), "event_id")
+    assert(MergeTable.mergeDelete(spark, t, rows(Seq(100L), 0.0),
+      txn = Some(("delsink", 0L))) == 0L)
+    assert(MergeTable.read(spark, t).where(col("event_id") === 100L).count() == 1,
+      "replayed delete batch re-applied against later data")
+  }
+
+  test("changesBetween crosses a schema-widening boundary") {
+    val t = freshTable("cdfw")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t,
+      Seq((2L, "u2", 2.0, "eu")).toDF("event_id", "tag", "value", "region"),
+      Seq("event_id"), "event_id")
+    val d = MergeTable.changesBetween(spark, t, 0L, 1L)
+      .select("event_id", "change_type").as[(Long, String)].collect().toMap
+    // key 2: value 1.0→2.0 AND region null→'eu' — an UPDATE, not a crash
+    assert(d == Map(2L -> "UPDATE"), d)
+  }
+
+  test("clusterBy outside the merge keys is rejected (pruning soundness)") {
+    val t = freshTable("ck")
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0),
+        Seq("event_id"), clusterBy = "value")
+    }
+    assert(e.getMessage.contains("merge keys"))
+  }
+
+  test("vacuum collects crash-orphaned .tmp manifests") {
+    val t = freshTable("tmpvac")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), "event_id")
+    val orphan = Paths.get(t, "_graft_log", ".tmp-deadbeef")
+    Files.write(orphan, "{}".getBytes)
+    assert(MergeTable.vacuum(t, graceMs = 0L) >= 1)
+    assert(!Files.exists(orphan), ".tmp orphan survived vacuum")
+    assert(MergeTable.read(spark, t).count() == 3)
+  }
+
   test("foreign files under the log dir are ignored") {
     val t = freshTable("foreign")
     MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), "event_id")
     val log = Paths.get(t, "_graft_log")
     Files.write(log.resolve("vnotanumber.json"), "junk".getBytes)
     Files.write(log.resolve("_spark_metadata"), "junk".getBytes)
+    // all-digit junk past Long range must not throw either
+    Files.write(log.resolve("v99999999999999999999.json"), "junk".getBytes)
     assert(MergeTable.latestManifest(t).get.version == 0L)
     assert(MergeTable.read(spark, t).count() == 3)
   }
