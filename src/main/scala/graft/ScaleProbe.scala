@@ -92,6 +92,7 @@ object ScaleProbe {
     if (!rangeOnly) {
       probeDedupCandidates(spark); probeNativeKernels(spark)
       probeSelectionOps(spark); probeMaintenanceOps(spark)
+      probeMergeTable(spark)
     }
     probeRangeJoin(spark, nIntervals)
     spark.stop()
@@ -133,6 +134,34 @@ object ScaleProbe {
     * form (claim: same scan with the ×6 Expand multiplier — the measured
     * gap IS the documented cost of exactness).
     */
+  /** The MERGE-cost claim measured: a same-size batch into a 1× and a 10×
+    * table must touch the same FILE COUNT (key-range pruning) and cost
+    * comparable wall time — O(touched files + batch), never O(table).
+    * Files are 500 rows each, the batch hits a 20-key contiguous range,
+    * so ≥96 % of the 10× table's files must prune away.
+    */
+  private def probeMergeTable(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.ops.MergeTable
+    for (n <- Seq(20000, 200000)) {
+      val t = java.nio.file.Files.createTempDirectory(s"graft-probe-merge$n")
+      java.nio.file.Files.delete(t)
+      val base = (0L until n).map(i => (i, i * 0.5)).toDF("event_id", "value")
+      MergeTable.mergeUpsert(spark, t.toString, base,
+        Seq("event_id"), "event_id", targetRowsPerFile = 500)
+      val before = MergeTable.latestManifest(t.toString).get.files.map(_.path).toSet
+      val batch = (100L until 120L).map(i => (i, 9.9)).toDF("event_id", "value")
+      val (_, tMerge) = time(MergeTable.mergeUpsert(spark, t.toString, batch,
+        Seq("event_id"), "event_id", targetRowsPerFile = 500))
+      val after = MergeTable.latestManifest(t.toString).get.files.map(_.path).toSet
+      // touched = files this commit replaced (present before, dropped now)
+      val touched = before.diff(after).size
+      println(
+        s"""{"probe":"merge_table","rows":$n,"files_before":${before.size},""" +
+          s""""files_touched":$touched,"merge_sec":${s1(tMerge)}}""")
+    }
+  }
+
   private def probeMaintenanceOps(spark: SparkSession): Unit = {
     for (n <- Seq(5000, 50000)) withSynthDocs(spark, n, 31) { d0 =>
       val d = d0.withColumn("lang", lit("en"))

@@ -324,9 +324,51 @@ class MergeTableSpec extends AnyFunSuite {
     MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), "event_id")
     val orphan = Paths.get(t, "_graft_log", ".tmp-deadbeef")
     Files.write(orphan, "{}".getBytes)
+    // backdate: with graceMs=0 the cutoff is "now", and a file written in
+    // the SAME millisecond is not strictly older than it
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000))
     assert(MergeTable.vacuum(t, graceMs = 0L) >= 1)
     assert(!Files.exists(orphan), ".tmp orphan survived vacuum")
     assert(MergeTable.read(spark, t).count() == 3)
+  }
+
+  test("concurrent writers: parallel merges all land, none lost, content = union") {
+    val t = freshTable("conc")
+    MergeTable.mergeUpsert(spark, t, rows(Seq(0L), 0.5), Seq("event_id"), "event_id")
+    // 4 writers × 3 sequential merges each, disjoint key ranges (so the
+    // final content is deterministic) — every commit races the others
+    // through the version CAS and must retry, never clobber
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until 3).foreach { i =>
+            val base = 1000L * (w * 3 + i + 1)
+            MergeTable.mergeUpsert(spark, t,
+              rows(base to base + 9L, w + 1.0),
+              Seq("event_id"), "event_id", txn = Some((s"w$w", i.toLong)))
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val m = MergeTable.latestManifest(t).get
+    assert(m.version == 12L, s"12 racing commits must land as 12 versions, got ${m.version}")
+    (0 until 4).foreach(w => assert(m.txns.get(s"w$w").contains(2L), s"w$w watermark"))
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(out.size == 121, s"expected 1 + 120 rows, got ${out.size}")
+    (0 until 4).foreach { w =>
+      (0 until 3).foreach { i =>
+        val base = 1000L * (w * 3 + i + 1)
+        assert(out(base) == w + 1.0, s"writer $w wave $i lost")
+      }
+    }
+    // losers' abandoned commit files are unreferenced; vacuum collects them
+    MergeTable.vacuum(t, graceMs = 0L)
+    assert(MergeTable.read(spark, t)
+      .select("event_id").as[Long].collect().toSet == out.keySet)
   }
 
   test("foreign files under the log dir are ignored") {
