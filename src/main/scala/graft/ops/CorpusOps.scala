@@ -690,7 +690,18 @@ object CorpusOps {
     */
   private val rangedCheckpoints =
     new java.util.concurrent.ConcurrentHashMap[
-      SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+      SparkSession,
+      (java.util.concurrent.ConcurrentLinkedQueue[DataFrame],
+        java.util.concurrent.atomic.AtomicLong)]()
+
+  /** A tracked session is evictable only after this much inactivity —
+    * never merely because the map is full: an arbitrary same-moment
+    * eviction could unpersist a checkpoint a CONCURRENT tenant is
+    * mid-query on (the cross-tenant failure the per-session keying
+    * exists to prevent). A session idle this long with an unconsumed
+    * checkpoint has already violated the consume-before-two-more-calls
+    * contract. */
+  private val SessionIdleEvictMs = 10L * 60 * 1000
 
   /** Frame-based core of [[tokenBudgetSelect]] — exposed for
     * [[graft.ScaleProbe]]'s growth measurement over synthetic corpora.
@@ -710,22 +721,27 @@ object CorpusOps {
       .localCheckpoint()
     // Bounded retention (see rangedCheckpoints): pin this call's
     // checkpoint, release the oldest beyond depth 2 — within THIS
-    // session's queue only. The MAP itself is bounded too: beyond 4
-    // tracked sessions the stalest other session's queue is drained and
-    // evicted, so short-lived sessions (spec suites, per-call clones)
-    // can't pin their SessionState + checkpoint blocks for the JVM
-    // lifetime. Total pinned checkpoints ≤ 2 × 4 at any moment.
-    val sessionQueue = rangedCheckpoints.computeIfAbsent(
-      s, _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+    // session's queue only. The MAP is bounded by INACTIVITY, not by a
+    // size-triggered arbitrary eviction: only sessions idle past
+    // SessionIdleEvictMs are drained, so a concurrent tenant's in-flight
+    // checkpoint can never vanish under it, while dead short-lived
+    // sessions stop pinning SessionState + blocks for the JVM lifetime.
+    val now = System.nanoTime()
+    val (sessionQueue, lastUsed) = rangedCheckpoints.computeIfAbsent(
+      s, _ => (new java.util.concurrent.ConcurrentLinkedQueue[DataFrame](),
+        new java.util.concurrent.atomic.AtomicLong(now)))
+    lastUsed.set(now)
     sessionQueue.add(ranged)
     while (sessionQueue.size() > 2)
       Option(sessionQueue.poll())
         .foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
-    if (rangedCheckpoints.size() > 4) {
+    locally {
       import scala.jdk.CollectionConverters._
-      rangedCheckpoints.keys().asScala.filterNot(_ eq s)
-        .take(rangedCheckpoints.size() - 4).foreach { victim =>
-          Option(rangedCheckpoints.remove(victim)).foreach { q =>
+      val idleCutoff = now - SessionIdleEvictMs * 1000000L
+      rangedCheckpoints.entrySet().asScala
+        .filter(e => !(e.getKey eq s) && e.getValue._2.get() < idleCutoff)
+        .map(_.getKey).toSeq.foreach { victim =>
+          Option(rangedCheckpoints.remove(victim)).foreach { case (q, _) =>
             var df = q.poll()
             while (df != null) {
               org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(df)

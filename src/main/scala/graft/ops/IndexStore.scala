@@ -153,8 +153,14 @@ object IndexStore {
   /** Older generations of `name` (stale testdata) are dead /tmp weight.
     * `name` must carry every caller-variable parameter (the sweep deletes
     * ALL same-name siblings) — identity hashes distinguish generations,
-    * not variants. Crash-orphaned `.tmp-` staging dirs age out through
-    * the same gate.
+    * not variants.
+    *
+    * `.tmp-` staging dirs are CATEGORICALLY excluded, not age-gated: a
+    * concurrent process's in-flight build can legitimately stage longer
+    * than any fixed grace (the dir's root mtime goes stale while nested
+    * task files are still being written), and sweeping it mid-build
+    * would publish a partially-deleted artifact. Crash orphans are
+    * bounded /tmp weight the OS reaper owns.
     */
   private def dropStaleGenerations(name: String, keep: String): Unit = {
     val root = Paths.get(cacheRoot)
@@ -169,7 +175,8 @@ object IndexStore {
         while (it.hasNext) {
           val p = it.next()
           val n = p.getFileName.toString
-          if (n.startsWith(s"$name-") && n != keep && pastGrace(p))
+          if (n.startsWith(s"$name-") && n != keep && !n.contains(".tmp-") &&
+            pastGrace(p))
             deleteRecursively(p)
         }
       } finally stream.close()

@@ -204,12 +204,10 @@ object MergeTable {
       s"clusterBy '$clusterBy' must be one of the merge keys " +
         s"${keys.mkString("(", ",", ")")} — file pruning assumes a matched " +
         "row's cluster value equals the batch row's")
-    requireClusterable(batch, clusterBy, "MERGE source")
-    val dupKeys = batch.groupBy(keys.map(col): _*).count()
-      .where(col("count") > 1).limit(1).count()
-    require(dupKeys == 0,
-      s"MERGE source is not key-unique on ${keys.mkString(",")} — " +
-        "a key with multiple source rows has no deterministic winner")
+    // the two SCAN-shaped preconditions run once, AFTER the first replay
+    // check below — a replayed (already-applied) streaming batch must
+    // no-op without paying two full batch-plan executions first
+    var preconditionsChecked = false
 
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -221,6 +219,15 @@ object MergeTable {
         case _ => false
       }
       if (replayed) return false
+      if (!preconditionsChecked) {
+        requireClusterable(batch, clusterBy, "MERGE source")
+        val dupKeys = batch.groupBy(keys.map(col): _*).count()
+          .where(col("count") > 1).limit(1).count()
+        require(dupKeys == 0,
+          s"MERGE source is not key-unique on ${keys.mkString(",")} — " +
+            "a key with multiple source rows has no deterministic winner")
+        preconditionsChecked = true
+      }
 
       val existingFiles = snapshot.map(_.files).getOrElse(Seq.empty)
       val touched: Set[String] =
@@ -480,15 +487,26 @@ object MergeTable {
     sys.error(s"optimize of $table lost the commit race $maxAttempts times")
   }
 
-  /** VACUUM: delete data files no longer referenced by the latest manifest
-    * and commit files older than the retained horizon. Age-gated like the
-    * [[IndexStore]] sweep — an in-flight reader pinned to a PREVIOUS
-    * version must survive the collection (lakehouse VACUUM's retention
-    * contract). Returns the deleted file count.
+  /** VACUUM: delete data files referenced by no RETAINED version, and the
+    * retired manifests themselves. Retention is by VERSION COUNT first,
+    * then age: the newest `retainVersions` manifests are always kept, and
+    * the live set is the union of THEIR file lists — so a reader pinned
+    * to latest−1 survives collection no matter how old the underlying
+    * files' write times are (an age-only gate measures from WRITE time,
+    * not from when a file became unreferenced: a 2-hour-old file dropped
+    * by a commit one minute ago would collect instantly — the GenStore
+    * retain-2 lesson applied here). The age gate then still applies to
+    * everything outside the retained set, covering in-flight writers of
+    * abandoned commits. Returns the deleted file count.
     */
-  def vacuum(table: String, graceMs: Long = 30L * 60 * 1000): Int = {
+  def vacuum(table: String, graceMs: Long = 30L * 60 * 1000,
+      retainVersions: Int = 2): Int = {
     val m = latestManifest(table).getOrElse(return 0)
-    val live = m.files.map(_.path).toSet
+    val keepFloor = m.version - math.max(1, retainVersions) + 1
+    // union of the retained manifests' file lists — gaps (already-vacuumed
+    // versions) just contribute nothing
+    val live = (keepFloor to m.version)
+      .flatMap(v => manifestAt(table, v)).flatMap(_.files.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     val dataRoot = Paths.get(table, "data")
@@ -498,6 +516,8 @@ object MergeTable {
       commits.foreach { c =>
         val fs0 = { val s1 = Files.list(c)
           try s1.iterator().asScala.toSeq finally s1.close() }
+        val anyLive = fs0.exists(f =>
+          live.contains(s"data/${c.getFileName}/${f.getFileName}"))
         fs0.foreach { f =>
           val rel = s"data/${c.getFileName}/${f.getFileName}"
           val old = try Files.getLastModifiedTime(f).toMillis < cutoff
@@ -507,9 +527,15 @@ object MergeTable {
             Files.deleteIfExists(f); deleted += 1
           }
         }
-        val empty = { val s2 = Files.list(c)
-          try !s2.iterator().hasNext finally s2.close() }
-        if (empty) Files.deleteIfExists(c)
+        // a commit dir with no live reference left also sheds its
+        // _SUCCESS/.crc markers — otherwise retired-commit husks
+        // accumulate forever (the markers alone keep the dir non-empty)
+        val remaining = { val s2 = Files.list(c)
+          try s2.iterator().asScala.toSeq finally s2.close() }
+        if (!anyLive && remaining.nonEmpty &&
+          !remaining.exists(_.getFileName.toString.endsWith(".parquet"))) {
+          remaining.foreach(f => Files.deleteIfExists(f)); Files.deleteIfExists(c)
+        } else if (remaining.isEmpty) Files.deleteIfExists(c)
       }
     }
     val ld = logDir(table)
@@ -521,7 +547,7 @@ object MergeTable {
           catch { case _: Exception => false }
         versionOf(p.getFileName.toString) match {
           case Some(v) =>
-            if (v < m.version && old) { Files.deleteIfExists(p); deleted += 1 }
+            if (v < keepFloor && old) { Files.deleteIfExists(p); deleted += 1 }
           case None =>
             // crash-orphaned staging manifests (writer died between the
             // tmp write and the link) age out here too
@@ -564,8 +590,13 @@ object MergeTable {
     IndexMemo(mergedCache, (s, sfDir)) {
       IndexStore.recordFixtureBuild("merge-table")
       val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      // path carries the INPUT DIR (scopedName: basename + path hash), not
+      // just the appId — two sf dirs in one JVM/app (the standard two-dir
+      // spec pattern) must be two tables, or the second build deletes and
+      // rebuilds over the first memo key's live table
       val t = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
-        "graft-merge", s"events-$appTag").toString
+        "graft-merge",
+        s"${IndexStore.scopedName("events", sfDir)}-$appTag").toString
       deleteDir(Paths.get(t))
       val ev = Tables.read(s, sfDir, "events")
       val keys = Seq("event_id")
@@ -586,10 +617,14 @@ object MergeTable {
       mergeDelete(s, t,
         ev.where(pmod(col("event_id"), lit(11)) === 3).select(col("event_id")),
         txn = Some(("seed", 3L)))
-      // wave 4: insert-only wave — offset clones, no key collision
+      // wave 4: insert-only wave — clones offset past max(event_id), so
+      // the no-collision guarantee holds at ANY scale factor (a fixed
+      // offset has zero headroom the moment ids outgrow it); the oracle
+      // derives the same offset from the same data
+      val offset = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1L
       mergeUpsert(s, t,
         ev.where(pmod(col("event_id"), lit(13)) === 0)
-          .withColumn("event_id", col("event_id") + 100000L)
+          .withColumn("event_id", col("event_id") + offset)
           .withColumn("event_type", lit("cloned"))
           .withColumn("value", col("value") + 500.0),
         keys, "event_id", txn = Some(("seed", 4L)))
@@ -684,7 +719,8 @@ object MergeTable {
        |         ELSE value END AS value
        |  FROM events WHERE event_id % 11 <> 3
        |  UNION ALL
-       |  SELECT event_id + 100000, 'cloned', value + 500.0
+       |  SELECT event_id + (SELECT max(event_id) + 1 FROM events),
+       |    'cloned', value + 500.0
        |  FROM events WHERE event_id % 13 = 0),
        |diff AS (
        |  SELECT coalesce(f.event_id, o.event_id) AS event_id,

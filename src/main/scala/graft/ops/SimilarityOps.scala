@@ -1354,9 +1354,12 @@ object SimilarityOps {
     val table = IndexMemo(incrCodesCache, (s, dir)) {
       IndexStore.recordFixtureBuild("incr-pq-codes")
       val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      // dir-scoped like the events merge fixture: two sf dirs in one JVM
+      // must be two tables (see buildMergedEvents)
       val t = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir", "/tmp"),
-        "graft-merge", s"pqcodes-$appTag").toString
+        "graft-merge",
+        s"${IndexStore.scopedName("pqcodes", dir)}-$appTag").toString
       MergeTable.dropTable(t)
       val wide = pqCodesWide(s, dir)
       MergeTable.mergeUpsert(s, t, wide.where(pmod(col("vec_id"), lit(2)) === 0),

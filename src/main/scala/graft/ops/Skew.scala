@@ -91,6 +91,13 @@ object Skew {
     IndexMemo.cache[org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
 
   def skewedJoinAgg(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // bound the cache: dropping another base session's clone is harmless
+    // (an in-flight user's reference keeps working; the next call just
+    // re-clones), so unlike the checkpoint registry a simple size cap is
+    // safe here — what matters is not pinning dead sessions forever
+    if (scopedSessionCache.size > 4)
+      scopedSessionCache.keys.filterNot(_ eq s).take(1)
+        .foreach(scopedSessionCache.remove)
     val scoped = IndexMemo(scopedSessionCache, s) {
       val c = s.newSession()
       Map(

@@ -115,13 +115,21 @@ class MergeTableSpec extends AnyFunSuite {
     assert(out.size == 6 && out(3L) == 2.0 && out(1L) == 1.0)
   }
 
-  test("vacuum removes unreferenced data files and old commits, keeps the live set") {
+  test("vacuum retains the newest versions BY COUNT; older ones collect") {
     val t = freshTable("vacuum")
     MergeTable.mergeUpsert(spark, t, rows(1L to 50L, 1.0), Seq("event_id"), "event_id")
     MergeTable.mergeUpsert(spark, t, rows(1L to 50L, 2.0), Seq("event_id"), "event_id")
     val before = MergeTable.read(spark, t)
       .select("event_id", "value").as[(Long, Double)].collect().toMap
-    val deleted = MergeTable.vacuum(t, graceMs = 0L)
+    // default retention (2 versions): v0 survives even at zero grace —
+    // count-floor retention, so a reader pinned to latest−1 never loses
+    // its files to an age-only sweep (files' WRITE time says nothing
+    // about when they became unreferenced)
+    MergeTable.vacuum(t, graceMs = 0L)
+    assert(MergeTable.readVersion(spark, t, 0L).count() == 50L,
+      "latest-1 must survive a default vacuum")
+    // retainVersions=1: now v0 collects
+    val deleted = MergeTable.vacuum(t, graceMs = 0L, retainVersions = 1)
     assert(deleted > 0, "v0's replaced files + v0's manifest should collect")
     // live snapshot unaffected
     val after = MergeTable.read(spark, t)
