@@ -60,6 +60,37 @@ class QuantizerStalenessSpec extends AnyFunSuite {
     assert(before == after, "replayed batch id double-counted")
   }
 
+  test("staleness sink end-to-end: micro-batched stream accumulates like the direct merges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val store = tmpDir("sink") + "/resid"
+    val cp = tmpDir("sinkcp")
+    val vecs = corpusVectors
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSimilarity.startStalenessSink(
+      input.toDF().toDF("vec_id", "embedding"), dir, store, cp)
+    try {
+      vecs.grouped(math.max(1, vecs.size / 3)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // accumulated store == one-shot merge of the whole corpus
+    val streamed = StreamingSimilarity.stalenessFromStore(spark, dir, store)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val oneShotStore = tmpDir("oneshot") + "/resid"
+    StreamingSimilarity.mergeResidualsIntoStore(corpusVectors, dir, oneShotStore, 0L)
+    val oneShot = StreamingSimilarity.stalenessFromStore(spark, dir, oneShotStore)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed == oneShot, "micro-batched accumulation diverged from one-shot")
+    assert(streamed.nonEmpty)
+  }
+
   test("gen-store retention: a frame read before a concurrent publish stays collectable") {
     import spark.implicits._
     val store = tmpDir("gens") + "/resid"
