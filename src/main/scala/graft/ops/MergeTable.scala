@@ -564,6 +564,25 @@ object MergeTable {
   private[ops] def dropTable(table: String): Unit =
     deleteDir(Paths.get(table))
 
+  /** Age-gated sweep of the per-process scratch-table root: every bench
+    * JVM builds its own appId-tagged fixture tables, and without a
+    * reaper they accumulate across processes. Only entries older than
+    * the grace collect — a concurrently-running app's table is younger
+    * by construction (its build touched it this session).
+    */
+  private[ops] def sweepScratch(root: java.nio.file.Path,
+      graceMs: Long = 6L * 3600 * 1000): Unit =
+    if (Files.isDirectory(root)) {
+      val cutoff = System.currentTimeMillis() - graceMs
+      val entries = { val s0 = Files.list(root)
+        try s0.iterator().asScala.toSeq finally s0.close() }
+      entries.foreach { p =>
+        val old = try Files.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: Exception => false }
+        if (old) deleteDir(p)
+      }
+    }
+
   private def deleteDir(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val stream = Files.walk(p)
@@ -594,8 +613,10 @@ object MergeTable {
       // just the appId — two sf dirs in one JVM/app (the standard two-dir
       // spec pattern) must be two tables, or the second build deletes and
       // rebuilds over the first memo key's live table
-      val t = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
-        "graft-merge",
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root) // dead prior-app tables age out
+      val t = root.resolve(
         s"${IndexStore.scopedName("events", sfDir)}-$appTag").toString
       deleteDir(Paths.get(t))
       val ev = Tables.read(s, sfDir, "events")
