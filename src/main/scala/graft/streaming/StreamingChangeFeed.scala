@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.ops.MergeTable
+
+/** Streaming CHANGE DATA FEED over a [[MergeTable]] — the readChangeFeed
+  * consumer, built Spark-first on the file-stream source instead of a
+  * custom DSv2 source: every commit publishes exactly one immutable
+  * manifest file (`_graft_log/v<N>.json`, hard-linked atomically), so
+  * `readStream` over the log directory IS a checkpointed, exactly-once
+  * stream of new table versions. Each discovered version v resolves to
+  * its row-level changes via [[MergeTable.changesBetween]](v−1, v)
+  * (v0 = the full initial snapshot as INSERTs) and lands under
+  * `out/version=v`.
+  *
+  * Delivery contract: the file source's checkpoint guarantees each
+  * manifest is DISCOVERED once; the per-version output directory is
+  * written with overwrite, so a crash-replay of a half-processed batch
+  * converges (same version → same rows → same directory). Downstream
+  * consumers read the feed as a version-partitioned table.
+  *
+  * Scale shape: discovery moves one tiny JSON file per commit; the diff
+  * per version is the keyed full-outer join of two snapshots — at a real
+  * commit cadence the consumer lags by diff cost, and a lakehouse with a
+  * row-level change log would swap [[MergeTable.changesBetween]] for a
+  * log read without touching this sink's shape.
+  */
+object StreamingChangeFeed {
+
+  /** The raw stream of newly committed version numbers. A manifest is
+    * single-line JSON, so the text source yields exactly ONE row per
+    * newly discovered file — no aggregation, no state; the version comes
+    * from the file name. `.tmp-` staging files are excluded by glob.
+    */
+  def versionStream(s: SparkSession, table: String): DataFrame =
+    s.readStream
+      .option("pathGlobFilter", "v*.json")
+      .text(s"$table/_graft_log")
+      .select(input_file_name().as("f"))
+      .select(regexp_extract(col("f"), "v(\\d+)\\.json$", 1)
+        .cast("long").as("version"))
+
+  /** Start the feed sink: new versions → row-level changes under
+    * `out/version=<v>/`. */
+  def startChangeFeedSink(
+      s: SparkSession, table: String, out: String,
+      checkpoint: String): StreamingQuery =
+    versionStream(s, table).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeNewVersions(s, table, out, batch)
+      }
+      .start()
+
+  private def writeNewVersions(
+      s: SparkSession, table: String, out: String, batch: DataFrame): Unit = {
+    val versions = batch.select(col("version")).collect()
+      .map(_.getLong(0)).sorted // bounded: one value per commit
+    versions.foreach { v =>
+      val dir = java.nio.file.Paths.get(out, s"version=$v")
+      // overwrite-by-version makes replay idempotent; an existing COMPLETE
+      // dir (its _SUCCESS marker) is this version already delivered
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        val changes =
+          if (v == 0L)
+            MergeTable.readVersion(s, table, 0L)
+              .withColumn("change_type", lit("INSERT"))
+          else MergeTable.changesBetween(s, table, v - 1, v)
+        changes.write.mode("overwrite").parquet(dir.toString)
+      }
+    }
+  }
+
+  /** Read the accumulated feed (version-partitioned). */
+  def readFeed(s: SparkSession, out: String): DataFrame =
+    s.read
+      .option("basePath", out)
+      .parquet(out)
+}
