@@ -146,19 +146,21 @@ object ScaleProbe {
     for (n <- Seq(20000, 200000)) {
       val t = java.nio.file.Files.createTempDirectory(s"graft-probe-merge$n")
       java.nio.file.Files.delete(t)
-      val base = (0L until n).map(i => (i, i * 0.5)).toDF("event_id", "value")
-      MergeTable.mergeUpsert(spark, t.toString, base,
-        Seq("event_id"), "event_id", targetRowsPerFile = 500)
-      val before = MergeTable.latestManifest(t.toString).get.files.map(_.path).toSet
-      val batch = (100L until 120L).map(i => (i, 9.9)).toDF("event_id", "value")
-      val (_, tMerge) = time(MergeTable.mergeUpsert(spark, t.toString, batch,
-        Seq("event_id"), "event_id", targetRowsPerFile = 500))
-      val after = MergeTable.latestManifest(t.toString).get.files.map(_.path).toSet
-      // touched = files this commit replaced (present before, dropped now)
-      val touched = before.diff(after).size
-      println(
-        s"""{"probe":"merge_table","rows":$n,"files_before":${before.size},""" +
-          s""""files_touched":$touched,"merge_sec":${s1(tMerge)}}""")
+      try {
+        val base = (0L until n).map(i => (i, i * 0.5)).toDF("event_id", "value")
+        MergeTable.mergeUpsert(spark, t.toString, base,
+          Seq("event_id"), "event_id", targetRowsPerFile = 500)
+        val before = MergeTable.latestManifest(t.toString).get.files.map(_.path).toSet
+        val batch = (100L until 120L).map(i => (i, 9.9)).toDF("event_id", "value")
+        val (_, tMerge) = time(MergeTable.mergeUpsert(spark, t.toString, batch,
+          Seq("event_id"), "event_id", targetRowsPerFile = 500))
+        val after = MergeTable.latestManifest(t.toString).get.files.map(_.path).toSet
+        // touched = files this commit replaced (present before, dropped now)
+        val touched = before.diff(after).size
+        println(
+          s"""{"probe":"merge_table","rows":$n,"files_before":${before.size},""" +
+            s""""files_touched":$touched,"merge_sec":${s1(tMerge)}}""")
+      } finally MergeTable.dropTable(t.toString) // probe tables don't outlive the run
     }
   }
 

@@ -726,16 +726,21 @@ object CorpusOps {
     // SessionIdleEvictMs are drained, so a concurrent tenant's in-flight
     // checkpoint can never vanish under it, while dead short-lived
     // sessions stop pinning SessionState + blocks for the JVM lifetime.
-    val now = System.nanoTime()
-    val (sessionQueue, lastUsed) = rangedCheckpoints.computeIfAbsent(
-      s, _ => (new java.util.concurrent.ConcurrentLinkedQueue[DataFrame](),
-        new java.util.concurrent.atomic.AtomicLong(now)))
-    lastUsed.set(now)
-    sessionQueue.add(ranged)
-    while (sessionQueue.size() > 2)
-      Option(sessionQueue.poll())
-        .foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
-    locally {
+    // Registration and eviction share ONE monitor: without it, a session
+    // revived exactly at the eviction moment could have its just-added
+    // checkpoint drained under it (check-then-act on the stale idle
+    // timestamp). The critical section is driver-side map bookkeeping —
+    // no Spark job runs inside it.
+    rangedCheckpoints.synchronized {
+      val now = System.nanoTime()
+      val (sessionQueue, lastUsed) = rangedCheckpoints.computeIfAbsent(
+        s, _ => (new java.util.concurrent.ConcurrentLinkedQueue[DataFrame](),
+          new java.util.concurrent.atomic.AtomicLong(now)))
+      lastUsed.set(now)
+      sessionQueue.add(ranged)
+      while (sessionQueue.size() > 2)
+        Option(sessionQueue.poll())
+          .foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
       import scala.jdk.CollectionConverters._
       val idleCutoff = now - SessionIdleEvictMs * 1000000L
       rangedCheckpoints.entrySet().asScala

@@ -155,19 +155,24 @@ object IndexStore {
     * ALL same-name siblings) — identity hashes distinguish generations,
     * not variants.
     *
-    * `.tmp-` staging dirs are CATEGORICALLY excluded, not age-gated: a
-    * concurrent process's in-flight build can legitimately stage longer
-    * than any fixed grace (the dir's root mtime goes stale while nested
-    * task files are still being written), and sweeping it mid-build
-    * would publish a partially-deleted artifact. Crash orphans are
-    * bounded /tmp weight the OS reaper owns.
+    * `.tmp-` staging dirs get a FAR longer grace (24 h, not the
+    * 30-minute generation grace): a concurrent process's in-flight build
+    * can legitimately stage longer than the short grace (the dir's root
+    * mtime goes stale while nested task files are still being written),
+    * and sweeping it mid-build would publish a partially-deleted
+    * artifact — but crash-orphaned staging is a full artifact-sized dir
+    * that must eventually reclaim even where no OS tmp-reaper runs
+    * (GRAFT_INDEX_CACHE on a plain volume). No build of these bounded
+    * index artifacts plausibly stages for a day.
     */
+  private val TmpStaleGraceMs: Long = 24L * 3600 * 1000
+
   private def dropStaleGenerations(name: String, keep: String): Unit = {
     val root = Paths.get(cacheRoot)
     if (Files.isDirectory(root)) {
-      val cutoff = System.currentTimeMillis() - StaleGraceMs
-      def pastGrace(p: java.nio.file.Path): Boolean =
-        try Files.getLastModifiedTime(p).toMillis < cutoff
+      val now = System.currentTimeMillis()
+      def olderThan(p: java.nio.file.Path, grace: Long): Boolean =
+        try Files.getLastModifiedTime(p).toMillis < now - grace
         catch { case _: Exception => false } // vanished concurrently — skip
       val stream = Files.list(root)
       try {
@@ -175,8 +180,9 @@ object IndexStore {
         while (it.hasNext) {
           val p = it.next()
           val n = p.getFileName.toString
-          if (n.startsWith(s"$name-") && n != keep && !n.contains(".tmp-") &&
-            pastGrace(p))
+          val grace =
+            if (n.contains(".tmp-")) TmpStaleGraceMs else StaleGraceMs
+          if (n.startsWith(s"$name-") && n != keep && olderThan(p, grace))
             deleteRecursively(p)
         }
       } finally stream.close()

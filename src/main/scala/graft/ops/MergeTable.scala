@@ -529,11 +529,22 @@ object MergeTable {
         }
         // a commit dir with no live reference left also sheds its
         // _SUCCESS/.crc markers — otherwise retired-commit husks
-        // accumulate forever (the markers alone keep the dir non-empty)
+        // accumulate forever (the markers alone keep the dir non-empty).
+        // The shed is age-gated like every other deletion and NEVER
+        // touches a dir holding `_temporary` (a concurrent writer's
+        // in-flight Spark job staging — nothing references it in any
+        // manifest YET, which is exactly why anyLive can't protect it)
         val remaining = { val s2 = Files.list(c)
           try s2.iterator().asScala.toSeq finally s2.close() }
+        def shedSafe = remaining.forall { f =>
+          val name = f.getFileName.toString
+          name != "_temporary" &&
+            (try Files.getLastModifiedTime(f).toMillis < cutoff
+            catch { case _: Exception => false })
+        }
         if (!anyLive && remaining.nonEmpty &&
-          !remaining.exists(_.getFileName.toString.endsWith(".parquet"))) {
+          !remaining.exists(_.getFileName.toString.endsWith(".parquet")) &&
+          shedSafe) {
           remaining.foreach(f => Files.deleteIfExists(f)); Files.deleteIfExists(c)
         } else if (remaining.isEmpty) Files.deleteIfExists(c)
       }
@@ -561,7 +572,7 @@ object MergeTable {
   }
 
   /** Remove a table tree entirely (fixture builders start clean). */
-  private[ops] def dropTable(table: String): Unit =
+  private[graft] def dropTable(table: String): Unit =
     deleteDir(Paths.get(table))
 
   /** Age-gated sweep of the per-process scratch-table root: every bench

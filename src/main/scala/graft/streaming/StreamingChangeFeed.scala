@@ -40,8 +40,13 @@ object StreamingChangeFeed {
       .option("pathGlobFilter", "v*.json")
       .text(s"$table/_graft_log")
       .select(input_file_name().as("f"))
+      // try_cast + null filter: a foreign v*.json whose name doesn't
+      // parse (no digits, or digits past Long range) must be IGNORED,
+      // not NPE/throw the stream permanently — the batch reader's
+      // foreign-file invariant, upheld here too
       .select(regexp_extract(col("f"), "v(\\d+)\\.json$", 1)
-        .cast("long").as("version"))
+        .try_cast("long").as("version"))
+      .where(col("version").isNotNull)
 
   /** Start the feed sink: new versions → row-level changes under
     * `out/version=<v>/`. */
@@ -65,9 +70,14 @@ object StreamingChangeFeed {
       // overwrite-by-version makes replay idempotent; an existing COMPLETE
       // dir (its _SUCCESS marker) is this version already delivered
       if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        // a version whose PREDECESSOR manifest was vacuumed (feed started
+        // fresh on a retention-trimmed table) boots from the full
+        // snapshot-as-INSERTs — the standard
+        // startingVersion-beyond-retention behavior; diffs resume from
+        // the next version
         val changes =
-          if (v == 0L)
-            MergeTable.readVersion(s, table, 0L)
+          if (v == 0L || MergeTable.manifestAt(table, v - 1).isEmpty)
+            MergeTable.readVersion(s, table, v)
               .withColumn("change_type", lit("INSERT"))
           else MergeTable.changesBetween(s, table, v - 1, v)
         changes.write.mode("overwrite").parquet(dir.toString)
