@@ -688,11 +688,20 @@ object CorpusOps {
     * per session: a returned frame must be consumed before two further
     * invocations on the SAME session.
     */
+  /** Per-session entry: the checkpoint FIFO, the last-touch nanotime, and
+    * the count of invocations currently EXECUTING over this session's
+    * checkpoints. Every access is inside the [[rangedCheckpoints]]
+    * monitor — plain structures on purpose: concurrent collections here
+    * would invite a future accessor to skip the monitor and reintroduce
+    * the check-then-act races it exists to close. */
+  private final class SessionCheckpoints {
+    val queue = scala.collection.mutable.Queue.empty[DataFrame]
+    var lastUsedNanos: Long = System.nanoTime()
+    var inFlight: Int = 0
+  }
+
   private val rangedCheckpoints =
-    new java.util.concurrent.ConcurrentHashMap[
-      SparkSession,
-      (java.util.concurrent.ConcurrentLinkedQueue[DataFrame],
-        java.util.concurrent.atomic.AtomicLong)]()
+    scala.collection.mutable.Map.empty[SparkSession, SessionCheckpoints]
 
   /** A tracked session is evictable only after this much inactivity —
     * never merely because the map is full: an arbitrary same-moment
@@ -721,55 +730,53 @@ object CorpusOps {
       .localCheckpoint()
     // Bounded retention (see rangedCheckpoints): pin this call's
     // checkpoint, release the oldest beyond depth 2 — within THIS
-    // session's queue only. The MAP is bounded by INACTIVITY, not by a
-    // size-triggered arbitrary eviction: only sessions idle past
-    // SessionIdleEvictMs are drained, so a concurrent tenant's in-flight
-    // checkpoint can never vanish under it, while dead short-lived
-    // sessions stop pinning SessionState + blocks for the JVM lifetime.
-    // Registration and eviction share ONE monitor: without it, a session
-    // revived exactly at the eviction moment could have its just-added
-    // checkpoint drained under it (check-then-act on the stale idle
-    // timestamp). The critical section is driver-side map bookkeeping —
-    // no Spark job runs inside it.
-    rangedCheckpoints.synchronized {
+    // session's queue only. The MAP is bounded by INACTIVITY (only
+    // sessions idle past SessionIdleEvictMs drain — never an arbitrary
+    // size-triggered eviction) AND by an in-flight count: an invocation
+    // still executing over its checkpoint marks the session
+    // UNEVICTABLE no matter how long its query runs, so a >10 min
+    // single collect can't lose its blocks to a tenant's sweep.
+    // Registration and eviction share ONE monitor (plain structures on
+    // purpose — see SessionCheckpoints); the critical sections are
+    // driver-side bookkeeping only, no Spark job runs inside them.
+    val entry = rangedCheckpoints.synchronized {
       val now = System.nanoTime()
-      val (sessionQueue, lastUsed) = rangedCheckpoints.computeIfAbsent(
-        s, _ => (new java.util.concurrent.ConcurrentLinkedQueue[DataFrame](),
-          new java.util.concurrent.atomic.AtomicLong(now)))
-      lastUsed.set(now)
-      sessionQueue.add(ranged)
-      while (sessionQueue.size() > 2)
-        Option(sessionQueue.poll())
-          .foreach(org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
-      import scala.jdk.CollectionConverters._
+      val e = rangedCheckpoints.getOrElseUpdate(s, new SessionCheckpoints)
+      e.lastUsedNanos = now
+      e.inFlight += 1
+      e.queue.enqueue(ranged)
+      while (e.queue.size > 2)
+        org.apache.spark.sql.graftbridge.Bridge
+          .unpersistLocalCheckpoint(e.queue.dequeue())
       val idleCutoff = now - SessionIdleEvictMs * 1000000L
-      rangedCheckpoints.entrySet().asScala
-        .filter(e => !(e.getKey eq s) && e.getValue._2.get() < idleCutoff)
-        .map(_.getKey).toSeq.foreach { victim =>
-          Option(rangedCheckpoints.remove(victim)).foreach { case (q, _) =>
-            var df = q.poll()
-            while (df != null) {
-              org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(df)
-              df = q.poll()
-            }
-          }
-        }
+      rangedCheckpoints.filterInPlace { (k, v) =>
+        val keep = (k eq s) || v.inFlight > 0 || v.lastUsedNanos >= idleCutoff
+        if (!keep) v.queue.foreach(
+          org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint)
+        keep
+      }
+      e
     }
-    // bounded metadata collect: one row per shuffle partition
-    var acc = 0L
-    val offsets = ranged.groupBy(col("pid")).agg(sum(col("n_tok")).as("psum"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      .map { case (pid, psum) => val off = (pid, acc); acc += psum; off }
-    val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
-    val w = Window.partitionBy(col("pid"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offDf), "pid")
-      .withColumn("cum_tokens", col("off") + sum(col("n_tok")).over(w))
-      .where(col("cum_tokens") <= budget)
-      .select(col("doc_id"), col("n_tok"),
-        round(col("score"), 6).as("quality"), col("cum_tokens"))
-      .orderBy("cum_tokens")
+    try {
+      // bounded metadata collect: one row per shuffle partition
+      var acc = 0L
+      val offsets = ranged.groupBy(col("pid")).agg(sum(col("n_tok")).as("psum"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        .map { case (pid, psum) => val off = (pid, acc); acc += psum; off }
+      val offDf = s.createDataFrame(offsets.toSeq).toDF("pid", "off")
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranged.join(broadcast(offDf), "pid")
+        .withColumn("cum_tokens", col("off") + sum(col("n_tok")).over(w))
+        .where(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("n_tok"),
+          round(col("score"), 6).as("quality"), col("cum_tokens"))
+        .orderBy("cum_tokens")
+    } finally rangedCheckpoints.synchronized {
+      entry.inFlight -= 1
+      entry.lastUsedNanos = System.nanoTime()
+    }
   }
 
   def tokenBudgetSelectSql(budget: Long = 18000L): String =

@@ -96,16 +96,35 @@ object IndexStore {
       val tmp = Paths.get(cacheRoot,
         s"$dirName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       build.write.mode("overwrite").parquet(tmp.toString)
-      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.DirectoryNotEmptyException =>
-          deleteRecursively(tmp) // another process won the build race
-      }
+      publishStaged(tmp, target)
       dropStaleGenerations(name, dirName)
       s.read.parquet(target.toString)
     }
   }
+
+  /** Atomically publish a fully built staging dir, UNLESS the stale
+    * sweeper tombstoned it mid-build (an implausibly long build crossed
+    * the 24 h tmp grace and another process started reclaiming): moving a
+    * partially swept dir would durably memoize a TRUNCATED artifact with
+    * a valid _SUCCESS — the one failure mode worse than any leak. A
+    * tombstoned build fails loudly; the next call rebuilds into a fresh
+    * staging dir. */
+  private def publishStaged(tmp: java.nio.file.Path,
+      target: java.nio.file.Path): Unit = {
+    if (Files.exists(tmp.resolve(SweepTombstone))) {
+      deleteRecursively(tmp)
+      sys.error(s"artifact staging $tmp was reclaimed by the stale sweeper " +
+        "mid-build (staged past the 24h tmp grace) — rerun to rebuild")
+    }
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+          _: java.nio.file.DirectoryNotEmptyException =>
+        deleteRecursively(tmp) // another process won the build race
+    }
+  }
+
+  private val SweepTombstone = ".swept"
 
   /** Directory variant of [[loadOrBuild]] for fixtures that are FORMAT
     * DIRECTORIES rather than DataFrames (date-partitioned layouts,
@@ -127,12 +146,7 @@ object IndexStore {
       val tmp = Paths.get(cacheRoot,
         s"$dirName.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       build(tmp)
-      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.DirectoryNotEmptyException =>
-          deleteRecursively(tmp)
-      }
+      publishStaged(tmp, target)
       dropStaleGenerations(name, dirName)
       target.toString
     }
@@ -180,10 +194,18 @@ object IndexStore {
         while (it.hasNext) {
           val p = it.next()
           val n = p.getFileName.toString
-          val grace =
-            if (n.contains(".tmp-")) TmpStaleGraceMs else StaleGraceMs
-          if (n.startsWith(s"$name-") && n != keep && olderThan(p, grace))
+          val isTmp = n.contains(".tmp-")
+          val grace = if (isTmp) TmpStaleGraceMs else StaleGraceMs
+          if (n.startsWith(s"$name-") && n != keep && olderThan(p, grace)) {
+            // tombstone FIRST on staging dirs: a still-live writer past
+            // the 24h grace finds the marker at publish time and aborts
+            // loudly instead of moving a partially swept dir into place
+            if (isTmp) {
+              try Files.write(p.resolve(SweepTombstone), Array.emptyByteArray)
+              catch { case _: Exception => () }
+            }
             deleteRecursively(p)
+          }
         }
       } finally stream.close()
     }

@@ -536,16 +536,22 @@ object MergeTable {
         // manifest YET, which is exactly why anyLive can't protect it)
         val remaining = { val s2 = Files.list(c)
           try s2.iterator().asScala.toSeq finally s2.close() }
+        // `_temporary` (an in-flight Spark job's staging) gets a DAY of
+        // grace, not the sweep's: a live writer is protected, while a
+        // crashed writer's staging still reclaims eventually (deleting
+        // it under a still-live >24h job would fail that job's COMMIT
+        // loudly — fail-stop, never a silent corrupt publish)
+        val tempCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
         def shedSafe = remaining.forall { f =>
-          val name = f.getFileName.toString
-          name != "_temporary" &&
-            (try Files.getLastModifiedTime(f).toMillis < cutoff
-            catch { case _: Exception => false })
+          val limit =
+            if (f.getFileName.toString == "_temporary") tempCutoff else cutoff
+          try Files.getLastModifiedTime(f).toMillis < limit
+          catch { case _: Exception => false }
         }
         if (!anyLive && remaining.nonEmpty &&
           !remaining.exists(_.getFileName.toString.endsWith(".parquet")) &&
           shedSafe) {
-          remaining.foreach(f => Files.deleteIfExists(f)); Files.deleteIfExists(c)
+          remaining.foreach(f => deleteDir(f)); Files.deleteIfExists(c)
         } else if (remaining.isEmpty) Files.deleteIfExists(c)
       }
     }

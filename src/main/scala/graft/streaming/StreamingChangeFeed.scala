@@ -70,17 +70,28 @@ object StreamingChangeFeed {
       // overwrite-by-version makes replay idempotent; an existing COMPLETE
       // dir (its _SUCCESS marker) is this version already delivered
       if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
-        // a version whose PREDECESSOR manifest was vacuumed (feed started
-        // fresh on a retention-trimmed table) boots from the full
-        // snapshot-as-INSERTs — the standard
-        // startingVersion-beyond-retention behavior; diffs resume from
-        // the next version
-        val changes =
-          if (v == 0L || MergeTable.manifestAt(table, v - 1).isEmpty)
-            MergeTable.readVersion(s, table, v)
-              .withColumn("change_type", lit("INSERT"))
-          else MergeTable.changesBetween(s, table, v - 1, v)
-        changes.write.mode("overwrite").parquet(dir.toString)
+        // a version RETIRED BY VACUUM before the (lagging/replayed) feed
+        // reached it delivers nothing: its changes are subsumed by the
+        // next surviving version's snapshot boot below — erroring here
+        // would wedge the stream on every restart
+        if (MergeTable.manifestAt(table, v).nonEmpty) {
+          // a version whose PREDECESSOR manifest was vacuumed boots from
+          // the full snapshot — the startingVersion-beyond-retention
+          // behavior; diffs resume from the next version. feed_type
+          // marks it: a consumer applying the feed incrementally must
+          // treat a snapshot as a RESET, not as incremental inserts
+          // (without the marker, a mid-stream boot would silently
+          // double-apply every pre-existing row)
+          val changes =
+            if (v == 0L || MergeTable.manifestAt(table, v - 1).isEmpty)
+              MergeTable.readVersion(s, table, v)
+                .withColumn("change_type", lit("INSERT"))
+                .withColumn("feed_type",
+                  lit(if (v == 0L) "diff" else "snapshot"))
+            else MergeTable.changesBetween(s, table, v - 1, v)
+              .withColumn("feed_type", lit("diff"))
+          changes.write.mode("overwrite").parquet(dir.toString)
+        }
       }
     }
   }
