@@ -92,7 +92,8 @@ object ScaleProbe {
     if (!rangeOnly) {
       probeDedupCandidates(spark); probeNativeKernels(spark)
       probeSelectionOps(spark); probeMaintenanceOps(spark)
-      probeMergeTable(spark)
+      probeMergeTable(spark); probeChangeFeed(spark)
+      probeConnectedComponents(spark)
     }
     probeRangeJoin(spark, nIntervals)
     spark.stop()
@@ -149,11 +150,11 @@ object ScaleProbe {
       try {
         val base = (0L until n).map(i => (i, i * 0.5)).toDF("event_id", "value")
         MergeTable.mergeUpsert(spark, t.toString, base,
-          Seq("event_id"), "event_id", targetRowsPerFile = 500)
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500)
         val before = MergeTable.latestManifest(t.toString).get.files.map(_.path).toSet
         val batch = (100L until 120L).map(i => (i, 9.9)).toDF("event_id", "value")
         val (_, tMerge) = time(MergeTable.mergeUpsert(spark, t.toString, batch,
-          Seq("event_id"), "event_id", targetRowsPerFile = 500))
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500))
         val after = MergeTable.latestManifest(t.toString).get.files.map(_.path).toSet
         // touched = files this commit replaced (present before, dropped now)
         val touched = before.diff(after).size
@@ -161,6 +162,73 @@ object ScaleProbe {
           s"""{"probe":"merge_table","rows":$n,"files_before":${before.size},""" +
             s""""files_touched":$touched,"merge_sec":${s1(tMerge)}}""")
       } finally MergeTable.dropTable(t.toString) // probe tables don't outlive the run
+    }
+  }
+
+  /** The file-scoped CDF claim measured: after a 20-key commit into a 1×
+    * and a 10× table, `changesBetween(v, v+1)` must SCAN the same file
+    * count and cost comparable wall time — O(changed files + changes),
+    * never O(table). A full-snapshot diff would scan every file of both
+    * versions and its cost would grow 10× here.
+    */
+  private def probeChangeFeed(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.ops.MergeTable
+    for (n <- Seq(20000, 200000)) {
+      val t = java.nio.file.Files.createTempDirectory(s"graft-probe-cdf$n")
+      java.nio.file.Files.delete(t)
+      try {
+        val base = (0L until n).map(i => (i, i * 0.5)).toDF("event_id", "value")
+        MergeTable.mergeUpsert(spark, t.toString, base,
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500)
+        val batch = (100L until 120L).map(i => (i, 9.9)).toDF("event_id", "value")
+        MergeTable.mergeUpsert(spark, t.toString, batch,
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500)
+        val filesTotal = MergeTable.latestManifest(t.toString).get.files.size
+        val (changes, tDiff) = time(
+          MergeTable.changesBetween(spark, t.toString, 0L, 1L).count())
+        val scanned = MergeTable.changesBetween(spark, t.toString, 0L, 1L)
+          .inputFiles.length
+        println(
+          s"""{"probe":"change_feed","rows":$n,"files_total":$filesTotal,""" +
+            s""""files_scanned":$scanned,"changes":$changes,""" +
+            s""""diff_sec":${s1(tDiff)}}""")
+      } finally MergeTable.dropTable(t.toString)
+    }
+  }
+
+  /** The fixpoint connected-components convergence claim measured: with
+    * path halving the round count tracks log₂(diameter), independent of
+    * edge count. Edges scale 10× AND the planted path's diameter scales
+    * 10× (63 → 639); rounds must grow by ~log₂(10) ≈ 3, not 10×, and
+    * wall time ∝ edges × rounds. A plain propagation would need
+    * diameter-many rounds and hit the 48-round fail-stop at 10×.
+    */
+  private def probeConnectedComponents(spark: SparkSession): Unit = {
+    import spark.implicits._
+    for ((nEdges, chainLen) <- Seq((20000, 64), (200000, 640))) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      // filler: disjoint 2-cliques far from the chain's id range, so the
+      // edge set scales 10× while the path alone sets convergence depth
+      val filler = (0L until nEdges.toLong)
+        .map(i => (1000000L + 2 * i, 1000001L + 2 * i))
+      val chain = (1L until chainLen.toLong).map(i => (i, i + 1))
+      val pairs = (filler ++ chain).toDF("doc_a", "doc_b")
+        .repartition(32).localCheckpoint()
+      try {
+        val ((labels, rounds), tCc) =
+          time(DedupOps.connectedComponentsWithRounds(pairs))
+        val chainClusters = labels.where(col("doc") <= chainLen)
+          .select(col("cluster")).distinct().count()
+        require(chainClusters == 1L,
+          s"planted $chainLen-node chain split into $chainClusters clusters")
+        println(
+          s"""{"probe":"connected_components","edges":${nEdges + chainLen - 1},""" +
+            s""""chain_diameter":${chainLen - 1},"rounds":$rounds,""" +
+            s""""cc_sec":${s1(tCc)}}""")
+      } finally spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
   }
 

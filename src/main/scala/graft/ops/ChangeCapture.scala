@@ -25,28 +25,45 @@ object ChangeCapture {
     * payload (null for DELETE).
     */
   def snapshotDiff(
-      oldDf: DataFrame, newDf: DataFrame, key: String, cols: Seq[String]): DataFrame = {
+      oldDf: DataFrame, newDf: DataFrame, key: String, cols: Seq[String]): DataFrame =
+    snapshotDiffKeys(oldDf, newDf, Seq(key), cols)
+
+  /** Composite-key form: the diff joins on ALL `keys` columns (each key
+    * TUPLE unique per snapshot; key values must be non-null — standard
+    * key hygiene, since SQL equality never matches nulls). Presence is
+    * tracked with explicit flags, not key-null checks, so the
+    * classification is key-type-agnostic. Output: keys, change_type, and
+    * the NEW payload (null for DELETE).
+    */
+  def snapshotDiffKeys(
+      oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      cols: Seq[String]): DataFrame = {
     def hashed(df: DataFrame, side: String) =
       df.select(
-        col(key).as(s"${side}_key"),
-        // \u0001 separator so adjacent columns cannot alias ("ab","c" vs
-        // "a","bc"); NULL is encoded POSITIONALLY as \u0002 — concat_ws
-        // SKIPS nulls, so without the sentinel (NULL,'a') and ('a',NULL)
-        // would hash identically and the UPDATE between them be missed
-        md5(concat_ws("\u0001",
-          cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
-          .as(s"${side}_hash"))
+        keys.zipWithIndex.map { case (k, i) => col(k).as(s"${side}_k$i") } ++ Seq(
+          // \u0001 separator so adjacent columns cannot alias ("ab","c" vs
+          // "a","bc"); NULL is encoded POSITIONALLY as \u0002 — concat_ws
+          // SKIPS nulls, so without the sentinel (NULL,'a') and ('a',NULL)
+          // would hash identically and the UPDATE between them be missed
+          md5(concat_ws("\u0001",
+            cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+            .as(s"${side}_hash"),
+          lit(true).as(s"${side}_present")): _*)
     val o = hashed(oldDf, "o")
     val n = hashed(newDf, "n")
-    val diff = o.join(n, col("o_key") === col("n_key"), "full_outer")
+    val cond = keys.indices
+      .map(i => col(s"o_k$i") === col(s"n_k$i")).reduce(_ && _)
+    val diff = o.join(n, cond, "full_outer")
       .withColumn("change_type",
-        when(col("o_key").isNull, "INSERT")
-          .when(col("n_key").isNull, "DELETE")
+        when(col("o_present").isNull, "INSERT")
+          .when(col("n_present").isNull, "DELETE")
           .when(col("o_hash") =!= col("n_hash"), "UPDATE"))
       .where(col("change_type").isNotNull)
-      .select(coalesce(col("n_key"), col("o_key")).as(key), col("change_type"))
+      .select(keys.zipWithIndex.map { case (k, i) =>
+        coalesce(col(s"n_k$i"), col(s"o_k$i")).as(k)
+      } :+ col("change_type"): _*)
     // only the changed keys rejoin their (new-side) payload
-    diff.join(newDf.select((key +: cols).map(col): _*), Seq(key), "left_outer")
+    diff.join(newDf.select((keys ++ cols).map(col): _*), keys, "left_outer")
   }
 
   /** q_snapshot_diff: two deterministic snapshots derived from `events`

@@ -351,11 +351,21 @@ object DedupOps {
     * (connected components) and elect the minimum doc_id as each cluster's
     * canonical document — what a dedup pipeline actually keeps/drops.
     *
-    * Components via fixed-iteration min-label propagation (5 rounds —
-    * near-dup cluster diameters are tiny; deterministic, so the oracle can
-    * unroll the same 5 rounds). Each round is one broadcast join + min-agg
-    * over the EDGE set only (∝ near-dup pairs, not corpus size) — at
-    * 100 TB this state is trivially small even when the corpus is not.
+    * Components via min-label propagation WITH POINTER JUMPING, iterated
+    * to FIXPOINT: each round every node takes the minimum label over
+    * itself and its neighbors, then follows its label's own label one
+    * more hop (path halving — the contraction step that turns the
+    * O(diameter) plain propagation into O(log diameter) rounds), and the
+    * loop ends only when a round changes NO label — checked with one
+    * cheap count per round on an already-checkpointed frame. Fixpoint =
+    * EXACT components: a fixed round budget would silently split any
+    * chain longer than the budget (template-heavy corpora produce
+    * exactly such chains at 100 TB) and the error would poison keep/drop,
+    * weights, and the leakage-safe cluster split downstream. Each round
+    * is joins + a min-agg over the EDGE set only (∝ near-dup pairs, not
+    * corpus size) — at 100 TB this state is trivially small even when
+    * the corpus is not; the oracle states the same fixpoint as a
+    * recursive transitive-closure CTE, not an unrolled round count.
     */
   /** Clusters and keep/drop memos: `q_dedup_clusters`, `q_dedup_keepdrop`
     * and `q_dedup_stats` all sit on the label-propagation output — without
@@ -371,25 +381,50 @@ object DedupOps {
     * session with 130 queries of accumulated cache/GC state).
     */
   private val clusterCache =
-    IndexMemo.cache[(SparkSession, String, Int), DataFrame]()
+    IndexMemo.cache[(SparkSession, String), DataFrame]()
   private val keepDropCache =
     IndexMemo.cache[(SparkSession, String), DataFrame]()
 
-  def nearDupClusters(s: SparkSession, dir: String, iterations: Int = 5): DataFrame =
-    IndexMemo(clusterCache, (s, dir, iterations))(
-      IndexStore.loadOrBuild(s, artifactName(s"neardup-clusters-i$iterations", dir),
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    IndexMemo(clusterCache, (s, dir))(
+      IndexStore.loadOrBuild(s, artifactName("neardup-clusters-cc", dir),
         Tables.fileIdent(dir, "documents"))(
-        computeNearDupClusters(s, dir, iterations))
+        computeNearDupClusters(s, dir))
         .orderBy("doc_id"))
 
-  private def computeNearDupClusters(
-      s: SparkSession, dir: String, iterations: Int): DataFrame = {
+  private def computeNearDupClusters(s: SparkSession, dir: String): DataFrame =
     // shares the persisted pair table with q_dedup_minhash_lsh — see
     // [[verifiedNearDupPairs]]
-    val pairs = verifiedNearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    connectedComponents(
+      verifiedNearDupPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"),
+        (col("doc") === col("cluster")).as("is_canonical"))
+
+  /** Hard bound on label-propagation rounds — a runaway guard, not a
+    * truncation: with path halving the label distance to the component
+    * minimum at least halves per round, so 48 rounds covers any graph
+    * with diameter < 2⁴⁸. Hitting it is a fail-stop bug signal, never a
+    * silently split cluster. */
+  val CcMaxRounds = 48
+
+  /** EXACT connected components of the undirected graph given as one-
+    * directional `(doc_a, doc_b)` pairs: (doc, cluster) with cluster =
+    * the component's minimum doc id. See [[nearDupClusters]] for the
+    * algorithm contract; shared with the planted-chain spec.
+    */
+  private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairsIn)._1
+
+  /** [[connectedComponents]] plus the number of rounds the fixpoint loop
+    * ran — the quantity the log-diameter convergence claim rests on
+    * (measured by [[graft.ScaleProbe]], pinned by the planted-chain spec).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairsIn: DataFrame): (DataFrame, Int) = {
+    val pairs = pairsIn.select(col("doc_a"), col("doc_b"))
     // ITERATIVE ALGORITHM: lineage MUST be truncated each round
-    // (localCheckpoint) — lazy iteration would embed the whole MinHash
-    // pipeline 2^iterations times into one plan. Same rule as any Pregel-
+    // (localCheckpoint) — lazy iteration would embed the whole upstream
+    // pipeline 2^rounds times into one plan. Same rule as any Pregel-
     // style loop on Spark.
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -397,18 +432,36 @@ object DedupOps {
     var labels = edges.select(col("doc_a").as("doc")).distinct()
       .withColumn("cluster", col("doc"))
       .localCheckpoint()
-    for (_ <- 1 to iterations) {
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      assert(rounds <= CcMaxRounds,
+        s"connected components did not converge in $CcMaxRounds rounds")
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc", "nbr"), col("doc_b") === col("nbr"))
         .select(col("doc_a").as("doc"), col("cluster"))
-      labels = labels.unionByName(viaNeighbors)
+      val prop = labels.unionByName(viaNeighbors)
         .groupBy(col("doc"))
         .agg(min(col("cluster")).as("cluster"))
+      // path halving: labels only ever decrease, and every label IS a
+      // node (it starts as a doc id and min() preserves membership), so
+      // following cluster → label(cluster) is always defined and takes
+      // the min-label shortcut the plain propagation would need a full
+      // extra hop sequence for
+      val next = prop
+        .join(prop.select(col("doc").as("c2"), col("cluster").as("cc")),
+          col("cluster") === col("c2"), "left")
+        .select(col("doc"),
+          least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster"))
         .localCheckpoint()
+      // fixpoint check: ONE count over the (edge-set-sized) label frames
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "doc")
+        .where(col("cluster") =!= col("prev")).count()
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
+      labels = next
     }
-    labels
-      .select(col("doc").as("doc_id"), col("cluster").as("cluster_id"),
-        (col("doc") === col("cluster")).as("is_canonical"))
+    (labels, rounds)
   }
 
   /** The dedup pipeline's END PRODUCT: a per-document keep/drop decision.
@@ -449,8 +502,8 @@ object DedupOps {
         coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
   }
 
-  def dedupKeepDropSql(iterations: Int = 5): String =
-    s"""WITH cl AS (${nearDupClustersSql(iterations)}),
+  def dedupKeepDropSql(): String =
+    s"""WITH cl AS (${nearDupClustersSql()}),
        |q AS (
        |  SELECT doc_id,
        |    round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr
@@ -490,8 +543,8 @@ object DedupOps {
           .as("drop_rate"))
       .orderBy("source")
 
-  def dedupStatsSql(iterations: Int = 5): String =
-    s"""WITH kd AS (${dedupKeepDropSql(iterations)})
+  def dedupStatsSql(): String =
+    s"""WITH kd AS (${dedupKeepDropSql()})
        |SELECT source, count(*) AS n_docs,
        |  sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
        |  count(DISTINCT cluster_id) AS n_clusters,
@@ -518,8 +571,8 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  def dedupWeightsSql(iterations: Int = 5): String =
-    s"""WITH kd AS (${dedupKeepDropSql(iterations)}),
+  def dedupWeightsSql(): String =
+    s"""WITH kd AS (${dedupKeepDropSql()}),
        |sz AS (
        |  SELECT cluster_id, count(*) AS cluster_size
        |  FROM kd GROUP BY cluster_id)
@@ -553,8 +606,8 @@ object DedupOps {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
-  def clusterSplitSql(seed: Int = 42, iterations: Int = 5): String =
-    s"""WITH kd AS (${dedupKeepDropSql(iterations)}),
+  def clusterSplitSql(seed: Int = 42): String =
+    s"""WITH kd AS (${dedupKeepDropSql()}),
        |b AS (
        |  SELECT doc_id, cluster_id,
        |    (${hash60Sql(s"cluster_id::VARCHAR || ':$seed'")}) % 100 AS bucket
@@ -565,27 +618,27 @@ object DedupOps {
        |       ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
-  def nearDupClustersSql(iterations: Int = 5): String = {
+  /** Fixpoint oracle: TRUE connected components as a recursive
+    * transitive-closure CTE (standard SQL `WITH RECURSIVE`, UNION-dedup
+    * semantics guarantees termination) — component label = min reachable
+    * doc id, the same fixpoint [[connectedComponents]] iterates to. No
+    * unrolled round count anywhere, so a green hash proves ground truth,
+    * not just engine-vs-oracle round parity. */
+  def nearDupClustersSql(): String = {
     val base = minhashLshDedupSql()
-    val rounds = (1 to iterations).map { i =>
-      s"""l$i AS (
-         |  SELECT doc, min(cluster) AS cluster FROM (
-         |    SELECT doc, cluster FROM l${i - 1}
-         |    UNION ALL
-         |    SELECT e.doc_a AS doc, l.cluster
-         |    FROM edges e JOIN l${i - 1} l ON e.doc_b = l.doc)
-         |  GROUP BY doc)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH pairs AS ($base),
+    s"""WITH RECURSIVE pairs AS ($base),
        |edges AS (
        |  SELECT doc_a, doc_b FROM pairs
        |  UNION ALL
        |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
-       |l0 AS (SELECT DISTINCT doc_a AS doc, doc_a AS cluster FROM edges),
-       |$rounds
-       |SELECT doc AS doc_id, cluster AS cluster_id,
-       |  doc = cluster AS is_canonical
-       |FROM l$iterations ORDER BY doc_id""".stripMargin
+       |reach(doc, r) AS (
+       |  SELECT DISTINCT doc_a, doc_a FROM edges
+       |  UNION
+       |  SELECT reach.doc, e.doc_b
+       |  FROM reach JOIN edges e ON reach.r = e.doc_a)
+       |SELECT doc AS doc_id, min(r) AS cluster_id,
+       |  doc = min(r) AS is_canonical
+       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
   }
 
   // ---- SimHash fingerprint ------------------------------------------------

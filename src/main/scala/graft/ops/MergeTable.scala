@@ -4,9 +4,9 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types._
 
 import graft.sources.Tables
 
@@ -17,66 +17,105 @@ import graft.sources.Tables
   * minimal own implementation of the same public design (the Delta/Iceberg
   * commit-log pattern):
   *
-  *  - `_graft_log/v<N>.json` — one manifest per committed version listing
-  *    the table's live data files with per-file cluster-key min/max stats
-  *    and per-writer transaction watermarks;
+  *  - `_graft_log/v<N>.json` — one log record per committed version. A
+  *    record is either a CHECKPOINT (the table's full live file listing)
+  *    or a DELTA (the files this commit added + the paths it dropped).
+  *    Every `CheckpointInterval`-th version is a checkpoint, so resolving
+  *    any snapshot reads ONE checkpoint + a bounded delta suffix — the
+  *    log scales with commit rate, never with table file count (the
+  *    Delta-log checkpointing layout; a full-listing-per-commit log caps
+  *    out around 10⁵ files, which this lifts);
   *  - `data/<commit-uuid>/part-*.parquet` — immutable data files, written
   *    once, never modified; a commit only ADDS files and drops references;
-  *  - commit = write manifest to a temp name, then a single ATOMIC_MOVE to
-  *    `v<N+1>.json`. The move fails if the version exists — optimistic
-  *    concurrency: the losing writer re-reads the new snapshot and replays
-  *    its merge (serializable by version CAS), exactly the protocol Delta
-  *    runs against an object store.
+  *  - commit = write the record to a temp name, then a single hard link to
+  *    `v<N+1>.json`. The link fails if the version exists — optimistic
+  *    concurrency: the losing writer first attempts a CONFLICT-SCOPED
+  *    retry (if the winner touched a disjoint file set, the loser's delta
+  *    is still valid against the new head and re-commits without any data
+  *    rewrite), and only on a real overlap replays its merge against the
+  *    winner's snapshot (serializable by version CAS), exactly the
+  *    protocol Delta runs against an object store.
   *
   * MERGE cost is O(touched files + batch), never O(table):
   *
   *  1. incoming keys → file pruning: a data file is TOUCHED iff some
-  *     incoming cluster key falls inside its [min,max]. Because the writer
-  *     range-clusters every commit's output by the cluster key, file
-  *     intervals are tight and most files prune away — the same
-  *     clustering-enables-MERGE discipline as OPTIMIZE/Z-order. The
-  *     overlap test is a point-in-interval join of the (distinct) batch
-  *     keys against the broadcast ≤|files|-row interval table (planned by
-  *     [[graft.plans.RangeJoinStrategy]] when eligible), collecting only
-  *     the bounded touched-file id list;
+  *     incoming cluster-key tuple falls inside its per-column [min,max]
+  *     box. Because the writer range-clusters every commit's output by the
+  *     cluster columns, file boxes are tight and most files prune away —
+  *     the same clustering-enables-MERGE discipline as OPTIMIZE/Z-order.
+  *     The overlap test is a point-in-box join of the (distinct) batch
+  *     keys against the broadcast ≤|files|-row box table (planned by
+  *     [[graft.plans.RangeJoinStrategy]] when single-column-eligible),
+  *     collecting only the bounded touched-file id list;
   *  2. survivors = touched-file rows whose key is NOT in the batch
   *     (left_anti on the merge keys);
-  *  3. new files = batch ∪ survivors, range-clustered on the cluster key,
-  *     one parquet file per range partition, per-file min/max recorded
-  *     from the SAME pinned partitioning that wrote the files;
-  *  4. new manifest = untouched files + new files.
+  *  3. new files = batch ∪ survivors, range-clustered on the cluster
+  *     columns, one parquet file per range partition, per-file typed
+  *     min/max recorded from the SAME pinned partitioning that wrote the
+  *     files. Stats are TYPED per clustering column (long-integral,
+  *     double, string in UTF-8 byte order, timestamp as epoch micros,
+  *     date as epoch days) — string/timestamp/date keys and multi-column
+  *     clustering prune exactly like long keys;
+  *  4. new log record = delta(adds = new files, removes = touched paths).
   *
   * Untouched files are carried by reference — byte-identical, never read.
   *
   * Streaming exactly-once: a commit can carry a (writerId, version)
-  * transaction; a merge whose version is ≤ the manifest's recorded
-  * watermark for that writer is a no-op. With writerId = the sink's
-  * checkpoint location and version = the micro-batch id, `foreachBatch`
-  * replay after a crash converges without re-applying — the documented
-  * Delta `txnAppId`/`txnVersion` idiom ([[graft.streaming.StreamingPipeline]]
+  * transaction; a merge whose version is ≤ the log's recorded watermark
+  * for that writer is a no-op. With writerId = the sink's checkpoint
+  * location and version = the micro-batch id, `foreachBatch` replay after
+  * a crash converges without re-applying — the documented Delta
+  * `txnAppId`/`txnVersion` idiom ([[graft.streaming.StreamingPipeline]]
   * wires it).
-  *
-  * Scale notes: the manifest is a full file listing per commit — right up
-  * to ~10⁵ files; past that a real implementation splits the log into
-  * incremental actions + periodic checkpoints (the Delta log layout), an
-  * additive change to this commit protocol. Cluster-key stats are kept as
-  * longs (ids / epoch keys — the common case); a typed-stats extension
-  * widens the manifest, not the protocol.
   */
 object MergeTable {
 
-  /** One live data file: path relative to the table root, cluster-key
-    * bounds, and row count (bounds are inclusive). */
-  case class DataFileEntry(path: String, minKey: Long, maxKey: Long, numRows: Long)
+  /** Every `CheckpointInterval`-th version embeds the full file listing;
+    * versions in between are add/remove deltas. Snapshot resolution reads
+    * at most `CheckpointInterval` log records. */
+  val CheckpointInterval = 10
 
-  /** One committed table version. `txns` maps writerId → highest applied
-    * transaction version (the replay watermark). */
+  /** Typed per-column file statistic. `t` picks the comparison domain and
+    * the rendering: "long" (all integral types, decimal string),
+    * "double" (float/double, `Double.toString`), "string" (raw value;
+    * ordering is UTF-8 byte order — what Spark's UTF8String comparison
+    * uses, so driver-side box tests and the executor-side pruning join
+    * can never disagree), "timestamp" (epoch MICROseconds), "date"
+    * (epoch days). Bounds are inclusive. */
+  case class ColStat(t: String, min: String, max: String)
+
+  /** One live data file: path relative to the table root, row count, and
+    * per-clustering-column typed bounds. */
+  case class DataFileEntry(path: String, numRows: Long, stats: Map[String, ColStat]) {
+    /** Convenience for specs / long-keyed callers. */
+    def minLong(c: String): Long = stats(c).min.toLong
+    def maxLong(c: String): Long = stats(c).max.toLong
+  }
+
+  /** One RESOLVED committed table version (checkpoint + folded deltas).
+    * `txns` maps writerId → highest applied transaction version (the
+    * replay watermark). */
   case class TableManifest(
       version: Long,
       schemaJson: String,
       keys: Seq[String],
-      clusterBy: String,
+      clusterBy: Seq[String],
       files: Seq[DataFileEntry],
+      txns: Map[String, Long])
+
+  /** The on-disk per-version log record. kind = "checkpoint" (adds = the
+    * full live listing, removes empty) | "delta" (adds/removes relative to
+    * version−1). Schema/keys/clusterBy/txns are carried IN FULL on every
+    * record (all bounded metadata), so only the file listing needs the
+    * checkpoint walk. */
+  private case class LogRecord(
+      version: Long,
+      kind: String,
+      schemaJson: String,
+      keys: Seq[String],
+      clusterBy: Seq[String],
+      adds: Seq[DataFileEntry],
+      removes: Seq[String],
       txns: Map[String, Long])
 
   private implicit val jsonFormats: org.json4s.Formats =
@@ -95,25 +134,7 @@ object MergeTable {
     else None
   }
 
-  /** Latest committed manifest, or None for a not-yet-created table. */
-  def latestManifest(table: String): Option[TableManifest] = {
-    val ld = logDir(table)
-    if (!Files.isDirectory(ld)) None
-    else {
-      val latest = {
-        val stream = Files.list(ld)
-        try stream.iterator().asScala
-          .flatMap(p => versionOf(p.getFileName.toString))
-          .foldLeft(Option.empty[Long])((a, v) => Some(a.fold(v)(math.max(_, v))))
-        finally stream.close()
-      }
-      latest.flatMap(v => manifestAt(table, v))
-    }
-  }
-
-  /** The manifest of one SPECIFIC committed version — the time-travel
-    * primitive. Available until [[vacuum]] retires the version. */
-  def manifestAt(table: String, v: Long): Option[TableManifest] = {
+  private def readRecord(table: String, v: Long): Option[LogRecord] = {
     val f = logDir(table).resolve(f"v$v%020d.json")
     if (!Files.exists(f)) None
     else {
@@ -121,9 +142,53 @@ object MergeTable {
       // the FILENAME is the CAS slot and therefore the authoritative
       // version; trusting a divergent embedded version would re-commit
       // into an occupied slot forever
-      Some(org.json4s.jackson.Serialization.read[TableManifest](txt).copy(version = v))
+      Some(org.json4s.jackson.Serialization.read[LogRecord](txt).copy(version = v))
     }
   }
+
+  private def latestVersion(table: String): Option[Long] = {
+    val ld = logDir(table)
+    if (!Files.isDirectory(ld)) None
+    else {
+      val stream = Files.list(ld)
+      try stream.iterator().asScala
+        .flatMap(p => versionOf(p.getFileName.toString))
+        .foldLeft(Option.empty[Long])((a, v) => Some(a.fold(v)(math.max(_, v))))
+      finally stream.close()
+    }
+  }
+
+  /** Latest committed manifest, or None for a not-yet-created table. */
+  def latestManifest(table: String): Option[TableManifest] =
+    latestVersion(table).flatMap(v => manifestAt(table, v))
+
+  /** The RESOLVED manifest of one SPECIFIC committed version — the
+    * time-travel primitive. Walks back from `v` to the nearest checkpoint
+    * and folds the delta records forward (≤ CheckpointInterval reads).
+    * Available until [[vacuum]] retires the version. */
+  def manifestAt(table: String, v: Long): Option[TableManifest] =
+    readRecord(table, v).map { head =>
+      val files =
+        if (head.kind == "checkpoint") head.adds
+        else {
+          // collect head and the deltas below it until a checkpoint
+          var deltas = List(head)
+          var cur = v - 1
+          var cp: Option[LogRecord] = None
+          while (cp.isEmpty) {
+            val r = readRecord(table, cur).getOrElse(sys.error(
+              s"log gap: version $cur missing while resolving $v of $table " +
+                "(foreign deletion under the checkpoint floor?)"))
+            if (r.kind == "checkpoint") cp = Some(r)
+            else { deltas = r :: deltas; cur -= 1 }
+          }
+          deltas.foldLeft(cp.get.adds) { (acc, r) =>
+            val rm = r.removes.toSet
+            acc.filterNot(f => rm.contains(f.path)) ++ r.adds
+          }
+        }
+      TableManifest(v, head.schemaJson, head.keys, head.clusterBy, files, head.txns)
+    }
 
   /** Snapshot read of the latest committed version. Empty-table reads
     * reproduce the schema from the manifest. */
@@ -143,14 +208,16 @@ object MergeTable {
         "(never committed, or retired by vacuum)")))
 
   private def readManifest(s: SparkSession, table: String, m: TableManifest): DataFrame =
-    if (m.files.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-    else
-      s.read.schema(DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
-        .parquet(m.files.map(f => s"$table/${f.path}"): _*)
+    readFiles(s, table, DataType.fromJson(m.schemaJson).asInstanceOf[StructType], m.files)
 
-  /** Attempt to publish `m` as version `m.version`; false = lost the CAS.
+  private def readFiles(s: SparkSession, table: String, schema: StructType,
+      files: Seq[DataFileEntry]): DataFrame =
+    if (files.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else
+      s.read.schema(schema).parquet(files.map(f => s"$table/${f.path}"): _*)
+
+  /** Attempt to publish `r` as version `r.version`; false = lost the CAS.
     *
     * The publish primitive is a HARD LINK, not a rename: POSIX rename(2)
     * (what ATOMIC_MOVE maps to) silently REPLACES an existing target, so a
@@ -159,12 +226,12 @@ object MergeTable {
     * put-if-absent a version CAS needs. (On an object store the same slot
     * is a conditional PUT.)
     */
-  private def tryCommit(table: String, m: TableManifest): Boolean = {
+  private def tryCommit(table: String, r: LogRecord): Boolean = {
     val ld = logDir(table)
     Files.createDirectories(ld)
     val tmp = ld.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, org.json4s.jackson.Serialization.write(m).getBytes("UTF-8"))
-    val target = ld.resolve(f"v${m.version}%020d.json")
+    Files.write(tmp, org.json4s.jackson.Serialization.write(r).getBytes("UTF-8"))
+    val target = ld.resolve(f"v${r.version}%020d.json")
     try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); true }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -174,40 +241,200 @@ object MergeTable {
     }
   }
 
+  /** Publish a commit at `version`: a checkpoint record (full listing) on
+    * the checkpoint cadence, a delta record otherwise. `resolved` is the
+    * version's FULL live listing (needed for checkpoints and cheap for
+    * every caller — it's bounded metadata the committer already holds). */
+  private def commitVersion(
+      table: String, version: Long, schemaJson: String, keys: Seq[String],
+      clusterBy: Seq[String], adds: Seq[DataFileEntry], removes: Seq[String],
+      txns: Map[String, Long], resolved: Seq[DataFileEntry]): Boolean = {
+    val rec =
+      if (version % CheckpointInterval == 0)
+        LogRecord(version, "checkpoint", schemaJson, keys, clusterBy,
+          resolved, Seq.empty, txns)
+      else
+        LogRecord(version, "delta", schemaJson, keys, clusterBy,
+          adds, removes, txns)
+    tryCommit(table, rec)
+  }
+
+  // ---- typed cluster-key statistics ---------------------------------------
+
+  private def statTag(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "long"
+    case FloatType | DoubleType => "double"
+    case StringType => "string"
+    case TimestampType => "timestamp"
+    case DateType => "date"
+    case other => sys.error(s"unsupported cluster-key type $other — " +
+      "supported: integral, float/double, string, timestamp, date")
+  }
+
+  private def statFieldType(tag: String): DataType = tag match {
+    case "long" => LongType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "timestamp" => TimestampType
+    case "date" => DateType
+  }
+
+  /** Canonical string rendering of a collected stat value (see [[ColStat]]). */
+  private def renderStat(dt: DataType, v: Any): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      v.asInstanceOf[Number].longValue.toString
+    case FloatType | DoubleType => v.asInstanceOf[Number].doubleValue.toString
+    case StringType => v.asInstanceOf[String]
+    case TimestampType => v match {
+      // both external timestamp types appear depending on the session's
+      // java8API config — render to epoch micros either way
+      case ts: java.sql.Timestamp =>
+        val i = ts.toInstant
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+      case i: java.time.Instant =>
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    }
+    case DateType => v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+      case d: java.time.LocalDate => d.toEpochDay.toString
+    }
+    case other => sys.error(s"unsupported cluster-key type $other")
+  }
+
+  /** JVM value for re-injecting a rendered stat into a DataFrame literal
+    * of the stat's field type (CatalystTypeConverters accepts java.sql
+    * external types regardless of the java8API setting). */
+  private def statJvm(tag: String, v: String): Any = tag match {
+    case "long" => v.toLong
+    case "double" => v.toDouble
+    case "string" => v
+    case "timestamp" =>
+      val micros = v.toLong
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      ts
+    case "date" =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.toLong))
+  }
+
+  /** Unsigned lexicographic byte comparison — the UTF8String order Spark
+    * compares strings in. Driver-side box tests MUST use it too: JVM
+    * String.compareTo is UTF-16 code-unit order, which disagrees above
+    * the BMP, and a disagreement here would make the conflict-scoped
+    * fast path unsound, not just slow. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def statLeq(t: String, a: String, b: String): Boolean = t match {
+    case "long" | "timestamp" | "date" => a.toLong <= b.toLong
+    case "double" => a.toDouble <= b.toDouble
+    case "string" => utf8Compare(a, b) <= 0
+  }
+
+  /** Inclusive per-column interval overlap of a key box against a file's
+    * stats box — true only if EVERY clustering column's intervals
+    * intersect (sound: a real shared tuple implies per-column overlap). */
+  private def boxesOverlap(clusterBy: Seq[String],
+      box: Map[String, ColStat], f: DataFileEntry): Boolean =
+    clusterBy.forall { c =>
+      val a = box(c); val b = f.stats(c)
+      statLeq(a.t, a.min, b.max) && statLeq(a.t, b.min, a.max)
+    }
+
+  /** The batch's per-clustering-column [min,max] box (None for an empty
+    * batch — it overlaps nothing). */
+  private def batchBox(batch: DataFrame,
+      clusterBy: Seq[String]): Option[Map[String, ColStat]] = {
+    val aggs = clusterBy.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val r = batch.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (r.isNullAt(0)) None
+    else Some(clusterBy.zipWithIndex.map { case (c, i) =>
+      val dt = batch.schema(c).dataType
+      c -> ColStat(statTag(dt), renderStat(dt, r.get(2 * i)),
+        renderStat(dt, r.get(2 * i + 1)))
+    }.toMap)
+  }
+
+  /** Paths of the files whose stats box intersects the batch's key set —
+    * the point-in-box join of the distinct batch cluster tuples against
+    * the broadcast ≤|files|-row box table; collects only the bounded
+    * touched-path list. */
+  private def touchedPaths(
+      s: SparkSession, files: Seq[DataFileEntry], batch: DataFrame,
+      clusterBy: Seq[String]): Set[String] = {
+    if (files.isEmpty) return Set.empty
+    import s.implicits._
+    val tags = clusterBy.map(c => files.head.stats(c).t)
+    val schema = StructType(
+      StructField("path", StringType) +:
+        clusterBy.indices.flatMap(i => Seq(
+          StructField(s"mn_$i", statFieldType(tags(i))),
+          StructField(s"mx_$i", statFieldType(tags(i))))))
+    val rows: java.util.List[Row] = files.map { f =>
+      Row.fromSeq(f.path +: clusterBy.zipWithIndex.flatMap { case (c, i) =>
+        val st = f.stats(c)
+        Seq(statJvm(st.t, st.min), statJvm(st.t, st.max))
+      })
+    }.asJava
+    val intervals = s.createDataFrame(rows, schema)
+    val probe = batch
+      .select(clusterBy.zipWithIndex.map { case (c, i) => col(c).as(s"k_$i") }: _*)
+      .distinct()
+    val cond = clusterBy.indices
+      .map(i => col(s"k_$i") >= col(s"mn_$i") && col(s"k_$i") <= col(s"mx_$i"))
+      .reduce(_ && _)
+    probe.join(broadcast(intervals), cond)
+      .select(col("path")).distinct()
+      .as[String].collect().toSet // bounded: ≤ |files| rows
+  }
+
+  /** Test-only fault injection: runs immediately before every commit
+    * attempt in [[mergeUpsert]] — a spec installs a competing commit here
+    * to force a deterministic CAS loss. */
+  @volatile private[graft] var testPrecommitHook: () => Unit = () => ()
+
   /** MERGE INTO `table` USING `batch` ON `keys` — incoming rows win on key
     * collision (WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT ALL).
     * The batch must be key-unique (the standard MERGE precondition; a
     * multi-match is rejected, as `MERGE INTO` proper does). Returns true
     * if a new version committed, false if `txn` was already applied.
     *
-    * `clusterBy` must be a long-castable column (it becomes the file
-    * clustering key and the pruning statistic); merge MATCHING uses the
-    * full `keys`.
+    * `clusterBy` names the clustering columns (typed stats + range
+    * clustering + file pruning); each must be one of the merge keys.
     */
   def mergeUpsert(
       s: SparkSession,
       table: String,
       batch: DataFrame,
       keys: Seq[String],
-      clusterBy: String,
+      clusterBy: Seq[String],
       targetRowsPerFile: Long = 4096,
       txn: Option[(String, Long)] = None,
       maxAttempts: Int = 20): Boolean = {
     require(keys.nonEmpty, "merge keys must be non-empty")
-    // pruning soundness: a file is skipped when no batch CLUSTER value
-    // falls in its range — valid only if a matched old row's cluster
-    // value EQUALS the batch row's, i.e. the cluster key is part of the
-    // match key. And the stats/pruning arithmetic needs real longs: a
-    // null or uncastable cluster value would silently prune wrong
-    // (missed matches → duplicate keys) and NPE the stats pass.
-    require(keys.contains(clusterBy),
-      s"clusterBy '$clusterBy' must be one of the merge keys " +
-        s"${keys.mkString("(", ",", ")")} — file pruning assumes a matched " +
-        "row's cluster value equals the batch row's")
-    // the two SCAN-shaped preconditions run once, AFTER the first replay
+    // pruning soundness: a file is skipped when no batch CLUSTER tuple
+    // falls in its box — valid only if a matched old row's cluster
+    // values EQUAL the batch row's, i.e. every cluster column is part of
+    // the match key. And the stats/pruning arithmetic needs non-null
+    // comparable values: a null (or NaN) cluster value would silently
+    // prune wrong (missed matches → duplicate keys).
+    require(clusterBy.nonEmpty && clusterBy.forall(keys.contains),
+      s"clusterBy ${clusterBy.mkString("(", ",", ")")} must be a subset of " +
+        s"the merge keys ${keys.mkString("(", ",", ")")} — file pruning " +
+        "assumes a matched row's cluster values equal the batch row's")
+    // the SCAN-shaped preconditions run once, AFTER the first replay
     // check below — a replayed (already-applied) streaming batch must
     // no-op without paying two full batch-plan executions first
     var preconditionsChecked = false
+    var batchBoxMemo: Option[Option[Map[String, ColStat]]] = None
 
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -219,6 +446,12 @@ object MergeTable {
         case _ => false
       }
       if (replayed) return false
+      snapshot.foreach { m =>
+        require(m.keys == keys && m.clusterBy == clusterBy,
+          s"table $table is keyed ${m.keys.mkString(",")} clustered " +
+            s"${m.clusterBy.mkString(",")}; a merge with different " +
+            "keys/clustering needs an explicit migration")
+      }
       if (!preconditionsChecked) {
         requireClusterable(batch, clusterBy, "MERGE source")
         val dupKeys = batch.groupBy(keys.map(col): _*).count()
@@ -230,18 +463,7 @@ object MergeTable {
       }
 
       val existingFiles = snapshot.map(_.files).getOrElse(Seq.empty)
-      val touched: Set[String] =
-        if (existingFiles.isEmpty) Set.empty
-        else {
-          import s.implicits._
-          val intervals = existingFiles
-            .map(f => (f.path, f.minKey, f.maxKey)).toDF("path", "mn", "mx")
-          batch.select(col(clusterBy).cast("long").as("k")).distinct()
-            .join(broadcast(intervals),
-              col("k") >= col("mn") && col("k") <= col("mx"))
-            .select(col("path")).distinct()
-            .as[String].collect().toSet // bounded: ≤ |files| rows
-        }
+      val touched = touchedPaths(s, existingFiles, batch, clusterBy)
 
       // ADDITIVE schema evolution: a batch may carry columns the table has
       // never seen — they join the schema, and rows from files written
@@ -280,30 +502,76 @@ object MergeTable {
       val untouched = existingFiles.filterNot(f => touched.contains(f.path))
       val newTxns = snapshot.map(_.txns).getOrElse(Map.empty) ++
         txn.map { case (w, v) => w -> v }
-      val next = TableManifest(
-        version = snapshot.map(_.version + 1).getOrElse(0L),
-        schemaJson = schema.json,
-        keys = keys,
-        clusterBy = clusterBy,
-        files = untouched ++ newFiles,
-        txns = newTxns)
-      if (tryCommit(table, next)) return true
-      // lost the version CAS: drop this attempt's files and replay the
-      // merge against the winner's snapshot
+      testPrecommitHook()
+      if (commitVersion(table, snapshot.map(_.version + 1).getOrElse(0L),
+        schema.json, keys, clusterBy, newFiles, touched.toSeq.sorted,
+        newTxns, untouched ++ newFiles)) return true
+
+      // ---- lost the version CAS ------------------------------------------
+      // CONFLICT-SCOPED retry first: our delta (adds = newFiles, removes =
+      // touched) is still valid against the winner's head iff (a) no
+      // intervening commit removed a file we rewrote (they rewrote a key
+      // we may also carry), (b) no intervening ADD's stats box overlaps
+      // our batch's key box (the winner may have inserted a key our merge
+      // also inserts → duplicate), and (c) no schema/txn conflict. Then
+      // the SAME data files re-commit at the new head — zero recompute.
+      if (batchBoxMemo.isEmpty) batchBoxMemo = Some(batchBox(batch, clusterBy))
+      val box = batchBoxMemo.get
+      val basePaths = existingFiles.map(_.path).toSet
+      var fastViable = true
+      var fastDone = false
+      while (fastViable && !fastDone) {
+        val head = latestManifest(table).getOrElse(
+          sys.error(s"commit race on $table with no committed head"))
+        val headReplayed = txn.exists { case (w, v) =>
+          head.txns.get(w).exists(_ >= v) }
+        if (headReplayed) { deleteDir(Paths.get(table, "data", commitId)); return false }
+        val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+        val schemaOk = schema.fields.forall(f =>
+          headSchema.find(_.name == f.name).forall(_.dataType == f.dataType))
+        val headPaths = head.files.map(_.path).toSet
+        val removedSinceBase = basePaths -- headPaths
+        val addedSinceBase = head.files.filterNot(f => basePaths.contains(f.path))
+        fastViable = schemaOk &&
+          head.keys == keys && head.clusterBy == clusterBy &&
+          removedSinceBase.intersect(touched).isEmpty &&
+          !addedSinceBase.exists(f => box.exists(b => boxesOverlap(clusterBy, b, f)))
+        if (fastViable) {
+          val mergedSchema = StructType(headSchema.fields ++
+            schema.fields.filterNot(f => headSchema.exists(_.name == f.name)))
+          val resolved = head.files.filterNot(f => touched.contains(f.path)) ++ newFiles
+          fastDone = commitVersion(table, head.version + 1, mergedSchema.json,
+            keys, clusterBy, newFiles, touched.toSeq.sorted,
+            head.txns ++ txn.map { case (w, v) => w -> v }, resolved)
+          if (fastDone) return true
+          // another writer won again — loop: re-evaluate against newer head
+        }
+      }
+      // real overlap: drop this attempt's files and replay the merge
+      // against the winner's snapshot
       deleteDir(Paths.get(table, "data", commitId))
     }
     sys.error(s"merge into $table lost the commit race $maxAttempts times")
   }
 
-  /** The cluster column must be non-null and long-castable in every row —
-    * `try_cast` (not `cast`: ANSI mode throws mid-job on garbage, this
-    * names the offending contract instead). */
-  private def requireClusterable(df: DataFrame, clusterBy: String, what: String): Unit = {
-    val bad = df.where(col(clusterBy).isNull ||
-      col(clusterBy).try_cast("long").isNull).limit(1).count()
+  /** Every cluster column must exist with a supported type and be
+    * non-null (and non-NaN for float/double) in every row. */
+  private def requireClusterable(df: DataFrame, clusterBy: Seq[String],
+      what: String): Unit = {
+    clusterBy.foreach { c =>
+      require(df.columns.contains(c), s"$what: cluster column '$c' missing")
+      statTag(df.schema(c).dataType) // throws on unsupported types
+    }
+    val badCond = clusterBy.map { c =>
+      df.schema(c).dataType match {
+        case FloatType | DoubleType => col(c).isNull || isnan(col(c))
+        case _ => col(c).isNull
+      }
+    }.reduce(_ || _)
+    val bad = df.where(badCond).limit(1).count()
     require(bad == 0,
-      s"$what: cluster key '$clusterBy' must be non-null and long-castable " +
-        "in every row (it is the file-pruning statistic)")
+      s"$what: cluster columns ${clusterBy.mkString(",")} must be non-null " +
+        "(and non-NaN) in every row (they are the file-pruning statistics)")
   }
 
   /** `df` widened to `schema`'s full column set (missing columns as typed
@@ -324,7 +592,7 @@ object MergeTable {
     * writer, one stats discipline.
     */
   private def writeClusteredFiles(
-      table: String, df: DataFrame, clusterBy: String,
+      table: String, df: DataFrame, clusterBy: Seq[String],
       targetRowsPerFile: Long): (String, Seq[DataFileEntry]) = {
     // checkpoint the MERGED frame before counting: count() would
     // otherwise execute the full plan (touched-file reads + anti join)
@@ -335,16 +603,17 @@ object MergeTable {
       val n = pinned.count()
       val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
       writeStaged(table,
-        pinned.repartitionByRange(nFiles, col(clusterBy).cast("long").asc),
+        pinned.repartitionByRange(nFiles, clusterBy.map(c => col(c).asc): _*),
         clusterBy)
     } finally org.apache.spark.sql.graftbridge.Bridge
       .unpersistLocalCheckpoint(pinned)
   }
 
   /** Write the staged frame (one file per range partition) and derive the
-    * per-file stats from the SAME pinned partitioning. */
+    * per-file typed stats from the SAME pinned partitioning. */
   private def writeStaged(
-      table: String, toStage: DataFrame, clusterBy: String): (String, Seq[DataFileEntry]) = {
+      table: String, toStage: DataFrame,
+      clusterBy: Seq[String]): (String, Seq[DataFileEntry]) = {
     val staged = toStage.localCheckpoint()
     try {
       val commitId = java.util.UUID.randomUUID().toString.take(12)
@@ -353,14 +622,22 @@ object MergeTable {
       // per-partition stats keyed by partition id; partition i wrote the
       // file whose name parses to part index i (empty partitions write
       // no file and emit no stats group — both sides skip them)
+      val dts = clusterBy.map(c => staged.schema(c).dataType)
+      val aggs = clusterBy.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c)).as(s"mn_$i"), max(col(c)).as(s"mx_$i"))
+      } :+ count(lit(1)).as("cnt")
       val stats = staged
-        .select(spark_partition_id().as("pid"),
-          col(clusterBy).cast("long").as("k"))
+        .select(spark_partition_id().as("pid") +: clusterBy.map(col): _*)
         .groupBy(col("pid"))
-        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
-          count(lit(1)).as("cnt"))
-        .collect().map(r =>
-          r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val m = clusterBy.zipWithIndex.map { case (c, i) =>
+            c -> ColStat(statTag(dts(i)),
+              renderStat(dts(i), r.get(1 + 2 * i)),
+              renderStat(dts(i), r.get(2 + 2 * i)))
+          }.toMap
+          r.getInt(0) -> (m, r.getLong(1 + 2 * clusterBy.size))
+        }.toMap
       val newFiles = {
         val stream = Files.list(Paths.get(table, "data", commitId))
         try stream.iterator().asScala
@@ -370,8 +647,8 @@ object MergeTable {
         finally stream.close()
       }.flatMap { f =>
         val idx = f.stripPrefix("part-").takeWhile(_.isDigit).toInt
-        stats.get(idx).map { case (mn, mx, cnt) =>
-          DataFileEntry(s"$rel/$f", mn, mx, cnt)
+        stats.get(idx).map { case (m, cnt) =>
+          DataFileEntry(s"$rel/$f", cnt, m)
         }
       }
       (commitId, newFiles)
@@ -381,7 +658,7 @@ object MergeTable {
 
   /** Keyed DELETE — the right-to-be-forgotten sweep: remove every row
     * whose merge key appears in `delKeys`, touching ONLY the files whose
-    * cluster-key range overlaps the delete set (same pruning as MERGE).
+    * cluster-key box overlaps the delete set (same pruning as MERGE).
     * At 100 TB a GDPR purge list is a tiny frame against a huge clustered
     * table: cost is O(touched files + list), never O(table). Returns the
     * number of rows deleted; replay-safe via the same txn watermark.
@@ -393,6 +670,7 @@ object MergeTable {
       targetRowsPerFile: Long = 4096,
       txn: Option[(String, Long)] = None,
       maxAttempts: Int = 20): Long = {
+    var boxMemo: Option[Option[Map[String, ColStat]]] = None
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -404,16 +682,7 @@ object MergeTable {
       val keys = snapshot.keys
       val clusterBy = snapshot.clusterBy
       if (attempt == 1) requireClusterable(delKeys, clusterBy, "DELETE key set")
-      val touched: Set[String] = {
-        import s.implicits._
-        val intervals = snapshot.files
-          .map(f => (f.path, f.minKey, f.maxKey)).toDF("path", "mn", "mx")
-        delKeys.select(col(clusterBy).cast("long").as("k")).distinct()
-          .join(broadcast(intervals),
-            col("k") >= col("mn") && col("k") <= col("mx"))
-          .select(col("path")).distinct()
-          .as[String].collect().toSet
-      }
+      val touched = touchedPaths(s, snapshot.files, delKeys, clusterBy)
       if (touched.isEmpty) {
         // nothing overlaps — but the txn watermark must STILL be recorded,
         // or a crash-replay of this batch after a concurrent writer lands
@@ -423,10 +692,9 @@ object MergeTable {
         txn match {
           case None => return 0L // untracked caller: a true zero-cost no-op
           case Some((w, v)) =>
-            val next = snapshot.copy(
-              version = snapshot.version + 1,
-              txns = snapshot.txns + (w -> v))
-            if (tryCommit(table, next)) return 0L
+            if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
+              keys, clusterBy, Seq.empty, Seq.empty,
+              snapshot.txns + (w -> v), snapshot.files)) return 0L
         }
       } else {
         val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
@@ -440,11 +708,44 @@ object MergeTable {
         val (commitId, newFiles) =
           writeClusteredFiles(table, survivors, clusterBy, targetRowsPerFile)
         val untouched = snapshot.files.filterNot(f => touched.contains(f.path))
-        val next = snapshot.copy(
-          version = snapshot.version + 1,
-          files = untouched ++ newFiles,
-          txns = snapshot.txns ++ txn.map { case (w, v) => w -> v })
-        if (tryCommit(table, next)) return oldCount - newFiles.map(_.numRows).sum
+        val deletedCount = oldCount - newFiles.map(_.numRows).sum
+        if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
+          keys, clusterBy, newFiles, touched.toSeq.sorted,
+          snapshot.txns ++ txn.map { case (w, v) => w -> v },
+          untouched ++ newFiles)) return deletedCount
+
+        // conflict-scoped retry: the delete's rewrite stays valid against
+        // the winner's head iff the winner neither removed a file we
+        // rewrote nor added a file whose box overlaps the delete-key box
+        // (a freshly inserted matching key must be deleted by a REPLAYED
+        // delete, not silently survive).
+        if (boxMemo.isEmpty) boxMemo = Some(batchBox(
+          delKeys.select(clusterBy.map(col): _*), clusterBy))
+        val box = boxMemo.get
+        val basePaths = snapshot.files.map(_.path).toSet
+        var fastViable = true
+        var fastDone = false
+        while (fastViable && !fastDone) {
+          val head = latestManifest(table).getOrElse(
+            sys.error(s"commit race on $table with no committed head"))
+          val headReplayed = txn.exists { case (w, v) =>
+            head.txns.get(w).exists(_ >= v) }
+          if (headReplayed) { deleteDir(Paths.get(table, "data", commitId)); return 0L }
+          val headPaths = head.files.map(_.path).toSet
+          val removedSinceBase = basePaths -- headPaths
+          val addedSinceBase = head.files.filterNot(f => basePaths.contains(f.path))
+          fastViable = head.schemaJson == snapshot.schemaJson &&
+            head.keys == keys && head.clusterBy == clusterBy &&
+            removedSinceBase.intersect(touched).isEmpty &&
+            !addedSinceBase.exists(f => box.exists(b => boxesOverlap(clusterBy, b, f)))
+          if (fastViable) {
+            val resolved = head.files.filterNot(f => touched.contains(f.path)) ++ newFiles
+            fastDone = commitVersion(table, head.version + 1, head.schemaJson,
+              keys, clusterBy, newFiles, touched.toSeq.sorted,
+              head.txns ++ txn.map { case (w, v) => w -> v }, resolved)
+            if (fastDone) return deletedCount
+          }
+        }
         deleteDir(Paths.get(table, "data", commitId))
       }
     }
@@ -478,33 +779,67 @@ object MergeTable {
       val (commitId, newFiles) =
         writeClusteredFiles(table, frag, snapshot.clusterBy, targetRowsPerFile)
       val smallPaths = small.map(_.path).toSet
-      val next = snapshot.copy(
-        version = snapshot.version + 1,
-        files = snapshot.files.filterNot(f => smallPaths.contains(f.path)) ++ newFiles)
-      if (tryCommit(table, next)) return small.size
+      if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
+        snapshot.keys, snapshot.clusterBy, newFiles,
+        smallPaths.toSeq.sorted, snapshot.txns,
+        snapshot.files.filterNot(f => smallPaths.contains(f.path)) ++ newFiles))
+        return small.size
+
+      // conflict-scoped retry: a compaction rewrites rows unchanged, so
+      // it stays valid against any head that still carries every small
+      // file it folded in (no added-box check needed: OPTIMIZE introduces
+      // no new keys, so a winner's insert cannot collide with it)
+      var fastViable = true
+      var fastDone = false
+      while (fastViable && !fastDone) {
+        val head = latestManifest(table).getOrElse(
+          sys.error(s"commit race on $table with no committed head"))
+        val headPaths = head.files.map(_.path).toSet
+        fastViable = smallPaths.forall(headPaths.contains) &&
+          head.keys == snapshot.keys && head.clusterBy == snapshot.clusterBy
+        if (fastViable) {
+          val resolved = head.files.filterNot(f => smallPaths.contains(f.path)) ++ newFiles
+          fastDone = commitVersion(table, head.version + 1, head.schemaJson,
+            head.keys, head.clusterBy, newFiles, smallPaths.toSeq.sorted,
+            head.txns, resolved)
+          if (fastDone) return small.size
+        }
+      }
       deleteDir(Paths.get(table, "data", commitId))
     }
     sys.error(s"optimize of $table lost the commit race $maxAttempts times")
   }
 
   /** VACUUM: delete data files referenced by no RETAINED version, and the
-    * retired manifests themselves. Retention is by VERSION COUNT first,
-    * then age: the newest `retainVersions` manifests are always kept, and
-    * the live set is the union of THEIR file lists — so a reader pinned
-    * to latest−1 survives collection no matter how old the underlying
-    * files' write times are (an age-only gate measures from WRITE time,
-    * not from when a file became unreferenced: a 2-hour-old file dropped
-    * by a commit one minute ago would collect instantly — the GenStore
-    * retain-2 lesson applied here). The age gate then still applies to
-    * everything outside the retained set, covering in-flight writers of
-    * abandoned commits. Returns the deleted file count.
+    * retired log records themselves. Retention is by VERSION COUNT first,
+    * then age: the newest `retainVersions` versions are always kept, and
+    * the live set is the union of THEIR resolved file lists — so a reader
+    * pinned to latest−1 survives collection no matter how old the
+    * underlying files' write times are (an age-only gate measures from
+    * WRITE time, not from when a file became unreferenced: a 2-hour-old
+    * file dropped by a commit one minute ago would collect instantly —
+    * the GenStore retain-2 lesson applied here). The age gate then still
+    * applies to everything outside the retained set, covering in-flight
+    * writers of abandoned commits.
+    *
+    * Log retention keeps everything down to the CHECKPOINT FLOOR — the
+    * newest checkpoint at or below the retained range's base — because
+    * retained delta records resolve by walking back to it; only records
+    * strictly below the floor retire. Callers whose readers time-travel
+    * (registered queries, reproducibility audits) must size
+    * `retainVersions` to cover the OLDEST version those readers pin —
+    * see the retention contract spec in MergeTableSpec.
+    * Returns the deleted file count.
     */
   def vacuum(table: String, graceMs: Long = 30L * 60 * 1000,
       retainVersions: Int = 2): Int = {
     val m = latestManifest(table).getOrElse(return 0)
-    val keepFloor = m.version - math.max(1, retainVersions) + 1
-    // union of the retained manifests' file lists — gaps (already-vacuumed
-    // versions) just contribute nothing
+    val keepFloor = math.max(0L, m.version - math.max(1, retainVersions) + 1)
+    // delta records ≥ keepFloor resolve by walking back to this
+    // checkpoint; everything ≥ cpFloor must therefore survive
+    val cpFloor = keepFloor - Math.floorMod(keepFloor, CheckpointInterval.toLong)
+    // union of the retained versions' resolved file lists — gaps
+    // (already-vacuumed versions) just contribute nothing
     val live = (keepFloor to m.version)
       .flatMap(v => manifestAt(table, v)).flatMap(_.files.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
@@ -564,9 +899,9 @@ object MergeTable {
           catch { case _: Exception => false }
         versionOf(p.getFileName.toString) match {
           case Some(v) =>
-            if (v < keepFloor && old) { Files.deleteIfExists(p); deleted += 1 }
+            if (v < cpFloor && old) { Files.deleteIfExists(p); deleted += 1 }
           case None =>
-            // crash-orphaned staging manifests (writer died between the
+            // crash-orphaned staging records (writer died between the
             // tmp write and the link) age out here too
             if (p.getFileName.toString.startsWith(".tmp-") && old) {
               Files.deleteIfExists(p); deleted += 1
@@ -581,11 +916,22 @@ object MergeTable {
   private[graft] def dropTable(table: String): Unit =
     deleteDir(Paths.get(table))
 
+  /** Refresh a live table's root mtime — the heartbeat [[sweepScratch]]'s
+    * age gate keys on. Sessions that READ a memoized table long after
+    * building it must touch it per access, or a newer JVM's sweep
+    * collects it mid-session (the root mtime is otherwise set at build
+    * time and never refreshed by reads). */
+  private[graft] def touchTable(table: String): Unit =
+    try Files.setLastModifiedTime(Paths.get(table),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Exception => () }
+
   /** Age-gated sweep of the per-process scratch-table root: every bench
     * JVM builds its own appId-tagged fixture tables, and without a
     * reaper they accumulate across processes. Only entries older than
     * the grace collect — a concurrently-running app's table is younger
-    * by construction (its build touched it this session).
+    * by construction: its build touched it, and every memoized READ
+    * refreshes the heartbeat via [[touchTable]].
     */
   private[ops] def sweepScratch(root: java.nio.file.Path,
       graceMs: Long = 6L * 3600 * 1000): Unit =
@@ -612,6 +958,52 @@ object MergeTable {
       } finally stream.close()
     }
 
+  // ---- change data feed ---------------------------------------------------
+
+  /** Row-level changes between two committed versions of any merge table.
+    *
+    * FILE-SCOPED: both manifests list exactly which files each version
+    * holds, so the diff reads ONLY the file-set delta — the older side
+    * restricted to files `from` holds that `to` dropped, the newer side
+    * to files `to` holds that `from` lacked. Files shared by both
+    * versions are immutable and key-unique per version, so every row in
+    * them is byte-identical on both sides and contributes no change —
+    * skipping them is exact, not approximate. Cost is O(changed files +
+    * changes), never O(table) — the thing a lakehouse CDF log buys,
+    * recovered here from manifests alone (the round-9 O(table)-per-commit
+    * scale defect, closed).
+    *
+    * Composite keys are supported (the diff joins on ALL key columns);
+    * `cols` defaults to every non-key column of the newer version.
+    * Schema evolution: the older snapshot may predate columns the newer
+    * one carries — it widens with typed nulls so a widening boundary
+    * reports UPDATEs (null → value) instead of failing to resolve.
+    */
+  def changesBetween(
+      s: SparkSession, table: String, fromVersion: Long, toVersion: Long,
+      cols: Seq[String] = Seq.empty): DataFrame = {
+    val mTo = manifestAt(table, toVersion)
+      .getOrElse(sys.error(s"version $toVersion not found under $table"))
+    val mFrom = manifestAt(table, fromVersion)
+      .getOrElse(sys.error(s"version $fromVersion not found under $table"))
+    val keys = mTo.keys
+    val newSchema = DataType.fromJson(mTo.schemaJson).asInstanceOf[StructType]
+    val payload =
+      if (cols.nonEmpty) cols
+      else newSchema.fieldNames.filterNot(keys.contains).toSeq
+    val fromPaths = mFrom.files.map(_.path).toSet
+    val toPaths = mTo.files.map(_.path).toSet
+    val removedEntries = mFrom.files.filterNot(f => toPaths.contains(f.path))
+    val addedEntries = mTo.files.filterNot(f => fromPaths.contains(f.path))
+    val target = StructType((keys ++ payload).map(c => newSchema(c)))
+    def side(m: TableManifest, entries: Seq[DataFileEntry]) = {
+      val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+      withAllColumns(readFiles(s, table, schema, entries), target)
+    }
+    ChangeCapture.snapshotDiffKeys(
+      side(mFrom, removedEntries), side(mTo, addedEntries), keys, payload)
+  }
+
   // ---- oracled round-trip over the merged table ---------------------------
 
   private val mergedCache = IndexMemo.cache[(SparkSession, String), String]()
@@ -620,10 +1012,12 @@ object MergeTable {
     * BOTH merge queries: full load (v0), two overlapping update waves
     * (v1, v2), a keyed DELETE (v3), and an insert-only wave (v4). Built
     * once per (session, input); both queries read committed versions of
-    * the same table.
+    * the same table. NEVER vacuumed by the fixture: the registered
+    * queries time-travel to v0 and v2, so any retention policy here must
+    * keep retainVersions ≥ 5 (the retention contract spec pins this).
     */
-  private def buildMergedEvents(s: SparkSession, sfDir: String): String =
-    IndexMemo(mergedCache, (s, sfDir)) {
+  private def buildMergedEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(mergedCache, (s, sfDir)) {
       IndexStore.recordFixtureBuild("merge-table")
       val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
       // path carries the INPUT DIR (scopedName: basename + path hash), not
@@ -639,18 +1033,18 @@ object MergeTable {
       val ev = Tables.read(s, sfDir, "events")
       val keys = Seq("event_id")
       // wave 0: initial full load
-      mergeUpsert(s, t, ev, keys, "event_id", txn = Some(("seed", 0L)))
+      mergeUpsert(s, t, ev, keys, keys, txn = Some(("seed", 0L)))
       // wave 1: ~40% of keys re-delivered with updated payloads
       mergeUpsert(s, t,
         ev.where(pmod(col("event_id"), lit(5)) < 2)
           .withColumn("value", col("value") + 100.0)
           .withColumn("event_type", lit("updated")),
-        keys, "event_id", txn = Some(("seed", 1L)))
+        keys, keys, txn = Some(("seed", 1L)))
       // wave 2: a second overlapping wave (wins over wave 1 where both hit)
       mergeUpsert(s, t,
         ev.where(pmod(col("event_id"), lit(7)) === 0)
           .withColumn("value", col("value") + 200.0),
-        keys, "event_id", txn = Some(("seed", 2L)))
+        keys, keys, txn = Some(("seed", 2L)))
       // wave 3: keyed delete (the GDPR sweep) — every %11==3 key purged
       mergeDelete(s, t,
         ev.where(pmod(col("event_id"), lit(11)) === 3).select(col("event_id")),
@@ -665,9 +1059,12 @@ object MergeTable {
           .withColumn("event_id", col("event_id") + offset)
           .withColumn("event_type", lit("cloned"))
           .withColumn("value", col("value") + 500.0),
-        keys, "event_id", txn = Some(("seed", 4L)))
+        keys, keys, txn = Some(("seed", 4L)))
       t
     }
+    touchTable(t) // heartbeat: a long session's reads keep the table alive
+    t
+  }
 
   /** `q_merge_upsert`: TIME-TRAVEL read of version 2 (after the two
     * update waves, before the delete/insert waves that later commits
@@ -704,40 +1101,13 @@ object MergeTable {
        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** `q_merge_cdf`: the table's CHANGE DATA FEED between version 0 and the
-    * latest snapshot, derived entirely from time travel + the engine's own
-    * CDC diff ([[ChangeCapture.snapshotDiff]]) — INSERTs from the clone
-    * wave, DELETEs from the purge wave, UPDATEs from the two payload
-    * waves. A lakehouse CDF without a log of row-level changes: immutable
-    * versions make any (v_a, v_b) diff computable after the fact, at
-    * keyed-full-outer-join cost over the two snapshots. The oracle
-    * rebuilds both versions from the raw table with the same wave CASEs.
+    * latest snapshot, via the file-scoped [[changesBetween]] —
+    * INSERTs from the clone wave, DELETEs from the purge wave, UPDATEs
+    * from the two payload waves. The oracle rebuilds both versions from
+    * the raw table with the same wave CASEs and diffs them IN FULL —
+    * protocol-independent, so it also proves the file-scoped diff loses
+    * nothing against the full-snapshot semantics.
     */
-  /** Row-level changes between two committed versions of any merge
-    * table: keyed full-outer diff over the two immutable snapshots. The
-    * general CDF primitive behind [[mergeChanges]]; `cols` defaults to
-    * every non-key column of the newer version.
-    */
-  def changesBetween(
-      s: SparkSession, table: String, fromVersion: Long, toVersion: Long,
-      cols: Seq[String] = Seq.empty): DataFrame = {
-    val m = manifestAt(table, toVersion)
-      .getOrElse(sys.error(s"version $toVersion not found under $table"))
-    require(m.keys.size == 1,
-      "changesBetween supports single-column keys (snapshotDiff contract)")
-    val key = m.keys.head
-    val newer = readVersion(s, table, toVersion)
-    val payload =
-      if (cols.nonEmpty) cols else newer.columns.filterNot(_ == key).toSeq
-    // schema evolution: the OLDER snapshot may predate columns the newer
-    // one carries — widen it with typed nulls so a widening boundary
-    // reports UPDATEs (null → value) instead of failing to resolve
-    val target = StructType((key +: payload).map(c => newer.schema(c)))
-    def slim(df: DataFrame) =
-      withAllColumns(df, target).select((key +: payload).map(col): _*)
-    ChangeCapture.snapshotDiff(
-      slim(readVersion(s, table, fromVersion)), slim(newer), key, payload)
-  }
-
   def mergeChanges(s: SparkSession, sfDir: String): DataFrame = {
     val t = buildMergedEvents(s, sfDir)
     changesBetween(s, t, 0L, latestManifest(t).get.version,

@@ -664,14 +664,16 @@ object SimilarityOps {
     * recorded quantizer-parity rule). Integer residuals make every
     * downstream mean/threshold comparison exact.
     *
-    * NaN cosine (zero-norm vector) books the MAXIMUM residual (10⁴):
-    * degenerate arrivals must push a cell toward retrain, never vanish —
-    * and the guard keeps this column, the streaming twin's Scala
-    * computation, and the oracle's CASE in agreement (an unguarded
-    * NaN→long cast throws under ANSI here and would zero on the
-    * streaming side: three different answers for one input). */
+    * NaN cosine (zero-norm vector) books the MAXIMUM residual (2·10⁴ —
+    * 1−cos reaches 2.0 for anticorrelated vectors, so 10⁴ would rank a
+    * degenerate arrival BELOW a strongly anticorrelated one): degenerate
+    * arrivals must push a cell toward retrain, never vanish — and the
+    * guard keeps this column, the streaming twin's Scala computation,
+    * and the oracle's CASE in agreement (an unguarded NaN→long cast
+    * throws under ANSI here and would zero on the streaming side: three
+    * different answers for one input). */
   private def residIntCol =
-    when(isnan(col("cos")), lit(10000L))
+    when(isnan(col("cos")), lit(20000L))
       .otherwise(floor((lit(1.0) - col("cos")) * 10000 + lit(0.5)).cast("long"))
 
   /** Shared staleness verdict over per-cell (n_base, n_inc, rs_base,
@@ -732,7 +734,7 @@ object SimilarityOps {
     s"""WITH $kmeansCtesSql,
        |r AS (
        |  SELECT cid, vec_id % 2 AS win,
-       |    CASE WHEN isnan(cos) THEN 10000
+       |    CASE WHEN isnan(cos) THEN 20000
        |         ELSE CAST(floor((1 - cos) * 10000 + 0.5) AS BIGINT)
        |    END AS resid_i
        |  FROM afinal),
@@ -1363,11 +1365,12 @@ object SimilarityOps {
       MergeTable.dropTable(t)
       val wide = pqCodesWide(s, dir)
       MergeTable.mergeUpsert(s, t, wide.where(pmod(col("vec_id"), lit(2)) === 0),
-        Seq("vec_id"), "vec_id", txn = Some(("ann-ingest", 0L)))
+        Seq("vec_id"), Seq("vec_id"), txn = Some(("ann-ingest", 0L)))
       MergeTable.mergeUpsert(s, t, wide.where(pmod(col("vec_id"), lit(2)) === 1),
-        Seq("vec_id"), "vec_id", txn = Some(("ann-ingest", 1L)))
+        Seq("vec_id"), Seq("vec_id"), txn = Some(("ann-ingest", 1L)))
       t
     }
+    MergeTable.touchTable(table) // heartbeat vs the scratch-root sweep
     adcShortlistRerank(s, dir, cand = None,
       codesOverride = Some(MergeTable.read(s, table)))
   }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.Try
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
@@ -9,7 +11,7 @@ import graft.ops.MergeTable
 /** Streaming CHANGE DATA FEED over a [[MergeTable]] — the readChangeFeed
   * consumer, built Spark-first on the file-stream source instead of a
   * custom DSv2 source: every commit publishes exactly one immutable
-  * manifest file (`_graft_log/v<N>.json`, hard-linked atomically), so
+  * log record (`_graft_log/v<N>.json`, hard-linked atomically), so
   * `readStream` over the log directory IS a checkpointed, exactly-once
   * stream of new table versions. Each discovered version v resolves to
   * its row-level changes via [[MergeTable.changesBetween]](v−1, v)
@@ -17,20 +19,29 @@ import graft.ops.MergeTable
   * `out/version=v`.
   *
   * Delivery contract: the file source's checkpoint guarantees each
-  * manifest is DISCOVERED once; the per-version output directory is
+  * log record is DISCOVERED once; the per-version output directory is
   * written with overwrite, so a crash-replay of a half-processed batch
   * converges (same version → same rows → same directory). Downstream
   * consumers read the feed as a version-partitioned table.
   *
-  * Scale shape: discovery moves one tiny JSON file per commit; the diff
-  * per version is the keyed full-outer join of two snapshots — at a real
-  * commit cadence the consumer lags by diff cost, and a lakehouse with a
-  * row-level change log would swap [[MergeTable.changesBetween]] for a
-  * log read without touching this sink's shape.
+  * Scale shape: discovery moves one tiny JSON file per commit, and the
+  * per-version diff is FILE-SCOPED ([[MergeTable.changesBetween]] reads
+  * only the two manifests' file-set delta) — the feed's cost per commit
+  * is O(files touched by that commit + its changes), never O(table), so
+  * a high commit cadence over a 100 TB table streams at the cost of the
+  * changes themselves.
+  *
+  * Retention resilience: a LAGGING feed can meet versions whose manifests
+  * or data files vacuum already retired. Log-gone versions skip (their
+  * changes are subsumed by the next readable version's snapshot boot);
+  * data-gone versions are caught at READ time — `manifestAt(v).nonEmpty`
+  * proves only the log record survives, not the files it references
+  * (written hours earlier, droppable by v+1's commit + vacuum) — and
+  * fall back the same way instead of crash-looping the query.
   */
 object StreamingChangeFeed {
 
-  /** The raw stream of newly committed version numbers. A manifest is
+  /** The raw stream of newly committed version numbers. A log record is
     * single-line JSON, so the text source yields exactly ONE row per
     * newly discovered file — no aggregation, no state; the version comes
     * from the file name. `.tmp-` staging files are excluded by glob.
@@ -61,6 +72,29 @@ object StreamingChangeFeed {
       }
       .start()
 
+  /** True when `e`'s cause chain is a missing-file/version condition —
+    * the vacuumed-under-a-lagging-reader signature (executor-side
+    * FileNotFoundException wrapped in SparkException, planner-side
+    * PATH_NOT_FOUND, or the manifest resolver's own not-found /
+    * log-gap errors). Anything else (OOM, cancellation, corrupt data)
+    * must STILL fail the query loudly. */
+  private def isMissingData(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var hops = 0
+    while (c != null && hops < 16) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case _ =>
+          val m = Option(c.getMessage).getOrElse("")
+          if (m.contains("FileNotFound") || m.contains("PATH_NOT_FOUND") ||
+            m.contains("does not exist") || m.contains("not found under") ||
+            m.contains("log gap")) return true
+      }
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
+  }
+
   private def writeNewVersions(
       s: SparkSession, table: String, out: String, batch: DataFrame): Unit = {
     val versions = batch.select(col("version")).collect()
@@ -70,35 +104,73 @@ object StreamingChangeFeed {
       // overwrite-by-version makes replay idempotent; an existing COMPLETE
       // dir (its _SUCCESS marker) is this version already delivered
       if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        // a version whose PREDECESSOR is unreadable (manifest vacuumed,
+        // OR files it carries by reference already collected) boots from
+        // the full snapshot — the startingVersion-beyond-retention
+        // behavior; diffs resume from the next version. feed_type marks
+        // it: a consumer applying the feed incrementally must treat a
+        // snapshot as a RESET, not as incremental inserts (without the
+        // marker, a mid-stream boot would silently double-apply every
+        // pre-existing row)
+        def snapshotBoot(feedType: String): Unit =
+          MergeTable.readVersion(s, table, v)
+            .withColumn("change_type", lit("INSERT"))
+            .withColumn("feed_type", lit(feedType))
+            .write.mode("overwrite").parquet(dir.toString)
         // a version RETIRED BY VACUUM before the (lagging/replayed) feed
         // reached it delivers nothing: its changes are subsumed by the
-        // next surviving version's snapshot boot below — erroring here
-        // would wedge the stream on every restart
-        if (MergeTable.manifestAt(table, v).nonEmpty) {
-          // a version whose PREDECESSOR manifest was vacuumed boots from
-          // the full snapshot — the startingVersion-beyond-retention
-          // behavior; diffs resume from the next version. feed_type
-          // marks it: a consumer applying the feed incrementally must
-          // treat a snapshot as a RESET, not as incremental inserts
-          // (without the marker, a mid-stream boot would silently
-          // double-apply every pre-existing row)
-          val changes =
-            if (v == 0L || MergeTable.manifestAt(table, v - 1).isEmpty)
-              MergeTable.readVersion(s, table, v)
-                .withColumn("change_type", lit("INSERT"))
-                .withColumn("feed_type",
-                  lit(if (v == 0L) "diff" else "snapshot"))
-            else MergeTable.changesBetween(s, table, v - 1, v)
-              .withColumn("feed_type", lit("diff"))
-          changes.write.mode("overwrite").parquet(dir.toString)
+        // next surviving version's snapshot boot — erroring here would
+        // wedge the stream on every restart. Every read below is tried
+        // the same way: manifest existence is NOT proof the referenced
+        // data files survived (see scaladoc), so a mid-diff missing file
+        // downgrades to the snapshot boot, and a missing file in v's OWN
+        // snapshot skips v — the NEXT version then fails its diff
+        // against v the same way and snapshot-boots itself, healing the
+        // feed one surviving version later.
+        if (Try(MergeTable.manifestAt(table, v)).toOption.flatten.nonEmpty) {
+          try {
+            if (v == 0L ||
+              Try(MergeTable.manifestAt(table, v - 1)).toOption.flatten.isEmpty)
+              snapshotBoot(if (v == 0L) "diff" else "snapshot")
+            else {
+              try
+                MergeTable.changesBetween(s, table, v - 1, v)
+                  .withColumn("feed_type", lit("diff"))
+                  .write.mode("overwrite").parquet(dir.toString)
+              catch {
+                case e: Throwable if isMissingData(e) => snapshotBoot("snapshot")
+              }
+            }
+          } catch {
+            case e: Throwable if isMissingData(e) => () // v itself gone: skip
+          }
         }
       }
     }
   }
 
-  /** Read the accumulated feed (version-partitioned). */
-  def readFeed(s: SparkSession, out: String): DataFrame =
-    s.read
-      .option("basePath", out)
-      .parquet(out)
+  /** Read the accumulated feed (version-partitioned). Only COMPLETE
+    * version dirs (their `_SUCCESS` marker) are read: a crash between a
+    * replayed overwrite's data files and its commit marker leaves a
+    * half-written dir that the next replay will redo — a reader in
+    * between must not see its partial or torn rows (the same
+    * complete-generation discipline the GenStore reader applies).
+    */
+  def readFeed(s: SparkSession, out: String): DataFrame = {
+    val root = java.nio.file.Paths.get(out)
+    val complete: Seq[String] =
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else {
+        val st = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("version=") &&
+              java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+            .map(_.toString).toSeq.sorted
+        } finally st.close()
+      }
+    require(complete.nonEmpty, s"no complete feed versions under $out")
+    s.read.option("basePath", out).parquet(complete: _*)
+  }
 }

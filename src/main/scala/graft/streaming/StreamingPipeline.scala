@@ -446,7 +446,7 @@ object StreamingPipeline {
       tablePath: String,
       checkpoint: String,
       keys: Seq[String] = Seq("event_id"),
-      clusterBy: String = "event_id"): StreamingQuery =
+      clusterBy: Seq[String] = Seq("event_id")): StreamingQuery =
     projected.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)

@@ -73,8 +73,10 @@ object StreamingSimilarity {
     * with its replay guard — the [[StreamingDrift]] store pattern over
     * assignment residuals instead of token buckets.
     *
-    * A NaN cosine (zero-norm vector) books the MAXIMUM residual (10⁴):
-    * degenerate arrivals should push a cell toward retrain, not vanish.
+    * A NaN cosine (zero-norm vector) books the MAXIMUM residual (2·10⁴ —
+    * the true ceiling, since 1−cos reaches 2.0 for anticorrelated
+    * vectors): degenerate arrivals should push a cell toward retrain,
+    * not vanish, and never rank below an anticorrelated arrival.
     */
   def mergeResidualsIntoStore(
       batch: DataFrame, dir: String, storePath: String, batchId: Long): Unit = {
@@ -84,7 +86,7 @@ object StreamingSimilarity {
       val counts = assignStream(spark, batch, dir)
         .map { a =>
           val r = (1.0 - a.cos) * 10000 + 0.5
-          val resid = if (r.isNaN) 10000L else math.floor(r).toLong
+          val resid = if (r.isNaN) 20000L else math.floor(r).toLong
           (a.cell, resid)
         }
         .toDF("cid", "resid_i")

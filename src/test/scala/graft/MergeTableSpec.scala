@@ -28,8 +28,8 @@ class MergeTableSpec extends AnyFunSuite {
 
   test("new rows win on key collision; read returns the merged snapshot") {
     val t = freshTable("basic")
-    MergeTable.mergeUpsert(spark, t, rows(1L to 10L, 1.0), Seq("event_id"), "event_id")
-    MergeTable.mergeUpsert(spark, t, rows(8L to 12L, 2.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 10L, 1.0), Seq("event_id"), Seq("event_id"))
+    MergeTable.mergeUpsert(spark, t, rows(8L to 12L, 2.0), Seq("event_id"), Seq("event_id"))
     val out = MergeTable.read(spark, t)
       .select("event_id", "value").as[(Long, Double)].collect().toMap
     assert(out.size == 12)
@@ -44,20 +44,20 @@ class MergeTableSpec extends AnyFunSuite {
     val t = freshTable("prune")
     // 4096 rows/file default → force multiple files with a small target
     MergeTable.mergeUpsert(spark, t, rows(1L to 1000L, 1.0),
-      Seq("event_id"), "event_id", targetRowsPerFile = 100)
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
     val m0 = MergeTable.latestManifest(t).get
     assert(m0.files.size >= 8, s"want many files, got ${m0.files.size}")
     // range-clustered commit → per-file bounds are tight and disjoint
-    val sorted = m0.files.sortBy(_.minKey)
+    val sorted = m0.files.sortBy(_.minLong("event_id"))
     sorted.sliding(2).foreach {
-      case Seq(a, b) => assert(a.maxKey < b.minKey, s"$a overlaps $b")
+      case Seq(a, b) => assert(a.maxLong("event_id") < b.minLong("event_id"), s"$a overlaps $b")
       case _ => ()
     }
     // batch hits keys inside exactly one file's [min,max]
     val victim = sorted(3)
-    val batchKeys = Seq(victim.minKey, victim.maxKey)
+    val batchKeys = Seq(victim.minLong("event_id"), victim.maxLong("event_id"))
     MergeTable.mergeUpsert(spark, t, rows(batchKeys, 9.0),
-      Seq("event_id"), "event_id", targetRowsPerFile = 100)
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
     val m1 = MergeTable.latestManifest(t).get
     val kept = m1.files.map(_.path).toSet
     // every file except the victim survives BY REFERENCE (same path)
@@ -70,15 +70,15 @@ class MergeTableSpec extends AnyFunSuite {
       .select("event_id", "value").as[(Long, Double)].collect().toMap
     assert(out.size == 1000)
     assert(batchKeys.forall(out(_) == 9.0))
-    assert(out(victim.minKey + 1) == 1.0)
+    assert(out(victim.minLong("event_id") + 1) == 1.0)
   }
 
   test("txn watermark: a replayed (writer, version) is a no-op") {
     val t = freshTable("txn")
     MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 1.0),
-      Seq("event_id"), "event_id", txn = Some(("w", 0L)))
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 0L)))
     val applied = MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 2.0),
-      Seq("event_id"), "event_id", txn = Some(("w", 0L)))
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 0L)))
     assert(!applied, "replayed txn must be skipped")
     assert(MergeTable.latestManifest(t).get.version == 0L)
     val out = MergeTable.read(spark, t)
@@ -86,7 +86,7 @@ class MergeTableSpec extends AnyFunSuite {
     assert(out.values.forall(_ == 1.0), "replayed batch must not re-apply")
     // a NEW version from the same writer applies
     assert(MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 3.0),
-      Seq("event_id"), "event_id", txn = Some(("w", 1L))))
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L))))
     assert(MergeTable.read(spark, t).where(col("value") === 3.0).count() == 5)
   }
 
@@ -94,20 +94,20 @@ class MergeTableSpec extends AnyFunSuite {
     val t = freshTable("dup")
     val dup = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("event_id", "tag", "value")
     val e = intercept[IllegalArgumentException] {
-      MergeTable.mergeUpsert(spark, t, dup, Seq("event_id"), "event_id")
+      MergeTable.mergeUpsert(spark, t, dup, Seq("event_id"), Seq("event_id"))
     }
     assert(e.getMessage.contains("key-unique"))
   }
 
   test("commit CAS: a foreign commit at the next version forces a retry that lands after it") {
     val t = freshTable("cas")
-    MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 1.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 1.0), Seq("event_id"), Seq("event_id"))
     // a concurrent writer publishes v1 out from under the next merge: copy
     // v0's manifest bytes to v1 (a valid committed manifest)
     val log = Paths.get(t, "_graft_log")
     Files.copy(log.resolve("v" + "0" * 20 + ".json"),
       log.resolve("v" + "0" * 19 + "1.json"))
-    MergeTable.mergeUpsert(spark, t, rows(3L to 6L, 2.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(3L to 6L, 2.0), Seq("event_id"), Seq("event_id"))
     val m = MergeTable.latestManifest(t).get
     assert(m.version == 2L, s"merge must commit AFTER the foreign v1, got ${m.version}")
     val out = MergeTable.read(spark, t)
@@ -117,8 +117,8 @@ class MergeTableSpec extends AnyFunSuite {
 
   test("vacuum retains the newest versions BY COUNT; older ones collect") {
     val t = freshTable("vacuum")
-    MergeTable.mergeUpsert(spark, t, rows(1L to 50L, 1.0), Seq("event_id"), "event_id")
-    MergeTable.mergeUpsert(spark, t, rows(1L to 50L, 2.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 50L, 1.0), Seq("event_id"), Seq("event_id"))
+    MergeTable.mergeUpsert(spark, t, rows(1L to 50L, 2.0), Seq("event_id"), Seq("event_id"))
     val before = MergeTable.read(spark, t)
       .select("event_id", "value").as[(Long, Double)].collect().toMap
     // default retention (2 versions): v0 survives even at zero grace —
@@ -140,8 +140,8 @@ class MergeTableSpec extends AnyFunSuite {
 
   test("time travel: every committed version reads back exactly as committed") {
     val t = freshTable("tt")
-    MergeTable.mergeUpsert(spark, t, rows(1L to 10L, 1.0), Seq("event_id"), "event_id")
-    MergeTable.mergeUpsert(spark, t, rows(5L to 8L, 2.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 10L, 1.0), Seq("event_id"), Seq("event_id"))
+    MergeTable.mergeUpsert(spark, t, rows(5L to 8L, 2.0), Seq("event_id"), Seq("event_id"))
     MergeTable.mergeDelete(spark, t, rows(Seq(1L, 2L), 0.0))
     def at(v: Long) = MergeTable.readVersion(spark, t, v)
       .select("event_id", "value").as[(Long, Double)].collect().toMap
@@ -159,13 +159,13 @@ class MergeTableSpec extends AnyFunSuite {
   test("keyed delete prunes to overlapping files and reports the removed count") {
     val t = freshTable("del")
     MergeTable.mergeUpsert(spark, t, rows(1L to 1000L, 1.0),
-      Seq("event_id"), "event_id", targetRowsPerFile = 100)
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
     val m0 = MergeTable.latestManifest(t).get
-    val sorted = m0.files.sortBy(_.minKey)
+    val sorted = m0.files.sortBy(_.minLong("event_id"))
     val victim = sorted(2)
     // delete two keys inside ONE file's range
     val n = MergeTable.mergeDelete(spark, t,
-      rows(Seq(victim.minKey, victim.minKey + 1), 0.0), targetRowsPerFile = 100)
+      rows(Seq(victim.minLong("event_id"), victim.minLong("event_id") + 1), 0.0), targetRowsPerFile = 100)
     assert(n == 2L, s"expected 2 deleted, got $n")
     val m1 = MergeTable.latestManifest(t).get
     assert(m1.files.map(_.numRows).sum == 998L)
@@ -186,7 +186,7 @@ class MergeTableSpec extends AnyFunSuite {
     (0 until 6).foreach { i =>
       MergeTable.mergeUpsert(spark, t,
         rows((i * 10 + 1L) to (i * 10 + 10L), 1.0),
-        Seq("event_id"), "event_id", targetRowsPerFile = 100)
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
     }
     val before = MergeTable.latestManifest(t).get
     assert(before.files.size >= 2)
@@ -206,11 +206,11 @@ class MergeTableSpec extends AnyFunSuite {
 
   test("additive schema evolution: new columns widen, old rows read back null") {
     val t = freshTable("schema")
-    MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 1.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 1.0), Seq("event_id"), Seq("event_id"))
     // a later batch carries a column the table has never seen
     val widened = Seq((6L, "u6", 2.0, "eu-west"), (3L, "u3x", 3.0, "us-east"))
       .toDF("event_id", "tag", "value", "region")
-    MergeTable.mergeUpsert(spark, t, widened, Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, widened, Seq("event_id"), Seq("event_id"))
     val out = MergeTable.read(spark, t)
     assert(out.columns.toSet == Set("event_id", "tag", "value", "region"))
     val byId = out.select("event_id", "value", "region")
@@ -221,22 +221,22 @@ class MergeTableSpec extends AnyFunSuite {
     assert(byId(1L) == ((1.0, None)))
     // a batch MISSING an existing column lands with nulls, not an error
     val narrow = Seq((7L, 4.0)).toDF("event_id", "value")
-    MergeTable.mergeUpsert(spark, t, narrow, Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, narrow, Seq("event_id"), Seq("event_id"))
     val r7 = MergeTable.read(spark, t).where(col("event_id") === 7L)
       .select("tag", "region").collect()(0)
     assert(r7.isNullAt(0) && r7.isNullAt(1))
     // retyping an existing column is rejected
     val retyped = Seq((8L, 9)).toDF("event_id", "value") // value int, table double
     val e = intercept[IllegalArgumentException] {
-      MergeTable.mergeUpsert(spark, t, retyped, Seq("event_id"), "event_id")
+      MergeTable.mergeUpsert(spark, t, retyped, Seq("event_id"), Seq("event_id"))
     }
     assert(e.getMessage.contains("migration"))
   }
 
   test("changesBetween: any (v_a, v_b) pair diffs correctly, not just 0->latest") {
     val t = freshTable("cdf")
-    MergeTable.mergeUpsert(spark, t, rows(1L to 6L, 1.0), Seq("event_id"), "event_id")
-    MergeTable.mergeUpsert(spark, t, rows(5L to 8L, 2.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 6L, 1.0), Seq("event_id"), Seq("event_id"))
+    MergeTable.mergeUpsert(spark, t, rows(5L to 8L, 2.0), Seq("event_id"), Seq("event_id"))
     MergeTable.mergeDelete(spark, t, rows(Seq(1L), 0.0))
     // v1 -> v2: only the delete
     val d12 = MergeTable.changesBetween(spark, t, 1L, 2L)
@@ -272,7 +272,7 @@ class MergeTableSpec extends AnyFunSuite {
           }
         } else {
           MergeTable.mergeUpsert(spark, t, rows(ks, v),
-            Seq("event_id"), "event_id", targetRowsPerFile = 7)
+            Seq("event_id"), Seq("event_id"), targetRowsPerFile = 7)
           ks.foreach(k => model(k) = v)
         }
       }
@@ -289,7 +289,7 @@ class MergeTableSpec extends AnyFunSuite {
 
   test("no-overlap delete with a txn still advances the watermark (metadata-only commit)") {
     val t = freshTable("delwm")
-    MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 1.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 5L, 1.0), Seq("event_id"), Seq("event_id"))
     // batch 0 of a delete sink: keys don't exist yet — no files touched,
     // but the watermark MUST land or a crash-replay after a concurrent
     // writer adds the keys would delete rows the original run never saw
@@ -299,7 +299,7 @@ class MergeTableSpec extends AnyFunSuite {
     assert(m.txns.get("delsink").contains(0L), "watermark not recorded")
     assert(m.files.map(_.numRows).sum == 5L, "metadata-only commit moved data")
     // a concurrent writer lands key 100; the replayed batch 0 must no-op
-    MergeTable.mergeUpsert(spark, t, rows(Seq(100L), 9.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(Seq(100L), 9.0), Seq("event_id"), Seq("event_id"))
     assert(MergeTable.mergeDelete(spark, t, rows(Seq(100L), 0.0),
       txn = Some(("delsink", 0L))) == 0L)
     assert(MergeTable.read(spark, t).where(col("event_id") === 100L).count() == 1,
@@ -308,10 +308,10 @@ class MergeTableSpec extends AnyFunSuite {
 
   test("changesBetween crosses a schema-widening boundary") {
     val t = freshTable("cdfw")
-    MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), Seq("event_id"))
     MergeTable.mergeUpsert(spark, t,
       Seq((2L, "u2", 2.0, "eu")).toDF("event_id", "tag", "value", "region"),
-      Seq("event_id"), "event_id")
+      Seq("event_id"), Seq("event_id"))
     val d = MergeTable.changesBetween(spark, t, 0L, 1L)
       .select("event_id", "change_type").as[(Long, String)].collect().toMap
     // key 2: value 1.0→2.0 AND region null→'eu' — an UPDATE, not a crash
@@ -322,14 +322,14 @@ class MergeTableSpec extends AnyFunSuite {
     val t = freshTable("ck")
     val e = intercept[IllegalArgumentException] {
       MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0),
-        Seq("event_id"), clusterBy = "value")
+        Seq("event_id"), clusterBy = Seq("value"))
     }
     assert(e.getMessage.contains("merge keys"))
   }
 
   test("vacuum collects crash-orphaned .tmp manifests") {
     val t = freshTable("tmpvac")
-    MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), Seq("event_id"))
     val orphan = Paths.get(t, "_graft_log", ".tmp-deadbeef")
     Files.write(orphan, "{}".getBytes)
     // backdate: with graceMs=0 the cutoff is "now", and a file written in
@@ -343,7 +343,7 @@ class MergeTableSpec extends AnyFunSuite {
 
   test("concurrent writers: parallel merges all land, none lost, content = union") {
     val t = freshTable("conc")
-    MergeTable.mergeUpsert(spark, t, rows(Seq(0L), 0.5), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(Seq(0L), 0.5), Seq("event_id"), Seq("event_id"))
     // 4 writers × 3 sequential merges each, disjoint key ranges (so the
     // final content is deterministic) — every commit races the others
     // through the version CAS and must retry, never clobber
@@ -355,7 +355,7 @@ class MergeTableSpec extends AnyFunSuite {
             val base = 1000L * (w * 3 + i + 1)
             MergeTable.mergeUpsert(spark, t,
               rows(base to base + 9L, w + 1.0),
-              Seq("event_id"), "event_id", txn = Some((s"w$w", i.toLong)))
+              Seq("event_id"), Seq("event_id"), txn = Some((s"w$w", i.toLong)))
           }
         })
       }
@@ -379,9 +379,234 @@ class MergeTableSpec extends AnyFunSuite {
       .select("event_id").as[Long].collect().toSet == out.keySet)
   }
 
+  test("checkpointed log: a long commit history resolves from one checkpoint " +
+    "+ a bounded delta suffix, not the whole log") {
+    val t = freshTable("cklog")
+    // 25 commits → versions 0..24; checkpoints at v0, v10, v20
+    (0 until 25).foreach { i =>
+      MergeTable.mergeUpsert(spark, t, rows(Seq(i.toLong, 500L + i), i + 1.0),
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 10)
+    }
+    val full = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(full.size == 50)
+    // HARD proof resolution never reads below the checkpoint floor:
+    // delete every log record under v20 — if resolving v24 touched any
+    // of them it would now fail; it must not even notice
+    val log = Paths.get(t, "_graft_log")
+    (0 until 20).foreach { v =>
+      Files.deleteIfExists(log.resolve(f"v$v%020d.json"))
+    }
+    val resolved = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(resolved == full, "latest snapshot changed after trimming the log tail")
+    assert(MergeTable.latestManifest(t).get.version == 24L)
+    // and vacuum's own log retention respects the same floor: with
+    // retainVersions=2 (keepFloor v23) it keeps v20's checkpoint — the
+    // records v23/v24 resolve through — and only retires BELOW it
+    val t2 = freshTable("cklog2")
+    (0 until 25).foreach { i =>
+      MergeTable.mergeUpsert(spark, t2, rows(Seq(i.toLong), i + 1.0),
+        Seq("event_id"), Seq("event_id"))
+    }
+    MergeTable.vacuum(t2, graceMs = 0L)
+    assert(Files.exists(Paths.get(t2, "_graft_log", f"v${20L}%020d.json")),
+      "vacuum retired the checkpoint its retained deltas resolve through")
+    assert(!Files.exists(Paths.get(t2, "_graft_log", f"v${9L}%020d.json")),
+      "vacuum kept a record below the checkpoint floor")
+    assert(MergeTable.read(spark, t2).count() == 25L)
+  }
+
+  test("typed stats: a STRING-clustered table prunes files by string range") {
+    val t = freshTable("strkey")
+    val docs = (0 until 400).map(i => (f"doc$i%04d", i * 1.0))
+      .toDF("doc_id", "value")
+    MergeTable.mergeUpsert(spark, t, docs, Seq("doc_id"), Seq("doc_id"),
+      targetRowsPerFile = 50)
+    val m0 = MergeTable.latestManifest(t).get
+    assert(m0.files.size >= 4, s"want several files, got ${m0.files.size}")
+    assert(m0.files.head.stats("doc_id").t == "string")
+    // a batch inside ONE file's lexical range touches only that file
+    val victim = m0.files.sortBy(_.stats("doc_id").min).apply(1)
+    val batch = Seq((victim.stats("doc_id").min, 99.0)).toDF("doc_id", "value")
+    MergeTable.mergeUpsert(spark, t, batch, Seq("doc_id"), Seq("doc_id"),
+      targetRowsPerFile = 50)
+    val m1 = MergeTable.latestManifest(t).get
+    val kept = m1.files.map(_.path).toSet
+    m0.files.foreach { f =>
+      if (f.path == victim.path) assert(!kept.contains(f.path), "victim kept")
+      else assert(kept.contains(f.path), s"untouched ${f.path} rewritten")
+    }
+    val out = MergeTable.read(spark, t)
+      .select("doc_id", "value").as[(String, Double)].collect().toMap
+    assert(out.size == 400 && out(victim.stats("doc_id").min) == 99.0)
+  }
+
+  test("typed stats: TWO-column clustering records both stats and prunes on " +
+    "their conjunction") {
+    val t = freshTable("twocol")
+    val data = (for { s0 <- 0 until 8; d <- 0L until 50L }
+      yield (s"src$s0", d, s0 * 100.0 + d)).toDF("source", "day", "value")
+    MergeTable.mergeUpsert(spark, t, data, Seq("source", "day"),
+      Seq("source", "day"), targetRowsPerFile = 50)
+    val m0 = MergeTable.latestManifest(t).get
+    assert(m0.files.size >= 4)
+    assert(m0.files.head.stats.keySet == Set("source", "day"))
+    assert(m0.files.head.stats("source").t == "string")
+    assert(m0.files.head.stats("day").t == "long")
+    // a batch touching one (source, day) cell rewrites only box-matching files
+    val batch = Seq(("src3", 7L, -1.0)).toDF("source", "day", "value")
+    MergeTable.mergeUpsert(spark, t, batch, Seq("source", "day"),
+      Seq("source", "day"), targetRowsPerFile = 50)
+    val m1 = MergeTable.latestManifest(t).get
+    val rewritten = m0.files.map(_.path).toSet -- m1.files.map(_.path).toSet
+    // the conjunction prunes: only files whose source-range covers src3
+    // AND day-range covers 7 rewrite — with 8 range-clustered files that
+    // is a strict minority
+    assert(rewritten.nonEmpty && rewritten.size < m0.files.size / 2,
+      s"expected few touched files, got ${rewritten.size}/${m0.files.size}")
+    val out = MergeTable.read(spark, t)
+    assert(out.count() == 400)
+    assert(out.where(col("source") === "src3" && col("day") === 7L)
+      .select("value").as[Double].collect().toSeq == Seq(-1.0))
+  }
+
+  test("conflict-scoped CAS retry: a DISJOINT concurrent winner does not force " +
+    "a data rewrite — the loser re-manifests its existing files") {
+    val t = freshTable("fastcas")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 100L, 1.0),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 20)
+    val v0Paths = MergeTable.latestManifest(t).get.files.map(_.path).toSet
+    // at precommit time the loser's merge output is already on disk;
+    // capture those dirs, then let a DISJOINT winner steal the version
+    @volatile var hookDirs: Set[String] = Set.empty
+    var fired = false
+    MergeTable.testPrecommitHook = () => if (!fired) {
+      fired = true
+      val st = Files.list(Paths.get(t, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        hookDirs = st.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally st.close()
+      MergeTable.mergeUpsert(spark, t, rows(5000L to 5009L, 7.0),
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 20)
+    }
+    try
+      MergeTable.mergeUpsert(spark, t, rows(10L to 15L, 9.0),
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 20)
+    finally MergeTable.testPrecommitHook = () => ()
+    val m = MergeTable.latestManifest(t).get
+    assert(m.version == 2L, s"winner v1 + loser v2 expected, got ${m.version}")
+    // the loser's committed files must be the ONES IT WROTE BEFORE the
+    // race (their data dir existed at precommit time) — a replay would
+    // have written a fresh commit dir after the hook fired
+    val loserAdds = m.files.map(_.path).toSet -- v0Paths --
+      MergeTable.manifestAt(t, 1L).get.files.map(_.path).toSet
+    assert(loserAdds.nonEmpty)
+    loserAdds.foreach { p =>
+      val dir = p.stripPrefix("data/").takeWhile(_ != '/')
+      assert(hookDirs.contains(dir),
+        s"loser rewrote data after a disjoint race: $p not in $hookDirs")
+    }
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(out.size == 110)
+    assert((10L to 15L).forall(out(_) == 9.0))
+    assert((5000L to 5009L).forall(out(_) == 7.0))
+    assert(out(1L) == 1.0 && out(100L) == 1.0)
+  }
+
+  test("conflict-scoped CAS retry: an OVERLAPPING winner forces a true replay " +
+    "and last-writer-wins holds") {
+    val t = freshTable("slowcas")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 10L, 1.0),
+      Seq("event_id"), Seq("event_id"))
+    var fired = false
+    MergeTable.testPrecommitHook = () => if (!fired) {
+      fired = true
+      MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 5.0),
+        Seq("event_id"), Seq("event_id"))
+    }
+    try
+      MergeTable.mergeUpsert(spark, t, rows(2L to 4L, 9.0),
+        Seq("event_id"), Seq("event_id"))
+    finally MergeTable.testPrecommitHook = () => ()
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 5.0, "winner's non-contested key lost")
+    assert((2L to 4L).forall(out(_) == 9.0), "loser's replayed keys lost")
+    assert((5L to 10L).forall(out(_) == 1.0))
+    assert(MergeTable.latestManifest(t).get.files.map(_.numRows).sum == 10L)
+  }
+
+  test("retention contract: vacuum sized to the oldest pinned read never " +
+    "retires a version the registered queries time-travel to") {
+    val t = freshTable("retain")
+    // the q_merge_* fixture shape: 5 commits, queries read v0 and v2
+    (0 until 5).foreach { i =>
+      MergeTable.mergeUpsert(spark, t, rows(1L to 20L, i + 1.0),
+        Seq("event_id"), Seq("event_id"))
+    }
+    val v2 = MergeTable.readVersion(spark, t, 2L)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    // the floor: retainVersions must cover back to the OLDEST pinned
+    // version — here v0, so retainVersions = latest+1 = 5
+    MergeTable.vacuum(t, graceMs = 0L, retainVersions = 5)
+    (0L to 4L).foreach { v =>
+      assert(MergeTable.readVersion(spark, t, v).count() == 20L,
+        s"pinned version $v unreadable after a correctly-sized vacuum")
+    }
+    assert(MergeTable.readVersion(spark, t, 2L)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap == v2)
+  }
+
+  test("changesBetween joins on COMPOSITE keys") {
+    val t = freshTable("compkey")
+    val v0 = Seq(("a", 1L, 1.0), ("a", 2L, 1.0), ("b", 1L, 1.0))
+      .toDF("source", "day", "value")
+    MergeTable.mergeUpsert(spark, t, v0, Seq("source", "day"), Seq("source", "day"))
+    val v1 = Seq(("a", 2L, 9.0), ("b", 2L, 2.0)).toDF("source", "day", "value")
+    MergeTable.mergeUpsert(spark, t, v1, Seq("source", "day"), Seq("source", "day"))
+    val d = MergeTable.changesBetween(spark, t, 0L, 1L)
+      .select("source", "day", "change_type")
+      .as[(String, Long, String)].collect().toSet
+    assert(d == Set(("a", 2L, "UPDATE"), ("b", 2L, "INSERT")), d)
+  }
+
+  test("changesBetween is FILE-SCOPED: an incremental diff reads only the " +
+    "two versions' file-set delta, never the whole table") {
+    val t = freshTable("cdfscope")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 1000L, 1.0),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
+    val m0 = MergeTable.latestManifest(t).get
+    assert(m0.files.size >= 8)
+    // touch two keys inside one file's range
+    val victim = m0.files.sortBy(_.minLong("event_id")).apply(4)
+    MergeTable.mergeUpsert(spark, t,
+      rows(Seq(victim.minLong("event_id")), 9.0),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
+    val m1 = MergeTable.latestManifest(t).get
+    val deltaPaths = (m0.files.map(_.path).toSet -- m1.files.map(_.path).toSet) ++
+      (m1.files.map(_.path).toSet -- m0.files.map(_.path).toSet)
+    val diff = MergeTable.changesBetween(spark, t, 0L, 1L)
+    // the physical scan must read ONLY the delta files on both sides
+    val scanned = diff.inputFiles.map { f =>
+      f.stripPrefix("file:").dropWhile(_ == '/').drop(
+        t.stripPrefix("/").length).stripPrefix("/")
+    }.toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(deltaPaths),
+      s"diff scanned beyond the file delta: ${scanned -- deltaPaths}")
+    assert(scanned.size < m1.files.size,
+      s"diff read ${scanned.size} files of a ${m1.files.size}-file table")
+    // and the content is the right single UPDATE
+    val d = diff.select("event_id", "change_type")
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(victim.minLong("event_id") -> "UPDATE"), d)
+  }
+
   test("foreign files under the log dir are ignored") {
     val t = freshTable("foreign")
-    MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), Seq("event_id"))
     val log = Paths.get(t, "_graft_log")
     Files.write(log.resolve("vnotanumber.json"), "junk".getBytes)
     Files.write(log.resolve("_spark_metadata"), "junk".getBytes)

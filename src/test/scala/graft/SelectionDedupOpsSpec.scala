@@ -11,6 +11,37 @@ class SelectionDedupOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  // ---- connected components (fixpoint) ------------------------------------
+
+  test("connected components: a >5-hop chain lands in ONE cluster (fixpoint, " +
+    "not a fixed round budget)") {
+    import spark.implicits._
+    // a 12-node path (11 hops) would split under any ≤5-round truncation;
+    // plus a disjoint pair and a self-loop singleton to prove isolation
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((20L, 21L), (30L, 30L)))
+      .toDF("doc_a", "doc_b")
+    val out = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    (1L to 12L).foreach(d => assert(out(d) == 1L, s"chain node $d split off"))
+    assert(out(20L) == 20L && out(21L) == 20L)
+    assert(out(30L) == 30L)
+    assert(out.size == 15)
+  }
+
+  test("connected components: two chains fused by one bridge edge merge fully") {
+    import spark.implicits._
+    // 100..107 and 200..207 chains + a single cross edge 107-200: the
+    // merged component's min label must flood BOTH chains end to end
+    val c1 = (100L until 107L).map(i => (i, i + 1))
+    val c2 = (200L until 207L).map(i => (i, i + 1))
+    val pairs = (c1 ++ c2 ++ Seq((107L, 200L))).toDF("doc_a", "doc_b")
+    val out = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(100L), s"expected one component: $out")
+    assert(out.size == 16)
+  }
+
   // ---- normalized dedup ---------------------------------------------------
 
   test("normalized dedup: reformatted copies collapse, raw variants counted") {

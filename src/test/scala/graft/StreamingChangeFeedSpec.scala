@@ -34,8 +34,8 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     val cp = s"$base/cp"
 
     // two commits BEFORE the stream starts (backfill) ...
-    MergeTable.mergeUpsert(spark, table, rows(1L to 6L, 1.0), Seq("event_id"), "event_id")
-    MergeTable.mergeUpsert(spark, table, rows(5L to 8L, 2.0), Seq("event_id"), "event_id")
+    MergeTable.mergeUpsert(spark, table, rows(1L to 6L, 1.0), Seq("event_id"), Seq("event_id"))
+    MergeTable.mergeUpsert(spark, table, rows(5L to 8L, 2.0), Seq("event_id"), Seq("event_id"))
 
     val q = StreamingChangeFeed.startChangeFeedSink(spark, table, out, cp)
     try {
@@ -43,7 +43,7 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
       // ... and two more while the feed is live
       MergeTable.mergeDelete(spark, table, rows(Seq(1L), 0.0))
       q.processAllAvailable()
-      MergeTable.mergeUpsert(spark, table, rows(Seq(9L), 3.0), Seq("event_id"), "event_id")
+      MergeTable.mergeUpsert(spark, table, rows(Seq(9L), 3.0), Seq("event_id"), Seq("event_id"))
       q.processAllAvailable()
     } finally q.stop()
 
@@ -72,5 +72,36 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     assert(before == after, "replay rewrote a completed feed version")
     assert(StreamingChangeFeed.readFeed(spark, out)
       .select("version").distinct().count() == 4)
+  }
+
+  test("a lagging feed heals past versions whose DATA files were collected — " +
+    "manifest existence is not proof of readability") {
+    val base = tmp("heal")
+    val table = s"$base/table"
+    val out = s"$base/out"
+
+    MergeTable.mergeUpsert(spark, table, rows(1L to 6L, 1.0), Seq("event_id"), Seq("event_id"))
+    MergeTable.mergeUpsert(spark, table, rows(5L to 8L, 2.0), Seq("event_id"), Seq("event_id"))
+    // simulate vacuum outrunning the lagging feed: v0's replaced data
+    // files are gone from disk while BOTH manifests still exist (the
+    // ADVICE wedge: files written before the manifest can age out first)
+    val m0 = MergeTable.manifestAt(table, 0L).get
+    val m1 = MergeTable.manifestAt(table, 1L).get
+    val m1Paths = m1.files.map(_.path).toSet
+    m0.files.filterNot(f => m1Paths.contains(f.path)).foreach { f =>
+      Files.delete(java.nio.file.Paths.get(table, f.path))
+    }
+    val q = StreamingChangeFeed.startChangeFeedSink(spark, table, out, s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+    // v0 is unreadable → skipped; v1 cannot diff against it → SNAPSHOT
+    // boot (feed_type marks the reset), and the query never died
+    val feed = StreamingChangeFeed.readFeed(spark, out)
+    val versions = feed.select("version").distinct().as[Long].collect().toSet
+    assert(versions == Set(1L), s"expected only the snapshot boot, got $versions")
+    val v1 = feed.where(col("version") === 1L)
+    assert(v1.select("feed_type").distinct().as[String].collect().toSeq ==
+      Seq("snapshot"), "a boot past missing data must be marked as a reset")
+    assert(v1.select("event_id", "change_type").as[(Long, String)]
+      .collect().toMap == (1L to 8L).map(_ -> "INSERT").toMap)
   }
 }
