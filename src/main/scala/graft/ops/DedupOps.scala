@@ -407,6 +407,10 @@ object DedupOps {
     * silently split cluster. */
   val CcMaxRounds = 48
 
+  /** Effective round cap — `CcMaxRounds` in production; a spec lowers it
+    * to exercise the fail-stop without a diameter-2⁴⁸ graph. */
+  @volatile private[graft] var ccRoundCap: Int = CcMaxRounds
+
   /** EXACT connected components of the undirected graph given as one-
     * directional `(doc_a, doc_b)` pairs: (doc, cluster) with cluster =
     * the component's minimum doc id. See [[nearDupClusters]] for the
@@ -436,8 +440,11 @@ object DedupOps {
     var rounds = 0
     while (changed > 0) {
       rounds += 1
-      assert(rounds <= CcMaxRounds,
-        s"connected components did not converge in $CcMaxRounds rounds")
+      // `require`, not `assert`: the runaway guard is load-bearing
+      // (fail-stop vs silent truncation is the whole contract) and must
+      // survive -Xdisable-assertions / -Xelide-below builds
+      require(rounds <= ccRoundCap,
+        s"connected components did not converge in $ccRoundCap rounds")
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc", "nbr"), col("doc_b") === col("nbr"))
         .select(col("doc_a").as("doc"), col("cluster"))

@@ -70,6 +70,17 @@ import graft.sources.Tables
   */
 object MergeTable {
 
+  /** Typed missing-version signal: the requested version's log record is
+    * absent (never committed, or retired by vacuum), or a record inside
+    * the resolution walk is gone. A TYPED class — not a message substring
+    * — is what retention-resilient consumers ([[graft.streaming.StreamingChangeFeed]])
+    * key their skip/snapshot-boot decisions on; free-text matching would
+    * misclassify unrelated errors that happen to share words. */
+  final class MissingVersionException(msg: String) extends RuntimeException(msg)
+
+  private def missingVersion(msg: String): Nothing =
+    throw new MissingVersionException(msg)
+
   /** Every `CheckpointInterval`-th version embeds the full file listing;
     * versions in between are add/remove deltas. Snapshot resolution reads
     * at most `CheckpointInterval` log records. */
@@ -176,7 +187,7 @@ object MergeTable {
           var cur = v - 1
           var cp: Option[LogRecord] = None
           while (cp.isEmpty) {
-            val r = readRecord(table, cur).getOrElse(sys.error(
+            val r = readRecord(table, cur).getOrElse(missingVersion(
               s"log gap: version $cur missing while resolving $v of $table " +
                 "(foreign deletion under the checkpoint floor?)"))
             if (r.kind == "checkpoint") cp = Some(r)
@@ -204,7 +215,7 @@ object MergeTable {
     */
   def readVersion(s: SparkSession, table: String, version: Long): DataFrame =
     readManifest(s, table, manifestAt(table, version)
-      .getOrElse(sys.error(s"version $version not found under $table " +
+      .getOrElse(missingVersion(s"version $version not found under $table " +
         "(never committed, or retired by vacuum)")))
 
   private def readManifest(s: SparkSession, table: String, m: TableManifest): DataFrame =
@@ -520,7 +531,11 @@ object MergeTable {
       val basePaths = existingFiles.map(_.path).toSet
       var fastViable = true
       var fastDone = false
-      while (fastViable && !fastDone) {
+      // each fast-path CAS loss consumes the SAME attempt budget as the
+      // outer replay loop — under sustained disjoint commit traffic the
+      // merge fail-stops at maxAttempts instead of retrying unboundedly
+      while (fastViable && !fastDone && attempt < maxAttempts) {
+        attempt += 1
         val head = latestManifest(table).getOrElse(
           sys.error(s"commit race on $table with no committed head"))
         val headReplayed = txn.exists { case (w, v) =>
@@ -725,7 +740,9 @@ object MergeTable {
         val basePaths = snapshot.files.map(_.path).toSet
         var fastViable = true
         var fastDone = false
-        while (fastViable && !fastDone) {
+        // bounded like the outer loop — see mergeUpsert's fast path
+        while (fastViable && !fastDone && attempt < maxAttempts) {
+          attempt += 1
           val head = latestManifest(table).getOrElse(
             sys.error(s"commit race on $table with no committed head"))
           val headReplayed = txn.exists { case (w, v) =>
@@ -791,7 +808,9 @@ object MergeTable {
       // no new keys, so a winner's insert cannot collide with it)
       var fastViable = true
       var fastDone = false
-      while (fastViable && !fastDone) {
+      // bounded like the outer loop — see mergeUpsert's fast path
+      while (fastViable && !fastDone && attempt < maxAttempts) {
+        attempt += 1
         val head = latestManifest(table).getOrElse(
           sys.error(s"commit race on $table with no committed head"))
         val headPaths = head.files.map(_.path).toSet
@@ -983,9 +1002,9 @@ object MergeTable {
       s: SparkSession, table: String, fromVersion: Long, toVersion: Long,
       cols: Seq[String] = Seq.empty): DataFrame = {
     val mTo = manifestAt(table, toVersion)
-      .getOrElse(sys.error(s"version $toVersion not found under $table"))
+      .getOrElse(missingVersion(s"version $toVersion not found under $table"))
     val mFrom = manifestAt(table, fromVersion)
-      .getOrElse(sys.error(s"version $fromVersion not found under $table"))
+      .getOrElse(missingVersion(s"version $fromVersion not found under $table"))
     val keys = mTo.keys
     val newSchema = DataType.fromJson(mTo.schemaJson).asInstanceOf[StructType]
     val payload =

@@ -98,7 +98,13 @@ object Skew {
     if (scopedSessionCache.size > 4)
       scopedSessionCache.keys.filterNot(_ eq s).take(1)
         .foreach(scopedSessionCache.remove)
+    // attribution: Bench surfaces these per-query, so a clone REBUILT on a
+    // later sample (memo eviction, key churn) is visible in bench.json
+    // instead of showing up only as an unexplained runtime rise
+    IndexStore.events.putIfAbsent("skew-scoped-session", "load")
     val scoped = IndexMemo(scopedSessionCache, s) {
+      IndexStore.events.put("skew-scoped-session",
+        s"build@${System.nanoTime() / 1000000}")
       val c = s.newSession()
       Map(
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import scala.util.Try
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
@@ -73,23 +71,30 @@ object StreamingChangeFeed {
       .start()
 
   /** True when `e`'s cause chain is a missing-file/version condition —
-    * the vacuumed-under-a-lagging-reader signature (executor-side
-    * FileNotFoundException wrapped in SparkException, planner-side
-    * PATH_NOT_FOUND, or the manifest resolver's own not-found /
-    * log-gap errors). Anything else (OOM, cancellation, corrupt data)
-    * must STILL fail the query loudly. */
+    * the vacuumed-under-a-lagging-reader signature. Matched by TYPE, not
+    * message text: executor-side `FileNotFoundException` (wrapped in
+    * SparkException — the chain walk reaches it), planner-side
+    * `SparkThrowable` with the PATH_NOT_FOUND / FILE_NOT_EXIST error
+    * conditions, and the manifest resolver's own typed
+    * [[MergeTable.MissingVersionException]]. A transient error whose
+    * MESSAGE merely pattern-matches ("does not exist" during a snapshot
+    * boot, say) no longer classifies — anything not provably
+    * missing-data (OOM, cancellation, corrupt data) fails the query
+    * loudly instead of silently dropping a version. */
   private def isMissingData(e: Throwable): Boolean = {
     var c: Throwable = e
     var hops = 0
     while (c != null && hops < 16) {
       c match {
         case _: java.io.FileNotFoundException => return true
-        case _ =>
-          val m = Option(c.getMessage).getOrElse("")
-          if (m.contains("FileNotFound") || m.contains("PATH_NOT_FOUND") ||
-            m.contains("does not exist") || m.contains("not found under") ||
-            m.contains("log gap")) return true
+        case _: MergeTable.MissingVersionException => return true
+        case st: org.apache.spark.SparkThrowable =>
+          val cond = Option(st.getCondition).getOrElse("")
+          if (cond == "PATH_NOT_FOUND" ||
+            cond.startsWith("FAILED_READ_FILE.FILE_NOT_EXIST")) return true
+        case _ => ()
       }
+      hops += 1
       c = if (c.getCause eq c) null else c.getCause
     }
     false
@@ -124,26 +129,39 @@ object StreamingChangeFeed {
         // the same way: manifest existence is NOT proof the referenced
         // data files survived (see scaladoc), so a mid-diff missing file
         // downgrades to the snapshot boot, and a missing file in v's OWN
-        // snapshot skips v — the NEXT version then fails its diff
-        // against v the same way and snapshot-boots itself, healing the
-        // feed one surviving version later.
-        if (Try(MergeTable.manifestAt(table, v)).toOption.flatten.nonEmpty) {
-          try {
-            if (v == 0L ||
-              Try(MergeTable.manifestAt(table, v - 1)).toOption.flatten.isEmpty)
-              snapshotBoot(if (v == 0L) "diff" else "snapshot")
-            else {
-              try
-                MergeTable.changesBetween(s, table, v - 1, v)
-                  .withColumn("feed_type", lit("diff"))
-                  .write.mode("overwrite").parquet(dir.toString)
-              catch {
-                case e: Throwable if isMissingData(e) => snapshotBoot("snapshot")
-              }
+        // snapshot SKIPS v with an observable `_SKIPPED` marker — the
+        // NEXT version then fails its diff against v the same way and
+        // snapshot-boots itself, healing the feed one surviving version
+        // later. Only PROVABLY-missing-data conditions ([[isMissingData]],
+        // typed) downgrade; any other error fails the batch loudly.
+        def markSkipped(reason: String): Unit = {
+          java.nio.file.Files.createDirectories(dir)
+          val m = dir.resolve("_SKIPPED")
+          if (!java.nio.file.Files.exists(m))
+            java.nio.file.Files.write(m,
+              s"version $v skipped: $reason\n".getBytes("UTF-8"))
+        }
+        def manifestReadable(ver: Long): Boolean =
+          try MergeTable.manifestAt(table, ver).nonEmpty
+          catch { case _: MergeTable.MissingVersionException => false }
+        try {
+          if (!manifestReadable(v))
+            markSkipped("log record vacuumed before the feed reached it")
+          else if (v == 0L || !manifestReadable(v - 1))
+            snapshotBoot(if (v == 0L) "diff" else "snapshot")
+          else {
+            try
+              MergeTable.changesBetween(s, table, v - 1, v)
+                .withColumn("feed_type", lit("diff"))
+                .write.mode("overwrite").parquet(dir.toString)
+            catch {
+              case e: Throwable if isMissingData(e) => snapshotBoot("snapshot")
             }
-          } catch {
-            case e: Throwable if isMissingData(e) => () // v itself gone: skip
           }
+        } catch {
+          // v's own data files gone (vacuumed under the lagging reader)
+          case e: Throwable if isMissingData(e) =>
+            markSkipped(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       }
     }
@@ -172,5 +190,25 @@ object StreamingChangeFeed {
       }
     require(complete.nonEmpty, s"no complete feed versions under $out")
     s.read.option("basePath", out).parquet(complete: _*)
+  }
+
+  /** Versions the feed had to SKIP (their data was vacuumed before the
+    * lagging reader arrived) — each left an observable `_SKIPPED` marker
+    * instead of a silent gap. A consumer reconciling the feed reads this
+    * to know which ranges were subsumed by a later snapshot boot. */
+  def skippedVersions(out: String): Seq[Long] = {
+    val root = java.nio.file.Paths.get(out)
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      val st = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("version=") &&
+            java.nio.file.Files.exists(p.resolve("_SKIPPED")))
+          .map(_.getFileName.toString.stripPrefix("version=").toLong)
+          .toSeq.sorted
+      } finally st.close()
+    }
   }
 }

@@ -29,6 +29,28 @@ class SelectionDedupOpsSpec extends AnyFunSuite {
     assert(out.size == 15)
   }
 
+  test("connected components: the runaway guard FAIL-STOPS (throws), never " +
+    "truncates — and survives builds that elide assert") {
+    import spark.implicits._
+    // an 8-hop chain needs >2 rounds even with path halving; a lowered
+    // test-only cap proves the guard throws instead of returning a
+    // silently split clustering (the production cap of 48 covers any
+    // diameter < 2^48 — unreachable by construction, so the guard is
+    // only exercisable by lowering the cap)
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val saved = DedupOps.ccRoundCap
+    DedupOps.ccRoundCap = 2
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DedupOps.connectedComponents(chain).collect()
+      }
+      assert(e.getMessage.contains("did not converge"))
+    } finally DedupOps.ccRoundCap = saved
+    // restored cap: the same input now converges to one cluster
+    val ok = DedupOps.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(ok.forall(_._2 == 1L))
+  }
+
   test("connected components: two chains fused by one bridge edge merge fully") {
     import spark.implicits._
     // 100..107 and 200..207 chains + a single cross edge 107-200: the

@@ -103,5 +103,8 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
       Seq("snapshot"), "a boot past missing data must be marked as a reset")
     assert(v1.select("event_id", "change_type").as[(Long, String)]
       .collect().toMap == (1L to 8L).map(_ -> "INSERT").toMap)
+    // the skipped version is OBSERVABLE, not a silent gap: v0 left a
+    // _SKIPPED marker a reconciling consumer can enumerate
+    assert(StreamingChangeFeed.skippedVersions(out) == Seq(0L))
   }
 }
