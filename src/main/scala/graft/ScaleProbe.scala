@@ -93,6 +93,7 @@ object ScaleProbe {
       probeDedupCandidates(spark); probeNativeKernels(spark)
       probeSelectionOps(spark); probeMaintenanceOps(spark)
       probeMergeTable(spark); probeChangeFeed(spark)
+      probeManifestResolution(spark)
       probeConnectedComponents(spark)
     }
     probeRangeJoin(spark, nIntervals)
@@ -193,6 +194,46 @@ object ScaleProbe {
           s"""{"probe":"change_feed","rows":$n,"files_total":$filesTotal,""" +
             s""""files_scanned":$scanned,"changes":$changes,""" +
             s""""diff_sec":${s1(tDiff)}}""")
+      } finally MergeTable.dropTable(t.toString)
+    }
+  }
+
+  /** The manifest-resolution claim measured: STEADY-STATE snapshot
+    * resolution of a moving head is a forward fold of just the new delta
+    * records over the in-process cached listing — wall time flat in table
+    * FILE COUNT (file count scales 10× here; only the cold walk, paid
+    * once per process, scales with it via the streamed checkpoint read).
+    * Commits land after the cold resolve so the measured resolution has
+    * real work (one new delta) and cannot be a pure cache hit.
+    */
+  private def probeManifestResolution(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.ops.MergeTable
+    for (n <- Seq(20000, 200000)) {
+      val t = java.nio.file.Files.createTempDirectory(s"graft-probe-mres$n")
+      java.nio.file.Files.delete(t)
+      try {
+        val base = (0L until n).map(i => (i, i * 0.5)).toDF("event_id", "value")
+        MergeTable.mergeUpsert(spark, t.toString, base,
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 200)
+        val files = MergeTable.latestManifest(t.toString).get.files.size
+        // cold: fresh-process behavior (cache evicted) — scales with files
+        MergeTable.evictCachedManifest(t.toString)
+        val (_, tCold) = time(MergeTable.latestManifest(t.toString).get)
+        // steady: a reader whose cache lags one commit behind the head —
+        // resolution is a forward fold of exactly ONE delta record over
+        // the cached listing (the committer seeds its own cache, so the
+        // lag is staged by re-seeding at v0 after the commit)
+        val batch = (10L until 30L).map(i => (i, 9.9)).toDF("event_id", "value")
+        MergeTable.mergeUpsert(spark, t.toString, batch,
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 200)
+        MergeTable.evictCachedManifest(t.toString)
+        MergeTable.manifestAt(t.toString, 0L) // seed the lagging base
+        val (m2, tSteady) = time(MergeTable.latestManifest(t.toString).get)
+        println(
+          s"""{"probe":"manifest_resolution","rows":$n,"files":$files,""" +
+            s""""cold_sec":${s1(tCold)},"steady_sec":${s1(tSteady)},""" +
+            s""""head":${m2.version}}""")
       } finally MergeTable.dropTable(t.toString)
     }
   }

@@ -119,6 +119,8 @@ object SparkEntry {
     "q_compact_digest" -> (graft.ops.Compaction.compactDigest _),
     "q_merge_upsert" -> (graft.ops.MergeTable.mergeUpsertDigest _),
     "q_merge_cdf" -> (graft.ops.MergeTable.mergeChanges _),
+    "q_merge_cdf_pre" -> (graft.ops.MergeTable.mergeChangesPre _),
+    "q_merge_conditional" -> (graft.ops.MergeTable.mergeConditionalDigest _),
     "q_ann_incremental" -> (SimilarityOps.annPqAdcIncremental _),
 
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
@@ -312,6 +314,8 @@ object SparkEntry {
     "q_compact_digest" -> graft.ops.Compaction.compactDigestSql,
     "q_merge_upsert" -> graft.ops.MergeTable.mergeUpsertDigestSql,
     "q_merge_cdf" -> graft.ops.MergeTable.mergeChangesSql,
+    "q_merge_cdf_pre" -> graft.ops.MergeTable.mergeChangesPreSql,
+    "q_merge_conditional" -> graft.ops.MergeTable.mergeConditionalDigestSql,
     // the incremental index must equal the single-shot index bit-for-bit:
     // SAME oracle as q_ann_pq_adc, different build path
     "q_ann_incremental" -> SimilarityOps.annPqAdcSql,

@@ -33,11 +33,17 @@ object ChangeCapture {
     * key hygiene, since SQL equality never matches nulls). Presence is
     * tracked with explicit flags, not key-null checks, so the
     * classification is key-type-agnostic. Output: keys, change_type, and
-    * the NEW payload (null for DELETE).
+    * the NEW payload (null for DELETE); with `preimages` also the OLD
+    * payload as `<col>_pre` (null for INSERT) — the retraction half an
+    * incremental consumer needs to subtract an UPDATE/DELETE's previous
+    * contribution without re-reading version v−1 itself. The old side is
+    * scanned anyway for the hash compare, so preimages cost one more
+    * key-shuffle projection of the CHANGED rows only, never a new table
+    * read.
     */
   def snapshotDiffKeys(
       oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
-      cols: Seq[String]): DataFrame = {
+      cols: Seq[String], preimages: Boolean = false): DataFrame = {
     def hashed(df: DataFrame, side: String) =
       df.select(
         keys.zipWithIndex.map { case (k, i) => col(k).as(s"${side}_k$i") } ++ Seq(
@@ -63,7 +69,12 @@ object ChangeCapture {
         coalesce(col(s"n_k$i"), col(s"o_k$i")).as(k)
       } :+ col("change_type"): _*)
     // only the changed keys rejoin their (new-side) payload
-    diff.join(newDf.select((keys ++ cols).map(col): _*), keys, "left_outer")
+    val withNew =
+      diff.join(newDf.select((keys ++ cols).map(col): _*), keys, "left_outer")
+    if (!preimages) withNew
+    else withNew.join(
+      oldDf.select(keys.map(col) ++
+        cols.map(c => col(c).as(s"${c}_pre")): _*), keys, "left_outer")
   }
 
   /** q_snapshot_diff: two deterministic snapshots derived from `events`

@@ -4,6 +4,8 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
+import org.json4s.{jvalue2extractable, jvalue2monadic}
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -81,10 +83,29 @@ object MergeTable {
   private def missingVersion(msg: String): Nothing =
     throw new MissingVersionException(msg)
 
-  /** Every `CheckpointInterval`-th version embeds the full file listing;
-    * versions in between are add/remove deltas. Snapshot resolution reads
-    * at most `CheckpointInterval` log records. */
+  /** Every `CheckpointInterval`-th commit ADDITIONALLY writes the table's
+    * full live listing as an auxiliary checkpoint file
+    * (`cp-v<N>.ndjson.gz`); cold snapshot resolution reads ONE checkpoint
+    * file + at most `CheckpointInterval` delta records. */
   val CheckpointInterval = 10
+
+  /** On-disk log format version, carried on every record.
+    *
+    *  - v2 (this build): every record is a DELTA; checkpoints are
+    *    AUXILIARY streamed gzip-NDJSON listing files written after the
+    *    commit wins its CAS (the Delta-log layout: losing a checkpoint
+    *    costs a longer walk to an older one, never correctness, so a
+    *    crash between the CAS and the checkpoint write is harmless).
+    *    A 10⁶-file listing streams line-by-line on write AND read —
+    *    never a single ~100 MB driver-parsed JSON blob.
+    *  - v1 (round-10 builds, no formatVersion field): inline
+    *    `kind="checkpoint"` records embedding the listing — still READ
+    *    transparently (resolution treats them as a fold base).
+    *  - anything older (the pre-r10 TableManifest shape) fails with an
+    *    explicit incompatible-format error instead of an opaque
+    *    json4s MappingException.
+    */
+  val LogFormatVersion = 2
 
   /** Typed per-column file statistic. `t` picks the comparison domain and
     * the rendering: "long" (all integral types, decimal string),
@@ -95,12 +116,23 @@ object MergeTable {
     * (epoch days). Bounds are inclusive. */
   case class ColStat(t: String, min: String, max: String)
 
-  /** One live data file: path relative to the table root, row count, and
-    * per-clustering-column typed bounds. */
-  case class DataFileEntry(path: String, numRows: Long, stats: Map[String, ColStat]) {
+  /** One live data file: path relative to the table root, PHYSICAL row
+    * count, per-clustering-column typed bounds, and — when a
+    * merge-on-read DELETE marked rows without rewriting the file — a
+    * deletion vector: `dv` names the table-relative parquet dataset of
+    * (path, pos) deleted positions this entry's rows filter through at
+    * read time, `dvRows` how many of this file's positions it holds
+    * (visible rows = numRows − dvRows). A file's DV only GROWS until the
+    * file itself is rewritten (each DV commit folds the file's previous
+    * positions into the new dataset), which is what makes applying the
+    * union of a manifest's referenced DV datasets exact. */
+  case class DataFileEntry(path: String, numRows: Long,
+      stats: Map[String, ColStat],
+      dv: Option[String] = None, dvRows: Long = 0L) {
     /** Convenience for specs / long-keyed callers. */
     def minLong(c: String): Long = stats(c).min.toLong
     def maxLong(c: String): Long = stats(c).max.toLong
+    def visibleRows: Long = numRows - dvRows
   }
 
   /** One RESOLVED committed table version (checkpoint + folded deltas).
@@ -114,11 +146,12 @@ object MergeTable {
       files: Seq[DataFileEntry],
       txns: Map[String, Long])
 
-  /** The on-disk per-version log record. kind = "checkpoint" (adds = the
-    * full live listing, removes empty) | "delta" (adds/removes relative to
-    * version−1). Schema/keys/clusterBy/txns are carried IN FULL on every
-    * record (all bounded metadata), so only the file listing needs the
-    * checkpoint walk. */
+  /** The on-disk per-version log record. This build always writes
+    * kind = "delta" (adds/removes relative to version−1; v0's delta IS
+    * the initial full listing); kind = "checkpoint" (adds = the full
+    * live listing inline) is read for v1-format logs. Schema/keys/
+    * clusterBy/txns are carried IN FULL on every record (all bounded
+    * metadata), so only the file listing needs the checkpoint walk. */
   private case class LogRecord(
       version: Long,
       kind: String,
@@ -127,7 +160,8 @@ object MergeTable {
       clusterBy: Seq[String],
       adds: Seq[DataFileEntry],
       removes: Seq[String],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      formatVersion: Int = LogFormatVersion)
 
   private implicit val jsonFormats: org.json4s.Formats =
     org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
@@ -150,12 +184,120 @@ object MergeTable {
     if (!Files.exists(f)) None
     else {
       val txt = new String(Files.readAllBytes(f), "UTF-8")
+      val jv = org.json4s.jackson.JsonMethods.parse(txt)
+      val fv = jv \ "formatVersion" match {
+        case org.json4s.JInt(n) => n.toInt
+        // v1 (round-10) records carry no formatVersion but do carry
+        // `kind` — readable transparently
+        case _ if (jv \ "kind") != org.json4s.JNothing => 1
+        case _ => sys.error(s"$f is not a recognized graft log record " +
+          "(pre-v1 format?) — rebuild the table or migrate its log; this " +
+          s"build reads formatVersion ≤ $LogFormatVersion")
+      }
+      require(fv <= LogFormatVersion, s"$f carries formatVersion=$fv, " +
+        s"newer than this build's $LogFormatVersion — upgrade the reader " +
+        "before touching this table")
       // the FILENAME is the CAS slot and therefore the authoritative
       // version; trusting a divergent embedded version would re-commit
       // into an occupied slot forever
-      Some(org.json4s.jackson.Serialization.read[LogRecord](txt).copy(version = v))
+      Some(jv.extract[LogRecord].copy(version = v, formatVersion = fv))
     }
   }
+
+  // ---- auxiliary checkpoint files (format v2) ------------------------------
+
+  private def cpFile(table: String, v: Long) =
+    logDir(table).resolve(f"cp-v$v%020d.ndjson.gz")
+
+  private def cpVersionOf(name: String): Option[Long] = {
+    val core = name.stripPrefix("cp-v").stripSuffix(".ndjson.gz")
+    if (name.startsWith("cp-v") && name.endsWith(".ndjson.gz") &&
+      core.nonEmpty && core.forall(_.isDigit))
+      scala.util.Try(core.toLong).toOption
+    else None
+  }
+
+  /** Write version `v`'s full live listing as STREAMED gzip NDJSON — one
+    * DataFileEntry per line, flushed through a bounded buffer, so a
+    * 10⁶-file checkpoint never materializes as one driver-side string.
+    * Only `v`'s CAS winner calls this, so the tmp→final move is
+    * single-writer; a crash mid-write leaves a `.tmp-` husk vacuum
+    * sweeps, and the final name appears only complete. */
+  private def writeCheckpointFile(
+      table: String, v: Long, files: Seq[DataFileEntry]): Unit = {
+    val ld = logDir(table)
+    val tmp = ld.resolve(s".tmp-cp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.util.zip.GZIPOutputStream(Files.newOutputStream(tmp), 1 << 16),
+      java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      files.foreach { e =>
+        w.write(org.json4s.jackson.Serialization.write(e)); w.write('\n')
+      }
+    } finally w.close()
+    Files.move(tmp, cpFile(table, v),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Stream a checkpoint file back as the listing at its version; None
+    * when absent or unreadable (truncated gzip from a torn copy) — the
+    * resolver then falls back to an older base, trading walk length for
+    * correctness, never failing the read. */
+  private def readCheckpointFile(
+      table: String, v: Long): Option[Seq[DataFileEntry]] = {
+    val f = cpFile(table, v)
+    if (!Files.exists(f)) None
+    else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(Files.newInputStream(f), 1 << 16),
+        java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        val buf = Seq.newBuilder[DataFileEntry]
+        var line = in.readLine()
+        while (line != null) {
+          if (line.nonEmpty)
+            buf += org.json4s.jackson.Serialization.read[DataFileEntry](line)
+          line = in.readLine()
+        }
+        Some(buf.result())
+      } catch { case _: java.io.IOException => None }
+      finally in.close()
+    }
+  }
+
+  // ---- in-process manifest cache -------------------------------------------
+
+  /** Newest RESOLVED manifest per table (committed versions are immutable,
+    * so caching is sound; [[dropTable]] evicts). Steady-state resolution
+    * of a moving head is a FORWARD FOLD of just the new delta records over
+    * the cached listing — O(new commits), flat in table file count — and
+    * a committer seeds the cache with the listing it just published, so a
+    * writer's next read is zero-I/O past the head-record check. One entry
+    * per table path; each holds one listing (the resolution product a
+    * caller materializes anyway). */
+  private val manifestCache =
+    new scala.collection.concurrent.TrieMap[String, TableManifest]()
+
+  private def cacheKey(table: String): String =
+    Paths.get(table).toAbsolutePath.normalize.toString
+
+  private def cachePut(table: String, m: TableManifest): Unit = {
+    val ck = cacheKey(table)
+    manifestCache.get(ck) match {
+      case Some(c) if c.version >= m.version => ()
+      case _ => manifestCache.put(ck, m)
+    }
+  }
+
+  /** Fold one log record over a resolved listing. A v1 inline checkpoint
+    * record IS the listing; a delta applies removes then adds. */
+  private def foldOne(
+      acc: Seq[DataFileEntry], r: LogRecord): Seq[DataFileEntry] =
+    if (r.kind == "checkpoint") r.adds
+    else {
+      val rm = r.removes.toSet
+      acc.filterNot(f => rm.contains(f.path)) ++ r.adds
+    }
 
   private def latestVersion(table: String): Option[Long] = {
     val ld = logDir(table)
@@ -174,32 +316,58 @@ object MergeTable {
     latestVersion(table).flatMap(v => manifestAt(table, v))
 
   /** The RESOLVED manifest of one SPECIFIC committed version — the
-    * time-travel primitive. Walks back from `v` to the nearest checkpoint
-    * and folds the delta records forward (≤ CheckpointInterval reads).
+    * time-travel primitive. Resolution order: the in-process cache (hit =
+    * zero extra I/O; cached older = forward fold of just the new delta
+    * records), then a cold walk back from `v` to the nearest readable
+    * base — a `cp-v<M>.ndjson.gz` checkpoint file or a v1 inline
+    * checkpoint record — folding deltas forward (≤ CheckpointInterval
+    * record reads + one streamed checkpoint read).
     * Available until [[vacuum]] retires the version. */
   def manifestAt(table: String, v: Long): Option[TableManifest] =
     readRecord(table, v).map { head =>
-      val files =
-        if (head.kind == "checkpoint") head.adds
-        else {
-          // collect head and the deltas below it until a checkpoint
-          var deltas = List(head)
-          var cur = v - 1
-          var cp: Option[LogRecord] = None
-          while (cp.isEmpty) {
+      val files = resolveListing(table, v, head)
+      val m = TableManifest(
+        v, head.schemaJson, head.keys, head.clusterBy, files, head.txns)
+      cachePut(table, m)
+      m
+    }
+
+  private def resolveListing(
+      table: String, v: Long, head: LogRecord): Seq[DataFileEntry] = {
+    manifestCache.get(cacheKey(table)) match {
+      case Some(c) if c.version == v => return c.files
+      case Some(c) if c.version < v =>
+        // forward fold: only the records in (cached, v] — O(new commits),
+        // independent of table file count. Any gap (concurrent vacuum,
+        // table recreated at the same path) falls through to the cold walk.
+        val recs = ((c.version + 1) to v).map(readRecord(table, _))
+        if (recs.forall(_.nonEmpty))
+          return recs.flatten.foldLeft(c.files)(foldOne)
+      case _ => ()
+    }
+    // cold walk; the target version's own checkpoint short-circuits
+    readCheckpointFile(table, v).getOrElse {
+      if (head.kind == "checkpoint") head.adds
+      else {
+        var deltas = List(head)
+        var cur = v - 1
+        var base: Option[Seq[DataFileEntry]] = None
+        while (base.isEmpty && cur >= 0) {
+          base = readCheckpointFile(table, cur)
+          if (base.isEmpty) {
             val r = readRecord(table, cur).getOrElse(missingVersion(
               s"log gap: version $cur missing while resolving $v of $table " +
                 "(foreign deletion under the checkpoint floor?)"))
-            if (r.kind == "checkpoint") cp = Some(r)
+            if (r.kind == "checkpoint") base = Some(r.adds)
             else { deltas = r :: deltas; cur -= 1 }
           }
-          deltas.foldLeft(cp.get.adds) { (acc, r) =>
-            val rm = r.removes.toSet
-            acc.filterNot(f => rm.contains(f.path)) ++ r.adds
-          }
         }
-      TableManifest(v, head.schemaJson, head.keys, head.clusterBy, files, head.txns)
+        // cur < 0 with no base: v0's delta is the initial listing — fold
+        // the whole prefix over the empty set
+        deltas.foldLeft(base.getOrElse(Seq.empty))(foldOne)
+      }
     }
+  }
 
   /** Snapshot read of the latest committed version. Empty-table reads
     * reproduce the schema from the manifest. */
@@ -221,12 +389,52 @@ object MergeTable {
   private def readManifest(s: SparkSession, table: String, m: TableManifest): DataFrame =
     readFiles(s, table, DataType.fromJson(m.schemaJson).asInstanceOf[StructType], m.files)
 
+  /** Read a file set, applying deletion vectors where entries carry one:
+    * DV-free files scan exactly as before; DV-bearing files scan with the
+    * hidden parquet `_metadata` (file path + row index) and anti-join the
+    * union of the manifest's referenced DV datasets on (file, position).
+    * The union is exact because a file's DV pointer always holds ALL of
+    * its deleted positions (see [[DataFileEntry.dv]]) and stale datasets
+    * only mention paths this manifest no longer reads. The DV side is a
+    * tiny parquet scan (AQE plans the anti-join as a broadcast), bounded
+    * by un-compacted deletions — [[optimize]] rewrites DV-heavy files and
+    * retires their vectors. */
   private def readFiles(s: SparkSession, table: String, schema: StructType,
-      files: Seq[DataFileEntry]): DataFrame =
+      files: Seq[DataFileEntry]): DataFrame = {
     if (files.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else
-      s.read.schema(schema).parquet(files.map(f => s"$table/${f.path}"): _*)
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    val (dvFiles, plain) = files.partition(_.dv.nonEmpty)
+    def plainRead(fs: Seq[DataFileEntry]) =
+      s.read.schema(schema).parquet(fs.map(f => s"$table/${f.path}"): _*)
+    if (dvFiles.isEmpty) plainRead(plain)
+    else {
+      val masked = readFilesWithPosition(s, table, schema, dvFiles)
+        .drop("__dv_path", "__dv_pos")
+      if (plain.isEmpty) masked else plainRead(plain).unionByName(masked)
+    }
+  }
+
+  /** VISIBLE rows of `entries`, each tagged with its table-relative file
+    * path (`__dv_path`) and in-file position (`__dv_pos`) from the hidden
+    * parquet `_metadata` columns; existing deletion vectors are applied.
+    * The (path, pos) tag is what a merge-on-read DELETE records — row
+    * positions are stable because data files are immutable. */
+  private def readFilesWithPosition(s: SparkSession, table: String,
+      schema: StructType, entries: Seq[DataFileEntry]): DataFrame = {
+    val base = s.read.schema(schema)
+      .parquet(entries.map(f => s"$table/${f.path}"): _*)
+      .withColumn("__dv_path",
+        regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val dvDirs = entries.flatMap(_.dv).distinct
+    if (dvDirs.isEmpty) base
+    else {
+      val pairs = dvDirs.map(d => s.read.parquet(s"$table/$d"))
+        .reduce(_ unionByName _)
+        .select(col("path").as("__dv_path"), col("pos").as("__dv_pos"))
+      base.join(pairs, Seq("__dv_path", "__dv_pos"), "left_anti")
+    }
+  }
 
   /** Attempt to publish `r` as version `r.version`; false = lost the CAS.
     *
@@ -252,22 +460,29 @@ object MergeTable {
     }
   }
 
-  /** Publish a commit at `version`: a checkpoint record (full listing) on
-    * the checkpoint cadence, a delta record otherwise. `resolved` is the
-    * version's FULL live listing (needed for checkpoints and cheap for
-    * every caller — it's bounded metadata the committer already holds). */
+  /** Publish a commit at `version` as a DELTA record; on the checkpoint
+    * cadence the winner then writes the auxiliary checkpoint file.
+    * `resolved` is the version's FULL live listing (the committer already
+    * holds it as bounded metadata) — it feeds the checkpoint write and
+    * seeds the manifest cache, so the writer's next resolution is a pure
+    * cache hit. A failed/crashed checkpoint write is swallowed: the log
+    * record already committed, and resolution just walks to an older
+    * base (auxiliary-only, never load-bearing). */
   private def commitVersion(
       table: String, version: Long, schemaJson: String, keys: Seq[String],
       clusterBy: Seq[String], adds: Seq[DataFileEntry], removes: Seq[String],
       txns: Map[String, Long], resolved: Seq[DataFileEntry]): Boolean = {
-    val rec =
-      if (version % CheckpointInterval == 0)
-        LogRecord(version, "checkpoint", schemaJson, keys, clusterBy,
-          resolved, Seq.empty, txns)
-      else
-        LogRecord(version, "delta", schemaJson, keys, clusterBy,
-          adds, removes, txns)
-    tryCommit(table, rec)
+    val won = tryCommit(table,
+      LogRecord(version, "delta", schemaJson, keys, clusterBy,
+        adds, removes, txns))
+    if (won) {
+      if (version > 0 && version % CheckpointInterval == 0)
+        try writeCheckpointFile(table, version, resolved)
+        catch { case _: java.io.IOException => () }
+      cachePut(table,
+        TableManifest(version, schemaJson, keys, clusterBy, resolved, txns))
+    }
+    won
   }
 
   // ---- typed cluster-key statistics ---------------------------------------
@@ -412,11 +627,26 @@ object MergeTable {
     * to force a deterministic CAS loss. */
   @volatile private[graft] var testPrecommitHook: () => Unit = () => ()
 
-  /** MERGE INTO `table` USING `batch` ON `keys` — incoming rows win on key
-    * collision (WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT ALL).
-    * The batch must be key-unique (the standard MERGE precondition; a
-    * multi-match is rejected, as `MERGE INTO` proper does). Returns true
-    * if a new version committed, false if `txn` was already applied.
+  /** MERGE INTO `table` USING `batch` ON `keys`. Default clauses: WHEN
+    * MATCHED THEN UPDATE ALL (incoming row wins whole) / WHEN NOT MATCHED
+    * THEN INSERT ALL. The batch must be key-unique (the standard MERGE
+    * precondition; a multi-match is rejected, as `MERGE INTO` proper
+    * does). Returns true if a new version committed, false if `txn` was
+    * already applied.
+    *
+    * Conditional clauses (the `WHEN MATCHED AND <cond>` surface):
+    *
+    *  - `matchedCondition` — a SQL boolean over aliases `s` (the batch
+    *    row) and `t` (the matched table row), e.g.
+    *    `"s.ts > t.ts"`: a matched pair failing it keeps the OLD row
+    *    untouched (the CDC late-arrival guard). Unmatched batch rows
+    *    still insert.
+    *  - `updateCols` — non-empty = PARTIAL update: a passing matched row
+    *    takes only these columns from the batch, every other column
+    *    keeps the table's value (the incremental-enrichment shape:
+    *    update a score without clobbering provenance columns). Must not
+    *    name merge keys; inserts always INSERT ALL, with nulls for
+    *    table columns the batch lacks.
     *
     * `clusterBy` names the clustering columns (typed stats + range
     * clustering + file pruning); each must be one of the merge keys.
@@ -429,8 +659,15 @@ object MergeTable {
       clusterBy: Seq[String],
       targetRowsPerFile: Long = 4096,
       txn: Option[(String, Long)] = None,
-      maxAttempts: Int = 20): Boolean = {
+      maxAttempts: Int = 20,
+      matchedCondition: Option[String] = None,
+      updateCols: Seq[String] = Seq.empty): Boolean = {
     require(keys.nonEmpty, "merge keys must be non-empty")
+    require(updateCols.forall(c => !keys.contains(c)),
+      s"updateCols ${updateCols.mkString(",")} must not name merge keys — " +
+        "a matched pair's key values are equal by definition")
+    updateCols.foreach(c => require(batch.columns.contains(c),
+      s"updateCols column '$c' is not a batch column"))
     // pruning soundness: a file is skipped when no batch CLUSTER tuple
     // falls in its box — valid only if a matched old row's cluster
     // values EQUAL the batch row's, i.e. every cluster column is part of
@@ -498,14 +735,44 @@ object MergeTable {
         case Some(ts) => StructType(ts.fields ++
           batch.schema.fields.filterNot(f => ts.exists(_.name == f.name)))
       }
+      val conditional = matchedCondition.nonEmpty || updateCols.nonEmpty
       val merged =
-        if (touched.isEmpty) withAllColumns(batch, schema)
+        if (touched.isEmpty) withAllColumns(batch, schema) // all inserts
         else {
-          val old = s.read.schema(schema)
-            .parquet(touched.toSeq.sorted.map(p => s"$table/$p"): _*)
-          val incomingKeys = batch.select(keys.map(col): _*).distinct()
-          withAllColumns(batch, schema)
-            .unionByName(old.join(incomingKeys, keys, "left_anti"))
+          // DV-aware: a touched file's already-deleted rows must not
+          // resurrect into the rewrite
+          val old = readFiles(s, table, schema,
+            existingFiles.filter(f => touched.contains(f.path)))
+          if (!conditional) {
+            val incomingKeys = batch.select(keys.map(col): _*).distinct()
+            withAllColumns(batch, schema)
+              .unionByName(old.join(incomingKeys, keys, "left_anti"))
+          } else {
+            // one full-outer pass builds all four outcomes: insert (no
+            // target), keep (no source), guarded update (condition holds
+            // → updateCols from s, rest from t), keep-old (condition
+            // fails). Presence is tracked with explicit markers, never
+            // key-null tests (keys may legitimately be absent only on
+            // one side).
+            val src = withAllColumns(batch, schema)
+              .withColumn("__s_present", lit(true)).alias("s")
+            val tgt = old.withColumn("__t_present", lit(true)).alias("t")
+            val keyCond = keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
+            val cond = matchedCondition.map(expr).getOrElse(lit(true))
+            val updSet =
+              if (updateCols.nonEmpty) updateCols.toSet
+              else schema.fieldNames.toSet -- keys
+            val outCols = schema.fields.map { f =>
+              val n = f.name
+              val sCol = col(s"s.$n"); val tCol = col(s"t.$n")
+              when(col("__t_present").isNull, sCol) // not matched: insert
+                .when(col("__s_present").isNull, tCol) // untouched old row
+                .when(cond, if (updSet(n) || keys.contains(n)) sCol else tCol)
+                .otherwise(tCol) // matched, condition failed: keep old
+                .as(n)
+            }
+            src.join(tgt, keyCond, "full_outer").select(outCols.toSeq: _*)
+          }
         }
 
       val (commitId, newFiles) =
@@ -529,6 +796,7 @@ object MergeTable {
       if (batchBoxMemo.isEmpty) batchBoxMemo = Some(batchBox(batch, clusterBy))
       val box = batchBoxMemo.get
       val basePaths = existingFiles.map(_.path).toSet
+      val baseByPath = existingFiles.map(f => f.path -> f).toMap
       var fastViable = true
       var fastDone = false
       // each fast-path CAS loss consumes the SAME attempt budget as the
@@ -544,12 +812,17 @@ object MergeTable {
         val headSchema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
         val schemaOk = schema.fields.forall(f =>
           headSchema.find(_.name == f.name).forall(_.dataType == f.dataType))
-        val headPaths = head.files.map(_.path).toSet
-        val removedSinceBase = basePaths -- headPaths
+        val headByPath = head.files.map(f => f.path -> f).toMap
         val addedSinceBase = head.files.filterNot(f => basePaths.contains(f.path))
+        // a touched file must be UNCHANGED at the head — same entry, not
+        // just same path: a winner's deletion-vector commit keeps the
+        // path but changes the entry, and re-committing our rewrite of
+        // the PRE-DV bytes would resurrect the winner's deleted rows
+        val touchedUnchanged =
+          touched.forall(p => headByPath.get(p).contains(baseByPath(p)))
         fastViable = schemaOk &&
           head.keys == keys && head.clusterBy == clusterBy &&
-          removedSinceBase.intersect(touched).isEmpty &&
+          touchedUnchanged &&
           !addedSinceBase.exists(f => box.exists(b => boxesOverlap(clusterBy, b, f)))
         if (fastViable) {
           val mergedSchema = StructType(headSchema.fields ++
@@ -674,9 +947,22 @@ object MergeTable {
   /** Keyed DELETE — the right-to-be-forgotten sweep: remove every row
     * whose merge key appears in `delKeys`, touching ONLY the files whose
     * cluster-key box overlaps the delete set (same pruning as MERGE).
-    * At 100 TB a GDPR purge list is a tiny frame against a huge clustered
-    * table: cost is O(touched files + list), never O(table). Returns the
-    * number of rows deleted; replay-safe via the same txn watermark.
+    * Returns the number of rows deleted; replay-safe via the same txn
+    * watermark.
+    *
+    * Two physical strategies:
+    *
+    *  - `deletionVectors = false` (copy-on-write): touched files are
+    *    REWRITTEN without the deleted rows — O(touched files + list).
+    *    Right when the purge clusters into few files.
+    *  - `deletionVectors = true` (merge-on-read): touched files keep
+    *    their bytes; the commit records each file's deleted POSITIONS in
+    *    a parquet (path, pos) dataset applied at read time. Commit cost
+    *    is O(list) — the positions themselves — no data-file rewrite at
+    *    all. Right for the realistic GDPR shape: a purge list scattered
+    *    across the key space touches MOST files, and copy-on-write would
+    *    degenerate to a near-full table rewrite. [[optimize]] later
+    *    rewrites DV-heavy files and retires their vectors.
     */
   def mergeDelete(
       s: SparkSession,
@@ -684,7 +970,8 @@ object MergeTable {
       delKeys: DataFrame,
       targetRowsPerFile: Long = 4096,
       txn: Option[(String, Long)] = None,
-      maxAttempts: Int = 20): Long = {
+      maxAttempts: Int = 20,
+      deletionVectors: Boolean = false): Long = {
     var boxMemo: Option[Option[Map[String, ColStat]]] = None
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -698,27 +985,130 @@ object MergeTable {
       val clusterBy = snapshot.clusterBy
       if (attempt == 1) requireClusterable(delKeys, clusterBy, "DELETE key set")
       val touched = touchedPaths(s, snapshot.files, delKeys, clusterBy)
-      if (touched.isEmpty) {
-        // nothing overlaps — but the txn watermark must STILL be recorded,
-        // or a crash-replay of this batch after a concurrent writer lands
-        // the keys would re-run the delete against data the original run
-        // never saw (the exactly-once contract). Metadata-only commit:
-        // same files, bumped version, watermark advanced.
-        txn match {
-          case None => return 0L // untracked caller: a true zero-cost no-op
-          case Some((w, v)) =>
-            if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
-              keys, clusterBy, Seq.empty, Seq.empty,
-              snapshot.txns + (w -> v), snapshot.files)) return 0L
+
+      /** Metadata-only commit: same files, bumped version, watermark
+        * advanced — the txn watermark must be recorded even when nothing
+        * matched, or a crash-replay of this batch after a concurrent
+        * writer lands the keys would re-run the delete against data the
+        * original run never saw (the exactly-once contract). Returns
+        * true when the caller can return 0. */
+      def commitNoop(): Boolean = txn match {
+        case None => true // untracked caller: a true zero-cost no-op
+        case Some((w, v)) =>
+          commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
+            keys, clusterBy, Seq.empty, Seq.empty,
+            snapshot.txns + (w -> v), snapshot.files)
+      }
+
+      def delKeyBox(): Option[Map[String, ColStat]] = {
+        if (boxMemo.isEmpty) boxMemo = Some(batchBox(
+          delKeys.select(clusterBy.map(col): _*), clusterBy))
+        boxMemo.get
+      }
+
+      /** Conflict-scoped CAS retry shared by both strategies: our delta
+        * stays valid against the winner's head iff every file we changed
+        * is byte- AND entry-identical at the head (same path is NOT
+        * enough — a winner's DV commit keeps the path but changes the
+        * entry, and re-committing ours would drop the winner's
+        * positions), and no intervening ADD's box overlaps the delete-key
+        * box (a freshly inserted matching key must be deleted by a
+        * REPLAYED delete, not silently survive). Returns Some(true) =
+        * committed, Some(false) = replayed-elsewhere (caller returns 0),
+        * None = real conflict or budget exhausted. */
+      def fastRetry(changed: Seq[DataFileEntry], adds: Seq[DataFileEntry],
+          removes: Seq[String]): Option[Boolean] = {
+        val baseByPath = snapshot.files.map(f => f.path -> f).toMap
+        val basePaths = baseByPath.keySet
+        var fastViable = true
+        // bounded like the outer loop — see mergeUpsert's fast path
+        while (fastViable && attempt < maxAttempts) {
+          attempt += 1
+          val head = latestManifest(table).getOrElse(
+            sys.error(s"commit race on $table with no committed head"))
+          val headReplayed = txn.exists { case (w, v) =>
+            head.txns.get(w).exists(_ >= v) }
+          if (headReplayed) return Some(false)
+          val headByPath = head.files.map(f => f.path -> f).toMap
+          val addedSinceBase = head.files.filterNot(f => basePaths.contains(f.path))
+          fastViable = head.schemaJson == snapshot.schemaJson &&
+            head.keys == keys && head.clusterBy == clusterBy &&
+            changed.forall(e => headByPath.get(e.path).contains(e)) &&
+            !addedSinceBase.exists(f =>
+              delKeyBox().exists(b => boxesOverlap(clusterBy, b, f)))
+          if (fastViable) {
+            val rm = removes.toSet
+            val resolved = head.files.filterNot(f => rm.contains(f.path)) ++ adds
+            if (commitVersion(table, head.version + 1, head.schemaJson,
+              keys, clusterBy, adds, removes,
+              head.txns ++ txn.map { case (w, v) => w -> v }, resolved))
+              return Some(true)
+          }
         }
-      } else {
+        None
+      }
+
+      if (touched.isEmpty) {
+        if (commitNoop()) return 0L
+      } else if (deletionVectors) {
+        // ---- merge-on-read: record positions, rewrite nothing ------------
         val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
-        val old = s.read.schema(schema)
-          .parquet(touched.toSeq.sorted.map(p => s"$table/$p"): _*)
+        val touchedEntries = snapshot.files.filter(f => touched.contains(f.path))
+        val marked = readFilesWithPosition(s, table, schema, touchedEntries)
+          .join(delKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
+        // pin before the stats pass — the per-file counts and the dataset
+        // write must see the same rows (the writeClusteredFiles discipline)
+        val pinned = marked.localCheckpoint()
+        try {
+          val perFile = pinned.groupBy(col("path")).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ |touched| rows
+          if (perFile.isEmpty) {
+            if (commitNoop()) return 0L
+          } else {
+            val changed = touchedEntries.filter(f => perFile.contains(f.path))
+            // fold each changed file's PREVIOUS positions into the new
+            // dataset, so one pointer per file always holds ALL of its
+            // deletions (the invariant the union-apply read rests on)
+            val prior = changed.filter(_.dv.nonEmpty)
+            val allPairs = prior.flatMap(_.dv).distinct match {
+              case Seq() => pinned
+              case dirs => pinned.unionByName(
+                dirs.map(d => s.read.parquet(s"$table/$d")).reduce(_ unionByName _)
+                  .where(col("path").isin(prior.map(_.path): _*)))
+            }
+            val dvId = java.util.UUID.randomUUID().toString.take(12)
+            val dvRel = s"dv/$dvId"
+            // bounded file count; the dataset is O(accumulated deletions)
+            allPairs.coalesce(8).write.mode("overwrite")
+              .parquet(s"$table/$dvRel")
+            val adds = changed.map(f => f.copy(dv = Some(dvRel),
+              dvRows = f.dvRows + perFile(f.path)))
+            val removes = changed.map(_.path).sorted
+            val deletedCount = perFile.values.sum
+            val untouched = snapshot.files.filterNot(f => perFile.contains(f.path))
+            if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
+              keys, clusterBy, adds, removes,
+              snapshot.txns ++ txn.map { case (w, v) => w -> v },
+              untouched ++ adds)) return deletedCount
+            fastRetry(changed, adds, removes) match {
+              case Some(true) => return deletedCount
+              case Some(false) =>
+                deleteDir(Paths.get(table, dvRel)); return 0L
+              case None => deleteDir(Paths.get(table, dvRel))
+            }
+          }
+        } finally org.apache.spark.sql.graftbridge.Bridge
+          .unpersistLocalCheckpoint(pinned)
+      } else {
+        // ---- copy-on-write: rewrite the touched files --------------------
+        val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
+        val touchedEntries = snapshot.files.filter(f => touched.contains(f.path))
+        // DV-aware: already-deleted rows must not resurrect as survivors
+        val old = readFiles(s, table, schema, touchedEntries)
         val survivors = old.join(
           delKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        val oldCount = snapshot.files
-          .filter(f => touched.contains(f.path)).map(_.numRows).sum
+        val oldCount = touchedEntries.map(_.visibleRows).sum
 
         val (commitId, newFiles) =
           writeClusteredFiles(table, survivors, clusterBy, targetRowsPerFile)
@@ -728,54 +1118,27 @@ object MergeTable {
           keys, clusterBy, newFiles, touched.toSeq.sorted,
           snapshot.txns ++ txn.map { case (w, v) => w -> v },
           untouched ++ newFiles)) return deletedCount
-
-        // conflict-scoped retry: the delete's rewrite stays valid against
-        // the winner's head iff the winner neither removed a file we
-        // rewrote nor added a file whose box overlaps the delete-key box
-        // (a freshly inserted matching key must be deleted by a REPLAYED
-        // delete, not silently survive).
-        if (boxMemo.isEmpty) boxMemo = Some(batchBox(
-          delKeys.select(clusterBy.map(col): _*), clusterBy))
-        val box = boxMemo.get
-        val basePaths = snapshot.files.map(_.path).toSet
-        var fastViable = true
-        var fastDone = false
-        // bounded like the outer loop — see mergeUpsert's fast path
-        while (fastViable && !fastDone && attempt < maxAttempts) {
-          attempt += 1
-          val head = latestManifest(table).getOrElse(
-            sys.error(s"commit race on $table with no committed head"))
-          val headReplayed = txn.exists { case (w, v) =>
-            head.txns.get(w).exists(_ >= v) }
-          if (headReplayed) { deleteDir(Paths.get(table, "data", commitId)); return 0L }
-          val headPaths = head.files.map(_.path).toSet
-          val removedSinceBase = basePaths -- headPaths
-          val addedSinceBase = head.files.filterNot(f => basePaths.contains(f.path))
-          fastViable = head.schemaJson == snapshot.schemaJson &&
-            head.keys == keys && head.clusterBy == clusterBy &&
-            removedSinceBase.intersect(touched).isEmpty &&
-            !addedSinceBase.exists(f => box.exists(b => boxesOverlap(clusterBy, b, f)))
-          if (fastViable) {
-            val resolved = head.files.filterNot(f => touched.contains(f.path)) ++ newFiles
-            fastDone = commitVersion(table, head.version + 1, head.schemaJson,
-              keys, clusterBy, newFiles, touched.toSeq.sorted,
-              head.txns ++ txn.map { case (w, v) => w -> v }, resolved)
-            if (fastDone) return deletedCount
-          }
+        fastRetry(touchedEntries, newFiles, touched.toSeq.sorted) match {
+          case Some(true) => return deletedCount
+          case Some(false) =>
+            deleteDir(Paths.get(table, "data", commitId)); return 0L
+          case None => deleteDir(Paths.get(table, "data", commitId))
         }
-        deleteDir(Paths.get(table, "data", commitId))
       }
     }
     sys.error(s"delete from $table lost the commit race $maxAttempts times")
   }
 
   /** OPTIMIZE: rewrite under-sized data files (fragmentation from many
-    * small merges) into full clustered files — same semantics as a
-    * lakehouse `OPTIMIZE`, committed as a normal version so readers
-    * never block and time travel still sees the pre-compaction layout.
-    * Only files below half the target participate; well-sized files are
-    * carried by reference untouched. Returns the number of files
-    * compacted (0 = nothing to do, no commit).
+    * small merges) AND deletion-vector-bearing files (merge-on-read debt)
+    * into full clustered files — same semantics as a lakehouse
+    * `OPTIMIZE`, committed as a normal version so readers never block and
+    * time travel still sees the pre-compaction layout. Files below half
+    * the target by VISIBLE rows participate, as does every file carrying
+    * a DV (the rewrite physically drops its deleted rows and retires the
+    * vector — vacuum then collects the unreferenced dataset); well-sized
+    * vector-free files are carried by reference untouched. Returns the
+    * number of files compacted (0 = nothing to do, no commit).
     */
   def optimize(
       s: SparkSession,
@@ -787,25 +1150,30 @@ object MergeTable {
       attempt += 1
       val snapshot = latestManifest(table)
         .getOrElse(sys.error(s"no committed version under $table"))
-      val small = snapshot.files.filter(_.numRows < targetRowsPerFile / 2)
-      if (small.size < 2) return 0 // nothing worth merging
+      val small = snapshot.files.filter(_.visibleRows < targetRowsPerFile / 2)
+      val dvBearing = snapshot.files.filter(_.dv.nonEmpty)
+      val candidates = (small ++ dvBearing).distinct
+      // a lone small vector-free file gains nothing from a rewrite; any
+      // DV-bearing file does (the read-side anti-join retires)
+      if (small.size < 2 && dvBearing.isEmpty) return 0
 
       val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
-      val frag = s.read.schema(schema)
-        .parquet(small.map(f => s"$table/${f.path}"): _*)
+      val frag = readFiles(s, table, schema, candidates) // DV-aware
       val (commitId, newFiles) =
         writeClusteredFiles(table, frag, snapshot.clusterBy, targetRowsPerFile)
-      val smallPaths = small.map(_.path).toSet
+      val candPaths = candidates.map(_.path).toSet
       if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
         snapshot.keys, snapshot.clusterBy, newFiles,
-        smallPaths.toSeq.sorted, snapshot.txns,
-        snapshot.files.filterNot(f => smallPaths.contains(f.path)) ++ newFiles))
-        return small.size
+        candPaths.toSeq.sorted, snapshot.txns,
+        snapshot.files.filterNot(f => candPaths.contains(f.path)) ++ newFiles))
+        return candidates.size
 
       // conflict-scoped retry: a compaction rewrites rows unchanged, so
-      // it stays valid against any head that still carries every small
-      // file it folded in (no added-box check needed: OPTIMIZE introduces
-      // no new keys, so a winner's insert cannot collide with it)
+      // it stays valid against any head where every folded file is still
+      // the SAME ENTRY (a winner's DV commit on one would make our
+      // rewrite resurrect its deleted rows — path equality is not
+      // enough). No added-box check needed: OPTIMIZE introduces no new
+      // keys, so a winner's insert cannot collide with it.
       var fastViable = true
       var fastDone = false
       // bounded like the outer loop — see mergeUpsert's fast path
@@ -813,15 +1181,16 @@ object MergeTable {
         attempt += 1
         val head = latestManifest(table).getOrElse(
           sys.error(s"commit race on $table with no committed head"))
-        val headPaths = head.files.map(_.path).toSet
-        fastViable = smallPaths.forall(headPaths.contains) &&
+        val headByPath = head.files.map(f => f.path -> f).toMap
+        fastViable =
+          candidates.forall(e => headByPath.get(e.path).contains(e)) &&
           head.keys == snapshot.keys && head.clusterBy == snapshot.clusterBy
         if (fastViable) {
-          val resolved = head.files.filterNot(f => smallPaths.contains(f.path)) ++ newFiles
+          val resolved = head.files.filterNot(f => candPaths.contains(f.path)) ++ newFiles
           fastDone = commitVersion(table, head.version + 1, head.schemaJson,
-            head.keys, head.clusterBy, newFiles, smallPaths.toSeq.sorted,
+            head.keys, head.clusterBy, newFiles, candPaths.toSeq.sorted,
             head.txns, resolved)
-          if (fastDone) return small.size
+          if (fastDone) return candidates.size
         }
       }
       deleteDir(Paths.get(table, "data", commitId))
@@ -854,13 +1223,33 @@ object MergeTable {
       retainVersions: Int = 2): Int = {
     val m = latestManifest(table).getOrElse(return 0)
     val keepFloor = math.max(0L, m.version - math.max(1, retainVersions) + 1)
-    // delta records ≥ keepFloor resolve by walking back to this
-    // checkpoint; everything ≥ cpFloor must therefore survive
-    val cpFloor = keepFloor - Math.floorMod(keepFloor, CheckpointInterval.toLong)
+    // retained delta records resolve by walking back to a checkpoint at or
+    // below keepFloor; everything ≥ cpFloor must therefore survive. The
+    // floor is the newest VERIFIED-readable base ≤ keepFloor — a cp file
+    // is only trusted after a full streamed read (an existence check would
+    // let a torn copy strand every retained version), a v1 inline
+    // checkpoint record counts too; none found → floor 0 (v0's delta is
+    // the initial listing, so the full prefix must stay).
+    val cpFloor: Long = {
+      var cand = keepFloor - Math.floorMod(keepFloor, CheckpointInterval.toLong)
+      var found = 0L
+      var done = false
+      while (!done && cand > 0) {
+        val readable = readCheckpointFile(table, cand).nonEmpty ||
+          readRecord(table, cand).exists(_.kind == "checkpoint")
+        if (readable) { found = cand; done = true }
+        else cand -= CheckpointInterval
+      }
+      found
+    }
     // union of the retained versions' resolved file lists — gaps
     // (already-vacuumed versions) just contribute nothing
-    val live = (keepFloor to m.version)
-      .flatMap(v => manifestAt(table, v)).flatMap(_.files.map(_.path)).toSet
+    val retained = (keepFloor to m.version).flatMap(v => manifestAt(table, v))
+    val live = retained.flatMap(_.files.map(_.path)).toSet
+    // deletion-vector datasets referenced by any retained version stay;
+    // unreferenced ones (their files were rewritten by OPTIMIZE, or the
+    // referencing versions aged out) collect age-gated like data commits
+    val liveDv = retained.flatMap(_.files.flatMap(_.dv)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     val dataRoot = Paths.get(table, "data")
@@ -909,6 +1298,32 @@ object MergeTable {
         } else if (remaining.isEmpty) Files.deleteIfExists(c)
       }
     }
+    // deletion-vector datasets: a whole dv/<id> dir retires once no
+    // retained version references it — age-gated like data commits, with
+    // the same `_temporary` day-of-grace for an in-flight Spark write
+    val dvRoot = Paths.get(table, "dv")
+    if (Files.isDirectory(dvRoot)) {
+      val sets = { val s4 = Files.list(dvRoot)
+        try s4.iterator().asScala.toSeq finally s4.close() }
+      val tempCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      sets.foreach { c =>
+        if (!liveDv.contains(s"dv/${c.getFileName}")) {
+          val fs0 = { val s5 = Files.list(c)
+            try s5.iterator().asScala.toSeq finally s5.close() }
+          val safe = fs0.forall { f =>
+            val limit =
+              if (f.getFileName.toString == "_temporary") tempCutoff else cutoff
+            try Files.getLastModifiedTime(f).toMillis < limit
+            catch { case _: Exception => false }
+          }
+          if (fs0.isEmpty) Files.deleteIfExists(c)
+          else if (safe) {
+            deleted += fs0.count(_.getFileName.toString.endsWith(".parquet"))
+            deleteDir(c)
+          }
+        }
+      }
+    }
     val ld = logDir(table)
     if (Files.isDirectory(ld)) {
       val logs = { val s3 = Files.list(ld)
@@ -919,21 +1334,37 @@ object MergeTable {
         versionOf(p.getFileName.toString) match {
           case Some(v) =>
             if (v < cpFloor && old) { Files.deleteIfExists(p); deleted += 1 }
-          case None =>
-            // crash-orphaned staging records (writer died between the
-            // tmp write and the link) age out here too
-            if (p.getFileName.toString.startsWith(".tmp-") && old) {
-              Files.deleteIfExists(p); deleted += 1
-            }
+          case None => cpVersionOf(p.getFileName.toString) match {
+            case Some(v) =>
+              // a checkpoint file strictly below the floor is superseded
+              // by the floor checkpoint for every retained resolution
+              if (v < cpFloor && old) { Files.deleteIfExists(p); deleted += 1 }
+            case None =>
+              // crash-orphaned staging records (writer died between the
+              // tmp write and the link/move) age out here too
+              if (p.getFileName.toString.startsWith(".tmp-") && old) {
+                Files.deleteIfExists(p); deleted += 1
+              }
+          }
         }
       }
     }
     deleted
   }
 
-  /** Remove a table tree entirely (fixture builders start clean). */
-  private[graft] def dropTable(table: String): Unit =
+  /** Test hook: drop `table`'s cached manifest so a spec can prove COLD
+    * resolution (fresh-process behavior) instead of a cache hit. */
+  private[graft] def evictCachedManifest(table: String): Unit = {
+    manifestCache.remove(cacheKey(table)); ()
+  }
+
+  /** Remove a table tree entirely (fixture builders start clean) and
+    * evict its cached manifest — a recreated table at the same path must
+    * never forward-fold over the dead incarnation's listing. */
+  private[graft] def dropTable(table: String): Unit = {
+    manifestCache.remove(cacheKey(table))
     deleteDir(Paths.get(table))
+  }
 
   /** Refresh a live table's root mtime — the heartbeat [[sweepScratch]]'s
     * age gate keys on. Sessions that READ a memoized table long after
@@ -1000,7 +1431,7 @@ object MergeTable {
     */
   def changesBetween(
       s: SparkSession, table: String, fromVersion: Long, toVersion: Long,
-      cols: Seq[String] = Seq.empty): DataFrame = {
+      cols: Seq[String] = Seq.empty, preimages: Boolean = false): DataFrame = {
     val mTo = manifestAt(table, toVersion)
       .getOrElse(missingVersion(s"version $toVersion not found under $table"))
     val mFrom = manifestAt(table, fromVersion)
@@ -1010,17 +1441,25 @@ object MergeTable {
     val payload =
       if (cols.nonEmpty) cols
       else newSchema.fieldNames.filterNot(keys.contains).toSeq
-    val fromPaths = mFrom.files.map(_.path).toSet
-    val toPaths = mTo.files.map(_.path).toSet
-    val removedEntries = mFrom.files.filterNot(f => toPaths.contains(f.path))
-    val addedEntries = mTo.files.filterNot(f => fromPaths.contains(f.path))
+    // identity = (path, deletion vector): a DV commit keeps a file's path
+    // but changes WHICH rows it contributes, so the file must appear on
+    // both diff sides (old side with the old vector, new side with the
+    // new one) for its newly-deleted rows to emit as DELETEs. Entries
+    // equal on (path, dv) contribute byte-identical visible rows — the
+    // exact-skip argument unchanged.
+    def ident(f: DataFileEntry) = (f.path, f.dv)
+    val fromIds = mFrom.files.map(ident).toSet
+    val toIds = mTo.files.map(ident).toSet
+    val removedEntries = mFrom.files.filterNot(f => toIds.contains(ident(f)))
+    val addedEntries = mTo.files.filterNot(f => fromIds.contains(ident(f)))
     val target = StructType((keys ++ payload).map(c => newSchema(c)))
     def side(m: TableManifest, entries: Seq[DataFileEntry]) = {
       val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
       withAllColumns(readFiles(s, table, schema, entries), target)
     }
     ChangeCapture.snapshotDiffKeys(
-      side(mFrom, removedEntries), side(mTo, addedEntries), keys, payload)
+      side(mFrom, removedEntries), side(mTo, addedEntries), keys, payload,
+      preimages = preimages)
   }
 
   // ---- oracled round-trip over the merged table ---------------------------
@@ -1064,10 +1503,17 @@ object MergeTable {
         ev.where(pmod(col("event_id"), lit(7)) === 0)
           .withColumn("value", col("value") + 200.0),
         keys, keys, txn = Some(("seed", 2L)))
-      // wave 3: keyed delete (the GDPR sweep) — every %11==3 key purged
+      // wave 3: keyed delete (the GDPR sweep) — every %11==3 key purged.
+      // MERGE-ON-READ (deletion vectors): the scattered key list touches
+      // most files, so the rewrite form would be a near-full-table
+      // rewrite; the DV form commits only the position list. Both
+      // registered queries then exercise the DV read path (v4 snapshot)
+      // and the DV-aware CDF (v0→v4 spans this boundary) against oracles
+      // that know nothing about the strategy — strategy-independence of
+      // the visible rows is exactly the DV contract.
       mergeDelete(s, t,
         ev.where(pmod(col("event_id"), lit(11)) === 3).select(col("event_id")),
-        txn = Some(("seed", 3L)))
+        txn = Some(("seed", 3L)), deletionVectors = true)
       // wave 4: insert-only wave — clones offset past max(event_id), so
       // the no-collision guarantee holds at ANY scale factor (a fixed
       // offset has zero headroom the moment ids outgrow it); the oracle
@@ -1133,6 +1579,106 @@ object MergeTable {
       Seq("event_type", "value"))
       .orderBy("event_id")
   }
+
+  /** `q_merge_cdf_pre`: the same v0→latest change feed WITH PREIMAGES —
+    * every UPDATE/DELETE carries its old payload as `*_pre` columns, so
+    * an incremental consumer can retract the previous contribution
+    * without re-reading version v−1 (the O(table) read the file-scoped
+    * diff eliminated must not sneak back in at the consumer). The oracle
+    * is the same protocol-independent full-outer diff, projecting the
+    * OLD side's payload alongside the new. */
+  def mergeChangesPre(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildMergedEvents(s, sfDir)
+    changesBetween(s, t, 0L, latestManifest(t).get.version,
+      Seq("event_type", "value"), preimages = true)
+      .orderBy("event_id")
+  }
+
+  /** `q_merge_conditional`: a guarded PARTIAL merge over its own fixture
+    * table — the batch re-delivers every %3==0 event doubled and
+    * relabeled 'boosted', under `WHEN MATCHED AND s.value > t.value`
+    * with `updateCols = value` only. The digest groups by event_type:
+    * any 'boosted' group appearing AT ALL means the partial-update
+    * contract leaked the batch's label column; a value that doubled
+    * despite value ≤ 0 means the guard leaked. The oracle reconstructs
+    * the same outcome as one CASE over the raw table. */
+  def mergeConditionalDigest(s: SparkSession, sfDir: String): DataFrame =
+    read(s, buildConditionalEvents(s, sfDir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+
+  private val condCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Two deterministic commits behind `q_merge_conditional`: a full load,
+    * then the guarded partial wave (see [[mergeConditionalDigest]]). A
+    * separate table from [[buildMergedEvents]] so the other merge
+    * queries' version anchors stay untouched. */
+  private def buildConditionalEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(condCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("merge-conditional")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-cond", sfDir)}-$appTag").toString
+      deleteDir(Paths.get(t))
+      val ev = Tables.read(s, sfDir, "events")
+      val keys = Seq("event_id")
+      mergeUpsert(s, t, ev, keys, keys, txn = Some(("seed", 0L)))
+      mergeUpsert(s, t,
+        ev.where(pmod(col("event_id"), lit(3)) === 0)
+          .withColumn("value", col("value") * 2.0)
+          .withColumn("event_type", lit("boosted")),
+        keys, keys, txn = Some(("seed", 1L)),
+        matchedCondition = Some("s.value > t.value"),
+        updateCols = Seq("value"))
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  val mergeConditionalDigestSql: String =
+    """WITH final AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 3 = 0 AND value * 2.0 > value
+      |         THEN value * 2.0 ELSE value END AS value
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS value_sum
+      |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val mergeChangesPreSql: String =
+    s"""WITH v0 AS (SELECT event_id, event_type, value FROM events),
+       |final AS (
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 7 = 0 THEN event_type
+       |         WHEN event_id % 5 < 2 THEN 'updated'
+       |         ELSE event_type END AS event_type,
+       |    CASE WHEN event_id % 7 = 0 THEN value + 200.0
+       |         WHEN event_id % 5 < 2 THEN value + 100.0
+       |         ELSE value END AS value
+       |  FROM events WHERE event_id % 11 <> 3
+       |  UNION ALL
+       |  SELECT event_id + (SELECT max(event_id) + 1 FROM events),
+       |    'cloned', value + 500.0
+       |  FROM events WHERE event_id % 13 = 0),
+       |diff AS (
+       |  SELECT coalesce(f.event_id, o.event_id) AS event_id,
+       |    CASE WHEN o.event_id IS NULL THEN 'INSERT'
+       |         WHEN f.event_id IS NULL THEN 'DELETE'
+       |         WHEN f.event_type <> o.event_type OR f.value <> o.value
+       |           THEN 'UPDATE' END AS change_type,
+       |    f.event_type AS event_type, f.value AS value,
+       |    o.event_type AS event_type_pre, o.value AS value_pre
+       |  FROM v0 o FULL OUTER JOIN final f ON o.event_id = f.event_id)
+       |SELECT event_id, change_type, event_type, value,
+       |  event_type_pre, value_pre
+       |FROM diff
+       |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin
 
   val mergeChangesSql: String =
     s"""WITH v0 AS (SELECT event_id, event_type, value FROM events),

@@ -117,11 +117,22 @@ object StreamingChangeFeed {
         // snapshot as a RESET, not as incremental inserts (without the
         // marker, a mid-stream boot would silently double-apply every
         // pre-existing row)
-        def snapshotBoot(feedType: String): Unit =
-          MergeTable.readVersion(s, table, v)
+        // boots carry null `<col>_pre` columns so every feed version dir
+        // shares one schema with the preimage-bearing diffs — a reader
+        // sampling a boot dir's footer must still see the preimage
+        // columns the diff dirs carry
+        def snapshotBoot(feedType: String): Unit = {
+          val snap = MergeTable.readVersion(s, table, v)
+          val keys = MergeTable.manifestAt(table, v)
+            .map(_.keys).getOrElse(Seq.empty)
+          val payload = snap.columns.filterNot(keys.contains)
+          payload.foldLeft(snap) { (d, c) =>
+            d.withColumn(s"${c}_pre", lit(null).cast(d.schema(c).dataType))
+          }
             .withColumn("change_type", lit("INSERT"))
             .withColumn("feed_type", lit(feedType))
             .write.mode("overwrite").parquet(dir.toString)
+        }
         // a version RETIRED BY VACUUM before the (lagging/replayed) feed
         // reached it delivers nothing: its changes are subsumed by the
         // next surviving version's snapshot boot — erroring here would
@@ -151,7 +162,10 @@ object StreamingChangeFeed {
             snapshotBoot(if (v == 0L) "diff" else "snapshot")
           else {
             try
-              MergeTable.changesBetween(s, table, v - 1, v)
+              // preimages: UPDATEs/DELETEs carry their old payload as
+              // <col>_pre, so an incremental consumer can RETRACT the
+              // previous contribution without re-reading version v−1
+              MergeTable.changesBetween(s, table, v - 1, v, preimages = true)
                 .withColumn("feed_type", lit("diff"))
                 .write.mode("overwrite").parquet(dir.toString)
             catch {

@@ -382,7 +382,7 @@ class MergeTableSpec extends AnyFunSuite {
   test("checkpointed log: a long commit history resolves from one checkpoint " +
     "+ a bounded delta suffix, not the whole log") {
     val t = freshTable("cklog")
-    // 25 commits → versions 0..24; checkpoints at v0, v10, v20
+    // 25 commits → versions 0..24; auxiliary checkpoint files at v10, v20
     (0 until 25).foreach { i =>
       MergeTable.mergeUpsert(spark, t, rows(Seq(i.toLong, 500L + i), i + 1.0),
         Seq("event_id"), Seq("event_id"), targetRowsPerFile = 10)
@@ -390,13 +390,17 @@ class MergeTableSpec extends AnyFunSuite {
     val full = MergeTable.read(spark, t)
       .select("event_id", "value").as[(Long, Double)].collect().toMap
     assert(full.size == 50)
-    // HARD proof resolution never reads below the checkpoint floor:
-    // delete every log record under v20 — if resolving v24 touched any
-    // of them it would now fail; it must not even notice
     val log = Paths.get(t, "_graft_log")
+    assert(Files.exists(log.resolve(f"cp-v${20L}%020d.ndjson.gz")),
+      "checkpoint cadence did not write the v20 listing file")
+    // HARD proof COLD resolution never reads below the checkpoint floor:
+    // evict the in-process cache (fresh-process behavior) AND delete
+    // every log record under v20 — if resolving v24 touched any of them
+    // it would now fail; it must not even notice
     (0 until 20).foreach { v =>
       Files.deleteIfExists(log.resolve(f"v$v%020d.json"))
     }
+    MergeTable.evictCachedManifest(t)
     val resolved = MergeTable.read(spark, t)
       .select("event_id", "value").as[(Long, Double)].collect().toMap
     assert(resolved == full, "latest snapshot changed after trimming the log tail")
@@ -410,11 +414,62 @@ class MergeTableSpec extends AnyFunSuite {
         Seq("event_id"), Seq("event_id"))
     }
     MergeTable.vacuum(t2, graceMs = 0L)
-    assert(Files.exists(Paths.get(t2, "_graft_log", f"v${20L}%020d.json")),
+    assert(Files.exists(Paths.get(t2, "_graft_log", f"cp-v${20L}%020d.ndjson.gz")),
       "vacuum retired the checkpoint its retained deltas resolve through")
     assert(!Files.exists(Paths.get(t2, "_graft_log", f"v${9L}%020d.json")),
       "vacuum kept a record below the checkpoint floor")
+    assert(!Files.exists(Paths.get(t2, "_graft_log", f"cp-v${10L}%020d.ndjson.gz")),
+      "vacuum kept a checkpoint file below the floor")
+    // cold post-vacuum resolution (fresh process): records ≥ floor + the
+    // floor checkpoint file must suffice
+    MergeTable.evictCachedManifest(t2)
     assert(MergeTable.read(spark, t2).count() == 25L)
+  }
+
+  test("log format: a v1 inline-checkpoint record still resolves; a pre-v1 " +
+    "record fails with an explicit incompatible-format error") {
+    val t = freshTable("fmt")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 4L, 1.0), Seq("event_id"), Seq("event_id"))
+    val log = Paths.get(t, "_graft_log")
+    val v0 = new String(Files.readAllBytes(log.resolve("v" + "0" * 20 + ".json")), "UTF-8")
+    assert(v0.contains("\"formatVersion\":2"), "new records must carry formatVersion")
+    // hand-write a v1-shaped INLINE CHECKPOINT at v1 (no formatVersion
+    // field, kind=checkpoint, adds = full listing): the round-10 format
+    val m0 = MergeTable.latestManifest(t).get
+    val addsJson = v0.split("\"adds\":")(1).split(",\"removes\"")(0)
+    val legacy = s"""{"version":1,"kind":"checkpoint",""" +
+      s""""schemaJson":${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.JString(m0.schemaJson))},""" +
+      s""""keys":["event_id"],"clusterBy":["event_id"],""" +
+      s""""adds":$addsJson,"removes":[],"txns":{}}"""
+    Files.write(log.resolve("v" + "0" * 19 + "1.json"), legacy.getBytes("UTF-8"))
+    MergeTable.evictCachedManifest(t)
+    assert(MergeTable.readVersion(spark, t, 1L).count() == 4L,
+      "v1 inline-checkpoint record did not resolve")
+    // and resolution THROUGH it (as a walk base) works: add a delta on top
+    MergeTable.mergeUpsert(spark, t, rows(5L to 5L, 2.0), Seq("event_id"), Seq("event_id"))
+    MergeTable.evictCachedManifest(t)
+    assert(MergeTable.read(spark, t).count() == 5L)
+
+    // pre-v1 shape (the old TableManifest layout: no kind, no formatVersion)
+    val t2 = freshTable("fmt2")
+    MergeTable.mergeUpsert(spark, t2, rows(1L to 2L, 1.0), Seq("event_id"), Seq("event_id"))
+    val log2 = Paths.get(t2, "_graft_log")
+    Files.write(log2.resolve("v" + "0" * 19 + "1.json"),
+      """{"version":1,"schemaJson":"x","minKey":0,"maxKey":9,"files":[]}"""
+        .getBytes("UTF-8"))
+    MergeTable.evictCachedManifest(t2)
+    val e = intercept[RuntimeException] { MergeTable.latestManifest(t2) }
+    assert(e.getMessage.contains("rebuild the table or migrate"),
+      s"expected an explicit incompatible-format message, got: ${e.getMessage}")
+    // a FUTURE format is refused too, with an upgrade direction
+    Files.write(log2.resolve("v" + "0" * 19 + "1.json"),
+      """{"version":1,"kind":"delta","schemaJson":"x","keys":[],"clusterBy":[],
+        |"adds":[],"removes":[],"txns":{},"formatVersion":99}"""
+        .stripMargin.replace("\n", "").getBytes("UTF-8"))
+    MergeTable.evictCachedManifest(t2)
+    val e2 = intercept[IllegalArgumentException] { MergeTable.latestManifest(t2) }
+    assert(e2.getMessage.contains("upgrade the reader"))
   }
 
   test("typed stats: a STRING-clustered table prunes files by string range") {
@@ -602,6 +657,151 @@ class MergeTableSpec extends AnyFunSuite {
     val d = diff.select("event_id", "change_type")
       .as[(Long, String)].collect().toMap
     assert(d == Map(victim.minLong("event_id") -> "UPDATE"), d)
+  }
+
+  test("deletion vectors: a scattered DELETE commits O(list) — no data-file " +
+    "rewrite; reads, time travel, folding, CDF, OPTIMIZE and vacuum all hold") {
+    val t = freshTable("dv")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 400L, 1.0),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 50) // 8 files
+    val m0 = MergeTable.latestManifest(t).get
+    assert(m0.files.size == 8)
+    def dataDirs = {
+      val st = Files.list(Paths.get(t, "data"))
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.size } finally st.close()
+    }
+    assert(dataDirs == 1)
+
+    // one victim per file — the scattered GDPR shape that makes
+    // copy-on-write a near-full rewrite
+    val victims = Seq(10L, 60L, 110L, 160L, 210L, 260L, 310L, 360L)
+    val n = MergeTable.mergeDelete(spark, t, victims.toDF("event_id"),
+      deletionVectors = true)
+    assert(n == victims.size)
+    val m1 = MergeTable.latestManifest(t).get
+    // SAME data files — nothing rewritten, no new data commit dir; the
+    // entries now carry vectors
+    assert(m1.files.map(_.path).toSet == m0.files.map(_.path).toSet)
+    assert(dataDirs == 1, "DV delete wrote data files")
+    assert(m1.files.forall(f => f.dv.nonEmpty && f.dvRows == 1L))
+    val out1 = MergeTable.read(spark, t).select("event_id").as[Long].collect().toSet
+    assert(out1 == (1L to 400L).toSet -- victims)
+    // time travel: the pre-delete snapshot reads in full
+    assert(MergeTable.readVersion(spark, t, 0L).count() == 400L)
+
+    // a second DV delete on two of the same files FOLDS their previous
+    // positions into the new dataset (one pointer holds all deletions)
+    val victims2 = Seq(11L, 61L)
+    assert(MergeTable.mergeDelete(spark, t, victims2.toDF("event_id"),
+      deletionVectors = true) == 2L)
+    val m2 = MergeTable.latestManifest(t).get
+    assert(m2.files.map(_.path).toSet == m0.files.map(_.path).toSet)
+    assert(m2.files.count(_.dvRows == 2L) == 2)
+    val out2 = MergeTable.read(spark, t).select("event_id").as[Long].collect().toSet
+    assert(out2 == (1L to 400L).toSet -- victims -- victims2)
+
+    // CDF across the DV boundary: same paths, changed vectors — the diff
+    // must still emit every deleted row as a DELETE
+    val diff = MergeTable.changesBetween(spark, t, 0L, 2L, Seq("value"))
+    val byType = diff.groupBy("change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("DELETE" -> 10L), byType)
+
+    // an upsert touching a DV-bearing file must not resurrect its
+    // deleted rows into the rewrite
+    MergeTable.mergeUpsert(spark, t, rows(Seq(12L), 9.0),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 50)
+    val out3 = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(!out3.contains(10L) && !out3.contains(11L), "deleted rows resurrected")
+    assert(out3(12L) == 9.0 && out3.size == 390)
+
+    // OPTIMIZE purges merge-on-read debt: vectors retired, deleted rows
+    // physically gone, visible rows unchanged
+    assert(MergeTable.optimize(spark, t, targetRowsPerFile = 50) > 0)
+    val m4 = MergeTable.latestManifest(t).get
+    assert(m4.files.forall(_.dv.isEmpty), "optimize left a vector behind")
+    assert(m4.files.map(_.numRows).sum == 390L, "deleted rows still physical")
+    assert(MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap == out3)
+
+    // vacuum: with only the optimized head retained, the unreferenced dv
+    // datasets collect — and a COLD post-vacuum read still works
+    MergeTable.vacuum(t, graceMs = 0L, retainVersions = 1)
+    val dvRoot = Paths.get(t, "dv")
+    val dvLeft =
+      if (!Files.isDirectory(dvRoot)) 0
+      else { val st = Files.list(dvRoot)
+        try { import scala.jdk.CollectionConverters._
+          st.iterator().asScala.size } finally st.close() }
+    assert(dvLeft == 0, s"vacuum left $dvLeft unreferenced dv datasets")
+    MergeTable.evictCachedManifest(t)
+    assert(MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap == out3)
+  }
+
+  test("deletion vectors: a concurrent DV commit on a touched file defeats " +
+    "the conflict-scoped fast path — no resurrection") {
+    val t = freshTable("dvrace")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 100L, 1.0),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100) // one file
+    var fired = false
+    MergeTable.testPrecommitHook = () => if (!fired) {
+      fired = true
+      // winner: DV-deletes key 5 out from under the in-flight merge —
+      // the file's PATH survives, only its entry changes, so a path-set
+      // conflict check would wrongly validate the loser's stale rewrite
+      MergeTable.mergeDelete(spark, t, Seq(5L).toDF("event_id"),
+        deletionVectors = true)
+    }
+    try MergeTable.mergeUpsert(spark, t, rows(Seq(50L), 9.0),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
+    finally MergeTable.testPrecommitHook = () => ()
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(!out.contains(5L), "the winner's DV delete was resurrected")
+    assert(out(50L) == 9.0 && out.size == 99)
+  }
+
+  test("conditional MERGE: WHEN MATCHED AND guard + partial-column update") {
+    val t = freshTable("cond")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 10L, 5.0),
+      Seq("event_id"), Seq("event_id"))
+    val batch = Seq(
+      (1L, "x1", 3.0), // matched, guard FAILS (3 ≤ 5): old row kept whole
+      (2L, "x2", 9.0), // matched, guard holds: value updates, tag must NOT
+      (11L, "x11", 7.0)) // not matched: INSERT ALL (batch tag lands)
+      .toDF("event_id", "tag", "value")
+    MergeTable.mergeUpsert(spark, t, batch, Seq("event_id"), Seq("event_id"),
+      matchedCondition = Some("s.value > t.value"),
+      updateCols = Seq("value"))
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "tag", "value").as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 11)
+    assert(out(1L) == (("u1", 5.0)), s"guard-failing row changed: ${out(1L)}")
+    assert(out(2L) == (("u2", 9.0)),
+      s"partial update leaked beyond updateCols: ${out(2L)}")
+    assert(out(11L) == (("x11", 7.0)))
+    assert(out(3L) == (("u3", 5.0)), "an unmatched table row changed")
+    // guarded update with NO updateCols restriction: full-row update for
+    // passing matches only
+    MergeTable.mergeUpsert(spark, t,
+      Seq((2L, "y2", 1.0), (3L, "y3", 8.0)).toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id"),
+      matchedCondition = Some("s.value > t.value"))
+    val out2 = MergeTable.read(spark, t)
+      .select("event_id", "tag", "value").as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out2(2L) == (("u2", 9.0)), "guard-failing row updated")
+    assert(out2(3L) == (("y3", 8.0)), "passing match must take the full row")
+    // updateCols naming a merge key is rejected
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.mergeUpsert(spark, t, batch, Seq("event_id"), Seq("event_id"),
+        updateCols = Seq("event_id"))
+    }
+    assert(e.getMessage.contains("must not name merge keys"))
   }
 
   test("foreign files under the log dir are ignored") {

@@ -107,4 +107,44 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     // _SKIPPED marker a reconciling consumer can enumerate
     assert(StreamingChangeFeed.skippedVersions(out) == Seq(0L))
   }
+
+  test("preimages: an incremental consumer applies the feed — inserts add, " +
+    "updates retract the old value, deletes retract — and lands on the " +
+    "table's true aggregate") {
+    val base = tmp("pre")
+    val table = s"$base/table"
+    val out = s"$base/out"
+
+    MergeTable.mergeUpsert(spark, table, rows(1L to 8L, 10.0), Seq("event_id"), Seq("event_id"))
+    MergeTable.mergeUpsert(spark, table, rows(3L to 5L, 25.0), Seq("event_id"), Seq("event_id"))
+    MergeTable.mergeDelete(spark, table, Seq(1L, 7L).toDF("event_id"))
+    val q = StreamingChangeFeed.startChangeFeedSink(spark, table, out, s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+
+    val feed = StreamingChangeFeed.readFeed(spark, out)
+    // UPDATE rows must CARRY the preimage — not force a v−1 re-read
+    val upd = feed.where(col("change_type") === "UPDATE")
+      .select("event_id", "value", "value_pre")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(upd.keySet == Set(3L, 4L, 5L) &&
+      upd.values.forall(_ == ((25.0, 10.0))), upd.toString)
+    // DELETE rows carry ONLY the preimage (new side is null)
+    val del = feed.where(col("change_type") === "DELETE")
+      .select(col("event_id"), col("value_pre"), col("value").isNull)
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(del == Map(1L -> ((10.0, true)), 7L -> ((10.0, true))), del.toString)
+    // the incremental application: +value on INSERT, +value−value_pre on
+    // UPDATE, −value_pre on DELETE — running it over the whole feed must
+    // reproduce the live table's sum exactly
+    val applied = feed.select(
+      sum(when(col("change_type") === "INSERT", col("value"))
+        .when(col("change_type") === "UPDATE", col("value") - col("value_pre"))
+        .when(col("change_type") === "DELETE", -col("value_pre"))))
+      .as[Double].collect()(0)
+    val direct = MergeTable.read(spark, table)
+      .select(sum(col("value"))).as[Double].collect()(0)
+    assert(applied == direct, s"incremental $applied != direct $direct")
+  }
 }
