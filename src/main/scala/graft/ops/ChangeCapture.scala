@@ -36,10 +36,12 @@ object ChangeCapture {
     * the NEW payload (null for DELETE); with `preimages` also the OLD
     * payload as `<col>_pre` (null for INSERT) — the retraction half an
     * incremental consumer needs to subtract an UPDATE/DELETE's previous
-    * contribution without re-reading version v−1 itself. The old side is
-    * scanned anyway for the hash compare, so preimages cost one more
-    * key-shuffle projection of the CHANGED rows only, never a new table
-    * read.
+    * contribution without re-reading version v−1 itself. Cost: one more
+    * SCAN of the old side (which [[MergeTable.changesBetween]] has
+    * already restricted to the changed files) plus a key join of its
+    * payload projection — the hash-only shuffle discipline still governs
+    * the diff itself, and the CONSUMER never re-reads v−1, which is the
+    * O(table) read this option exists to avoid.
     */
   def snapshotDiffKeys(
       oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],

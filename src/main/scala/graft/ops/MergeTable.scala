@@ -183,7 +183,14 @@ object MergeTable {
     val f = logDir(table).resolve(f"v$v%020d.json")
     if (!Files.exists(f)) None
     else {
-      val txt = new String(Files.readAllBytes(f), "UTF-8")
+      // exists→read TOCTOU: a concurrent process's vacuum can unlink the
+      // record in between; NoSuchFileException is a FileSystemException
+      // (NOT java.io.FileNotFoundException), so without this mapping the
+      // gap would surface as an untyped crash instead of "record absent"
+      val bytes =
+        try Files.readAllBytes(f)
+        catch { case _: java.nio.file.NoSuchFileException => return None }
+      val txt = new String(bytes, "UTF-8")
       val jv = org.json4s.jackson.JsonMethods.parse(txt)
       val fv = jv \ "formatVersion" match {
         case org.json4s.JInt(n) => n.toInt
@@ -248,10 +255,21 @@ object MergeTable {
     val f = cpFile(table, v)
     if (!Files.exists(f)) None
     else {
-      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-        new java.util.zip.GZIPInputStream(Files.newInputStream(f), 1 << 16),
-        java.nio.charset.StandardCharsets.UTF_8))
+      // EVERYTHING from open to extraction sits inside the fallback: the
+      // file can vanish between the exists check and the open (vacuum
+      // advancing the floor under a cold walk), the gzip header can be
+      // torn, a line can fail JSON extraction — each means "this base is
+      // unreadable, walk to an older one", never a failed read. The RAW
+      // stream is tracked separately: a gzip-header throw happens before
+      // any reader wraps it, and an untracked channel would leak one fd
+      // per resolution walking past a torn checkpoint.
+      var raw: java.io.InputStream = null
+      var in: java.io.BufferedReader = null
       try {
+        raw = Files.newInputStream(f)
+        in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(raw, 1 << 16),
+          java.nio.charset.StandardCharsets.UTF_8))
         val buf = Seq.newBuilder[DataFileEntry]
         var line = in.readLine()
         while (line != null) {
@@ -260,8 +278,17 @@ object MergeTable {
           line = in.readLine()
         }
         Some(buf.result())
-      } catch { case _: java.io.IOException => None }
-      finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally {
+        // close the READER when it exists (ends the zlib Inflater's
+        // native buffer deterministically, not at some future GC), and
+        // the raw stream when the gzip-header throw happened before any
+        // reader wrapped it
+        if (in != null) { try in.close() catch { case _: java.io.IOException => () } }
+        else if (raw != null) {
+          try raw.close() catch { case _: java.io.IOException => () }
+        }
+      }
     }
   }
 
@@ -274,18 +301,68 @@ object MergeTable {
     * a committer seeds the cache with the listing it just published, so a
     * writer's next read is zero-I/O past the head-record check. One entry
     * per table path; each holds one listing (the resolution product a
-    * caller materializes anyway). */
+    * caller materializes anyway) plus an INCARNATION TOKEN — the cached
+    * version's record-file identity (mtime:size). A table deleted and
+    * recreated at the same path by ANOTHER process (this process's
+    * [[dropTable]] evicts) reaches the same version numbers with
+    * different record files; every cache use re-stats the token's record
+    * (one stat, no parse) and a mismatch falls back to a cold walk
+    * instead of resolving against the dead incarnation's listing. A
+    * token whose record was legitimately vacuumed also fails the stat —
+    * costing only the cold walk. */
   private val manifestCache =
-    new scala.collection.concurrent.TrieMap[String, TableManifest]()
+    new scala.collection.concurrent.TrieMap[String, (TableManifest, String)]()
 
   private def cacheKey(table: String): String =
     Paths.get(table).toAbsolutePath.normalize.toString
 
-  private def cachePut(table: String, m: TableManifest): Unit = {
+  /** Identity of version `v`'s record file; None when absent. The
+    * filesystem fileKey (dev:inode on POSIX — every CAS-linked record is
+    * a fresh inode) is the real incarnation discriminator; mtime:size
+    * rides along as the fallback for filesystems that return no key,
+    * where millisecond mtime + coincidental size could in principle
+    * collide across a recreate. */
+  private def recordIdent(table: String, v: Long): Option[String] = {
+    val f = logDir(table).resolve(f"v$v%020d.json")
+    try {
+      val a = Files.readAttributes(
+        f, classOf[java.nio.file.attribute.BasicFileAttributes])
+      val key = Option(a.fileKey()).map(_.toString).getOrElse("")
+      Some(s"$key:${a.lastModifiedTime().toMillis}:${a.size()}")
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** `tok` must be the record identity captured AT (or before) the time
+    * the caller read version `m.version`'s record — stat'ing at put time
+    * would let a drop-and-recreate during a long resolution pair the OLD
+    * listing with the NEW incarnation's valid token. Captured-before
+    * fails in the safe direction: the stale token just never validates. */
+  private def cachePut(table: String, m: TableManifest,
+      tok: Option[String]): Unit =
+    tok.foreach { t =>
+      val ck = cacheKey(table)
+      val entry = (m, t)
+      @scala.annotation.tailrec
+      def loop(): Unit = manifestCache.get(ck) match {
+        case Some(c) if c._1.version >= m.version => ()
+        case Some(c) => if (!manifestCache.replace(ck, c, entry)) loop()
+        case None => if (manifestCache.putIfAbsent(ck, entry).nonEmpty) loop()
+      }
+      loop()
+    }
+
+  /** The cached manifest, only if its incarnation token still matches the
+    * on-disk record it was resolved from. An entry that FAILS the check
+    * is evicted, not just bypassed: a dead incarnation's high version
+    * number would otherwise block every put from a recreated table until
+    * the new one outgrew it, leaving the cache inert-but-immortal. */
+  private def cachedValid(table: String): Option[TableManifest] = {
     val ck = cacheKey(table)
     manifestCache.get(ck) match {
-      case Some(c) if c.version >= m.version => ()
-      case _ => manifestCache.put(ck, m)
+      case Some(e @ (m, tok)) =>
+        if (recordIdent(table, m.version).contains(tok)) Some(m)
+        else { manifestCache.remove(ck, e); None }
+      case None => None
     }
   }
 
@@ -311,6 +388,12 @@ object MergeTable {
     }
   }
 
+  /** Cheap existence probe for a version's log record (one stat, no
+    * parse/resolution) — lets the feed skip a wasted full resolution of
+    * v−1 when v itself is already gone. */
+  private[graft] def hasVersion(table: String, v: Long): Boolean =
+    Files.exists(logDir(table).resolve(f"v$v%020d.json"))
+
   /** Latest committed manifest, or None for a not-yet-created table. */
   def latestManifest(table: String): Option[TableManifest] =
     latestVersion(table).flatMap(v => manifestAt(table, v))
@@ -323,26 +406,33 @@ object MergeTable {
     * checkpoint record — folding deltas forward (≤ CheckpointInterval
     * record reads + one streamed checkpoint read).
     * Available until [[vacuum]] retires the version. */
-  def manifestAt(table: String, v: Long): Option[TableManifest] =
+  def manifestAt(table: String, v: Long): Option[TableManifest] = {
+    // incarnation token captured BEFORE the record read/resolution — see
+    // cachePut's contract
+    val tok = recordIdent(table, v)
     readRecord(table, v).map { head =>
       val files = resolveListing(table, v, head)
       val m = TableManifest(
         v, head.schemaJson, head.keys, head.clusterBy, files, head.txns)
-      cachePut(table, m)
+      cachePut(table, m, tok)
       m
     }
+  }
 
   private def resolveListing(
       table: String, v: Long, head: LogRecord): Seq[DataFileEntry] = {
-    manifestCache.get(cacheKey(table)) match {
+    cachedValid(table) match {
       case Some(c) if c.version == v => return c.files
       case Some(c) if c.version < v =>
-        // forward fold: only the records in (cached, v] — O(new commits),
+        // forward fold: only the records in (cached, v) — the head record
+        // at v is already in hand, re-reading it would double log I/O on
+        // exactly the hot path this cache optimizes. O(new commits),
         // independent of table file count. Any gap (concurrent vacuum,
-        // table recreated at the same path) falls through to the cold walk.
-        val recs = ((c.version + 1) to v).map(readRecord(table, _))
+        // table recreated at the same path — also caught one level up by
+        // the incarnation token) falls through to the cold walk.
+        val recs = ((c.version + 1) until v).map(readRecord(table, _))
         if (recs.forall(_.nonEmpty))
-          return recs.flatten.foldLeft(c.files)(foldOne)
+          return foldOne(recs.flatten.foldLeft(c.files)(foldOne), head)
       case _ => ()
     }
     // cold walk; the target version's own checkpoint short-circuits
@@ -386,7 +476,9 @@ object MergeTable {
       .getOrElse(missingVersion(s"version $version not found under $table " +
         "(never committed, or retired by vacuum)")))
 
-  private def readManifest(s: SparkSession, table: String, m: TableManifest): DataFrame =
+  /** Snapshot read of an ALREADY-RESOLVED manifest (the streaming feed
+    * holds one and must not re-resolve). */
+  private[graft] def readManifest(s: SparkSession, table: String, m: TableManifest): DataFrame =
     readFiles(s, table, DataType.fromJson(m.schemaJson).asInstanceOf[StructType], m.files)
 
   /** Read a file set, applying deletion vectors where entries carry one:
@@ -479,8 +571,12 @@ object MergeTable {
       if (version > 0 && version % CheckpointInterval == 0)
         try writeCheckpointFile(table, version, resolved)
         catch { case _: java.io.IOException => () }
+      // the committer just linked this record itself; stat-now is the
+      // earliest possible capture for it (a racing recreate would have
+      // to delete this fresh record first, failing the stat — safe)
       cachePut(table,
-        TableManifest(version, schemaJson, keys, clusterBy, resolved, txns))
+        TableManifest(version, schemaJson, keys, clusterBy, resolved, txns),
+        recordIdent(table, version))
     }
     won
   }
@@ -1069,14 +1165,18 @@ object MergeTable {
             val changed = touchedEntries.filter(f => perFile.contains(f.path))
             // fold each changed file's PREVIOUS positions into the new
             // dataset, so one pointer per file always holds ALL of its
-            // deletions (the invariant the union-apply read rests on)
+            // deletions (the invariant the union-apply read rests on).
+            // Each prior dir contributes ONLY the paths whose CURRENT
+            // pointer is that dir: a path's older dirs hold strict
+            // subsets of its current one, and folding them too would
+            // duplicate pairs superlinearly under repeated scattered
+            // deletes — the exact workload this mode exists for
             val prior = changed.filter(_.dv.nonEmpty)
-            val allPairs = prior.flatMap(_.dv).distinct match {
-              case Seq() => pinned
-              case dirs => pinned.unionByName(
-                dirs.map(d => s.read.parquet(s"$table/$d")).reduce(_ unionByName _)
-                  .where(col("path").isin(prior.map(_.path): _*)))
+            val priorSides = prior.groupBy(_.dv.get).toSeq.map { case (d, es) =>
+              s.read.parquet(s"$table/$d")
+                .where(col("path").isin(es.map(_.path): _*))
             }
+            val allPairs = priorSides.foldLeft(pinned)(_ unionByName _)
             val dvId = java.util.UUID.randomUUID().toString.take(12)
             val dvRel = s"dv/$dvId"
             // bounded file count; the dataset is O(accumulated deletions)
@@ -1242,8 +1342,17 @@ object MergeTable {
       }
       found
     }
-    // union of the retained versions' resolved file lists — gaps
-    // (already-vacuumed versions) just contribute nothing
+    // union of the retained versions' resolved file lists — a version
+    // whose HEAD record is gone (already vacuumed) contributes nothing
+    // (manifestAt returns None). A version whose head record EXISTS but
+    // whose resolution walk is gapped below it throws the typed
+    // missing-version signal and DELIBERATELY fails the vacuum: the
+    // table still advertises that version, and treating it as
+    // collectable would delete its unique files — destroying the data a
+    // record-restore could otherwise recover. A wedged vacuum is
+    // operator-recoverable (align divergent retention settings, restore
+    // the record); a silent collect is not. Fail-stop over truncation,
+    // as everywhere else in this file.
     val retained = (keepFloor to m.version).flatMap(v => manifestAt(table, v))
     val live = retained.flatMap(_.files.map(_.path)).toSet
     // deletion-vector datasets referenced by any retained version stay;
@@ -1251,6 +1360,21 @@ object MergeTable {
     // referencing versions aged out) collect age-gated like data commits
     val liveDv = retained.flatMap(_.files.flatMap(_.dv)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
+    // `_temporary` (an in-flight Spark job's staging) gets a DAY of
+    // grace, not the sweep's: a live writer is protected, while a
+    // crashed writer's staging still reclaims eventually (deleting it
+    // under a still-live >24h job would fail that job's COMMIT loudly —
+    // fail-stop, never a silent corrupt publish). ONE definition shared
+    // by the data-commit and dv-dataset sweeps so the staging-protection
+    // policy cannot silently diverge between them.
+    val tempCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    def allAgedOut(children: Seq[java.nio.file.Path]): Boolean =
+      children.forall { f =>
+        val limit =
+          if (f.getFileName.toString == "_temporary") tempCutoff else cutoff
+        try Files.getLastModifiedTime(f).toMillis < limit
+        catch { case _: Exception => false }
+      }
     var deleted = 0
     val dataRoot = Paths.get(table, "data")
     if (Files.isDirectory(dataRoot)) {
@@ -1279,45 +1403,26 @@ object MergeTable {
         // manifest YET, which is exactly why anyLive can't protect it)
         val remaining = { val s2 = Files.list(c)
           try s2.iterator().asScala.toSeq finally s2.close() }
-        // `_temporary` (an in-flight Spark job's staging) gets a DAY of
-        // grace, not the sweep's: a live writer is protected, while a
-        // crashed writer's staging still reclaims eventually (deleting
-        // it under a still-live >24h job would fail that job's COMMIT
-        // loudly — fail-stop, never a silent corrupt publish)
-        val tempCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-        def shedSafe = remaining.forall { f =>
-          val limit =
-            if (f.getFileName.toString == "_temporary") tempCutoff else cutoff
-          try Files.getLastModifiedTime(f).toMillis < limit
-          catch { case _: Exception => false }
-        }
         if (!anyLive && remaining.nonEmpty &&
           !remaining.exists(_.getFileName.toString.endsWith(".parquet")) &&
-          shedSafe) {
+          allAgedOut(remaining)) {
           remaining.foreach(f => deleteDir(f)); Files.deleteIfExists(c)
         } else if (remaining.isEmpty) Files.deleteIfExists(c)
       }
     }
     // deletion-vector datasets: a whole dv/<id> dir retires once no
-    // retained version references it — age-gated like data commits, with
-    // the same `_temporary` day-of-grace for an in-flight Spark write
+    // retained version references it — age-gated via the same shared
+    // policy as data commits (allAgedOut, incl. the _temporary grace)
     val dvRoot = Paths.get(table, "dv")
     if (Files.isDirectory(dvRoot)) {
       val sets = { val s4 = Files.list(dvRoot)
         try s4.iterator().asScala.toSeq finally s4.close() }
-      val tempCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
       sets.foreach { c =>
         if (!liveDv.contains(s"dv/${c.getFileName}")) {
           val fs0 = { val s5 = Files.list(c)
             try s5.iterator().asScala.toSeq finally s5.close() }
-          val safe = fs0.forall { f =>
-            val limit =
-              if (f.getFileName.toString == "_temporary") tempCutoff else cutoff
-            try Files.getLastModifiedTime(f).toMillis < limit
-            catch { case _: Exception => false }
-          }
           if (fs0.isEmpty) Files.deleteIfExists(c)
-          else if (safe) {
+          else if (allAgedOut(fs0)) {
             deleted += fs0.count(_.getFileName.toString.endsWith(".parquet"))
             deleteDir(c)
           }
@@ -1436,6 +1541,16 @@ object MergeTable {
       .getOrElse(missingVersion(s"version $toVersion not found under $table"))
     val mFrom = manifestAt(table, fromVersion)
       .getOrElse(missingVersion(s"version $fromVersion not found under $table"))
+    changesBetweenManifests(s, table, mFrom, mTo, cols, preimages)
+  }
+
+  /** [[changesBetween]] against ALREADY-RESOLVED manifests — the
+    * streaming feed resolves each version exactly once per delivery and
+    * must not pay the (single-slot-cached, hence cold-for-v−1)
+    * resolution a second time here. */
+  private[graft] def changesBetweenManifests(
+      s: SparkSession, table: String, mFrom: TableManifest, mTo: TableManifest,
+      cols: Seq[String] = Seq.empty, preimages: Boolean = false): DataFrame = {
     val keys = mTo.keys
     val newSchema = DataType.fromJson(mTo.schemaJson).asInstanceOf[StructType]
     val payload =
@@ -1487,7 +1602,11 @@ object MergeTable {
       sweepScratch(root) // dead prior-app tables age out
       val t = root.resolve(
         s"${IndexStore.scopedName("events", sfDir)}-$appTag").toString
-      deleteDir(Paths.get(t))
+      // dropTable, not a raw deleteDir: a second session in the same JVM
+      // re-enters this block at the SAME path (the memo keys on session),
+      // and the rebuild must not inherit the dead incarnation's cached
+      // manifest
+      dropTable(t)
       val ev = Tables.read(s, sfDir, "events")
       val keys = Seq("event_id")
       // wave 0: initial full load
@@ -1624,7 +1743,7 @@ object MergeTable {
       sweepScratch(root)
       val t = root.resolve(
         s"${IndexStore.scopedName("events-cond", sfDir)}-$appTag").toString
-      deleteDir(Paths.get(t))
+      dropTable(t) // evicts the cached manifest too — see buildMergedEvents
       val ev = Tables.read(s, sfDir, "events")
       val keys = Seq("event_id")
       mergeUpsert(s, t, ev, keys, keys, txn = Some(("seed", 0L)))

@@ -117,22 +117,6 @@ object StreamingChangeFeed {
         // snapshot as a RESET, not as incremental inserts (without the
         // marker, a mid-stream boot would silently double-apply every
         // pre-existing row)
-        // boots carry null `<col>_pre` columns so every feed version dir
-        // shares one schema with the preimage-bearing diffs — a reader
-        // sampling a boot dir's footer must still see the preimage
-        // columns the diff dirs carry
-        def snapshotBoot(feedType: String): Unit = {
-          val snap = MergeTable.readVersion(s, table, v)
-          val keys = MergeTable.manifestAt(table, v)
-            .map(_.keys).getOrElse(Seq.empty)
-          val payload = snap.columns.filterNot(keys.contains)
-          payload.foldLeft(snap) { (d, c) =>
-            d.withColumn(s"${c}_pre", lit(null).cast(d.schema(c).dataType))
-          }
-            .withColumn("change_type", lit("INSERT"))
-            .withColumn("feed_type", lit(feedType))
-            .write.mode("overwrite").parquet(dir.toString)
-        }
         // a version RETIRED BY VACUUM before the (lagging/replayed) feed
         // reached it delivers nothing: its changes are subsumed by the
         // next surviving version's snapshot boot — erroring here would
@@ -152,25 +136,59 @@ object StreamingChangeFeed {
             java.nio.file.Files.write(m,
               s"version $v skipped: $reason\n".getBytes("UTF-8"))
         }
-        def manifestReadable(ver: Long): Boolean =
-          try MergeTable.manifestAt(table, ver).nonEmpty
-          catch { case _: MergeTable.MissingVersionException => false }
+        // each version pair resolves ONCE and the manifests pass down
+        // (readManifest / changesBetweenManifests): the single-slot
+        // manifest cache holds only the newest version, so re-resolving
+        // v−1 inside changesBetween would cold-walk the full checkpoint
+        // listing twice per delivered version — on the feed hot path.
+        // ORDER matters for the same reason: v−1 resolves FIRST (a pure
+        // cache hit — the previous delivery put it there), THEN v (a
+        // forward fold of one delta); v-first would bump the cache past
+        // v−1 and force the cold walk every iteration anyway.
+        def tryManifest(ver: Long): Option[MergeTable.TableManifest] =
+          try MergeTable.manifestAt(table, ver)
+          catch { case _: MergeTable.MissingVersionException => None }
         try {
-          if (!manifestReadable(v))
-            markSkipped("log record vacuumed before the feed reached it")
-          else if (v == 0L || !manifestReadable(v - 1))
-            snapshotBoot(if (v == 0L) "diff" else "snapshot")
-          else {
-            try
-              // preimages: UPDATEs/DELETEs carry their old payload as
-              // <col>_pre, so an incremental consumer can RETRACT the
-              // previous contribution without re-reading version v−1
-              MergeTable.changesBetween(s, table, v - 1, v, preimages = true)
-                .withColumn("feed_type", lit("diff"))
-                .write.mode("overwrite").parquet(dir.toString)
-            catch {
-              case e: Throwable if isMissingData(e) => snapshotBoot("snapshot")
-            }
+          // cheap existence probe first: when v's record is already gone
+          // (the skip path), resolving v−1 would be a wasted cold walk
+          val prevOpt =
+            if (v == 0L || !MergeTable.hasVersion(table, v)) None
+            else tryManifest(v - 1)
+          tryManifest(v) match {
+            case None =>
+              markSkipped("log record vacuumed before the feed reached it")
+            case Some(mv) =>
+              // boots carry null `<col>_pre` columns so every feed
+              // version dir shares one schema with the preimage-bearing
+              // diffs — a reader sampling a boot dir's footer must still
+              // see the preimage columns the diff dirs carry
+              def snapshotBoot(feedType: String): Unit = {
+                val snap = MergeTable.readManifest(s, table, mv)
+                val payload = snap.columns.filterNot(mv.keys.contains)
+                payload.foldLeft(snap) { (d, c) =>
+                  d.withColumn(s"${c}_pre", lit(null).cast(d.schema(c).dataType))
+                }
+                  .withColumn("change_type", lit("INSERT"))
+                  .withColumn("feed_type", lit(feedType))
+                  .write.mode("overwrite").parquet(dir.toString)
+              }
+              prevOpt match {
+                case None => snapshotBoot(if (v == 0L) "diff" else "snapshot")
+                case Some(mPrev) =>
+                  try
+                    // preimages: UPDATEs/DELETEs carry their old payload
+                    // as <col>_pre, so an incremental consumer can
+                    // RETRACT the previous contribution without
+                    // re-reading version v−1
+                    MergeTable.changesBetweenManifests(s, table, mPrev, mv,
+                      preimages = true)
+                      .withColumn("feed_type", lit("diff"))
+                      .write.mode("overwrite").parquet(dir.toString)
+                  catch {
+                    case e: Throwable if isMissingData(e) =>
+                      snapshotBoot("snapshot")
+                  }
+              }
           }
         } catch {
           // v's own data files gone (vacuumed under the lagging reader)
