@@ -94,6 +94,7 @@ object ScaleProbe {
       probeSelectionOps(spark); probeMaintenanceOps(spark)
       probeMergeTable(spark); probeChangeFeed(spark)
       probeManifestResolution(spark)
+      probeDeletionVectors(spark)
       probeConnectedComponents(spark)
     }
     probeRangeJoin(spark, nIntervals)
@@ -195,6 +196,59 @@ object ScaleProbe {
             s""""files_scanned":$scanned,"changes":$changes,""" +
             s""""diff_sec":${s1(tDiff)}}""")
       } finally MergeTable.dropTable(t.toString)
+    }
+  }
+
+  /** The deletion-vector claim measured: a SCATTERED purge (one key per
+    * region of the key space — the GDPR shape) committed merge-on-read
+    * writes O(purge list) bytes (the position dataset), while the
+    * copy-on-write form rewrites every touched data file in full. Table
+    * size scales 10×; the DV commit's bytes stay flat near the list
+    * size, the rewrite's bytes scale with the touched files' contents.
+    */
+  private def probeDeletionVectors(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.ops.MergeTable
+    def dirBytes(p: java.nio.file.Path): Long =
+      if (!java.nio.file.Files.isDirectory(p)) 0L
+      else {
+        val st = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(f => try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+            .sum
+        } finally st.close()
+      }
+    for (n <- Seq(20000, 200000)) {
+      def build(tag: String): String = {
+        val t = java.nio.file.Files.createTempDirectory(s"graft-probe-dv$tag$n")
+        java.nio.file.Files.delete(t)
+        MergeTable.mergeUpsert(spark, t.toString,
+          (0L until n).map(i => (i, i * 0.5)).toDF("event_id", "value"),
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500)
+        t.toString
+      }
+      val purge = (0 until 20).map(i => i.toLong * (n / 20) + 7).toDF("event_id")
+      val tDvTable = build("mor"); val tRwTable = build("cow")
+      try {
+        val files = MergeTable.latestManifest(tDvTable).get.files.size
+        val rwBytesBefore = dirBytes(java.nio.file.Paths.get(tRwTable, "data"))
+        val (nDv, tDv) = time(MergeTable.mergeDelete(spark, tDvTable, purge,
+          deletionVectors = true))
+        val (nRw, tRw) = time(MergeTable.mergeDelete(spark, tRwTable, purge))
+        val dvBytes = dirBytes(java.nio.file.Paths.get(tDvTable, "dv"))
+        val rwBytes =
+          dirBytes(java.nio.file.Paths.get(tRwTable, "data")) - rwBytesBefore
+        println(
+          s"""{"probe":"deletion_vectors","rows":$n,"files":$files,""" +
+            s""""deleted":$nDv,"dv_commit_bytes":$dvBytes,""" +
+            s""""rewrite_commit_bytes":$rwBytes,"dv_sec":${s1(tDv)},""" +
+            s""""rewrite_sec":${s1(tRw)},"rewrite_deleted":$nRw}""")
+      } finally {
+        MergeTable.dropTable(tDvTable); MergeTable.dropTable(tRwTable)
+      }
     }
   }
 

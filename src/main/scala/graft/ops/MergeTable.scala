@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.json4s.{jvalue2extractable, jvalue2monadic}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -146,12 +146,28 @@ object MergeTable {
       files: Seq[DataFileEntry],
       txns: Map[String, Long])
 
+  /** A record whose adds list exceeds this count externalizes it to a
+    * streamed `adds-v<N>-<uuid>.ndjson.gz` side file instead of inlining
+    * it in the JSON record — the INITIAL-LOAD commit of a 10⁶-file table
+    * would otherwise be the one remaining driver-materialized
+    * full-listing blob the checkpoint redesign eliminated everywhere
+    * else. Normal incremental commits stay inline (one small record). */
+  val InlineAddsLimit = 50000
+
+  /** Test hook: specs lower the limit to exercise externalization
+    * without building 50k files. */
+  @volatile private[graft] var inlineAddsLimit: Int = InlineAddsLimit
+
   /** The on-disk per-version log record. This build always writes
     * kind = "delta" (adds/removes relative to version−1; v0's delta IS
     * the initial full listing); kind = "checkpoint" (adds = the full
     * live listing inline) is read for v1-format logs. Schema/keys/
     * clusterBy/txns are carried IN FULL on every record (all bounded
-    * metadata), so only the file listing needs the checkpoint walk. */
+    * metadata), so only the file listing needs the checkpoint walk.
+    * `addsRef` (oversized commits only) names the streamed side file
+    * holding the adds — [[readRecord]] resolves it transparently, and
+    * UNLIKE a checkpoint it is load-bearing: an unreadable ref is a
+    * corrupt record and fails loudly. */
   private case class LogRecord(
       version: Long,
       kind: String,
@@ -161,7 +177,8 @@ object MergeTable {
       adds: Seq[DataFileEntry],
       removes: Seq[String],
       txns: Map[String, Long],
-      formatVersion: Int = LogFormatVersion)
+      formatVersion: Int = LogFormatVersion,
+      addsRef: Option[String] = None)
 
   private implicit val jsonFormats: org.json4s.Formats =
     org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
@@ -207,7 +224,18 @@ object MergeTable {
       // the FILENAME is the CAS slot and therefore the authoritative
       // version; trusting a divergent embedded version would re-commit
       // into an occupied slot forever
-      Some(jv.extract[LogRecord].copy(version = v, formatVersion = fv))
+      val rec = jv.extract[LogRecord].copy(version = v, formatVersion = fv)
+      rec.addsRef match {
+        case None => Some(rec)
+        case Some(ref) =>
+          // the externalized adds listing is LOAD-BEARING (unlike a
+          // checkpoint): an unreadable ref is a corrupt record, and
+          // silently treating it as empty would resolve a wrong listing
+          val entries = readEntriesFile(logDir(table).resolve(ref))
+            .getOrElse(sys.error(s"$f references adds file $ref which is " +
+              "missing or unreadable — the record is corrupt"))
+          Some(rec.copy(adds = entries))
+      }
     }
   }
 
@@ -224,16 +252,26 @@ object MergeTable {
     else None
   }
 
-  /** Write version `v`'s full live listing as STREAMED gzip NDJSON — one
-    * DataFileEntry per line, flushed through a bounded buffer, so a
-    * 10⁶-file checkpoint never materializes as one driver-side string.
-    * Only `v`'s CAS winner calls this, so the tmp→final move is
-    * single-writer; a crash mid-write leaves a `.tmp-` husk vacuum
-    * sweeps, and the final name appears only complete. */
-  private def writeCheckpointFile(
-      table: String, v: Long, files: Seq[DataFileEntry]): Unit = {
-    val ld = logDir(table)
-    val tmp = ld.resolve(s".tmp-cp-${java.util.UUID.randomUUID().toString.take(8)}")
+  /** Version of an externalized-adds side file (`adds-v<N>-<uuid>…`);
+    * its retention mirrors its record's. */
+  private def addsVersionOf(name: String): Option[Long] =
+    if (name.startsWith("adds-v") && name.endsWith(".ndjson.gz")) {
+      val core = name.stripPrefix("adds-v").takeWhile(_.isDigit)
+      if (core.nonEmpty) scala.util.Try(core.toLong).toOption else None
+    } else None
+
+  /** Write a file listing as STREAMED gzip NDJSON — one DataFileEntry
+    * per line, flushed through a bounded buffer, so a 10⁶-entry listing
+    * never materializes as one driver-side string. Single-writer per
+    * target (checkpoints: the version's CAS winner; adds side files: the
+    * attempting committer, who deletes its own file on a CAS loss); a
+    * crash mid-write leaves a `.tmp-` husk vacuum sweeps, and the final
+    * name appears only complete. */
+  private def writeEntriesFile(
+      target: java.nio.file.Path, files: Seq[DataFileEntry]): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(
+      s".tmp-ef-${java.util.UUID.randomUUID().toString.take(8)}")
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       new java.util.zip.GZIPOutputStream(Files.newOutputStream(tmp), 1 << 16),
       java.nio.charset.StandardCharsets.UTF_8))
@@ -242,17 +280,23 @@ object MergeTable {
         w.write(org.json4s.jackson.Serialization.write(e)); w.write('\n')
       }
     } finally w.close()
-    Files.move(tmp, cpFile(table, v),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Stream a checkpoint file back as the listing at its version; None
-    * when absent or unreadable (truncated gzip from a torn copy) — the
-    * resolver then falls back to an older base, trading walk length for
-    * correctness, never failing the read. */
+  private def writeCheckpointFile(
+      table: String, v: Long, files: Seq[DataFileEntry]): Unit =
+    writeEntriesFile(cpFile(table, v), files)
+
   private def readCheckpointFile(
-      table: String, v: Long): Option[Seq[DataFileEntry]] = {
-    val f = cpFile(table, v)
+      table: String, v: Long): Option[Seq[DataFileEntry]] =
+    readEntriesFile(cpFile(table, v))
+
+  /** Stream an entries file back; None when absent or unreadable
+    * (truncated gzip from a torn copy) — CHECKPOINT callers then fall
+    * back to an older base, trading walk length for correctness; the
+    * adds-side-file caller treats None as corruption and fails loudly. */
+  private def readEntriesFile(
+      f: java.nio.file.Path): Option[Seq[DataFileEntry]] = {
     if (!Files.exists(f)) None
     else {
       // EVERYTHING from open to extraction sits inside the fallback: the
@@ -564,9 +608,22 @@ object MergeTable {
       table: String, version: Long, schemaJson: String, keys: Seq[String],
       clusterBy: Seq[String], adds: Seq[DataFileEntry], removes: Seq[String],
       txns: Map[String, Long], resolved: Seq[DataFileEntry]): Boolean = {
+    // an oversized adds list (the initial bulk load) externalizes to a
+    // streamed side file; a CAS loser deletes its own file (a crashed
+    // loser's orphan ages out with the log retention sweep)
+    val (inlineAdds, addsRef) =
+      if (adds.size <= inlineAddsLimit) (adds, None)
+      else {
+        val name = f"adds-v$version%020d-" +
+          s"${java.util.UUID.randomUUID().toString.take(8)}.ndjson.gz"
+        writeEntriesFile(logDir(table).resolve(name), adds)
+        (Seq.empty[DataFileEntry], Some(name))
+      }
     val won = tryCommit(table,
       LogRecord(version, "delta", schemaJson, keys, clusterBy,
-        adds, removes, txns))
+        inlineAdds, removes, txns, addsRef = addsRef))
+    if (!won)
+      addsRef.foreach(n => Files.deleteIfExists(logDir(table).resolve(n)))
     if (won) {
       if (version > 0 && version % CheckpointInterval == 0)
         try writeCheckpointFile(table, version, resolved)
@@ -743,6 +800,14 @@ object MergeTable {
     *    update a score without clobbering provenance columns). Must not
     *    name merge keys; inserts always INSERT ALL, with nulls for
     *    table columns the batch lacks.
+    *  - `matchedDeleteCondition` — `WHEN MATCHED AND <cond> THEN
+    *    DELETE`: a matched pair passing it is DROPPED from the table
+    *    (the CDC tombstone / cleanup-on-redelivery shape). The delete
+    *    clause is evaluated FIRST (as in `MERGE INTO`, clause order
+    *    decides); survivors then flow through the update clause. A
+    *    delete-ONLY merge (no matchedCondition, no updateCols) leaves
+    *    non-deleted matched rows UNTOUCHED — it does not silently
+    *    become a last-writer-wins update.
     *
     * `clusterBy` names the clustering columns (typed stats + range
     * clustering + file pruning); each must be one of the merge keys.
@@ -757,7 +822,8 @@ object MergeTable {
       txn: Option[(String, Long)] = None,
       maxAttempts: Int = 20,
       matchedCondition: Option[String] = None,
-      updateCols: Seq[String] = Seq.empty): Boolean = {
+      updateCols: Seq[String] = Seq.empty,
+      matchedDeleteCondition: Option[String] = None): Boolean = {
     require(keys.nonEmpty, "merge keys must be non-empty")
     require(updateCols.forall(c => !keys.contains(c)),
       s"updateCols ${updateCols.mkString(",")} must not name merge keys — " +
@@ -831,7 +897,8 @@ object MergeTable {
         case Some(ts) => StructType(ts.fields ++
           batch.schema.fields.filterNot(f => ts.exists(_.name == f.name)))
       }
-      val conditional = matchedCondition.nonEmpty || updateCols.nonEmpty
+      val conditional = matchedCondition.nonEmpty || updateCols.nonEmpty ||
+        matchedDeleteCondition.nonEmpty
       val merged =
         if (touched.isEmpty) withAllColumns(batch, schema) // all inserts
         else {
@@ -844,30 +911,45 @@ object MergeTable {
             withAllColumns(batch, schema)
               .unionByName(old.join(incomingKeys, keys, "left_anti"))
           } else {
-            // one full-outer pass builds all four outcomes: insert (no
-            // target), keep (no source), guarded update (condition holds
-            // → updateCols from s, rest from t), keep-old (condition
-            // fails). Presence is tracked with explicit markers, never
+            // one full-outer pass builds all outcomes: delete (matched,
+            // delete clause holds — filtered out), insert (no target),
+            // keep (no source), guarded update (update clause holds →
+            // updateCols from s, rest from t), keep-old (no clause
+            // matched). Presence is tracked with explicit markers, never
             // key-null tests (keys may legitimately be absent only on
             // one side).
             val src = withAllColumns(batch, schema)
               .withColumn("__s_present", lit(true)).alias("s")
             val tgt = old.withColumn("__t_present", lit(true)).alias("t")
             val keyCond = keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
-            val cond = matchedCondition.map(expr).getOrElse(lit(true))
+            // a delete-ONLY merge must not default the update clause to
+            // "always": its non-deleted matched rows keep their old row
+            val updClause: Column =
+              if (matchedCondition.nonEmpty || updateCols.nonEmpty)
+                matchedCondition.map(expr).getOrElse(lit(true))
+              else if (matchedDeleteCondition.nonEmpty) lit(false)
+              else lit(true)
             val updSet =
               if (updateCols.nonEmpty) updateCols.toSet
               else schema.fieldNames.toSet -- keys
+            // coalesce: a NULL-valued predicate (SQL three-valued logic)
+            // must read "clause does not apply", not poison the filter
+            val dropMatched = col("__s_present").isNotNull &&
+              col("__t_present").isNotNull &&
+              coalesce(matchedDeleteCondition.map(expr)
+                .getOrElse(lit(false)), lit(false))
             val outCols = schema.fields.map { f =>
               val n = f.name
               val sCol = col(s"s.$n"); val tCol = col(s"t.$n")
               when(col("__t_present").isNull, sCol) // not matched: insert
                 .when(col("__s_present").isNull, tCol) // untouched old row
-                .when(cond, if (updSet(n) || keys.contains(n)) sCol else tCol)
-                .otherwise(tCol) // matched, condition failed: keep old
+                .when(updClause, if (updSet(n) || keys.contains(n)) sCol else tCol)
+                .otherwise(tCol) // matched, no clause applied: keep old
                 .as(n)
             }
-            src.join(tgt, keyCond, "full_outer").select(outCols.toSeq: _*)
+            src.join(tgt, keyCond, "full_outer")
+              .where(!dropMatched)
+              .select(outCols.toSeq: _*)
           }
         }
 
@@ -1439,10 +1521,14 @@ object MergeTable {
         versionOf(p.getFileName.toString) match {
           case Some(v) =>
             if (v < cpFloor && old) { Files.deleteIfExists(p); deleted += 1 }
-          case None => cpVersionOf(p.getFileName.toString) match {
+          case None => cpVersionOf(p.getFileName.toString)
+            .orElse(addsVersionOf(p.getFileName.toString)) match {
             case Some(v) =>
               // a checkpoint file strictly below the floor is superseded
-              // by the floor checkpoint for every retained resolution
+              // by the floor checkpoint for every retained resolution; an
+              // externalized-adds side file retires exactly with its
+              // record (a crashed loser's above-floor orphan waits for
+              // the floor to pass it — bounded, crash-rare garbage)
               if (v < cpFloor && old) { Files.deleteIfExists(p); deleted += 1 }
             case None =>
               // crash-orphaned staging records (writer died between the
@@ -1722,6 +1808,22 @@ object MergeTable {
     * despite value ≤ 0 means the guard leaked. The oracle reconstructs
     * the same outcome as one CASE over the raw table. */
   def mergeConditionalDigest(s: SparkSession, sfDir: String): DataFrame =
+    // pinned to v1 (after the guarded-update wave, before the
+    // matched-delete wave) — time travel keeps this oracle stable as
+    // later waves land on the same fixture
+    readVersion(s, buildConditionalEvents(s, sfDir), 1L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+
+  /** `q_merge_matched_delete`: the WHEN MATCHED DELETE clause over the
+    * same fixture — wave 2 re-delivers every %5==0 key under a
+    * DELETE-ONLY merge guarded by `t.event_type = 'error'`: matched
+    * error rows drop, every other matched row must come through
+    * UNTOUCHED (a delete-only merge that silently last-writer-wins
+    * would break the hash, as would a guard leak). */
+  def mergeMatchedDeleteDigest(s: SparkSession, sfDir: String): DataFrame =
     read(s, buildConditionalEvents(s, sfDir))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -1754,6 +1856,14 @@ object MergeTable {
         keys, keys, txn = Some(("seed", 1L)),
         matchedCondition = Some("s.value > t.value"),
         updateCols = Seq("value"))
+      // wave 2: DELETE-ONLY matched clause — re-deliver every %5==0 key,
+      // drop the matched 'error' rows, leave every other matched row
+      // byte-untouched (q_merge_matched_delete reads this head;
+      // q_merge_conditional time-travels to v1)
+      mergeUpsert(s, t,
+        ev.where(pmod(col("event_id"), lit(5)) === 0),
+        keys, keys, txn = Some(("seed", 2L)),
+        matchedDeleteCondition = Some("t.event_type = 'error'"))
       t
     }
     touchTable(t)
@@ -1769,6 +1879,19 @@ object MergeTable {
       |SELECT event_type, count(*) AS n_events,
       |  round(sum(value), 2) AS value_sum
       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val mergeMatchedDeleteDigestSql: String =
+    """WITH final AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 3 = 0 AND value * 2.0 > value
+      |         THEN value * 2.0 ELSE value END AS value
+      |  FROM events),
+      |kept AS (
+      |  SELECT * FROM final
+      |  WHERE NOT (event_id % 5 = 0 AND event_type = 'error'))
+      |SELECT event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS value_sum
+      |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val mergeChangesPreSql: String =
     s"""WITH v0 AS (SELECT event_id, event_type, value FROM events),

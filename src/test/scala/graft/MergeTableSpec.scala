@@ -804,6 +804,101 @@ class MergeTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must not name merge keys"))
   }
 
+  test("conditional MERGE: WHEN MATCHED DELETE — delete-only merges keep " +
+    "non-deleted matches untouched; delete beats update on the same pair") {
+    val t = freshTable("mdel")
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "keep", 1.0), (2L, "doomed", 2.0), (3L, "keep", 3.0))
+        .toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id"))
+    // DELETE-ONLY merge: re-deliver 1..2 with DIFFERENT payloads; only
+    // the 'doomed' row may go, and row 1 must keep its ORIGINAL payload
+    // (a delete-only merge must not quietly last-writer-wins)
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "overwrite", 99.0), (2L, "overwrite", 99.0))
+        .toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id"),
+      matchedDeleteCondition = Some("t.tag = 'doomed'"))
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "tag", "value").as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> (("keep", 1.0)), 3L -> (("keep", 3.0))), out.toString)
+
+    // combined clauses: delete evaluated FIRST; survivors flow through
+    // the guarded update — and unmatched batch rows still insert
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "upd", 10.0), (3L, "upd", 0.5), (4L, "new", 4.0))
+        .toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id"),
+      matchedCondition = Some("s.value > t.value"),
+      matchedDeleteCondition = Some("t.value >= 3.0"))
+    val out2 = MergeTable.read(spark, t)
+      .select("event_id", "tag", "value").as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 1: not deleted (1.0 < 3.0), update passes (10 > 1) → full update;
+    // 3: deleted (3.0 >= 3.0) even though its update guard fails;
+    // 4: inserted
+    assert(out2 == Map(1L -> (("upd", 10.0)), 4L -> (("new", 4.0))), out2.toString)
+  }
+
+  test("oversized adds externalize to a streamed side file — the record " +
+    "stays small, reads resolve through it, CAS losers clean up") {
+    val t = freshTable("bigadds")
+    val saved = MergeTable.inlineAddsLimit
+    MergeTable.inlineAddsLimit = 4 // exercise without 50k files
+    try {
+      // 200 rows / 10-per-file = 20 files > limit → externalized v0
+      MergeTable.mergeUpsert(spark, t, rows(1L to 200L, 1.0),
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 10)
+      val log = Paths.get(t, "_graft_log")
+      val v0txt = new String(
+        Files.readAllBytes(log.resolve("v" + "0" * 20 + ".json")), "UTF-8")
+      assert(v0txt.contains("\"addsRef\""), "oversized adds not externalized")
+      assert(v0txt.length < 2000,
+        s"record still carries the listing inline (${v0txt.length} bytes)")
+      val sideFiles = {
+        val st = Files.list(log)
+        try { import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("adds-v")).toSeq } finally st.close()
+      }
+      assert(sideFiles.size == 1, sideFiles.toString)
+      // cold resolution reads THROUGH the side file
+      MergeTable.evictCachedManifest(t)
+      assert(MergeTable.read(spark, t).count() == 200L)
+      assert(MergeTable.latestManifest(t).get.files.size == 20)
+
+      // a CAS loser deletes its own side file: force a loss via the
+      // precommit hook (the winner's small commit lands first)
+      var fired = false
+      MergeTable.testPrecommitHook = () => if (!fired) {
+        fired = true
+        MergeTable.mergeUpsert(spark, t, rows(Seq(500L), 5.0),
+          Seq("event_id"), Seq("event_id"))
+      }
+      try MergeTable.mergeUpsert(spark, t, rows(201L to 400L, 2.0),
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 10)
+      finally MergeTable.testPrecommitHook = () => ()
+      val sideFilesAfter = {
+        val st = Files.list(log)
+        try { import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("adds-v")).toSeq } finally st.close()
+      }
+      // winner at v1 (small, inline), loser re-landed at v2 (oversized,
+      // externalized): v0's + v2's side files live, the lost v1
+      // attempt's was deleted
+      assert(MergeTable.read(spark, t).count() == 401L)
+      val headVersion = MergeTable.latestManifest(t).get.version
+      assert(headVersion == 2L)
+      assert(sideFilesAfter.toSet ==
+        sideFilesAfter.filter(n => n.startsWith("adds-v" + "0" * 20) ||
+          n.startsWith(f"adds-v${2L}%020d")).toSet,
+        s"orphaned side file from a lost CAS attempt: $sideFilesAfter")
+      assert(sideFilesAfter.size == 2, sideFilesAfter.toString)
+    } finally MergeTable.inlineAddsLimit = saved
+  }
+
   test("foreign files under the log dir are ignored") {
     val t = freshTable("foreign")
     MergeTable.mergeUpsert(spark, t, rows(1L to 3L, 1.0), Seq("event_id"), Seq("event_id"))
