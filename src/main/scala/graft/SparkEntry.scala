@@ -122,6 +122,7 @@ object SparkEntry {
     "q_merge_cdf_pre" -> (graft.ops.MergeTable.mergeChangesPre _),
     "q_merge_conditional" -> (graft.ops.MergeTable.mergeConditionalDigest _),
     "q_merge_matched_delete" -> (graft.ops.MergeTable.mergeMatchedDeleteDigest _),
+    "q_merge_nmbs" -> (graft.ops.MergeTable.mergeNmbsDigest _),
     "q_ann_incremental" -> (SimilarityOps.annPqAdcIncremental _),
 
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
@@ -318,6 +319,7 @@ object SparkEntry {
     "q_merge_cdf_pre" -> graft.ops.MergeTable.mergeChangesPreSql,
     "q_merge_conditional" -> graft.ops.MergeTable.mergeConditionalDigestSql,
     "q_merge_matched_delete" -> graft.ops.MergeTable.mergeMatchedDeleteDigestSql,
+    "q_merge_nmbs" -> graft.ops.MergeTable.mergeNmbsDigestSql,
     // the incremental index must equal the single-shot index bit-for-bit:
     // SAME oracle as q_ann_pq_adc, different build path
     "q_ann_incremental" -> SimilarityOps.annPqAdcSql,

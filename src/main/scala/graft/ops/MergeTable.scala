@@ -808,6 +808,30 @@ object MergeTable {
     *    delete-ONLY merge (no matchedCondition, no updateCols) leaves
     *    non-deleted matched rows UNTOUCHED — it does not silently
     *    become a last-writer-wins update.
+    *  - `insertCondition` — `WHEN NOT MATCHED AND <cond> THEN INSERT`:
+    *    an unmatched batch row failing it is silently ignored (the
+    *    admission-gate shape). `s.` columns only — there is no matched
+    *    table row to reference.
+    *  - `notMatchedBySourceDeleteCondition` — `WHEN NOT MATCHED BY
+    *    SOURCE AND <cond> THEN DELETE`: a TABLE row with no batch match
+    *    passing it is dropped (the full-sync shape: the batch is the
+    *    truth, stale target rows go). `t.` columns only; `Some("true")`
+    *    = unconditional.
+    *  - `notMatchedBySourceSet` + `notMatchedBySourceCondition` — `WHEN
+    *    NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET col = expr`:
+    *    an unmatched table row passing the (optional) guard rewrites
+    *    the named columns from `t.`-only expressions (the
+    *    mark-as-stale shape). Must not name merge keys. The NMBS
+    *    delete clause is evaluated first; survivors flow to the SET.
+    *
+    * SCALE contract: the two `notMatchedBySource*` clauses quantify
+    * over rows ABSENT from the batch, which can live in any file — a
+    * merge carrying them therefore reads and rewrites EVERY live file
+    * (O(table), exactly as `MERGE INTO` proper), not the pruned
+    * O(touched) of the other clauses. Use them for genuine full-sync
+    * semantics, never as a general update mechanism; the conflict-
+    * scoped fast CAS retry is also off for them (any concurrent add
+    * carries rows the clause never evaluated).
     *
     * `clusterBy` names the clustering columns (typed stats + range
     * clustering + file pruning); each must be one of the merge keys.
@@ -823,13 +847,27 @@ object MergeTable {
       maxAttempts: Int = 20,
       matchedCondition: Option[String] = None,
       updateCols: Seq[String] = Seq.empty,
-      matchedDeleteCondition: Option[String] = None): Boolean = {
+      matchedDeleteCondition: Option[String] = None,
+      insertCondition: Option[String] = None,
+      notMatchedBySourceDeleteCondition: Option[String] = None,
+      notMatchedBySourceSet: Map[String, String] = Map.empty,
+      notMatchedBySourceCondition: Option[String] = None): Boolean = {
     require(keys.nonEmpty, "merge keys must be non-empty")
     require(updateCols.forall(c => !keys.contains(c)),
       s"updateCols ${updateCols.mkString(",")} must not name merge keys — " +
         "a matched pair's key values are equal by definition")
     updateCols.foreach(c => require(batch.columns.contains(c),
       s"updateCols column '$c' is not a batch column"))
+    require(notMatchedBySourceCondition.isEmpty || notMatchedBySourceSet.nonEmpty,
+      "notMatchedBySourceCondition guards the SET clause — it needs a " +
+        "non-empty notMatchedBySourceSet")
+    notMatchedBySourceSet.keys.foreach(c => require(!keys.contains(c),
+      s"notMatchedBySourceSet must not name merge key '$c' — rekeying a " +
+        "row is a delete + insert, not an update"))
+    // rows absent from the batch can live in ANY file: a merge carrying a
+    // not-matched-by-source clause reads and rewrites the whole table
+    val nmbs = notMatchedBySourceDeleteCondition.nonEmpty ||
+      notMatchedBySourceSet.nonEmpty
     // pruning soundness: a file is skipped when no batch CLUSTER tuple
     // falls in its box — valid only if a matched old row's cluster
     // values EQUAL the batch row's, i.e. every cluster column is part of
@@ -873,7 +911,9 @@ object MergeTable {
       }
 
       val existingFiles = snapshot.map(_.files).getOrElse(Seq.empty)
-      val touched = touchedPaths(s, existingFiles, batch, clusterBy)
+      val touched =
+        if (nmbs) existingFiles.map(_.path).toSet // O(table) by semantics
+        else touchedPaths(s, existingFiles, batch, clusterBy)
 
       // ADDITIVE schema evolution: a batch may carry columns the table has
       // never seen — they join the schema, and rows from files written
@@ -898,10 +938,23 @@ object MergeTable {
           batch.schema.fields.filterNot(f => ts.exists(_.name == f.name)))
       }
       val conditional = matchedCondition.nonEmpty || updateCols.nonEmpty ||
-        matchedDeleteCondition.nonEmpty
+        matchedDeleteCondition.nonEmpty || insertCondition.nonEmpty || nmbs
+      // a NULL-valued predicate (SQL three-valued logic) must read
+      // "clause does not apply", never poison a filter or a branch
+      def holds(cond: String): Column = coalesce(expr(cond), lit(false))
+      notMatchedBySourceSet.keys.foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"notMatchedBySourceSet column '$c' is not a table column"))
       val merged =
-        if (touched.isEmpty) withAllColumns(batch, schema) // all inserts
-        else {
+        if (touched.isEmpty) {
+          // no matched and no target-only rows exist; only the insert
+          // clause can apply
+          val ins = withAllColumns(batch, schema)
+          insertCondition match {
+            case None => ins
+            case Some(c) => ins.alias("s").where(holds(c))
+          }
+        } else {
           // DV-aware: a touched file's already-deleted rows must not
           // resurrect into the rewrite
           val old = readFiles(s, table, schema,
@@ -921,34 +974,67 @@ object MergeTable {
             val src = withAllColumns(batch, schema)
               .withColumn("__s_present", lit(true)).alias("s")
             val tgt = old.withColumn("__t_present", lit(true)).alias("t")
+            // clause-scope validation: NMBS predicates/SET expressions may
+            // reference only the table row (`t.`), the insert guard only
+            // the batch row (`s.`) — resolved here against the single-
+            // sided frames so a cross-side reference fails analysis with
+            // the clause named, not deep inside the join plan
+            def resolves(what: String, side: DataFrame, e: String): Unit =
+              try { side.limit(0).select(expr(e)); () }
+              catch { case ex: org.apache.spark.sql.AnalysisException =>
+                throw new IllegalArgumentException(
+                  s"$what '$e' does not resolve against its clause's side " +
+                    s"(${ex.getMessage})")
+              }
+            notMatchedBySourceDeleteCondition.foreach(
+              resolves("notMatchedBySourceDeleteCondition", tgt, _))
+            notMatchedBySourceCondition.foreach(
+              resolves("notMatchedBySourceCondition", tgt, _))
+            notMatchedBySourceSet.values.foreach(
+              resolves("notMatchedBySourceSet expression", tgt, _))
+            insertCondition.foreach(resolves("insertCondition", src, _))
             val keyCond = keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
-            // a delete-ONLY merge must not default the update clause to
-            // "always": its non-deleted matched rows keep their old row
+            // a merge with ONLY delete/NMBS clauses must not default the
+            // matched-update clause to "always": its non-deleted matched
+            // rows keep their old row (specifying any explicit clause
+            // replaces the update-all default; an insert guard does not)
             val updClause: Column =
               if (matchedCondition.nonEmpty || updateCols.nonEmpty)
                 matchedCondition.map(expr).getOrElse(lit(true))
-              else if (matchedDeleteCondition.nonEmpty) lit(false)
+              else if (matchedDeleteCondition.nonEmpty || nmbs) lit(false)
               else lit(true)
             val updSet =
               if (updateCols.nonEmpty) updateCols.toSet
               else schema.fieldNames.toSet -- keys
-            // coalesce: a NULL-valued predicate (SQL three-valued logic)
-            // must read "clause does not apply", not poison the filter
             val dropMatched = col("__s_present").isNotNull &&
               col("__t_present").isNotNull &&
-              coalesce(matchedDeleteCondition.map(expr)
-                .getOrElse(lit(false)), lit(false))
+              holds(matchedDeleteCondition.getOrElse("false"))
+            // NMBS delete first (clause order), then the guarded SET over
+            // the survivors; a SET with no guard is unconditional
+            val dropNmbs = col("__t_present").isNotNull &&
+              col("__s_present").isNull &&
+              holds(notMatchedBySourceDeleteCondition.getOrElse("false"))
+            val dropInsert = insertCondition match {
+              case None => lit(false)
+              case Some(c) => col("__t_present").isNull && !holds(c)
+            }
+            val nmbsGuard: Column =
+              notMatchedBySourceCondition.map(holds).getOrElse(lit(true))
             val outCols = schema.fields.map { f =>
               val n = f.name
               val sCol = col(s"s.$n"); val tCol = col(s"t.$n")
+              val targetOnly = // unmatched table row: SET columns rewrite
+                if (notMatchedBySourceSet.contains(n))
+                  when(nmbsGuard, expr(notMatchedBySourceSet(n))).otherwise(tCol)
+                else tCol
               when(col("__t_present").isNull, sCol) // not matched: insert
-                .when(col("__s_present").isNull, tCol) // untouched old row
+                .when(col("__s_present").isNull, targetOnly)
                 .when(updClause, if (updSet(n) || keys.contains(n)) sCol else tCol)
                 .otherwise(tCol) // matched, no clause applied: keep old
                 .as(n)
             }
             src.join(tgt, keyCond, "full_outer")
-              .where(!dropMatched)
+              .where(!dropMatched && !dropNmbs && !dropInsert)
               .select(outCols.toSeq: _*)
           }
         }
@@ -1001,7 +1087,13 @@ object MergeTable {
         fastViable = schemaOk &&
           head.keys == keys && head.clusterBy == clusterBy &&
           touchedUnchanged &&
-          !addedSinceBase.exists(f => box.exists(b => boxesOverlap(clusterBy, b, f)))
+          // an NMBS merge quantifies over ABSENT keys: a winner's added
+          // file can carry rows the clause never evaluated even when it
+          // misses the batch box entirely — only a pure metadata/txn
+          // commit (no adds at all) keeps the fast path sound
+          (if (nmbs) addedSinceBase.isEmpty
+           else !addedSinceBase.exists(f =>
+             box.exists(b => boxesOverlap(clusterBy, b, f))))
         if (fastViable) {
           val mergedSchema = StructType(headSchema.fields ++
             schema.fields.filterNot(f => headSchema.exists(_.name == f.name)))
@@ -1824,6 +1916,26 @@ object MergeTable {
     * UNTOUCHED (a delete-only merge that silently last-writer-wins
     * would break the hash, as would a guard leak). */
   def mergeMatchedDeleteDigest(s: SparkSession, sfDir: String): DataFrame =
+    // pinned to v2 (the matched-delete wave's head) — see
+    // [[mergeConditionalDigest]] for the pinning rationale
+    readVersion(s, buildConditionalEvents(s, sfDir), 2L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+
+  /** `q_merge_nmbs`: the full-sync clause surface — wave 3 re-delivers
+    * every EVEN key (original payloads) with all three remaining MERGE
+    * clauses at once: a guarded INSERT (`s.value >= 50` re-admits only
+    * half of the rows the matched-delete wave dropped), a NOT MATCHED BY
+    * SOURCE DELETE (`t.event_type = 'click'` purges stale odd click
+    * rows), and a guarded NOT MATCHED BY SOURCE SET (`value + 1000` marks
+    * stale odd view rows). Matched rows carry NO matched clause, so they
+    * must come through byte-untouched — a last-writer-wins default would
+    * revert wave 1's guarded updates to the re-delivered originals and
+    * break the hash, as would any clause leaking across its quantifier
+    * (insert guard on target rows, NMBS clauses on matched rows). */
+  def mergeNmbsDigest(s: SparkSession, sfDir: String): DataFrame =
     read(s, buildConditionalEvents(s, sfDir))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -1864,6 +1976,19 @@ object MergeTable {
         ev.where(pmod(col("event_id"), lit(5)) === 0),
         keys, keys, txn = Some(("seed", 2L)),
         matchedDeleteCondition = Some("t.event_type = 'error'"))
+      // wave 3: full-sync clauses — source = every EVEN key with its
+      // ORIGINAL payload. Guarded insert re-admits wave-2 casualties
+      // with value >= 50; NMBS delete purges odd 'click' rows; guarded
+      // NMBS SET bumps odd 'view' rows by 1000. Matched even rows carry
+      // no matched clause and must stay untouched
+      // (q_merge_nmbs reads this head; q_merge_matched_delete pins v2)
+      mergeUpsert(s, t,
+        ev.where(pmod(col("event_id"), lit(2)) === 0),
+        keys, keys, txn = Some(("seed", 3L)),
+        insertCondition = Some("s.value >= 50"),
+        notMatchedBySourceDeleteCondition = Some("t.event_type = 'click'"),
+        notMatchedBySourceSet = Map("value" -> "t.value + 1000.0"),
+        notMatchedBySourceCondition = Some("t.event_type = 'view'"))
       t
     }
     touchTable(t)
@@ -1892,6 +2017,32 @@ object MergeTable {
       |SELECT event_type, count(*) AS n_events,
       |  round(sum(value), 2) AS value_sum
       |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val mergeNmbsDigestSql: String =
+    """WITH final AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 3 = 0 AND value * 2.0 > value
+      |         THEN value * 2.0 ELSE value END AS value
+      |  FROM events),
+      |kept AS (
+      |  SELECT * FROM final
+      |  WHERE NOT (event_id % 5 = 0 AND event_type = 'error')),
+      |synced AS (
+      |  -- odd keys are not matched by the even-key source: click rows
+      |  -- purged, view rows bumped; matched even rows untouched
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 2 = 1 AND event_type = 'view'
+      |         THEN value + 1000.0 ELSE value END AS value
+      |  FROM kept
+      |  WHERE NOT (event_id % 2 = 1 AND event_type = 'click')
+      |  UNION ALL
+      |  -- guarded re-insert of the wave-2 casualties (even %5==0 error
+      |  -- keys = %10==0 error keys), original payloads, value >= 50 only
+      |  SELECT event_id, event_type, value FROM events
+      |  WHERE event_id % 10 = 0 AND event_type = 'error' AND value >= 50)
+      |SELECT event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS value_sum
+      |FROM synced GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val mergeChangesPreSql: String =
     s"""WITH v0 AS (SELECT event_id, event_type, value FROM events),

@@ -841,6 +841,88 @@ class MergeTableSpec extends AnyFunSuite {
     assert(out2 == Map(1L -> (("upd", 10.0)), 4L -> (("new", 4.0))), out2.toString)
   }
 
+  test("NOT MATCHED BY SOURCE clauses: guarded delete + SET sync the " +
+    "table to the batch; matched rows stay untouched; guarded insert") {
+    val t = freshTable("nmbs")
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "live", 1.0), (2L, "stale", 2.0), (3L, "stale", 3.0),
+        (4L, "live", 4.0)).toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id"))
+    // source = {1 (different payload), 5 (guard fails), 6 (guard holds)}:
+    //  - 1 matched, NO matched clause -> untouched (not last-writer-wins)
+    //  - 2,3,4 not matched by source: 'stale' rows deleted unless
+    //    value >= 3 (then SET flags them), 'live' unmatched rows flagged
+    //  - 5 fails the insert guard, 6 passes
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "overwrite", 99.0), (5L, "new", -1.0), (6L, "new", 6.0))
+        .toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id"),
+      insertCondition = Some("s.value >= 0"),
+      notMatchedBySourceDeleteCondition =
+        Some("t.tag = 'stale' AND t.value < 3"),
+      notMatchedBySourceSet = Map("tag" -> "concat(t.tag, '-flagged')"))
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "tag", "value").as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> (("live", 1.0)),          // matched, untouched
+      3L -> (("stale-flagged", 3.0)), // NMBS delete guard failed -> SET
+      4L -> (("live-flagged", 4.0)),  // NMBS SET (unconditional here)
+      6L -> (("new", 6.0))), out.toString) // guarded insert; 2 deleted, 5 gated
+  }
+
+  test("NMBS clause predicates must be target-only; the SET guard " +
+    "requires a SET; SET must not name merge keys") {
+    val t = freshTable("nmbsval")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 4L, 1.0),
+      Seq("event_id"), Seq("event_id"))
+    val batch = rows(Seq(1L), 2.0)
+    val e1 = intercept[IllegalArgumentException] {
+      MergeTable.mergeUpsert(spark, t, batch, Seq("event_id"), Seq("event_id"),
+        notMatchedBySourceDeleteCondition = Some("s.value > 0"))
+    }
+    assert(e1.getMessage.contains("notMatchedBySourceDeleteCondition"))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.mergeUpsert(spark, t, batch, Seq("event_id"), Seq("event_id"),
+        notMatchedBySourceCondition = Some("t.value > 0"))
+    }
+    assert(e2.getMessage.contains("needs a non-empty notMatchedBySourceSet"))
+    val e3 = intercept[IllegalArgumentException] {
+      MergeTable.mergeUpsert(spark, t, batch, Seq("event_id"), Seq("event_id"),
+        notMatchedBySourceSet = Map("event_id" -> "t.event_id + 1"))
+    }
+    assert(e3.getMessage.contains("must not name merge key"))
+    // untouched by the three rejected merges
+    assert(MergeTable.read(spark, t).count() == 4L)
+  }
+
+  test("NMBS merge replays (never fast-path re-commits) past a " +
+    "concurrent insert outside the batch box — the interloper's row " +
+    "still goes through the clause") {
+    val t = freshTable("nmbsrace")
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "keep"), (2L, "stale")).toDF("event_id", "tag"),
+      Seq("event_id"), Seq("event_id"))
+    // interloper commits key 50 ('stale') AFTER the NMBS merge planned
+    // its rewrite: a box-overlap fast path would re-commit the planned
+    // files and carry row 50 past the delete clause unevaluated
+    var fired = false
+    MergeTable.testPrecommitHook = () => if (!fired) {
+      fired = true
+      MergeTable.mergeUpsert(spark, t,
+        Seq((50L, "stale")).toDF("event_id", "tag"),
+        Seq("event_id"), Seq("event_id"))
+    }
+    try MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "keep")).toDF("event_id", "tag"),
+      Seq("event_id"), Seq("event_id"),
+      notMatchedBySourceDeleteCondition = Some("t.tag = 'stale'"))
+    finally MergeTable.testPrecommitHook = () => ()
+    val ids = MergeTable.read(spark, t)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L), s"stale rows survived the replayed sync: $ids")
+  }
+
   test("oversized adds externalize to a streamed side file — the record " +
     "stays small, reads resolve through it, CAS losers clean up") {
     val t = freshTable("bigadds")
