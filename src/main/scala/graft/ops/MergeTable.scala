@@ -945,6 +945,40 @@ object MergeTable {
       notMatchedBySourceSet.keys.foreach(c =>
         require(schema.fieldNames.contains(c),
           s"notMatchedBySourceSet column '$c' is not a table column"))
+      // clause-scope validation — ALWAYS, including the insert-only
+      // branch (a fresh table's FIRST merge must reject a bad clause,
+      // not defer the failure to batch 2 mid-pipeline): NMBS predicates
+      // and SET expressions may reference only the table row (`t.`),
+      // the insert guard only the batch row (`s.`). Each expression
+      // must resolve (a) against its own side — a cross-side reference
+      // fails here with the clause named — and (b) against the JOINED
+      // shape, where an unqualified name present on both sides is
+      // ambiguous; catching that here replaces an opaque planner
+      // AMBIGUOUS_REFERENCE from deep inside the join with the same
+      // clause-named error. All frames are limit(0)/empty: analysis
+      // only, no job runs.
+      if (insertCondition.nonEmpty || nmbs) {
+        val valSrc = withAllColumns(batch.limit(0), schema).alias("s")
+        val valTgt = s.createDataFrame(
+          new java.util.ArrayList[Row](), schema).alias("t")
+        val valJoined = valSrc.join(valTgt,
+          keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _),
+          "full_outer")
+        def resolves(what: String, side: DataFrame, e: String): Unit =
+          try { side.select(expr(e)); valJoined.select(expr(e)); () }
+          catch { case ex: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"$what '$e' does not resolve unambiguously against its " +
+                s"clause's side (${ex.getMessage})")
+          }
+        notMatchedBySourceDeleteCondition.foreach(
+          resolves("notMatchedBySourceDeleteCondition", valTgt, _))
+        notMatchedBySourceCondition.foreach(
+          resolves("notMatchedBySourceCondition", valTgt, _))
+        notMatchedBySourceSet.values.foreach(
+          resolves("notMatchedBySourceSet expression", valTgt, _))
+        insertCondition.foreach(resolves("insertCondition", valSrc, _))
+      }
       val merged =
         if (touched.isEmpty) {
           // no matched and no target-only rows exist; only the insert
@@ -974,25 +1008,6 @@ object MergeTable {
             val src = withAllColumns(batch, schema)
               .withColumn("__s_present", lit(true)).alias("s")
             val tgt = old.withColumn("__t_present", lit(true)).alias("t")
-            // clause-scope validation: NMBS predicates/SET expressions may
-            // reference only the table row (`t.`), the insert guard only
-            // the batch row (`s.`) — resolved here against the single-
-            // sided frames so a cross-side reference fails analysis with
-            // the clause named, not deep inside the join plan
-            def resolves(what: String, side: DataFrame, e: String): Unit =
-              try { side.limit(0).select(expr(e)); () }
-              catch { case ex: org.apache.spark.sql.AnalysisException =>
-                throw new IllegalArgumentException(
-                  s"$what '$e' does not resolve against its clause's side " +
-                    s"(${ex.getMessage})")
-              }
-            notMatchedBySourceDeleteCondition.foreach(
-              resolves("notMatchedBySourceDeleteCondition", tgt, _))
-            notMatchedBySourceCondition.foreach(
-              resolves("notMatchedBySourceCondition", tgt, _))
-            notMatchedBySourceSet.values.foreach(
-              resolves("notMatchedBySourceSet expression", tgt, _))
-            insertCondition.foreach(resolves("insertCondition", src, _))
             val keyCond = keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
             // a merge with ONLY delete/NMBS clauses must not default the
             // matched-update clause to "always": its non-deleted matched
@@ -1057,8 +1072,12 @@ object MergeTable {
       // our batch's key box (the winner may have inserted a key our merge
       // also inserts → duplicate), and (c) no schema/txn conflict. Then
       // the SAME data files re-commit at the new head — zero recompute.
-      if (batchBoxMemo.isEmpty) batchBoxMemo = Some(batchBox(batch, clusterBy))
-      val box = batchBoxMemo.get
+      // the NMBS fast-path arm never reads the box (it gates on
+      // addedSinceBase.isEmpty alone) — don't run the batch min/max
+      // aggregation job for it on a CAS loss
+      if (batchBoxMemo.isEmpty && !nmbs)
+        batchBoxMemo = Some(batchBox(batch, clusterBy))
+      lazy val box = batchBoxMemo.get
       val basePaths = existingFiles.map(_.path).toSet
       val baseByPath = existingFiles.map(f => f.path -> f).toMap
       var fastViable = true

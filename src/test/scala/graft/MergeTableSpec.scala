@@ -896,6 +896,50 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, t).count() == 4L)
   }
 
+  test("guarded INSERT on a FRESH table takes the insert-only branch " +
+    "and still applies the guard; a bad clause is rejected before v0 " +
+    "commits") {
+    val t = freshTable("nmbsfresh")
+    // validation fires even when touched is empty: the FIRST merge of a
+    // streaming pipeline must reject a typo'd clause, not commit v0 and
+    // fail on batch 2
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.mergeUpsert(spark, t,
+        Seq((1L, 1.0)).toDF("event_id", "value"),
+        Seq("event_id"), Seq("event_id"),
+        notMatchedBySourceDeleteCondition = Some("s.value > 0"))
+    }
+    assert(e.getMessage.contains("notMatchedBySourceDeleteCondition"))
+    assert(MergeTable.latestManifest(t).isEmpty,
+      "rejected first merge must not have committed a version")
+    // guarded insert on the empty table: only the passing row lands
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, -1.0), (2L, 2.0)).toDF("event_id", "value"),
+      Seq("event_id"), Seq("event_id"),
+      insertCondition = Some("s.value >= 0"))
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(out == Map(2L -> 2.0), out.toString)
+  }
+
+  test("an UNQUALIFIED clause reference that would be ambiguous in the " +
+    "join fails validation with the clause named, not a planner error") {
+    val t = freshTable("nmbsambig")
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id"))
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.mergeUpsert(spark, t,
+        Seq((1L, "c", 3.0)).toDF("event_id", "tag", "value"),
+        Seq("event_id"), Seq("event_id"),
+        // 'tag' resolves against the single-sided target frame but is
+        // ambiguous in the full-outer join (both s.tag and t.tag exist)
+        notMatchedBySourceSet = Map("tag" -> "concat(tag, '-x')"))
+    }
+    assert(e.getMessage.contains("notMatchedBySourceSet"), e.getMessage)
+    assert(MergeTable.read(spark, t).count() == 2L)
+  }
+
   test("NMBS merge replays (never fast-path re-commits) past a " +
     "concurrent insert outside the batch box — the interloper's row " +
     "still goes through the clause") {
