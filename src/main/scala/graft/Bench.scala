@@ -97,6 +97,7 @@ object Bench {
         n == "q_merge_upsert" || n == "q_merge_cdf" ||
         n == "q_merge_cdf_pre" || n == "q_merge_conditional" ||
         n == "q_merge_matched_delete" || n == "q_merge_nmbs" ||
+        n == "q_merge_restore" ||
         n.startsWith("q_multimodal_") || n == "q_snapshot_diff") 5 else 3
     // a third calibration HALFWAY through the loop: round-6 observed one
     // query's samples inflate 3x while the start/end probes sat in the

@@ -123,6 +123,7 @@ object SparkEntry {
     "q_merge_conditional" -> (graft.ops.MergeTable.mergeConditionalDigest _),
     "q_merge_matched_delete" -> (graft.ops.MergeTable.mergeMatchedDeleteDigest _),
     "q_merge_nmbs" -> (graft.ops.MergeTable.mergeNmbsDigest _),
+    "q_merge_restore" -> (graft.ops.MergeTable.mergeRestoreDigest _),
     "q_ann_incremental" -> (SimilarityOps.annPqAdcIncremental _),
 
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
@@ -320,6 +321,7 @@ object SparkEntry {
     "q_merge_conditional" -> graft.ops.MergeTable.mergeConditionalDigestSql,
     "q_merge_matched_delete" -> graft.ops.MergeTable.mergeMatchedDeleteDigestSql,
     "q_merge_nmbs" -> graft.ops.MergeTable.mergeNmbsDigestSql,
+    "q_merge_restore" -> graft.ops.MergeTable.mergeRestoreDigestSql,
     // the incremental index must equal the single-shot index bit-for-bit:
     // SAME oracle as q_ann_pq_adc, different build path
     "q_ann_incremental" -> SimilarityOps.annPqAdcSql,

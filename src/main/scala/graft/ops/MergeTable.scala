@@ -525,6 +525,120 @@ object MergeTable {
   private[graft] def readManifest(s: SparkSession, table: String, m: TableManifest): DataFrame =
     readFiles(s, table, DataType.fromJson(m.schemaJson).asInstanceOf[StructType], m.files)
 
+  // ---- table lifecycle: history, timestamp travel, restore ----------------
+
+  /** One commit's audit row. `timestampMs` is the log record file's
+    * mtime — the hard-link CAS creates the record atomically at commit,
+    * so its mtime IS the commit instant — clamped monotonically
+    * non-decreasing across versions (mtimes can jitter backwards across
+    * writers/filesystems; version order is the ground truth, exactly
+    * Delta's timestamp-travel contract). */
+  case class CommitInfo(version: Long, timestampMs: Long,
+      numAdds: Int, numRemoves: Int)
+
+  private def listVersions(table: String): Seq[Long] = {
+    val ld = logDir(table)
+    if (!Files.isDirectory(ld)) Seq.empty
+    else {
+      val stream = Files.list(ld)
+      try stream.iterator().asScala
+        .flatMap(p => versionOf(p.getFileName.toString)).toSeq.sorted
+      finally stream.close()
+    }
+  }
+
+  /** DESCRIBE HISTORY analog: every still-readable committed version,
+    * ascending. O(retained versions) record reads — bounded by log
+    * retention, never by table data size. A record vacuumed between the
+    * directory listing and its read is skipped, not thrown on. */
+  def history(table: String): Seq[CommitInfo] = {
+    var clock = 0L
+    listVersions(table).flatMap { v =>
+      readRecord(table, v).map { r =>
+        val f = logDir(table).resolve(f"v$v%020d.json")
+        val mt =
+          try Files.getLastModifiedTime(f).toMillis
+          catch { case _: java.io.IOException => clock }
+        clock = math.max(clock, mt)
+        // readRecord already resolved an externalized addsRef into adds
+        CommitInfo(v, clock, r.adds.size, r.removes.size)
+      }
+    }
+  }
+
+  /** TIMESTAMP AS OF: the newest version committed at or before
+    * `tsMillis` (monotonically-clamped commit times — see
+    * [[CommitInfo]]). Fails loudly when the earliest RETAINED commit is
+    * already newer: the caller asked for state vacuum has retired, and
+    * silently answering with a later version would be a wrong-answer
+    * time travel. */
+  def versionAsOf(table: String, tsMillis: Long): Long = {
+    val h = history(table)
+    if (h.isEmpty) missingVersion(s"no committed version under $table")
+    val at = h.takeWhile(_.timestampMs <= tsMillis)
+    if (at.isEmpty) missingVersion(
+      s"no version of $table at or before timestamp $tsMillis — earliest " +
+        s"retained commit is v${h.head.version} at ${h.head.timestampMs} " +
+        "(older history vacuumed?)")
+    at.last.version
+  }
+
+  /** Snapshot read AS OF a wall-clock instant (epoch millis). */
+  def readAsOf(s: SparkSession, table: String, tsMillis: Long): DataFrame =
+    readVersion(s, table, versionAsOf(table, tsMillis))
+
+  /** RESTORE the table head to the exact state of `toVersion`, committed
+    * as a NEW version (history is preserved — the rollback rolls
+    * FORWARD, Delta-style, so the bad interval stays auditable and CDF
+    * consumers see the revert as ordinary changes). Metadata-only: the
+    * commit's delta re-references the target version's immutable files;
+    * no data is read or rewritten, so restore is O(listing delta)
+    * regardless of table size — the incident-rollback shape at 100 TB.
+    *
+    * Txn watermarks carry from the HEAD, not the target: rolling a
+    * replay watermark backwards would make exactly-once streaming
+    * batches re-apply. Schema/keys/clustering restore WITH the data (a
+    * restore across a widening boundary narrows back; files the wider
+    * schema wrote are gone from the restored listing by definition).
+    *
+    * Fails loudly (before committing anything) when the target version
+    * is retired or any of its data files / DV datasets no longer exist —
+    * a partial restore would be silent data loss. Returns the new head
+    * version. */
+  def restore(table: String, toVersion: Long, maxAttempts: Int = 20): Long = {
+    val target = manifestAt(table, toVersion).getOrElse(missingVersion(
+      s"cannot restore $table to v$toVersion: version not found " +
+        "(never committed, or retired by vacuum)"))
+    val goneData = target.files.filterNot(f =>
+      Files.exists(Paths.get(table, f.path)))
+    require(goneData.isEmpty,
+      s"cannot restore $table to v$toVersion: ${goneData.size} data " +
+        s"file(s) vacuumed, e.g. ${goneData.take(3).map(_.path).mkString(", ")}")
+    val goneDv = target.files.flatMap(_.dv).distinct.filterNot(d =>
+      Files.exists(Paths.get(table, d)))
+    require(goneDv.isEmpty,
+      s"cannot restore $table to v$toVersion: ${goneDv.size} deletion-" +
+        s"vector dataset(s) vacuumed, e.g. ${goneDv.take(3).mkString(", ")}")
+    val targetSet = target.files.toSet
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = latestManifest(table).getOrElse(sys.error(
+        s"restore race on $table: head vanished mid-restore"))
+      val headSet = head.files.toSet
+      // entry-level (not path-level) diff: a path present in both whose
+      // entry changed (a DV landed on it) must be removed AND re-added
+      // with the target's entry — foldOne removes by path then appends
+      val adds = target.files.filterNot(headSet.contains)
+      val removes = head.files.filterNot(targetSet.contains).map(_.path)
+      if (commitVersion(table, head.version + 1, target.schemaJson,
+        target.keys, target.clusterBy, adds, removes.sorted, head.txns,
+        target.files)) return head.version + 1
+    }
+    sys.error(s"restore of $table to v$toVersion lost the commit race " +
+      s"$maxAttempts times — sustained concurrent writes; retry or quiesce")
+  }
+
   /** Read a file set, applying deletion vectors where entries carry one:
     * DV-free files scan exactly as before; DV-bearing files scan with the
     * hidden parquet `_metadata` (file path + row index) and anti-join the
@@ -2013,6 +2127,60 @@ object MergeTable {
     touchTable(t)
     t
   }
+
+  private val restoreCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Four deterministic commits behind `q_merge_restore` (own table — the
+    * other merge queries' version anchors stay untouched): v0 full load,
+    * v1 a scattered DV purge of every %7==0 key (ENTRY-level mutation,
+    * no file rewrite), v2 a destructive overwrite of every %3==0 payload,
+    * v3 = RESTORE to v0 — the incident-rollback shape. */
+  private def buildRestoredEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(restoreCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("merge-restore")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-restore", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+      val keys = Seq("event_id")
+      mergeUpsert(s, t, ev, keys, keys, txn = Some(("seed", 0L)))
+      mergeDelete(s, t,
+        ev.where(pmod(col("event_id"), lit(7)) === 0).select("event_id"),
+        deletionVectors = true)
+      mergeUpsert(s, t,
+        ev.where(pmod(col("event_id"), lit(3)) === 0)
+          .withColumn("value", col("value") * -1.0),
+        keys, keys, txn = Some(("seed", 1L)))
+      val v = restore(t, 0L)
+      require(v == 3L, s"restore fixture expected head v3, got v$v")
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_merge_restore`: incident rollback — after a scattered DV purge
+    * (v1) and a destructive payload overwrite (v2), RESTORE to v0
+    * commits v3 whose digest must equal the RAW events digest exactly.
+    * A restore that missed a DV'd entry (the purged rows stay hidden),
+    * kept an overwritten payload, or dropped a file breaks the hash;
+    * so would one that rolled the replay watermark back (the fixture's
+    * txn-guarded waves would re-apply on rebuild). */
+  def mergeRestoreDigest(s: SparkSession, sfDir: String): DataFrame =
+    read(s, buildRestoredEvents(s, sfDir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+
+  val mergeRestoreDigestSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS value_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val mergeConditionalDigestSql: String =
     """WITH final AS (

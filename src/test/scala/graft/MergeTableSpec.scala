@@ -967,6 +967,61 @@ class MergeTableSpec extends AnyFunSuite {
     assert(ids == Seq(1L), s"stale rows survived the replayed sync: $ids")
   }
 
+  test("RESTORE rolls the head back to an exact old state as a NEW " +
+    "commit — across a DV purge, a rewrite, AND a schema widening; " +
+    "history/versionAsOf resolve; txn watermarks survive") {
+    val t = freshTable("restore")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 10L, 1.0),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L)))      // v0
+    MergeTable.mergeDelete(spark, t,
+      Seq(3L, 7L).toDF("event_id"), deletionVectors = true)          // v1
+    MergeTable.mergeUpsert(spark, t,
+      rows(Seq(1L, 2L), 99.0).withColumn("extra", lit("x")),
+      Seq("event_id"), Seq("event_id"))                              // v2
+    assert(MergeTable.read(spark, t).columns.contains("extra"))
+    val newHead = MergeTable.restore(t, 0L)                          // v3
+    assert(newHead == 3L)
+    // exact v0 state: purged rows back, overwrites gone, schema narrow
+    val out = MergeTable.read(spark, t)
+    assert(!out.columns.contains("extra"), "schema must restore too")
+    val vals = out.select("event_id", "value").as[(Long, Double)]
+      .collect().toMap
+    assert(vals == (1L to 10L).map(_ -> 1.0).toMap, vals.toString)
+    // restore is metadata-only history: all four versions still read
+    assert(MergeTable.readVersion(spark, t, 2L)
+      .where(col("value") === 99.0).count() == 2L)
+    val h = MergeTable.history(t)
+    assert(h.map(_.version) == Seq(0L, 1L, 2L, 3L), h.toString)
+    assert(h.sliding(2).forall(p => p(0).timestampMs <= p(1).timestampMs),
+      s"commit times must be monotone: $h")
+    // timestamp travel: the newest commit instant resolves to the head;
+    // an instant before the first commit fails loudly
+    assert(MergeTable.versionAsOf(t, h.last.timestampMs) == 3L)
+    assert(MergeTable.versionAsOf(t, h.head.timestampMs) >= 0L)
+    intercept[Exception] { MergeTable.versionAsOf(t, h.head.timestampMs - 1) }
+    // the replay watermark did NOT roll back with the data: the seeded
+    // txn re-applies as a no-op instead of double-writing
+    MergeTable.mergeUpsert(spark, t, rows(Seq(777L), 5.0),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L)))
+    assert(MergeTable.read(spark, t).where(col("event_id") === 777L)
+      .count() == 0L, "replayed txn must stay a no-op after restore")
+  }
+
+  test("RESTORE to a vacuumed version fails loudly and commits nothing") {
+    val t = freshTable("restoregone")
+    MergeTable.mergeUpsert(spark, t, rows(Seq(1L), 1.0),
+      Seq("event_id"), Seq("event_id"))
+    MergeTable.mergeUpsert(spark, t, rows(Seq(1L), 2.0),
+      Seq("event_id"), Seq("event_id"))
+    MergeTable.mergeUpsert(spark, t, rows(Seq(1L), 3.0),
+      Seq("event_id"), Seq("event_id"))
+    MergeTable.vacuum(t, graceMs = 0L, retainVersions = 1)
+    val before = MergeTable.latestManifest(t).get.version
+    intercept[Exception] { MergeTable.restore(t, 0L) }
+    assert(MergeTable.latestManifest(t).get.version == before,
+      "a failed restore must not commit")
+  }
+
   test("oversized adds externalize to a streamed side file — the record " +
     "stays small, reads resolve through it, CAS losers clean up") {
     val t = freshTable("bigadds")
