@@ -178,7 +178,12 @@ object MergeTable {
       removes: Seq[String],
       txns: Map[String, Long],
       formatVersion: Int = LogFormatVersion,
-      addsRef: Option[String] = None)
+      addsRef: Option[String] = None,
+      // externalized commits record their adds COUNT inline so audit
+      // reads (history) never stream the side file just to count it.
+      // Additive/optional — no format bump; legacy externalized records
+      // without it report an unknown count
+      addsCount: Option[Int] = None)
 
   private implicit val jsonFormats: org.json4s.Formats =
     org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
@@ -196,7 +201,28 @@ object MergeTable {
     else None
   }
 
-  private def readRecord(table: String, v: Long): Option[LogRecord] = {
+  private def readRecord(table: String, v: Long): Option[LogRecord] =
+    readRecordLight(table, v).flatMap { rec =>
+      val f = logDir(table).resolve(f"v$v%020d.json")
+      rec.addsRef match {
+        case None => Some(rec)
+        case Some(ref) =>
+          // the externalized adds listing is LOAD-BEARING (unlike a
+          // checkpoint): an unreadable ref is a corrupt record, and
+          // silently treating it as empty would resolve a wrong listing
+          val entries = readEntriesFile(logDir(table).resolve(ref))
+            .getOrElse(sys.error(s"$f references adds file $ref which is " +
+              "missing or unreadable — the record is corrupt"))
+          Some(rec.copy(adds = entries))
+      }
+    }
+
+  /** Record parse WITHOUT resolving an externalized adds side file —
+    * audit reads (history) need kind/counts, never the 10⁶-entry
+    * listing a bulk-load commit externalized; resolution paths go
+    * through [[readRecord]], which is this plus the (load-bearing)
+    * side-file read. */
+  private def readRecordLight(table: String, v: Long): Option[LogRecord] = {
     val f = logDir(table).resolve(f"v$v%020d.json")
     if (!Files.exists(f)) None
     else {
@@ -224,18 +250,7 @@ object MergeTable {
       // the FILENAME is the CAS slot and therefore the authoritative
       // version; trusting a divergent embedded version would re-commit
       // into an occupied slot forever
-      val rec = jv.extract[LogRecord].copy(version = v, formatVersion = fv)
-      rec.addsRef match {
-        case None => Some(rec)
-        case Some(ref) =>
-          // the externalized adds listing is LOAD-BEARING (unlike a
-          // checkpoint): an unreadable ref is a corrupt record, and
-          // silently treating it as empty would resolve a wrong listing
-          val entries = readEntriesFile(logDir(table).resolve(ref))
-            .getOrElse(sys.error(s"$f references adds file $ref which is " +
-              "missing or unreadable — the record is corrupt"))
-          Some(rec.copy(adds = entries))
-      }
+      Some(jv.extract[LogRecord].copy(version = v, formatVersion = fv))
     }
   }
 
@@ -420,17 +435,8 @@ object MergeTable {
       acc.filterNot(f => rm.contains(f.path)) ++ r.adds
     }
 
-  private def latestVersion(table: String): Option[Long] = {
-    val ld = logDir(table)
-    if (!Files.isDirectory(ld)) None
-    else {
-      val stream = Files.list(ld)
-      try stream.iterator().asScala
-        .flatMap(p => versionOf(p.getFileName.toString))
-        .foldLeft(Option.empty[Long])((a, v) => Some(a.fold(v)(math.max(_, v))))
-      finally stream.close()
-    }
-  }
+  private def latestVersion(table: String): Option[Long] =
+    listVersions(table).lastOption
 
   /** Cheap existence probe for a version's log record (one stat, no
     * parse/resolution) — lets the feed skip a wasted full resolution of
@@ -532,8 +538,13 @@ object MergeTable {
     * so its mtime IS the commit instant — clamped monotonically
     * non-decreasing across versions (mtimes can jitter backwards across
     * writers/filesystems; version order is the ground truth, exactly
-    * Delta's timestamp-travel contract). */
-  case class CommitInfo(version: Long, timestampMs: Long,
+    * Delta's timestamp-travel contract). `numAdds` is −1 for a legacy
+    * externalized record that predates the inline adds count (unknown
+    * without streaming the side file — audit reads never do); for a
+    * legacy v1 `kind="checkpoint"` record the counts describe the
+    * embedded full listing, not that commit's delta — `kind` is carried
+    * so callers can tell. */
+  case class CommitInfo(version: Long, timestampMs: Long, kind: String,
       numAdds: Int, numRemoves: Int)
 
   private def listVersions(table: String): Seq[Long] = {
@@ -547,21 +558,47 @@ object MergeTable {
     }
   }
 
+  /** The versions' monotonically-clamped commit times, ascending — one
+    * stat per retained record, NO record parse (the timestamp-travel hot
+    * path). A version whose record vanished between the listing and the
+    * stat (concurrent vacuum) is skipped entirely — never given a
+    * made-up time that would let [[versionAsOf]] answer wrongly. */
+  private def commitTimes(table: String): Seq[(Long, Long)] = {
+    var clock = 0L
+    listVersions(table).flatMap { v =>
+      val mt =
+        try Some(Files.getLastModifiedTime(
+          logDir(table).resolve(f"v$v%020d.json")).toMillis)
+        catch { case _: java.io.IOException => None }
+      mt.map { t => clock = math.max(clock, t); (v, clock) }
+    }
+  }
+
   /** DESCRIBE HISTORY analog: every still-readable committed version,
-    * ascending. O(retained versions) record reads — bounded by log
-    * retention, never by table data size. A record vacuumed between the
-    * directory listing and its read is skipped, not thrown on. */
+    * ascending. O(retained versions) record stats + LIGHT parses —
+    * bounded by log retention, never by table data size, and an
+    * externalized adds side file is never streamed (its count is inline;
+    * −1 for legacy records without it). A version retiring under a
+    * concurrent vacuum — record, side file, or mtime already gone — is
+    * skipped, not thrown on. */
   def history(table: String): Seq[CommitInfo] = {
     var clock = 0L
     listVersions(table).flatMap { v =>
-      readRecord(table, v).map { r =>
-        val f = logDir(table).resolve(f"v$v%020d.json")
+      val rec =
+        try readRecordLight(table, v)
+        catch { case scala.util.control.NonFatal(_) => None }
+      rec.flatMap { r =>
         val mt =
-          try Files.getLastModifiedTime(f).toMillis
-          catch { case _: java.io.IOException => clock }
-        clock = math.max(clock, mt)
-        // readRecord already resolved an externalized addsRef into adds
-        CommitInfo(v, clock, r.adds.size, r.removes.size)
+          try Some(Files.getLastModifiedTime(
+            logDir(table).resolve(f"v$v%020d.json")).toMillis)
+          catch { case _: java.io.IOException => None }
+        mt.map { t =>
+          clock = math.max(clock, t)
+          CommitInfo(v, clock, r.kind,
+            r.addsCount.getOrElse(
+              if (r.addsRef.nonEmpty) -1 else r.adds.size),
+            r.removes.size)
+        }
       }
     }
   }
@@ -573,14 +610,14 @@ object MergeTable {
     * silently answering with a later version would be a wrong-answer
     * time travel. */
   def versionAsOf(table: String, tsMillis: Long): Long = {
-    val h = history(table)
-    if (h.isEmpty) missingVersion(s"no committed version under $table")
-    val at = h.takeWhile(_.timestampMs <= tsMillis)
+    val times = commitTimes(table)
+    if (times.isEmpty) missingVersion(s"no committed version under $table")
+    val at = times.takeWhile(_._2 <= tsMillis)
     if (at.isEmpty) missingVersion(
       s"no version of $table at or before timestamp $tsMillis — earliest " +
-        s"retained commit is v${h.head.version} at ${h.head.timestampMs} " +
+        s"retained commit is v${times.head._1} at ${times.head._2} " +
         "(older history vacuumed?)")
-    at.last.version
+    at.last._1
   }
 
   /** Snapshot read AS OF a wall-clock instant (epoch millis). */
@@ -735,7 +772,8 @@ object MergeTable {
       }
     val won = tryCommit(table,
       LogRecord(version, "delta", schemaJson, keys, clusterBy,
-        inlineAdds, removes, txns, addsRef = addsRef))
+        inlineAdds, removes, txns, addsRef = addsRef,
+        addsCount = addsRef.map(_ => adds.size)))
     if (!won)
       addsRef.foreach(n => Files.deleteIfExists(logDir(table).resolve(n)))
     if (won) {
