@@ -646,20 +646,32 @@ object MergeTable {
     val target = manifestAt(table, toVersion).getOrElse(missingVersion(
       s"cannot restore $table to v$toVersion: version not found " +
         "(never committed, or retired by vacuum)"))
-    val goneData = target.files.filterNot(f =>
-      Files.exists(Paths.get(table, f.path)))
-    require(goneData.isEmpty,
-      s"cannot restore $table to v$toVersion: ${goneData.size} data " +
-        s"file(s) vacuumed, e.g. ${goneData.take(3).map(_.path).mkString(", ")}")
-    val goneDv = target.files.flatMap(_.dv).distinct.filterNot(d =>
-      Files.exists(Paths.get(table, d)))
-    require(goneDv.isEmpty,
-      s"cannot restore $table to v$toVersion: ${goneDv.size} deletion-" +
-        s"vector dataset(s) vacuumed, e.g. ${goneDv.take(3).mkString(", ")}")
+    // Versions below the retention floor are exactly the
+    // restorable-but-collectable ones, so a concurrent vacuum can retire
+    // the target's files at any point before our commit wins. Checking
+    // once up front leaves a TOCTOU window the length of the CAS retry
+    // loop; instead re-validate immediately before EVERY attempt (cheap:
+    // O(target listing) stat calls) and once more after winning, so a
+    // head that references deleted files can never be published silently.
+    def assertTargetLive(when: String): Unit = {
+      val goneData = target.files.filterNot(f =>
+        Files.exists(Paths.get(table, f.path)))
+      require(goneData.isEmpty,
+        s"cannot restore $table to v$toVersion ($when): ${goneData.size} " +
+          s"data file(s) vacuumed, e.g. " +
+          goneData.take(3).map(_.path).mkString(", "))
+      val goneDv = target.files.flatMap(_.dv).distinct.filterNot(d =>
+        Files.exists(Paths.get(table, d)))
+      require(goneDv.isEmpty,
+        s"cannot restore $table to v$toVersion ($when): ${goneDv.size} " +
+          s"deletion-vector dataset(s) vacuumed, e.g. " +
+          goneDv.take(3).mkString(", "))
+    }
     val targetSet = target.files.toSet
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
+      assertTargetLive(s"pre-commit check, attempt $attempt")
       val head = latestManifest(table).getOrElse(sys.error(
         s"restore race on $table: head vanished mid-restore"))
       val headSet = head.files.toSet
@@ -668,9 +680,20 @@ object MergeTable {
       // with the target's entry — foldOne removes by path then appends
       val adds = target.files.filterNot(headSet.contains)
       val removes = head.files.filterNot(targetSet.contains).map(_.path)
+      testPrecommitHook()
       if (commitVersion(table, head.version + 1, target.schemaJson,
         target.keys, target.clusterBy, adds, removes.sorted, head.txns,
-        target.files)) return head.version + 1
+        target.files)) {
+        // Post-win audit: if vacuum raced between the pre-check and the
+        // winning link, the published head references dead files — fail
+        // LOUDLY now (the commit is already visible; silence would be
+        // silent data loss, noise is an operator page + a restorable
+        // situation, since history is preserved and vacuum's live set
+        // now includes this head's listing going forward).
+        assertTargetLive("post-commit audit — the restored head may " +
+          "reference vacuumed files; re-run restore or recover the files")
+        return head.version + 1
+      }
     }
     sys.error(s"restore of $table to v$toVersion lost the commit race " +
       s"$maxAttempts times — sustained concurrent writes; retry or quiesce")
@@ -963,7 +986,10 @@ object MergeTable {
     *  - `insertCondition` — `WHEN NOT MATCHED AND <cond> THEN INSERT`:
     *    an unmatched batch row failing it is silently ignored (the
     *    admission-gate shape). `s.` columns only — there is no matched
-    *    table row to reference.
+    *    table row to reference. As with every other explicit clause, it
+    *    REPLACES the update-all default: an insert-guard-only merge
+    *    leaves matched rows untouched (pass `matchedCondition =
+    *    Some("true")` to also update them).
     *  - `notMatchedBySourceDeleteCondition` — `WHEN NOT MATCHED BY
     *    SOURCE AND <cond> THEN DELETE`: a TABLE row with no batch match
     *    passing it is dropped (the full-sync shape: the batch is the
@@ -1161,14 +1187,19 @@ object MergeTable {
               .withColumn("__s_present", lit(true)).alias("s")
             val tgt = old.withColumn("__t_present", lit(true)).alias("t")
             val keyCond = keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
-            // a merge with ONLY delete/NMBS clauses must not default the
-            // matched-update clause to "always": its non-deleted matched
-            // rows keep their old row (specifying any explicit clause
-            // replaces the update-all default; an insert guard does not)
+            // ANY explicit clause replaces the matched-update-all
+            // default, exactly as SQL MERGE: a merge specifying only
+            // delete/NMBS/insert clauses leaves its non-deleted matched
+            // rows byte-untouched. In particular an insert-guard-only
+            // merge (the admission-gate shape) must NOT silently become
+            // last-writer-wins on matched rows — a caller porting
+            // `MERGE INTO ... WHEN NOT MATCHED AND g THEN INSERT` gets
+            // the statement's semantics, not a clobber.
             val updClause: Column =
               if (matchedCondition.nonEmpty || updateCols.nonEmpty)
                 matchedCondition.map(expr).getOrElse(lit(true))
-              else if (matchedDeleteCondition.nonEmpty || nmbs) lit(false)
+              else if (matchedDeleteCondition.nonEmpty || nmbs ||
+                insertCondition.nonEmpty) lit(false)
               else lit(true)
             val updSet =
               if (updateCols.nonEmpty) updateCols.toSet

@@ -129,10 +129,18 @@ object StreamingChangeFeed {
         // snapshot-boots itself, healing the feed one surviving version
         // later. Only PROVABLY-missing-data conditions ([[isMissingData]],
         // typed) downgrade; any other error fails the batch loudly.
+        // never stamp _SKIPPED over a COMPLETE delivery: between this
+        // batch's _SUCCESS probe above and a vacuumed-data failure below,
+        // another replay of the same offsets may have finished delivering
+        // v (parquet + _SUCCESS). A dir carrying both markers would tell
+        // reconciling consumers two contradictory things — readFeed
+        // serves it as complete while skippedVersions reports it skipped
+        // — so the earlier delivery wins and the marker is dropped.
         def markSkipped(reason: String): Unit = {
           java.nio.file.Files.createDirectories(dir)
           val m = dir.resolve("_SKIPPED")
-          if (!java.nio.file.Files.exists(m))
+          if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")) &&
+              !java.nio.file.Files.exists(m))
             java.nio.file.Files.write(m,
               s"version $v skipped: $reason\n".getBytes("UTF-8"))
         }
@@ -237,7 +245,12 @@ object StreamingChangeFeed {
         import scala.jdk.CollectionConverters._
         st.iterator().asScala
           .filter(p => p.getFileName.toString.startsWith("version=") &&
-            java.nio.file.Files.exists(p.resolve("_SKIPPED")))
+            java.nio.file.Files.exists(p.resolve("_SKIPPED")) &&
+            // a dir that ALSO carries _SUCCESS was completely delivered
+            // (a racing replay finished after the marker landed, or a
+            // legacy marker predates this guard) — readFeed serves it,
+            // so reporting it skipped would contradict the feed itself
+            !java.nio.file.Files.exists(p.resolve("_SUCCESS")))
           .map(_.getFileName.toString.stripPrefix("version=").toLong)
           .toSeq.sorted
       } finally st.close()

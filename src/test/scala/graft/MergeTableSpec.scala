@@ -1007,6 +1007,65 @@ class MergeTableSpec extends AnyFunSuite {
       .count() == 0L, "replayed txn must stay a no-op after restore")
   }
 
+  test("an insert-guard-ONLY merge leaves matched rows untouched — the " +
+    "explicit clause replaces the update-all default, as in SQL MERGE") {
+    val t = freshTable("insonly")
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "orig", 1.0), (2L, "orig", 2.0)).toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id"))
+    // admission gate: 1 matches (must stay 'orig', NOT clobber to
+    // 'late'), 3 passes the guard, 4 fails it
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "late", 99.0), (3L, "new", 3.0), (4L, "new", -4.0))
+        .toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id"),
+      insertCondition = Some("s.value >= 0"))
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "tag", "value").as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> (("orig", 1.0)), // matched: untouched (no matched clause)
+      2L -> (("orig", 2.0)),
+      3L -> (("new", 3.0))), out.toString) // 4 gated out
+    // opting back into last-writer-wins alongside the guard is explicit
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "late", 99.0)).toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id"),
+      matchedCondition = Some("true"),
+      insertCondition = Some("s.value >= 0"))
+    assert(MergeTable.read(spark, t).where(col("event_id") === 1L)
+      .select("tag").as[String].collect().toSeq == Seq("late"))
+  }
+
+  test("RESTORE re-validates the target's files on EVERY CAS attempt — " +
+    "a vacuum racing the retry loop is caught before the commit, not " +
+    "published as a head referencing dead files") {
+    val t = freshTable("restorerace")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 4L, 1.0),
+      Seq("event_id"), Seq("event_id"))                              // v0
+    MergeTable.mergeUpsert(spark, t, rows(1L to 4L, 2.0),
+      Seq("event_id"), Seq("event_id"))                              // v1
+    // between attempt 1's pre-check and its commit: an interloper wins
+    // the CAS (forcing attempt 2) AND vacuum retires v0's files — the
+    // round-11 TOCTOU window. Attempt 2's pre-check must now fail
+    // loudly instead of committing a restore to deleted files.
+    var fired = false
+    MergeTable.testPrecommitHook = () => if (!fired) {
+      fired = true
+      MergeTable.mergeUpsert(spark, t, rows(Seq(9L), 9.0),
+        Seq("event_id"), Seq("event_id"))                            // v2
+      MergeTable.vacuum(t, graceMs = 0L, retainVersions = 1)
+    }
+    val e = try intercept[IllegalArgumentException] {
+      MergeTable.restore(t, 0L)
+    } finally MergeTable.testPrecommitHook = () => ()
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // nothing committed: the head is still the interloper's v2
+    assert(MergeTable.latestManifest(t).get.version == 2L,
+      "a failed restore must not publish a head")
+    assert(MergeTable.read(spark, t).count() == 5L)
+  }
+
   test("RESTORE to a vacuumed version fails loudly and commits nothing") {
     val t = freshTable("restoregone")
     MergeTable.mergeUpsert(spark, t, rows(Seq(1L), 1.0),

@@ -108,6 +108,30 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     assert(StreamingChangeFeed.skippedVersions(out) == Seq(0L))
   }
 
+  test("a version dir carrying BOTH _SUCCESS and _SKIPPED is served as " +
+    "complete and NOT reported skipped — consumers never get the " +
+    "contradictory pair of signals") {
+    val base = tmp("contradict")
+    val table = s"$base/table"
+    val out = s"$base/out"
+    MergeTable.mergeUpsert(spark, table, rows(1L to 3L, 1.0),
+      Seq("event_id"), Seq("event_id"))
+    val q = StreamingChangeFeed.startChangeFeedSink(spark, table, out, s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+    // simulate the race the guard exists for: a replayed batch found v0's
+    // data vacuumed AFTER another replay completed the delivery — a
+    // legacy marker lands in a dir that already holds parquet + _SUCCESS
+    val dir = java.nio.file.Paths.get(out, "version=0")
+    assert(java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+    java.nio.file.Files.write(dir.resolve("_SKIPPED"),
+      "version 0 skipped: test-planted legacy marker\n".getBytes("UTF-8"))
+    // the COMPLETE delivery wins on both read paths
+    assert(StreamingChangeFeed.skippedVersions(out).isEmpty,
+      "a completely-delivered version must not be reported skipped")
+    assert(StreamingChangeFeed.readFeed(spark, out)
+      .where(col("version") === 0L).count() == 3L)
+  }
+
   test("preimages: an incremental consumer applies the feed — inserts add, " +
     "updates retract the old value, deletes retract — and lands on the " +
     "table's true aggregate") {
