@@ -23,6 +23,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // SQL door to merge tables: SELECT ... FROM graft.`/abs/path`
+      // (+ VERSION AS OF / TIMESTAMP AS OF) — see graft.sources.GraftCatalog
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       // events.ts is parquet TIMESTAMP(NANOS) — unreadable without this
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // keep managed tables (bucketing tests) out of the repo tree

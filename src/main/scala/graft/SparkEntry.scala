@@ -124,6 +124,8 @@ object SparkEntry {
     "q_merge_matched_delete" -> (graft.ops.MergeTable.mergeMatchedDeleteDigest _),
     "q_merge_nmbs" -> (graft.ops.MergeTable.mergeNmbsDigest _),
     "q_merge_restore" -> (graft.ops.MergeTable.mergeRestoreDigest _),
+    "q_dsv2_read" -> (graft.ops.MergeTable.dsv2ReadDigest _),
+    "q_merge_sql" -> (graft.ops.MergeTable.mergeSqlDigest _),
     "q_ann_incremental" -> (SimilarityOps.annPqAdcIncremental _),
 
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
@@ -322,6 +324,8 @@ object SparkEntry {
     "q_merge_matched_delete" -> graft.ops.MergeTable.mergeMatchedDeleteDigestSql,
     "q_merge_nmbs" -> graft.ops.MergeTable.mergeNmbsDigestSql,
     "q_merge_restore" -> graft.ops.MergeTable.mergeRestoreDigestSql,
+    "q_dsv2_read" -> graft.ops.MergeTable.dsv2ReadDigestSql,
+    "q_merge_sql" -> graft.ops.MergeTable.mergeSqlDigestSql,
     // the incremental index must equal the single-shot index bit-for-bit:
     // SAME oracle as q_ann_pq_adc, different build path
     "q_ann_incremental" -> SimilarityOps.annPqAdcSql,

@@ -15,6 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.NativeKernelRule)
+    // MERGE INTO graft.`/path` ... — swap the analyzed MergeIntoTable for
+    // the engine's transactional merge command before Spark's row-level
+    // rewrite would reject the (non-SupportsRowLevelOperations) target
+    e.injectPostHocResolutionRule(session => graft.ops.GraftMergeRule(session))
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -1,0 +1,350 @@
+package graft.ops
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.GraftTable
+
+/** SQL `MERGE INTO` front end for [[MergeTable]] — Spark's own parser
+  * produces the [[MergeIntoTable]] AST (so the full statement grammar is
+  * supported verbatim), and this translator maps its clause surface onto
+  * [[MergeTable.mergeUpsert]]'s transactional engine:
+  *
+  * {{{
+  *   MERGE INTO graft.`/abs/path` AS t USING batch_view AS s
+  *   ON t.event_id = s.event_id
+  *   WHEN MATCHED AND s.value > t.value THEN UPDATE SET value = s.value
+  *   WHEN MATCHED AND t.event_type = 'error' THEN DELETE
+  *   WHEN NOT MATCHED AND s.value >= 0 THEN INSERT *
+  *   WHEN NOT MATCHED BY SOURCE THEN DELETE
+  * }}}
+  *
+  * Two doors, one translator:
+  *
+  *  - [[GraftSql.mergeInto]] — parse + execute a statement directly.
+  *  - `spark.sql("MERGE INTO graft...")` — [[GraftMergeRule]] (installed
+  *    by [[graft.functions.GraftExtensions]]) intercepts any analyzed
+  *    [[MergeIntoTable]] whose target is a graft-catalog table and swaps
+  *    in [[GraftMergeCommand]], exactly the lakehouse-engine pattern for
+  *    commands Spark's own planner declines (the target does not
+  *    implement `SupportsRowLevelOperations`; its commit protocol is the
+  *    engine's CAS log, not a V2 row-level write).
+  *
+  * Semantics mapping (engine applies DELETE before UPDATE on matched
+  * rows; SQL applies clauses in statement order): when an UPDATE clause
+  * precedes a DELETE clause, the delete condition is strengthened with
+  * `AND NOT (updateCondition)` so a row satisfying both takes the update,
+  * as the statement says. An unconditional earlier clause makes a later
+  * clause of the other kind unreachable — it is dropped. One clause of
+  * each kind is supported (one matched UPDATE, one matched DELETE, one
+  * NOT MATCHED INSERT, one NMBS UPDATE, one NMBS DELETE) — the engine's
+  * clause surface; a second clause of a kind fails loudly rather than
+  * silently reordering.
+  */
+object GraftSql {
+
+  /** Parse and execute one `MERGE INTO` statement. Returns true when a
+    * new version committed (false = `txn` already applied — replay). */
+  def mergeInto(s: SparkSession, sql: String,
+      txn: Option[(String, Long)] = None): Boolean =
+    s.sessionState.sqlParser.parsePlan(sql) match {
+      case m: MergeIntoTable => runMerge(s, m, txn)
+      case other => throw new IllegalArgumentException(
+        s"GraftSql.mergeInto expects a MERGE INTO statement, got: " +
+          other.getClass.getSimpleName)
+    }
+
+  /** Outermost alias (the user's `AS t`) + the fully-unwrapped core plan —
+    * the analyzer nests aliases (`SubqueryAlias t → SubqueryAlias
+    * graft.`path` → RelationV2`), so one-layer stripping misses the
+    * relation. */
+  private def unalias(p: LogicalPlan): (Option[String], LogicalPlan) = {
+    def strip(q: LogicalPlan): LogicalPlan = q match {
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    p match {
+      case SubqueryAlias(ident, child) => (Some(ident.name), strip(child))
+      case other => (None, strip(other))
+    }
+  }
+
+  /** Is this plan a merge-table target this front end owns? (either still
+    * unresolved under the `graft` catalog prefix, or already resolved to
+    * a [[GraftTable]] V2 relation) */
+  private[graft] def graftTargetPath(p: LogicalPlan): Option[String] =
+    unalias(p)._2 match {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length >= 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+        Some(u.multipartIdentifier.tail.mkString("/"))
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftTable => Some(g.tablePath)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft MERGE INTO: $what")
+
+  /** Execute a parsed (resolved or unresolved) [[MergeIntoTable]] whose
+    * target is a graft table. */
+  private[graft] def runMerge(s: SparkSession, m: MergeIntoTable,
+      txn: Option[(String, Long)] = None): Boolean = {
+    val (tAlias, _) = unalias(m.targetTable)
+    val (sAlias, _) = unalias(m.sourceTable)
+    val path = graftTargetPath(m.targetTable).getOrElse(unsupported(
+      "target must be a graft table (graft.`/abs/path` or a graft-catalog identifier)"))
+
+    // attribute side attribution: resolved attrs by exprId membership,
+    // unresolved ones by alias-qualified name parts (outputSet is only
+    // defined once a plan is resolved)
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    val tgtIds =
+      if (m.targetTable.resolved) m.targetTable.outputSet else AttributeSet.empty
+    val srcIds =
+      if (m.sourceTable.resolved) m.sourceTable.outputSet else AttributeSet.empty
+    def rewrite(e: Expression): Expression = e.transformUp {
+      case ua: UnresolvedAttribute if ua.nameParts.length >= 2 =>
+        val head = ua.nameParts.head
+        if (tAlias.exists(_.equalsIgnoreCase(head)))
+          UnresolvedAttribute(Seq("t") ++ ua.nameParts.tail)
+        else if (sAlias.exists(_.equalsIgnoreCase(head)))
+          UnresolvedAttribute(Seq("s") ++ ua.nameParts.tail)
+        else ua
+      case ar: AttributeReference if tgtIds.contains(ar) =>
+        UnresolvedAttribute(Seq("t", ar.name))
+      case ar: AttributeReference if srcIds.contains(ar) =>
+        UnresolvedAttribute(Seq("s", ar.name))
+    }
+    def render(e: Expression): String = rewrite(e).sql
+    def renderOpt(c: Option[Expression]): Option[String] = c.map(render)
+
+    // `s`/`t` attribution of one bare attribute (for key extraction and
+    // identity-assignment checks)
+    sealed trait Side; case object T extends Side; case object S extends Side
+    def sideName(e: Expression): Option[(Option[Side], String)] = e match {
+      case Cast(child, _, _, _) => sideName(child)
+      case ar: AttributeReference =>
+        val side = if (tgtIds.contains(ar)) Some(T)
+        else if (srcIds.contains(ar)) Some(S) else None
+        Some((side, ar.name))
+      case ua: UnresolvedAttribute =>
+        val side = ua.nameParts.headOption.flatMap { h =>
+          if (tAlias.exists(_.equalsIgnoreCase(h))) Some(T)
+          else if (sAlias.exists(_.equalsIgnoreCase(h))) Some(S) else None
+        }
+        Some((side, ua.nameParts.last))
+      case _ => None
+    }
+
+    // ---- keys from the ON condition (equi-conjunction, same name both
+    // sides — the engine's merge-key model) ---------------------------------
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val parsedKeys = conjuncts(m.mergeCondition).map {
+      case EqualTo(l, r) =>
+        (sideName(l), sideName(r)) match {
+          case (Some((_, ln)), Some((_, rn)))
+              if ln.equalsIgnoreCase(rn) => ln
+          case _ => unsupported(
+            s"ON must be a conjunction of t.<k> = s.<k> (same column " +
+              s"name both sides), got: ${EqualTo(l, r).sql}")
+        }
+      case other => unsupported(
+        s"ON must be a conjunction of equality predicates, got: ${other.sql}")
+    }
+    require(parsedKeys.nonEmpty, "MERGE needs at least one ON key")
+
+    // ---- matched clauses -----------------------------------------------
+    var matchedCondition: Option[String] = None
+    var updateCols: Seq[String] = Seq.empty
+    var sawUpdate = false
+    var deleteCond: Option[String] = None // raw, before order adjustment
+    var updateFirst = false
+    m.matchedActions.foreach {
+      case UpdateStarAction(cond) =>
+        if (sawUpdate) unsupported("at most one WHEN MATCHED UPDATE clause")
+        sawUpdate = true; updateFirst = deleteCond.isEmpty
+        matchedCondition = Some(renderOpt(cond).getOrElse("true"))
+      case UpdateAction(cond, assignments, fromStar) =>
+        if (sawUpdate) unsupported("at most one WHEN MATCHED UPDATE clause")
+        sawUpdate = true; updateFirst = deleteCond.isEmpty
+        matchedCondition = Some(renderOpt(cond).getOrElse("true"))
+        if (!fromStar && assignments.nonEmpty) {
+          val updated = assignments.flatMap { a =>
+            val colName = sideName(a.key).map(_._2).getOrElse(unsupported(
+              s"UPDATE SET key must be a target column: ${a.key.sql}"))
+            sideName(a.value) match {
+              case Some((Some(S), vn)) if vn.equalsIgnoreCase(colName) =>
+                Some(colName) // identity from source: an updated column
+              case Some((Some(T), vn)) if vn.equalsIgnoreCase(colName) =>
+                None // alignment filler t.c = t.c: kept column
+              case Some((None, vn)) if vn.equalsIgnoreCase(colName) =>
+                Some(colName) // unqualified c = c: treat as s.c
+              case _ => unsupported(
+                s"UPDATE SET supports identity assignments " +
+                  s"(<col> = s.<col>); got: ${a.sql}")
+            }
+          }
+          // identity key assignments (t.k = s.k) are no-ops on a matched
+          // pair — drop them; a full non-key cover means update-all
+          updateCols = updated.filterNot(c =>
+            parsedKeys.exists(_.equalsIgnoreCase(c)))
+          if (updateCols.isEmpty && updated.nonEmpty)
+            unsupported("UPDATE SET assigns only key columns")
+        }
+      case DeleteAction(cond) =>
+        if (deleteCond.nonEmpty) unsupported("at most one WHEN MATCHED DELETE clause")
+        deleteCond = Some(renderOpt(cond).getOrElse("true"))
+      case other => unsupported(s"matched clause ${other.getClass.getSimpleName}")
+    }
+    // engine precedence: delete filters BEFORE the update projection. If
+    // the statement puts UPDATE first, a both-conditions row must take
+    // the update — strengthen the delete with AND NOT(updateCond); an
+    // unconditional earlier update makes the delete unreachable.
+    val matchedDeleteCondition: Option[String] = deleteCond.flatMap { d =>
+      if (!sawUpdate || !updateFirst) Some(d)
+      else matchedCondition match {
+        case Some("true") => None // unreachable clause
+        case Some(c) => Some(s"($d) AND NOT ($c)")
+        case None => Some(d)
+      }
+    }
+
+    // ---- not-matched (insert) clauses ------------------------------------
+    var insertCondition: Option[String] = None
+    var sawInsert = false
+    m.notMatchedActions.foreach {
+      case InsertStarAction(cond) =>
+        if (sawInsert) unsupported("at most one WHEN NOT MATCHED clause")
+        sawInsert = true
+        insertCondition = Some(renderOpt(cond).getOrElse("true"))
+      case InsertAction(cond, assignments) =>
+        if (sawInsert) unsupported("at most one WHEN NOT MATCHED clause")
+        sawInsert = true
+        insertCondition = Some(renderOpt(cond).getOrElse("true"))
+        assignments.foreach { a =>
+          val colName = sideName(a.key).map(_._2).getOrElse(unsupported(
+            s"INSERT column must be a target column: ${a.key.sql}"))
+          sideName(a.value) match {
+            case Some((sd, vn))
+                if vn.equalsIgnoreCase(colName) && !sd.contains(T) => ()
+            case _ => unsupported(
+              "INSERT supports * / identity column lists " +
+                s"(<col> = s.<col>); got: ${a.sql}")
+          }
+        }
+      case other => unsupported(s"not-matched clause ${other.getClass.getSimpleName}")
+    }
+    // no insert clause at all: the statement inserts nothing
+    if (!sawInsert) insertCondition = Some("false")
+
+    // ---- not-matched-by-source clauses ------------------------------------
+    var nmbsDelete: Option[String] = None
+    var nmbsSet: Map[String, String] = Map.empty
+    var nmbsCond: Option[String] = None
+    var nmbsUpdateFirst = false
+    var sawNmbsUpdate = false
+    m.notMatchedBySourceActions.foreach {
+      case DeleteAction(cond) =>
+        if (nmbsDelete.nonEmpty) unsupported(
+          "at most one WHEN NOT MATCHED BY SOURCE DELETE clause")
+        nmbsDelete = Some(renderOpt(cond).getOrElse("true"))
+      case UpdateAction(cond, assignments, _) =>
+        if (sawNmbsUpdate) unsupported(
+          "at most one WHEN NOT MATCHED BY SOURCE UPDATE clause")
+        sawNmbsUpdate = true; nmbsUpdateFirst = nmbsDelete.isEmpty
+        nmbsCond = renderOpt(cond)
+        nmbsSet = assignments.flatMap { a =>
+          val colName = sideName(a.key).map(_._2).getOrElse(unsupported(
+            s"NMBS SET key must be a target column: ${a.key.sql}"))
+          sideName(a.value) match {
+            case Some((side, vn))
+                if vn.equalsIgnoreCase(colName) && !side.contains(S) =>
+              None // alignment filler t.c = t.c: kept column
+            case _ => Some(colName -> render(a.value))
+          }
+        }.toMap
+        if (nmbsSet.isEmpty) unsupported(
+          "WHEN NOT MATCHED BY SOURCE UPDATE assigns nothing")
+      case other => unsupported(
+        s"not-matched-by-source clause ${other.getClass.getSimpleName}")
+    }
+    val nmbsDeleteAdjusted: Option[String] = nmbsDelete.flatMap { d =>
+      if (!sawNmbsUpdate || !nmbsUpdateFirst) Some(d)
+      else nmbsCond match {
+        case None => None // unconditional earlier update: delete unreachable
+        case Some(c) => Some(s"($d) AND NOT ($c)")
+      }
+    }
+
+    // ---- source frame + table-aligned keys ---------------------------------
+    val source =
+      org.apache.spark.sql.graftbridge.Bridge.ofRows(s, m.sourceTable)
+    val (keys, clusterBy) = MergeTable.latestManifest(path) match {
+      case Some(head) =>
+        // the engine pins key ORDER per table; accept any ON order with
+        // the same key SET
+        val ks = head.keys
+        require(ks.map(_.toLowerCase).toSet ==
+          parsedKeys.map(_.toLowerCase).toSet,
+          s"ON keys ${parsedKeys.mkString(",")} must equal the table's " +
+            s"merge keys ${ks.mkString(",")}")
+        (ks, head.clusterBy)
+      case None => (parsedKeys, parsedKeys)
+    }
+
+    // canonical unguarded upsert (UPDATE SET * + INSERT *, nothing else)
+    // takes the engine's non-conditional fast path — no full-outer join
+    val isPlainUpsert = sawUpdate && matchedCondition.contains("true") &&
+      updateCols.isEmpty && matchedDeleteCondition.isEmpty &&
+      insertCondition.contains("true") && nmbsDeleteAdjusted.isEmpty &&
+      nmbsSet.isEmpty
+    if (isPlainUpsert)
+      MergeTable.mergeUpsert(s, path, source, keys, clusterBy, txn = txn)
+    else
+      MergeTable.mergeUpsert(s, path, source, keys, clusterBy, txn = txn,
+        matchedCondition =
+          if (sawUpdate) matchedCondition else Some("false"),
+        updateCols = updateCols,
+        matchedDeleteCondition = matchedDeleteCondition,
+        insertCondition = insertCondition,
+        notMatchedBySourceDeleteCondition = nmbsDeleteAdjusted,
+        notMatchedBySourceSet = nmbsSet,
+        notMatchedBySourceCondition =
+          if (nmbsSet.nonEmpty) nmbsCond else None)
+  }
+}
+
+/** The analyzed-plan door: swaps a [[MergeIntoTable]] over a graft target
+  * for a runnable command BEFORE Spark's row-level-operation rewrite
+  * would reject it. Installed as a post-hoc resolution rule by
+  * [[graft.functions.GraftExtensions]]. */
+case class GraftMergeRule(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable if GraftSql.graftTargetPath(m.targetTable).nonEmpty =>
+      GraftMergeCommand(m)
+    case _ => plan
+  }
+}
+
+/** Leaf command wrapper: holds the analyzed MERGE AST as plain state (not
+  * a child), so the analyzer treats it as resolved and execution lands in
+  * the engine's transactional merge. */
+case class GraftMergeCommand(merge: MergeIntoTable) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    GraftSql.runMerge(sparkSession, merge)
+    Seq.empty
+  }
+}

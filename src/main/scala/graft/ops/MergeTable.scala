@@ -128,7 +128,13 @@ object MergeTable {
     * union of a manifest's referenced DV datasets exact. */
   case class DataFileEntry(path: String, numRows: Long,
       stats: Map[String, ColStat],
-      dv: Option[String] = None, dvRows: Long = 0L) {
+      dv: Option[String] = None, dvRows: Long = 0L,
+      // per-column PHYSICAL null counts for every stats-indexed column
+      // (see [[statsIndexedColumns]]) — what IsNull/IsNotNull pruning and
+      // the all-null case (which carries no min/max entry) key off.
+      // Additive: legacy entries parse with an empty map, which pruning
+      // reads as "unknown — keep the file" (sound, never wrong).
+      nullCounts: Map[String, Long] = Map.empty) {
     /** Convenience for specs / long-keyed callers. */
     def minLong(c: String): Long = stats(c).min.toLong
     def maxLong(c: String): Long = stats(c).max.toLong
@@ -825,6 +831,43 @@ object MergeTable {
       "supported: integral, float/double, string, timestamp, date")
   }
 
+  /** [[statTag]] for GENERALIZED (non-cluster) stats collection: returns
+    * None for types the stat domain can't order (arrays, structs, binary,
+    * …) instead of throwing — those columns simply aren't indexed, and a
+    * predicate on them never prunes. Cluster keys keep the throwing form:
+    * an unsupported cluster type is a caller error, not a skip. */
+  private def statTagOpt(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case FloatType | DoubleType => Some("double")
+    case StringType => Some("string")
+    case TimestampType => Some("timestamp")
+    case DateType => Some("date")
+    case _ => None
+  }
+
+  /** Per-file min/max + null counts are collected for at most this many
+    * columns (Delta's `dataSkippingNumIndexedCols` move): stats are
+    * manifest metadata carried on EVERY file entry, so on a 10⁶-file
+    * table each indexed column is ~10⁶ more stat strings in checkpoints —
+    * bounded by design, not by the table's width. Cluster columns are
+    * always indexed regardless of the cap. */
+  val StatsColumnCap = 32
+
+  /** The columns a file write collects skipping stats for: every cluster
+    * column (mandatory — merge pruning depends on them), then the
+    * remaining supported-type TOP-LEVEL columns in schema order up to
+    * [[StatsColumnCap]]. Deterministic in the schema, so every file of a
+    * commit indexes the same set. */
+  private def statsIndexedColumns(
+      schema: StructType, clusterBy: Seq[String]): Seq[String] = {
+    val extra = schema.fields.iterator
+      .filter(f => !clusterBy.contains(f.name) && statTagOpt(f.dataType).nonEmpty)
+      .map(_.name)
+      .take(math.max(0, StatsColumnCap - clusterBy.size))
+      .toSeq
+    clusterBy ++ extra
+  }
+
   private def statFieldType(tag: String): DataType = tag match {
     case "long" => LongType
     case "double" => DoubleType
@@ -1381,22 +1424,58 @@ object MergeTable {
       staged.write.mode("overwrite").parquet(s"$table/$rel")
       // per-partition stats keyed by partition id; partition i wrote the
       // file whose name parses to part index i (empty partitions write
-      // no file and emit no stats group — both sides skip them)
-      val dts = clusterBy.map(c => staged.schema(c).dataType)
-      val aggs = clusterBy.zipWithIndex.flatMap { case (c, i) =>
-        Seq(min(col(c)).as(s"mn_$i"), max(col(c)).as(s"mx_$i"))
-      } :+ count(lit(1)).as("cnt")
+      // no file and emit no stats group — both sides skip them).
+      // GENERALIZED skipping stats: min/max + null count for EVERY
+      // stats-indexed column (cluster columns first, then supported-type
+      // columns up to [[StatsColumnCap]]) in ONE aggregate pass over the
+      // already-pinned staged frame — a predicate on any indexed column
+      // prunes files, not just cluster-key predicates. Soundness edges:
+      //  - all-null column in a file → NO min/max entry (its null count
+      //    says all-null; value predicates prune, IsNull keeps);
+      //  - a float/double column containing NaN in a file → NO min/max
+      //    entry for that file (Spark orders NaN largest, so [min,max]
+      //    over non-NaN values would wrongly prune `c > huge`); cluster
+      //    columns can't hit either edge (requireClusterable).
+      val idxCols = statsIndexedColumns(staged.schema, clusterBy)
+      val dts = idxCols.map(c => staged.schema(c).dataType)
+      val floaty = dts.map {
+        case FloatType | DoubleType => true
+        case _ => false
+      }
+      val aggsB = Seq.newBuilder[Column]
+      val off = new Array[Int](idxCols.size)
+      var pos = 0 // positions within the agg output, AFTER the pid key
+      idxCols.indices.foreach { i =>
+        off(i) = pos
+        val c = col(idxCols(i))
+        aggsB += min(c).as(s"mn_$i") += max(c).as(s"mx_$i") +=
+          count(c).as(s"nn_$i")
+        pos += 3
+        if (floaty(i)) { aggsB += max(isnan(c)).as(s"nan_$i"); pos += 1 }
+      }
+      aggsB += count(lit(1)).as("cnt")
+      val cntPos = pos
+      val aggs = aggsB.result()
       val stats = staged
-        .select(spark_partition_id().as("pid") +: clusterBy.map(col): _*)
+        .select(spark_partition_id().as("pid") +: idxCols.map(col): _*)
         .groupBy(col("pid"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().map { r =>
-          val m = clusterBy.zipWithIndex.map { case (c, i) =>
-            c -> ColStat(statTag(dts(i)),
-              renderStat(dts(i), r.get(1 + 2 * i)),
-              renderStat(dts(i), r.get(2 + 2 * i)))
-          }.toMap
-          r.getInt(0) -> (m, r.getLong(1 + 2 * clusterBy.size))
+          val cnt = r.getLong(1 + cntPos)
+          val statsB = Map.newBuilder[String, ColStat]
+          val nullsB = Map.newBuilder[String, Long]
+          idxCols.indices.foreach { i =>
+            val base = 1 + off(i)
+            val nonNull = r.getLong(base + 2)
+            nullsB += idxCols(i) -> (cnt - nonNull)
+            val hasNaN = floaty(i) && !r.isNullAt(base + 3) &&
+              r.getBoolean(base + 3)
+            if (nonNull > 0 && !hasNaN)
+              statsB += idxCols(i) -> ColStat(statTag(dts(i)),
+                renderStat(dts(i), r.get(base)),
+                renderStat(dts(i), r.get(base + 1)))
+          }
+          r.getInt(0) -> ((statsB.result(), nullsB.result(), cnt))
         }.toMap
       val newFiles = {
         val stream = Files.list(Paths.get(table, "data", commitId))
@@ -1407,8 +1486,8 @@ object MergeTable {
         finally stream.close()
       }.flatMap { f =>
         val idx = f.stripPrefix("part-").takeWhile(_.isDigit).toInt
-        stats.get(idx).map { case (m, cnt) =>
-          DataFileEntry(s"$rel/$f", cnt, m)
+        stats.get(idx).map { case (m, nulls, cnt) =>
+          DataFileEntry(s"$rel/$f", cnt, m, nullCounts = nulls)
         }
       }
       (commitId, newFiles)
@@ -2354,4 +2433,127 @@ object MergeTable {
        |  FROM v0 o FULL OUTER JOIN final f ON o.event_id = f.event_id)
        |SELECT event_id, change_type, event_type, value FROM diff
        |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin
+
+  // ---- SQL surface queries: DSv2 read + MERGE INTO ------------------------
+
+  /** `q_dsv2_read`: the SAME five-wave fixture as `q_merge_upsert`, read
+    * through the DataSource V2 door — `spark.read.format("graft")` with a
+    * non-cluster-column predicate pushed into the scan ([[StatsPruning]]
+    * consults every file's `value` box before any parquet footer opens)
+    * and deletion-vector masking applied by the V1Scan execution shim.
+    * The oracle reconstructs the latest snapshot protocol-independently,
+    * so a DSv2 path that dropped a DV (resurrecting purged rows), leaked
+    * a hidden `__dv_*` column, read a stale version, or over-pruned a
+    * file breaks the hash against the same numbers `readVersion` has to
+    * produce. */
+  def dsv2ReadDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildMergedEvents(s, sfDir)
+    s.read.format("graft").load(t)
+      .where(col("value") >= 300.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val dsv2ReadDigestSql: String =
+    s"""WITH final AS (
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 7 = 0 THEN event_type
+       |         WHEN event_id % 5 < 2 THEN 'updated'
+       |         ELSE event_type END AS event_type,
+       |    CASE WHEN event_id % 7 = 0 THEN value + 200.0
+       |         WHEN event_id % 5 < 2 THEN value + 100.0
+       |         ELSE value END AS value
+       |  FROM events WHERE event_id % 11 <> 3
+       |  UNION ALL
+       |  SELECT event_id + (SELECT max(event_id) + 1 FROM events),
+       |    'cloned', value + 500.0
+       |  FROM events WHERE event_id % 13 = 0)
+       |SELECT event_type, count(*) AS n_events,
+       |  round(sum(value), 2) AS value_sum
+       |FROM final WHERE value >= 300.0
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val sqlMergeCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_merge_sql`: the table's second version is
+    * committed by a real `spark.sql("MERGE INTO graft.`…`")` statement —
+    * Spark's parser, the graft catalog resolution, [[GraftMergeRule]]'s
+    * command swap, and [[GraftSql]]'s clause translation all sit on the
+    * oracle path. The statement exercises ORDERED clause semantics: a
+    * guarded partial UPDATE listed before an unconditional DELETE (a
+    * matched row passing the guard must update, not delete), plus a
+    * guarded INSERT. */
+  private def buildSqlMergedEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(sqlMergeCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("merge-sql")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-sql", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+      mergeUpsert(s, t, ev, Seq("event_id"), Seq("event_id"),
+        txn = Some(("seed", 0L)))
+      // clone-offset derived from the data (scale-independent, same rule
+      // the oracle applies)
+      val offset = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1L
+      // matched wave: every %3==0 key doubled and relabeled (the label
+      // must NOT land — the UPDATE is partial); insert wave: %17==0
+      // clones past the offset, gated on value >= 50
+      ev.where(pmod(col("event_id"), lit(3)) === 0)
+        .withColumn("value", col("value") * 2.0)
+        .withColumn("event_type", lit("boosted"))
+        .unionByName(
+          ev.where(pmod(col("event_id"), lit(17)) === 0)
+            .withColumn("event_id", col("event_id") + offset)
+            .withColumn("event_type", lit("sqlnew")))
+        .createOrReplaceTempView("graft_sql_batch")
+      s.sql(
+        s"""MERGE INTO graft.`$t` AS t USING graft_sql_batch AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED AND s.value > t.value + 50.0 THEN UPDATE SET value = s.value
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED AND s.value >= 50.0 THEN INSERT *
+           |""".stripMargin)
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_merge_sql`: digest of the SQL-merged head. Matched %3==0 rows
+    * with `2v > v+50` double their value but KEEP their event_type (a
+    * 'boosted' group appearing means the partial update leaked the batch
+    * label); the rest of the matched set deletes (clause order: the
+    * statement's UPDATE wins over the later DELETE where both hold);
+    * %17==0 clones insert only when `value >= 50`. The oracle replays the
+    * same arithmetic on the raw table with IDENTICAL float expressions
+    * (`value * 2 > value + 50`), so both engines decide every boundary
+    * row from the same double ops. */
+  def mergeSqlDigest(s: SparkSession, sfDir: String): DataFrame =
+    read(s, buildSqlMergedEvents(s, sfDir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+
+  val mergeSqlDigestSql: String =
+    s"""WITH kept AS (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_id % 3 = 0 AND value * 2.0 > value + 50.0
+       |         THEN value * 2.0 ELSE value END AS value
+       |  FROM events
+       |  WHERE event_id % 3 <> 0 OR value * 2.0 > value + 50.0),
+       |ins AS (
+       |  SELECT event_id + (SELECT max(event_id) + 1 FROM events) AS event_id,
+       |    'sqlnew' AS event_type, value
+       |  FROM events WHERE event_id % 17 = 0 AND value >= 50.0),
+       |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+       |SELECT event_type, count(*) AS n_events,
+       |  round(sum(value), 2) AS value_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -19,6 +19,15 @@ object Bridge {
     * RDD inside the checkpoint's `LogicalRDD` leaf, reachable only from
     * `private[sql]` territory (hence this bridge).
     */
+  /** DataFrame over an arbitrary logical plan — `Dataset.ofRows` went
+    * `private[sql]` in the Connect refactor; the SQL front end needs it to
+    * materialize a parsed MERGE statement's source plan. */
+  def ofRows(s: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed.collectLeaves().foreach {

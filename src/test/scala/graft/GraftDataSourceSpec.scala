@@ -1,0 +1,225 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{MergeTable, StatsPruning}
+import graft.sources.GraftScanAudit
+
+/** The DataSource V2 door: format reads equal the engine's own snapshot
+  * reads, pushed predicates prune files through the manifest stats (and
+  * ONLY soundly), deletion vectors mask through the scan, and the catalog
+  * serves SQL + time travel. Plus the [[StatsPruning]] evaluator's
+  * boundary semantics, which the scan's correctness leans on.
+  */
+class GraftDataSourceSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-dsv2-$tag")
+    Files.delete(p)
+    p.toString
+  }
+
+  /** 1000 rows across ~10 range-clustered files; `value` and `label` are
+    * NON-cluster columns with per-file-disjoint value ranges. */
+  private def seeded(tag: String): String = {
+    val t = freshTable(tag)
+    val df = (1L to 1000L).map(i => (i, s"label${i % 5}",
+      if (i % 13 == 0) null else s"p$i", i * 1.5)).toSeq
+      .toDF("event_id", "label", "payload", "value")
+    MergeTable.mergeUpsert(spark, t, df, Seq("event_id"), Seq("event_id"),
+      targetRowsPerFile = 100)
+    t
+  }
+
+  test("format read equals the engine snapshot read, column-for-column") {
+    val t = seeded("parity")
+    val a = spark.read.format("graft").load(t)
+      .orderBy("event_id").collect().toSeq
+    val b = MergeTable.read(spark, t).orderBy("event_id").collect().toSeq
+    assert(a == b)
+    assert(spark.read.format("graft").load(t).columns.toSeq ==
+      Seq("event_id", "label", "payload", "value"))
+  }
+
+  test("a NON-cluster-column predicate prunes files via manifest stats, " +
+    "and the files read are exactly the stats-overlapping subset") {
+    val t = seeded("prune")
+    val m = MergeTable.latestManifest(t).get
+    GraftScanAudit.reset()
+    val out = spark.read.format("graft").load(t)
+      .where(col("value") > 1400.0).select("event_id", "value")
+      .as[(Long, Double)].collect().toSet
+    // correctness first: equal to the engine-read + filter
+    val expect = MergeTable.read(spark, t)
+      .where(col("value") > 1400.0).select("event_id", "value")
+      .as[(Long, Double)].collect().toSet
+    assert(out == expect && out.nonEmpty)
+    // pruning: strictly fewer files than the table holds…
+    val audit = GraftScanAudit.last.get
+    assert(audit.totalFiles == m.files.size && m.files.size >= 8)
+    assert(audit.scannedFiles < audit.totalFiles,
+      s"expected pruning, scanned ${audit.scannedFiles}/${audit.totalFiles}")
+    // …and exactly the subset whose value-box admits the predicate
+    val overlapping = StatsPruning.prune(m.files,
+      Seq(GreaterThan("value", 1400.0))).map(_.path).toSet
+    assert(audit.scannedPaths.toSet == overlapping)
+    // every row > 1400 is in a scanned file (soundness, by construction
+    // of the equality check above) and no stats-refuted file was read
+    assert(audit.scannedPaths.toSet.subsetOf(m.files.map(_.path).toSet))
+  }
+
+  test("deletion-vector rows are masked through the DSv2 scan") {
+    val t = seeded("dv")
+    MergeTable.mergeDelete(spark, t,
+      (1L to 1000L by 10).toDF("event_id"), deletionVectors = true)
+    val m = MergeTable.latestManifest(t).get
+    assert(m.files.exists(_.dv.nonEmpty), "fixture must carry DVs")
+    val ids = spark.read.format("graft").load(t)
+      .select("event_id").as[Long].collect().toSet
+    assert(ids.size == 900)
+    assert((1L to 1000L by 10).forall(i => !ids.contains(i)))
+    // hidden position columns never leak
+    assert(!spark.read.format("graft").load(t).columns.exists(_.startsWith("__dv")))
+  }
+
+  test("versionAsOf option and SQL VERSION AS OF time-travel the scan") {
+    val t = seeded("tt")
+    MergeTable.mergeUpsert(spark, t,
+      Seq((5000L, "x", "p", 1.0)).toDF("event_id", "label", "payload", "value"),
+      Seq("event_id"), Seq("event_id"))
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(t).count() == 1000L)
+    assert(spark.read.format("graft").load(t).count() == 1001L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t` VERSION AS OF 0")
+      .as[Long].head() == 1000L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`")
+      .as[Long].head() == 1001L)
+  }
+
+  test("IsNull / IsNotNull prune from null counts; value predicates " +
+    "prune all-null files") {
+    val t = freshTable("nulls")
+    // file A: payload all null; file B: payload never null (cluster-key
+    // ranges disjoint → two files)
+    val df = ((1L to 100L).map(i => (i, Option.empty[String], i * 1.0)) ++
+      (1001L to 1100L).map(i => (i, Some(s"p$i"), i * 1.0)))
+      .toDF("event_id", "payload", "value")
+    MergeTable.mergeUpsert(spark, t, df, Seq("event_id"), Seq("event_id"),
+      targetRowsPerFile = 100)
+    val files = MergeTable.latestManifest(t).get.files
+    assert(files.size >= 2)
+    val isNull = StatsPruning.prune(files, Seq(IsNull("payload")))
+    val notNull = StatsPruning.prune(files, Seq(IsNotNull("payload")))
+    val eq = StatsPruning.prune(files, Seq(EqualTo("payload", "p1050")))
+    assert(isNull.size < files.size, "all-non-null files must prune for IsNull")
+    assert(notNull.size < files.size, "all-null files must prune for IsNotNull")
+    assert(eq.size < files.size, "all-null files must prune for EqualTo")
+    // and the engine result through the scan stays correct
+    assert(spark.read.format("graft").load(t)
+      .where(col("payload").isNull).count() == 100L)
+    assert(spark.read.format("graft").load(t)
+      .where(col("payload") === "p1050").count() == 1L)
+  }
+
+  test("StatsPruning boundary semantics over a synthetic entry") {
+    import MergeTable.{ColStat, DataFileEntry}
+    val f = DataFileEntry("data/x/p.parquet", 100L,
+      Map("v" -> ColStat("long", "10", "20"),
+        "s" -> ColStat("string", "carrot", "melon")),
+      nullCounts = Map("v" -> 0L, "s" -> 5L))
+    def m(flt: Filter) = StatsPruning.canMatch(f, flt)
+    // inclusive bounds
+    assert(m(EqualTo("v", 10L)) && m(EqualTo("v", 20L)) && m(EqualTo("v", 15L)))
+    assert(!m(EqualTo("v", 9L)) && !m(EqualTo("v", 21L)))
+    // int literal against long stat
+    assert(m(EqualTo("v", 15)) && !m(EqualTo("v", 9)))
+    // strict vs non-strict at the bound
+    assert(!m(GreaterThan("v", 20L)) && m(GreaterThanOrEqual("v", 20L)))
+    assert(!m(LessThan("v", 10L)) && m(LessThanOrEqual("v", 10L)))
+    // In: any member may hit
+    assert(m(In("v", Array(1L, 99L, 12L))) && !m(In("v", Array(1L, 99L))))
+    // null bookkeeping
+    assert(!m(IsNull("v")) && m(IsNull("s")) && m(IsNotNull("s")))
+    // string prefix: in-range, out-of-range, and truncation edges
+    assert(m(StringStartsWith("s", "d")))
+    assert(m(StringStartsWith("s", "carrot"))) // == min
+    assert(m(StringStartsWith("s", "c"))) // min has prefix-range overlap
+    assert(!m(StringStartsWith("s", "n"))) // beyond max
+    assert(!m(StringStartsWith("s", "b"))) // before min
+    // And / Or composition
+    assert(!m(And(EqualTo("v", 15L), EqualTo("v", 25L))))
+    assert(m(Or(EqualTo("v", 25L), EqualTo("v", 15L))))
+    // unknown column / shapes stay conservative
+    assert(m(EqualTo("unknown_col", 1L)))
+    assert(m(StringContains("s", "zzz")))
+    // type-mismatched literal: keep
+    assert(m(EqualTo("v", "not-a-long")))
+    // legacy entry: no nullCounts at all → IsNull/IsNotNull keep
+    val legacy = f.copy(nullCounts = Map.empty)
+    assert(StatsPruning.canMatch(legacy, IsNull("v")))
+    assert(StatsPruning.canMatch(legacy, IsNotNull("v")))
+    // all-null column (no stat, nullCount == numRows): value predicates
+    // prune, IsNull keeps
+    val allNull = DataFileEntry("p", 50L, Map.empty,
+      nullCounts = Map("c" -> 50L))
+    assert(!StatsPruning.canMatch(allNull, EqualTo("c", 1L)))
+    assert(!StatsPruning.canMatch(allNull, IsNotNull("c")))
+    assert(StatsPruning.canMatch(allNull, IsNull("c")))
+  }
+
+  test("generalized stats: a float column containing NaN carries no " +
+    "min/max entry for that file (NaN-largest ordering would mis-prune), " +
+    "and predicates on it keep the file") {
+    val t = freshTable("nan")
+    val df = ((1L to 50L).map(i => (i, i * 1.0)) ++
+      Seq((51L, Double.NaN)) ++ (1001L to 1050L).map(i => (i, i * 1.0)))
+      .toDF("event_id", "score")
+    MergeTable.mergeUpsert(spark, t, df, Seq("event_id"), Seq("event_id"),
+      targetRowsPerFile = 60)
+    val files = MergeTable.latestManifest(t).get.files
+    val nanFile = files.find(f => f.minLong("event_id") <= 51L &&
+      f.maxLong("event_id") >= 51L).get
+    assert(!nanFile.stats.contains("score"),
+      s"NaN-bearing file must not carry a score box: ${nanFile.stats}")
+    assert(nanFile.nullCounts.get("score").contains(0L))
+    val cleanFile = files.find(_.minLong("event_id") >= 1001L).get
+    assert(cleanFile.stats.contains("score"))
+    // the NaN file survives any score predicate; correctness holds —
+    // and is exactly why it must: Spark orders NaN LARGER than every
+    // double, so the NaN row itself satisfies `score > 1040` (11 rows:
+    // 1041..1050 plus the NaN). A [min,max] box over the file's non-NaN
+    // values (1..51) would have wrongly pruned it.
+    assert(StatsPruning.canMatch(nanFile, GreaterThan("score", 1e9)))
+    assert(spark.read.format("graft").load(t)
+      .where(col("score") > 1040.0).count() == 11L)
+  }
+
+  test("stats cap: at most StatsColumnCap columns are indexed, cluster " +
+    "columns always included") {
+    val t = freshTable("cap")
+    val wide = (1L to 10L).map { i =>
+      Row.fromSeq(i +: (1 to 40).map(c => i * 100L + c))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType) +:
+        (1 to 40).map(c => org.apache.spark.sql.types.StructField(
+          s"c$c", org.apache.spark.sql.types.LongType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(wide.asJava, schema)
+    MergeTable.mergeUpsert(spark, t, df, Seq("event_id"), Seq("event_id"))
+    val f = MergeTable.latestManifest(t).get.files.head
+    assert(f.stats.size == MergeTable.StatsColumnCap)
+    assert(f.stats.contains("event_id"))
+    assert(f.stats.contains("c1") && !f.stats.contains("c40"))
+  }
+
+  private val Row = org.apache.spark.sql.Row
+}

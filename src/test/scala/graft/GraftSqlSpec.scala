@@ -1,0 +1,238 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{GraftSql, MergeTable}
+
+/** The `MERGE INTO` SQL front end: statement semantics must be
+  * bit-identical to the equivalent Scala-API merge — including ORDERED
+  * clause evaluation (SQL first-clause-wins vs the engine's
+  * delete-before-update physical shape), the no-clause defaults (no
+  * matched clause → matched rows untouched; no insert clause → nothing
+  * inserts), and loud rejection of clause shapes the engine cannot
+  * honor. Both doors are covered: [[GraftSql.mergeInto]] (parse +
+  * execute) and `spark.sql` (analyzer interception via GraftMergeRule).
+  */
+class GraftSqlSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-sql-$tag")
+    Files.delete(p)
+    p.toString
+  }
+
+  /** seed: ids 1..20, type error on %4==0, value = id. */
+  private def seedTable(tag: String): String = {
+    val t = fresh(tag)
+    val seed = (1L to 20L).map(i =>
+      (i, if (i % 4 == 0) "error" else "ok", i * 1.0))
+      .toDF("event_id", "event_type", "value")
+    MergeTable.mergeUpsert(spark, t, seed, Seq("event_id"), Seq("event_id"))
+    t
+  }
+
+  private def state(t: String): Map[Long, (String, Double)] =
+    MergeTable.read(spark, t)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  // batch: ids 15..25, type new, value = id*10
+  private def mkBatch(): Unit =
+    (15L to 25L).map(i => (i, "new", i * 10.0))
+      .toDF("event_id", "event_type", "value")
+      .createOrReplaceTempView("gsql_batch")
+
+  test("plain upsert via spark.sql equals the Scala API merge") {
+    mkBatch()
+    val (ts, ta) = (seedTable("up1"), seedTable("up2"))
+    spark.sql(
+      s"""MERGE INTO graft.`$ts` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    MergeTable.mergeUpsert(spark, ta,
+      spark.table("gsql_batch"), Seq("event_id"), Seq("event_id"))
+    assert(state(ts) == state(ta))
+    assert(state(ts).size == 25)
+    assert(state(ts)(16L) == (("new", 160.0)))
+  }
+
+  test("UPDATE listed before DELETE: a row passing both guards takes the " +
+    "update (statement order), not the engine's physical delete-first") {
+    mkBatch()
+    val t = seedTable("order1")
+    GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED AND s.value > t.value THEN UPDATE SET value = s.value
+         |WHEN MATCHED AND t.event_type = 'error' THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = state(t)
+    // 16 and 20 are matched 'error' rows, but s.value > t.value also
+    // holds → the FIRST clause (update) wins; partial update keeps type
+    assert(out(16L) == (("error", 160.0)))
+    assert(out(20L) == (("error", 200.0)))
+    // matched non-error rows update too
+    assert(out(15L) == (("ok", 150.0)))
+    // inserts landed
+    assert(out(21L) == (("new", 210.0)) && out.contains(25L))
+    assert(out.size == 25)
+  }
+
+  test("DELETE listed before UPDATE: delete wins on a both-guards row") {
+    mkBatch()
+    val t = seedTable("order2")
+    GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED AND t.event_type = 'error' THEN DELETE
+         |WHEN MATCHED AND s.value > t.value THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = state(t)
+    assert(!out.contains(16L) && !out.contains(20L), "delete-first wins")
+    assert(out(15L) == (("ok", 150.0)))
+    assert(out.size == 23)
+  }
+
+  test("no matched clause: matched rows stay untouched; no insert " +
+    "clause: nothing inserts") {
+    mkBatch()
+    val t1 = seedTable("noclause1")
+    spark.sql(
+      s"""MERGE INTO graft.`$t1` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out1 = state(t1)
+    assert(out1(16L) == (("error", 16.0)), "matched row must stay untouched")
+    assert(out1.size == 25 && out1(25L) == (("new", 250.0)))
+
+    val t2 = seedTable("noclause2")
+    spark.sql(
+      s"""MERGE INTO graft.`$t2` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val out2 = state(t2)
+    assert(out2.size == 20, "no insert clause: unmatched batch rows ignored")
+    assert(out2(15L) == (("new", 150.0)))
+  }
+
+  test("NOT MATCHED BY SOURCE delete + guarded update map through") {
+    mkBatch()
+    val (ts, ta) = (seedTable("nmbs1"), seedTable("nmbs2"))
+    val sql =
+      s"""MERGE INTO graft.`%s` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.event_type = 'error' THEN DELETE""".stripMargin
+    spark.sql(sql.format(ts))
+    MergeTable.mergeUpsert(spark, ta, spark.table("gsql_batch"),
+      Seq("event_id"), Seq("event_id"),
+      matchedCondition = Some("true"), insertCondition = Some("true"),
+      notMatchedBySourceDeleteCondition = Some("t.event_type = 'error'"))
+    assert(state(ts) == state(ta))
+    assert(!state(ts).contains(4L) && !state(ts).contains(8L))
+    assert(state(ts).contains(1L))
+  }
+
+  test("NMBS UPDATE SET: unmatched table rows rewrite under the guard") {
+    mkBatch()
+    val t = seedTable("nmbsset")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN NOT MATCHED BY SOURCE AND t.event_type = 'ok'
+         |  THEN UPDATE SET value = t.value + 1000.0""".stripMargin)
+    val out = state(t)
+    assert(out(1L) == (("ok", 1001.0)))
+    assert(out(4L) == (("error", 4.0)), "guard must hold the error rows")
+    assert(out(15L) == (("ok", 15.0)), "matched rows are not NMBS rows")
+    assert(out.size == 20)
+  }
+
+  test("the two doors land identical state (parse-and-run vs spark.sql)") {
+    mkBatch()
+    val (t1, t2) = (seedTable("door1"), seedTable("door2"))
+    val stmt =
+      s"""MERGE INTO graft.`%s` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED AND s.value > 180.0 THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED AND s.value <= 240.0 THEN INSERT *""".stripMargin
+    GraftSql.mergeInto(spark, stmt.format(t1))
+    spark.sql(stmt.format(t2))
+    assert(state(t1) == state(t2))
+    assert(state(t1)(19L) == (("ok", 190.0)))
+    assert(state(t1)(15L) == (("ok", 15.0)), "guard holds")
+    assert(state(t1).contains(24L) && !state(t1).contains(25L))
+  }
+
+  test("txn watermark makes a replayed SQL merge a no-op") {
+    mkBatch()
+    val t = seedTable("txn")
+    val stmt =
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    assert(GraftSql.mergeInto(spark, stmt, txn = Some(("w", 7L))))
+    val v = MergeTable.latestManifest(t).get.version
+    assert(!GraftSql.mergeInto(spark, stmt, txn = Some(("w", 7L))))
+    assert(MergeTable.latestManifest(t).get.version == v)
+  }
+
+  test("unsupported statement shapes fail loudly, not silently") {
+    mkBatch()
+    val t = seedTable("reject")
+    def bad(sql: String): Unit =
+      intercept[UnsupportedOperationException](GraftSql.mergeInto(spark, sql))
+    // two update clauses
+    bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED AND t.value > 1 THEN UPDATE SET value = s.value
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    // non-equi ON
+    bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+           |ON t.event_id < s.event_id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    // cross-named ON keys
+    bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+           |ON t.event_id = s.value
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    // non-identity update expression
+    bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = s.value + 1""".stripMargin)
+    // non-graft target
+    intercept[Exception](GraftSql.mergeInto(spark,
+      s"""MERGE INTO some_table AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    // state unchanged by all of the above
+    assert(state(t).size == 20)
+  }
+
+  test("ON key order may differ from the table's pinned key order") {
+    val t = fresh("keys2")
+    val seed = Seq((1L, 10L, 1.0), (2L, 20L, 2.0))
+      .toDF("k1", "k2", "value")
+    MergeTable.mergeUpsert(spark, t, seed, Seq("k1", "k2"), Seq("k1", "k2"))
+    Seq((2L, 20L, 99.0), (3L, 30L, 3.0)).toDF("k1", "k2", "value")
+      .createOrReplaceTempView("gsql_twokey")
+    // ON lists k2 first — the table's key order (k1, k2) must still apply
+    spark.sql(
+      s"""MERGE INTO graft.`$t` AS t USING gsql_twokey AS s
+         |ON t.k2 = s.k2 AND t.k1 = s.k1
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = MergeTable.read(spark, t).select("k1", "value")
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 1.0, 2L -> 99.0, 3L -> 3.0))
+  }
+}

@@ -506,9 +506,15 @@ class MergeTableSpec extends AnyFunSuite {
       Seq("source", "day"), targetRowsPerFile = 50)
     val m0 = MergeTable.latestManifest(t).get
     assert(m0.files.size >= 4)
-    assert(m0.files.head.stats.keySet == Set("source", "day"))
+    // generalized skipping stats (round 12): every supported column is
+    // indexed up to the cap — cluster columns guaranteed, `value` rides
+    // along for free
+    assert(m0.files.head.stats.keySet == Set("source", "day", "value"))
     assert(m0.files.head.stats("source").t == "string")
     assert(m0.files.head.stats("day").t == "long")
+    assert(m0.files.head.stats("value").t == "double")
+    assert(m0.files.head.nullCounts ==
+      Map("source" -> 0L, "day" -> 0L, "value" -> 0L))
     // a batch touching one (source, day) cell rewrites only box-matching files
     val batch = Seq(("src3", 7L, -1.0)).toDF("source", "day", "value")
     MergeTable.mergeUpsert(spark, t, batch, Seq("source", "day"),
