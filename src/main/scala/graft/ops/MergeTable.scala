@@ -105,7 +105,12 @@ object MergeTable {
     *    explicit incompatible-format error instead of an opaque
     *    json4s MappingException.
     */
-  val LogFormatVersion = 2
+  /** v3 adds column mapping (logical→physical names + retired-physical
+    * tombstones). Written ONLY by commits whose mapping state is
+    * non-empty — a never-renamed table keeps writing v2 records, so
+    * every prior-round reader keeps working until the feature is
+    * actually used (the Delta reader-feature discipline). */
+  val LogFormatVersion = 3
 
   /** Typed per-column file statistic. `t` picks the comparison domain and
     * the rendering: "long" (all integral types, decimal string),
@@ -150,7 +155,18 @@ object MergeTable {
       keys: Seq[String],
       clusterBy: Seq[String],
       files: Seq[DataFileEntry],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      // COLUMN MAPPING (format v3): logical column name → physical
+      // parquet column name. Identity entries are omitted, so a table
+      // that never renamed carries an empty map and reads exactly as
+      // before. Data files and per-file stats are keyed PHYSICAL —
+      // renames and drops are metadata-only commits that never rewrite
+      // a data file.
+      columnMap: Map[String, String] = Map.empty,
+      // physical names retired by DROP COLUMN — a later re-ADD of the
+      // same logical name must take a FRESH physical name, or old
+      // files' bytes would resurrect under the new column
+      retiredPhysical: Seq[String] = Seq.empty)
 
   /** A record whose adds list exceeds this count externalizes it to a
     * streamed `adds-v<N>-<uuid>.ndjson.gz` side file instead of inlining
@@ -189,7 +205,14 @@ object MergeTable {
       // reads (history) never stream the side file just to count it.
       // Additive/optional — no format bump; legacy externalized records
       // without it report an unknown count
-      addsCount: Option[Int] = None)
+      addsCount: Option[Int] = None,
+      // column mapping state, carried IN FULL on every record (bounded
+      // metadata, like schemaJson). A record with a non-empty map or
+      // retired list writes formatVersion=3 — an older reader silently
+      // ignoring the map would read the wrong physical columns, so it
+      // must fail loudly instead; map-free tables keep writing v2.
+      columnMap: Map[String, String] = Map.empty,
+      retiredPhysical: Seq[String] = Seq.empty)
 
   private implicit val jsonFormats: org.json4s.Formats =
     org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
@@ -469,7 +492,8 @@ object MergeTable {
     readRecord(table, v).map { head =>
       val files = resolveListing(table, v, head)
       val m = TableManifest(
-        v, head.schemaJson, head.keys, head.clusterBy, files, head.txns)
+        v, head.schemaJson, head.keys, head.clusterBy, files, head.txns,
+        head.columnMap, head.retiredPhysical)
       cachePut(table, m, tok)
       m
     }
@@ -535,7 +559,8 @@ object MergeTable {
   /** Snapshot read of an ALREADY-RESOLVED manifest (the streaming feed
     * holds one and must not re-resolve). */
   private[graft] def readManifest(s: SparkSession, table: String, m: TableManifest): DataFrame =
-    readFiles(s, table, DataType.fromJson(m.schemaJson).asInstanceOf[StructType], m.files)
+    readFiles(s, table, DataType.fromJson(m.schemaJson).asInstanceOf[StructType],
+      m.files, m.columnMap)
 
   // ---- table lifecycle: history, timestamp travel, restore ----------------
 
@@ -689,7 +714,7 @@ object MergeTable {
       testPrecommitHook()
       if (commitVersion(table, head.version + 1, target.schemaJson,
         target.keys, target.clusterBy, adds, removes.sorted, head.txns,
-        target.files)) {
+        target.files, target.columnMap, head.retiredPhysical)) {
         // Post-win audit: if vacuum raced between the pre-check and the
         // winning link, the published head references dead files — fail
         // LOUDLY now (the commit is already visible; silence would be
@@ -705,6 +730,93 @@ object MergeTable {
       s"$maxAttempts times — sustained concurrent writes; retry or quiesce")
   }
 
+  // ---- column mapping: metadata-only RENAME / DROP -------------------------
+
+  /** RENAME COLUMN `from` → `to` as a METADATA-ONLY commit: zero data
+    * files are rewritten — the logical→physical map carries the new name
+    * onto the old physical parquet column, and every per-file statistic
+    * (keyed physical) stays valid byte-for-byte. Time travel keeps each
+    * version's own names: a read AS OF a pre-rename version serves the
+    * old name, the head serves the new one, and the change feed diffs
+    * across the rename through the stable physical identity.
+    *
+    * Merge keys and cluster columns are rejected — they are the pruning
+    * identity every committed file's box is keyed by, and renaming them
+    * is a re-key, not a relabel. Retyping stays rejected everywhere.
+    * Returns the committed version. */
+  def renameColumn(table: String, from: String, to: String,
+      maxAttempts: Int = 20): Long = {
+    require(from != to, s"rename $from -> $to is a no-op")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = latestManifest(table).getOrElse(
+        sys.error(s"no committed version under $table"))
+      val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      require(schema.fieldNames.contains(from),
+        s"cannot rename $from: no such column in $table " +
+          s"(${schema.fieldNames.mkString(",")})")
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"cannot rename $from -> $to: column $to already exists")
+      require(!head.keys.contains(from) && !head.clusterBy.contains(from),
+        s"cannot rename $from: it is a merge key / cluster column — " +
+          "the pruning identity; that migration is a re-key, not a rename")
+      val phys = physOf(head.columnMap, from)
+      // identity entries stay omitted (a→b→a lands back on an empty map)
+      val newMap = (head.columnMap - from) ++
+        (if (to == phys) Map.empty[String, String] else Map(to -> phys))
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      if (commitVersion(table, head.version + 1, newSchema.json, head.keys,
+        head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
+        newMap, head.retiredPhysical)) return head.version + 1
+    }
+    sys.error(s"rename on $table lost the commit race $maxAttempts times")
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: the physical column's bytes
+    * stay in every data file (time travel to pre-drop versions still
+    * reads them); the head's schema and map simply stop referencing it,
+    * and the physical name is TOMBSTONED so a later re-ADD of the same
+    * logical name takes a fresh physical — old bytes can never
+    * resurrect under the new column. Keys/cluster columns are rejected.
+    * Returns the committed version. */
+  def dropColumn(table: String, c: String, maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = latestManifest(table).getOrElse(
+        sys.error(s"no committed version under $table"))
+      val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      require(schema.fieldNames.contains(c),
+        s"cannot drop $c: no such column in $table")
+      require(!head.keys.contains(c) && !head.clusterBy.contains(c),
+        s"cannot drop $c: it is a merge key / cluster column")
+      require(schema.fields.length > head.keys.size,
+        s"cannot drop $c: a table of only key columns remains required")
+      val phys = physOf(head.columnMap, c)
+      val newSchema = StructType(schema.fields.filterNot(_.name == c))
+      if (commitVersion(table, head.version + 1, newSchema.json, head.keys,
+        head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
+        head.columnMap - c,
+        (head.retiredPhysical :+ phys).distinct)) return head.version + 1
+    }
+    sys.error(s"drop of $c on $table lost the commit race $maxAttempts times")
+  }
+
+  // ---- column mapping helpers ----------------------------------------------
+
+  /** Physical parquet name of logical column `c` (identity when unmapped
+    * — every pre-v3 table). */
+  private[graft] def physOf(map: Map[String, String], c: String): String =
+    map.getOrElse(c, c)
+
+  /** `schema` with every field renamed to its physical name — the shape
+    * data files are actually written and read in. */
+  private def physicalSchema(schema: StructType,
+      map: Map[String, String]): StructType =
+    StructType(schema.fields.map(f => f.copy(name = physOf(map, f.name))))
+
   /** Read a file set, applying deletion vectors where entries carry one:
     * DV-free files scan exactly as before; DV-bearing files scan with the
     * hidden parquet `_metadata` (file path + row index) and anti-join the
@@ -716,15 +828,22 @@ object MergeTable {
     * by un-compacted deletions — [[optimize]] rewrites DV-heavy files and
     * retires their vectors. */
   private def readFiles(s: SparkSession, table: String, schema: StructType,
-      files: Seq[DataFileEntry]): DataFrame = {
+      files: Seq[DataFileEntry],
+      columnMap: Map[String, String] = Map.empty): DataFrame = {
     if (files.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     val (dvFiles, plain) = files.partition(_.dv.nonEmpty)
-    def plainRead(fs: Seq[DataFileEntry]) =
-      s.read.schema(schema).parquet(fs.map(f => s"$table/${f.path}"): _*)
+    // files are written under PHYSICAL names; scan physical, project back
+    // to the version's logical names (a no-op select for unmapped tables)
+    val pSchema = physicalSchema(schema, columnMap)
+    def toLogical(df: DataFrame) = df.select(schema.fields.map(f =>
+      col(physOf(columnMap, f.name)).as(f.name)).toSeq: _*)
+    def plainRead(fs: Seq[DataFileEntry]) = toLogical(
+      s.read.schema(pSchema).parquet(fs.map(f => s"$table/${f.path}"): _*))
     if (dvFiles.isEmpty) plainRead(plain)
     else {
-      val masked = readFilesWithPosition(s, table, schema, dvFiles)
+      // readFilesWithPosition already projects back to logical names
+      val masked = readFilesWithPosition(s, table, schema, dvFiles, columnMap)
         .drop("__dv_path", "__dv_pos")
       if (plain.isEmpty) masked else plainRead(plain).unionByName(masked)
     }
@@ -736,12 +855,17 @@ object MergeTable {
     * The (path, pos) tag is what a merge-on-read DELETE records — row
     * positions are stable because data files are immutable. */
   private def readFilesWithPosition(s: SparkSession, table: String,
-      schema: StructType, entries: Seq[DataFileEntry]): DataFrame = {
-    val base = s.read.schema(schema)
+      schema: StructType, entries: Seq[DataFileEntry],
+      columnMap: Map[String, String] = Map.empty): DataFrame = {
+    val base = s.read.schema(physicalSchema(schema, columnMap))
       .parquet(entries.map(f => s"$table/${f.path}"): _*)
       .withColumn("__dv_path",
         regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1))
       .withColumn("__dv_pos", col("_metadata.row_index"))
+      // project the physical scan back to logical names for every caller
+      .select(schema.fields.map(f =>
+        col(physOf(columnMap, f.name)).as(f.name)).toSeq ++
+        Seq(col("__dv_path"), col("__dv_pos")): _*)
     val dvDirs = entries.flatMap(_.dv).distinct
     if (dvDirs.isEmpty) base
     else {
@@ -787,7 +911,8 @@ object MergeTable {
   private def commitVersion(
       table: String, version: Long, schemaJson: String, keys: Seq[String],
       clusterBy: Seq[String], adds: Seq[DataFileEntry], removes: Seq[String],
-      txns: Map[String, Long], resolved: Seq[DataFileEntry]): Boolean = {
+      txns: Map[String, Long], resolved: Seq[DataFileEntry],
+      columnMap: Map[String, String], retiredPhysical: Seq[String]): Boolean = {
     // an oversized adds list (the initial bulk load) externalizes to a
     // streamed side file; a CAS loser deletes its own file (a crashed
     // loser's orphan ages out with the log retention sweep)
@@ -801,8 +926,14 @@ object MergeTable {
       }
     val won = tryCommit(table,
       LogRecord(version, "delta", schemaJson, keys, clusterBy,
-        inlineAdds, removes, txns, addsRef = addsRef,
-        addsCount = addsRef.map(_ => adds.size)))
+        inlineAdds, removes, txns,
+        // mapping-free commits stay v2-readable by pre-mapping readers
+        formatVersion =
+          if (columnMap.isEmpty && retiredPhysical.isEmpty) 2
+          else LogFormatVersion,
+        addsRef = addsRef,
+        addsCount = addsRef.map(_ => adds.size),
+        columnMap = columnMap, retiredPhysical = retiredPhysical))
     if (!won)
       addsRef.foreach(n => Files.deleteIfExists(logDir(table).resolve(n)))
     if (won) {
@@ -813,7 +944,8 @@ object MergeTable {
       // earliest possible capture for it (a racing recreate would have
       // to delete this fresh record first, failing the stat — safe)
       cachePut(table,
-        TableManifest(version, schemaJson, keys, clusterBy, resolved, txns),
+        TableManifest(version, schemaJson, keys, clusterBy, resolved, txns,
+          columnMap, retiredPhysical),
         recordIdent(table, version))
     }
     won
@@ -940,9 +1072,12 @@ object MergeTable {
     * stats box — true only if EVERY clustering column's intervals
     * intersect (sound: a real shared tuple implies per-column overlap). */
   private def boxesOverlap(clusterBy: Seq[String],
-      box: Map[String, ColStat], f: DataFileEntry): Boolean =
+      box: Map[String, ColStat], f: DataFileEntry,
+      columnMap: Map[String, String] = Map.empty): Boolean =
     clusterBy.forall { c =>
-      val a = box(c); val b = f.stats(c)
+      // the key box is keyed LOGICAL (computed on the batch frame); file
+      // stats are keyed PHYSICAL (column mapping)
+      val a = box(c); val b = f.stats(physOf(columnMap, c))
       statLeq(a.t, a.min, b.max) && statLeq(a.t, b.min, a.max)
     }
 
@@ -966,10 +1101,12 @@ object MergeTable {
     * touched-path list. */
   private def touchedPaths(
       s: SparkSession, files: Seq[DataFileEntry], batch: DataFrame,
-      clusterBy: Seq[String]): Set[String] = {
+      clusterBy: Seq[String],
+      columnMap: Map[String, String] = Map.empty): Set[String] = {
     if (files.isEmpty) return Set.empty
     import s.implicits._
-    val tags = clusterBy.map(c => files.head.stats(c).t)
+    def stat(f: DataFileEntry, c: String) = f.stats(physOf(columnMap, c))
+    val tags = clusterBy.map(c => stat(files.head, c).t)
     val schema = StructType(
       StructField("path", StringType) +:
         clusterBy.indices.flatMap(i => Seq(
@@ -977,7 +1114,7 @@ object MergeTable {
           StructField(s"mx_$i", statFieldType(tags(i))))))
     val rows: java.util.List[Row] = files.map { f =>
       Row.fromSeq(f.path +: clusterBy.zipWithIndex.flatMap { case (c, i) =>
-        val st = f.stats(c)
+        val st = stat(f, c)
         Seq(statJvm(st.t, st.min), statJvm(st.t, st.max))
       })
     }.asJava
@@ -1132,9 +1269,11 @@ object MergeTable {
       }
 
       val existingFiles = snapshot.map(_.files).getOrElse(Seq.empty)
+      val headMap = snapshot.map(_.columnMap).getOrElse(Map.empty)
+      val retired = snapshot.map(_.retiredPhysical).getOrElse(Seq.empty)
       val touched =
         if (nmbs) existingFiles.map(_.path).toSet // O(table) by semantics
-        else touchedPaths(s, existingFiles, batch, clusterBy)
+        else touchedPaths(s, existingFiles, batch, clusterBy, headMap)
 
       // ADDITIVE schema evolution: a batch may carry columns the table has
       // never seen — they join the schema, and rows from files written
@@ -1157,6 +1296,23 @@ object MergeTable {
         case None => batch.schema
         case Some(ts) => StructType(ts.fields ++
           batch.schema.fields.filterNot(f => ts.exists(_.name == f.name)))
+      }
+      // COLUMN MAPPING: a widening batch's NEW column defaults to an
+      // identity physical name — unless that name is already a physical
+      // in use or retired (a column of this name was renamed away or
+      // dropped earlier), in which case old files still carry bytes
+      // under it and an identity mapping would resurrect them. Such a
+      // column takes a fresh unique physical name instead.
+      val columnMap = tableSchema match {
+        case None => headMap
+        case Some(ts) =>
+          val usedPhysical = ts.fields.map(f => physOf(headMap, f.name)).toSet ++
+            headMap.values ++ retired
+          val newFields = schema.fields.filterNot(f => ts.exists(_.name == f.name))
+          headMap ++ newFields.collect {
+            case f if usedPhysical.contains(f.name) =>
+              f.name -> s"${f.name}_p${java.util.UUID.randomUUID().toString.take(8)}"
+          }
       }
       val conditional = matchedCondition.nonEmpty || updateCols.nonEmpty ||
         matchedDeleteCondition.nonEmpty || insertCondition.nonEmpty || nmbs
@@ -1213,7 +1369,7 @@ object MergeTable {
           // DV-aware: a touched file's already-deleted rows must not
           // resurrect into the rewrite
           val old = readFiles(s, table, schema,
-            existingFiles.filter(f => touched.contains(f.path)))
+            existingFiles.filter(f => touched.contains(f.path)), columnMap)
           if (!conditional) {
             val incomingKeys = batch.select(keys.map(col): _*).distinct()
             withAllColumns(batch, schema)
@@ -1281,14 +1437,15 @@ object MergeTable {
         }
 
       val (commitId, newFiles) =
-        writeClusteredFiles(table, merged, clusterBy, targetRowsPerFile)
+        writeClusteredFiles(table, merged, clusterBy, targetRowsPerFile,
+          columnMap)
       val untouched = existingFiles.filterNot(f => touched.contains(f.path))
       val newTxns = snapshot.map(_.txns).getOrElse(Map.empty) ++
         txn.map { case (w, v) => w -> v }
       testPrecommitHook()
       if (commitVersion(table, snapshot.map(_.version + 1).getOrElse(0L),
         schema.json, keys, clusterBy, newFiles, touched.toSeq.sorted,
-        newTxns, untouched ++ newFiles)) return true
+        newTxns, untouched ++ newFiles, columnMap, retired)) return true
 
       // ---- lost the version CAS ------------------------------------------
       // CONFLICT-SCOPED retry first: our delta (adds = newFiles, removes =
@@ -1331,6 +1488,10 @@ object MergeTable {
           touched.forall(p => headByPath.get(p).contains(baseByPath(p)))
         fastViable = schemaOk &&
           head.keys == keys && head.clusterBy == clusterBy &&
+          // a winner's metadata-only rename/drop keeps every path (no
+          // adds) but changes the mapping our files were written under —
+          // re-committing them with OUR map would clobber the rename
+          head.columnMap == headMap && head.retiredPhysical == retired &&
           touchedUnchanged &&
           // an NMBS merge quantifies over ABSENT keys: a winner's added
           // file can carry rows the clause never evaluated even when it
@@ -1338,14 +1499,15 @@ object MergeTable {
           // commit (no adds at all) keeps the fast path sound
           (if (nmbs) addedSinceBase.isEmpty
            else !addedSinceBase.exists(f =>
-             box.exists(b => boxesOverlap(clusterBy, b, f))))
+             box.exists(b => boxesOverlap(clusterBy, b, f, headMap))))
         if (fastViable) {
           val mergedSchema = StructType(headSchema.fields ++
             schema.fields.filterNot(f => headSchema.exists(_.name == f.name)))
           val resolved = head.files.filterNot(f => touched.contains(f.path)) ++ newFiles
           fastDone = commitVersion(table, head.version + 1, mergedSchema.json,
             keys, clusterBy, newFiles, touched.toSeq.sorted,
-            head.txns ++ txn.map { case (w, v) => w -> v }, resolved)
+            head.txns ++ txn.map { case (w, v) => w -> v }, resolved,
+            columnMap, retired)
           if (fastDone) return true
           // another writer won again — loop: re-evaluate against newer head
         }
@@ -1396,7 +1558,8 @@ object MergeTable {
     */
   private def writeClusteredFiles(
       table: String, df: DataFrame, clusterBy: Seq[String],
-      targetRowsPerFile: Long): (String, Seq[DataFileEntry]) = {
+      targetRowsPerFile: Long,
+      columnMap: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
     // checkpoint the MERGED frame before counting: count() would
     // otherwise execute the full plan (touched-file reads + anti join)
     // once, and the range-repartition below a second time — doubling
@@ -1407,7 +1570,7 @@ object MergeTable {
       val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
       writeStaged(table,
         pinned.repartitionByRange(nFiles, clusterBy.map(c => col(c).asc): _*),
-        clusterBy)
+        clusterBy, columnMap)
     } finally org.apache.spark.sql.graftbridge.Bridge
       .unpersistLocalCheckpoint(pinned)
   }
@@ -1416,8 +1579,15 @@ object MergeTable {
     * per-file typed stats from the SAME pinned partitioning. */
   private def writeStaged(
       table: String, toStage: DataFrame,
-      clusterBy: Seq[String]): (String, Seq[DataFileEntry]) = {
-    val staged = toStage.localCheckpoint()
+      logicalClusterBy: Seq[String],
+      columnMap: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
+    // files are written — and their stats keyed — under PHYSICAL names,
+    // so a later metadata-only rename never invalidates a single byte of
+    // data or statistics (the incoming frame is logical-named)
+    val stagedLogical = toStage.localCheckpoint()
+    val staged = stagedLogical.select(stagedLogical.schema.fields.map(f =>
+      col(f.name).as(physOf(columnMap, f.name))).toSeq: _*)
+    val clusterBy = logicalClusterBy.map(c => physOf(columnMap, c))
     try {
       val commitId = java.util.UUID.randomUUID().toString.take(12)
       val rel = s"data/$commitId"
@@ -1492,7 +1662,7 @@ object MergeTable {
       }
       (commitId, newFiles)
     } finally org.apache.spark.sql.graftbridge.Bridge
-      .unpersistLocalCheckpoint(staged)
+      .unpersistLocalCheckpoint(stagedLogical)
   }
 
   /** Keyed DELETE — the right-to-be-forgotten sweep: remove every row
@@ -1534,8 +1704,10 @@ object MergeTable {
 
       val keys = snapshot.keys
       val clusterBy = snapshot.clusterBy
+      val headMap = snapshot.columnMap
+      val retired = snapshot.retiredPhysical
       if (attempt == 1) requireClusterable(delKeys, clusterBy, "DELETE key set")
-      val touched = touchedPaths(s, snapshot.files, delKeys, clusterBy)
+      val touched = touchedPaths(s, snapshot.files, delKeys, clusterBy, headMap)
 
       /** Metadata-only commit: same files, bumped version, watermark
         * advanced — the txn watermark must be recorded even when nothing
@@ -1548,7 +1720,7 @@ object MergeTable {
         case Some((w, v)) =>
           commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
             keys, clusterBy, Seq.empty, Seq.empty,
-            snapshot.txns + (w -> v), snapshot.files)
+            snapshot.txns + (w -> v), snapshot.files, headMap, retired)
       }
 
       def delKeyBox(): Option[Map[String, ColStat]] = {
@@ -1584,15 +1756,17 @@ object MergeTable {
           val addedSinceBase = head.files.filterNot(f => basePaths.contains(f.path))
           fastViable = head.schemaJson == snapshot.schemaJson &&
             head.keys == keys && head.clusterBy == clusterBy &&
+            head.columnMap == headMap && head.retiredPhysical == retired &&
             changed.forall(e => headByPath.get(e.path).contains(e)) &&
             !addedSinceBase.exists(f =>
-              delKeyBox().exists(b => boxesOverlap(clusterBy, b, f)))
+              delKeyBox().exists(b => boxesOverlap(clusterBy, b, f, headMap)))
           if (fastViable) {
             val rm = removes.toSet
             val resolved = head.files.filterNot(f => rm.contains(f.path)) ++ adds
             if (commitVersion(table, head.version + 1, head.schemaJson,
               keys, clusterBy, adds, removes,
-              head.txns ++ txn.map { case (w, v) => w -> v }, resolved))
+              head.txns ++ txn.map { case (w, v) => w -> v }, resolved,
+              headMap, retired))
               return Some(true)
           }
         }
@@ -1605,7 +1779,8 @@ object MergeTable {
         // ---- merge-on-read: record positions, rewrite nothing ------------
         val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
         val touchedEntries = snapshot.files.filter(f => touched.contains(f.path))
-        val marked = readFilesWithPosition(s, table, schema, touchedEntries)
+        val marked = readFilesWithPosition(s, table, schema, touchedEntries,
+          headMap)
           .join(delKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
         // pin before the stats pass — the per-file counts and the dataset
@@ -1645,7 +1820,7 @@ object MergeTable {
             if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
               keys, clusterBy, adds, removes,
               snapshot.txns ++ txn.map { case (w, v) => w -> v },
-              untouched ++ adds)) return deletedCount
+              untouched ++ adds, headMap, retired)) return deletedCount
             fastRetry(changed, adds, removes) match {
               case Some(true) => return deletedCount
               case Some(false) =>
@@ -1660,19 +1835,20 @@ object MergeTable {
         val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
         val touchedEntries = snapshot.files.filter(f => touched.contains(f.path))
         // DV-aware: already-deleted rows must not resurrect as survivors
-        val old = readFiles(s, table, schema, touchedEntries)
+        val old = readFiles(s, table, schema, touchedEntries, headMap)
         val survivors = old.join(
           delKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
         val oldCount = touchedEntries.map(_.visibleRows).sum
 
         val (commitId, newFiles) =
-          writeClusteredFiles(table, survivors, clusterBy, targetRowsPerFile)
+          writeClusteredFiles(table, survivors, clusterBy, targetRowsPerFile,
+            headMap)
         val untouched = snapshot.files.filterNot(f => touched.contains(f.path))
         val deletedCount = oldCount - newFiles.map(_.numRows).sum
         if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
           keys, clusterBy, newFiles, touched.toSeq.sorted,
           snapshot.txns ++ txn.map { case (w, v) => w -> v },
-          untouched ++ newFiles)) return deletedCount
+          untouched ++ newFiles, headMap, retired)) return deletedCount
         fastRetry(touchedEntries, newFiles, touched.toSeq.sorted) match {
           case Some(true) => return deletedCount
           case Some(false) =>
@@ -1694,33 +1870,85 @@ object MergeTable {
     * vector — vacuum then collects the unreferenced dataset); well-sized
     * vector-free files are carried by reference untouched. Returns the
     * number of files compacted (0 = nothing to do, no commit).
+    *
+    * `zorderBy = Seq(x, y)` switches the rewrite to MULTI-DIMENSIONAL
+    * clustering (`OPTIMIZE ZORDER BY`): ALL live files re-cluster on the
+    * Morton interleave of the two integral columns ([[Layout.zvalue]] —
+    * pure codegen'd long arithmetic), so each rewritten file gets a tight
+    * bounding BOX in (x, y) space instead of a stripe. The generalized
+    * per-file statistics collect both columns' boxes automatically, so a
+    * two-column predicate prunes through [[StatsPruning]]/the DSv2 scan
+    * with no further wiring — linear key clustering gives one tight
+    * dimension and full-range stripes on every other; the z layout
+    * trades a little tightness on the first for tight boxes on both.
+    * Merge-key pruning stays sound (boxes are per-file facts regardless
+    * of layout; they merely get wider on the cluster key, which is the
+    * documented Z-order trade).
     */
   def optimize(
       s: SparkSession,
       table: String,
       targetRowsPerFile: Long = 4096,
-      maxAttempts: Int = 20): Int = {
+      maxAttempts: Int = 20,
+      zorderBy: Seq[String] = Seq.empty): Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val snapshot = latestManifest(table)
         .getOrElse(sys.error(s"no committed version under $table"))
+      val schemaForZ = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
+      zorderBy.foreach { c =>
+        require(schemaForZ.fieldNames.contains(c),
+          s"zorderBy column '$c' is not a table column")
+        require(Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(schemaForZ(c).dataType),
+          s"zorderBy column '$c' must be integral (Morton interleave), " +
+            s"got ${schemaForZ(c).dataType}")
+      }
+      require(zorderBy.isEmpty || zorderBy.size == 2,
+        s"zorderBy takes exactly two columns, got ${zorderBy.size}")
       val small = snapshot.files.filter(_.visibleRows < targetRowsPerFile / 2)
       val dvBearing = snapshot.files.filter(_.dv.nonEmpty)
-      val candidates = (small ++ dvBearing).distinct
+      // a re-layout rewrites EVERYTHING (the point is the global order);
+      // plain compaction touches only fragmentation and DV debt
+      val candidates =
+        if (zorderBy.nonEmpty) snapshot.files
+        else (small ++ dvBearing).distinct
       // a lone small vector-free file gains nothing from a rewrite; any
       // DV-bearing file does (the read-side anti-join retires)
-      if (small.size < 2 && dvBearing.isEmpty) return 0
+      if (zorderBy.isEmpty && small.size < 2 && dvBearing.isEmpty) return 0
+      if (candidates.isEmpty) return 0
 
-      val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
-      val frag = readFiles(s, table, schema, candidates) // DV-aware
+      val schema = schemaForZ
+      val frag = readFiles(s, table, schema, candidates, snapshot.columnMap) // DV-aware
       val (commitId, newFiles) =
-        writeClusteredFiles(table, frag, snapshot.clusterBy, targetRowsPerFile)
+        if (zorderBy.isEmpty)
+          writeClusteredFiles(table, frag, snapshot.clusterBy, targetRowsPerFile,
+            snapshot.columnMap)
+        else {
+          // stage the z layout with the same pin-count-stage discipline
+          // as writeClusteredFiles; _z never reaches disk or stats
+          val pinned = frag.localCheckpoint()
+          try {
+            val n = pinned.count()
+            val nFiles = math.max(1L,
+              (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+            writeStaged(table,
+              pinned.withColumn("__graft_z",
+                  Layout.zvalue(col(zorderBy.head), col(zorderBy(1))))
+                .repartitionByRange(nFiles, col("__graft_z"))
+                .sortWithinPartitions("__graft_z")
+                .drop("__graft_z"),
+              snapshot.clusterBy, snapshot.columnMap)
+          } finally org.apache.spark.sql.graftbridge.Bridge
+            .unpersistLocalCheckpoint(pinned)
+        }
       val candPaths = candidates.map(_.path).toSet
       if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
         snapshot.keys, snapshot.clusterBy, newFiles,
         candPaths.toSeq.sorted, snapshot.txns,
-        snapshot.files.filterNot(f => candPaths.contains(f.path)) ++ newFiles))
+        snapshot.files.filterNot(f => candPaths.contains(f.path)) ++ newFiles,
+        snapshot.columnMap, snapshot.retiredPhysical))
         return candidates.size
 
       // conflict-scoped retry: a compaction rewrites rows unchanged, so
@@ -1739,12 +1967,14 @@ object MergeTable {
         val headByPath = head.files.map(f => f.path -> f).toMap
         fastViable =
           candidates.forall(e => headByPath.get(e.path).contains(e)) &&
-          head.keys == snapshot.keys && head.clusterBy == snapshot.clusterBy
+          head.keys == snapshot.keys && head.clusterBy == snapshot.clusterBy &&
+          head.columnMap == snapshot.columnMap &&
+          head.retiredPhysical == snapshot.retiredPhysical
         if (fastViable) {
           val resolved = head.files.filterNot(f => candPaths.contains(f.path)) ++ newFiles
           fastDone = commitVersion(table, head.version + 1, head.schemaJson,
             head.keys, head.clusterBy, newFiles, candPaths.toSeq.sorted,
-            head.txns, resolved)
+            head.txns, resolved, snapshot.columnMap, snapshot.retiredPhysical)
           if (fastDone) return candidates.size
         }
       }
@@ -2027,9 +2257,24 @@ object MergeTable {
     val removedEntries = mFrom.files.filterNot(f => toIds.contains(ident(f)))
     val addedEntries = mTo.files.filterNot(f => fromIds.contains(ident(f)))
     val target = StructType((keys ++ payload).map(c => newSchema(c)))
+    // logical name of a physical column AT mTo — the feed speaks the
+    // NEWER version's names, so a column renamed between the two
+    // versions diffs value-against-value through its stable physical
+    // identity instead of null-against-value through its old name
+    val logicalAtTo: Map[String, String] =
+      newSchema.fieldNames.map(c => physOf(mTo.columnMap, c) -> c).toMap
     def side(m: TableManifest, entries: Seq[DataFileEntry]) = {
       val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-      withAllColumns(readFiles(s, table, schema, entries), target)
+      val df = readFiles(s, table, schema, entries, m.columnMap)
+      // align m's logical names to mTo's through shared physicals; a
+      // physical with no logical at mTo (a dropped column) is projected
+      // away — feeding its bytes to a same-named LATER column would be
+      // resurrection through the feed
+      val aligned = df.select(schema.fields.flatMap { f =>
+        logicalAtTo.get(physOf(m.columnMap, f.name))
+          .map(toName => col(f.name).as(toName))
+      }.toSeq: _*)
+      withAllColumns(aligned, target)
     }
     ChangeCapture.snapshotDiffKeys(
       side(mFrom, removedEntries), side(mTo, addedEntries), keys, payload,

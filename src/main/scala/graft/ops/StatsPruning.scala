@@ -32,10 +32,13 @@ import graft.ops.MergeTable.{ColStat, DataFileEntry}
 object StatsPruning {
 
   /** Files of `files` whose stats cannot REFUTE every filter — the
-    * conjunction semantics of a pushed filter array. */
-  def prune(files: Seq[DataFileEntry], filters: Seq[Filter]): Seq[DataFileEntry] =
+    * conjunction semantics of a pushed filter array. `resolve` maps a
+    * predicate's LOGICAL column name to the PHYSICAL name stats are
+    * keyed by (column mapping); identity for unmapped tables. */
+  def prune(files: Seq[DataFileEntry], filters: Seq[Filter],
+      resolve: String => String = identity): Seq[DataFileEntry] =
     if (filters.isEmpty) files
-    else files.filter(f => filters.forall(canMatch(f, _)))
+    else files.filter(f => filters.forall(canMatch(f, _, resolve)))
 
   /** Whether this filter SHAPE can ever contribute to skipping — what a
     * scan reports as its pushed (stats-consulted) filters. A `true` here
@@ -51,7 +54,32 @@ object StatsPruning {
   }
 
   /** Can any visible row of `f` satisfy `filter`? (false = provably no) */
-  def canMatch(f: DataFileEntry, filter: Filter): Boolean = filter match {
+  def canMatch(f: DataFileEntry, filter: Filter,
+      resolve: String => String = identity): Boolean = {
+    def statOf(f: DataFileEntry, a: String): Option[ColStat] =
+      statOfPhys(f, resolve(a))
+    def statNulls(f: DataFileEntry, a: String): Option[Long] =
+      statNullsPhys(f, resolve(a))
+    def mayHoldNull(f: DataFileEntry, a: String): Boolean =
+      statNulls(f, a) match {
+        case Some(0L) => false
+        case _ => true
+      }
+    def allNullRefutes(f: DataFileEntry, a: String): Boolean =
+      statNulls(f, a) match {
+        case Some(n) => n < f.numRows
+        case None => true
+      }
+    def valuePossible(f: DataFileEntry, a: String, v: Any,
+        test: String => String => String => String => Boolean): Boolean =
+      statOf(f, a) match {
+        case Some(cs) => toStatValue(cs.t, v) match {
+          case Some(s) => test(cs.min)(cs.max)(s)(cs.t)
+          case None => true
+        }
+        case None => allNullRefutes(f, a)
+      }
+    filter match {
     case EqualTo(a, v) => valuePossible(f, a, v, lo => hi => s => t =>
       leq(t, lo, s) && leq(t, s, hi))
     case EqualNullSafe(a, v) =>
@@ -94,45 +122,17 @@ object StatsPruning {
         case Some(_) => true // non-string stat: shape mismatch, keep
         case None => allNullRefutes(f, a)
       }
-    case And(l, r) => canMatch(f, l) && canMatch(f, r)
-    case Or(l, r) => canMatch(f, l) || canMatch(f, r)
+    case And(l, r) => canMatch(f, l, resolve) && canMatch(f, r, resolve)
+    case Or(l, r) => canMatch(f, l, resolve) || canMatch(f, r, resolve)
     case AlwaysFalse() => false
     case _ => true // Not, EndsWith, Contains, UDF-backed, future shapes
+    }
   }
 
-  /** Core of every value comparison: resolve the column's stat, translate
-    * the literal into the stat domain, and apply `test(lo)(hi)(lit)(tag)`.
-    * No stat entry → a matching row is possible only if the file has any
-    * non-null value at all ([[allNullRefutes]]). */
-  private def valuePossible(f: DataFileEntry, a: String, v: Any,
-      test: String => String => String => String => Boolean): Boolean =
-    statOf(f, a) match {
-      case Some(cs) => toStatValue(cs.t, v) match {
-        case Some(s) => test(cs.min)(cs.max)(s)(cs.t)
-        case None => true // untranslatable literal (type mismatch, NaN)
-      }
-      case None => allNullRefutes(f, a)
-    }
-
-  /** With NO min/max entry, a null-rejecting value predicate is refuted
-    * exactly when the null count proves every physical row null. (A
-    * missing null count — legacy entry or un-indexed column — keeps the
-    * file.) */
-  private def allNullRefutes(f: DataFileEntry, a: String): Boolean =
-    statNulls(f, a) match {
-      case Some(n) => n < f.numRows // all-null → false (prune)
-      case None => true
-    }
-
-  private def mayHoldNull(f: DataFileEntry, a: String): Boolean =
-    statNulls(f, a) match {
-      case Some(0L) => false
-      case _ => true
-    }
-
-  /** Case-tolerant stat lookup (Spark resolution is case-insensitive by
-    * default; stats are keyed by the schema's exact spelling). */
-  private def statOf(f: DataFileEntry, a: String): Option[ColStat] =
+  /** Case-tolerant stat lookup by PHYSICAL name (Spark resolution is
+    * case-insensitive by default; stats are keyed by the schema's exact
+    * spelling). */
+  private def statOfPhys(f: DataFileEntry, a: String): Option[ColStat] =
     f.stats.get(a).orElse {
       val lower = a.toLowerCase(java.util.Locale.ROOT)
       f.stats.collectFirst {
@@ -140,7 +140,7 @@ object StatsPruning {
       }
     }
 
-  private def statNulls(f: DataFileEntry, a: String): Option[Long] =
+  private def statNullsPhys(f: DataFileEntry, a: String): Option[Long] =
     f.nullCounts.get(a).orElse {
       val lower = a.toLowerCase(java.util.Locale.ROOT)
       f.nullCounts.collectFirst {

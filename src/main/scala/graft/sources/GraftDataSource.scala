@@ -134,7 +134,8 @@ class GraftScanBuilder(table: String, m: TableManifest, full: StructType)
 
 class GraftScan(table: String, m: TableManifest, required: StructType,
     filters: Array[Filter]) extends V1Scan {
-  private lazy val pruned = StatsPruning.prune(m.files, filters.toSeq)
+  private lazy val pruned = StatsPruning.prune(m.files, filters.toSeq,
+    c => MergeTable.physOf(m.columnMap, c))
 
   override def readSchema(): StructType = required
   override def description(): String =

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{MergeTable, StatsPruning}
+
+/** OPTIMIZE ZORDER BY on the transactional table: the rewrite re-lays
+  * ALL live files on the Morton interleave, the generalized per-file
+  * stats pick up tight boxes on BOTH dimensions, and a second-dimension
+  * predicate's files-read drops against the linear key clustering that
+  * produced full-range stripes. Values and oracles are unchanged — it is
+  * a layout, not a semantics.
+  */
+class ZorderOptimizeSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-zorder-$tag")
+    Files.delete(p)
+    p.toString
+  }
+
+  test("zorder rewrite: second-dimension predicate prunes files that " +
+    "linear clustering cannot; rows identical before and after") {
+    val t = fresh("prune")
+    // event_id = x-major grid order → linear clustering by event_id gives
+    // every file a tight x stripe and the FULL y range
+    val grid = (for { x <- 0L until 32L; y <- 0L until 32L }
+      yield (x * 32L + y, x, y, x * 1000.0 + y)).toSeq
+      .toDF("event_id", "x", "y", "value")
+    MergeTable.mergeUpsert(spark, t, grid, Seq("event_id"), Seq("event_id"),
+      targetRowsPerFile = 64)
+    val linear = MergeTable.latestManifest(t).get
+    assert(linear.files.size >= 12)
+    val yBand = Seq(And(GreaterThanOrEqual("y", 0L), LessThanOrEqual("y", 3L)))
+    val linearRead = StatsPruning.prune(linear.files, yBand)
+    assert(linearRead.size == linear.files.size,
+      s"x-major layout must not prune on y (got ${linearRead.size}/${linear.files.size})")
+
+    val before = MergeTable.read(spark, t).orderBy("event_id").collect().toSeq
+    val rewritten = MergeTable.optimize(spark, t, targetRowsPerFile = 64,
+      zorderBy = Seq("x", "y"))
+    assert(rewritten == linear.files.size, "zorder rewrites every live file")
+    val z = MergeTable.latestManifest(t).get
+    assert(z.version == linear.version + 1)
+    val zRead = StatsPruning.prune(z.files, yBand)
+    assert(zRead.size < z.files.size / 2,
+      s"z layout must prune the y band hard: ${zRead.size}/${z.files.size}")
+
+    // semantics unchanged: same rows, and the y-band query agrees with
+    // the pre-rewrite table through the DSv2 pruned path
+    val after = MergeTable.read(spark, t).orderBy("event_id").collect().toSeq
+    assert(after == before)
+    graft.sources.GraftScanAudit.reset()
+    val n = spark.read.format("graft").load(t)
+      .where(col("y") <= 3L && col("y") >= 0L).count()
+    assert(n == 32 * 4)
+    val audit = graft.sources.GraftScanAudit.last.get
+    assert(audit.scannedFiles == zRead.size)
+    // time travel still sees the pre-rewrite layout
+    assert(MergeTable.readVersion(spark, t, linear.version)
+      .orderBy("event_id").collect().toSeq == before)
+  }
+
+  test("zorder retires deletion vectors like any optimize rewrite") {
+    val t = fresh("dv")
+    val grid = (for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x * 16L + y, x, y)).toSeq.toDF("event_id", "x", "y")
+    MergeTable.mergeUpsert(spark, t, grid, Seq("event_id"), Seq("event_id"),
+      targetRowsPerFile = 32)
+    MergeTable.mergeDelete(spark, t,
+      (0L until 256L by 7).toDF("event_id"), deletionVectors = true)
+    assert(MergeTable.latestManifest(t).get.files.exists(_.dv.nonEmpty))
+    MergeTable.optimize(spark, t, targetRowsPerFile = 64, zorderBy = Seq("x", "y"))
+    val m = MergeTable.latestManifest(t).get
+    assert(m.files.forall(_.dv.isEmpty), "rewrite must retire every DV")
+    assert(MergeTable.read(spark, t).count() == 256L - 37L)
+  }
+
+  test("zorderBy validation: wrong arity, unknown or non-integral columns") {
+    val t = fresh("reject")
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "a", 1.0)).toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id"))
+    intercept[IllegalArgumentException](
+      MergeTable.optimize(spark, t, zorderBy = Seq("event_id")))
+    intercept[IllegalArgumentException](
+      MergeTable.optimize(spark, t, zorderBy = Seq("event_id", "nope")))
+    intercept[IllegalArgumentException](
+      MergeTable.optimize(spark, t, zorderBy = Seq("event_id", "value")))
+  }
+}
