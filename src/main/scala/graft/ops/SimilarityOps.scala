@@ -757,6 +757,139 @@ object SimilarityOps {
        |    AS stale
        |FROM g ORDER BY cid""".stripMargin
 
+  // ---- quantizer retrain (closes the drift-monitor loop) ------------------
+
+  /** Outcome of one [[quantizerRetrain]] run. `centroids` is the updated
+    * quantizer (same k, same cid space) the caller persists for query
+    * time; `committed` is false when nothing was stale OR the txn
+    * watermark proved the batch already applied (replay). */
+  case class RetrainResult(
+      committed: Boolean,
+      staleCells: Seq[Long],
+      centroids: DataFrame)
+
+  /** RETRAIN the quantizer on a drifted window and re-encode ONLY the
+    * affected vectors — the operator [[quantizerDrift]]'s monitor calls
+    * for. The loop this closes: build centroids once → serve queries →
+    * the monitor flags cells whose ARRIVING vectors assign with residuals
+    * far above the cell's train-time baseline → this op re-fits exactly
+    * those cells on the drifted window and transactionally merges the
+    * re-assignments, leaving every healthy cell (and its members'
+    * assignments) untouched.
+    *
+    * Mechanics, all deterministic:
+    *
+    *  1. Assign `base` (the window the quantizer was trained on) and
+    *     `arrivals` (the drifted window) to the CURRENT `cents`; flag
+    *     stale cells with the engine's one staleness verdict
+    *     ([[stalenessProject]] — integer cross-multiplication, the same
+    *     math the batch monitor and the streaming store report share).
+    *  2. Re-fit k_stale centroids on the stale cells' ARRIVAL members
+    *     (the drifted window is the new truth for that region) with the
+    *     same spherical-Lloyd discipline as [[kmeansCentroids]]: seeds =
+    *     first k_stale by vec_id, fixed `iters`, per-dim means rounded
+    *     6dp, per-round localCheckpoint. The retrained centroids REUSE
+    *     the stale cids (ascending), so the cid space — and every
+    *     downstream consumer keyed on it — is stable.
+    *  3. Re-assign the affected vectors (stale cells' base members +
+    *     every arrival) against the UPDATED centroid set and MERGE the
+    *     (vec_id, cid, resid_bp) rows into `assignTable` under `txn` —
+    *     a replayed retrain batch is a no-op by the same watermark as
+    *     any ingest.
+    *
+    * Scale: assignments are map-side against broadcast k-row centroid
+    * frames; each Lloyd round shuffles (cell, dim) partial sums;
+    * the merge touches only key-overlapping files. Nothing here is
+    * O(corpus) beyond the two assignment scans the monitor itself needs.
+    */
+  def quantizerRetrain(
+      s: SparkSession,
+      assignTable: String,
+      base: DataFrame,
+      arrivals: DataFrame,
+      cents: DataFrame,
+      iters: Int = KmeansIters,
+      thresholdBp: Long = StalenessThresholdBp,
+      minSupport: Long = StalenessMinSupport,
+      txn: Option[(String, Long)] = None): RetrainResult = {
+    val aBase = kmeansAssign(base, cents)
+      .select(col("vec_id"), col("vec"), col("cid"), residIntCol.as("resid_i"))
+      .localCheckpoint()
+    val aArr = kmeansAssign(arrivals, cents)
+      .select(col("vec_id"), col("vec"), col("cid"), residIntCol.as("resid_i"))
+      .localCheckpoint()
+    try {
+      val g = aBase.withColumn("win", lit(0))
+        .unionByName(aArr.withColumn("win", lit(1)))
+        .groupBy(col("cid")).agg(
+          sum(when(col("win") === 0, lit(1L)).otherwise(lit(0L))).as("n_base"),
+          sum(when(col("win") === 1, lit(1L)).otherwise(lit(0L))).as("n_inc"),
+          sum(when(col("win") === 0, col("resid_i")).otherwise(lit(0L))).as("rs_base"),
+          sum(when(col("win") === 1, col("resid_i")).otherwise(lit(0L))).as("rs_inc"))
+      val stale = stalenessProject(g, thresholdBp, minSupport)
+        .where(col("stale"))
+        .select(col("cid")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq // bounded: ≤ k cells
+      if (stale.isEmpty) return RetrainResult(false, Seq.empty, cents)
+
+      // ---- re-fit k_stale centroids on the stale cells' arrivals ----------
+      val staleSet = stale.toSet
+      val driftedMembers = aArr
+        .where(col("cid").isin(stale: _*))
+        .select(col("vec_id"), col("vec"))
+        .localCheckpoint()
+      try {
+        val kStale = stale.size
+        // seeds: first k_stale drifted vectors by id, mapped onto the
+        // stale cids ascending — cid space stays stable
+        val seedIds = driftedMembers.select(col("vec_id"))
+          .orderBy(col("vec_id")).limit(kStale)
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+        require(seedIds.length == kStale,
+          s"drifted window has ${seedIds.length} members for $kStale stale " +
+            "cells — not enough data to re-fit; widen the window")
+        val cidOf = seedIds.zip(stale).toMap
+        def update(assigned: DataFrame): DataFrame = assigned
+          .select(col("cid"), posexplode(col("vec")).as(Seq("d", "x")))
+          .groupBy(col("cid"), col("d"))
+          .agg(round(avg(col("x")), 6).as("cx"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("pairs"))
+          .select(col("cid"),
+            transform(col("pairs"), p => p.getField("cx")).as("c_vec"))
+        // seed id → stale cid as a k-term CASE (no UDF; k is bounded)
+        val cidCol = cidOf.tail.foldLeft(
+          when(col("vec_id") === lit(cidOf.head._1), lit(cidOf.head._2))) {
+          case (acc, (id, cid)) => acc.when(col("vec_id") === lit(id), lit(cid))
+        }
+        var refit = driftedMembers
+          .where(col("vec_id").isin(seedIds.toSeq: _*))
+          .select(cidCol.as("cid"), col("vec").as("c_vec"))
+          .localCheckpoint()
+        for (_ <- 1 to iters)
+          refit = update(kmeansAssign(driftedMembers, refit)).localCheckpoint()
+
+        val updated = cents.where(!col("cid").isin(stale: _*))
+          .unionByName(refit)
+          .localCheckpoint()
+
+        // ---- re-encode affected vectors, txn-guarded ------------------------
+        val affected = aBase.where(col("cid").isin(stale: _*))
+          .select(col("vec_id"), col("vec"))
+          .unionByName(aArr.select(col("vec_id"), col("vec")))
+        val reassigned = kmeansAssign(affected, updated)
+          .select(col("vec_id"), col("cid"), residIntCol.as("resid_bp"))
+        val committed = MergeTable.mergeUpsert(s, assignTable, reassigned,
+          Seq("vec_id"), Seq("vec_id"), txn = txn)
+        RetrainResult(committed, stale, updated)
+      } finally org.apache.spark.sql.graftbridge.Bridge
+        .unpersistLocalCheckpoint(driftedMembers)
+    } finally {
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(aBase)
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(aArr)
+    }
+  }
+
   def clusterSampleSql(m: Int = 3): String =
     s"""WITH $kmeansCtesSql
        |SELECT cid, rank, vec_id, round(cos, 6) AS cosine FROM (
