@@ -93,6 +93,7 @@ object ScaleProbe {
       probeDedupCandidates(spark); probeNativeKernels(spark)
       probeSelectionOps(spark); probeMaintenanceOps(spark)
       probeMergeTable(spark); probeChangeFeed(spark)
+      probeStatsPruning(spark)
       probeManifestResolution(spark)
       probeDeletionVectors(spark)
       probeConnectedComponents(spark)
@@ -164,6 +165,44 @@ object ScaleProbe {
           s"""{"probe":"merge_table","rows":$n,"files_before":${before.size},""" +
             s""""files_touched":$touched,"merge_sec":${s1(tMerge)}}""")
       } finally MergeTable.dropTable(t.toString) // probe tables don't outlive the run
+    }
+  }
+
+  /** Generalized file-skipping measured (round 12): at 1× and 10× file
+    * counts, a NON-cluster-column range predicate through the DSv2 scan
+    * must read only the stats-overlapping file subset — the kept
+    * FRACTION stays ~constant (the predicate's selectivity), so files
+    * read grow with the data while files SKIPPED do too; and the
+    * driver-side prune itself stays O(files) metadata arithmetic,
+    * milliseconds at 10⁴ entries. */
+  private def probeStatsPruning(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.ops.{MergeTable, StatsPruning}
+    for (n <- Seq(20000, 200000)) {
+      val t = java.nio.file.Files.createTempDirectory(s"graft-probe-stats$n")
+      java.nio.file.Files.delete(t)
+      try {
+        // value correlates with the cluster key (the realistic shape:
+        // time-ordered ingest → most columns correlate with ingest order)
+        val base = (0L until n).map(i => (i, i * 0.5)).toDF("event_id", "value")
+        MergeTable.mergeUpsert(spark, t.toString, base,
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500)
+        val m = MergeTable.latestManifest(t.toString).get
+        // ~10%-selective band predicate on the NON-cluster column
+        val lo = n * 0.45 * 0.5; val hi = n * 0.55 * 0.5
+        val band = Seq(org.apache.spark.sql.sources.And(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("value", lo),
+          org.apache.spark.sql.sources.LessThan("value", hi)))
+        val (kept, tPrune) = time(StatsPruning.prune(m.files, band))
+        graft.sources.GraftScanAudit.reset()
+        val cnt = spark.read.format("graft").load(t.toString)
+          .where(col("value") >= lo && col("value") < hi).count()
+        val audit = graft.sources.GraftScanAudit.last.get
+        println(
+          s"""{"probe":"stats_pruning","rows":$n,"files_total":${m.files.size},""" +
+            s""""files_kept":${kept.size},"scan_files":${audit.scannedFiles},""" +
+            s""""rows_matched":$cnt,"prune_sec":${s1(tPrune)}}""")
+      } finally MergeTable.dropTable(t.toString)
     }
   }
 

@@ -126,6 +126,7 @@ object SparkEntry {
     "q_merge_restore" -> (graft.ops.MergeTable.mergeRestoreDigest _),
     "q_dsv2_read" -> (graft.ops.MergeTable.dsv2ReadDigest _),
     "q_merge_sql" -> (graft.ops.MergeTable.mergeSqlDigest _),
+    "q_sql_update_delete" -> (graft.ops.MergeTable.sqlUpdateDeleteDigest _),
     "q_ann_incremental" -> (SimilarityOps.annPqAdcIncremental _),
 
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
@@ -326,6 +327,7 @@ object SparkEntry {
     "q_merge_restore" -> graft.ops.MergeTable.mergeRestoreDigestSql,
     "q_dsv2_read" -> graft.ops.MergeTable.dsv2ReadDigestSql,
     "q_merge_sql" -> graft.ops.MergeTable.mergeSqlDigestSql,
+    "q_sql_update_delete" -> graft.ops.MergeTable.sqlUpdateDeleteDigestSql,
     // the incremental index must equal the single-shot index bit-for-bit:
     // SAME oracle as q_ann_pq_adc, different build path
     "q_ann_incremental" -> SimilarityOps.annPqAdcSql,

@@ -93,6 +93,97 @@ object GraftSql {
     throw new UnsupportedOperationException(
       s"graft MERGE INTO: $what")
 
+  /** Parse and execute one `DELETE FROM graft.`…` [WHERE cond]`
+    * statement. Returns the number of rows deleted (0 on replay). */
+  def deleteFrom(s: SparkSession, sql: String,
+      txn: Option[(String, Long)] = None): Long =
+    s.sessionState.sqlParser.parsePlan(sql) match {
+      case d: DeleteFromTable => runDelete(s, d, txn)
+      case other => throw new IllegalArgumentException(
+        s"GraftSql.deleteFrom expects a DELETE statement, got: " +
+          other.getClass.getSimpleName)
+    }
+
+  /** Parse and execute one `UPDATE graft.`…` SET … [WHERE cond]`
+    * statement. Returns true when a new version committed. */
+  def update(s: SparkSession, sql: String,
+      txn: Option[(String, Long)] = None): Boolean =
+    s.sessionState.sqlParser.parsePlan(sql) match {
+      case u: UpdateTable => runUpdate(s, u, txn)
+      case other => throw new IllegalArgumentException(
+        s"GraftSql.update expects an UPDATE statement, got: " +
+          other.getClass.getSimpleName)
+    }
+
+  /** Rewrite a single-table statement's attribute references to BARE
+    * names (strip the target alias / resolved qualifiers) and render to
+    * SQL evaluable against the snapshot frame. */
+  private def renderBare(e: Expression, alias: Option[String]): String =
+    e.transformUp {
+      case ua: UnresolvedAttribute
+          if ua.nameParts.length >= 2 &&
+            alias.exists(_.equalsIgnoreCase(ua.nameParts.head)) =>
+        UnresolvedAttribute(ua.nameParts.tail)
+      case ar: AttributeReference => UnresolvedAttribute(Seq(ar.name))
+    }.sql
+
+  private def lastName(e: Expression): String = e match {
+    case ar: AttributeReference => ar.name
+    case ua: UnresolvedAttribute => ua.nameParts.last
+    case other => unsupported(s"expected a column reference, got: ${other.sql}")
+  }
+
+  /** `DELETE FROM t WHERE cond` (SQL row-level delete, any predicate) →
+    * derive the matching rows' MERGE KEYS from one snapshot scan, then
+    * the engine's keyed [[MergeTable.mergeDelete]] rewrites (or
+    * DV-marks) only the box-overlapping files — the Delta
+    * find-touched-then-rewrite shape. */
+  private[graft] def runDelete(s: SparkSession, d: DeleteFromTable,
+      txn: Option[(String, Long)] = None): Long = {
+    val (alias, _) = unalias(d.table)
+    val path = graftTargetPath(d.table).getOrElse(unsupported(
+      "DELETE target must be a graft table"))
+    val head = MergeTable.latestManifest(path).getOrElse(
+      sys.error(s"no committed version under $path"))
+    val condSql = Option(d.condition).map(renderBare(_, alias)).getOrElse("true")
+    import org.apache.spark.sql.functions.{col, expr}
+    val delKeys = MergeTable.readManifest(s, path, head)
+      .where(expr(condSql))
+      .select(head.keys.map(col): _*)
+    MergeTable.mergeDelete(s, path, delKeys, txn = txn)
+  }
+
+  /** `UPDATE t SET c = e, … WHERE cond` → batch = the matching rows with
+    * every SET expression evaluated against the OLD row (one projection,
+    * so `SET a = b, b = a` swaps), merged back under the table's keys.
+    * Unmatched-at-commit rows (a concurrent delete won the race) are
+    * dropped, never resurrected as inserts. Key columns reject — a
+    * rekeying UPDATE is a delete + insert, not an update. */
+  private[graft] def runUpdate(s: SparkSession, u: UpdateTable,
+      txn: Option[(String, Long)] = None): Boolean = {
+    val (alias, _) = unalias(u.table)
+    val path = graftTargetPath(u.table).getOrElse(unsupported(
+      "UPDATE target must be a graft table"))
+    val head = MergeTable.latestManifest(path).getOrElse(
+      sys.error(s"no committed version under $path"))
+    val sets = u.assignments.map { a =>
+      val c = lastName(a.key)
+      if (head.keys.exists(_.equalsIgnoreCase(c))) unsupported(
+        s"UPDATE must not SET merge key '$c' — rekeying a row is a " +
+          "delete + insert")
+      c -> renderBare(a.value, alias)
+    }
+    require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+    val condSql = u.condition.map(renderBare(_, alias)).getOrElse("true")
+    import org.apache.spark.sql.functions.{col, expr}
+    val batch = MergeTable.readManifest(s, path, head)
+      .where(expr(condSql))
+      .withColumns(sets.map { case (c, e) => c -> expr(e) }.toMap)
+    MergeTable.mergeUpsert(s, path, batch, head.keys, head.clusterBy,
+      txn = txn, matchedCondition = Some("true"),
+      insertCondition = Some("false"))
+  }
+
   /** Execute a parsed (resolved or unresolved) [[MergeIntoTable]] whose
     * target is a graft table. */
   private[graft] def runMerge(s: SparkSession, m: MergeIntoTable,
@@ -326,15 +417,21 @@ object GraftSql {
   }
 }
 
-/** The analyzed-plan door: swaps a [[MergeIntoTable]] over a graft target
-  * for a runnable command BEFORE Spark's row-level-operation rewrite
-  * would reject it. Installed as a post-hoc resolution rule by
+/** The analyzed-plan door: swaps MERGE INTO / UPDATE / DELETE statements
+  * over a graft target for runnable commands BEFORE Spark's
+  * row-level-operation rewrite would reject them (the target does not
+  * implement `SupportsRowLevelOperations`; its commit protocol is the
+  * engine's CAS log). Installed as a post-hoc resolution rule by
   * [[graft.functions.GraftExtensions]]. */
 case class GraftMergeRule(session: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable if GraftSql.graftTargetPath(m.targetTable).nonEmpty =>
       GraftMergeCommand(m)
+    case d: DeleteFromTable if GraftSql.graftTargetPath(d.table).nonEmpty =>
+      GraftDeleteCommand(d)
+    case u: UpdateTable if GraftSql.graftTargetPath(u.table).nonEmpty =>
+      GraftUpdateCommand(u)
     case _ => plan
   }
 }
@@ -345,6 +442,20 @@ case class GraftMergeRule(session: SparkSession)
 case class GraftMergeCommand(merge: MergeIntoTable) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     GraftSql.runMerge(sparkSession, merge)
+    Seq.empty
+  }
+}
+
+case class GraftDeleteCommand(delete: DeleteFromTable) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    GraftSql.runDelete(sparkSession, delete)
+    Seq.empty
+  }
+}
+
+case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    GraftSql.runUpdate(sparkSession, update)
     Seq.empty
   }
 }

@@ -2786,6 +2786,58 @@ object MergeTable {
         round(sum(col("value")), 2).as("value_sum"))
       .orderBy("event_type")
 
+  private val sqlUpdDelCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_sql_update_delete`: versions 1 and 2 are committed
+    * by real `spark.sql` UPDATE and DELETE statements — the analyzer
+    * interception, bare-name condition translation, simultaneous-SET
+    * projection, and the keyed-delete derivation all sit on the oracle
+    * path. */
+  private def buildSqlUpdDelEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(sqlUpdDelCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("sql-upd-del")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-upddel", sfDir)}-$appTag").toString
+      dropTable(t)
+      mergeUpsert(s, t, Tables.read(s, sfDir, "events"),
+        Seq("event_id"), Seq("event_id"), txn = Some(("seed", 0L)))
+      s.sql(s"UPDATE graft.`$t` SET value = value + 1000.0 " +
+        "WHERE event_type = 'error'")                             // v1
+      s.sql(s"DELETE FROM graft.`$t` WHERE event_id % 13 = 0")    // v2
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_sql_update_delete`: digest of the SQL-updated-then-deleted head —
+    * an UPDATE that leaked past its predicate, a SET applied to the wrong
+    * column, a DELETE that removed (or kept) the wrong keys, or a stale
+    * snapshot served after two SQL commits all break the hash. The
+    * oracle replays both statements as one CASE + WHERE over the raw
+    * table. */
+  def sqlUpdateDeleteDigest(s: SparkSession, sfDir: String): DataFrame =
+    read(s, buildSqlUpdDelEvents(s, sfDir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+
+  val sqlUpdateDeleteDigestSql: String =
+    s"""WITH upd AS (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_type = 'error' THEN value + 1000.0
+       |         ELSE value END AS value
+       |  FROM events),
+       |kept AS (SELECT * FROM upd WHERE event_id % 13 <> 0)
+       |SELECT event_type, count(*) AS n_events,
+       |  round(sum(value), 2) AS value_sum
+       |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val mergeSqlDigestSql: String =
     s"""WITH kept AS (
        |  SELECT event_id, event_type,

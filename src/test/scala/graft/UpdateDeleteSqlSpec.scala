@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{GraftSql, MergeTable}
+
+/** SQL `UPDATE` / `DELETE` over graft tables: arbitrary-predicate
+  * row-level writes land on the transactional engine (keyed delete /
+  * guarded merge), with SQL's simultaneous-SET semantics, replay
+  * watermarks, and loud rejection of rekeying updates. Both doors:
+  * GraftSql.update/deleteFrom and plain spark.sql.
+  */
+class UpdateDeleteSqlSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def seed(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-upddel-$tag")
+    Files.delete(p)
+    val t = p.toString
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 100L).map(i => (i, if (i % 4 == 0) "error" else "ok", i * 1.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 25)
+    t
+  }
+
+  private def state(t: String): Map[Long, (String, Double)] =
+    MergeTable.read(spark, t)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("DELETE FROM with an arbitrary non-key predicate via spark.sql") {
+    val t = seed("del")
+    spark.sql(s"DELETE FROM graft.`$t` WHERE event_type = 'error' AND value > 50")
+    val out = state(t)
+    // %4==0 above 50: 52,56,...,100 (13 rows) gone
+    assert(out.size == 100 - 13)
+    assert(!out.contains(52L) && !out.contains(100L))
+    assert(out.contains(48L) && out.contains(51L))
+  }
+
+  test("DELETE returns the deleted count and is replay-safe under txn") {
+    val t = seed("delreplay")
+    val stmt = s"DELETE FROM graft.`$t` WHERE value <= 10"
+    assert(GraftSql.deleteFrom(spark, stmt, txn = Some(("purge", 1L))) == 10L)
+    assert(GraftSql.deleteFrom(spark, stmt, txn = Some(("purge", 1L))) == 0L)
+    assert(state(t).size == 90)
+  }
+
+  test("UPDATE SET evaluates every assignment against the OLD row " +
+    "(simultaneous semantics) and only where the predicate holds") {
+    val t = seed("upd")
+    spark.sql(
+      s"""UPDATE graft.`$t` SET value = value * 10, event_type = 'boosted'
+         |WHERE event_id <= 3""".stripMargin)
+    val out = state(t)
+    assert(out(1L) == (("boosted", 10.0)))
+    assert(out(3L) == (("boosted", 30.0)))
+    assert(out(4L) == (("error", 4.0)), "predicate must gate the update")
+    assert(out.size == 100)
+  }
+
+  test("UPDATE with a swap-shaped SET sees old values on both sides") {
+    val p = Files.createTempDirectory("graft-upddel-swap")
+    Files.delete(p)
+    val t = p.toString
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, 10.0, 20.0)).toDF("event_id", "a", "b"),
+      Seq("event_id"), Seq("event_id"))
+    GraftSql.update(spark, s"UPDATE graft.`$t` SET a = b, b = a")
+    val (a, b) = MergeTable.read(spark, t).select("a", "b")
+      .as[(Double, Double)].head()
+    assert((a, b) == ((20.0, 10.0)), s"swap must not chain: ($a, $b)")
+  }
+
+  test("UPDATE of a merge key is rejected loudly; state untouched") {
+    val t = seed("rekey")
+    intercept[UnsupportedOperationException](GraftSql.update(spark,
+      s"UPDATE graft.`$t` SET event_id = event_id + 1000"))
+    assert(MergeTable.latestManifest(t).get.version == 0L)
+  }
+
+  test("UPDATE via alias-qualified references and WHERE-less UPDATE") {
+    val t = seed("alias")
+    spark.sql(s"UPDATE graft.`$t` AS g SET value = g.value + 0.5")
+    val out = state(t)
+    assert(out(1L)._2 == 1.5 && out(100L)._2 == 100.5)
+  }
+
+  test("SQL writes compose: MERGE, UPDATE, DELETE against the same table " +
+    "leave a consistent, time-travelable history") {
+    val t = seed("compose")
+    (101L to 105L).map(i => (i, "new", i * 1.0))
+      .toDF("event_id", "event_type", "value")
+      .createOrReplaceTempView("ud_batch")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` AS tt USING ud_batch AS s
+         |ON tt.event_id = s.event_id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)       // v1
+    spark.sql(s"UPDATE graft.`$t` SET value = value * 2 WHERE event_type = 'new'") // v2
+    spark.sql(s"DELETE FROM graft.`$t` WHERE event_id = 103")  // v3
+    val out = state(t)
+    assert(out.size == 104)
+    assert(out(101L) == (("new", 202.0)) && !out.contains(103L))
+    assert(MergeTable.readVersion(spark, t, 1L).count() == 105L)
+    assert(MergeTable.latestManifest(t).get.version == 3L)
+  }
+}
