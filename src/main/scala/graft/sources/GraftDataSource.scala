@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, TableScan}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -117,43 +117,57 @@ class GraftScanBuilder(table: String, m: TableManifest, full: StructType)
     with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var received: Array[Filter] = Array.empty
 
   /** Keep the stats-consultable shapes for file skipping; return EVERY
     * filter as residual — min/max skipping is file-granular, so the
     * engine must still evaluate each predicate row-wise (the standard
-    * skipping contract: pushed = "consulted", residual = "re-checked"). */
+    * skipping contract: pushed = "consulted", residual = "re-checked").
+    * ALL received filters are additionally re-applied inside the inner
+    * plan so the parquet reader sees them (row-group skipping). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    received = filters
     pushed = filters.filter(StatsPruning.prunable)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftScan(table, m, required, pushed)
+  override def build(): Scan = new GraftScan(table, m, required, pushed, received)
 }
 
 class GraftScan(table: String, m: TableManifest, required: StructType,
-    filters: Array[Filter]) extends V1Scan {
-  private lazy val pruned = StatsPruning.prune(m.files, filters.toSeq,
+    pruneFilters: Array[Filter], allFilters: Array[Filter]) extends V1Scan {
+  private lazy val pruned = StatsPruning.prune(m.files, pruneFilters.toSeq,
     c => MergeTable.physOf(m.columnMap, c))
 
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftScan $table v${m.version} " +
       s"files=${pruned.size}/${m.files.size} " +
-      s"pushed=[${filters.mkString(", ")}] columns=[${required.fieldNames.mkString(", ")}]"
+      s"pushed=[${pruneFilters.mkString(", ")}] columns=[${required.fieldNames.mkString(", ")}]"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftV1Relation(context, table, m, pruned, required)
+    new GraftV1Relation(context, table, m, pruned, required, allFilters.toSeq)
       .asInstanceOf[T]
 }
 
 /** The V1 execution shim behind [[GraftScan]]: its plan IS the engine's
   * snapshot read over the pruned file subset (deletion vectors applied),
-  * projected to the scan's required columns. */
+  * projected to the scan's required columns — WITH the pushed filters
+  * re-applied INSIDE the inner plan, so Catalyst forwards them to the
+  * parquet reader (row-group min/max skipping, dictionary filtering,
+  * codegen'd evaluation). Without this the inner scan would read every
+  * row of every kept file and leave all filtering to the FilterExec
+  * above the relation; with it, file-level skipping (the manifest
+  * stats), row-group-level skipping (parquet footers), and row-level
+  * filtering stack the way a lakehouse reader's should. The outer
+  * residual filter still re-checks every row — double evaluation of a
+  * cheap predicate, never a correctness dependence. */
 class GraftV1Relation(ctx: SQLContext, table: String, m: TableManifest,
-    pruned: Seq[MergeTable.DataFileEntry], required: StructType)
+    pruned: Seq[MergeTable.DataFileEntry], required: StructType,
+    filters: Seq[Filter])
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
@@ -162,7 +176,45 @@ class GraftV1Relation(ctx: SQLContext, table: String, m: TableManifest,
       table, m.version, m.files.size, pruned.size, pruned.map(_.path)))
     val df = MergeTable.readManifest(ctx.sparkSession, table,
       m.copy(files = pruned))
-    df.select(required.fieldNames.toSeq.map(col): _*).rdd
+    val filtered = filters.flatMap(GraftV1Relation.filterToColumn)
+      .foldLeft(df)(_ where _)
+    filtered.select(required.fieldNames.toSeq.map(col): _*).rdd
+  }
+}
+
+object GraftV1Relation {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.sources._
+
+  /** Conservative sources.Filter → Column translation for re-applying a
+    * pushed predicate inside the inner plan. None = shape not
+    * translated (the outer residual filter alone handles it). The
+    * translated predicate must be EXACTLY equivalent to the original —
+    * under-filtering is caught by the outer residual, but
+    * over-filtering would drop rows, so anything subtle (EqualNullSafe
+    * null-matching, Not over an untranslated child) stays untranslated. */
+  private[graft] def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) if vs != null && vs.nonEmpty =>
+      Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case StringContains(a, p) => Some(col(a).contains(p))
+    case And(l, r) => for {
+      lc <- filterToColumn(l); rc <- filterToColumn(r)
+    } yield lc && rc
+    case Or(l, r) => for {
+      lc <- filterToColumn(l); rc <- filterToColumn(r)
+    } yield lc || rc
+    case Not(child) => filterToColumn(child).map(!_)
+    case _ => None
   }
 }
 

@@ -221,5 +221,34 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(f.stats.contains("c1") && !f.stats.contains("c40"))
   }
 
+  test("pushed filters re-apply INSIDE the inner plan (parquet sees " +
+    "them) with exact row parity — including null-tricky shapes") {
+    val t = seeded("innerpush")
+    def parity(cond: org.apache.spark.sql.Column): Unit = {
+      val viaScan = spark.read.format("graft").load(t).where(cond)
+        .select("event_id").as[Long].collect().toSet
+      val direct = MergeTable.read(spark, t).where(cond)
+        .select("event_id").as[Long].collect().toSet
+      assert(viaScan == direct, s"filter parity broke for $cond")
+    }
+    parity(col("value") > 1400.0)
+    parity(col("payload").isNull)
+    parity(col("payload").isNotNull && col("value") <= 30.0)
+    parity(col("payload") <=> lit(null))
+    parity(!(col("label") === "label1"))
+    parity(col("label").isin("label1", "label2") || col("value") < 9.0)
+    parity(col("payload").startsWith("p1") && col("payload").endsWith("3"))
+    // translation unit checks: shapes that must NOT translate stay None
+    import org.apache.spark.sql.sources._
+    assert(graft.sources.GraftV1Relation.filterToColumn(
+      AlwaysTrue()).isEmpty)
+    assert(graft.sources.GraftV1Relation.filterToColumn(
+      Not(AlwaysTrue())).isEmpty, "Not over untranslated child stays None")
+    assert(graft.sources.GraftV1Relation.filterToColumn(
+      And(EqualTo("a", 1), AlwaysTrue())).isEmpty)
+    assert(graft.sources.GraftV1Relation.filterToColumn(
+      EqualTo("a", 1)).nonEmpty)
+  }
+
   private val Row = org.apache.spark.sql.Row
 }
