@@ -127,6 +127,8 @@ object SparkEntry {
     "q_dsv2_read" -> (graft.ops.MergeTable.dsv2ReadDigest _),
     "q_merge_sql" -> (graft.ops.MergeTable.mergeSqlDigest _),
     "q_sql_update_delete" -> (graft.ops.MergeTable.sqlUpdateDeleteDigest _),
+    "q_zorder_optimize" -> (graft.ops.MergeTable.zorderOptimizeDigest _),
+    "q_column_mapping" -> (graft.ops.MergeTable.columnMappingDigest _),
     "q_ann_incremental" -> (SimilarityOps.annPqAdcIncremental _),
 
     // LLM-data pipeline: multimodal metadata + real PNG decode round-trip
@@ -328,6 +330,8 @@ object SparkEntry {
     "q_dsv2_read" -> graft.ops.MergeTable.dsv2ReadDigestSql,
     "q_merge_sql" -> graft.ops.MergeTable.mergeSqlDigestSql,
     "q_sql_update_delete" -> graft.ops.MergeTable.sqlUpdateDeleteDigestSql,
+    "q_zorder_optimize" -> graft.ops.MergeTable.zorderOptimizeDigestSql,
+    "q_column_mapping" -> graft.ops.MergeTable.columnMappingDigestSql,
     // the incremental index must equal the single-shot index bit-for-bit:
     // SAME oracle as q_ann_pq_adc, different build path
     "q_ann_incremental" -> SimilarityOps.annPqAdcSql,

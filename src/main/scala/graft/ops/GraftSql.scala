@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -133,10 +133,52 @@ object GraftSql {
     case other => unsupported(s"expected a column reference, got: ${other.sql}")
   }
 
+  /** The find-affected snapshot scan behind UPDATE/DELETE, FILE-SKIPPED:
+    * the rendered condition is resolved against the full snapshot frame,
+    * its conjuncts translated to source filters, and the manifest's
+    * per-file stats prune the files the scan opens — a predicate on any
+    * stats-indexed column turns the find phase from O(table) into
+    * O(overlapping files), the same skipping the DSv2 read applies.
+    * Untranslatable conjuncts simply don't prune (the full predicate is
+    * still applied row-wise). */
+  private[graft] def prunedSnapshot(s: SparkSession, path: String,
+      head: MergeTable.TableManifest, condSql: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val full = MergeTable.readManifest(s, path, head)
+    val resolved = full.where(expr(condSql))
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // the ANALYZED (pre-optimizer) condition still carries literal
+    // casts — `value > 90.0` analyzes to `value > cast(90.0 as double)`
+    // — and the source-filter translator requires plain literals; fold
+    // deterministic foldable subtrees first (what ConstantFolding would
+    // do one phase later)
+    def fold(e: Expression): Expression = e.transformUp {
+      case sub if sub.foldable && sub.deterministic &&
+          !sub.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(sub.eval(null), sub.dataType)
+    }
+    val filters = resolved.toSeq.map(fold).flatMap(conjuncts).flatMap(
+      org.apache.spark.sql.graftbridge.Bridge.translateFilter)
+    val kept = StatsPruning.prune(head.files, filters,
+      c => MergeTable.physOf(head.columnMap, c))
+    val scan =
+      if (kept.size == head.files.size) full
+      else MergeTable.readManifest(s, path, head.copy(files = kept))
+    scan.where(expr(condSql))
+  }
+
   /** `DELETE FROM t WHERE cond` (SQL row-level delete, any predicate) →
-    * derive the matching rows' MERGE KEYS from one snapshot scan, then
-    * the engine's keyed [[MergeTable.mergeDelete]] rewrites (or
-    * DV-marks) only the box-overlapping files — the Delta
+    * derive the matching rows' MERGE KEYS from one stats-pruned snapshot
+    * scan, then the engine's keyed [[MergeTable.mergeDelete]] rewrites
+    * (or DV-marks) only the box-overlapping files — the Delta
     * find-touched-then-rewrite shape. */
   private[graft] def runDelete(s: SparkSession, d: DeleteFromTable,
       txn: Option[(String, Long)] = None): Long = {
@@ -146,9 +188,8 @@ object GraftSql {
     val head = MergeTable.latestManifest(path).getOrElse(
       sys.error(s"no committed version under $path"))
     val condSql = Option(d.condition).map(renderBare(_, alias)).getOrElse("true")
-    import org.apache.spark.sql.functions.{col, expr}
-    val delKeys = MergeTable.readManifest(s, path, head)
-      .where(expr(condSql))
+    import org.apache.spark.sql.functions.col
+    val delKeys = prunedSnapshot(s, path, head, condSql)
       .select(head.keys.map(col): _*)
     MergeTable.mergeDelete(s, path, delKeys, txn = txn)
   }
@@ -175,9 +216,8 @@ object GraftSql {
     }
     require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
     val condSql = u.condition.map(renderBare(_, alias)).getOrElse("true")
-    import org.apache.spark.sql.functions.{col, expr}
-    val batch = MergeTable.readManifest(s, path, head)
-      .where(expr(condSql))
+    import org.apache.spark.sql.functions.expr
+    val batch = prunedSnapshot(s, path, head, condSql)
       .withColumns(sets.map { case (c, e) => c -> expr(e) }.toMap)
     MergeTable.mergeUpsert(s, path, batch, head.keys, head.clusterBy,
       txn = txn, matchedCondition = Some("true"),

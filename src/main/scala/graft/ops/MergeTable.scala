@@ -2786,6 +2786,107 @@ object MergeTable {
         round(sum(col("value")), 2).as("value_sum"))
       .orderBy("event_type")
 
+  private val zorderCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_zorder_optimize`: events seeded with two derived
+    * integral grid columns, then `OPTIMIZE ZORDER BY (gx, gy)` re-lays
+    * every live file on the Morton interleave. The registered query reads
+    * the POST-rewrite head, so the oracle (raw-table reconstruction that
+    * knows nothing about layout) catches any row the rewrite lost,
+    * duplicated, or mutated — layout is the one thing a rewrite must not
+    * change. */
+  private def buildZorderedEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(zorderCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("zorder-events")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-zorder", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+        .withColumn("gx", pmod(col("event_id"), lit(64)))
+        .withColumn("gy", pmod(floor(col("event_id") / 64).cast("long"), lit(64)))
+      mergeUpsert(s, t, ev, Seq("event_id"), Seq("event_id"),
+        txn = Some(("seed", 0L)))
+      val n = optimize(s, t, zorderBy = Seq("gx", "gy"))
+      require(n > 0, "zorder fixture must rewrite at least one file")
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_zorder_optimize`: digest of the z-ordered head through a
+    * two-dimensional band predicate — exactly the predicate shape the
+    * layout exists to serve. The oracle derives the same grid columns
+    * from the raw table, so the hash is layout-independent. */
+  def zorderOptimizeDigest(s: SparkSession, sfDir: String): DataFrame =
+    read(s, buildZorderedEvents(s, sfDir))
+      .where(col("gx") >= 8 && col("gx") <= 23 && col("gy") >= 8 && col("gy") <= 23)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+
+  val zorderOptimizeDigestSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, value,
+       |    event_id % 64 AS gx, (event_id // 64) % 64 AS gy
+       |  FROM events)
+       |SELECT event_type, count(*) AS n_events,
+       |  round(sum(value), 2) AS value_sum
+       |FROM g WHERE gx BETWEEN 8 AND 23 AND gy BETWEEN 8 AND 23
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val renameCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_column_mapping`: seed events, then two
+    * metadata-only schema changes — RENAME value→score and DROP props —
+    * with zero data-file rewrites (the registered query hash-fails if
+    * either op touched, lost, or mis-mapped a single row, because the
+    * oracle reconstructs from the raw table under the ORIGINAL names). */
+  private def buildRenamedEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(renameCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("colmap-events")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-rename", sfDir)}-$appTag").toString
+      dropTable(t)
+      mergeUpsert(s, t, Tables.read(s, sfDir, "events"),
+        Seq("event_id"), Seq("event_id"), txn = Some(("seed", 0L)))
+      val before = latestManifest(t).get.files
+      renameColumn(t, "value", "score")   // v1: metadata-only
+      dropColumn(t, "props")              // v2: metadata-only
+      require(latestManifest(t).get.files == before,
+        "rename/drop must not touch a single data-file entry")
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_column_mapping`: digest of the renamed/dropped head under the NEW
+    * column names — served through the logical→physical map from data
+    * files that still carry the ORIGINAL parquet column names. */
+  def columnMappingDigest(s: SparkSession, sfDir: String): DataFrame =
+    read(s, buildRenamedEvents(s, sfDir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("score")), 2).as("score_sum"))
+      .orderBy("event_type")
+
+  val columnMappingDigestSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  round(sum(value), 2) AS score_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val sqlUpdDelCache = IndexMemo.cache[(SparkSession, String), String]()
 
   /** Fixture behind `q_sql_update_delete`: versions 1 and 2 are committed

@@ -137,9 +137,27 @@ class GraftScanBuilder(table: String, m: TableManifest, full: StructType)
 }
 
 class GraftScan(table: String, m: TableManifest, required: StructType,
-    pruneFilters: Array[Filter], allFilters: Array[Filter]) extends V1Scan {
+    pruneFilters: Array[Filter], allFilters: Array[Filter]) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private lazy val pruned = StatsPruning.prune(m.files, pruneFilters.toSeq,
     c => MergeTable.physOf(m.columnMap, c))
+
+  /** Manifest-derived size estimate AFTER file skipping — what lets
+    * Catalyst broadcast a small (or small-after-pruning) merge-table
+    * side of a join instead of shuffling both. Row count is exact
+    * (visible rows of the kept files); bytes are rows × the required
+    * schema's default widths — the standard in-memory estimate, erring
+    * large enough not to broadcast surprises. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val rows = pruned.map(_.visibleRows).sum
+      private val width =
+        math.max(8, required.fields.map(_.dataType.defaultSize).sum)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * width)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
 
   override def readSchema(): StructType = required
   override def description(): String =

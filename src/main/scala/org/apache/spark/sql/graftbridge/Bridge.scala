@@ -28,6 +28,15 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Catalyst predicate → data-source [[org.apache.spark.sql.sources.Filter]]
+    * (None when the shape has no source-filter equivalent) —
+    * `DataSourceStrategy.translateFilter` is `private[sql]`; the SQL
+    * UPDATE/DELETE front end uses it to stats-prune the snapshot scan
+    * that derives the affected keys. */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed.collectLeaves().foreach {

@@ -250,5 +250,19 @@ class GraftDataSourceSpec extends AnyFunSuite {
       EqualTo("a", 1)).nonEmpty)
   }
 
+  test("the scan reports manifest-derived statistics: a small graft " +
+    "table broadcasts in a join, and the row estimate is exact") {
+    val t = freshTable("stats")
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 50L).map(i => (i, s"n$i")).toDF("event_id", "name"),
+      Seq("event_id"), Seq("event_id"))
+    val big = spark.range(0, 200000).toDF("event_id")
+    val joined = big.join(spark.read.format("graft").load(t), "event_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 50-row graft side must broadcast:\n$plan")
+    assert(joined.count() == 50L)
+  }
+
   private val Row = org.apache.spark.sql.Row
 }

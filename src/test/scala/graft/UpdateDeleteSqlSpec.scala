@@ -93,6 +93,22 @@ class UpdateDeleteSqlSpec extends AnyFunSuite {
     assert(out(1L)._2 == 1.5 && out(100L)._2 == 100.5)
   }
 
+  test("the find-affected scan is FILE-SKIPPED: a stats-prunable " +
+    "predicate's snapshot scan opens only overlapping files") {
+    val t = seed("prunefind")
+    val head = MergeTable.latestManifest(t).get
+    assert(head.files.size >= 4)
+    val scan = GraftSql.prunedSnapshot(spark, t, head, "value > 90.0")
+    val opened = scan.inputFiles.toSet
+    assert(opened.size < head.files.size,
+      s"find phase must skip files: ${opened.size}/${head.files.size}")
+    assert(scan.count() == 10L)
+    // and the DELETE built on it still lands exactly
+    assert(GraftSql.deleteFrom(spark,
+      s"DELETE FROM graft.`$t` WHERE value > 90.0") == 10L)
+    assert(state(t).size == 90)
+  }
+
   test("SQL writes compose: MERGE, UPDATE, DELETE against the same table " +
     "leave a consistent, time-travelable history") {
     val t = seed("compose")
