@@ -162,8 +162,11 @@ object GraftSql {
     def fold(e: Expression): Expression = e.transformUp {
       case sub if sub.foldable && sub.deterministic &&
           !sub.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
-        org.apache.spark.sql.catalyst.expressions.Literal
-          .create(sub.eval(null), sub.dataType)
+        // foldable-but-Unevaluable nodes exist pre-optimizer
+        // (current_timestamp() waits for ComputeCurrentTime) — leave
+        // them in place rather than crash; they just don't prune
+        scala.util.Try(org.apache.spark.sql.catalyst.expressions.Literal
+          .create(sub.eval(null), sub.dataType)).getOrElse(sub)
     }
     val filters = resolved.toSeq.map(fold).flatMap(conjuncts).flatMap(
       org.apache.spark.sql.graftbridge.Bridge.translateFilter)
@@ -215,6 +218,11 @@ object GraftSql {
       c -> renderBare(a.value, alias)
     }
     require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+    // a duplicate SET column would silently collapse in the projection
+    // map — last writer wins is NOT SQL, which rejects the statement
+    val dup = sets.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+      .collectFirst { case (c, vs) if vs.size > 1 => c }
+    dup.foreach(c => unsupported(s"duplicate SET assignment for column '$c'"))
     val condSql = u.condition.map(renderBare(_, alias)).getOrElse("true")
     import org.apache.spark.sql.functions.expr
     val batch = prunedSnapshot(s, path, head, condSql)

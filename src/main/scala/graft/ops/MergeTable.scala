@@ -1306,11 +1306,18 @@ object MergeTable {
       val columnMap = tableSchema match {
         case None => headMap
         case Some(ts) =>
-          val usedPhysical = ts.fields.map(f => physOf(headMap, f.name)).toSet ++
-            headMap.values ++ retired
+          // CASE-INSENSITIVE collision check: parquet name resolution is
+          // case-insensitive under Spark's default, so a new column
+          // differing from a retired physical only by case would still
+          // read the old bytes out of pre-drop files
+          val usedPhysical =
+            (ts.fields.map(f => physOf(headMap, f.name)) ++
+              headMap.values ++ retired)
+              .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
           val newFields = schema.fields.filterNot(f => ts.exists(_.name == f.name))
           headMap ++ newFields.collect {
-            case f if usedPhysical.contains(f.name) =>
+            case f if usedPhysical.contains(
+                f.name.toLowerCase(java.util.Locale.ROOT)) =>
               f.name -> s"${f.name}_p${java.util.UUID.randomUUID().toString.take(8)}"
           }
       }

@@ -236,15 +236,23 @@ object GraftV1Relation {
   }
 }
 
-/** Spec instrumentation: the last scan's file-pruning outcome. Execution
-  * metadata only — never consulted by the read path. */
+/** Spec instrumentation: the last scan's file-pruning outcome, keyed by
+  * table path so concurrent suites over different tables can't clobber
+  * each other's observation. Execution metadata only — never consulted
+  * by the read path. */
 object GraftScanAudit {
   case class ScanAudit(table: String, version: Long, totalFiles: Int,
       scannedFiles: Int, scannedPaths: Seq[String])
   @volatile private var lastAudit: Option[ScanAudit] = None
-  private[sources] def record(a: ScanAudit): Unit = lastAudit = Some(a)
+  private val byTable =
+    new java.util.concurrent.ConcurrentHashMap[String, ScanAudit]()
+  private[sources] def record(a: ScanAudit): Unit = {
+    lastAudit = Some(a)
+    byTable.put(a.table, a)
+  }
   def last: Option[ScanAudit] = lastAudit
-  def reset(): Unit = lastAudit = None
+  def lastFor(table: String): Option[ScanAudit] = Option(byTable.get(table))
+  def reset(): Unit = { lastAudit = None; byTable.clear() }
 }
 
 /** Catalog plugin: `spark.sql.catalog.graft=graft.sources.GraftCatalog`

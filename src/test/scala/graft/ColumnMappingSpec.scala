@@ -95,7 +95,7 @@ class ColumnMappingSpec extends AnyFunSuite {
     val out = spark.read.format("graft").load(t)
       .where(col("score") > 90.0).select("event_id").as[Long].collect().toSet
     assert(out == (91L to 100L).toSet)
-    val audit = graft.sources.GraftScanAudit.last.get
+    val audit = graft.sources.GraftScanAudit.lastFor(t).get
     assert(audit.scannedFiles < audit.totalFiles,
       s"renamed-column predicate must still prune: ${audit.scannedFiles}/${audit.totalFiles}")
   }
@@ -123,6 +123,22 @@ class ColumnMappingSpec extends AnyFunSuite {
     // pre-drop versions still read the original column
     assert(MergeTable.readVersion(spark, t, 0L)
       .agg(sum(col("value"))).as[Double].head() == 5050.0)
+  }
+
+  test("a re-ADD differing only by CASE from a dropped column still " +
+    "takes a fresh physical (parquet resolution is case-insensitive)") {
+    val t = seed("case")
+    MergeTable.dropColumn(t, "value")
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "tagx", 7.0)).toDF("event_id", "tag", "Value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 25)
+    val m = MergeTable.latestManifest(t).get
+    assert(MergeTable.physOf(m.columnMap, "Value") != "Value",
+      s"case-colliding re-add must remap: ${m.columnMap}")
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "Value").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(7.0) && out(2L).isEmpty,
+      "old bytes must not resurrect through the case difference")
   }
 
   test("CDF stays consistent across a rename: updates diff through the " +

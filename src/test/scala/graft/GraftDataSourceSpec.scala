@@ -62,7 +62,7 @@ class GraftDataSourceSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSet
     assert(out == expect && out.nonEmpty)
     // pruning: strictly fewer files than the table holds…
-    val audit = GraftScanAudit.last.get
+    val audit = GraftScanAudit.lastFor(t).get
     assert(audit.totalFiles == m.files.size && m.files.size >= 8)
     assert(audit.scannedFiles < audit.totalFiles,
       s"expected pruning, scanned ${audit.scannedFiles}/${audit.totalFiles}")

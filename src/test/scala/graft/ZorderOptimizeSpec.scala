@@ -61,7 +61,7 @@ class ZorderOptimizeSpec extends AnyFunSuite {
     val n = spark.read.format("graft").load(t)
       .where(col("y") <= 3L && col("y") >= 0L).count()
     assert(n == 32 * 4)
-    val audit = graft.sources.GraftScanAudit.last.get
+    val audit = graft.sources.GraftScanAudit.lastFor(t).get
     assert(audit.scannedFiles == zRead.size)
     // time travel still sees the pre-rewrite layout
     assert(MergeTable.readVersion(spark, t, linear.version)
