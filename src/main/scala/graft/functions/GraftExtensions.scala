@@ -19,6 +19,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the engine's transactional merge command before Spark's row-level
     // rewrite would reject the (non-SupportsRowLevelOperations) target
     e.injectPostHocResolutionRule(session => graft.ops.GraftMergeRule(session))
+    // metadata table functions: DESCRIBE HISTORY / DETAIL analogs
+    e.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(graft.ops.GraftTvf.getClass.getName, "graft_history"),
+      (children: Seq[Expression]) => graft.ops.GraftTvf.history(children)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_detail"),
+      new ExpressionInfo(graft.ops.GraftTvf.getClass.getName, "graft_detail"),
+      (children: Seq[Expression]) => graft.ops.GraftTvf.detail(children)))
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

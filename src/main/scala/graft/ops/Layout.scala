@@ -32,10 +32,27 @@ object Layout {
     * shift/mask terms, so whole-stage codegen sees plain long arithmetic.
     */
   def zvalue(x: Column, y: Column, bits: Int = ZBits): Column =
-    (0 until bits).map { i =>
-      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
-        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    zvalueN(Seq(x, y), bits)
+
+  /** N-ary Morton interleave (2–4 dimensions): bit `i` of column `j`
+    * lands at position `i·n + j` — the round-robin generalization of the
+    * two-column form (to which it is bit-identical at n = 2: positions
+    * 2i and 2i+1). Disjoint bit positions make the sum exact in a long
+    * regardless of term order. Callers cap `bits` so `bits·n ≤ 62`
+    * ([[zBitsFor]]). */
+  def zvalueN(cols: Seq[Column], bits: Int = ZBits): Column = {
+    val n = cols.size
+    require(n >= 2 && n <= 4, s"z-order interleaves 2–4 columns, got $n")
+    require(bits * n <= 62, s"$bits bits × $n columns overflows a long")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j))
+      }
     }.reduce(_ + _)
+  }
+
+  /** Per-dimension bit budget for an n-column interleave. */
+  def zBitsFor(n: Int): Int = math.min(ZBits, 62 / n)
 
   /** DuckDB mirror of [[zvalue]] — same fold, element-exact. */
   def zvalueSql(x: String, y: String, bits: Int = ZBits): String =

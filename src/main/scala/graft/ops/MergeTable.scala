@@ -1912,8 +1912,8 @@ object MergeTable {
           s"zorderBy column '$c' must be integral (Morton interleave), " +
             s"got ${schemaForZ(c).dataType}")
       }
-      require(zorderBy.isEmpty || zorderBy.size == 2,
-        s"zorderBy takes exactly two columns, got ${zorderBy.size}")
+      require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),
+        s"zorderBy takes 2–4 columns, got ${zorderBy.size}")
       val small = snapshot.files.filter(_.visibleRows < targetRowsPerFile / 2)
       val dvBearing = snapshot.files.filter(_.dv.nonEmpty)
       // a re-layout rewrites EVERYTHING (the point is the global order);
@@ -1942,7 +1942,8 @@ object MergeTable {
               (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
             writeStaged(table,
               pinned.withColumn("__graft_z",
-                  Layout.zvalue(col(zorderBy.head), col(zorderBy(1))))
+                  Layout.zvalueN(zorderBy.map(col),
+                    Layout.zBitsFor(zorderBy.size)))
                 .repartitionByRange(nFiles, col("__graft_z"))
                 .sortWithinPartitions("__graft_z")
                 .drop("__graft_z"),

@@ -264,5 +264,27 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(joined.count() == 50L)
   }
 
+  test("graft_history / graft_detail table functions serve commit " +
+    "metadata through plain SQL") {
+    val t = seeded("tvf")
+    MergeTable.mergeDelete(spark, t,
+      (1L to 1000L by 100).toDF("event_id"), deletionVectors = true)
+    val hist = spark.sql(s"SELECT * FROM graft_history('$t')")
+      .as[(Long, Long, String, Int, Int)].collect()
+    assert(hist.map(_._1).toSeq == Seq(0L, 1L))
+    assert(hist.forall(_._3 == "delta"))
+    assert(hist(0)._4 >= 8, "v0 adds the initial file set")
+    val d = spark.sql(s"SELECT * FROM graft_detail('$t')").collect().head
+    assert(d.getLong(0) == 1L)                  // version
+    assert(d.getLong(2) == 1000L)               // physical rows
+    assert(d.getLong(3) == 990L)                // visible rows (10 DV'd)
+    assert(d.getInt(4) >= 1)                    // dv files
+    assert(d.getString(5) == "event_id")
+    assert(d.getString(7).contains("payload"))
+    // composes with ordinary SQL
+    assert(spark.sql(
+      s"SELECT max(version) FROM graft_history('$t')").as[Long].head() == 1L)
+  }
+
   private val Row = org.apache.spark.sql.Row
 }

@@ -83,6 +83,35 @@ class ZorderOptimizeSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, t).count() == 256L - 37L)
   }
 
+  test("THREE-column zorder: each dimension's band predicate prunes") {
+    val t = fresh("tri")
+    val grid = (for { x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L }
+      yield (x * 64L + y * 8L + z, x, y, z)).toSeq
+      .toDF("event_id", "x", "y", "z")
+    MergeTable.mergeUpsert(spark, t, grid, Seq("event_id"), Seq("event_id"),
+      targetRowsPerFile = 64)
+    val before = MergeTable.read(spark, t).orderBy("event_id").collect().toSeq
+    MergeTable.optimize(spark, t, targetRowsPerFile = 64,
+      zorderBy = Seq("x", "y", "z"))
+    val m = MergeTable.latestManifest(t).get
+    for (dim <- Seq("y", "z")) { // the non-leading dims linear misses
+      val band = Seq(And(GreaterThanOrEqual(dim, 0L), LessThanOrEqual(dim, 1L)))
+      val kept = StatsPruning.prune(m.files, band)
+      assert(kept.size < m.files.size,
+        s"3-D z layout must prune a $dim band: ${kept.size}/${m.files.size}")
+    }
+    assert(MergeTable.read(spark, t).orderBy("event_id").collect().toSeq == before)
+  }
+
+  test("zvalueN at n=2 is bit-identical to the two-column interleave") {
+    val df = (0L until 200L).map(i => (i, i * 7 % 64, i * 13 % 64))
+      .toDF("id", "x", "y")
+    val n = df.select((graft.ops.Layout.zvalue(col("x"), col("y")) ===
+      graft.ops.Layout.zvalueN(Seq(col("x"), col("y")))).as("eq"))
+      .where(!col("eq")).count()
+    assert(n == 0L)
+  }
+
   test("zorderBy validation: wrong arity, unknown or non-integral columns") {
     val t = fresh("reject")
     MergeTable.mergeUpsert(spark, t,
@@ -90,6 +119,9 @@ class ZorderOptimizeSpec extends AnyFunSuite {
       Seq("event_id"), Seq("event_id"))
     intercept[IllegalArgumentException](
       MergeTable.optimize(spark, t, zorderBy = Seq("event_id")))
+    intercept[IllegalArgumentException](
+      MergeTable.optimize(spark, t,
+        zorderBy = Seq("event_id", "event_id", "event_id", "event_id", "event_id")))
     intercept[IllegalArgumentException](
       MergeTable.optimize(spark, t, zorderBy = Seq("event_id", "nope")))
     intercept[IllegalArgumentException](
