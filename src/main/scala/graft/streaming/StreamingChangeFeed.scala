@@ -229,7 +229,14 @@ object StreamingChangeFeed {
         } finally st.close()
       }
     require(complete.nonEmpty, s"no complete feed versions under $out")
-    s.read.option("basePath", out).parquet(complete: _*)
+    // mergeSchema: a mid-stream column RENAME (metadata-only on the
+    // table) means version dirs before and after it carry different
+    // column names — a sampled-schema read would silently drop one
+    // generation; the merged read exposes both (each null outside its
+    // generation), so a reconciling consumer sees everything and can
+    // stitch via the rename it knows about
+    s.read.option("basePath", out).option("mergeSchema", "true")
+      .parquet(complete: _*)
   }
 
   /** Versions the feed had to SKIP (their data was vacuumed before the

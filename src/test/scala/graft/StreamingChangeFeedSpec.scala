@@ -132,6 +132,33 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
       .where(col("version") === 0L).count() == 3L)
   }
 
+  test("a mid-stream column RENAME keeps the feed readable: both name " +
+    "generations survive the merged read, new versions carry new names") {
+    val base = tmp("renamefeed")
+    val table = s"$base/table"
+    val out = s"$base/out"
+    MergeTable.mergeUpsert(spark, table, rows(1L to 5L, 1.0),
+      Seq("event_id"), Seq("event_id"))                          // v0
+    val q1 = StreamingChangeFeed.startChangeFeedSink(spark, table, out, s"$base/cp")
+    try q1.processAllAvailable() finally q1.stop()
+    MergeTable.renameColumn(table, "value", "score")             // v1
+    MergeTable.mergeUpsert(spark, table,
+      Seq((2L, "u2", 9.0)).toDF("event_id", "tag", "score"),
+      Seq("event_id"), Seq("event_id"))                          // v2
+    val q2 = StreamingChangeFeed.startChangeFeedSink(spark, table, out, s"$base/cp")
+    try q2.processAllAvailable() finally q2.stop()
+    val feed = StreamingChangeFeed.readFeed(spark, out)
+    assert(feed.columns.contains("value") && feed.columns.contains("score"),
+      s"merged read must keep both generations: ${feed.columns.toSeq}")
+    // v0 rows speak the old name, the v2 update speaks the new one
+    assert(feed.where(col("version") === 0L && col("value").isNotNull)
+      .count() == 5L)
+    val upd = feed.where(col("version") === 2L)
+      .select("event_id", "change_type", "score")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(upd == Seq((2L, "UPDATE", 9.0)), upd.toString)
+  }
+
   test("preimages: an incremental consumer applies the feed — inserts add, " +
     "updates retract the old value, deletes retract — and lands on the " +
     "table's true aggregate") {
