@@ -25,10 +25,10 @@ object GraftTvf {
 
   private def pathArg(fn: String, children: Seq[Expression]): String =
     children match {
-      case Seq(Literal(s, StringType)) => s.toString
+      case Seq(Literal(s, StringType)) if s != null => s.toString
       case _ => throw new IllegalArgumentException(
-        s"$fn expects exactly one string literal (the table path), got: " +
-          children.map(_.sql).mkString(", "))
+        s"$fn expects exactly one non-null string literal (the table " +
+          s"path), got: ${children.map(_.sql).mkString(", ")}")
     }
 
   val historySchema: StructType = StructType(Seq(
