@@ -953,15 +953,9 @@ object MergeTable {
 
   // ---- typed cluster-key statistics ---------------------------------------
 
-  private def statTag(dt: DataType): String = dt match {
-    case ByteType | ShortType | IntegerType | LongType => "long"
-    case FloatType | DoubleType => "double"
-    case StringType => "string"
-    case TimestampType => "timestamp"
-    case DateType => "date"
-    case other => sys.error(s"unsupported cluster-key type $other — " +
-      "supported: integral, float/double, string, timestamp, date")
-  }
+  private def statTag(dt: DataType): String = statTagOpt(dt).getOrElse(
+    sys.error(s"unsupported cluster-key type $dt — " +
+      "supported: integral, float/double, string, timestamp, date, decimal"))
 
   /** [[statTag]] for GENERALIZED (non-cluster) stats collection: returns
     * None for types the stat domain can't order (arrays, structs, binary,
@@ -974,6 +968,9 @@ object MergeTable {
     case StringType => Some("string")
     case TimestampType => Some("timestamp")
     case DateType => Some("date")
+    // generalized stats only (cluster keys keep rejecting decimals):
+    // rendered as plain scale-preserving strings, compared as BigDecimal
+    case _: DecimalType => Some("decimal")
     case _ => None
   }
 
@@ -1026,6 +1023,11 @@ object MergeTable {
     case DateType => v match {
       case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
       case d: java.time.LocalDate => d.toEpochDay.toString
+    }
+    case _: DecimalType => v match {
+      case d: java.math.BigDecimal => d.toPlainString
+      case d: BigDecimal => d.underlying.toPlainString
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal.toPlainString
     }
     case other => sys.error(s"unsupported cluster-key type $other")
   }
@@ -1532,6 +1534,12 @@ object MergeTable {
       what: String): Unit = {
     clusterBy.foreach { c =>
       require(df.columns.contains(c), s"$what: cluster column '$c' missing")
+      // decimals are stats-indexable (generalized skipping) but NOT
+      // cluster keys: the pruning join's interval frame and the JVM
+      // re-injection don't carry precision/scale
+      require(!df.schema(c).dataType.isInstanceOf[DecimalType],
+        s"$what: cluster column '$c' is decimal — use an integral/" +
+          "string/timestamp key (decimals still get skipping stats)")
       statTag(df.schema(c).dataType) // throws on unsupported types
     }
     val badCond = clusterBy.map { c =>

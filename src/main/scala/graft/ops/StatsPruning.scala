@@ -172,6 +172,10 @@ object StatsPruning {
       Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
     case ("date", d: java.sql.Date) => Some(d.toLocalDate.toEpochDay.toString)
     case ("date", d: java.time.LocalDate) => Some(d.toEpochDay.toString)
+    case ("decimal", d: java.math.BigDecimal) => Some(d.toPlainString)
+    case ("decimal", d: BigDecimal) => Some(d.underlying.toPlainString)
+    case ("decimal", n: java.lang.Number) => // integral/double literal vs decimal column
+      scala.util.Try(new java.math.BigDecimal(n.toString).toPlainString).toOption
     case _ => None
   }
 
@@ -183,6 +187,8 @@ object StatsPruning {
     case "long" | "timestamp" | "date" => a.toLong <= b.toLong
     case "double" => a.toDouble <= b.toDouble
     case "string" => utf8Cmp(a, b) <= 0
+    case "decimal" =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) <= 0
     case _ => true
   }
 

@@ -264,6 +264,35 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(joined.count() == 50L)
   }
 
+  test("DECIMAL columns get skipping stats and prune through the scan") {
+    val t = freshTable("decimal")
+    val df = (1L to 400L).map(i => (i, BigDecimal(i) * BigDecimal("1.25")))
+      .toDF("event_id", "amount")
+      .select(col("event_id"), col("amount").cast("decimal(12,2)").as("amount"))
+    MergeTable.mergeUpsert(spark, t, df, Seq("event_id"), Seq("event_id"),
+      targetRowsPerFile = 100)
+    val files = MergeTable.latestManifest(t).get.files
+    assert(files.head.stats.contains("amount"))
+    assert(files.head.stats("amount").t == "decimal")
+    val kept = StatsPruning.prune(files,
+      Seq(GreaterThan("amount", new java.math.BigDecimal("450.00"))))
+    assert(kept.size < files.size, s"decimal box must prune: ${kept.size}/${files.size}")
+    GraftScanAudit.reset()
+    // a DECIMAL literal keeps the predicate on the column (a double
+    // literal would cast the COLUMN and nothing pushes — Spark semantics)
+    val out = spark.read.format("graft").load(t)
+      .where(col("amount") > lit(new java.math.BigDecimal("450.00")))
+      .select("event_id").as[Long].collect().toSet
+    assert(out == (361L to 400L).toSet) // 1.25*i > 450 ⇔ i > 360
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles < files.size)
+    // decimal CLUSTER keys stay rejected with a pointed message
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.mergeUpsert(spark, freshTable("decimalkey"),
+        df.select(col("amount"), col("event_id")), Seq("amount"), Seq("amount"))
+    }
+    assert(e.getMessage.contains("decimal"))
+  }
+
   test("graft_history / graft_detail table functions serve commit " +
     "metadata through plain SQL") {
     val t = seeded("tvf")
