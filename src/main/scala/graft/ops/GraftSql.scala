@@ -34,16 +34,15 @@ import graft.sources.GraftTable
   *    implement `SupportsRowLevelOperations`; its commit protocol is the
   *    engine's CAS log, not a V2 row-level write).
   *
-  * Semantics mapping (engine applies DELETE before UPDATE on matched
-  * rows; SQL applies clauses in statement order): when an UPDATE clause
-  * precedes a DELETE clause, the delete condition is strengthened with
-  * `AND NOT (updateCondition)` so a row satisfying both takes the update,
-  * as the statement says. An unconditional earlier clause makes a later
-  * clause of the other kind unreachable — it is dropped. One clause of
-  * each kind is supported (one matched UPDATE, one matched DELETE, one
-  * NOT MATCHED INSERT, one NMBS UPDATE, one NMBS DELETE) — the engine's
-  * clause surface; a second clause of a kind fails loudly rather than
-  * silently reordering.
+  * The FULL clause surface maps through: any number of conditional
+  * clauses per kind in statement order (the engine's clause lists are
+  * first-match-wins per row, [[MergeTable.merge]]), arbitrary
+  * expressions in `WHEN MATCHED UPDATE SET` (both `t.` and `s.` in
+  * scope — `SET t.cnt = t.cnt + s.cnt` accumulates), and explicit
+  * `INSERT (cols) VALUES (exprs)` column lists (`s.` expressions;
+  * unlisted non-key columns insert as NULL, SQL semantics; merge keys
+  * must be identity `s.<k>` — the key-unique table model). Rejected
+  * loudly: rekeying UPDATEs, duplicate SET columns, non-equi ON.
   */
 object GraftSql {
 
@@ -188,13 +187,36 @@ object GraftSql {
     val (alias, _) = unalias(d.table)
     val path = graftTargetPath(d.table).getOrElse(unsupported(
       "DELETE target must be a graft table"))
-    val head = MergeTable.latestManifest(path).getOrElse(
-      sys.error(s"no committed version under $path"))
     val condSql = Option(d.condition).map(renderBare(_, alias)).getOrElse("true")
     import org.apache.spark.sql.functions.col
-    val delKeys = prunedSnapshot(s, path, head, condSql)
-      .select(head.keys.map(col): _*)
-    MergeTable.mergeDelete(s, path, delKeys, txn = txn)
+    // find-then-commit under a pinned version: the WHERE scan and the
+    // commit must see the SAME snapshot, or a concurrent commit landing
+    // between them is silently half-deleted (the lost-update TOCTOU).
+    // A conflict re-runs the WHOLE find phase against the new head.
+    refindLoop {
+      val head = MergeTable.latestManifest(path).getOrElse(
+        sys.error(s"no committed version under $path"))
+      val delKeys = prunedSnapshot(s, path, head, condSql)
+        .select(head.keys.map(col): _*)
+      MergeTable.mergeDelete(s, path, delKeys, txn = txn,
+        requireVersion = Some(head.version))
+    }
+  }
+
+  /** Bounded find-phase retry: re-runs `body` while the commit path
+    * reports the head moved past the snapshot the find phase read. */
+  private def refindLoop[A](body: => A): A = {
+    val maxFinds = 10
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case e: MergeTable.ConcurrentMergeException =>
+          if (attempt >= maxFinds) throw e
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** `UPDATE t SET c = e, … WHERE cond` → batch = the matching rows with
@@ -208,28 +230,38 @@ object GraftSql {
     val (alias, _) = unalias(u.table)
     val path = graftTargetPath(u.table).getOrElse(unsupported(
       "UPDATE target must be a graft table"))
-    val head = MergeTable.latestManifest(path).getOrElse(
-      sys.error(s"no committed version under $path"))
-    val sets = u.assignments.map { a =>
-      val c = lastName(a.key)
-      if (head.keys.exists(_.equalsIgnoreCase(c))) unsupported(
-        s"UPDATE must not SET merge key '$c' — rekeying a row is a " +
-          "delete + insert")
-      c -> renderBare(a.value, alias)
+    // find-then-commit under a pinned version (see runDelete): the SET
+    // expressions evaluate against the find phase's snapshot rows, so a
+    // head that moved before the commit would silently clobber the
+    // winner's values with ones derived from a stale read
+    refindLoop {
+      val head = MergeTable.latestManifest(path).getOrElse(
+        sys.error(s"no committed version under $path"))
+      val sets = u.assignments.map { a =>
+        val c = lastName(a.key)
+        if (head.keys.exists(_.equalsIgnoreCase(c))) unsupported(
+          s"UPDATE must not SET merge key '$c' — rekeying a row is a " +
+            "delete + insert")
+        c -> renderBare(a.value, alias)
+      }
+      require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+      // a duplicate SET column would silently collapse in the projection
+      // map — last writer wins is NOT SQL, which rejects the statement
+      val dup = sets.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+        .collectFirst { case (c, vs) if vs.size > 1 => c }
+      dup.foreach(c => unsupported(s"duplicate SET assignment for column '$c'"))
+      val condSql = u.condition.map(renderBare(_, alias)).getOrElse("true")
+      import org.apache.spark.sql.functions.expr
+      val batch = prunedSnapshot(s, path, head, condSql)
+        .withColumns(sets.map { case (c, e) => c -> expr(e) }.toMap)
+      // update-all on matched, no inserts (an unmatched-at-commit row —
+      // a concurrent delete won the race — is dropped, never resurrected)
+      MergeTable.merge(s, path, batch, head.keys, head.clusterBy,
+        matched = Seq(MergeTable.MergeClause(None,
+          MergeTable.UpdateSet(Map.empty))),
+        notMatched = Seq.empty, txn = txn,
+        requireVersion = Some(head.version))
     }
-    require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
-    // a duplicate SET column would silently collapse in the projection
-    // map — last writer wins is NOT SQL, which rejects the statement
-    val dup = sets.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
-      .collectFirst { case (c, vs) if vs.size > 1 => c }
-    dup.foreach(c => unsupported(s"duplicate SET assignment for column '$c'"))
-    val condSql = u.condition.map(renderBare(_, alias)).getOrElse("true")
-    import org.apache.spark.sql.functions.expr
-    val batch = prunedSnapshot(s, path, head, condSql)
-      .withColumns(sets.map { case (c, e) => c -> expr(e) }.toMap)
-    MergeTable.mergeUpsert(s, path, batch, head.keys, head.clusterBy,
-      txn = txn, matchedCondition = Some("true"),
-      insertCondition = Some("false"))
   }
 
   /** Execute a parsed (resolved or unresolved) [[MergeIntoTable]] whose
@@ -304,128 +336,94 @@ object GraftSql {
     }
     require(parsedKeys.nonEmpty, "MERGE needs at least one ON key")
 
-    // ---- matched clauses -----------------------------------------------
-    var matchedCondition: Option[String] = None
-    var updateCols: Seq[String] = Seq.empty
-    var sawUpdate = false
-    var deleteCond: Option[String] = None // raw, before order adjustment
-    var updateFirst = false
-    m.matchedActions.foreach {
-      case UpdateStarAction(cond) =>
-        if (sawUpdate) unsupported("at most one WHEN MATCHED UPDATE clause")
-        sawUpdate = true; updateFirst = deleteCond.isEmpty
-        matchedCondition = Some(renderOpt(cond).getOrElse("true"))
-      case UpdateAction(cond, assignments, fromStar) =>
-        if (sawUpdate) unsupported("at most one WHEN MATCHED UPDATE clause")
-        sawUpdate = true; updateFirst = deleteCond.isEmpty
-        matchedCondition = Some(renderOpt(cond).getOrElse("true"))
-        if (!fromStar && assignments.nonEmpty) {
-          val updated = assignments.flatMap { a =>
-            val colName = sideName(a.key).map(_._2).getOrElse(unsupported(
-              s"UPDATE SET key must be a target column: ${a.key.sql}"))
-            sideName(a.value) match {
-              case Some((Some(S), vn)) if vn.equalsIgnoreCase(colName) =>
-                Some(colName) // identity from source: an updated column
-              case Some((Some(T), vn)) if vn.equalsIgnoreCase(colName) =>
-                None // alignment filler t.c = t.c: kept column
-              case Some((None, vn)) if vn.equalsIgnoreCase(colName) =>
-                Some(colName) // unqualified c = c: treat as s.c
-              case _ => unsupported(
-                s"UPDATE SET supports identity assignments " +
-                  s"(<col> = s.<col>); got: ${a.sql}")
-            }
-          }
-          // identity key assignments (t.k = s.k) are no-ops on a matched
-          // pair — drop them; a full non-key cover means update-all
-          updateCols = updated.filterNot(c =>
-            parsedKeys.exists(_.equalsIgnoreCase(c)))
-          if (updateCols.isEmpty && updated.nonEmpty)
-            unsupported("UPDATE SET assigns only key columns")
+    // dropping a same-column duplicate would silently collapse to one
+    // writer — SQL rejects the statement
+    def rejectDuplicates(what: String, cols: Seq[String]): Unit =
+      cols.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+        .collectFirst { case (c, vs) if vs.size > 1 => c }
+        .foreach(c => unsupported(s"duplicate $what assignment for column '$c'"))
+
+    /** One UPDATE SET assignment list → the engine's expression map.
+      * Alignment fillers (`t.c = t.c` — the analyzer pads a partial SET
+      * with these) and identity KEY assignments (`t.k = s.k`, a no-op on
+      * a matched pair) drop out; a non-identity key assignment rejects
+      * (rekeying a row is a delete + insert). An UNQUALIFIED identity
+      * (`c = c`) reads as `c = s.c` in a matched clause (both sides in
+      * scope; the source side is what an update means) and as a keep-old
+      * filler in an NMBS clause (no source row exists). */
+    def updateSetOf(assignments: Seq[Assignment],
+        nmbsCtx: Boolean): Map[String, String] = {
+      rejectDuplicates("SET", assignments.map(a =>
+        sideName(a.key).map(_._2).getOrElse(unsupported(
+          s"UPDATE SET key must be a target column: ${a.key.sql}"))))
+      val set = assignments.flatMap { a =>
+        val colName = sideName(a.key).map(_._2).getOrElse(unsupported(
+          s"UPDATE SET key must be a target column: ${a.key.sql}"))
+        val isKey = parsedKeys.exists(_.equalsIgnoreCase(colName))
+        sideName(a.value) match {
+          case Some((_, vn)) if isKey && vn.equalsIgnoreCase(colName) =>
+            None // identity key assignment: a no-op on a matched pair
+          case _ if isKey => unsupported(
+            s"UPDATE SET must not rekey merge key '$colName' — " +
+              s"got: ${a.sql}")
+          case Some((Some(T), vn)) if vn.equalsIgnoreCase(colName) =>
+            None // alignment filler t.c = t.c: kept column
+          case Some((None, vn)) if vn.equalsIgnoreCase(colName) =>
+            if (nmbsCtx) None else Some(colName -> s"s.`$colName`")
+          case _ => Some(colName -> render(a.value))
         }
-      case DeleteAction(cond) =>
-        if (deleteCond.nonEmpty) unsupported("at most one WHEN MATCHED DELETE clause")
-        deleteCond = Some(renderOpt(cond).getOrElse("true"))
-      case other => unsupported(s"matched clause ${other.getClass.getSimpleName}")
-    }
-    // engine precedence: delete filters BEFORE the update projection. If
-    // the statement puts UPDATE first, a both-conditions row must take
-    // the update — strengthen the delete with AND NOT(updateCond); an
-    // unconditional earlier update makes the delete unreachable.
-    val matchedDeleteCondition: Option[String] = deleteCond.flatMap { d =>
-      if (!sawUpdate || !updateFirst) Some(d)
-      else matchedCondition match {
-        case Some("true") => None // unreachable clause
-        case Some(c) => Some(s"($d) AND NOT ($c)")
-        case None => Some(d)
-      }
+      }.toMap
+      if (set.isEmpty) unsupported(
+        "UPDATE SET assigns nothing (only key/keep-old identities)")
+      set
     }
 
-    // ---- not-matched (insert) clauses ------------------------------------
-    var insertCondition: Option[String] = None
-    var sawInsert = false
-    m.notMatchedActions.foreach {
+    // ---- matched clauses, statement order (first-match-wins) -------------
+    val matchedClauses: Seq[MergeTable.MergeClause] = m.matchedActions.map {
+      case UpdateStarAction(cond) =>
+        MergeTable.MergeClause(renderOpt(cond), MergeTable.UpdateSet(Map.empty))
+      case UpdateAction(cond, assignments, fromStar) =>
+        val set = if (fromStar || assignments.isEmpty) Map.empty[String, String]
+          else updateSetOf(assignments, nmbsCtx = false)
+        MergeTable.MergeClause(renderOpt(cond), MergeTable.UpdateSet(set))
+      case DeleteAction(cond) =>
+        MergeTable.MergeClause(renderOpt(cond), MergeTable.DeleteRow)
+      case other => unsupported(s"matched clause ${other.getClass.getSimpleName}")
+    }
+
+    // ---- not-matched (insert) clauses, statement order --------------------
+    val insertClauses: Seq[MergeTable.InsertClause] = m.notMatchedActions.map {
       case InsertStarAction(cond) =>
-        if (sawInsert) unsupported("at most one WHEN NOT MATCHED clause")
-        sawInsert = true
-        insertCondition = Some(renderOpt(cond).getOrElse("true"))
+        MergeTable.InsertClause(renderOpt(cond), Map.empty)
       case InsertAction(cond, assignments) =>
-        if (sawInsert) unsupported("at most one WHEN NOT MATCHED clause")
-        sawInsert = true
-        insertCondition = Some(renderOpt(cond).getOrElse("true"))
-        assignments.foreach { a =>
-          val colName = sideName(a.key).map(_._2).getOrElse(unsupported(
-            s"INSERT column must be a target column: ${a.key.sql}"))
-          sideName(a.value) match {
-            case Some((sd, vn))
-                if vn.equalsIgnoreCase(colName) && !sd.contains(T) => ()
-            case _ => unsupported(
-              "INSERT supports * / identity column lists " +
-                s"(<col> = s.<col>); got: ${a.sql}")
-          }
+        if (assignments.isEmpty)
+          MergeTable.InsertClause(renderOpt(cond), Map.empty)
+        else {
+          val cols = assignments.map(a =>
+            sideName(a.key).map(_._2).getOrElse(unsupported(
+              s"INSERT column must be a target column: ${a.key.sql}")))
+          rejectDuplicates("INSERT", cols)
+          // value expressions may reference `s.` only (no matched table
+          // row exists) — the engine validates resolution per side;
+          // unlisted non-key columns insert as typed NULLs (SQL column-
+          // list semantics), keys must be identity (engine-enforced)
+          MergeTable.InsertClause(renderOpt(cond),
+            cols.zip(assignments.map(a => render(a.value))).toMap)
         }
       case other => unsupported(s"not-matched clause ${other.getClass.getSimpleName}")
     }
-    // no insert clause at all: the statement inserts nothing
-    if (!sawInsert) insertCondition = Some("false")
 
-    // ---- not-matched-by-source clauses ------------------------------------
-    var nmbsDelete: Option[String] = None
-    var nmbsSet: Map[String, String] = Map.empty
-    var nmbsCond: Option[String] = None
-    var nmbsUpdateFirst = false
-    var sawNmbsUpdate = false
-    m.notMatchedBySourceActions.foreach {
-      case DeleteAction(cond) =>
-        if (nmbsDelete.nonEmpty) unsupported(
-          "at most one WHEN NOT MATCHED BY SOURCE DELETE clause")
-        nmbsDelete = Some(renderOpt(cond).getOrElse("true"))
-      case UpdateAction(cond, assignments, _) =>
-        if (sawNmbsUpdate) unsupported(
-          "at most one WHEN NOT MATCHED BY SOURCE UPDATE clause")
-        sawNmbsUpdate = true; nmbsUpdateFirst = nmbsDelete.isEmpty
-        nmbsCond = renderOpt(cond)
-        nmbsSet = assignments.flatMap { a =>
-          val colName = sideName(a.key).map(_._2).getOrElse(unsupported(
-            s"NMBS SET key must be a target column: ${a.key.sql}"))
-          sideName(a.value) match {
-            case Some((side, vn))
-                if vn.equalsIgnoreCase(colName) && !side.contains(S) =>
-              None // alignment filler t.c = t.c: kept column
-            case _ => Some(colName -> render(a.value))
-          }
-        }.toMap
-        if (nmbsSet.isEmpty) unsupported(
-          "WHEN NOT MATCHED BY SOURCE UPDATE assigns nothing")
-      case other => unsupported(
-        s"not-matched-by-source clause ${other.getClass.getSimpleName}")
-    }
-    val nmbsDeleteAdjusted: Option[String] = nmbsDelete.flatMap { d =>
-      if (!sawNmbsUpdate || !nmbsUpdateFirst) Some(d)
-      else nmbsCond match {
-        case None => None // unconditional earlier update: delete unreachable
-        case Some(c) => Some(s"($d) AND NOT ($c)")
+    // ---- not-matched-by-source clauses, statement order --------------------
+    val nmbsClauses: Seq[MergeTable.MergeClause] =
+      m.notMatchedBySourceActions.map {
+        case DeleteAction(cond) =>
+          MergeTable.MergeClause(renderOpt(cond), MergeTable.DeleteRow)
+        case UpdateAction(cond, assignments, _) =>
+          val set = updateSetOf(assignments, nmbsCtx = true)
+          MergeTable.MergeClause(renderOpt(cond), MergeTable.UpdateSet(set))
+        case other => unsupported(
+          s"not-matched-by-source clause ${other.getClass.getSimpleName}")
       }
-    }
 
     // ---- source frame + table-aligned keys ---------------------------------
     val source =
@@ -443,25 +441,13 @@ object GraftSql {
       case None => (parsedKeys, parsedKeys)
     }
 
-    // canonical unguarded upsert (UPDATE SET * + INSERT *, nothing else)
-    // takes the engine's non-conditional fast path — no full-outer join
-    val isPlainUpsert = sawUpdate && matchedCondition.contains("true") &&
-      updateCols.isEmpty && matchedDeleteCondition.isEmpty &&
-      insertCondition.contains("true") && nmbsDeleteAdjusted.isEmpty &&
-      nmbsSet.isEmpty
-    if (isPlainUpsert)
-      MergeTable.mergeUpsert(s, path, source, keys, clusterBy, txn = txn)
-    else
-      MergeTable.mergeUpsert(s, path, source, keys, clusterBy, txn = txn,
-        matchedCondition =
-          if (sawUpdate) matchedCondition else Some("false"),
-        updateCols = updateCols,
-        matchedDeleteCondition = matchedDeleteCondition,
-        insertCondition = insertCondition,
-        notMatchedBySourceDeleteCondition = nmbsDeleteAdjusted,
-        notMatchedBySourceSet = nmbsSet,
-        notMatchedBySourceCondition =
-          if (nmbsSet.nonEmpty) nmbsCond else None)
+    // statement order passes straight through — the engine's clause
+    // lists are first-match-wins, and the canonical unguarded upsert
+    // (unconditional UPDATE SET * + INSERT *, nothing else) takes its
+    // non-conditional fast path (no full-outer join) by shape detection
+    MergeTable.merge(s, path, source, keys, clusterBy,
+      matched = matchedClauses, notMatched = insertClauses,
+      notMatchedBySource = nmbsClauses, txn = txn)
   }
 }
 

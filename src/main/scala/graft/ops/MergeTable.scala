@@ -1212,7 +1212,6 @@ object MergeTable {
       notMatchedBySourceDeleteCondition: Option[String] = None,
       notMatchedBySourceSet: Map[String, String] = Map.empty,
       notMatchedBySourceCondition: Option[String] = None): Boolean = {
-    require(keys.nonEmpty, "merge keys must be non-empty")
     require(updateCols.forall(c => !keys.contains(c)),
       s"updateCols ${updateCols.mkString(",")} must not name merge keys — " +
         "a matched pair's key values are equal by definition")
@@ -1221,13 +1220,138 @@ object MergeTable {
     require(notMatchedBySourceCondition.isEmpty || notMatchedBySourceSet.nonEmpty,
       "notMatchedBySourceCondition guards the SET clause — it needs a " +
         "non-empty notMatchedBySourceSet")
-    notMatchedBySourceSet.keys.foreach(c => require(!keys.contains(c),
-      s"notMatchedBySourceSet must not name merge key '$c' — rekeying a " +
-        "row is a delete + insert, not an update"))
+    val anyExplicit = matchedCondition.nonEmpty || updateCols.nonEmpty ||
+      matchedDeleteCondition.nonEmpty || insertCondition.nonEmpty ||
+      notMatchedBySourceDeleteCondition.nonEmpty || notMatchedBySourceSet.nonEmpty
+    // the legacy single-clause-per-kind surface, expressed as clause
+    // lists: the delete clause is evaluated FIRST (its documented
+    // contract), then the update clause; `updateCols` is an identity SET
+    // from the source row; an absent insertCondition inserts everything
+    // (the SQL front end passes Some("false") for "no insert clause")
+    val (matchedClauses, insertClauses, nmbsClauses) =
+      if (!anyExplicit)
+        (Seq(MergeClause(None, UpdateSet(Map.empty))),
+          Seq(InsertClause(None, Map.empty)),
+          Seq.empty[MergeClause])
+      else {
+        val m = matchedDeleteCondition.map(c =>
+          MergeClause(Some(c), DeleteRow)).toSeq ++
+          (if (matchedCondition.nonEmpty || updateCols.nonEmpty)
+            Seq(MergeClause(matchedCondition,
+              UpdateSet(updateCols.map(c => c -> s"s.`$c`").toMap)))
+          else Seq.empty)
+        val nm = Seq(InsertClause(insertCondition, Map.empty))
+        val ns = notMatchedBySourceDeleteCondition.map(c =>
+          MergeClause(Some(c), DeleteRow)).toSeq ++
+          (if (notMatchedBySourceSet.nonEmpty)
+            Seq(MergeClause(notMatchedBySourceCondition,
+              UpdateSet(notMatchedBySourceSet)))
+          else Seq.empty)
+        (m, nm, ns)
+      }
+    merge(s, table, batch, keys, clusterBy, matchedClauses, insertClauses,
+      nmbsClauses, targetRowsPerFile, txn, maxAttempts)
+  }
+
+  // ---- generalized MERGE clause surface -----------------------------------
+
+  /** One `WHEN MATCHED [AND cond]` / `WHEN NOT MATCHED BY SOURCE [AND
+    * cond]` action. */
+  sealed trait MergeAction
+  /** `UPDATE SET <col> = <SQL expression>`; an EMPTY map means `UPDATE
+    * SET *` (every non-key column takes the source row's value). A
+    * matched clause's expressions may reference both sides (`t.` = the
+    * table row, `s.` = the batch row — `t.cnt + s.cnt` accumulates); a
+    * not-matched-by-source clause's expressions `t.` only (there is no
+    * source row). Merge keys must not be assigned — rekeying a row is a
+    * delete + insert, not an update. */
+  case class UpdateSet(set: Map[String, String]) extends MergeAction
+  case object DeleteRow extends MergeAction
+  /** One ordered `WHEN MATCHED` / `WHEN NOT MATCHED BY SOURCE` clause;
+    * `condition = None` is unconditional. Clauses evaluate in list order
+    * with FIRST-MATCH-WINS per row, exactly SQL MERGE's statement-order
+    * contract. */
+  case class MergeClause(condition: Option[String], action: MergeAction)
+  /** One ordered `WHEN NOT MATCHED [AND cond] THEN INSERT` clause; an
+    * EMPTY set means `INSERT *`. A non-empty set must assign every merge
+    * key as IDENTITY (`s.<key>` — the engine's key-unique table model
+    * pins an inserted row's key to the batch row it came from); value
+    * expressions reference `s.` only; unlisted non-key columns insert as
+    * typed NULLs (SQL column-list semantics). */
+  case class InsertClause(condition: Option[String], set: Map[String, String])
+
+  /** A concurrent commit invalidated a find-phase-derived batch (SQL
+    * UPDATE/DELETE evaluate their SET/WHERE against one pinned snapshot);
+    * the caller must re-run its find phase against the new head. */
+  class ConcurrentMergeException(msg: String) extends RuntimeException(msg)
+
+  /** The full `MERGE INTO` clause surface over one transactional commit:
+    * ordered `WHEN MATCHED` clauses (UPDATE SET with arbitrary
+    * expressions, or DELETE), ordered `WHEN NOT MATCHED` INSERT clauses
+    * (column lists with arbitrary source-side expressions), and ordered
+    * `WHEN NOT MATCHED BY SOURCE` clauses — first-match-wins in list
+    * order per row, the SQL statement-order contract. See
+    * [[mergeUpsert]] for the commit/retry/pruning machinery this shares
+    * (same loop, same conflict-scoped CAS fast path, same additive schema
+    * evolution) and for the conditional-clause semantics each action
+    * inherits.
+    *
+    * `requireVersion` pins the head version the batch was DERIVED from
+    * (the SQL UPDATE/DELETE find phase): a head that moved past it —
+    * before the first attempt or after a CAS loss the conflict-scoped
+    * fast path cannot absorb — throws [[ConcurrentMergeException]]
+    * instead of silently committing values computed from a stale read
+    * (the lost-update guard). */
+  def merge(
+      s: SparkSession,
+      table: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      clusterBy: Seq[String],
+      matched: Seq[MergeClause] = Seq.empty,
+      notMatched: Seq[InsertClause] = Seq.empty,
+      notMatchedBySource: Seq[MergeClause] = Seq.empty,
+      targetRowsPerFile: Long = 4096,
+      txn: Option[(String, Long)] = None,
+      maxAttempts: Int = 20,
+      requireVersion: Option[Long] = None): Boolean = {
+    require(keys.nonEmpty, "merge keys must be non-empty")
+    matched.foreach {
+      case MergeClause(_, UpdateSet(set)) =>
+        set.keys.foreach(c => require(!keys.exists(_.equalsIgnoreCase(c)),
+          s"UPDATE SET must not assign merge key '$c' — rekeying a row " +
+            "is a delete + insert, not an update"))
+      case _ => ()
+    }
+    notMatchedBySource.foreach {
+      case MergeClause(_, UpdateSet(set)) =>
+        require(set.nonEmpty,
+          "WHEN NOT MATCHED BY SOURCE UPDATE assigns nothing")
+        set.keys.foreach(c => require(!keys.exists(_.equalsIgnoreCase(c)),
+          s"NOT MATCHED BY SOURCE SET must not assign merge key '$c'"))
+      case _ => ()
+    }
+    // an inserted row's key must be the batch row's key (identity): the
+    // engine's key-uniqueness and file pruning both assume a merge's
+    // incoming keys are exactly the batch's keys — `INSERT (k) VALUES
+    // (s.k + 1000)` could collide with a key in a file the merge never
+    // read
+    def isIdentity(e: String, k: String): Boolean = {
+      val norm = e.replace("`", "").trim
+      norm.equalsIgnoreCase(k) || norm.equalsIgnoreCase(s"s.$k")
+    }
+    notMatched.foreach { c =>
+      if (c.set.nonEmpty) keys.foreach { k =>
+        val assigned = c.set.collectFirst {
+          case (n, e) if n.equalsIgnoreCase(k) => e }
+        require(assigned.exists(isIdentity(_, k)),
+          s"INSERT column list must assign merge key '$k' as identity " +
+            s"(s.`$k`); got: ${assigned.getOrElse("<missing>")}")
+      }
+    }
     // rows absent from the batch can live in ANY file: a merge carrying a
     // not-matched-by-source clause reads and rewrites the whole table
-    val nmbs = notMatchedBySourceDeleteCondition.nonEmpty ||
-      notMatchedBySourceSet.nonEmpty
+    val nmbs = notMatchedBySource.nonEmpty
     // pruning soundness: a file is skipped when no batch CLUSTER tuple
     // falls in its box — valid only if a matched old row's cluster
     // values EQUAL the batch row's, i.e. every cluster column is part of
@@ -1254,6 +1378,14 @@ object MergeTable {
         case _ => false
       }
       if (replayed) return false
+      // lost-update guard: the batch was derived from requireVersion's
+      // snapshot; a moved head means its SET/WHERE evaluated stale rows
+      requireVersion.foreach { rv =>
+        val have = snapshot.map(_.version).getOrElse(-1L)
+        if (have != rv) throw new ConcurrentMergeException(
+          s"$table is at v$have, batch was derived from v$rv — " +
+            "a concurrent commit landed; re-run the find phase")
+      }
       snapshot.foreach { m =>
         require(m.keys == keys && m.clusterBy == clusterBy,
           s"table $table is keyed ${m.keys.mkString(",")} clustered " +
@@ -1323,14 +1455,26 @@ object MergeTable {
               f.name -> s"${f.name}_p${java.util.UUID.randomUUID().toString.take(8)}"
           }
       }
-      val conditional = matchedCondition.nonEmpty || updateCols.nonEmpty ||
-        matchedDeleteCondition.nonEmpty || insertCondition.nonEmpty || nmbs
+      // the canonical unguarded upsert (UPDATE SET * / INSERT *, nothing
+      // else) takes the non-conditional fast path below — no full-outer
+      // join, one left-anti + union
+      val conditional =
+        !(matched == Seq(MergeClause(None, UpdateSet(Map.empty))) &&
+          notMatched == Seq(InsertClause(None, Map.empty)) &&
+          notMatchedBySource.isEmpty)
       // a NULL-valued predicate (SQL three-valued logic) must read
       // "clause does not apply", never poison a filter or a branch
-      def holds(cond: String): Column = coalesce(expr(cond), lit(false))
-      notMatchedBySourceSet.keys.foreach(c =>
-        require(schema.fieldNames.contains(c),
-          s"notMatchedBySourceSet column '$c' is not a table column"))
+      def holds(cond: Option[String]): Column =
+        cond.map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))
+      (matched ++ notMatchedBySource).foreach {
+        case MergeClause(_, UpdateSet(set)) => set.keys.foreach(c =>
+          require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+            s"UPDATE SET column '$c' is not a table column"))
+        case _ => ()
+      }
+      notMatched.foreach(c => c.set.keys.foreach(n =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"INSERT column '$n' is not a table column")))
       // clause-scope validation — ALWAYS, including the insert-only
       // branch (a fresh table's FIRST merge must reject a bad clause,
       // not defer the failure to batch 2 mid-pipeline): NMBS predicates
@@ -1343,7 +1487,7 @@ object MergeTable {
       // AMBIGUOUS_REFERENCE from deep inside the join with the same
       // clause-named error. All frames are limit(0)/empty: analysis
       // only, no job runs.
-      if (insertCondition.nonEmpty || nmbs) {
+      if (conditional) {
         val valSrc = withAllColumns(batch.limit(0), schema).alias("s")
         val valTgt = s.createDataFrame(
           new java.util.ArrayList[Row](), schema).alias("t")
@@ -1357,22 +1501,58 @@ object MergeTable {
               s"$what '$e' does not resolve unambiguously against its " +
                 s"clause's side (${ex.getMessage})")
           }
-        notMatchedBySourceDeleteCondition.foreach(
-          resolves("notMatchedBySourceDeleteCondition", valTgt, _))
-        notMatchedBySourceCondition.foreach(
-          resolves("notMatchedBySourceCondition", valTgt, _))
-        notMatchedBySourceSet.values.foreach(
-          resolves("notMatchedBySourceSet expression", valTgt, _))
-        insertCondition.foreach(resolves("insertCondition", valSrc, _))
+        // matched-clause expressions see BOTH sides (validated against
+        // the joined shape alone); insert clauses the batch row only;
+        // NMBS clauses the table row only — a cross-side reference fails
+        // here with the clause named, not as an opaque planner error
+        matched.foreach { c =>
+          c.condition.foreach(resolves("matched condition", valJoined, _))
+          c.action match {
+            case UpdateSet(set) => set.values.foreach(
+              resolves("UPDATE SET expression", valJoined, _))
+            case DeleteRow => ()
+          }
+        }
+        notMatched.foreach { c =>
+          c.condition.foreach(resolves("insert condition", valSrc, _))
+          c.set.values.foreach(resolves("INSERT expression", valSrc, _))
+        }
+        notMatchedBySource.foreach { c =>
+          c.condition.foreach(
+            resolves("not-matched-by-source condition", valTgt, _))
+          c.action match {
+            case UpdateSet(set) => set.values.foreach(
+              resolves("NOT MATCHED BY SOURCE SET expression", valTgt, _))
+            case DeleteRow => ()
+          }
+        }
       }
+      // first-match-wins: nested when-chains in clause (= statement)
+      // order — the first clause whose guard holds decides the row
+      def chain(cs: Seq[(Option[String], Column)], default: Column): Column =
+        cs.foldRight(default) { case ((cond, v), acc) =>
+          when(holds(cond), v).otherwise(acc) }
       val merged =
         if (touched.isEmpty) {
           // no matched and no target-only rows exist; only the insert
-          // clause can apply
-          val ins = withAllColumns(batch, schema)
-          insertCondition match {
-            case None => ins
-            case Some(c) => ins.alias("s").where(holds(c))
+          // clauses can apply
+          val ins = withAllColumns(batch, schema).alias("s")
+          if (!conditional) ins
+          else {
+            val applies = notMatched.map(c => holds(c.condition))
+              .foldLeft(lit(false))(_ || _)
+            val outCols = schema.fields.map { f =>
+              val sCol = col(s"s.${f.name}")
+              def insValue(set: Map[String, String]): Column =
+                if (set.isEmpty) sCol // INSERT *
+                else set.collectFirst {
+                  case (c, e) if c.equalsIgnoreCase(f.name) =>
+                    expr(e).cast(f.dataType)
+                }.getOrElse(lit(null).cast(f.dataType))
+              chain(notMatched.map(c => c.condition -> insValue(c.set)), sCol)
+                .as(f.name)
+            }
+            ins.where(applies).select(outCols.toSeq: _*)
           }
         } else {
           // DV-aware: a touched file's already-deleted rows must not
@@ -1384,59 +1564,55 @@ object MergeTable {
             withAllColumns(batch, schema)
               .unionByName(old.join(incomingKeys, keys, "left_anti"))
           } else {
-            // one full-outer pass builds all outcomes: delete (matched,
-            // delete clause holds — filtered out), insert (no target),
-            // keep (no source), guarded update (update clause holds →
-            // updateCols from s, rest from t), keep-old (no clause
-            // matched). Presence is tracked with explicit markers, never
+            // one full-outer pass builds all outcomes: delete (the row's
+            // FIRST holding matched/NMBS clause is a DELETE — filtered
+            // out), insert (no target row, first holding insert clause's
+            // column list), update (first holding matched clause's SET,
+            // arbitrary expressions over t and s), keep-old (no clause
+            // held). Presence is tracked with explicit markers, never
             // key-null tests (keys may legitimately be absent only on
-            // one side).
+            // one side). An empty matched list leaves matched rows
+            // byte-untouched, exactly as SQL MERGE: a merge specifying
+            // only insert/NMBS clauses must NOT silently become
+            // last-writer-wins on matched rows.
             val src = withAllColumns(batch, schema)
               .withColumn("__s_present", lit(true)).alias("s")
             val tgt = old.withColumn("__t_present", lit(true)).alias("t")
             val keyCond = keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
-            // ANY explicit clause replaces the matched-update-all
-            // default, exactly as SQL MERGE: a merge specifying only
-            // delete/NMBS/insert clauses leaves its non-deleted matched
-            // rows byte-untouched. In particular an insert-guard-only
-            // merge (the admission-gate shape) must NOT silently become
-            // last-writer-wins on matched rows — a caller porting
-            // `MERGE INTO ... WHEN NOT MATCHED AND g THEN INSERT` gets
-            // the statement's semantics, not a clobber.
-            val updClause: Column =
-              if (matchedCondition.nonEmpty || updateCols.nonEmpty)
-                matchedCondition.map(expr).getOrElse(lit(true))
-              else if (matchedDeleteCondition.nonEmpty || nmbs ||
-                insertCondition.nonEmpty) lit(false)
-              else lit(true)
-            val updSet =
-              if (updateCols.nonEmpty) updateCols.toSet
-              else schema.fieldNames.toSet -- keys
-            val dropMatched = col("__s_present").isNotNull &&
-              col("__t_present").isNotNull &&
-              holds(matchedDeleteCondition.getOrElse("false"))
-            // NMBS delete first (clause order), then the guarded SET over
-            // the survivors; a SET with no guard is unconditional
-            val dropNmbs = col("__t_present").isNotNull &&
-              col("__s_present").isNull &&
-              holds(notMatchedBySourceDeleteCondition.getOrElse("false"))
-            val dropInsert = insertCondition match {
-              case None => lit(false)
-              case Some(c) => col("__t_present").isNull && !holds(c)
-            }
-            val nmbsGuard: Column =
-              notMatchedBySourceCondition.map(holds).getOrElse(lit(true))
+            val tAbsent = col("__t_present").isNull
+            val sAbsent = col("__s_present").isNull
+            val matchedIsDelete = chain(matched.map(c =>
+              c.condition -> lit(c.action == DeleteRow)), lit(false))
+            val nmbsIsDelete = chain(notMatchedBySource.map(c =>
+              c.condition -> lit(c.action == DeleteRow)), lit(false))
+            val insertApplies = notMatched.map(c => holds(c.condition))
+              .foldLeft(lit(false))(_ || _)
+            val dropMatched = !tAbsent && !sAbsent && matchedIsDelete
+            val dropNmbs = sAbsent && !tAbsent && nmbsIsDelete
+            val dropInsert = tAbsent && !insertApplies
             val outCols = schema.fields.map { f =>
               val n = f.name
               val sCol = col(s"s.$n"); val tCol = col(s"t.$n")
-              val targetOnly = // unmatched table row: SET columns rewrite
-                if (notMatchedBySourceSet.contains(n))
-                  when(nmbsGuard, expr(notMatchedBySourceSet(n))).otherwise(tCol)
-                else tCol
-              when(col("__t_present").isNull, sCol) // not matched: insert
-                .when(col("__s_present").isNull, targetOnly)
-                .when(updClause, if (updSet(n) || keys.contains(n)) sCol else tCol)
-                .otherwise(tCol) // matched, no clause applied: keep old
+              def setValue(set: Map[String, String]): Option[Column] =
+                set.collectFirst { case (c, e) if c.equalsIgnoreCase(n) =>
+                  expr(e).cast(f.dataType) }
+              def updValue(a: MergeAction): Column = a match {
+                case DeleteRow => tCol // row dropped by the filter
+                case UpdateSet(set) if set.isEmpty => sCol // UPDATE SET *
+                case UpdateSet(set) => setValue(set).getOrElse(tCol)
+              }
+              def insValue(set: Map[String, String]): Column =
+                if (set.isEmpty) sCol // INSERT *
+                else setValue(set).getOrElse(lit(null).cast(f.dataType))
+              val matchedVal = chain(matched.map(c =>
+                c.condition -> updValue(c.action)), tCol)
+              val nmbsVal = chain(notMatchedBySource.map(c =>
+                c.condition -> updValue(c.action)), tCol)
+              val insertVal = chain(notMatched.map(c =>
+                c.condition -> insValue(c.set)), sCol)
+              when(tAbsent, insertVal) // not matched: insert
+                .when(sAbsent, nmbsVal) // not matched by source
+                .otherwise(matchedVal) // matched
                 .as(n)
             }
             src.join(tgt, keyCond, "full_outer")
@@ -1707,7 +1883,8 @@ object MergeTable {
       targetRowsPerFile: Long = 4096,
       txn: Option[(String, Long)] = None,
       maxAttempts: Int = 20,
-      deletionVectors: Boolean = false): Long = {
+      deletionVectors: Boolean = false,
+      requireVersion: Option[Long] = None): Long = {
     var boxMemo: Option[Option[Map[String, ColStat]]] = None
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1716,6 +1893,13 @@ object MergeTable {
         .getOrElse(sys.error(s"no committed version under $table"))
       val replayed = txn.exists { case (w, v) => snapshot.txns.get(w).exists(_ >= v) }
       if (replayed) return 0L
+      // lost-update guard (SQL DELETE derives its key set from one
+      // pinned snapshot's WHERE scan — see merge's requireVersion)
+      requireVersion.foreach { rv =>
+        if (snapshot.version != rv) throw new ConcurrentMergeException(
+          s"$table is at v${snapshot.version}, delete keys were derived " +
+            s"from v$rv — a concurrent commit landed; re-run the find phase")
+      }
 
       val keys = snapshot.keys
       val clusterBy = snapshot.clusterBy
@@ -1832,6 +2016,7 @@ object MergeTable {
             val removes = changed.map(_.path).sorted
             val deletedCount = perFile.values.sum
             val untouched = snapshot.files.filterNot(f => perFile.contains(f.path))
+            testPrecommitHook()
             if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
               keys, clusterBy, adds, removes,
               snapshot.txns ++ txn.map { case (w, v) => w -> v },
@@ -1860,6 +2045,7 @@ object MergeTable {
             headMap)
         val untouched = snapshot.files.filterNot(f => touched.contains(f.path))
         val deletedCount = oldCount - newFiles.map(_.numRows).sum
+        testPrecommitHook()
         if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
           keys, clusterBy, newFiles, touched.toSeq.sorted,
           snapshot.txns ++ txn.map { case (w, v) => w -> v },

@@ -866,8 +866,23 @@ object SimilarityOps {
           .where(col("vec_id").isin(seedIds.toSeq: _*))
           .select(cidCol.as("cid"), col("vec").as("c_vec"))
           .localCheckpoint()
-        for (_ <- 1 to iters)
-          refit = update(kmeansAssign(driftedMembers, refit)).localCheckpoint()
+        for (_ <- 1 to iters) {
+          // a cell that won no member this round would vanish from the
+          // mean-update's groupBy, silently SHRINKING the centroid set —
+          // carry its previous centroid forward instead: the cid space
+          // is documented stable and downstream consumers key on it
+          val next = update(kmeansAssign(driftedMembers, refit))
+          refit = refit.alias("p").join(next.alias("n"),
+            col("p.cid") === col("n.cid"), "left")
+            .select(col("p.cid").as("cid"),
+              coalesce(col("n.c_vec"), col("p.c_vec")).as("c_vec"))
+            .localCheckpoint()
+        }
+        // the carry-forward above makes this structural; keep it as the
+        // loud fail-stop the cid-stability contract demands
+        require(refit.count() == kStale.toLong,
+          s"retrain must yield exactly $kStale centroids for the stale " +
+            "cells — the cid space is pinned")
 
         val updated = cents.where(!col("cid").isin(stale: _*))
           .unionByName(refit)

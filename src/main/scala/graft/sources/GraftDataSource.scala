@@ -62,16 +62,33 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     p
   }
 
+  /** One resolution per (path, versionAsOf, timestampAsOf): Spark calls
+    * `inferSchema` and `getTable` as two steps of one lookup, and a
+    * commit landing between two INDEPENDENT resolutions would pin the
+    * scan to a different snapshot than the one the query was analyzed
+    * against (after a concurrent rename/drop, an analysis/runtime column
+    * mismatch instead of a consistent pinned read). The memo makes both
+    * steps see the SAME resolved manifest. Spark instantiates a fresh
+    * provider per `spark.read....load(...)` call, so the memo's lifetime
+    * is one lookup — a later read of the same path re-resolves and sees
+    * new commits. */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(String, Option[String],
+      Option[String]), GraftTable]()
+
+  private def resolveOnce(options: CaseInsensitiveStringMap): GraftTable = {
+    val key = (path(options), Option(options.get("versionasof")),
+      Option(options.get("timestampasof")))
+    resolved.computeIfAbsent(key,
+      k => GraftTable.resolve(k._1, k._2, k._3))
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTable.resolve(path(options), Option(options.get("versionasof")),
-      Option(options.get("timestampasof"))).schemaStruct
+    resolveOnce(options).schemaStruct
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    val opts = new CaseInsensitiveStringMap(properties)
-    GraftTable.resolve(path(opts), Option(opts.get("versionasof")),
-      Option(opts.get("timestampasof")))
-  }
+      properties: util.Map[String, String]): Table =
+    resolveOnce(new CaseInsensitiveStringMap(properties))
 }
 
 object GraftTable {

@@ -192,11 +192,6 @@ class GraftSqlSpec extends AnyFunSuite {
     val t = seedTable("reject")
     def bad(sql: String): Unit =
       intercept[UnsupportedOperationException](GraftSql.mergeInto(spark, sql))
-    // two update clauses
-    bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
-           |ON t.event_id = s.event_id
-           |WHEN MATCHED AND t.value > 1 THEN UPDATE SET value = s.value
-           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
     // non-equi ON
     bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
            |ON t.event_id < s.event_id
@@ -205,10 +200,20 @@ class GraftSqlSpec extends AnyFunSuite {
     bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
            |ON t.event_id = s.value
            |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
-    // non-identity update expression
+    // rekeying UPDATE
     bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
            |ON t.event_id = s.event_id
-           |WHEN MATCHED THEN UPDATE SET value = s.value + 1""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET event_id = s.event_id + 1000""".stripMargin)
+    // duplicate SET column in one clause
+    bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = s.value, value = t.value""".stripMargin)
+    // non-identity merge-key INSERT assignment (key uniqueness would break)
+    intercept[Exception](GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN NOT MATCHED THEN INSERT (event_id, value)
+         |  VALUES (s.event_id + 1000, s.value)""".stripMargin))
     // non-graft target
     intercept[Exception](GraftSql.mergeInto(spark,
       s"""MERGE INTO some_table AS t USING gsql_batch AS s
@@ -216,6 +221,91 @@ class GraftSqlSpec extends AnyFunSuite {
          |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
     // state unchanged by all of the above
     assert(state(t).size == 20)
+  }
+
+  test("arbitrary UPDATE SET expressions evaluate over the joined (t, s) " +
+    "row — SET t.value = t.value + s.value accumulates") {
+    mkBatch()
+    val t = seedTable("exprset")
+    val stmt =
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET
+         |  value = t.value + s.value,
+         |  event_type = concat(t.event_type, '+', s.event_type)
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    spark.sql(stmt)
+    val out = state(t)
+    assert(out(15L) == (("ok+new", 165.0)), "t.value + s.value must accumulate")
+    assert(out(16L) == (("error+new", 176.0)))
+    assert(out(1L) == (("ok", 1.0)), "unmatched table rows untouched")
+    assert(out(21L) == (("new", 210.0)) && out.size == 25)
+  }
+
+  test("multiple conditional UPDATE clauses: first-match-wins in " +
+    "statement order, both doors identical") {
+    mkBatch()
+    val (t1, t2) = (seedTable("multi1"), seedTable("multi2"))
+    val stmt =
+      s"""MERGE INTO graft.`%s` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED AND t.event_type = 'error' THEN UPDATE SET value = t.value * 1000.0
+         |WHEN MATCHED AND s.value > 170.0 THEN UPDATE SET value = s.value
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.value < 230.0 THEN INSERT *""".stripMargin
+    GraftSql.mergeInto(spark, stmt.format(t1))
+    spark.sql(stmt.format(t2))
+    assert(state(t1) == state(t2))
+    val out = state(t1)
+    // 16, 20 are error rows: FIRST clause wins even though s.value > 170
+    // also holds for 20
+    assert(out(16L) == (("error", 16000.0)))
+    assert(out(20L) == (("error", 20000.0)))
+    // 18, 19 pass only the second clause
+    assert(out(18L) == (("ok", 180.0)) && out(19L) == (("ok", 190.0)))
+    // 15, 17 match neither guard → third clause deletes them
+    assert(!out.contains(15L) && !out.contains(17L))
+    // guarded insert: 21..22 in, 23..25 out
+    assert(out.contains(21L) && out.contains(22L) && !out.contains(23L))
+    assert(out.size == 20)
+  }
+
+  test("INSERT (cols) VALUES (exprs): expressions evaluate over s, " +
+    "unlisted non-key columns insert as NULL") {
+    mkBatch()
+    val t = seedTable("inslist")
+    GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN NOT MATCHED THEN INSERT (event_id, value)
+         |  VALUES (s.event_id, s.value * 2.0 + 1.0)""".stripMargin)
+    val raw = MergeTable.read(spark, t)
+      .select("event_id", "event_type", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getDouble(2)))).toMap
+    assert(raw(21L) == ((None, 421.0)), "unlisted event_type must be NULL")
+    assert(raw(25L) == ((None, 501.0)))
+    assert(raw(16L) == ((Some("error"), 16.0)), "matched rows untouched")
+    assert(raw.size == 25)
+  }
+
+  test("multiple INSERT clauses: first-match-wins picks the clause's " +
+    "column list per row") {
+    mkBatch()
+    val t = seedTable("multins")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN NOT MATCHED AND s.value >= 240.0 THEN INSERT (event_id, event_type, value)
+         |  VALUES (s.event_id, 'big', s.value)
+         |WHEN NOT MATCHED AND s.value >= 220.0 THEN INSERT (event_id, event_type, value)
+         |  VALUES (s.event_id, 'mid', s.value)
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = state(t)
+    assert(out(24L) == (("big", 240.0)) && out(25L) == (("big", 250.0)))
+    assert(out(22L) == (("mid", 220.0)) && out(23L) == (("mid", 230.0)))
+    assert(out(21L) == (("new", 210.0)), "fallback INSERT * for the rest")
+    assert(out.size == 25)
   }
 
   test("ON key order may differ from the table's pinned key order") {

@@ -887,7 +887,7 @@ class MergeTableSpec extends AnyFunSuite {
       MergeTable.mergeUpsert(spark, t, batch, Seq("event_id"), Seq("event_id"),
         notMatchedBySourceDeleteCondition = Some("s.value > 0"))
     }
-    assert(e1.getMessage.contains("notMatchedBySourceDeleteCondition"))
+    assert(e1.getMessage.contains("not-matched-by-source condition"))
     val e2 = intercept[IllegalArgumentException] {
       MergeTable.mergeUpsert(spark, t, batch, Seq("event_id"), Seq("event_id"),
         notMatchedBySourceCondition = Some("t.value > 0"))
@@ -897,7 +897,7 @@ class MergeTableSpec extends AnyFunSuite {
       MergeTable.mergeUpsert(spark, t, batch, Seq("event_id"), Seq("event_id"),
         notMatchedBySourceSet = Map("event_id" -> "t.event_id + 1"))
     }
-    assert(e3.getMessage.contains("must not name merge key"))
+    assert(e3.getMessage.contains("must not assign merge key"))
     // untouched by the three rejected merges
     assert(MergeTable.read(spark, t).count() == 4L)
   }
@@ -915,7 +915,7 @@ class MergeTableSpec extends AnyFunSuite {
         Seq("event_id"), Seq("event_id"),
         notMatchedBySourceDeleteCondition = Some("s.value > 0"))
     }
-    assert(e.getMessage.contains("notMatchedBySourceDeleteCondition"))
+    assert(e.getMessage.contains("not-matched-by-source condition"))
     assert(MergeTable.latestManifest(t).isEmpty,
       "rejected first merge must not have committed a version")
     // guarded insert on the empty table: only the passing row lands
@@ -942,7 +942,8 @@ class MergeTableSpec extends AnyFunSuite {
         // ambiguous in the full-outer join (both s.tag and t.tag exist)
         notMatchedBySourceSet = Map("tag" -> "concat(tag, '-x')"))
     }
-    assert(e.getMessage.contains("notMatchedBySourceSet"), e.getMessage)
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE SET expression"),
+      e.getMessage)
     assert(MergeTable.read(spark, t).count() == 2L)
   }
 

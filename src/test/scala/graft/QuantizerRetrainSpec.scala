@@ -159,6 +159,38 @@ class QuantizerRetrainSpec extends AnyFunSuite {
     assert(MergeTable.latestManifest(t).get.version == vNow)
   }
 
+  test("a re-fit cell that loses all members in a Lloyd round keeps its " +
+    "previous centroid — the cid space never shrinks") {
+    val t = fresh("emptycell")
+    val a0 = base.crossJoin(broadcast(cents))
+      .withColumn("cos", expr("cosine_sim(vec, c_vec)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("cid"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), lit(0L).as("resid_bp"))
+    MergeTable.mergeUpsert(spark, t, a0, Seq("vec_id"), Seq("vec_id"),
+      txn = Some(("ingest", 0L)))
+    // both cells drift (10 high-residual arrivals each), but the FIRST
+    // TWO arrivals by id — the re-fit's seeds for cids (0, 1) — are
+    // IDENTICAL vectors: every member ties between the two seeds and the
+    // lowest cid wins them all, so cell 1 wins nothing in round 1. The
+    // groupBy mean-update would silently drop cid 1 and the quantizer
+    // would shrink to one centroid; the carry-forward must keep cid 1 at
+    // its seed.
+    val arr = vecs(
+      (0L until 10L).map(j => (100L + j) -> Array(0.02, 0.0, 1.0, 0.0)) ++
+        (0L until 10L).map(j => (110L + j) -> Array(0.0, 0.02, 1.0, 0.0)))
+    val r = SimilarityOps.quantizerRetrain(spark, t, base, arr, cents,
+      txn = Some(("retrain", 1L)))
+    assert(r.committed && r.staleCells == Seq(0L, 1L), s"got ${r.staleCells}")
+    val cids = r.centroids.select("cid").as[Long].collect().sorted.toSeq
+    assert(cids == Seq(0L, 1L),
+      s"cid space must stay (0, 1) after an empty-cell round, got $cids")
+    // every vector still assigned (re-encode loses nobody)
+    assert(MergeTable.read(spark, t).count() == 80L)
+  }
+
   test("no drift → no retrain, no commit, centroids unchanged") {
     val t = fresh("quiet")
     val calm = vecs((300L until 330L).map(i =>

@@ -109,6 +109,52 @@ class UpdateDeleteSqlSpec extends AnyFunSuite {
     assert(state(t).size == 90)
   }
 
+  test("UPDATE re-runs its find phase when a concurrent commit lands " +
+    "between the WHERE scan and the commit (no lost update)") {
+    val t = seed("toctou-upd")
+    // the winner fires at the UPDATE's precommit instant: it rewrites a
+    // row the UPDATE's SET was derived from — committing the stale batch
+    // would clobber the winner's 1000.0 with 2.5 (value derived from the
+    // OLD row 2.0). The pinned-version guard must detect the moved head
+    // and re-derive, landing the serial outcome: winner first, UPDATE on
+    // top of its value.
+    var fired = false
+    MergeTable.testPrecommitHook = () => if (!fired) {
+      fired = true
+      MergeTable.mergeUpsert(spark, t,
+        Seq((2L, "hacked", 1000.0)).toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"))
+    }
+    try spark.sql(
+      s"UPDATE graft.`$t` SET value = value + 0.5 WHERE event_id <= 5")
+    finally MergeTable.testPrecommitHook = () => ()
+    val out = state(t)
+    assert(out(2L) == (("hacked", 1000.5)),
+      s"lost update: ${out(2L)} — SET must see the winner's row")
+    assert(out(1L)._2 == 1.5 && out(5L)._2 == 5.5 && out(6L)._2 == 6.0)
+  }
+
+  test("DELETE re-runs its find phase when a concurrent commit changes " +
+    "which rows match the WHERE") {
+    val t = seed("toctou-del")
+    // winner rewrites id 95's value to 5.0 — it no longer matches
+    // `value > 90`; a stale key list would delete it anyway
+    var fired = false
+    MergeTable.testPrecommitHook = () => if (!fired) {
+      fired = true
+      MergeTable.mergeUpsert(spark, t,
+        Seq((95L, "ok", 5.0)).toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"))
+    }
+    val n =
+      try GraftSql.deleteFrom(spark, s"DELETE FROM graft.`$t` WHERE value > 90")
+      finally { MergeTable.testPrecommitHook = () => () }
+    assert(n == 9L, s"re-found delete must skip the rewritten row, got $n")
+    val out = state(t)
+    assert(out(95L) == (("ok", 5.0)), "the winner's row must survive")
+    assert(out.size == 91 && !out.contains(91L) && !out.contains(100L))
+  }
+
   test("SQL writes compose: MERGE, UPDATE, DELETE against the same table " +
     "leave a consistent, time-travelable history") {
     val t = seed("compose")
