@@ -97,6 +97,7 @@ object ScaleProbe {
       probeManifestResolution(spark)
       probeDeletionVectors(spark)
       probeConnectedComponents(spark)
+      probeQuantizerRetrain(spark)
     }
     probeRangeJoin(spark, nIntervals)
     spark.stop()
@@ -245,6 +246,124 @@ object ScaleProbe {
     * size scales 10×; the DV commit's bytes stay flat near the list
     * size, the rewrite's bytes scale with the touched files' contents.
     */
+  /** The retrain→serving CLOSED LOOP measured beyond the unit fixture:
+    * an 8-cell IVF quantizer over a 16 k-vector base, a 4 k-vector
+    * drifted window that a naive incremental ingest mis-buckets, and
+    * nprobe=1 recall@1 through the ASSIGNMENTS TABLE (the serving path)
+    * at three points — healthy-region queries pre-drift (the bound),
+    * drift-region queries before retrain (the failure the monitor
+    * flags), and the same queries after [[graft.ops.SimilarityOps
+    * .quantizerRetrain]] re-fits the stale cells and transactionally
+    * re-encodes. Claim: post-retrain recall recovers to ≥ the pre-drift
+    * bound; enforced with a require fail-stop, not just reported. */
+  private[graft] def probeQuantizerRetrain(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import graft.ops.{MergeTable, SimilarityOps}
+    val dim = 10
+    val cellsK = 8
+    def unit(j: Int, scale: Double = 1.0): Array[Double] = {
+      val a = new Array[Double](dim); a(j) = scale; a
+    }
+    def vecs(rows: Seq[(Long, Array[Double])]): DataFrame =
+      rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "vec")
+        .select(col("vec_id"), col("vec").cast("array<double>").as("vec"))
+    // base: 2k members per trained cell, tiny in-cell spread on dim 8
+    val base = vecs((0L until 16000L).map { i =>
+      val v = unit((i % 8).toInt); v(8) = 0.001 * (i % 13); i -> v
+    })
+    // drift: interleaved two-lump ridge on (e8, e9) — even arrivals tilt
+    // to cell 0 at e9 = 0.2j, odd to cell 1 at the midpoints 0.2j + 0.1;
+    // the tilt decides the OLD cell, e9 decides true nearness. The ridge
+    // is kept COMPACT (e9 ≤ 2.3): cosine is an ANGULAR metric, and past
+    // e9 ≈ 5 the along-ridge angular gap of a 0.1 offset (∝ 1/e9⁴ in
+    // cos penalty) drops below the fixed-tilt mismatch (∝ 1/e9²), at
+    // which point the same-tilt neighbor at ±0.1 becomes the true NN
+    // and the planted drift stops mis-routing queries at all
+    def lump(tilt: Int, e9: Double): Array[Double] = {
+      val v = new Array[Double](dim); v(tilt) = 0.02; v(8) = 1.0; v(9) = e9; v
+    }
+    val arrivals = vecs((0L until 4000L).map { i =>
+      val j = (i / 2) % 12
+      (100000L + i) -> lump((i % 2).toInt, 0.2 * j + (if (i % 2 == 1) 0.1 else 0.0))
+    })
+    val cents = vecs((0L until cellsK.toLong).map(j => j -> unit(j.toInt)))
+      .select(col("vec_id").as("cid"), col("vec").as("c_vec"))
+
+    def assign(e: DataFrame, c: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+      e.crossJoin(broadcast(c))
+        .withColumn("cos", expr("cosine_sim(vec, c_vec)"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), lit(0L).as("resid_bp"))
+    }
+    /** nprobe=1 recall@1 through the assignments table. */
+    def recall(table: String, c: DataFrame, corpus: DataFrame,
+        queries: DataFrame): Double = {
+      val member = corpus.join(
+        MergeTable.read(spark, table).select("vec_id", "cid"), "vec_id")
+      val q = queries.select(col("vec_id").as("qid"), col("vec").as("q_vec"))
+      def top1(cand: DataFrame, by: Seq[String]) = cand
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rn") === 1).select(by.map(col): _*)
+      val bf = top1(q.crossJoin(corpus)
+        .withColumn("cos", expr("cosine_sim(q_vec, vec)")),
+        Seq("qid", "vec_id")).withColumnRenamed("vec_id", "true_nn")
+      val probe = top1(q.crossJoin(broadcast(c))
+        .withColumn("cos", expr("cosine_sim(q_vec, c_vec)"))
+        .withColumn("vec_id", col("cid")), Seq("qid", "cid"))
+        .withColumnRenamed("cid", "probe_cell")
+      bf.join(probe, "qid")
+        .join(member.select(col("vec_id").as("true_nn"), col("cid")), "true_nn")
+        .agg(avg((col("cid") === col("probe_cell")).cast("double")))
+        .as[Double].head()
+    }
+
+    val t = java.nio.file.Files.createTempDirectory("graft-probe-retrain")
+    java.nio.file.Files.delete(t)
+    try {
+      MergeTable.mergeUpsert(spark, t.toString, assign(base, cents),
+        Seq("vec_id"), Seq("vec_id"), txn = Some(("ingest", 0L)))
+      // pre-drift bound: healthy-region queries against the healthy index
+      val healthyQ = vecs((0L until 100L).map { i =>
+        val v = unit((i % 8).toInt); v(8) = 0.0005 + 0.001 * (i % 7)
+        (500000L + i) -> v
+      })
+      val bound = recall(t.toString, cents, base, healthyQ)
+      // naive incremental ingest of the drifted window (old centroids)
+      MergeTable.mergeUpsert(spark, t.toString, assign(arrivals, cents),
+        Seq("vec_id"), Seq("vec_id"), txn = Some(("ingest", 1L)))
+      val corpus = base.unionByName(arrivals)
+      // drift-region queries: tilt-0 placed AT tilt-1 members' e9 coords
+      // and vice versa — the probed cell and the true NN's cell diverge
+      val driftQ = vecs((0L until 100L).map { i =>
+        val j = 3 * i + 1
+        (600000L + i) -> lump((i % 2).toInt,
+          0.2 * (j % 12) + (if (i % 2 == 0) 0.1 else 0.0))
+      })
+      val recallBroken = recall(t.toString, cents, corpus, driftQ)
+      val (r, tRetrain) = time(SimilarityOps.quantizerRetrain(
+        spark, t.toString, base, arrivals, cents, txn = Some(("retrain", 2L))))
+      require(r.committed && r.staleCells.nonEmpty,
+        s"probe drift must trip the monitor (stale=${r.staleCells})")
+      val recallHealed = recall(t.toString, r.centroids, corpus, driftQ)
+      println(
+        s"""{"probe":"quantizer_retrain","n_base":16000,"n_arrivals":4000,""" +
+          s""""stale_cells":${r.staleCells.size},""" +
+          s""""recall_pre_drift":$bound,"recall_drifted":$recallBroken,""" +
+          s""""recall_post_retrain":$recallHealed,""" +
+          s""""retrain_sec":${s1(tRetrain)}}""")
+      require(recallHealed >= bound - 0.02,
+        s"retrain must restore recall to the pre-drift bound: " +
+          s"$recallHealed < $bound")
+      require(recallBroken < bound - 0.3,
+        s"the planted drift must actually break nprobe=1 recall, " +
+          s"got $recallBroken vs bound $bound")
+    } finally MergeTable.dropTable(t.toString)
+  }
+
   private def probeDeletionVectors(spark: SparkSession): Unit = {
     import spark.implicits._
     import graft.ops.MergeTable

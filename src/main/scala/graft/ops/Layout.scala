@@ -54,6 +54,61 @@ object Layout {
   /** Per-dimension bit budget for an n-column interleave. */
   def zBitsFor(n: Int): Int = math.min(ZBits, 62 / n)
 
+  /** Can this column type feed the interleave (via [[monotoneLong]])? */
+  def zorderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           TimestampType | DateType | StringType => true
+      case _ => false
+    }
+  }
+
+  /** Map one column to a LONG whose ordering matches the column's — the
+    * domain normalization in front of the interleave. Timestamps map to
+    * epoch micros and dates to epoch days (exactly monotone); strings to
+    * a 7-character base-256 prefix code ([[stringPrefixLong]]). */
+  def monotoneLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+      case TimestampType => unix_micros(c)
+      case DateType => unix_date(c).cast(LongType)
+      case StringType => stringPrefixLong(c)
+      case other => throw new IllegalArgumentException(
+        s"z-order supports integral, timestamp, date, and string columns; " +
+          s"got $other")
+    }
+  }
+
+  /** First 7 characters folded base-256 (code points capped at 255): an
+    * order-preserving 56-bit prefix code for ASCII strings, approximately
+    * order-preserving beyond. LAYOUT ONLY — pruning reads the rewritten
+    * files' real column statistics, so a non-monotone corner (multi-byte
+    * code points capping at 255) costs clustering tightness, never
+    * correctness. */
+  def stringPrefixLong(c: Column): Column =
+    (1 to 7).map(i =>
+      least(coalesce(ascii(substring(c, i, 1)), lit(0)), lit(255))
+        .cast("long") * lit(1L << ((7 - i) * 8))
+    ).reduce(_ + _)
+
+  /** Scale a monotone long onto [0, 2^bits − 1]: rank-preserving min/max
+    * normalization so the interleave sees each dimension's FULL bit
+    * budget. Without it, a domain wider than `bits` bits (epoch micros,
+    * hashes) would contribute only its LOW — effectively random — bits
+    * and the layout would degenerate to a shuffle. Double arithmetic is
+    * monotone non-decreasing here (division by a positive constant);
+    * ties introduced by rounding only coarsen the grid. */
+  def scaleToBits(c: Column, mn: Long, mx: Long, bits: Int): Column =
+    if (mx <= mn) lit(0L)
+    else {
+      val hi = ((1L << bits) - 1).toDouble
+      val span = mx.toDouble - mn.toDouble
+      floor((c.cast("double") - lit(mn.toDouble)) / lit(span) * lit(hi))
+        .cast("long")
+    }
+
   /** DuckDB mirror of [[zvalue]] — same fold, element-exact. */
   def zvalueSql(x: String, y: String, bits: Int = ZBits): String =
     s"""list_sum(list_transform(range(0, $bits),

@@ -962,7 +962,7 @@ object MergeTable {
     * …) instead of throwing — those columns simply aren't indexed, and a
     * predicate on them never prunes. Cluster keys keep the throwing form:
     * an unsupported cluster type is a caller error, not a skip. */
-  private def statTagOpt(dt: DataType): Option[String] = dt match {
+  private[graft] def statTagOpt(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some("long")
     case FloatType | DoubleType => Some("double")
     case StringType => Some("string")
@@ -2101,10 +2101,10 @@ object MergeTable {
       zorderBy.foreach { c =>
         require(schemaForZ.fieldNames.contains(c),
           s"zorderBy column '$c' is not a table column")
-        require(Seq(ByteType, ShortType, IntegerType, LongType)
-          .contains(schemaForZ(c).dataType),
-          s"zorderBy column '$c' must be integral (Morton interleave), " +
-            s"got ${schemaForZ(c).dataType}")
+        require(Layout.zorderable(schemaForZ(c).dataType),
+          s"zorderBy column '$c' must be integral, timestamp, date, or " +
+            s"string (got ${schemaForZ(c).dataType}) — other types need an " +
+            "explicit monotone derived column")
       }
       require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),
         s"zorderBy takes 2–4 columns, got ${zorderBy.size}")
@@ -2134,10 +2134,24 @@ object MergeTable {
             val n = pinned.count()
             val nFiles = math.max(1L,
               (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+            val bits = Layout.zBitsFor(zorderBy.size)
+            // domain normalization: each dimension maps to a monotone
+            // long (epoch micros/days, string prefix code, identity) and
+            // is min/max-scaled onto the full bit budget — one bounded
+            // aggregate over the pinned frame (2 longs per dimension)
+            // anchors the scale. Raw values wider than `bits` bits would
+            // otherwise interleave only their LOW bits — noise.
+            val mapped = zorderBy.map(c =>
+              Layout.monotoneLong(col(c), schemaForZ(c).dataType))
+            val boundAggs = mapped.zipWithIndex.flatMap { case (mc, j) =>
+              Seq(min(mc).as(s"mn_$j"), max(mc).as(s"mx_$j")) }
+            val b = pinned.agg(boundAggs.head, boundAggs.tail: _*).collect()(0)
+            val scaled = mapped.zipWithIndex.map { case (mc, j) =>
+              if (b.isNullAt(2 * j)) lit(0L) // all-null dimension
+              else coalesce(Layout.scaleToBits(mc,
+                b.getLong(2 * j), b.getLong(2 * j + 1), bits), lit(0L)) }
             writeStaged(table,
-              pinned.withColumn("__graft_z",
-                  Layout.zvalueN(zorderBy.map(col),
-                    Layout.zBitsFor(zorderBy.size)))
+              pinned.withColumn("__graft_z", Layout.zvalueN(scaled, bits))
                 .repartitionByRange(nFiles, col("__graft_z"))
                 .sortWithinPartitions("__graft_z")
                 .drop("__graft_z"),
@@ -2922,6 +2936,34 @@ object MergeTable {
        |FROM final WHERE value >= 300.0
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** `q_agg_pushdown`: count(*)/count(col)/min/max through the DSv2 door
+    * over the (DV-free, all-files-stats-indexed) z-ordered fixture —
+    * answered ENTIRELY from the manifest ([[graft.sources.ManifestAgg]]),
+    * zero parquet files opened. The oracle computes the same aggregates
+    * from the raw table, so a stale bound, a null-count slip, or a
+    * missed file in the fold breaks the hash; GraftDataSourceSpec pins
+    * the zero-files-scanned property itself. */
+  def aggPushdownDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildZorderedEvents(s, sfDir)
+    s.read.format("graft").load(t).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("props")).as("n_props"),
+      min(col("event_id")).as("min_id"),
+      max(col("event_id")).as("max_id"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"),
+      min(col("gx")).as("min_gx"),
+      max(col("gy")).as("max_gy"))
+  }
+
+  val aggPushdownDigestSql: String =
+    s"""SELECT count(*) AS n_rows, count(props) AS n_props,
+       |  min(event_id) AS min_id, max(event_id) AS max_id,
+       |  min(value) AS min_value, max(value) AS max_value,
+       |  min(event_id % 64) AS min_gx,
+       |  max((event_id // 64) % 64) AS max_gy
+       |FROM events""".stripMargin
+
   private val sqlMergeCache = IndexMemo.cache[(SparkSession, String), String]()
 
   /** Fixture behind `q_merge_sql`: the table's second version is
@@ -2987,6 +3029,89 @@ object MergeTable {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("value_sum"))
       .orderBy("event_type")
+
+  private val sqlExprMergeCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_merge_sql_expr`: the FULL clause surface in one
+    * real `spark.sql` MERGE — an arbitrary-EXPRESSION `UPDATE SET`
+    * reading BOTH sides (`t.value + s.value` accumulates), TWO
+    * conditional matched clauses with statement-order first-match-wins,
+    * and an explicit `INSERT (cols) VALUES (exprs)` column list whose
+    * unlisted columns take SQL NULLs. The oracle replays the identical
+    * float expressions over the raw table, so every boundary row is
+    * decided by the same double ops in both engines. */
+  private def buildSqlExprMergedEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(sqlExprMergeCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("merge-sql-expr")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-sqlexpr", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+      mergeUpsert(s, t, ev, Seq("event_id"), Seq("event_id"),
+        txn = Some(("seed", 0L)))
+      val offset = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1L
+      // matched wave: every %5==0 key redelivered with value+10; insert
+      // wave: %19==0 clones past the offset
+      ev.where(pmod(col("event_id"), lit(5)) === 0)
+        .withColumn("value", col("value") + 10.0)
+        .unionByName(
+          ev.where(pmod(col("event_id"), lit(19)) === 0)
+            .withColumn("event_id", col("event_id") + offset))
+        .createOrReplaceTempView("graft_sqlexpr_batch")
+      s.sql(
+        s"""MERGE INTO graft.`$t` AS t USING graft_sqlexpr_batch AS s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED AND t.event_type = 'error' THEN UPDATE SET
+           |  value = t.value + s.value,
+           |  event_type = concat(t.event_type, '_acc')
+           |WHEN MATCHED THEN UPDATE SET value = greatest(t.value, s.value)
+           |WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+           |  VALUES (s.event_id, upper(s.event_type), s.value * 0.1)
+           |""".stripMargin)
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_merge_sql_expr`: digest of the expression-merged head. The
+    * accumulated `t.value + s.value` rows, the first-match-wins boundary
+    * between the two matched clauses, the `greatest` expression, the
+    * INSERT expressions, and the NULL-fill of unlisted insert columns
+    * (`n_null_user` counts them) each break the hash independently. */
+  def mergeSqlExprDigest(s: SparkSession, sfDir: String): DataFrame =
+    read(s, buildSqlExprMergedEvents(s, sfDir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"),
+        count(when(col("user_id").isNull, lit(1))).as("n_null_user"))
+      .orderBy("event_type")
+
+  val mergeSqlExprDigestSql: String =
+    s"""WITH kept AS (
+       |  SELECT event_id, user_id,
+       |    CASE WHEN event_id % 5 = 0 AND event_type = 'error'
+       |         THEN event_type || '_acc' ELSE event_type END AS event_type,
+       |    CASE WHEN event_id % 5 = 0 AND event_type = 'error'
+       |         THEN value + (value + 10.0)
+       |         WHEN event_id % 5 = 0
+       |         THEN greatest(value, value + 10.0)
+       |         ELSE value END AS value
+       |  FROM events),
+       |ins AS (
+       |  SELECT event_id + (SELECT max(event_id) + 1 FROM events) AS event_id,
+       |    NULL AS user_id, upper(event_type) AS event_type,
+       |    value * 0.1 AS value
+       |  FROM events WHERE event_id % 19 = 0),
+       |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+       |SELECT event_type, count(*) AS n_events,
+       |  round(sum(value), 2) AS value_sum,
+       |  count(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private val zorderCache = IndexMemo.cache[(SparkSession, String), String]()
 

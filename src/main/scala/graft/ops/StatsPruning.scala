@@ -183,7 +183,7 @@ object StatsPruning {
     * rendering: longs/micros/days compare numerically, doubles as
     * doubles, strings in UTF-8 byte order — the UTF8String order Spark
     * itself compares strings in). */
-  private def leq(t: String, a: String, b: String): Boolean = t match {
+  private[graft] def leq(t: String, a: String, b: String): Boolean = t match {
     case "long" | "timestamp" | "date" => a.toLong <= b.toLong
     case "double" => a.toDouble <= b.toDouble
     case "string" => utf8Cmp(a, b) <= 0

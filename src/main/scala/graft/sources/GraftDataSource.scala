@@ -53,7 +53,10 @@ import graft.ops.MergeTable.TableManifest
   * [[graft.functions.GraftExtensions]]) — a plain appendable V2 write
   * would bypass the CAS commit protocol.
   */
-class GraftTableProvider extends TableProvider with DataSourceRegister {
+class GraftTableProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
 
   private def path(options: CaseInsensitiveStringMap): String = {
@@ -89,6 +92,77 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     resolveOnce(new CaseInsensitiveStringMap(properties))
+
+  // ---- streaming read: spark.readStream.format("graft").load(path) --------
+  // The table's capabilities are BATCH_READ only, so the stream reader
+  // falls back to this V1 StreamSourceProvider — deliberately: the V1
+  // Source's getBatch hands Spark the engine's own diff plan (see
+  // [[GraftStreamSource]]). `sourceSchema` and `createSource` are two
+  // steps of one stream start — memoized so both see the SAME pinned
+  // snapshot schema (the batch-side inferSchema/getTable discipline).
+
+  private val streamSources = new java.util.concurrent.ConcurrentHashMap[
+    Map[String, String], GraftStreamSource]()
+
+  private def streamSource(ctx: SQLContext,
+      parameters: Map[String, String]): GraftStreamSource =
+    streamSources.computeIfAbsent(parameters, { params =>
+      val ci = params.map { case (k, v) =>
+        k.toLowerCase(java.util.Locale.ROOT) -> v }
+      val p = ci.getOrElse("path", sys.error(
+        "graft stream reads need a path: " +
+          "spark.readStream.format(\"graft\").load(path)"))
+      new GraftStreamSource(ctx, p,
+        ci.get("startingversion").map(_.trim.toLong),
+        ci.get("maxversionspertrigger").map(_.trim.toLong).getOrElse(100L))
+    })
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), streamSource(sqlContext, parameters).schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    streamSource(sqlContext, parameters)
+
+  // ---- write doors: df.write / df.writeStream .format("graft") ------------
+  // Same fallback shape as the reads: the table's capabilities carry no
+  // V2 write, so batch writes land on CreatableRelationProvider and
+  // streaming writes on StreamSinkProvider — both route into the
+  // engine's transactional merge ([[GraftWriteDoor]]'s contract doc).
+
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    GraftWriteDoor.writeBatch(sqlContext.sparkSession, mode, parameters, data)
+    val p = GraftWriteDoor.ci(parameters)
+    GraftTable.resolve(GraftWriteDoor.pathOf(p), None, None)
+      .toWrittenRelation(sqlContext)
+  }
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft tables cluster by their merge keys; partitionBy is not the door")
+    val p = GraftWriteDoor.ci(parameters)
+    val path = GraftWriteDoor.pathOf(p)
+    // writerId anchors the exactly-once txn watermark; the checkpoint
+    // location is stable across restarts of the same query
+    val writerId = p.getOrElse("writerid",
+      p.get("checkpointlocation").map(c => s"graft-sink:$c")
+        .getOrElse(s"graft-sink:$path"))
+    val complete =
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    new GraftStreamSink(sqlContext.sparkSession, path, writerId, complete, p)
+  }
 }
 
 object GraftTable {
@@ -123,6 +197,14 @@ class GraftTable(val tablePath: String, val manifest: TableManifest)
 
   override def name(): String = s"graft.`$tablePath`@v${manifest.version}"
   override def schema(): StructType = schemaStruct
+
+  /** The BaseRelation a `df.write.format("graft")` call returns — schema
+    * of the just-committed head; reads still go through the V2 scan. */
+  private[sources] def toWrittenRelation(ctx: SQLContext): BaseRelation =
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = schemaStruct
+    }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -131,10 +213,12 @@ class GraftTable(val tablePath: String, val manifest: TableManifest)
 
 class GraftScanBuilder(table: String, m: TableManifest, full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var received: Array[Filter] = Array.empty
+  private var aggAnswer: Option[(StructType, Seq[Any])] = None
 
   /** Keep the stats-consultable shapes for file skipping; return EVERY
     * filter as residual — min/max skipping is file-granular, so the
@@ -148,9 +232,30 @@ class GraftScanBuilder(table: String, m: TableManifest, full: StructType)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  // ---- aggregate pushdown: answer from the manifest, or not at all ------
+  // COMPLETE pushdown only — a partial answer (per-partition rows Spark
+  // re-aggregates) has no cheaper representation here than the full scan,
+  // so anything [[ManifestAgg]] cannot answer EXACTLY from driver-side
+  // metadata falls back to the normal scan. Both hooks share one
+  // computed answer.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (received.isEmpty)
+      aggAnswer = ManifestAgg.answer(m, full, agg)
+    aggAnswer.nonEmpty
+  }
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = aggAnswer.nonEmpty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftScan(table, m, required, pushed, received)
+  override def build(): Scan = aggAnswer match {
+    case Some((out, row)) => new GraftAggScan(table, m, out, row)
+    case None => new GraftScan(table, m, required, pushed, received)
+  }
 }
 
 class GraftScan(table: String, m: TableManifest, required: StructType,
@@ -206,6 +311,13 @@ class GraftV1Relation(ctx: SQLContext, table: String, m: TableManifest,
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
+  /** `false` = buildScan's RDD already carries INTERNAL rows: the inner
+    * plan's `toRdd` hands its UnsafeRows straight to the outer
+    * RowDataSourceScanExec, skipping the InternalRow→Row→InternalRow
+    * double conversion a plain `.rdd` hand-off would pay on every row —
+    * the documented BaseRelation fast path for relations whose scan is
+    * itself a Spark plan. */
+  override val needConversion: Boolean = false
   override def buildScan(): RDD[Row] = {
     GraftScanAudit.record(GraftScanAudit.ScanAudit(
       table, m.version, m.files.size, pruned.size, pruned.map(_.path)))
@@ -213,7 +325,8 @@ class GraftV1Relation(ctx: SQLContext, table: String, m: TableManifest,
       m.copy(files = pruned))
     val filtered = filters.flatMap(GraftV1Relation.filterToColumn)
       .foldLeft(df)(_ where _)
-    filtered.select(required.fieldNames.toSeq.map(col): _*).rdd
+    filtered.select(required.fieldNames.toSeq.map(col): _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 
@@ -250,6 +363,159 @@ object GraftV1Relation {
     } yield lc || rc
     case Not(child) => filterToColumn(child).map(!_)
     case _ => None
+  }
+}
+
+/** Metadata-only aggregate answers: `count(*)`, `count(col)`,
+  * `min(col)`/`max(col)` over a graft snapshot, computed ENTIRELY from
+  * the manifest's per-file statistics — zero parquet files opened. The
+  * contract is exactness or refusal:
+  *
+  *  - `count(*)`: Σ visibleRows — exact even under deletion vectors
+  *    (each entry tracks its masked-position count).
+  *  - `count(col)`: Σ (numRows − nullCount) — needs every file's null
+  *    count for the column and NO deletion vectors (a DV'd row's null
+  *    status is unrecorded).
+  *  - `min/max(col)`: fold of the per-file bounds — needs NO deletion
+  *    vectors (a DV may have masked the extreme row) and a stats entry
+  *    for every file that can hold a non-null value (an all-null file
+  *    contributes nothing and may lack the entry). Float/double columns
+  *    whose file contains NaN carry no entry by design, so NaN-bearing
+  *    snapshots refuse automatically (Spark's max would return NaN).
+  *
+  * Anything else — group-bys, filters above the scan, distinct, other
+  * functions, beyond-cap columns — returns None and the normal scan
+  * runs. Refusal is always safe; an answer is always exact.
+  */
+private[sources] object ManifestAgg {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  def answer(m: TableManifest, schema: StructType,
+      agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val noDv = m.files.forall(_.dv.isEmpty)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        schema.fields.find(_.name.equalsIgnoreCase(nr.fieldNames.head))
+      case _ => None
+    }
+    def phys(c: String): String = MergeTable.physOf(m.columnMap, c)
+    def nullsOf(f: MergeTable.DataFileEntry, c: String): Option[Long] = {
+      val p = phys(c).toLowerCase(java.util.Locale.ROOT)
+      f.nullCounts.collectFirst {
+        case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == p => v }
+    }
+    def statOf(f: MergeTable.DataFileEntry, c: String)
+        : Option[MergeTable.ColStat] = {
+      val p = phys(c).toLowerCase(java.util.Locale.ROOT)
+      f.stats.collectFirst {
+        case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == p => v }
+    }
+    val results = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          m.files.map(_.visibleRows).sum: Any))
+      case c: Count if !c.isDistinct && noDv =>
+        colOf(c.column).flatMap { f =>
+          val perFile = m.files.map(e => nullsOf(e, f.name).map(e.numRows - _))
+          if (perFile.forall(_.nonEmpty))
+            Some((StructField(s"count(${f.name})", LongType, nullable = false),
+              perFile.flatten.sum: Any))
+          else None
+        }
+      case mn: Min if noDv => bound(m, schema, colOf(mn.column), isMin = true,
+        statOf, nullsOf)
+      case mx: Max if noDv => bound(m, schema, colOf(mx.column), isMin = false,
+        statOf, nullsOf)
+      case _ => None
+    }
+    if (results.exists(_.isEmpty)) None
+    else {
+      val rs = results.flatten
+      Some((StructType(rs.map(_._1)), rs.map(_._2)))
+    }
+  }
+
+  private def bound(m: TableManifest, schema: StructType,
+      field: Option[StructField], isMin: Boolean,
+      statOf: (MergeTable.DataFileEntry, String) => Option[MergeTable.ColStat],
+      nullsOf: (MergeTable.DataFileEntry, String) => Option[Long])
+      : Option[(StructField, Any)] =
+    field.flatMap { f =>
+      MergeTable.statTagOpt(f.dataType).flatMap { tag =>
+        // every file must either carry a matching stats entry or be
+        // PROVABLY all-null for the column (contributes nothing)
+        val perFile: Seq[Option[Option[String]]] = m.files.map { e =>
+          statOf(e, f.name) match {
+            case Some(cs) if cs.t == tag =>
+              Some(Some(if (isMin) cs.min else cs.max))
+            case Some(_) => None // stale tag (retype?) — refuse
+            case None => nullsOf(e, f.name) match {
+              case Some(n) if n == e.numRows => Some(None) // all-null file
+              case _ => None // unknown — refuse
+            }
+          }
+        }
+        if (perFile.exists(_.isEmpty)) None
+        else {
+          val vals = perFile.flatten.flatten
+          val winner = vals.reduceOption { (a, b) =>
+            val aLeqB = StatsPruning.leq(tag, a, b)
+            if (isMin) (if (aLeqB) a else b) else (if (aLeqB) b else a)
+          }
+          val name = s"${if (isMin) "min" else "max"}(${f.name})"
+          Some((StructField(name, f.dataType, nullable = true),
+            winner.map(statToExternal(tag, _, f.dataType)).orNull))
+        }
+      }
+    }
+
+  /** Canonical stat string → the column's EXTERNAL row value. */
+  private def statToExternal(tag: String, s: String, dt: DataType): Any =
+    (tag, dt) match {
+      case ("long", ByteType) => s.toLong.toByte
+      case ("long", ShortType) => s.toLong.toShort
+      case ("long", IntegerType) => s.toLong.toInt
+      case ("long", LongType) => s.toLong
+      case ("double", FloatType) => s.toDouble.toFloat
+      case ("double", DoubleType) => s.toDouble
+      case ("string", StringType) => s
+      case ("timestamp", TimestampType) =>
+        val micros = s.toLong
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L))
+      case ("date", DateType) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(s.toLong))
+      case ("decimal", _: DecimalType) => new java.math.BigDecimal(s)
+      case other => sys.error(s"stat/type mismatch: $other")
+    }
+}
+
+/** The scan behind a COMPLETELY pushed-down aggregate: one driver-computed
+  * row, zero data files opened (the audit records scannedFiles = 0). */
+class GraftAggScan(table: String, m: TableManifest, out: StructType,
+    row: Seq[Any]) extends V1Scan {
+  override def readSchema(): StructType = out
+  override def description(): String =
+    s"GraftAggScan $table v${m.version} metadata-only " +
+      s"[${out.fieldNames.mkString(", ")}]"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftAggRelation(context, table, m, out, row).asInstanceOf[T]
+}
+
+class GraftAggRelation(ctx: SQLContext, table: String, m: TableManifest,
+    out: StructType, row: Seq[Any]) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = out
+  override def buildScan(): RDD[Row] = {
+    GraftScanAudit.record(GraftScanAudit.ScanAudit(
+      table, m.version, m.files.size, 0, Seq.empty))
+    ctx.sparkSession.sparkContext.parallelize(Seq(Row.fromSeq(row)), 1)
   }
 }
 

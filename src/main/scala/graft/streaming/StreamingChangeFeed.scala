@@ -81,7 +81,7 @@ object StreamingChangeFeed {
     * boot, say) no longer classifies — anything not provably
     * missing-data (OOM, cancellation, corrupt data) fails the query
     * loudly instead of silently dropping a version. */
-  private def isMissingData(e: Throwable): Boolean = {
+  private[graft] def isMissingData(e: Throwable): Boolean = {
     var c: Throwable = e
     var hops = 0
     while (c != null && hops < 16) {

@@ -37,6 +37,33 @@ object Bridge {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
 
+  /** Re-tag a BATCH plan's output as a STREAMING DataFrame — the V1
+    * streaming `Source.getBatch` contract demands `isStreaming = true`,
+    * and the blessed construction (`internalCreateDataFrame` over the
+    * plan's InternalRow RDD, exactly what the built-in file source does)
+    * is `private[sql]`. The RDD is lazy: nothing executes until the
+    * micro-batch runs. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    c.sparkSession.internalCreateDataFrame(
+      c.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
+  /** Re-tag a STREAMING micro-batch frame as a BATCH DataFrame — the V1
+    * `Sink.addBatch` hand-off: the engine's merge runs several actions
+    * (dup check, stats pass, write) over the batch, which a streaming-
+    * tagged plan refuses. Same `internalCreateDataFrame` construction as
+    * [[asStreaming]], opposite tag; the caller should pin the result
+    * (localCheckpoint) so repeated actions don't recompute the
+    * micro-batch source. */
+  def asBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    c.sparkSession.internalCreateDataFrame(
+      c.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed.collectLeaves().foreach {

@@ -75,6 +75,65 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(audit.scannedPaths.toSet.subsetOf(m.files.map(_.path).toSet))
   }
 
+  test("aggregate pushdown: count(*)/count(col)/min/max answer from the " +
+    "manifest with ZERO files scanned, and match the full-scan answers") {
+    val t = seeded("aggpush")
+    val df = spark.read.format("graft").load(t)
+    GraftScanAudit.reset()
+    val row = df.agg(
+      count(lit(1)), count(col("payload")), min(col("value")),
+      max(col("value")), min(col("label")), max(col("event_id"))).head()
+    val audit = GraftScanAudit.lastFor(t).get
+    assert(audit.scannedFiles == 0,
+      s"metadata-only aggregate must open no files, scanned ${audit.scannedFiles}")
+    assert(row.getLong(0) == 1000L)
+    assert(row.getLong(1) == 1000L - (1000L / 13L), "count skips nulls")
+    assert(row.getDouble(2) == 1.5 && row.getDouble(3) == 1500.0)
+    assert(row.getString(4) == "label0")
+    assert(row.getLong(5) == 1000L)
+    // the plan carries no real scan work: compare against engine truth
+    val truth = MergeTable.read(spark, t).agg(
+      count(lit(1)), count(col("payload")), min(col("value")),
+      max(col("value")), min(col("label")), max(col("event_id"))).head()
+    assert(row == truth)
+  }
+
+  test("aggregate pushdown REFUSES when it cannot be exact: deletion " +
+    "vectors, filters, group-bys, distinct — the normal scan answers") {
+    val t = seeded("aggrefuse")
+    // a filter above the aggregate → normal pruned scan, right answer
+    GraftScanAudit.reset()
+    val filtered = spark.read.format("graft").load(t)
+      .where(col("value") > 1400.0).agg(count(lit(1))).head().getLong(0)
+    assert(filtered == MergeTable.read(spark, t)
+      .where(col("value") > 1400.0).count())
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
+      "a filtered aggregate must run the real scan")
+    // group-by → normal scan
+    val grouped = spark.read.format("graft").load(t)
+      .groupBy("label").count().collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped("label0") == 200L && grouped.size == 5)
+    // distinct count → normal scan
+    assert(spark.read.format("graft").load(t)
+      .agg(countDistinct(col("label"))).head().getLong(0) == 5L)
+
+    // deletion vectors: count(*) stays metadata-exact, min/max refuses
+    MergeTable.mergeDelete(spark, t, Seq(1L, 1000L).toDF("event_id"),
+      deletionVectors = true)
+    GraftScanAudit.reset()
+    val cnt = spark.read.format("graft").load(t).agg(count(lit(1))).head().getLong(0)
+    assert(cnt == 998L)
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+      "count(*) is DV-exact (visibleRows) — still metadata-only")
+    GraftScanAudit.reset()
+    val mx = spark.read.format("graft").load(t)
+      .agg(max(col("event_id"))).head().getLong(0)
+    assert(mx == 999L, "the DV'd extreme row must not answer from stale bounds")
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
+      "min/max under DVs must fall back to the real scan")
+  }
+
   test("deletion-vector rows are masked through the DSv2 scan") {
     val t = seeded("dv")
     MergeTable.mergeDelete(spark, t,

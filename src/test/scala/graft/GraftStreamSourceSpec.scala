@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MergeTable
+
+/** `spark.readStream.format("graft")` — the streaming change-data-feed
+  * source: commit versions as offsets, per-version file-scoped diffs
+  * with preimages, initial-snapshot semantics, checkpointed restart
+  * idempotence, the per-trigger version cap, and the beyond-retention
+  * snapshot boot. Each delivered batch must equal the batch-side CDF
+  * replay of the same version range.
+  */
+class GraftStreamSourceSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-stream-src-$tag")
+    Files.delete(p)
+    p.toString
+  }
+
+  private def seed(t: String): Unit =
+    MergeTable.mergeUpsert(spark,
+      t, (1L to 20L).map(i => (i, if (i % 4 == 0) "error" else "ok", i * 1.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("seed", 0L)))
+
+  /** Collected rows as comparable tuples:
+    * (version, change_type, feed_type, id, type, value, value_pre). */
+  private def key(r: Row): (Long, String, String, Long, String, Double, Option[Double]) = (
+    r.getAs[Long]("_commit_version"), r.getAs[String]("change_type"),
+    r.getAs[String]("feed_type"), r.getAs[Long]("event_id"),
+    r.getAs[String]("event_type"), r.getAs[Double]("value"),
+    Option(r.getAs[java.lang.Double]("value_pre")).map(_.doubleValue))
+
+  /** Run the stream via foreachBatch into a shared buffer; one list entry
+    * per micro-batch. */
+  private def runStream(path: String, checkpoint: String,
+      collected: mutable.Buffer[Seq[Row]],
+      options: Map[String, String] = Map.empty): Unit = {
+    val reader = options.foldLeft(spark.readStream.format("graft")) {
+      case (r, (k, v)) => r.option(k, v) }
+    val q = reader.load(path).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect().toSeq
+        collected.synchronized { if (rows.nonEmpty) collected += rows }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("readStream with startingVersion=0 equals the batch CDF replay, " +
+    "and a checkpointed restart delivers only the new commits") {
+    val t = fresh("replay")
+    val ckpt = fresh("replay-ckpt")
+    seed(t) // v0
+    // v1: update wave; v2: delete wave
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 5L).map(i => (i, "updated", i + 100.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L)))
+    MergeTable.mergeDelete(spark, t, Seq(8L, 9L).toDF("event_id"),
+      txn = Some(("w", 2L)))
+
+    val got = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, got, Map("startingVersion" -> "0"))
+    val streamed = got.flatten.map(key).toSet
+
+    // batch-side replay: v0 boots from its own delta, then per-version
+    // diffs with preimages
+    def expect(v: Long, df: DataFrame, feed: String): Set[(Long, String,
+        String, Long, String, Double, Option[Double])] = {
+      val withMeta = df
+        .withColumn("feed_type", lit(feed))
+        .withColumn("_commit_version", lit(v))
+      val cols = withMeta.columns.toSet
+      val full =
+        if (cols.contains("value_pre")) withMeta
+        else withMeta.withColumn("value_pre", lit(null).cast("double"))
+          .withColumn("event_type_pre", lit(null).cast("string"))
+      full.collect().toSeq.map(key).toSet
+    }
+    val v0 = expect(0L, MergeTable.readVersion(spark, t, 0L)
+      .withColumn("change_type", lit("INSERT")), "diff")
+    val v1 = expect(1L,
+      MergeTable.changesBetween(spark, t, 0L, 1L, preimages = true), "diff")
+    val v2 = expect(2L,
+      MergeTable.changesBetween(spark, t, 1L, 2L, preimages = true), "diff")
+    assert(streamed == (v0 ++ v1 ++ v2))
+    assert(streamed.count(_._2 == "DELETE") == 2)
+    assert(streamed.count(_._2 == "UPDATE") == 5)
+
+    // restart from the checkpoint: only the NEW commit arrives, once
+    MergeTable.mergeUpsert(spark, t,
+      Seq((30L, "late", 30.0)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 3L)))
+    val got2 = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, got2, Map("startingVersion" -> "0"))
+    val replayed = got2.flatten.map(key)
+    assert(replayed.toSet == expect(3L,
+      MergeTable.changesBetween(spark, t, 2L, 3L, preimages = true), "diff"),
+      s"restart must deliver exactly v3's diff: $replayed")
+  }
+
+  test("default start: the first batch is the CURRENT snapshot as " +
+    "INSERTs, then diffs follow") {
+    val t = fresh("snap")
+    seed(t) // v0
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "upd", 500.0)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L))) // v1
+    val ckpt = fresh("snap-ckpt")
+    val got = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, got)
+    val first = got.head.map(key)
+    assert(first.size == 20 && first.forall(r =>
+      r._2 == "INSERT" && r._3 == "snapshot" && r._1 == 1L),
+      "initial batch must be the v1 snapshot as INSERTs")
+    // a later commit streams as a plain diff
+    MergeTable.mergeUpsert(spark, t,
+      Seq((2L, "upd2", 600.0)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 2L)))
+    val got2 = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, got2)
+    val diff = got2.flatten.map(key)
+    assert(diff == Seq((2L, "UPDATE", "diff", 2L, "upd2", 600.0, Some(2.0))),
+      diff.toString)
+  }
+
+  test("maxVersionsPerTrigger=1 delivers one commit per micro-batch " +
+    "after the initial batch") {
+    val t = fresh("cap")
+    seed(t) // v0
+    val ckpt = fresh("cap-ckpt")
+    val got = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, got,
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"))
+    assert(got.size == 1, "v0 alone first")
+    (1L to 3L).foreach { i =>
+      MergeTable.mergeUpsert(spark, t,
+        Seq((i, "w", i * 10.0)).toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"), txn = Some(("w", i)))
+    }
+    val got2 = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, got2,
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"))
+    // three pending commits → three single-version batches (the first
+    // batch after restart is uncapped by design, but it starts from the
+    // checkpointed v0 and the cap anchors from there)
+    val versionsPerBatch = got2.map(_.map(key(_)._1).distinct.sorted)
+    assert(got2.flatten.size == 3 && versionsPerBatch.flatten == Seq(1L, 2L, 3L),
+      s"got $versionsPerBatch")
+  }
+
+  test("beyond-retention: a lagging startingVersion boots from the first " +
+    "retained version's snapshot, marked feed_type=snapshot") {
+    val t = fresh("vac")
+    seed(t) // v0
+    (1L to 3L).foreach { i =>
+      MergeTable.mergeUpsert(spark, t,
+        Seq((i, "w", i * 10.0)).toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"), txn = Some(("w", i)))
+    }
+    assert(MergeTable.vacuum(t, graceMs = 0L, retainVersions = 2) > 0)
+    val got = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, fresh("vac-ckpt"), got, Map("startingVersion" -> "0"))
+    val rows = got.flatten.map(key)
+    // v0, v1 are gone (skipped); v2 boots as a full snapshot; v3 diffs
+    val (boot, diffs) = rows.partition(_._1 == 2L)
+    assert(boot.size == 20 && boot.forall(r =>
+      r._2 == "INSERT" && r._3 == "snapshot"),
+      s"v2 must snapshot-boot: ${boot.take(3)}")
+    assert(diffs.map(_._1).distinct == Seq(3L) && diffs.size == 1)
+  }
+
+  test("a mid-stream schema change fails the batch loudly with a restart " +
+    "instruction, never silently nulls a renamed column") {
+    val t = fresh("drift")
+    seed(t) // v0
+    val ckpt = fresh("drift-ckpt")
+    val got = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, got) // pin the schema at v0
+    MergeTable.renameColumn(t, "value", "score") // metadata-only v1
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "r", 9.0)).toDF("event_id", "event_type", "score"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 9L))) // v2
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val got2 = mutable.Buffer.empty[Seq[Row]]
+      runStream(t, ckpt, got2)
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("restart the stream"), msg)
+  }
+}

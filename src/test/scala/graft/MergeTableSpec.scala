@@ -26,6 +26,65 @@ class MergeTableSpec extends AnyFunSuite {
   private def rows(ids: Seq[Long], v: Double) =
     ids.map(id => (id, s"u$id", v)).toDF("event_id", "tag", "value")
 
+  test("clause-list merge API: ordered first-match-wins, expression SET " +
+    "over both sides, INSERT column list with NULL-fill, requireVersion " +
+    "conflict") {
+    import MergeTable.{DeleteRow, InsertClause, MergeClause, UpdateSet}
+    val t = freshTable("clauses")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 10L, 5.0),
+      Seq("event_id"), Seq("event_id"))
+    val batch = rows(4L to 13L, 2.0)
+    MergeTable.merge(spark, t, batch, Seq("event_id"), Seq("event_id"),
+      matched = Seq(
+        // first clause wins: ids 4..6 accumulate (both guards hold for 4..6)
+        MergeClause(Some("t.event_id <= 6"),
+          UpdateSet(Map("value" -> "t.value + s.value"))),
+        // second: ids 7..8 delete
+        MergeClause(Some("t.event_id <= 8"), DeleteRow),
+        // third: the rest of the matched set (9, 10) takes the source value
+        MergeClause(None, UpdateSet(Map("value" -> "s.value")))),
+      notMatched = Seq(
+        // 11..12 insert with an expression and a NULL-filled tag
+        InsertClause(Some("s.event_id <= 12"),
+          Map("event_id" -> "s.event_id", "value" -> "s.value * 10"))))
+    val out = MergeTable.read(spark, t)
+      .select("event_id", "tag", "value").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getDouble(2))))
+      .toMap
+    assert((1L to 3L).forall(i => out(i) == ((Some(s"u$i"), 5.0))))
+    assert((4L to 6L).forall(i => out(i) == ((Some(s"u$i"), 7.0))),
+      "first clause must accumulate t.value + s.value")
+    assert(!out.contains(7L) && !out.contains(8L), "second clause deletes")
+    assert((9L to 10L).forall(i => out(i) == ((Some(s"u$i"), 2.0))))
+    assert((11L to 12L).forall(i => out(i) == ((None, 20.0))),
+      "insert list: expression value, NULL tag")
+    assert(!out.contains(13L), "no insert clause matched id 13")
+    assert(out.size == 10)
+
+    // requireVersion: a stale find-phase version throws the typed conflict
+    val v = MergeTable.latestManifest(t).get.version
+    intercept[MergeTable.ConcurrentMergeException] {
+      MergeTable.merge(spark, t, rows(Seq(1L), 9.0),
+        Seq("event_id"), Seq("event_id"),
+        matched = Seq(MergeClause(None, UpdateSet(Map.empty))),
+        requireVersion = Some(v - 1))
+    }
+    // rekeying / non-identity insert keys reject loudly
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, t, rows(Seq(1L), 9.0),
+        Seq("event_id"), Seq("event_id"),
+        matched = Seq(MergeClause(None,
+          UpdateSet(Map("event_id" -> "s.event_id + 1")))))
+    }
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, t, rows(Seq(99L), 9.0),
+        Seq("event_id"), Seq("event_id"),
+        notMatched = Seq(InsertClause(None,
+          Map("event_id" -> "s.event_id + 1000", "value" -> "s.value"))))
+    }
+    assert(MergeTable.latestManifest(t).get.version == v, "rejects commit nothing")
+  }
+
   test("new rows win on key collision; read returns the merged snapshot") {
     val t = freshTable("basic")
     MergeTable.mergeUpsert(spark, t, rows(1L to 10L, 1.0), Seq("event_id"), Seq("event_id"))

@@ -103,6 +103,75 @@ class ZorderOptimizeSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, t).orderBy("event_id").collect().toSeq == before)
   }
 
+  test("TIMESTAMP + key zorder: the epoch-micros mapping and full-bit " +
+    "scaling give tight boxes on BOTH the time axis and the key") {
+    val t = fresh("ts")
+    // time-major insertion (one day per x): linear event_id clustering
+    // gives tight time stripes and FULL y range — the most common
+    // lakehouse layout ask is exactly this (ts, key) re-cluster
+    val grid = (for { x <- 0L until 32L; y <- 0L until 32L }
+      yield (x * 32L + y, x, y)).toSeq.toDF("event_id", "xi", "y")
+      .withColumn("ts",
+        timestamp_seconds(lit(1600000000L) + col("xi") * 86400L))
+      .drop("xi")
+    MergeTable.mergeUpsert(spark, t, grid, Seq("event_id"), Seq("event_id"),
+      targetRowsPerFile = 64)
+    val linear = MergeTable.latestManifest(t).get
+    val yBand = Seq(And(GreaterThanOrEqual("y", 0L), LessThanOrEqual("y", 3L)))
+    assert(StatsPruning.prune(linear.files, yBand).size == linear.files.size,
+      "time-major layout must not prune on the key")
+
+    val before = MergeTable.read(spark, t).orderBy("event_id").collect().toSeq
+    MergeTable.optimize(spark, t, targetRowsPerFile = 64,
+      zorderBy = Seq("ts", "y"))
+    val z = MergeTable.latestManifest(t).get
+    // the key band now prunes…
+    val yKept = StatsPruning.prune(z.files, yBand)
+    assert(yKept.size < z.files.size / 2,
+      s"(ts, y) z layout must prune the y band: ${yKept.size}/${z.files.size}")
+    // …and the time band still does (the z trade keeps time boxes tight;
+    // epoch-micros domain ≫ 16 bits, so this breaks without the scaling)
+    def tsAt(day: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1600000000L + day * 86400L))
+    val tsBand = Seq(And(GreaterThanOrEqual("ts", tsAt(0)),
+      LessThanOrEqual("ts", tsAt(3))))
+    val tsKept = StatsPruning.prune(z.files, tsBand)
+    assert(tsKept.size < z.files.size / 2,
+      s"time band must keep pruning: ${tsKept.size}/${z.files.size}")
+    assert(MergeTable.read(spark, t).orderBy("event_id").collect().toSeq
+      == before)
+  }
+
+  test("STRING dimension zorder: the prefix code clusters lexicographic " +
+    "ranges; a string-range predicate prunes") {
+    val t = fresh("str")
+    val grid = (for { x <- 0L until 32L; y <- 0L until 32L }
+      yield (x * 32L + y, f"key$x%04d", y)).toSeq
+      .toDF("event_id", "tag", "y")
+    MergeTable.mergeUpsert(spark, t, grid, Seq("event_id"), Seq("event_id"),
+      targetRowsPerFile = 64)
+    val before = MergeTable.read(spark, t).orderBy("event_id").collect().toSeq
+    MergeTable.optimize(spark, t, targetRowsPerFile = 64,
+      zorderBy = Seq("tag", "y"))
+    val z = MergeTable.latestManifest(t).get
+    val tagBand = Seq(And(GreaterThanOrEqual("tag", "key0000"),
+      LessThanOrEqual("tag", "key0003")))
+    val kept = StatsPruning.prune(z.files, tagBand)
+    // digit strings clump into decades under the prefix code (min/max
+    // scaling spreads the clumps but not the values within), so the
+    // string axis prunes HALF here rather than the integer case's
+    // quarter — still a real drop, and the key axis below gets its full
+    // tightness, which linear tag clustering gave none of
+    assert(kept.size <= z.files.size / 2,
+      s"string range must prune: ${kept.size}/${z.files.size}")
+    val yKept = StatsPruning.prune(z.files,
+      Seq(And(GreaterThanOrEqual("y", 0L), LessThanOrEqual("y", 3L))))
+    assert(yKept.size < z.files.size / 2,
+      s"key band must prune: ${yKept.size}/${z.files.size}")
+    assert(MergeTable.read(spark, t).orderBy("event_id").collect().toSeq
+      == before)
+  }
+
   test("zvalueN at n=2 is bit-identical to the two-column interleave") {
     val df = (0L until 200L).map(i => (i, i * 7 % 64, i * 13 % 64))
       .toDF("id", "x", "y")
