@@ -2964,6 +2964,57 @@ object MergeTable {
        |  max((event_id // 64) % 64) AS max_gy
        |FROM events""".stripMargin
 
+  private val writeDoorCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_write_door`: the table is created and updated
+    * ENTIRELY through `df.write.format("graft")` — the first save pins
+    * the keys, a second `SaveMode.Append` save upserts a boosted wave —
+    * so the provider's write door (external-metadata probe, V1 fallback,
+    * keys option plumbing) sits on the oracle path. */
+  private def buildWriteDoorEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(writeDoorCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("write-door")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-wdoor", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+      ev.write.format("graft").option("keys", "event_id").save(t)
+      ev.where(pmod(col("event_id"), lit(3)) === 0)
+        .withColumn("value", col("value") + 50.0)
+        .withColumn("event_type", lit("bumped"))
+        .write.format("graft").mode("append").save(t)
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_write_door`: digest of the write-door-built head — a dropped
+    * wave, a non-upserted key, or a write that bypassed the merge
+    * protocol breaks the hash. */
+  def writeDoorDigest(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft").load(buildWriteDoorEvents(s, sfDir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy("event_type")
+
+  val writeDoorDigestSql: String =
+    s"""WITH final AS (
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 3 = 0 THEN 'bumped' ELSE event_type END
+       |      AS event_type,
+       |    CASE WHEN event_id % 3 = 0 THEN value + 50.0 ELSE value END
+       |      AS value
+       |  FROM events)
+       |SELECT event_type, count(*) AS n_events,
+       |  round(sum(value), 2) AS value_sum
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val sqlMergeCache = IndexMemo.cache[(SparkSession, String), String]()
 
   /** Fixture behind `q_merge_sql`: the table's second version is

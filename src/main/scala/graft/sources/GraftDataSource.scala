@@ -89,9 +89,25 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     resolveOnce(options).schemaStruct
 
+  /** True so the WRITE path hands us the frame's schema instead of
+    * calling inferSchema — a first write targets a table that does not
+    * exist yet, and inferSchema would (rightly, for reads) throw. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    resolveOnce(new CaseInsensitiveStringMap(properties))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val p = path(opts)
+    if (MergeTable.latestManifest(p).isEmpty)
+      // the writer resolves the provider's table BEFORE deciding V2 vs
+      // V1 write; a not-yet-created table is not an error here — the
+      // placeholder carries no capabilities, so the write falls back to
+      // the V1 CreatableRelationProvider door (which creates the table)
+      // and a read attempt fails with the capability error. Plain reads
+      // of a missing table still throw in inferSchema above.
+      new GraftPreCreationTable(p, schema)
+    else resolveOnce(opts)
+  }
 
   // ---- streaming read: spark.readStream.format("graft").load(path) --------
   // The table's capabilities are BATCH_READ only, so the stream reader
@@ -163,6 +179,15 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
     new GraftStreamSink(sqlContext.sparkSession, path, writerId, complete, p)
   }
+}
+
+/** Placeholder for a table the WRITE path is about to create: no
+  * capabilities, so every plan against it falls to the V1 doors. */
+class GraftPreCreationTable(path: String, s: StructType) extends Table {
+  override def name(): String = s"graft.`$path` (not yet created)"
+  override def schema(): StructType = if (s == null) new StructType() else s
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.noneOf(classOf[TableCapability])
 }
 
 object GraftTable {
