@@ -264,6 +264,32 @@ object GraftSql {
     }
   }
 
+  /** `INSERT INTO graft.`…`` (upsert — the key-unique table model) and
+    * `INSERT OVERWRITE` (the one-commit full sync: matched rows update,
+    * new rows insert, absent rows delete; time travel keeps history).
+    * The query arrives ALIGNED to the table schema (the analyzer's
+    * output resolution ran before the rule swap — see [[GraftMergeRule]]'s
+    * `outputResolved` gate). */
+  private[graft] def runInsert(s: SparkSession, path: String,
+      query: LogicalPlan, overwrite: Boolean): Unit = {
+    val head = MergeTable.latestManifest(path).getOrElse(unsupported(
+      s"INSERT target $path does not exist — a graft table is created by " +
+        "its first transactional commit (df.write.format(\"graft\")" +
+        ".option(\"keys\", …) or MergeTable.mergeUpsert), which pins the " +
+        "merge keys"))
+    val batch = org.apache.spark.sql.graftbridge.Bridge.ofRows(s, query)
+    if (overwrite)
+      MergeTable.merge(s, path, batch, head.keys, head.clusterBy,
+        matched = Seq(MergeTable.MergeClause(None,
+          MergeTable.UpdateSet(Map.empty))),
+        notMatched = Seq(MergeTable.InsertClause(None, Map.empty)),
+        notMatchedBySource = Seq(MergeTable.MergeClause(None,
+          MergeTable.DeleteRow)))
+    else
+      MergeTable.mergeUpsert(s, path, batch, head.keys, head.clusterBy)
+    ()
+  }
+
   /** Execute a parsed (resolved or unresolved) [[MergeIntoTable]] whose
     * target is a graft table. */
   private[graft] def runMerge(s: SparkSession, m: MergeIntoTable,
@@ -361,8 +387,14 @@ object GraftSql {
           s"UPDATE SET key must be a target column: ${a.key.sql}"))
         val isKey = parsedKeys.exists(_.equalsIgnoreCase(colName))
         sideName(a.value) match {
-          case Some((_, vn)) if isKey && vn.equalsIgnoreCase(colName) =>
-            None // identity key assignment: a no-op on a matched pair
+          case Some((side, vn)) if isKey && vn.equalsIgnoreCase(colName) =>
+            // identity key assignment: a no-op on a matched pair — but in
+            // an NMBS clause there IS no source row, so `k = s.k` would
+            // mean "set the key to NULL": reject, don't silently keep-old
+            if (nmbsCtx && side.contains(S)) unsupported(
+              s"NOT MATCHED BY SOURCE SET must not reference the source " +
+                s"side (no source row exists): ${a.sql}")
+            None
           case _ if isKey => unsupported(
             s"UPDATE SET must not rekey merge key '$colName' — " +
               s"got: ${a.sql}")
@@ -466,7 +498,37 @@ case class GraftMergeRule(session: SparkSession)
       GraftDeleteCommand(d)
     case u: UpdateTable if GraftSql.graftTargetPath(u.table).nonEmpty =>
       GraftUpdateCommand(u)
+    // INSERT INTO / INSERT OVERWRITE: swap only once the analyzer has
+    // ALIGNED the query to the table schema (outputResolved — by-name /
+    // by-position resolution, casts, NULL-fill all applied), and before
+    // TableCapabilityCheck would reject the write-capability-less table
+    case a: AppendData if a.query.resolved && a.outputResolved &&
+        GraftSql.graftTargetPath(a.table).nonEmpty =>
+      GraftInsertCommand(GraftSql.graftTargetPath(a.table).get, a.query,
+        overwrite = false)
+    case o: OverwriteByExpression if o.query.resolved && o.outputResolved &&
+        GraftSql.graftTargetPath(o.table).nonEmpty =>
+      o.deleteExpr match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(true, _) => ()
+        case other => throw new UnsupportedOperationException(
+          "graft INSERT OVERWRITE supports only the full-table form " +
+            s"(got overwrite condition: ${other.sql}) — a conditional " +
+            "replace is a MERGE with a NOT MATCHED BY SOURCE clause")
+      }
+      GraftInsertCommand(GraftSql.graftTargetPath(o.table).get, o.query,
+        overwrite = true)
     case _ => plan
+  }
+}
+
+/** Leaf command: the ALIGNED insert query held as state (not a child), so
+  * the analyzer treats the swapped plan as resolved; execution lands on
+  * the transactional merge (upsert, or full sync for OVERWRITE). */
+case class GraftInsertCommand(path: String, query: LogicalPlan,
+    overwrite: Boolean) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    GraftSql.runInsert(sparkSession, path, query, overwrite)
+    Seq.empty
   }
 }
 

@@ -172,7 +172,18 @@ class GraftStreamSource(
     lastSeen = Some(math.max(endV, lastSeen.getOrElse(Long.MinValue)))
     val frames: Seq[DataFrame] = start.map(vOf) match {
       case Some(s) =>
-        ((s + 1) to endV).flatMap(versionChanges)
+        // an end BELOW the checkpointed start means the table was
+        // dropped and recreated under the live checkpoint — its version
+        // counter restarted, and treating the new incarnation's commits
+        // as diffs of the old one would deliver garbage
+        require(endV >= s,
+          s"graft stream over $tablePath: available version v$endV is " +
+            s"below the checkpointed offset v$s — the table was recreated " +
+            "under this checkpoint; start a fresh checkpoint")
+        // a startingVersion AHEAD of the head at stream start still
+        // gates later batches: versions below it are never delivered
+        val lo = math.max(s + 1, startingVersion.getOrElse(Long.MinValue))
+        (lo to endV).flatMap(versionChanges)
       case None => startingVersion match {
         case Some(from) => (from to endV).flatMap(versionChanges)
         case None =>

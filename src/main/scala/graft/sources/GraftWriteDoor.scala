@@ -63,11 +63,14 @@ object GraftWriteDoor {
     val optCluster = p.get("clusterby").map(split)
     MergeTable.latestManifest(path) match {
       case Some(m) =>
-        opt.foreach(k => require(k.map(_.toLowerCase) == m.keys.map(_.toLowerCase),
+        opt.foreach(k => require(
+          k.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            m.keys.map(_.toLowerCase(java.util.Locale.ROOT)),
           s"table $path is keyed ${m.keys.mkString(",")}; the write's keys " +
             s"option says ${k.mkString(",")} — a re-key needs a migration"))
         optCluster.foreach(c => require(
-          c.map(_.toLowerCase) == m.clusterBy.map(_.toLowerCase),
+          c.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            m.clusterBy.map(_.toLowerCase(java.util.Locale.ROOT)),
           s"table $path clusters by ${m.clusterBy.mkString(",")}"))
         (m.keys, m.clusterBy)
       case None =>

@@ -114,6 +114,37 @@ class GraftWriteDoorSpec extends AnyFunSuite {
     assert(MergeTable.latestManifest(t).get.version == vNow)
   }
 
+  test("SQL INSERT INTO upserts and INSERT OVERWRITE full-syncs through " +
+    "the analyzer door; both keep history") {
+    val t = fresh("sqlins")
+    (1L to 10L).map(i => (i, i * 1.0)).toDF("event_id", "value")
+      .write.format("graft").option("keys", "event_id").save(t)
+    // INSERT INTO with VALUES: new key inserts, existing key upserts
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (11, 11.0), (1, 100.0)")
+    val s1 = state(t)
+    assert(s1.size == 11 && s1(11L) == 11.0 && s1(1L) == 100.0)
+    // INSERT INTO with a SELECT (positional, SQL semantics)
+    spark.sql(s"INSERT INTO graft.`$t` SELECT 12L, 200.0")
+    assert(state(t)(12L) == 200.0)
+    // and the BY NAME form aligns out-of-order columns
+    spark.sql(
+      s"INSERT INTO graft.`$t` BY NAME SELECT 300.0 AS value, 13L AS event_id")
+    assert(state(t)(13L) == 300.0)
+    // INSERT OVERWRITE: the batch becomes the whole table, one commit
+    val vBefore = MergeTable.latestManifest(t).get.version
+    spark.sql(s"INSERT OVERWRITE graft.`$t` VALUES (5, 5.5), (99, 9.9)")
+    assert(state(t) == Map(5L -> 5.5, 99L -> 9.9))
+    assert(MergeTable.latestManifest(t).get.version == vBefore + 1)
+    assert(MergeTable.readVersion(spark, t, vBefore).count() == 13L)
+    // a missing target fails loudly (the catalog's not-found, raised
+    // before the rule swap — tables are created by their first commit)
+    val miss = fresh("sqlins-miss")
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO graft.`$miss` VALUES (1, 1.0)"))
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.contains("first transactional commit"), e.getMessage)
+  }
+
   test("streaming Complete mode is a per-batch full sync: keys absent " +
     "from the new result delete") {
     val t = fresh("complete")
