@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.MergeTable
+
+/** The ONE change-feed framing shared by every CDF surface — the
+  * streaming source ([[GraftStreamSource]]) and the batch
+  * `option("readChangeFeed", "true")` read ([[GraftCdfTable]]): a pinned
+  * column set (table columns + `<c>_pre` preimages + `change_type`,
+  * `feed_type`, `_commit_version`), per-version FILE-SCOPED diffs, and
+  * the beyond-retention snapshot-boot / skip-subsumption semantics of
+  * the sink-side feed. One framing, three doors — a consumer written
+  * against any of them reads the same rows. */
+private[sources] object GraftChangeFeed {
+
+  /** The feed's pinned shape, derived from one resolved manifest. */
+  case class FeedShape(tablePath: String, tableSchema: StructType,
+      schema: StructType, surface: String)
+
+  def shapeFor(tablePath: String, m: MergeTable.TableManifest,
+      surface: String): FeedShape = {
+    val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val payload = tableSchema.fieldNames.filterNot(m.keys.contains).toSeq
+    val schema = StructType(
+      tableSchema.fields.map(f => f.copy(nullable = true)) ++
+        payload.map(c =>
+          StructField(s"${c}_pre", tableSchema(c).dataType, nullable = true)) ++
+        Seq(StructField("change_type", StringType, nullable = false),
+          StructField("feed_type", StringType, nullable = false),
+          StructField("_commit_version", LongType, nullable = false)))
+    FeedShape(tablePath, tableSchema, schema, surface)
+  }
+
+  /** Project one per-version frame onto the pinned feed schema; fail
+    * LOUDLY on a column-set drift (rename/drop/widen mid-feed). */
+  def aligned(shape: FeedShape, df: DataFrame, feedType: String,
+      v: Long): DataFrame = {
+    val have = df.columns.toSet
+    val dataCols = df.columns.filterNot(c =>
+      c == "change_type" || c.endsWith("_pre")).toSet
+    val pinned = shape.tableSchema.fieldNames.toSet
+    require(dataCols == pinned,
+      s"graft ${shape.surface} over ${shape.tablePath}: version $v's " +
+        s"column set ${dataCols.toSeq.sorted.mkString(",")} differs from " +
+        s"the pinned schema ${pinned.toSeq.sorted.mkString(",")} — the " +
+        "table's schema changed mid-feed; restart the " +
+        s"${shape.surface} to adopt it")
+    df.select(shape.schema.fields.map { f =>
+      f.name match {
+        case "feed_type" => lit(feedType).as("feed_type")
+        case "_commit_version" => lit(v).as("_commit_version")
+        case n if have.contains(n) => col(n).cast(f.dataType).as(n)
+        case n => lit(null).cast(f.dataType).as(n) // snapshot rows: _pre
+      }
+    }.toSeq: _*)
+  }
+
+  /** The full snapshot of `m` as INSERT rows. */
+  def snapshotFrame(spark: SparkSession, shape: FeedShape,
+      m: MergeTable.TableManifest, feedType: String): DataFrame =
+    aligned(shape, MergeTable.readManifest(spark, shape.tablePath, m)
+      .withColumn("change_type", lit("INSERT")), feedType, m.version)
+
+  private def tryManifest(tablePath: String, v: Long)
+      : Option[MergeTable.TableManifest] =
+    try MergeTable.manifestAt(tablePath, v)
+    catch { case _: MergeTable.MissingVersionException => None }
+
+  /** One version's changes: the file-scoped diff against v−1, the
+    * snapshot boot when v−1 is beyond retention (manifest OR the data
+    * files underneath it — a retained log record is no proof the files
+    * it references survived), None when v itself is gone (subsumed by
+    * the next readable version's boot). Only PROVABLY-missing-data
+    * conditions downgrade ([[graft.streaming.StreamingChangeFeed
+    * .isMissingData]], typed) — anything else fails loudly. */
+  def versionChanges(spark: SparkSession, shape: FeedShape,
+      v: Long): Option[DataFrame] = {
+    import graft.streaming.StreamingChangeFeed.isMissingData
+    // resolve v−1 FIRST (a cache hit from the previous version's
+    // delivery), then v as a one-delta forward fold — the same
+    // resolution-order discipline as the sink-side feed
+    val prevOpt = if (v == 0L) None else tryManifest(shape.tablePath, v - 1)
+    try tryManifest(shape.tablePath, v).map { mv =>
+      def boot(feed: String) = snapshotFrame(spark, shape, mv, feed)
+      prevOpt match {
+        case None => boot(if (v == 0L) "diff" else "snapshot")
+        case Some(mp) =>
+          try aligned(shape, MergeTable.changesBetweenManifests(
+            spark, shape.tablePath, mp, mv, preimages = true), "diff", v)
+          catch {
+            case e: Throwable if isMissingData(e) => boot("snapshot")
+          }
+      }
+    } catch {
+      // v's own data is gone too: skip — the next readable version's
+      // snapshot boot subsumes it
+      case e: Throwable if isMissingData(e) => None
+    }
+  }
+
+  def emptyFrame(spark: SparkSession, shape: FeedShape): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), shape.schema)
+}

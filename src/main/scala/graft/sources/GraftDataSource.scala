@@ -65,29 +65,56 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     p
   }
 
-  /** One resolution per (path, versionAsOf, timestampAsOf): Spark calls
-    * `inferSchema` and `getTable` as two steps of one lookup, and a
-    * commit landing between two INDEPENDENT resolutions would pin the
-    * scan to a different snapshot than the one the query was analyzed
-    * against (after a concurrent rename/drop, an analysis/runtime column
-    * mismatch instead of a consistent pinned read). The memo makes both
-    * steps see the SAME resolved manifest. Spark instantiates a fresh
-    * provider per `spark.read....load(...)` call, so the memo's lifetime
-    * is one lookup — a later read of the same path re-resolves and sees
-    * new commits. */
+  /** One resolution per option tuple: Spark calls `inferSchema` and
+    * `getTable` as two steps of one lookup, and a commit landing between
+    * two INDEPENDENT resolutions would pin the scan to a different
+    * snapshot than the one the query was analyzed against (after a
+    * concurrent rename/drop, an analysis/runtime column mismatch instead
+    * of a consistent pinned read). The memo makes both steps see the
+    * SAME resolved manifest. Spark instantiates a fresh provider per
+    * `spark.read....load(...)` call, so the memo's lifetime is one
+    * lookup — a later read of the same path re-resolves and sees new
+    * commits. */
   private val resolved =
     new java.util.concurrent.ConcurrentHashMap[(String, Option[String],
-      Option[String]), GraftTable]()
+      Option[String], Option[String], Option[String], Option[String]), Table]()
 
-  private def resolveOnce(options: CaseInsensitiveStringMap): GraftTable = {
+  private def resolveOnce(options: CaseInsensitiveStringMap): Table = {
     val key = (path(options), Option(options.get("versionasof")),
-      Option(options.get("timestampasof")))
-    resolved.computeIfAbsent(key,
-      k => GraftTable.resolve(k._1, k._2, k._3))
+      Option(options.get("timestampasof")),
+      Option(options.get("readchangefeed")),
+      Option(options.get("startingversion")),
+      Option(options.get("endingversion")))
+    resolved.computeIfAbsent(key, { k =>
+      val cdf = k._4.exists(_.trim.equalsIgnoreCase("true"))
+      if (!cdf) GraftTable.resolve(k._1, k._2, k._3)
+      else {
+        // batch CHANGE DATA FEED: option("readChangeFeed", "true") with
+        // startingVersion (required) and endingVersion (default: the
+        // head at resolve time) — the same per-version framing as the
+        // streaming source, pinned at lookup
+        require(k._2.isEmpty && k._3.isEmpty,
+          "readChangeFeed composes with startingVersion/endingVersion, " +
+            "not versionAsOf/timestampAsOf")
+        val from = k._5.map(_.trim.toLong).getOrElse(sys.error(
+          "readChangeFeed needs .option(\"startingVersion\", n)"))
+        val head = MergeTable.latestManifest(k._1).getOrElse(
+          throw new NoSuchTableException(
+            Identifier.of(Array.empty, k._1)))
+        val to = k._6.map(_.trim.toLong).getOrElse(head.version)
+        require(from >= 0 && from <= to,
+          s"readChangeFeed range [$from, $to] is empty or negative")
+        require(to <= head.version,
+          s"endingVersion $to is beyond the head v${head.version}")
+        new GraftCdfTable(k._1,
+          GraftChangeFeed.shapeFor(k._1, head, "batch change feed"),
+          from, to)
+      }
+    })
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolveOnce(options).schemaStruct
+    resolveOnce(options).schema()
 
   /** True so the WRITE path hands us the frame's schema instead of
     * calling inferSchema — a first write targets a table that does not
@@ -388,6 +415,54 @@ object GraftV1Relation {
     } yield lc || rc
     case Not(child) => filterToColumn(child).map(!_)
     case _ => None
+  }
+}
+
+/** Batch CHANGE DATA FEED table:
+  * `spark.read.format("graft").option("readChangeFeed", "true")
+  * .option("startingVersion", a)[.option("endingVersion", b)].load(path)`
+  * — the union of per-version file-scoped diffs over `[a, b]`, with
+  * preimages, `feed_type`, and `_commit_version`, under exactly the
+  * framing and beyond-retention semantics of the STREAMING source (one
+  * consumer contract, two delivery modes). Pinned at lookup; filters
+  * evaluate above the diff (the diff is itself a join — there is no
+  * per-file box to consult). */
+class GraftCdfTable(tablePath: String,
+    shape: GraftChangeFeed.FeedShape, from: Long, to: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.`$tablePath` changes v$from..v$to"
+  override def schema(): StructType = shape.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftCdfScan(tablePath, shape, from, to)
+    }
+}
+
+class GraftCdfScan(tablePath: String, shape: GraftChangeFeed.FeedShape,
+    from: Long, to: Long) extends V1Scan {
+  override def readSchema(): StructType = shape.schema
+  override def description(): String =
+    s"GraftCdfScan $tablePath v$from..v$to"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftCdfRelation(context, shape, from, to).asInstanceOf[T]
+}
+
+class GraftCdfRelation(ctx: SQLContext, shape: GraftChangeFeed.FeedShape,
+    from: Long, to: Long) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = shape.schema
+  override val needConversion: Boolean = false
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val frames = (from to to).flatMap(v =>
+      GraftChangeFeed.versionChanges(spark, shape, v))
+    val out =
+      if (frames.isEmpty) GraftChangeFeed.emptyFrame(spark, shape)
+      else frames.reduce(_ unionByName _)
+    out.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 

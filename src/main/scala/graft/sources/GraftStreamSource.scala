@@ -63,20 +63,11 @@ class GraftStreamSource(
   private val boot = MergeTable.latestManifest(tablePath).getOrElse(
     sys.error(s"no committed version under $tablePath — the stream needs " +
       "an existing table (its schema pins the feed's columns)"))
-  private val tableSchema =
-    DataType.fromJson(boot.schemaJson).asInstanceOf[StructType]
-  private val keys = boot.keys
-  private val payload =
-    tableSchema.fieldNames.filterNot(keys.contains).toSeq
+  // the ONE change-feed framing, shared with the batch CDF read
+  private val shape = GraftChangeFeed.shapeFor(tablePath, boot, "stream")
   startingVersion.foreach(v => require(v >= 0, s"startingVersion $v < 0"))
 
-  override val schema: StructType = StructType(
-    tableSchema.fields.map(f => f.copy(nullable = true)) ++
-      payload.map(c =>
-        StructField(s"${c}_pre", tableSchema(c).dataType, nullable = true)) ++
-      Seq(StructField("change_type", StringType, nullable = false),
-        StructField("feed_type", StringType, nullable = false),
-        StructField("_commit_version", LongType, nullable = false)))
+  override val schema: StructType = shape.schema
 
   /** Highest offset this source has handed to the engine — the anchor
     * for the per-trigger version cap. None right after (re)start: the
@@ -103,69 +94,14 @@ class GraftStreamSource(
     try MergeTable.manifestAt(tablePath, v)
     catch { case _: MergeTable.MissingVersionException => None }
 
-  /** Project one per-version frame onto the pinned feed schema; fail
-    * LOUDLY on a column-set drift (rename/drop/widen mid-stream). */
-  private def aligned(df: DataFrame, feedType: String, v: Long): DataFrame = {
-    val have = df.columns.toSet
-    val dataCols = df.columns.filterNot(c =>
-      c == "change_type" || c.endsWith("_pre")).toSet
-    val pinned = tableSchema.fieldNames.toSet
-    require(dataCols == pinned,
-      s"graft stream over $tablePath: version $v's column set " +
-        s"${dataCols.toSeq.sorted.mkString(",")} differs from the pinned " +
-        s"stream schema ${pinned.toSeq.sorted.mkString(",")} — the table's " +
-        "schema changed mid-stream; restart the stream to adopt it")
-    df.select(schema.fields.map { f =>
-      f.name match {
-        case "feed_type" => lit(feedType).as("feed_type")
-        case "_commit_version" => lit(v).as("_commit_version")
-        case n if have.contains(n) => col(n).cast(f.dataType).as(n)
-        case n => lit(null).cast(f.dataType).as(n) // snapshot rows: _pre
-      }
-    }.toSeq: _*)
-  }
+  private def versionChanges(v: Long): Option[DataFrame] =
+    GraftChangeFeed.versionChanges(spark, shape, v)
 
-  /** The full snapshot of `m` as INSERT rows. */
   private def snapshotFrame(m: MergeTable.TableManifest,
       feedType: String): DataFrame =
-    aligned(MergeTable.readManifest(spark, tablePath, m)
-      .withColumn("change_type", lit("INSERT")), feedType, m.version)
+    GraftChangeFeed.snapshotFrame(spark, shape, m, feedType)
 
-  /** One version's changes: the file-scoped diff against v−1, the
-    * snapshot boot when v−1 is beyond retention (manifest OR the data
-    * files underneath it — a retained log record is no proof the files
-    * it references survived), None when v itself is gone (subsumed by
-    * the next readable version's boot). Only PROVABLY-missing-data
-    * conditions downgrade ([[graft.streaming.StreamingChangeFeed
-    * .isMissingData]], typed) — anything else fails the stream loudly. */
-  private def versionChanges(v: Long): Option[DataFrame] = {
-    import graft.streaming.StreamingChangeFeed.isMissingData
-    // resolve v−1 FIRST (a cache hit from the previous version's
-    // delivery), then v as a one-delta forward fold — the same
-    // resolution-order discipline as the sink-side feed
-    val prevOpt = if (v == 0L) None else tryManifest(v - 1)
-    try tryManifest(v).map { mv =>
-      def boot(feed: String) = snapshotFrame(mv, feed)
-      prevOpt match {
-        case None => boot(if (v == 0L) "diff" else "snapshot")
-        case Some(mp) =>
-          try aligned(MergeTable.changesBetweenManifests(
-            spark, tablePath, mp, mv, preimages = true), "diff", v)
-          catch {
-            case e: Throwable if isMissingData(e) => boot("snapshot")
-          }
-      }
-    } catch {
-      // v's own data is gone too: skip — the next readable version's
-      // snapshot boot subsumes it (the sink marks these _SKIPPED; the
-      // source has no marker channel, the version gap is the signal)
-      case e: Throwable if isMissingData(e) => None
-    }
-  }
-
-  private def emptyFrame: DataFrame =
-    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-      schema)
+  private def emptyFrame: DataFrame = GraftChangeFeed.emptyFrame(spark, shape)
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endV = vOf(end)

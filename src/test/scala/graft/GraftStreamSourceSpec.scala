@@ -184,6 +184,88 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(diffs.map(_._1).distinct == Seq(3L) && diffs.size == 1)
   }
 
+  test("batch readChangeFeed equals the streamed feed row-for-row — one " +
+    "consumer contract, two delivery modes") {
+    val t = fresh("batchcdf")
+    seed(t) // v0
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 5L).map(i => (i, "updated", i + 100.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L))) // v1
+    MergeTable.mergeDelete(spark, t, Seq(8L).toDF("event_id"),
+      txn = Some(("w", 2L))) // v2
+
+    val batch = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0").load(t)
+    val streamed = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, fresh("batchcdf-ckpt"), streamed,
+      Map("startingVersion" -> "0"))
+    assert(batch.collect().map(key).toSet == streamed.flatten.map(key).toSet)
+    assert(batch.schema == spark.readStream.format("graft").load(t).schema)
+    // a bounded range reads only those versions
+    val v1only = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1").load(t)
+    assert(v1only.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(v1only.count() == 5L)
+    // option validation
+    intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true").load(t).collect())
+    intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0").option("endingVersion", "99")
+      .load(t).collect())
+  }
+
+  test("end-to-end CDC replication: readStream from one graft table, " +
+    "apply per-version into another — the replica converges") {
+    val src = fresh("repl-src")
+    val dst = fresh("repl-dst")
+    seed(src) // v0
+    def applyBatch(b: DataFrame): Unit = {
+      import org.apache.spark.sql.functions.col
+      val versions = b.select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).sorted // bounded: versions per batch
+      versions.foreach { v =>
+        val rows = b.where(col("_commit_version") === v)
+        val dataCols = Seq("event_id", "event_type", "value")
+        val ups = rows.where(col("change_type").isin("INSERT", "UPDATE"))
+          .select(dataCols.map(col): _*)
+        val dels = rows.where(col("change_type") === "DELETE")
+          .select(col("event_id"))
+        // replication is replay-safe by the same watermark the source's
+        // offsets are: version v applies exactly once per writer
+        MergeTable.mergeUpsert(spark, dst, ups, Seq("event_id"),
+          Seq("event_id"), txn = Some(("repl-up", v)))
+        MergeTable.mergeDelete(spark, dst, dels, txn = Some(("repl-del", v)))
+      }
+    }
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "0").load(src)
+        .writeStream
+        .option("checkpointLocation", s"$dst-ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) => applyBatch(b) }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def snap(t: String) = MergeTable.read(spark, t)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(snap(dst) == snap(src) && snap(dst).size == 20)
+    // more commits on the source; the replica follows across a restart
+    MergeTable.mergeUpsert(spark, src,
+      Seq((1L, "upd", 999.0)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L)))
+    MergeTable.mergeDelete(spark, src, Seq(7L, 8L).toDF("event_id"),
+      txn = Some(("w", 2L)))
+    run()
+    assert(snap(dst) == snap(src) && snap(dst).size == 18)
+  }
+
   test("a mid-stream schema change fails the batch loudly with a restart " +
     "instruction, never silently nulls a renamed column") {
     val t = fresh("drift")
