@@ -309,6 +309,147 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.changesBetween(spark, t, 1L, 1L).count() == 0)
   }
 
+  test("property: random CLAUSE-LIST merges equal a row-by-row reference " +
+    "interpreter (first-match-wins, expression SET, NULL-fill inserts, NMBS)") {
+    import MergeTable.{DeleteRow, InsertClause, MergeClause, UpdateSet}
+    type St = Map[Long, (String, Double)] // key -> (tag, value)
+
+    // the condition/action POOLS: each SQL string paired with its exact
+    // Scala meaning, so the reference interpreter and the engine evaluate
+    // the same predicate from two independent implementations
+    case class Cond(sql: String,
+        onPair: (Option[(String, Double)], Option[Double]) => Boolean)
+    // t = Some((tag, value)) for the table row, s = Some(value) batch-side
+    val matchedConds: Seq[Option[Cond]] = Seq(
+      None,
+      Some(Cond("s.value > t.value",
+        (t, sv) => sv.get > t.get._2)),
+      Some(Cond("t.tag = 'a'", (t, _) => t.get._1 == "a")),
+      Some(Cond("s.value < 5.0", (_, sv) => sv.get < 5.0)))
+    val insertConds: Seq[Option[Cond]] = Seq(
+      None, Some(Cond("s.value >= 4.0", (_, sv) => sv.get >= 4.0)))
+    val nmbsConds: Seq[Option[Cond]] = Seq(
+      None, Some(Cond("t.value < 3.0", (t, _) => t.get._2 < 3.0)))
+
+    sealed trait MAct
+    case object MDel extends MAct
+    case object MStar extends MAct // tag, value both from s
+    case object MAcc extends MAct // value = t.value + s.value, tag kept
+    case object MTagMark extends MAct // value = s.value, tag = concat(t.tag, '+')
+    def mActionOf(a: MAct): MergeTable.MergeAction = a match {
+      case MDel => DeleteRow
+      case MStar => UpdateSet(Map.empty)
+      case MAcc => UpdateSet(Map("value" -> "t.value + s.value"))
+      case MTagMark => UpdateSet(Map(
+        "value" -> "s.value", "tag" -> "concat(t.tag, '+')"))
+    }
+    def mApply(a: MAct, t: (String, Double), sTag: String, sv: Double)
+        : Option[(String, Double)] = a match {
+      case MDel => None
+      case MStar => Some((sTag, sv))
+      case MAcc => Some((t._1, t._2 + sv))
+      // SQL concat NULL-propagates: a row inserted with a NULL tag (the
+      // IDouble column-list insert) keeps NULL through the mark
+      case MTagMark => Some((if (t._1 == null) null else t._1 + "+", sv))
+    }
+    sealed trait IAct
+    case object IStar extends IAct // full row from s
+    case object IDouble extends IAct // (key, value*2), tag NULL
+    sealed trait NAct
+    case object NDel extends NAct
+    case object NBump extends NAct // value = t.value + 1000, tag kept
+
+    import org.scalacheck.Gen
+    val mGen = for {
+      c <- Gen.oneOf(matchedConds); a <- Gen.oneOf(MDel: MAct, MStar, MAcc, MTagMark)
+    } yield (c, a)
+    val iGen = for {
+      c <- Gen.oneOf(insertConds); a <- Gen.oneOf(IStar: IAct, IDouble)
+    } yield (c, a)
+    val nGen = for {
+      c <- Gen.oneOf(nmbsConds); a <- Gen.oneOf(NDel: NAct, NBump)
+    } yield (c, a)
+    val mergeGen = for {
+      ms <- Gen.listOfN(3, mGen).map(_.take(3))
+      nMs <- Gen.choose(0, 3)
+      is <- Gen.listOfN(2, iGen)
+      nIs <- Gen.choose(0, 2)
+      ns <- Gen.listOfN(2, nGen)
+      nNs <- Gen.choose(0, 2)
+      keys <- Gen.nonEmptyListOf(Gen.choose(0L, 25L)).map(_.distinct)
+      v <- Gen.choose(0.0, 10.0).map(x => math.rint(x * 4) / 4) // exact doubles
+    } yield (ms.take(nMs), is.take(nIs), ns.take(nNs), keys, v)
+
+    val seed = (0L until 14L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", (i % 7).toDouble))
+    (1 to 3).foreach { round =>
+      val t = freshTable(s"clauseprop$round")
+      MergeTable.mergeUpsert(spark, t, seed.toDF("event_id", "tag", "value"),
+        Seq("event_id"), Seq("event_id"))
+      var ref: St = seed.map(r => r._1 -> ((r._2, r._3))).toMap
+      val rnd = new scala.util.Random(1000 + round)
+      val merges = Iterator.continually(
+        mergeGen.apply(Gen.Parameters.default.withSize(8),
+          org.scalacheck.rng.Seed(rnd.nextLong()))).flatten.take(6).toSeq
+      merges.foreach { case (ms, is, ns, keys, v) =>
+        val batchRows = keys.map(k => (k, "s", v + (k % 3) * 0.25))
+        val batch = batchRows.toDF("event_id", "tag", "value")
+        MergeTable.merge(spark, t, batch, Seq("event_id"), Seq("event_id"),
+          matched = ms.map { case (c, a) =>
+            MergeClause(c.map(_.sql), mActionOf(a)) },
+          notMatched = is.map { case (c, a) =>
+            InsertClause(c.map(_.sql), a match {
+              case IStar => Map.empty[String, String]
+              case IDouble => Map("event_id" -> "s.event_id",
+                "value" -> "s.value * 2.0")
+            })
+          },
+          notMatchedBySource = ns.map { case (c, a) =>
+            MergeClause(c.map(_.sql), a match {
+              case NDel => DeleteRow
+              case NBump => UpdateSet(Map("value" -> "t.value + 1000.0"))
+            })
+          })
+        // ---- the independent reference interpreter --------------------
+        val bMap = batchRows.map(r => r._1 -> ((r._2, r._3))).toMap
+        val next = scala.collection.mutable.Map.empty[Long, (String, Double)]
+        // matched + not-matched-by-source: walk the table rows
+        ref.foreach { case (k, trow) =>
+          bMap.get(k) match {
+            case Some((sTag, sv)) =>
+              ms.find(c => c._1.forall(_.onPair(Some(trow), Some(sv)))) match {
+                case Some((_, act)) =>
+                  mApply(act, trow, sTag, sv).foreach(next(k) = _)
+                case None => next(k) = trow // no clause: keep untouched
+              }
+            case None =>
+              ns.find(c => c._1.forall(_.onPair(Some(trow), None))) match {
+                case Some((_, NDel)) => ()
+                case Some((_, NBump)) => next(k) = (trow._1, trow._2 + 1000.0)
+                case None => next(k) = trow
+              }
+          }
+        }
+        // not matched: batch rows with no table row
+        bMap.foreach { case (k, (sTag, sv)) =>
+          if (!ref.contains(k))
+            is.find(c => c._1.forall(_.onPair(None, Some(sv)))).foreach {
+              case (_, IStar) => next(k) = (sTag, sv)
+              case (_, IDouble) => next(k) = (null, sv * 2.0)
+            }
+        }
+        ref = next.toMap
+        val got = MergeTable.read(spark, t)
+          .select("event_id", "tag", "value").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+        assert(got == ref,
+          s"clause-list merge diverged from the reference interpreter\n" +
+            s"clauses m=$ms i=$is n=$ns keys=$keys v=$v\n" +
+            s"engine=${got.toSeq.sortBy(_._1)}\nref=${ref.toSeq.sortBy(_._1)}")
+      }
+    }
+  }
+
   test("property: random upsert/delete sequences equal a driver-side map fold") {
     import org.scalacheck.Gen
     val opGen: Gen[(Boolean, Seq[Long], Double)] = for {
