@@ -28,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_detail"),
       new ExpressionInfo(graft.ops.GraftTvf.getClass.getName, "graft_detail"),
       (children: Seq[Expression]) => graft.ops.GraftTvf.detail(children)))
+    // the change data feed as a composable SQL relation (same framing as
+    // the batch readChangeFeed option and the streaming source)
+    e.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(graft.ops.GraftTvf.getClass.getName, "graft_changes"),
+      (children: Seq[Expression]) => graft.ops.GraftTvf.changes(children)))
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -47,6 +47,51 @@ object GraftTvf {
       DataTypeUtils.toAttributes(historySchema), rows)
   }
 
+  /** `graft_changes(path, fromVersion[, toVersion])` — the change data
+    * feed as a composable SQL relation:
+    *
+    * {{{
+    *   SELECT change_type, count(*) FROM graft_changes('/p', 2) GROUP BY 1
+    * }}}
+    *
+    * Returns the SAME framing as the batch `readChangeFeed` option and
+    * the streaming source ([[graft.sources.GraftChangeFeed]]): table
+    * columns + `<c>_pre` preimages + `change_type`, `feed_type`,
+    * `_commit_version`. Resolution is analysis-time PLAN construction
+    * only (the per-version diffs are lazy DataFrames); no job runs and
+    * no data file is read until the enclosing query executes. */
+  def changes(children: Seq[Expression]): LogicalPlan = {
+    def longArg(e: Expression, what: String): Long = e match {
+      case Literal(v, LongType) if v != null => v.asInstanceOf[Long]
+      case Literal(v, IntegerType) if v != null => v.asInstanceOf[Int].toLong
+      case other => throw new IllegalArgumentException(
+        s"graft_changes: $what must be an integer literal, got ${other.sql}")
+    }
+    val (path, from, toOpt) = children match {
+      case Seq(Literal(p, StringType), f) if p != null =>
+        (p.toString, longArg(f, "fromVersion"), None)
+      case Seq(Literal(p, StringType), f, t) if p != null =>
+        (p.toString, longArg(f, "fromVersion"),
+          Some(longArg(t, "toVersion")))
+      case _ => throw new IllegalArgumentException(
+        "graft_changes expects (path, fromVersion[, toVersion]) literals, " +
+          s"got: ${children.map(_.sql).mkString(", ")}")
+    }
+    val head = MergeTable.latestManifest(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_changes: no committed version under $path"))
+    val to = toOpt.getOrElse(head.version)
+    require(from >= 0 && from <= to,
+      s"graft_changes: range [$from, $to] is empty or negative")
+    require(to <= head.version,
+      s"graft_changes: toVersion $to is beyond the head v${head.version}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val shape = graft.sources.GraftChangeFeed.shapeFor(
+      path, head, "graft_changes")
+    graft.sources.GraftChangeFeed.framesFor(spark, shape, from, to)
+      .queryExecution.analyzed
+  }
+
   val detailSchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("num_files", IntegerType, nullable = false),

@@ -2964,6 +2964,43 @@ object MergeTable {
        |  max((event_id // 64) % 64) AS max_gy
        |FROM events""".stripMargin
 
+  /** `q_cdf_tvf`: the change data feed through the `graft_changes` SQL
+    * table function over the five-wave fixture's DELETE (v3, deletion-
+    * vector-committed) and INSERT (v4) versions — per-version change
+    * typing, NULL payloads on deletes, preimage sums, and the TVF's
+    * analysis-time plan construction all sit on the oracle path. The
+    * oracle reconstructs both waves' effects from the raw table. */
+  def cdfTvfDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildMergedEvents(s, sfDir)
+    s.sql(
+      s"""SELECT _commit_version, change_type, count(*) AS n_changes,
+         |  round(sum(coalesce(value, 0.0)), 2) AS value_sum,
+         |  round(sum(coalesce(value_pre, 0.0)), 2) AS pre_sum
+         |FROM graft_changes('$t', 3, 4)
+         |GROUP BY _commit_version, change_type
+         |ORDER BY _commit_version, change_type""".stripMargin)
+  }
+
+  val cdfTvfDigestSql: String =
+    s"""WITH v2 AS (
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 7 = 0 THEN value + 200.0
+       |         WHEN event_id % 5 < 2 THEN value + 100.0
+       |         ELSE value END AS value
+       |  FROM events),
+       |del AS (
+       |  SELECT 3 AS _commit_version, 'DELETE' AS change_type,
+       |    count(*) AS n_changes, round(sum(0.0), 2) AS value_sum,
+       |    round(sum(value), 2) AS pre_sum
+       |  FROM v2 WHERE event_id % 11 = 3),
+       |ins AS (
+       |  SELECT 4 AS _commit_version, 'INSERT' AS change_type,
+       |    count(*) AS n_changes, round(sum(value + 500.0), 2) AS value_sum,
+       |    round(sum(0.0), 2) AS pre_sum
+       |  FROM events WHERE event_id % 13 = 0)
+       |SELECT * FROM del UNION ALL SELECT * FROM ins
+       |ORDER BY _commit_version, change_type""".stripMargin
+
   private val writeDoorCache = IndexMemo.cache[(SparkSession, String), String]()
 
   /** Fixture behind `q_write_door`: the table is created and updated

@@ -14,7 +14,7 @@ import graft.ops.MergeTable
   * the beyond-retention snapshot-boot / skip-subsumption semantics of
   * the sink-side feed. One framing, three doors — a consumer written
   * against any of them reads the same rows. */
-private[sources] object GraftChangeFeed {
+private[graft] object GraftChangeFeed {
 
   /** The feed's pinned shape, derived from one resolved manifest. */
   case class FeedShape(tablePath: String, tableSchema: StructType,
@@ -99,6 +99,15 @@ private[sources] object GraftChangeFeed {
       // snapshot boot subsumes it
       case e: Throwable if isMissingData(e) => None
     }
+  }
+
+  /** The union of per-version frames over [from, to] — the batch CDF
+    * door and the `graft_changes` TVF share this one range walk. */
+  def framesFor(spark: SparkSession, shape: FeedShape,
+      from: Long, to: Long): DataFrame = {
+    val frames = (from to to).flatMap(v => versionChanges(spark, shape, v))
+    if (frames.isEmpty) emptyFrame(spark, shape)
+    else frames.reduce(_ unionByName _)
   }
 
   def emptyFrame(spark: SparkSession, shape: FeedShape): DataFrame =

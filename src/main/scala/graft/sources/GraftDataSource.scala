@@ -455,15 +455,9 @@ class GraftCdfRelation(ctx: SQLContext, shape: GraftChangeFeed.FeedShape,
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = shape.schema
   override val needConversion: Boolean = false
-  override def buildScan(): RDD[Row] = {
-    val spark = ctx.sparkSession
-    val frames = (from to to).flatMap(v =>
-      GraftChangeFeed.versionChanges(spark, shape, v))
-    val out =
-      if (frames.isEmpty) GraftChangeFeed.emptyFrame(spark, shape)
-      else frames.reduce(_ unionByName _)
-    out.queryExecution.toRdd.asInstanceOf[RDD[Row]]
-  }
+  override def buildScan(): RDD[Row] =
+    GraftChangeFeed.framesFor(ctx.sparkSession, shape, from, to)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 /** Metadata-only aggregate answers: `count(*)`, `count(col)`,

@@ -219,6 +219,33 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       .load(t).collect())
   }
 
+  test("graft_changes(path, from[, to]) SQL table function equals the " +
+    "batch readChangeFeed option and composes with ordinary SQL") {
+    val t = fresh("tvfcdf")
+    seed(t) // v0
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "upd", 500.0)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L))) // v1
+    MergeTable.mergeDelete(spark, t, Seq(4L).toDF("event_id"),
+      txn = Some(("w", 2L))) // v2
+    val viaTvf = spark.sql(s"SELECT * FROM graft_changes('$t', 0)")
+    val viaOption = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0").load(t)
+    assert(viaTvf.collect().map(key).toSet ==
+      viaOption.collect().map(key).toSet)
+    // composable: aggregate over one version's changes
+    val counts = spark.sql(
+      s"""SELECT change_type, count(*) AS n
+         |FROM graft_changes('$t', 1, 2)
+         |GROUP BY change_type ORDER BY change_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("UPDATE" -> 1L, "DELETE" -> 1L), counts.toString)
+    // validation: bad range / missing table fail loudly
+    intercept[Exception](spark.sql(s"SELECT * FROM graft_changes('$t', 99)"))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_changes('/nope/missing', 0)"))
+  }
+
   test("end-to-end CDC replication: readStream from one graft table, " +
     "apply per-version into another — the replica converges") {
     val src = fresh("repl-src")
