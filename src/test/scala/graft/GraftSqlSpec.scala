@@ -308,6 +308,25 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(out.size == 25)
   }
 
+  test("the direct-parse door CREATES a table on first MERGE (keys from " +
+    "the ON condition); the spark.sql door needs an existing table") {
+    mkBatch()
+    val t = fresh("create")
+    GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = MergeTable.latestManifest(t).get
+    assert(m.keys == Seq("event_id") && m.version == 0L)
+    assert(state(t).size == 11 && state(t)(25L) == (("new", 250.0)))
+    // the catalog door resolves the target at analysis: missing → loud
+    val miss = fresh("create-miss")
+    intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`$miss` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+  }
+
   test("ON key order may differ from the table's pinned key order") {
     val t = fresh("keys2")
     val seed = Seq((1L, 10L, 1.0), (2L, 20L, 2.0))
