@@ -668,18 +668,46 @@ class GraftCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     MergeTable.latestManifest(pathOf(ident)).nonEmpty
 
+  /** `CREATE TABLE graft.`/abs/path` (cols…) USING graft TBLPROPERTIES
+    * ('keys' = 'col[,col]' [, 'clusterBy' = '…'])` — the DDL face of
+    * "a graft table is created by its first transactional commit": the
+    * create IS an empty first merge (v0 pins schema, keys, clustering;
+    * zero data files), so every later write goes through the same
+    * protocol and `VERSION AS OF 0` reads back the empty table. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by their first transactional commit " +
-        "(MergeTable.mergeUpsert), not by DDL")
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables cluster by their merge keys; PARTITIONED BY is not " +
+        "supported (use TBLPROPERTIES ('clusterBy' = …))")
+    val path = pathOf(ident)
+    def split(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val props = properties.asScala
+    val keys = props.get("keys").map(split).getOrElse(sys.error(
+      "CREATE TABLE … USING graft needs TBLPROPERTIES " +
+        "('keys' = 'col[,col]') — graft tables are key-unique merge tables"))
+    keys.foreach(k => require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"keys property names '$k', which is not a table column"))
+    val clusterBy = props.get("clusterby").map(split).getOrElse(keys)
+    require(MergeTable.latestManifest(path).isEmpty,
+      s"graft table $path already exists")
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
+    MergeTable.mergeUpsert(spark, path, empty, keys, clusterBy)
+    GraftTable.resolve(path, None, None)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "graft schema evolution goes through the merge surface, not ALTER")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "dropping a graft table is a filesystem operation (MergeTable.dropTable)")
+  /** `DROP TABLE graft.`/abs/path`` — the engine's dropTable (removes the
+    * data tree AND poisons the cached incarnation, so a same-path
+    * recreate never inherits stale state). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    if (MergeTable.latestManifest(path).isEmpty) false
+    else { MergeTable.dropTable(path); true }
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft tables are path-addressed; rename is a filesystem move")

@@ -145,6 +145,46 @@ class GraftWriteDoorSpec extends AnyFunSuite {
       e.getMessage.contains("first transactional commit"), e.getMessage)
   }
 
+  test("SQL CREATE TABLE / DROP TABLE: the DDL face of the first-commit " +
+    "protocol — empty v0, then the full SQL lifecycle on top") {
+    val t = fresh("ddl")
+    spark.sql(
+      s"""CREATE TABLE graft.`$t` (event_id BIGINT, value DOUBLE)
+         |USING graft TBLPROPERTIES ('keys' = 'event_id')""".stripMargin)
+    val m0 = MergeTable.latestManifest(t).get
+    assert(m0.version == 0L && m0.files.isEmpty)
+    assert(m0.keys == Seq("event_id"))
+    // empty reads serve the schema
+    val empty = spark.sql(s"SELECT * FROM graft.`$t`")
+    assert(empty.columns.toSeq == Seq("event_id", "value") && empty.count() == 0)
+    // the whole lifecycle in SQL: insert, update, merge, read, history
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"UPDATE graft.`$t` SET value = value * 10 WHERE event_id = 2")
+    assert(state(t) == Map(1L -> 1.0, 2L -> 20.0))
+    assert(MergeTable.readVersion(spark, t, 0L).count() == 0,
+      "VERSION AS OF 0 is the empty create")
+    // CREATE on an existing path rejects; IF NOT EXISTS no-ops
+    intercept[Exception](spark.sql(
+      s"""CREATE TABLE graft.`$t` (event_id BIGINT)
+         |USING graft TBLPROPERTIES ('keys' = 'event_id')""".stripMargin))
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS graft.`$t` (event_id BIGINT)
+         |USING graft TBLPROPERTIES ('keys' = 'event_id')""".stripMargin)
+    assert(state(t).size == 2, "IF NOT EXISTS must not touch the table")
+    // keys property is required and must name a column
+    val t2 = fresh("ddl2")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.`$t2` (a BIGINT) USING graft"))
+    // DROP removes the tree; a recreate starts a fresh incarnation
+    spark.sql(s"DROP TABLE graft.`$t`")
+    assert(MergeTable.latestManifest(t).isEmpty)
+    spark.sql(
+      s"""CREATE TABLE graft.`$t` (event_id BIGINT, value DOUBLE)
+         |USING graft TBLPROPERTIES ('keys' = 'event_id')""".stripMargin)
+    assert(MergeTable.latestManifest(t).get.version == 0L)
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").count() == 0)
+  }
+
   test("streaming Complete mode is a per-batch full sync: keys absent " +
     "from the new result delete") {
     val t = fresh("complete")
