@@ -93,6 +93,38 @@ object Layout {
         .cast("long") * lit(1L << ((7 - i) * 8))
     ).reduce(_ + _)
 
+  /** EXACT global rank of a column's distinct values, scale-safe: range-
+    * repartition the distinct set, pin it (so the sampled range
+    * boundaries, the per-partition counts, and the local ranks all see
+    * the same partitioning), rank locally per partition, and add driver-
+    * prefix-summed partition offsets — one count row per partition
+    * collected, never a value (the TeraSort prefix shape the token-
+    * budget selector uses; a global single-partition window would be the
+    * scale bug). Returns (`__dict_value`, `__dict_rank` ∈ [0, n)) and
+    * the total distinct count. Caller must unpersist the returned
+    * frame's checkpoint via the Bridge after the consuming job. */
+  def rankDictionary(distinct: DataFrame, c: String): (DataFrame, Long) = {
+    val parts = 32
+    val pinned = distinct
+      .repartitionByRange(parts, col(c).asc)
+      .withColumn("__dict_pid", spark_partition_id())
+      .localCheckpoint() // pid must be materialized BEFORE the window's
+    // hash-by-pid shuffle, or it would re-evaluate post-shuffle
+    val counts = pinned.groupBy(col("__dict_pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1) // ≤ parts rows
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = (pid, acc); acc += n; o }
+    val offCol = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("__dict_pid") === pid, lit(off)).otherwise(e) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__dict_pid").orderBy(col(c).asc)
+    val dict = pinned
+      .withColumn("__dict_rank", row_number().over(w) - 1 + offCol)
+      .select(col(c).as("__dict_value"), col("__dict_rank"))
+    (dict, acc)
+  }
+
   /** Scale a monotone long onto [0, 2^bits − 1]: rank-preserving min/max
     * normalization so the interleave sees each dimension's FULL bit
     * budget. Without it, a domain wider than `bits` bits (epoch micros,

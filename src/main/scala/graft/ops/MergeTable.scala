@@ -2135,27 +2135,67 @@ object MergeTable {
             val nFiles = math.max(1L,
               (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
             val bits = Layout.zBitsFor(zorderBy.size)
-            // domain normalization: each dimension maps to a monotone
-            // long (epoch micros/days, string prefix code, identity) and
-            // is min/max-scaled onto the full bit budget — one bounded
+            // domain normalization: each non-string dimension maps to a
+            // monotone long (epoch micros/days, identity) and is
+            // min/max-scaled onto the full bit budget — one bounded
             // aggregate over the pinned frame (2 longs per dimension)
             // anchors the scale. Raw values wider than `bits` bits would
             // otherwise interleave only their LOW bits — noise.
-            val mapped = zorderBy.map(c =>
-              Layout.monotoneLong(col(c), schemaForZ(c).dataType))
-            val boundAggs = mapped.zipWithIndex.flatMap { case (mc, j) =>
-              Seq(min(mc).as(s"mn_$j"), max(mc).as(s"mx_$j")) }
-            val b = pinned.agg(boundAggs.head, boundAggs.tail: _*).collect()(0)
-            val scaled = mapped.zipWithIndex.map { case (mc, j) =>
-              if (b.isNullAt(2 * j)) lit(0L) // all-null dimension
-              else coalesce(Layout.scaleToBits(mc,
-                b.getLong(2 * j), b.getLong(2 * j + 1), bits), lit(0L)) }
-            writeStaged(table,
-              pinned.withColumn("__graft_z", Layout.zvalueN(scaled, bits))
-                .repartitionByRange(nFiles, col("__graft_z"))
-                .sortWithinPartitions("__graft_z")
-                .drop("__graft_z"),
-              snapshot.clusterBy, snapshot.columnMap)
+            // STRING dimensions take an EXACT-RANK dictionary instead
+            // ([[Layout.rankDictionary]] — bounded TeraSort-prefix pass
+            // over the distinct set): value codes can clump (digit
+            // strings bunch into decades), ranks are uniform by
+            // construction, so string boxes get integer-grade tightness.
+            // One distinct + dictionary join per string dimension —
+            // priced against a rewrite that reads every file anyway.
+            val stringDims = zorderBy.filter(c =>
+              schemaForZ(c).dataType == StringType)
+            val dicts = stringDims.map { c =>
+              val (dict, n) = Layout.rankDictionary(
+                pinned.select(col(c)).where(col(c).isNotNull).distinct(), c)
+              c -> ((dict, n))
+            }.toMap
+            val joined = dicts.foldLeft(pinned) {
+              case (df, (c, (dict, _))) =>
+                df.join(dict.withColumnRenamed("__dict_rank", s"__rank_$c"),
+                  df(c) === dict("__dict_value"), "left")
+                  .drop("__dict_value")
+            }
+            try {
+              val nonString = zorderBy.filterNot(stringDims.contains)
+              val mapped = nonString.map(c =>
+                c -> Layout.monotoneLong(col(c), schemaForZ(c).dataType)).toMap
+              val b =
+                if (nonString.isEmpty) null
+                else {
+                  val aggs = nonString.zipWithIndex.flatMap { case (c, j) =>
+                    Seq(min(mapped(c)).as(s"mn_$j"), max(mapped(c)).as(s"mx_$j")) }
+                  pinned.agg(aggs.head, aggs.tail: _*).collect()(0)
+                }
+              val scaled = zorderBy.map { c =>
+                if (stringDims.contains(c)) {
+                  val n = dicts(c)._2
+                  if (n == 0L) lit(0L) // all-null dimension
+                  else coalesce(Layout.scaleToBits(col(s"__rank_$c"),
+                    0L, math.max(0L, n - 1), bits), lit(0L))
+                } else {
+                  val j = nonString.indexOf(c)
+                  if (b.isNullAt(2 * j)) lit(0L) // all-null dimension
+                  else coalesce(Layout.scaleToBits(mapped(c),
+                    b.getLong(2 * j), b.getLong(2 * j + 1), bits), lit(0L))
+                }
+              }
+              writeStaged(table,
+                joined.withColumn("__graft_z", Layout.zvalueN(scaled, bits))
+                  .repartitionByRange(nFiles, col("__graft_z"))
+                  .sortWithinPartitions("__graft_z")
+                  .drop("__graft_z")
+                  .drop(stringDims.map(c => s"__rank_$c"): _*),
+                snapshot.clusterBy, snapshot.columnMap)
+            } finally dicts.values.foreach { case (dict, _) =>
+              org.apache.spark.sql.graftbridge.Bridge
+                .unpersistLocalCheckpoint(dict)
+            }
           } finally org.apache.spark.sql.graftbridge.Bridge
             .unpersistLocalCheckpoint(pinned)
         }

@@ -142,8 +142,8 @@ class ZorderOptimizeSpec extends AnyFunSuite {
       == before)
   }
 
-  test("STRING dimension zorder: the prefix code clusters lexicographic " +
-    "ranges; a string-range predicate prunes") {
+  test("STRING dimension zorder: the exact-rank dictionary gives " +
+    "integer-grade boxes; string-range and key-band predicates both prune") {
     val t = fresh("str")
     val grid = (for { x <- 0L until 32L; y <- 0L until 32L }
       yield (x * 32L + y, f"key$x%04d", y)).toSeq
@@ -157,13 +157,12 @@ class ZorderOptimizeSpec extends AnyFunSuite {
     val tagBand = Seq(And(GreaterThanOrEqual("tag", "key0000"),
       LessThanOrEqual("tag", "key0003")))
     val kept = StatsPruning.prune(z.files, tagBand)
-    // digit strings clump into decades under the prefix code (min/max
-    // scaling spreads the clumps but not the values within), so the
-    // string axis prunes HALF here rather than the integer case's
-    // quarter — still a real drop, and the key axis below gets its full
-    // tightness, which linear tag clustering gave none of
-    assert(kept.size <= z.files.size / 2,
-      s"string range must prune: ${kept.size}/${z.files.size}")
+    // the exact-rank dictionary makes string codes UNIFORM by
+    // construction (digit strings clump into decades under any value
+    // code; ranks don't), so a 1/8 string band prunes at the integer
+    // case's grade, not at half
+    assert(kept.size < z.files.size / 2,
+      s"string range must prune hard: ${kept.size}/${z.files.size}")
     val yKept = StatsPruning.prune(z.files,
       Seq(And(GreaterThanOrEqual("y", 0L), LessThanOrEqual("y", 3L))))
     assert(yKept.size < z.files.size / 2,
