@@ -61,11 +61,20 @@ object GraftTvf {
     * only (the per-version diffs are lazy DataFrames); no job runs and
     * no data file is read until the enclosing query executes. */
   def changes(children: Seq[Expression]): LogicalPlan = {
-    def longArg(e: Expression, what: String): Long = e match {
-      case Literal(v, LongType) if v != null => v.asInstanceOf[Long]
-      case Literal(v, IntegerType) if v != null => v.asInstanceOf[Int].toLong
-      case other => throw new IllegalArgumentException(
-        s"graft_changes: $what must be an integer literal, got ${other.sql}")
+    def longArg(e: Expression, what: String): Long = {
+      // accept any FOLDABLE deterministic integer expression (`1 + 1`,
+      // a cast literal) — folded here, exactly what ConstantFolding
+      // would do one phase later
+      val folded =
+        if (e.foldable && e.deterministic)
+          scala.util.Try(Literal.create(e.eval(null), e.dataType)).getOrElse(e)
+        else e
+      folded match {
+        case Literal(v, LongType) if v != null => v.asInstanceOf[Long]
+        case Literal(v, IntegerType) if v != null => v.asInstanceOf[Int].toLong
+        case other => throw new IllegalArgumentException(
+          s"graft_changes: $what must be an integer literal, got ${other.sql}")
+      }
     }
     val (path, from, toOpt) = children match {
       case Seq(Literal(p, StringType), f) if p != null =>

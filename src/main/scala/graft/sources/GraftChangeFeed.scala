@@ -101,10 +101,22 @@ private[graft] object GraftChangeFeed {
     }
   }
 
+  /** A batch CDF read is ONE plan unioning one diff per version — a
+    * range of tens of thousands of commits would build a planner-hostile
+    * tree. The guard is LOUD, never a silent truncation: consume huge
+    * ranges in chunks or through the streaming source (which pages by
+    * `maxVersionsPerTrigger`). */
+  val MaxBatchVersions = 1000L
+
   /** The union of per-version frames over [from, to] — the batch CDF
     * door and the `graft_changes` TVF share this one range walk. */
   def framesFor(spark: SparkSession, shape: FeedShape,
       from: Long, to: Long): DataFrame = {
+    require(to - from < MaxBatchVersions,
+      s"graft ${shape.surface} over ${shape.tablePath}: range [$from, $to] " +
+        s"spans ${to - from + 1} versions (> $MaxBatchVersions) in ONE " +
+        "plan — read it in chunks, or stream it " +
+        "(readStream pages by maxVersionsPerTrigger)")
     val frames = (from to to).flatMap(v => versionChanges(spark, shape, v))
     if (frames.isEmpty) emptyFrame(spark, shape)
     else frames.reduce(_ unionByName _)
