@@ -41,8 +41,30 @@ import graft.sources.GraftTable
   * scope — `SET t.cnt = t.cnt + s.cnt` accumulates), and explicit
   * `INSERT (cols) VALUES (exprs)` column lists (`s.` expressions;
   * unlisted non-key columns insert as NULL, SQL semantics; merge keys
-  * must be identity `s.<k>` — the key-unique table model). Rejected
-  * loudly: rekeying UPDATEs, duplicate SET columns, non-equi ON.
+  * must be identity `s.<k>` — the key-unique table model).
+  *
+  * The ON condition accepts the two everyday generalizations beyond
+  * same-named equi keys:
+  *
+  *  - CROSS-NAMED keys — `ON t.id = s.customer_id`: the source column is
+  *    renamed to the target key name before the merge (and every
+  *    `s.customer_id` reference in clause expressions rewrites with it),
+  *    so the engine's one key namespace holds. The target-side names must
+  *    still equal the table's merge-key set.
+  *  - RESIDUAL conjuncts — `ON t.id = s.id AND s.ts > X`: every non-key
+  *    conjunct folds into each clause's condition (`AND <residual>`).
+  *    In the key-unique table model "matched" is KEY-scoped, so a
+  *    key-matched pair failing the residual takes NO action — where
+  *    strict SQL would call the source row unmatched and duplicate-insert
+  *    its key, which this table model cannot represent. Two shapes are
+  *    rejected loudly instead of silently re-read: a residual alongside
+  *    `WHEN NOT MATCHED BY SOURCE` clauses (the fold would change which
+  *    rows count as NMBS), and a TARGET-side residual alongside
+  *    `WHEN NOT MATCHED` inserts (no target row exists to evaluate it).
+  *
+  * Rejected loudly: rekeying UPDATEs, duplicate SET columns, an
+  * unconditional clause followed by more clauses of its group (dead code
+  * under first-match-wins), unattributable ON columns (qualify them).
   */
 object GraftSql {
 
@@ -307,22 +329,6 @@ object GraftSql {
       if (m.targetTable.resolved) m.targetTable.outputSet else AttributeSet.empty
     val srcIds =
       if (m.sourceTable.resolved) m.sourceTable.outputSet else AttributeSet.empty
-    def rewrite(e: Expression): Expression = e.transformUp {
-      case ua: UnresolvedAttribute if ua.nameParts.length >= 2 =>
-        val head = ua.nameParts.head
-        if (tAlias.exists(_.equalsIgnoreCase(head)))
-          UnresolvedAttribute(Seq("t") ++ ua.nameParts.tail)
-        else if (sAlias.exists(_.equalsIgnoreCase(head)))
-          UnresolvedAttribute(Seq("s") ++ ua.nameParts.tail)
-        else ua
-      case ar: AttributeReference if tgtIds.contains(ar) =>
-        UnresolvedAttribute(Seq("t", ar.name))
-      case ar: AttributeReference if srcIds.contains(ar) =>
-        UnresolvedAttribute(Seq("s", ar.name))
-    }
-    def render(e: Expression): String = rewrite(e).sql
-    def renderOpt(c: Option[Expression]): Option[String] = c.map(render)
-
     // `s`/`t` attribution of one bare attribute (for key extraction and
     // identity-assignment checks)
     sealed trait Side; case object T extends Side; case object S extends Side
@@ -341,26 +347,94 @@ object GraftSql {
       case _ => None
     }
 
-    // ---- keys from the ON condition (equi-conjunction, same name both
-    // sides — the engine's merge-key model) ---------------------------------
+    // ---- the ON condition: key equi-conjuncts + residual predicates -------
+    // A conjunct t.<k> = s.<k'> is a KEY PAIR (k' renames to k below);
+    // anything else — a non-equality, a comparison with a literal, an
+    // equality within one side — is a RESIDUAL that folds into the clause
+    // conditions. Cross-named pairs NEED side attribution; an equality of
+    // two differently-named unattributable columns is rejected (qualify
+    // them), never guessed.
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val parsedKeys = conjuncts(m.mergeCondition).map {
-      case EqualTo(l, r) =>
-        (sideName(l), sideName(r)) match {
-          case (Some((_, ln)), Some((_, rn)))
-              if ln.equalsIgnoreCase(rn) => ln
-          case _ => unsupported(
-            s"ON must be a conjunction of t.<k> = s.<k> (same column " +
-              s"name both sides), got: ${EqualTo(l, r).sql}")
-        }
-      case other => unsupported(
-        s"ON must be a conjunction of equality predicates, got: ${other.sql}")
+    // (target key name, source column name) per key conjunct
+    val (keyPairs, residualExprs) = conjuncts(m.mergeCondition)
+      .foldLeft((Seq.empty[(String, String)], Seq.empty[Expression])) {
+        case ((ks, rs), eq @ EqualTo(l, r)) =>
+          (sideName(l), sideName(r)) match {
+            case (Some((Some(T), tn)), Some((Some(S), sn))) =>
+              (ks :+ (tn -> sn), rs)
+            case (Some((Some(S), sn)), Some((Some(T), tn))) =>
+              (ks :+ (tn -> sn), rs)
+            case (Some((_, ln)), Some((_, rn)))
+                if ln.equalsIgnoreCase(rn) &&
+                  !(sideName(l).get._1 == sideName(r).get._1 &&
+                    sideName(l).get._1.isDefined) =>
+              // same name, at most one side attributed: the classic
+              // t.k = s.k key shape (or its unqualified spelling)
+              (ks :+ (ln -> ln), rs)
+            case (Some((sl, ln)), Some((sr, rn)))
+                if sl.isDefined && sl == sr =>
+              // both columns on ONE side: a predicate, not a key
+              (ks, rs :+ eq)
+            case (Some((_, ln)), Some((_, rn))) => unsupported(
+              s"ON equality ${eq.sql} compares differently-named columns " +
+                "whose sides cannot be attributed — qualify both " +
+                "(t.<col> = s.<col>)")
+            case _ => (ks, rs :+ eq) // literal / expression compare: residual
+          }
+        case ((ks, rs), other) => (ks, rs :+ other)
+      }
+    val parsedKeys = keyPairs.map(_._1)
+    require(parsedKeys.nonEmpty,
+      "MERGE needs at least one t.<key> = s.<key> equality in ON")
+    // cross-named keys: source column (lower-cased) → target key name
+    val srcRename: Map[String, String] = keyPairs.collect {
+      case (tn, sn) if !tn.equalsIgnoreCase(sn) =>
+        sn.toLowerCase(java.util.Locale.ROOT) -> tn
+    }.toMap
+    def mapSrc(n: String): String =
+      srcRename.getOrElse(n.toLowerCase(java.util.Locale.ROOT), n)
+
+    def rewrite(e: Expression): Expression = e.transformUp {
+      case ua: UnresolvedAttribute if ua.nameParts.length >= 2 =>
+        val head = ua.nameParts.head
+        if (tAlias.exists(_.equalsIgnoreCase(head)))
+          UnresolvedAttribute(Seq("t") ++ ua.nameParts.tail)
+        else if (sAlias.exists(_.equalsIgnoreCase(head)))
+          // the source-side key column is RENAMED to the target key name
+          // in the merged frame — rewrite references with it
+          UnresolvedAttribute(
+            Seq("s", mapSrc(ua.nameParts.tail.head)) ++ ua.nameParts.tail.tail)
+        else ua
+      case ar: AttributeReference if tgtIds.contains(ar) =>
+        UnresolvedAttribute(Seq("t", ar.name))
+      case ar: AttributeReference if srcIds.contains(ar) =>
+        UnresolvedAttribute(Seq("s", mapSrc(ar.name)))
     }
-    require(parsedKeys.nonEmpty, "MERGE needs at least one ON key")
+    def render(e: Expression): String = rewrite(e).sql
+    def renderOpt(c: Option[Expression]): Option[String] = c.map(render)
+
+    def refsTarget(e: Expression): Boolean = e.exists {
+      case ar: AttributeReference => tgtIds.contains(ar)
+      case ua: UnresolvedAttribute => ua.nameParts.length >= 2 &&
+        tAlias.exists(_.equalsIgnoreCase(ua.nameParts.head))
+      case _ => false
+    }
+    // the residual folds as `AND (...)` into every clause condition: in
+    // the key-unique table model "matched" stays KEY-scoped and the
+    // residual gates which matched pairs ACT (see the class doc for why
+    // strict SQL's duplicate-insert reading cannot exist here)
+    val residualSql: Option[String] =
+      if (residualExprs.isEmpty) None
+      else Some(residualExprs.map(r => s"(${render(r)})").mkString(" AND "))
+    def withResidual(cond: Option[String]): Option[String] =
+      residualSql match {
+        case None => cond
+        case Some(r) => Some(cond.map(c => s"($c) AND $r").getOrElse(r))
+      }
 
     // dropping a same-column duplicate would silently collapse to one
     // writer — SQL rejects the statement
@@ -387,7 +461,9 @@ object GraftSql {
           s"UPDATE SET key must be a target column: ${a.key.sql}"))
         val isKey = parsedKeys.exists(_.equalsIgnoreCase(colName))
         sideName(a.value) match {
-          case Some((side, vn)) if isKey && vn.equalsIgnoreCase(colName) =>
+          // identity spans the rename: `t.id = s.customer_id` under
+          // `ON t.id = s.customer_id` assigns the key its own match value
+          case Some((side, vn)) if isKey && mapSrc(vn).equalsIgnoreCase(colName) =>
             // identity key assignment: a no-op on a matched pair — but in
             // an NMBS clause there IS no source row, so `k = s.k` would
             // mean "set the key to NULL": reject, don't silently keep-old
@@ -457,9 +533,68 @@ object GraftSql {
           s"not-matched-by-source clause ${other.getClass.getSimpleName}")
       }
 
+    // first-match-wins makes any clause after an unconditional one of the
+    // same group unreachable — SQL rejects the statement, so do we (checked
+    // on the conditions AS WRITTEN, before the residual fold: the fold adds
+    // the SAME conjunct to every clause, which changes nothing about
+    // in-group reachability)
+    def rejectDeadClauses(group: String, conds: Seq[Option[String]]): Unit =
+      conds.dropRight(1).zipWithIndex.collectFirst {
+        case (None, i) => i
+      }.foreach(i => unsupported(
+        s"$group clause ${i + 1} of ${conds.size} is unconditional but not " +
+          "last — first-match-wins makes the following clauses of its " +
+          "group unreachable dead code"))
+    rejectDeadClauses("WHEN MATCHED", matchedClauses.map(_.condition))
+    rejectDeadClauses("WHEN NOT MATCHED", insertClauses.map(_.condition))
+    rejectDeadClauses("WHEN NOT MATCHED BY SOURCE",
+      nmbsClauses.map(_.condition))
+
+    // residual guards: the fold is sound for MATCHED clauses (both sides
+    // in scope) and for source-side-only residuals on inserts; the two
+    // shapes it would silently re-read are rejected with the rewrite
+    // spelled out
+    if (residualSql.nonEmpty) {
+      if (nmbsClauses.nonEmpty) unsupported(
+        "ON carries non-key predicates " +
+          s"(${residualExprs.map(_.sql).mkString(" AND ")}) and the " +
+          "statement has WHEN NOT MATCHED BY SOURCE clauses — in the " +
+          "key-unique table model the residual gates clause ACTIONS while " +
+          "NMBS stays key-scoped, which silently disagrees with strict " +
+          "SQL's reading; move the predicate into explicit clause " +
+          "conditions instead")
+      if (insertClauses.nonEmpty && residualExprs.exists(refsTarget))
+        unsupported(
+          "ON carries a target-side predicate " +
+            s"(${residualExprs.filter(refsTarget).map(_.sql).mkString(" AND ")}) " +
+            "and the statement has WHEN NOT MATCHED inserts — no target " +
+            "row exists to evaluate it for an insert; move it into the " +
+            "WHEN MATCHED conditions")
+    }
+    val foldedMatched = matchedClauses.map(c =>
+      c.copy(condition = withResidual(c.condition)))
+    val foldedInserts = insertClauses.map(c =>
+      c.copy(condition = withResidual(c.condition)))
+
     // ---- source frame + table-aligned keys ---------------------------------
-    val source =
+    // cross-named keys: rename the source's key columns to the target key
+    // names (clause expressions were rewritten with mapSrc above), so the
+    // engine sees its one key namespace and the batch carries no extra
+    // column that would additively evolve the table schema
+    val source0 =
       org.apache.spark.sql.graftbridge.Bridge.ofRows(s, m.sourceTable)
+    val source = srcRename.foldLeft(source0) { case (df, (srcLower, tgt)) =>
+      val actual = df.columns.find(
+        _.toLowerCase(java.util.Locale.ROOT) == srcLower).getOrElse(
+        unsupported(s"ON references source column '$srcLower' which the " +
+          "source does not produce"))
+      if (df.columns.exists(c => c.equalsIgnoreCase(tgt) &&
+          !c.equalsIgnoreCase(actual)))
+        unsupported(s"ON maps source column '$actual' onto target key " +
+          s"'$tgt', but the source ALSO has a column named '$tgt' — the " +
+          "rename would clobber it; alias it away in the source")
+      df.withColumnRenamed(actual, tgt)
+    }
     val (keys, clusterBy) = MergeTable.latestManifest(path) match {
       case Some(head) =>
         // the engine pins key ORDER per table; accept any ON order with
@@ -478,7 +613,7 @@ object GraftSql {
     // (unconditional UPDATE SET * + INSERT *, nothing else) takes its
     // non-conditional fast path (no full-outer join) by shape detection
     MergeTable.merge(s, path, source, keys, clusterBy,
-      matched = matchedClauses, notMatched = insertClauses,
+      matched = foldedMatched, notMatched = foldedInserts,
       notMatchedBySource = nmbsClauses, txn = txn)
   }
 }

@@ -131,14 +131,20 @@ object Layout {
     * hashes) would contribute only its LOW — effectively random — bits
     * and the layout would degenerate to a shuffle. Double arithmetic is
     * monotone non-decreasing here (division by a positive constant);
-    * ties introduced by rounding only coarsen the grid. */
+    * ties introduced by rounding only coarsen the grid. The result is
+    * CLAMPED to the budget: for domains wider than 2^53 the double
+    * division can round a hair above 1.0, and an unclamped floor would
+    * yield 2^bits — whose low `bits` bits are 0, wrapping the extreme
+    * rows to z≈0 instead of the top cell. */
   def scaleToBits(c: Column, mn: Long, mx: Long, bits: Int): Column =
     if (mx <= mn) lit(0L)
     else {
-      val hi = ((1L << bits) - 1).toDouble
+      val hi = (1L << bits) - 1
       val span = mx.toDouble - mn.toDouble
-      floor((c.cast("double") - lit(mn.toDouble)) / lit(span) * lit(hi))
-        .cast("long")
+      least(
+        floor((c.cast("double") - lit(mn.toDouble)) / lit(span) * lit(hi.toDouble))
+          .cast("long"),
+        lit(hi))
     }
 
   /** DuckDB mirror of [[zvalue]] — same fold, element-exact. */

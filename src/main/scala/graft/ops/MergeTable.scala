@@ -3241,6 +3241,82 @@ object MergeTable {
        |  count(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user
        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  private val sqlOnMergeCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_merge_sql_on`: the generalized ON surface in one
+    * real `spark.sql` MERGE — a CROSS-NAMED key (`ON t.event_id =
+    * s.src_id`: the source column renames onto the target key, and every
+    * `s.src_id` clause reference rewrites with it) and a RESIDUAL
+    * conjunct (`AND s.value >= 20.0`) folding into both the matched and
+    * the insert clause conditions. A matched row whose redelivery fails
+    * the residual must stay UNTOUCHED; an insert-wave row failing it
+    * must not insert. */
+  private def buildSqlOnMergedEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(sqlOnMergeCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("merge-sql-on")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-sqlon", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+      mergeUpsert(s, t, ev, Seq("event_id"), Seq("event_id"),
+        txn = Some(("seed", 0L)))
+      val offset = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1L
+      // matched wave: every %7==0 key redelivered with value*3 under the
+      // FOREIGN key name; insert wave: %23==0 clones past the offset
+      ev.where(pmod(col("event_id"), lit(7)) === 0)
+        .withColumn("value", col("value") * 3.0)
+        .unionByName(
+          ev.where(pmod(col("event_id"), lit(23)) === 0)
+            .withColumn("event_id", col("event_id") + offset))
+        .withColumnRenamed("event_id", "src_id")
+        .createOrReplaceTempView("graft_sqlon_batch")
+      s.sql(
+        s"""MERGE INTO graft.`$t` AS t USING graft_sqlon_batch AS s
+           |ON t.event_id = s.src_id AND s.value >= 20.0
+           |WHEN MATCHED THEN UPDATE SET value = s.value
+           |WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+           |  VALUES (s.src_id, s.event_type, s.value)
+           |""".stripMargin)
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_merge_sql_on`: digest of the cross-named-ON merged head. A wrong
+    * key mapping breaks every group; a residual folded into only ONE of
+    * the two clause kinds breaks the matched or the inserted boundary
+    * rows independently; the NULL-fill of unlisted insert columns is
+    * `n_null_user`. The oracle replays the identical float arithmetic
+    * (`value * 3 >= 20`) over the raw table. */
+  def mergeSqlOnDigest(s: SparkSession, sfDir: String): DataFrame =
+    read(s, buildSqlOnMergedEvents(s, sfDir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"),
+        count(when(col("user_id").isNull, lit(1))).as("n_null_user"))
+      .orderBy("event_type")
+
+  val mergeSqlOnDigestSql: String =
+    s"""WITH kept AS (
+       |  SELECT event_id, user_id, event_type,
+       |    CASE WHEN event_id % 7 = 0 AND value * 3 >= 20.0
+       |         THEN value * 3 ELSE value END AS value
+       |  FROM events),
+       |ins AS (
+       |  SELECT event_id + (SELECT max(event_id) + 1 FROM events) AS event_id,
+       |    NULL AS user_id, event_type, value
+       |  FROM events WHERE event_id % 23 = 0 AND value >= 20.0),
+       |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+       |SELECT event_type, count(*) AS n_events,
+       |  round(sum(value), 2) AS value_sum,
+       |  count(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user
+       |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val zorderCache = IndexMemo.cache[(SparkSession, String), String]()
 
   /** Fixture behind `q_zorder_optimize`: events seeded with two derived

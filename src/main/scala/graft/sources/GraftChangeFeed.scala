@@ -16,14 +16,30 @@ import graft.ops.MergeTable
   * against any of them reads the same rows. */
 private[graft] object GraftChangeFeed {
 
-  /** The feed's pinned shape, derived from one resolved manifest. */
+  /** The feed's pinned shape, derived from one resolved manifest.
+    * `metaCols` is the EXACT set of feed-metadata column names this shape
+    * generates — [[aligned]] classifies by membership in it, never by a
+    * name suffix, so a table is free to carry columns like `score_pre`. */
   case class FeedShape(tablePath: String, tableSchema: StructType,
-      schema: StructType, surface: String)
+      schema: StructType, surface: String, metaCols: Set[String])
 
   def shapeFor(tablePath: String, m: MergeTable.TableManifest,
       surface: String): FeedShape = {
     val tableSchema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val payload = tableSchema.fieldNames.filterNot(m.keys.contains).toSeq
+    val metaCols = payload.map(c => s"${c}_pre").toSet ++
+      Set("change_type", "feed_type", "_commit_version")
+    // a table column named exactly like a generated feed column (either a
+    // reserved name or another payload column's `<c>_pre` preimage) would
+    // make the feed schema ambiguous — reject it here, at shape time, so
+    // all three CDF doors fail identically and loudly
+    val colliding = tableSchema.fieldNames.filter(metaCols.contains)
+    require(colliding.isEmpty,
+      s"graft $surface over $tablePath: table column(s) " +
+        s"${colliding.mkString(", ")} collide with the change feed's " +
+        "generated columns (change_type, feed_type, _commit_version, and " +
+        "one `<col>_pre` preimage per payload column) — rename them " +
+        "before reading this table as a change feed")
     val schema = StructType(
       tableSchema.fields.map(f => f.copy(nullable = true)) ++
         payload.map(c =>
@@ -31,7 +47,7 @@ private[graft] object GraftChangeFeed {
         Seq(StructField("change_type", StringType, nullable = false),
           StructField("feed_type", StringType, nullable = false),
           StructField("_commit_version", LongType, nullable = false)))
-    FeedShape(tablePath, tableSchema, schema, surface)
+    FeedShape(tablePath, tableSchema, schema, surface, metaCols)
   }
 
   /** Project one per-version frame onto the pinned feed schema; fail
@@ -39,8 +55,7 @@ private[graft] object GraftChangeFeed {
   def aligned(shape: FeedShape, df: DataFrame, feedType: String,
       v: Long): DataFrame = {
     val have = df.columns.toSet
-    val dataCols = df.columns.filterNot(c =>
-      c == "change_type" || c.endsWith("_pre")).toSet
+    val dataCols = df.columns.filterNot(shape.metaCols.contains).toSet
     val pinned = shape.tableSchema.fieldNames.toSet
     require(dataCols == pinned,
       s"graft ${shape.surface} over ${shape.tablePath}: version $v's " +

@@ -198,10 +198,20 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     val p = GraftWriteDoor.ci(parameters)
     val path = GraftWriteDoor.pathOf(p)
     // writerId anchors the exactly-once txn watermark; the checkpoint
-    // location is stable across restarts of the same query
+    // location is stable across restarts of the same query. There is NO
+    // table-path fallback: two queries sharing one derived writerId would
+    // share a watermark, and the younger query's batchIds (restarting at
+    // 0) would be silently dropped as replays — data loss, not safety.
     val writerId = p.getOrElse("writerid",
-      p.get("checkpointlocation").map(c => s"graft-sink:$c")
-        .getOrElse(s"graft-sink:$path"))
+      p.get("checkpointlocation").map(c => s"graft-sink:$c").getOrElse(
+        throw new IllegalArgumentException(
+          s"graft streaming sink into $path: pass either a 'writerId' " +
+            "option or an explicit .option(\"checkpointLocation\", ...) — " +
+            "the exactly-once txn watermark is PER WRITER, and a " +
+            "checkpoint set only via spark.sql.streaming.checkpointLocation " +
+            "(or an implicit temp checkpoint) is invisible here; deriving " +
+            "the id from the table path would make distinct queries share " +
+            "a watermark and silently drop each other's batches")))
     val complete =
       outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
     new GraftStreamSink(sqlContext.sparkSession, path, writerId, complete, p)

@@ -38,7 +38,12 @@ import graft.ops.MergeTable
   *    `writerId` defaults to the query's checkpoint location (stable
   *    across restarts); two concurrent queries into one table need
   *    distinct checkpoints (they have them — Spark enforces it) or an
-  *    explicit `writerId` option.
+  *    explicit `writerId` option. A checkpoint visible only through
+  *    `spark.sql.streaming.checkpointLocation` (or an implicit temp
+  *    checkpoint) never reaches the sink's options, so the sink REQUIRES
+  *    one of the two options explicitly — a table-path-derived default
+  *    would let distinct queries share a watermark and silently drop
+  *    each other's batches as replays.
   *  - `OutputMode.Append`/`Update` both mean upsert (the key-unique
   *    model collapses them); `Complete` means the full-sync merge (the
   *    batch is the whole result — absent keys delete).

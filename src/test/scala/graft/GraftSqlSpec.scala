@@ -192,14 +192,44 @@ class GraftSqlSpec extends AnyFunSuite {
     val t = seedTable("reject")
     def bad(sql: String): Unit =
       intercept[UnsupportedOperationException](GraftSql.mergeInto(spark, sql))
-    // non-equi ON
-    bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
-           |ON t.event_id < s.event_id
-           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
-    // cross-named ON keys
+    // ON with no key equality at all (a lone non-equi predicate is a
+    // residual, and a MERGE still needs at least one key conjunct)
+    intercept[IllegalArgumentException](GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id < s.event_id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    // cross-named ON key whose rename would clobber an existing source
+    // column (the source has BOTH `value` and `event_id`)
     bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
            |ON t.event_id = s.value
            |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    // differently-named equality with unattributable sides
+    bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+           |ON event_id = value
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    // unconditional clause followed by more clauses of its group: the
+    // later clauses are unreachable dead code under first-match-wins.
+    // Spark's parser rejects the SQL spelling itself (ParseException);
+    // the translator's own guard covers the programmatic
+    // runMerge(MergeIntoTable) door — both must throw, neither silently
+    // drop the dead clause
+    intercept[Exception](GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN MATCHED AND t.event_type = 'error' THEN DELETE""".stripMargin))
+    // ON residual + NOT MATCHED BY SOURCE: the key-unique fold would
+    // silently change which rows count as NMBS
+    bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+           |ON t.event_id = s.event_id AND s.value > 100.0
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // target-side ON residual + NOT MATCHED insert: no target row exists
+    // to evaluate it for an insert
+    bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+           |ON t.event_id = s.event_id AND t.event_type = 'ok'
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     // rekeying UPDATE
     bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
            |ON t.event_id = s.event_id
@@ -343,5 +373,72 @@ class GraftSqlSpec extends AnyFunSuite {
     val out = MergeTable.read(spark, t).select("k1", "value")
       .as[(Long, Double)].collect().toMap
     assert(out == Map(1L -> 1.0, 2L -> 99.0, 3L -> 3.0))
+  }
+
+  test("cross-named ON key (t.event_id = s.customer_id) is bit-identical " +
+    "to the renamed-source engine merge, s.customer_id references " +
+    "rewrite, and the key stays identity-insertable") {
+    val (ts, ta) = (seedTable("xn1"), seedTable("xn2"))
+    val batch = (15L to 25L).map(i => (i, "new", i * 10.0))
+      .toDF("customer_id", "event_type", "value")
+    batch.createOrReplaceTempView("gsql_xnamed")
+    // the analyzed door: attributes arrive RESOLVED, side attribution by
+    // exprId — the hard case for the rename rewrite
+    spark.sql(
+      s"""MERGE INTO graft.`$ts` AS t USING gsql_xnamed AS s
+         |ON t.event_id = s.customer_id
+         |WHEN MATCHED AND s.value > t.value + 100.0
+         |  THEN UPDATE SET value = s.value + t.value
+         |WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+         |  VALUES (s.customer_id, upper(s.event_type), s.value)""".stripMargin)
+    MergeTable.merge(spark, ta,
+      batch.withColumnRenamed("customer_id", "event_id"),
+      Seq("event_id"), Seq("event_id"),
+      matched = Seq(MergeTable.MergeClause(Some("s.value > t.value + 100.0"),
+        MergeTable.UpdateSet(Map("value" -> "s.value + t.value")))),
+      notMatched = Seq(MergeTable.InsertClause(None,
+        Map("event_id" -> "s.event_id",
+          "event_type" -> "upper(s.event_type)", "value" -> "s.value"))))
+    assert(state(ts) == state(ta))
+    // matched 15..20: 10i > i + 100 holds for all → accumulate to 11i,
+    // type kept; inserts 21..25 take the upper-cased label
+    assert(state(ts)(15L) == (("ok", 165.0)))
+    assert(state(ts)(16L) == (("error", 176.0)))
+    assert(state(ts)(23L) == (("NEW", 230.0)))
+    assert(state(ts).size == 25)
+  }
+
+  test("ON residual conjunct folds into matched AND insert clause " +
+    "conditions: a key-matched pair failing it takes no action, a " +
+    "key-absent row failing it does not insert") {
+    mkBatch()
+    val t = seedTable("resid")
+    GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id AND s.value >= 220.0
+         |WHEN MATCHED THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = state(t)
+    // matched 15..20 redeliver value 10i, all < 220 → every one untouched
+    assert((15L to 20L).forall(i => out(i)._2 == i * 1.0))
+    // key-absent 21..25: only 22..25 (220..250) pass the residual
+    assert(!out.contains(21L))
+    assert((22L to 25L).forall(i => out(i) == (("new", i * 10.0))))
+    assert(out.size == 24)
+  }
+
+  test("target-side ON residual gates matched clauses — match stays " +
+    "key-scoped, the residual decides which matched pairs act") {
+    mkBatch()
+    val t = seedTable("tresid")
+    GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id AND t.event_type = 'error'
+         |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin)
+    val out = state(t)
+    // of the matched 15..20, only the 'error' rows (16, 20) update
+    assert(out(16L) == (("error", 160.0)) && out(20L) == (("error", 200.0)))
+    assert(out(15L) == (("ok", 15.0)) && out(18L) == (("ok", 18.0)))
+    assert(out.size == 20) // no insert clause → nothing inserts
   }
 }

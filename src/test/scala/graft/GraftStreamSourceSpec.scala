@@ -311,4 +311,45 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
     assert(msg.contains("restart the stream"), msg)
   }
+
+  test("a table column colliding with a generated feed column is " +
+    "rejected at shape time; a non-colliding *_pre payload column flows " +
+    "through (no suffix heuristics)") {
+    // collision 1: payload 'value' generates 'value_pre' — a table
+    // column of that name would make the feed schema ambiguous
+    val bad = fresh("cdf-collide")
+    MergeTable.mergeUpsert(spark, bad,
+      Seq((1L, 1.0, 9.9)).toDF("event_id", "value", "value_pre"),
+      Seq("event_id"), Seq("event_id"))
+    val e = intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(bad).collect())
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    // collision 2: a column named change_type
+    val bad2 = fresh("cdf-collide2")
+    MergeTable.mergeUpsert(spark, bad2,
+      Seq((1L, "x")).toDF("event_id", "change_type"),
+      Seq("event_id"), Seq("event_id"))
+    assert(intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(bad2).collect()).getMessage.contains("collide"))
+    // NON-colliding: 'score_pre' with no 'score' column is a legitimate
+    // payload column — the old suffix heuristic misread it as feed
+    // metadata and failed every door with a spurious drift error
+    val ok = fresh("cdf-prename")
+    MergeTable.mergeUpsert(spark, ok,
+      Seq((1L, 5.0)).toDF("event_id", "score_pre"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 0L))) // v0
+    MergeTable.mergeUpsert(spark, ok,
+      Seq((1L, 6.0)).toDF("event_id", "score_pre"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L))) // v1
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(ok)
+    assert(feed.columns.count(_ == "score_pre") == 1)
+    assert(feed.columns.contains("score_pre_pre")) // its OWN preimage
+    val v1 = feed.where(col("_commit_version") === 1L).collect()
+    assert(v1.length == 1 && v1(0).getAs[Double]("score_pre") == 6.0 &&
+      v1(0).getAs[Double]("score_pre_pre") == 5.0)
+  }
 }

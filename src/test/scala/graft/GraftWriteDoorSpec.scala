@@ -185,6 +185,30 @@ class GraftWriteDoorSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM graft.`$t`").count() == 0)
   }
 
+  test("a streaming sink without writerId or an explicit " +
+    "checkpointLocation OPTION fails loudly — a table-path-derived " +
+    "writer id would let two queries share a txn watermark and drop " +
+    "each other's batches as replays") {
+    val t = fresh("sink-noid")
+    val input = MemoryStream[(Long, Double)](spark)
+    val e = intercept[Exception] {
+      // checkpoint comes from the session conf, NOT the writer options —
+      // invisible to createSink, so the sink must refuse rather than
+      // derive a shared id from the table path
+      val q = input.toDF().toDF("event_id", "value")
+        .writeStream.format("graft")
+        .option("keys", "event_id")
+        .start(t)
+      try { input.addData((1L, 1.0)); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("writerId")), msgs(e).mkString(" | "))
+    assert(MergeTable.latestManifest(t).isEmpty, "nothing may commit")
+  }
+
   test("streaming Complete mode is a per-batch full sync: keys absent " +
     "from the new result delete") {
     val t = fresh("complete")

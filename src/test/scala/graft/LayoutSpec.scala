@@ -76,4 +76,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(hit <= zBoxes.length / 2,
       s"2-D predicate still hits $hit of ${zBoxes.length} z-ordered files")
   }
+
+  test("scaleToBits is clamped to the bit budget: a full-long domain's " +
+    "extremes land in cell 0 and the TOP cell, never wrap past it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vs = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue)
+    val out = vs.toDF("v")
+      .select(Layout.scaleToBits(col("v"), Long.MinValue, Long.MaxValue, 16)
+        .as("z"))
+      .as[Long].collect()
+    assert(out.forall(z => z >= 0L && z <= 65535L), out.toSeq.toString)
+    assert(out.head == 0L, "domain minimum must map to cell 0")
+    assert(out.last == 65535L, "domain maximum must map to the top cell")
+    // degenerate domain: everything in cell 0
+    val one = vs.toDF("v")
+      .select(Layout.scaleToBits(col("v"), 7L, 7L, 16).as("z"))
+      .as[Long].collect()
+    assert(one.forall(_ == 0L))
+  }
 }
