@@ -139,7 +139,12 @@ object MergeTable {
       // the all-null case (which carries no min/max entry) key off.
       // Additive: legacy entries parse with an empty map, which pruning
       // reads as "unknown — keep the file" (sound, never wrong).
-      nullCounts: Map[String, Long] = Map.empty) {
+      nullCounts: Map[String, Long] = Map.empty,
+      // on-disk size — feeds the stream source's maxBytesPerTrigger
+      // budget. Additive: legacy entries parse 0, which the budget reads
+      // as "volume unknown — don't throttle" (never a wrong result, the
+      // cap is pacing, not correctness).
+      bytes: Long = 0L) {
     /** Convenience for specs / long-keyed callers. */
     def minLong(c: String): Long = stats(c).min.toLong
     def maxLong(c: String): Long = stats(c).max.toLong
@@ -1848,7 +1853,8 @@ object MergeTable {
       }.flatMap { f =>
         val idx = f.stripPrefix("part-").takeWhile(_.isDigit).toInt
         stats.get(idx).map { case (m, nulls, cnt) =>
-          DataFileEntry(s"$rel/$f", cnt, m, nullCounts = nulls)
+          DataFileEntry(s"$rel/$f", cnt, m, nullCounts = nulls,
+            bytes = Files.size(Paths.get(table, "data", commitId, f)))
         }
       }
       (commitId, newFiles)
@@ -3003,6 +3009,70 @@ object MergeTable {
        |  min(event_id % 64) AS min_gx,
        |  max((event_id // 64) % 64) AS max_gy
        |FROM events""".stripMargin
+
+  private val groupedAggCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_agg_pushdown_group`: events landed PER GROUP — one
+    * transactional commit per `gx` bucket, each commit's key range
+    * disjoint from every other's (ids offset by bucket), so no commit
+    * rewrites another's files and EVERY data file's `gx` box is a POINT
+    * with zero nulls. This is the identity-partitioned ingest shape
+    * (daily loads, per-tenant loads) whose grouped aggregates the
+    * manifest can answer exactly. */
+  private def buildGroupedEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(groupedAggCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("grouped-agg-events")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-grouped", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+      val offset = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1L
+      (0 until 8).foreach { g =>
+        val wave = ev.where(pmod(col("event_id"), lit(8)) === g)
+          .select(
+            (col("event_id") + lit(g.toLong) * offset).as("event_id"),
+            pmod(col("event_id"), lit(8)).as("gx"),
+            col("event_type"), col("value"))
+        mergeUpsert(s, t, wave, Seq("event_id"), Seq("event_id"),
+          txn = Some(("grouped-seed", g.toLong)))
+      }
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_agg_pushdown_group`: `GROUP BY gx` count/count(col)/min/max
+    * through the DSv2 door over the per-group-committed fixture —
+    * answered ENTIRELY from the manifest ([[graft.sources.ManifestAgg]]'s
+    * grouped path: every file's `gx` box is a point, so the groups
+    * partition the file set), zero parquet files opened. The oracle
+    * replays the id-offset derivation over the raw table;
+    * GraftDataSourceSpec pins the zero-files-scanned property. */
+  def aggPushdownGroupDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildGroupedEvents(s, sfDir)
+    s.read.format("graft").load(t)
+      .groupBy(col("gx"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("gx")
+  }
+
+  val aggPushdownGroupDigestSql: String =
+    s"""SELECT event_id % 8 AS gx, count(*) AS n_rows,
+       |  min(event_id + (event_id % 8) * (SELECT max(event_id) + 1 FROM events))
+       |    AS min_id,
+       |  max(event_id + (event_id % 8) * (SELECT max(event_id) + 1 FROM events))
+       |    AS max_id,
+       |  min(value) AS min_value, max(value) AS max_value
+       |FROM events GROUP BY gx ORDER BY gx""".stripMargin
 
   /** `q_cdf_tvf`: the change data feed through the `graft_changes` SQL
     * table function over the five-wave fixture's DELETE (v3, deletion-

@@ -118,19 +118,34 @@ private[graft] object GraftChangeFeed {
 
   /** A batch CDF read is ONE plan unioning one diff per version — a
     * range of tens of thousands of commits would build a planner-hostile
-    * tree. The guard is LOUD, never a silent truncation: consume huge
-    * ranges in chunks or through the streaming source (which pages by
-    * `maxVersionsPerTrigger`). */
+    * tree. The guard is LOUD, never a silent truncation. The batch
+    * `format("graft")` door never hits it: [[GraftCdfRelation]] folds a
+    * wide range into ≤MaxBatchVersions sub-plans stitched at the RDD
+    * level (tunable via `maxVersionsPerRead`). The `graft_changes` TVF
+    * builds its relation at ANALYSIS time, where only a logical plan can
+    * exist — a wide range there redirects to the batch reader or the
+    * stream. */
   val MaxBatchVersions = 1000L
+
+  /** The effective plan-width bar: `spark.graft.cdf.maxBatchVersions`
+    * (session conf) overrides the default — hosts differ in how wide a
+    * union their planner comfortably holds, and specs scale it down to
+    * exercise the chunked path without thousand-commit fixtures. */
+  def maxBatchVersions(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cdf.maxBatchVersions")
+      .map(_.toLong).getOrElse(MaxBatchVersions)
 
   /** The union of per-version frames over [from, to] — the batch CDF
     * door and the `graft_changes` TVF share this one range walk. */
   def framesFor(spark: SparkSession, shape: FeedShape,
       from: Long, to: Long): DataFrame = {
-    require(to - from < MaxBatchVersions,
+    val bar = maxBatchVersions(spark)
+    require(to - from < bar,
       s"graft ${shape.surface} over ${shape.tablePath}: range [$from, $to] " +
-        s"spans ${to - from + 1} versions (> $MaxBatchVersions) in ONE " +
-        "plan — read it in chunks, or stream it " +
+        s"spans ${to - from + 1} versions (> $bar) in ONE " +
+        "plan — read it through spark.read.format(\"graft\")" +
+        ".option(\"readChangeFeed\", \"true\") (which chunks wide ranges; " +
+        "tune with maxVersionsPerRead), or stream it " +
         "(readStream pages by maxVersionsPerTrigger)")
     val frames = (from to to).flatMap(v => versionChanges(spark, shape, v))
     if (frames.isEmpty) emptyFrame(spark, shape)

@@ -77,14 +77,16 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
     * commits. */
   private val resolved =
     new java.util.concurrent.ConcurrentHashMap[(String, Option[String],
-      Option[String], Option[String], Option[String], Option[String]), Table]()
+      Option[String], Option[String], Option[String], Option[String],
+      Option[String]), Table]()
 
   private def resolveOnce(options: CaseInsensitiveStringMap): Table = {
     val key = (path(options), Option(options.get("versionasof")),
       Option(options.get("timestampasof")),
       Option(options.get("readchangefeed")),
       Option(options.get("startingversion")),
-      Option(options.get("endingversion")))
+      Option(options.get("endingversion")),
+      Option(options.get("maxversionsperread")))
     resolved.computeIfAbsent(key, { k =>
       val cdf = k._4.exists(_.trim.equalsIgnoreCase("true"))
       if (!cdf) GraftTable.resolve(k._1, k._2, k._3)
@@ -106,9 +108,16 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
           s"readChangeFeed range [$from, $to] is empty or negative")
         require(to <= head.version,
           s"endingVersion $to is beyond the head v${head.version}")
+        // ranges wider than one plan can hold are read in bounded
+        // sub-unions stitched at the RDD level (each chunk is its own
+        // ≤N-version Catalyst plan); the option tunes the chunk width
+        val bar = GraftChangeFeed.maxBatchVersions(SparkSession.active)
+        val chunk = k._7.map(_.trim.toLong).getOrElse(bar)
+        require(chunk >= 1 && chunk <= bar,
+          s"maxVersionsPerRead must be in [1, $bar], got $chunk")
         new GraftCdfTable(k._1,
           GraftChangeFeed.shapeFor(k._1, head, "batch change feed"),
-          from, to)
+          from, to, chunk)
       }
     })
   }
@@ -157,7 +166,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
           "spark.readStream.format(\"graft\").load(path)"))
       new GraftStreamSource(ctx, p,
         ci.get("startingversion").map(_.trim.toLong),
-        ci.get("maxversionspertrigger").map(_.trim.toLong).getOrElse(100L))
+        ci.get("maxversionspertrigger").map(_.trim.toLong).getOrElse(100L),
+        ci.get("maxbytespertrigger").map(_.trim.toLong))
     })
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -280,7 +290,7 @@ class GraftScanBuilder(table: String, m: TableManifest, full: StructType)
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var received: Array[Filter] = Array.empty
-  private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
 
   /** Keep the stats-consultable shapes for file skipping; return EVERY
     * filter as residual — min/max skipping is file-granular, so the
@@ -438,7 +448,7 @@ object GraftV1Relation {
   * evaluate above the diff (the diff is itself a join — there is no
   * per-file box to consult). */
 class GraftCdfTable(tablePath: String,
-    shape: GraftChangeFeed.FeedShape, from: Long, to: Long)
+    shape: GraftChangeFeed.FeedShape, from: Long, to: Long, chunk: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft.`$tablePath` changes v$from..v$to"
   override def schema(): StructType = shape.schema
@@ -446,28 +456,44 @@ class GraftCdfTable(tablePath: String,
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new GraftCdfScan(tablePath, shape, from, to)
+      override def build(): Scan =
+        new GraftCdfScan(tablePath, shape, from, to, chunk)
     }
 }
 
 class GraftCdfScan(tablePath: String, shape: GraftChangeFeed.FeedShape,
-    from: Long, to: Long) extends V1Scan {
+    from: Long, to: Long, chunk: Long) extends V1Scan {
   override def readSchema(): StructType = shape.schema
   override def description(): String =
     s"GraftCdfScan $tablePath v$from..v$to"
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftCdfRelation(context, shape, from, to).asInstanceOf[T]
+    new GraftCdfRelation(context, shape, from, to, chunk).asInstanceOf[T]
 }
 
+/** The batch CDF relation. A range wider than `chunk` versions is read
+  * as BOUNDED SUB-UNIONS stitched at the RDD level: each chunk plans its
+  * own ≤chunk-version union (the Catalyst tree stays bounded no matter
+  * how wide the range), and the chunks concatenate as a plain RDD union
+  * — no thousand-way logical plan, no silent truncation, every version
+  * delivered exactly once. */
 class GraftCdfRelation(ctx: SQLContext, shape: GraftChangeFeed.FeedShape,
-    from: Long, to: Long) extends BaseRelation with TableScan {
+    from: Long, to: Long, chunk: Long) extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = shape.schema
   override val needConversion: Boolean = false
-  override def buildScan(): RDD[Row] =
-    GraftChangeFeed.framesFor(ctx.sparkSession, shape, from, to)
-      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    def rddOf(lo: Long, hi: Long): RDD[Row] =
+      GraftChangeFeed.framesFor(spark, shape, lo, hi)
+        .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    if (to - from < chunk) rddOf(from, to)
+    else {
+      val rdds = (from to to by chunk).map(lo =>
+        rddOf(lo, math.min(lo + chunk - 1, to)))
+      spark.sparkContext.union(rdds.toSeq)
+    }
+  }
 }
 
 /** Metadata-only aggregate answers: `count(*)`, `count(col)`,
@@ -487,9 +513,15 @@ class GraftCdfRelation(ctx: SQLContext, shape: GraftChangeFeed.FeedShape,
   *    whose file contains NaN carry no entry by design, so NaN-bearing
   *    snapshots refuse automatically (Spark's max would return NaN).
   *
-  * Anything else — group-bys, filters above the scan, distinct, other
-  * functions, beyond-cap columns — returns None and the normal scan
-  * runs. Refusal is always safe; an answer is always exact.
+  * `GROUP BY <col(s)>` answers exactly when every file's box for every
+  * group column is a POINT with zero nulls and no DVs (the identity-
+  * partitioned / per-group-ingested state): each file then belongs to
+  * exactly one group, the groups partition the file set, and each
+  * group's aggregates fold over its own files under the same rules.
+  *
+  * Anything else — wide group boxes, filters above the scan, distinct,
+  * other functions, beyond-cap columns — returns None and the normal
+  * scan runs. Refusal is always safe; an answer is always exact.
   */
 private[sources] object ManifestAgg {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -497,8 +529,7 @@ private[sources] object ManifestAgg {
   import org.apache.spark.sql.types._
 
   def answer(m: TableManifest, schema: StructType,
-      agg: Aggregation): Option[(StructType, Seq[Any])] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+      agg: Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
     val noDv = m.files.forall(_.dv.isEmpty)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
@@ -518,32 +549,80 @@ private[sources] object ManifestAgg {
       f.stats.collectFirst {
         case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == p => v }
     }
-    val results = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        Some((StructField("count(*)", LongType, nullable = false),
-          m.files.map(_.visibleRows).sum: Any))
-      case c: Count if !c.isDistinct && noDv =>
-        colOf(c.column).flatMap { f =>
-          val perFile = m.files.map(e => nullsOf(e, f.name).map(e.numRows - _))
-          if (perFile.forall(_.nonEmpty))
-            Some((StructField(s"count(${f.name})", LongType, nullable = false),
-              perFile.flatten.sum: Any))
-          else None
-        }
-      case mn: Min if noDv => bound(m, schema, colOf(mn.column), isMin = true,
-        statOf, nullsOf)
-      case mx: Max if noDv => bound(m, schema, colOf(mx.column), isMin = false,
-        statOf, nullsOf)
-      case _ => None
+    /** Every aggregate expression evaluated over ONE file subset (the
+      * whole table for a global aggregate, one group's files for a
+      * grouped one) — exactness or refusal per expression. */
+    def evalAggs(files: Seq[MergeTable.DataFileEntry])
+        : Option[Seq[(StructField, Any)]] = {
+      val results = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            files.map(_.visibleRows).sum: Any))
+        case c: Count if !c.isDistinct && noDv =>
+          colOf(c.column).flatMap { f =>
+            val perFile = files.map(e => nullsOf(e, f.name).map(e.numRows - _))
+            if (perFile.forall(_.nonEmpty))
+              Some((StructField(s"count(${f.name})", LongType,
+                nullable = false), perFile.flatten.sum: Any))
+            else None
+          }
+        case mn: Min if noDv => bound(files, colOf(mn.column), isMin = true,
+          statOf, nullsOf)
+        case mx: Max if noDv => bound(files, colOf(mx.column), isMin = false,
+          statOf, nullsOf)
+        case _ => None
+      }
+      if (results.exists(_.isEmpty)) None else Some(results.flatten)
     }
-    if (results.exists(_.isEmpty)) None
+
+    if (agg.groupByExpressions.isEmpty)
+      evalAggs(m.files).map(rs =>
+        (StructType(rs.map(_._1)), Seq(rs.map(_._2))))
     else {
-      val rs = results.flatten
-      Some((StructType(rs.map(_._1)), rs.map(_._2)))
+      // GROUP BY <cluster col(s)>: answerable exactly from the manifest
+      // when every file's box for every group column is a POINT with zero
+      // nulls (the post-OPTIMIZE clustered state) — then each file
+      // belongs to exactly one group, the groups partition the file set,
+      // and every per-group aggregate reuses the global machinery over
+      // the group's files. Any wider box, null, DV, or missing stats
+      // entry refuses (a file spanning two groups cannot be split by
+      // metadata).
+      if (!noDv) return None
+      val groupFields = agg.groupByExpressions.toSeq.map(colOf)
+      if (groupFields.exists(_.isEmpty)) return None
+      val gfs = groupFields.flatten
+      val tags = gfs.map(f => MergeTable.statTagOpt(f.dataType))
+      if (tags.exists(_.isEmpty)) return None
+      val gts = gfs.zip(tags.flatten)
+      val keyed = m.files.map { e =>
+        val key = gts.map { case (f, tag) =>
+          (statOf(e, f.name), nullsOf(e, f.name)) match {
+            case (Some(cs), Some(0L)) if cs.t == tag && cs.min == cs.max =>
+              Some(cs.min)
+            case _ => None // wide box / nulls / unknown: not point-filed
+          }
+        }
+        if (key.exists(_.isEmpty)) None else Some((key.flatten, e))
+      }
+      if (keyed.exists(_.isEmpty)) return None
+      // the agg FIELDS come from an empty-set evaluation so a zero-group
+      // (empty-table) answer still carries the right schema
+      val aggFields = evalAggs(Seq.empty).getOrElse(return None).map(_._1)
+      val outSchema = StructType(
+        gfs.map(_.copy(nullable = false)) ++ aggFields)
+      val groups = keyed.flatten.groupBy(_._1).toSeq.sortBy(_._1.mkString(" "))
+      val rows = groups.map { case (k, fs) =>
+        evalAggs(fs.map(_._2)).map { rs =>
+          gts.zip(k).map { case ((f, tag), v) =>
+            statToExternal(tag, v, f.dataType) } ++ rs.map(_._2)
+        }
+      }
+      if (rows.exists(_.isEmpty)) None
+      else Some((outSchema, rows.flatten))
     }
   }
 
-  private def bound(m: TableManifest, schema: StructType,
+  private def bound(files: Seq[MergeTable.DataFileEntry],
       field: Option[StructField], isMin: Boolean,
       statOf: (MergeTable.DataFileEntry, String) => Option[MergeTable.ColStat],
       nullsOf: (MergeTable.DataFileEntry, String) => Option[Long])
@@ -552,7 +631,7 @@ private[sources] object ManifestAgg {
       MergeTable.statTagOpt(f.dataType).flatMap { tag =>
         // every file must either carry a matching stats entry or be
         // PROVABLY all-null for the column (contributes nothing)
-        val perFile: Seq[Option[Option[String]]] = m.files.map { e =>
+        val perFile: Seq[Option[Option[String]]] = files.map { e =>
           statOf(e, f.name) match {
             case Some(cs) if cs.t == tag =>
               Some(Some(if (isMin) cs.min else cs.max))
@@ -599,27 +678,30 @@ private[sources] object ManifestAgg {
     }
 }
 
-/** The scan behind a COMPLETELY pushed-down aggregate: one driver-computed
-  * row, zero data files opened (the audit records scannedFiles = 0). */
+/** The scan behind a COMPLETELY pushed-down aggregate: driver-computed
+  * rows (one for a global aggregate, one per group for a point-filed
+  * GROUP BY), zero data files opened (the audit records
+  * scannedFiles = 0). */
 class GraftAggScan(table: String, m: TableManifest, out: StructType,
-    row: Seq[Any]) extends V1Scan {
+    rows: Seq[Seq[Any]]) extends V1Scan {
   override def readSchema(): StructType = out
   override def description(): String =
-    s"GraftAggScan $table v${m.version} metadata-only " +
+    s"GraftAggScan $table v${m.version} metadata-only rows=${rows.size} " +
       s"[${out.fieldNames.mkString(", ")}]"
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftAggRelation(context, table, m, out, row).asInstanceOf[T]
+    new GraftAggRelation(context, table, m, out, rows).asInstanceOf[T]
 }
 
 class GraftAggRelation(ctx: SQLContext, table: String, m: TableManifest,
-    out: StructType, row: Seq[Any]) extends BaseRelation with TableScan {
+    out: StructType, rows: Seq[Seq[Any]]) extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = out
   override def buildScan(): RDD[Row] = {
     GraftScanAudit.record(GraftScanAudit.ScanAudit(
       table, m.version, m.files.size, 0, Seq.empty))
-    ctx.sparkSession.sparkContext.parallelize(Seq(Row.fromSeq(row)), 1)
+    ctx.sparkSession.sparkContext.parallelize(
+      rows.map(Row.fromSeq), math.max(1, math.min(rows.size, 32)))
   }
 }
 
@@ -707,9 +789,34 @@ class GraftCatalog extends TableCatalog {
     MergeTable.mergeUpsert(spark, path, empty, keys, clusterBy)
     GraftTable.resolve(path, None, None)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft schema evolution goes through the merge surface, not ALTER")
+  /** `ALTER TABLE graft.`/p` RENAME COLUMN a TO b` / `DROP COLUMN a` —
+    * Spark's own DDL resolution lands here as [[TableChange]]s, and each
+    * maps onto the engine's METADATA-ONLY column-mapping commits
+    * ([[MergeTable.renameColumn]] / [[MergeTable.dropColumn]]): no data
+    * file is rewritten, old versions still read the old shape, and a
+    * dropped physical name is tombstoned so a later re-add can never
+    * resurrect its bytes. Everything else (retype, reorder, nested
+    * fields) stays rejected — those are migrations, not relabels. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"graft ALTER supports top-level columns only, got " +
+            s"${r.fieldNames.mkString(".")}")
+        MergeTable.renameColumn(path, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"graft ALTER supports top-level columns only, got " +
+            s"${d.fieldNames.mkString(".")}")
+        MergeTable.dropColumn(path, d.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports RENAME COLUMN and DROP COLUMN " +
+          s"(metadata-only column mapping); ${other.getClass.getSimpleName} " +
+          "goes through the merge surface or an explicit migration")
+    }
+    GraftTable.resolve(path, None, None)
+  }
   /** `DROP TABLE graft.`/abs/path`` — the engine's dropTable (removes the
     * data tree AND poisons the cached incarnation, so a same-path
     * recreate never inherits stale state). */

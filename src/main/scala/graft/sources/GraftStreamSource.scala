@@ -43,6 +43,14 @@ import graft.ops.MergeTable
   *  - `maxVersionsPerTrigger` caps how many commits one micro-batch
   *    folds (the recovery-after-lag throttle; the restart batch is
   *    uncapped because its range was already checkpointed).
+  *  - `maxBytesPerTrigger` caps the DATA VOLUME a micro-batch folds:
+  *    versions join the batch until their summed diff cost (bytes of
+  *    files added + files removed by each commit — both sides are read
+  *    for preimages) would exceed the budget, so one huge compaction
+  *    commit can no longer ride in with dozens of follower commits. At
+  *    least one version always delivers (a commit larger than the budget
+  *    still flows — pacing, never starvation). Entries written before
+  *    the `bytes` manifest field parse as 0 and don't throttle.
   *
   * The column set is PINNED at stream start (table columns + `<c>_pre`
   * preimages + `change_type`, `feed_type`, `_commit_version`). A
@@ -55,10 +63,13 @@ class GraftStreamSource(
     ctx: SQLContext,
     val tablePath: String,
     startingVersion: Option[Long],
-    maxVersionsPerTrigger: Long) extends Source {
+    maxVersionsPerTrigger: Long,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   require(maxVersionsPerTrigger >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
+  maxBytesPerTrigger.foreach(b => require(b >= 1,
+    s"maxBytesPerTrigger must be >= 1, got $b"))
   private val spark = ctx.sparkSession
   private val boot = MergeTable.latestManifest(tablePath).getOrElse(
     sys.error(s"no committed version under $tablePath — the stream needs " +
@@ -75,11 +86,44 @@ class GraftStreamSource(
     * already checkpointed). */
   @volatile private var lastSeen: Option[Long] = None
 
+  /** One version's read volume: bytes of the files its commit added plus
+    * the files it removed (the diff reads BOTH sides for preimages); a
+    * beyond-retention boot costs its full snapshot; a vacuumed (skipped)
+    * version costs nothing. */
+  private def diffCost(po: Option[MergeTable.TableManifest],
+      co: Option[MergeTable.TableManifest]): Long = (po, co) match {
+    case (Some(p), Some(c)) =>
+      val pPaths = p.files.map(_.path).toSet
+      val cPaths = c.files.map(_.path).toSet
+      c.files.filterNot(f => pPaths.contains(f.path)).map(_.bytes).sum +
+        p.files.filterNot(f => cPaths.contains(f.path)).map(_.bytes).sum
+    case (None, Some(c)) => c.files.map(_.bytes).sum // snapshot (re)boot
+    case _ => 0L // version gone: skipped, delivers nothing
+  }
+
   override def getOffset: Option[V1Offset] = {
     val latest = MergeTable.latestManifest(tablePath).map(_.version)
     val capped = (latest, lastSeen) match {
       case (Some(l), Some(seen)) =>
-        Some(math.min(l, seen + maxVersionsPerTrigger))
+        val hard = math.min(l, seen + maxVersionsPerTrigger)
+        val end = maxBytesPerTrigger match {
+          case Some(budget) if hard > seen =>
+            // spend the byte budget version by version; the FIRST version
+            // always joins (an over-budget single commit must still flow)
+            var v = seen + 1
+            var cur = tryManifest(v)
+            var spent = diffCost(tryManifest(seen), cur)
+            var stop = false
+            while (!stop && v < hard) {
+              val next = tryManifest(v + 1)
+              val c = diffCost(cur, next)
+              if (spent + c > budget) stop = true
+              else { spent += c; v += 1; cur = next }
+            }
+            v
+          case _ => hard
+        }
+        Some(end)
       case (l, None) => l
     }
     capped.map(v => LongOffset(v))

@@ -208,4 +208,38 @@ class ColumnMappingSpec extends AnyFunSuite {
       Seq("event_id", "tag", "value"))
     assert(MergeTable.latestManifest(t).get.columnMap.isEmpty)
   }
+
+  test("SQL ALTER TABLE drives the full rename → read-old-version → drop " +
+    "cycle through spark.sql — the last API-only lifecycle verb") {
+    val t = seed("sqlalter")
+    val filesBefore = dataFilesOf(t)
+    // RENAME COLUMN through the catalog's alterTable door
+    spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN value TO score")
+    assert(MergeTable.read(spark, t).columns.toSeq ==
+      Seq("event_id", "tag", "score"))
+    assert(dataFilesOf(t) == filesBefore, "rename must be metadata-only")
+    // the renamed column answers queries with the original bytes
+    assert(spark.sql(
+      s"SELECT round(sum(score), 2) AS s FROM graft.`$t`")
+      .collect()(0).getDouble(0) == 5050.0)
+    // time travel still reads v0 under its OWN name
+    assert(spark.sql(
+      s"SELECT round(sum(value), 2) AS s FROM graft.`$t` VERSION AS OF 0")
+      .collect()(0).getDouble(0) == 5050.0)
+    // DROP COLUMN through the same door
+    spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN score")
+    assert(MergeTable.read(spark, t).columns.toSeq == Seq("event_id", "tag"))
+    assert(dataFilesOf(t) == filesBefore, "drop must be metadata-only")
+    // pre-drop versions keep serving the dropped column
+    assert(spark.sql(
+      s"SELECT round(sum(score), 2) AS s FROM graft.`$t` VERSION AS OF 1")
+      .collect()(0).getDouble(0) == 5050.0)
+    // rejections surface through SQL too: keys, missing columns, retypes
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$t` RENAME COLUMN event_id TO id"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$t` DROP COLUMN event_id"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$t` ALTER COLUMN tag TYPE INT"))
+  }
 }

@@ -98,6 +98,58 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(row == truth)
   }
 
+  test("GROUPED aggregate pushdown: GROUP BY a point-filed column " +
+    "answers from the manifest with ZERO files scanned; a wide-box " +
+    "group column falls back to the real scan") {
+    // per-group ingest: one commit per bucket, disjoint key ranges →
+    // every file's `g` box is a point
+    val t = freshTable("aggGroup")
+    (0 until 4).foreach { g =>
+      MergeTable.mergeUpsert(spark, t,
+        (1L to 100L).map(i => (g * 1000L + i, g.toLong, s"p$i", i * 1.5))
+          .toDF("event_id", "g", "payload", "value"),
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 30)
+    }
+    val df = spark.read.format("graft").load(t)
+    GraftScanAudit.reset()
+    val rows = df.groupBy(col("g"))
+      .agg(count(lit(1)), count(col("payload")), min(col("value")),
+        max(col("value")), max(col("event_id")))
+      .orderBy("g").collect()
+    val audit = GraftScanAudit.lastFor(t).get
+    assert(audit.scannedFiles == 0,
+      s"grouped metadata aggregate must open no files, scanned " +
+        s"${audit.scannedFiles}")
+    assert(rows.length == 4)
+    rows.zipWithIndex.foreach { case (r, g) =>
+      assert(r.getLong(0) == g.toLong)
+      assert(r.getLong(1) == 100L && r.getLong(2) == 100L)
+      assert(r.getDouble(3) == 1.5 && r.getDouble(4) == 150.0)
+      assert(r.getLong(5) == g * 1000L + 100L)
+    }
+    // engine truth, bit-for-bit
+    val truth = MergeTable.read(spark, t).groupBy(col("g"))
+      .agg(count(lit(1)), count(col("payload")), min(col("value")),
+        max(col("value")), max(col("event_id")))
+      .orderBy("g").collect()
+    assert(rows.toSeq == truth.toSeq)
+    // a WIDE-box group column (value spans each file) must fall back
+    GraftScanAudit.reset()
+    val wide = df.groupBy(col("value")).count().count()
+    assert(wide == 100L)
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
+      "a wide-box group column must run the real scan")
+    // a DV anywhere refuses the grouped answer too
+    MergeTable.mergeDelete(spark, t, Seq(1001L).toDF("event_id"),
+      deletionVectors = true)
+    GraftScanAudit.reset()
+    val afterDv = spark.read.format("graft").load(t)
+      .groupBy(col("g")).agg(count(lit(1))).orderBy("g").collect()
+    assert(afterDv.map(_.getLong(1)).toSeq == Seq(100L, 99L, 100L, 100L))
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
+      "grouped aggregates under DVs must fall back")
+  }
+
   test("aggregate pushdown REFUSES when it cannot be exact: deletion " +
     "vectors, filters, group-bys, distinct — the normal scan answers") {
     val t = seeded("aggrefuse")

@@ -312,6 +312,87 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(msg.contains("restart the stream"), msg)
   }
 
+  test("maxBytesPerTrigger paces a lagging stream by DATA VOLUME: a huge " +
+    "commit delivers alone, small commits coalesce into one batch, and " +
+    "nothing is lost or duplicated") {
+    val t = fresh("bytecap")
+    seed(t) // v0
+    val ckpt = fresh("bytecap-ckpt")
+    val opts = Map("startingVersion" -> "0",
+      "maxBytesPerTrigger" -> (10 * 1024).toString)
+    val got = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, got, opts) // v0 delivered, checkpoint anchored
+    // lag builds while the stream is DOWN: two ~100 KB commits around two
+    // ~1 KB commits (new key ranges, so each commit only ADDS files —
+    // cost = its own file bytes; irregular doubles defeat the encoder)
+    def big(base: Long, tag: String) = MergeTable.mergeUpsert(spark, t,
+      (base until base + 8000L).map(i => (i, tag, i * 1.7182818))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"))
+    def small(k: Long, tag: String) = MergeTable.mergeUpsert(spark, t,
+      Seq((k, tag, 1.0)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"))
+    big(100000L, "big1")  // v1
+    small(500001L, "s1")  // v2
+    small(500002L, "s2")  // v3
+    big(200000L, "big2")  // v4
+    val post = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, post, opts) // restart re-anchors at v0, then paces
+    val verSets = post.map(_.map(_.getAs[Long]("_commit_version")).toSet)
+    // v1 exceeds the budget alone (the first version always flows), the
+    // two small commits coalesce, v4 opens a fresh batch
+    assert(verSets == Seq(Set(1L), Set(2L, 3L), Set(4L)), verSets.toString)
+    // exactly-once across the paced batches
+    val all = post.flatten.map(key)
+    assert(all.size == all.toSet.size)
+    assert(all.count(_._1 == 1L) == 8000 && all.count(_._1 == 4L) == 8000)
+  }
+
+  test("a range wider than the plan-width bar reads batch-wise in bounded " +
+    "RDD-stitched chunks, equal to the streamed replay; the analysis-time " +
+    "TVF redirects; chunk width is capped by the bar") {
+    val t = fresh("chunked")
+    seed(t) // v0: 20 rows
+    // 49 more single-row commits → versions 1..49
+    (1 to 49).foreach { i =>
+      MergeTable.mergeUpsert(spark, t,
+        Seq(((i % 20) + 1L, "upd", i * 100.0))
+          .toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"), txn = Some(("w", i.toLong)))
+    }
+    // scale the plan-width bar DOWN so the >bar auto-chunk path runs on a
+    // 50-version fixture — the identical code path a 1500-version range
+    // takes at the default bar of 1000, without a 12-minute fixture
+    spark.conf.set("spark.graft.cdf.maxBatchVersions", "20")
+    try {
+      // 50 versions > bar 20 → 3 sub-plans of ≤20 versions, RDD-stitched
+      val batch = spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0").load(t).collect().map(key)
+      assert(batch.map(_._1).distinct.sorted.toSeq == (0L to 49L))
+      // equal to the streamed replay of the same range (paged)
+      val streamed = mutable.Buffer.empty[Seq[Row]]
+      runStream(t, fresh("chunked-ckpt"), streamed,
+        Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "7"))
+      assert(batch.toSet == streamed.flatten.map(key).toSet)
+      // an explicit narrower chunk reads the same rows
+      val narrow = spark.read.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerRead", "5").load(t).collect().map(key)
+      assert(narrow.toSet == batch.toSet)
+      // a chunk wider than the bar is rejected (it IS the plan bound)
+      intercept[Exception](spark.read.format("graft")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .option("maxVersionsPerRead", "25").load(t).collect())
+      // the TVF builds its relation at analysis time — one plan only, so
+      // a wide range fails LOUDLY pointing at the chunked batch reader
+      val e = intercept[Exception](spark.sql(
+        s"SELECT * FROM graft_changes('$t', 0)").collect())
+      assert(e.getMessage.contains("maxVersionsPerRead"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.cdf.maxBatchVersions")
+  }
+
   test("a table column colliding with a generated feed column is " +
     "rejected at shape time; a non-colliding *_pre payload column flows " +
     "through (no suffix heuristics)") {
