@@ -809,6 +809,43 @@ object MergeTable {
     sys.error(s"drop of $c on $table lost the commit race $maxAttempts times")
   }
 
+  /** ADD COLUMN as a METADATA-ONLY commit: no data file is touched —
+    * rows from files written before the widening read back as NULL
+    * (parquet name-based reads fill declared-but-absent columns), the
+    * same additive evolution a widening merge batch applies. The new
+    * column takes a FRESH physical name when its identity physical is in
+    * use or tombstoned (a column of this name was renamed away or
+    * dropped earlier — old files still carry bytes under it, and an
+    * identity mapping would resurrect them; the case-insensitive compare
+    * is parquet's own resolution rule). Returns the committed version. */
+  def addColumn(table: String, c: String, dt: DataType,
+      maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = latestManifest(table).getOrElse(
+        sys.error(s"no committed version under $table"))
+      val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"cannot add $c: column already exists in $table")
+      val usedPhysical =
+        (schema.fields.map(f => physOf(head.columnMap, f.name)) ++
+          head.columnMap.values ++ head.retiredPhysical)
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val newMap =
+        if (usedPhysical.contains(c.toLowerCase(java.util.Locale.ROOT)))
+          head.columnMap +
+            (c -> s"${c}_p${java.util.UUID.randomUUID().toString.take(8)}")
+        else head.columnMap
+      val newSchema = StructType(
+        schema.fields :+ StructField(c, dt, nullable = true))
+      if (commitVersion(table, head.version + 1, newSchema.json, head.keys,
+        head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
+        newMap, head.retiredPhysical)) return head.version + 1
+    }
+    sys.error(s"add of $c on $table lost the commit race $maxAttempts times")
+  }
+
   // ---- column mapping helpers ----------------------------------------------
 
   /** Physical parquet name of logical column `c` (identity when unmapped

@@ -810,8 +810,16 @@ class GraftCatalog extends TableCatalog {
           s"graft ALTER supports top-level columns only, got " +
             s"${d.fieldNames.mkString(".")}")
         MergeTable.dropColumn(path, d.fieldNames.head)
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"graft ALTER supports top-level columns only, got " +
+            s"${a.fieldNames.mkString(".")}")
+        require(a.isNullable,
+          s"graft ADD COLUMN ${a.fieldNames.head} must be nullable — " +
+            "rows written before the widening read back as NULL")
+        MergeTable.addColumn(path, a.fieldNames.head, a.dataType)
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports RENAME COLUMN and DROP COLUMN " +
+        s"graft ALTER TABLE supports ADD / RENAME / DROP COLUMN " +
           s"(metadata-only column mapping); ${other.getClass.getSimpleName} " +
           "goes through the merge surface or an explicit migration")
     }

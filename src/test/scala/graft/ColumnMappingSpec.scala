@@ -241,5 +241,17 @@ class ColumnMappingSpec extends AnyFunSuite {
       s"ALTER TABLE graft.`$t` DROP COLUMN event_id"))
     intercept[Exception](spark.sql(
       s"ALTER TABLE graft.`$t` ALTER COLUMN tag TYPE INT"))
+    // ADD COLUMNS is metadata-only widening: old rows read back NULL…
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (note STRING)")
+    assert(dataFilesOf(t) == filesBefore, "add must be metadata-only")
+    assert(spark.sql(s"SELECT count(note) AS n FROM graft.`$t`")
+      .collect()(0).getLong(0) == 0L)
+    // …and a re-ADD of the DROPPED name takes a fresh physical: the old
+    // `score` bytes (still in every data file) must NOT resurrect
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (score DOUBLE)")
+    assert(spark.sql(s"SELECT count(score) AS n FROM graft.`$t`")
+      .collect()(0).getLong(0) == 0L,
+      "re-added column must start empty, not resurrect pre-drop bytes")
+    assert(dataFilesOf(t) == filesBefore)
   }
 }
