@@ -50,7 +50,11 @@ import graft.sources.GraftTable
   *    renamed to the target key name before the merge (and every
   *    `s.customer_id` reference in clause expressions rewrites with it),
   *    so the engine's one key namespace holds. The target-side names must
-  *    still equal the table's merge-key set.
+  *    still equal the table's merge-key set. One Spark-owned limit:
+  *    `UPDATE SET *` / `INSERT *` through the `spark.sql` door fail in
+  *    SPARK'S analyzer (star expands by name against the source, which
+  *    has no `id`) — use explicit column lists there, or the
+  *    [[mergeInto]] parse door, which renames before analysis.
   *  - RESIDUAL conjuncts — `ON t.id = s.id AND s.ts > X`: every non-key
   *    conjunct folds into each clause's condition (`AND <residual>`).
   *    In the key-unique table model "matched" is KEY-scoped, so a
