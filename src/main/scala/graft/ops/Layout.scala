@@ -147,6 +147,34 @@ object Layout {
         lit(hi))
     }
 
+  /** For each partition index i in [0, n), a long x_i whose Spark HASH
+    * PARTITION is exactly i — found by probing Spark's OWN partition-id
+    * arithmetic (`Pmod(Murmur3Hash(x, seed=42), n)`, the
+    * `HashPartitioning.partitionIdExpression` contract), so
+    * `df.repartition(n, col_carrying(x_i))` lands x_i's rows in
+    * partition i and nowhere else. This turns the sampling-free hash
+    * exchange into an EXACT router: callers compute a target partition
+    * per row, join the preimage for it, and repartition on the preimage
+    * — fully declarative, whole-stage-codegen'd, no RDD partitioner.
+    * Expected n·(ln n) driver-side Catalyst literal evals (microseconds
+    * each); the probe uses the same expression class the exchange
+    * evaluates at runtime, so the two cannot drift. */
+  def hashPreimages(n: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    require(n >= 1, s"need at least one partition, got $n")
+    val out = new Array[Long](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var x = 0L
+    while (remaining > 0) {
+      val h = Murmur3Hash(Seq(Literal(x)), 42).eval(null).asInstanceOf[Int]
+      val i = java.lang.Math.floorMod(h, n)
+      if (!found(i)) { found(i) = true; out(i) = x; remaining -= 1 }
+      x += 1
+    }
+    out
+  }
+
   /** DuckDB mirror of [[zvalue]] — same fold, element-exact. */
   def zvalueSql(x: String, y: String, bits: Int = ZBits): String =
     s"""list_sum(list_transform(range(0, $bits),

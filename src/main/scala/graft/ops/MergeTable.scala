@@ -1810,6 +1810,71 @@ object MergeTable {
 
   /** Write the staged frame (one file per range partition) and derive the
     * per-file typed stats from the SAME pinned partitioning. */
+  /** Distinct-value cap for [[optimize]]'s `splitBy` — the identity-split
+    * layout is for LOW-cardinality columns (a file set per value). */
+  val MaxSplitValues = 1024
+  /** Total-file cap for one split rewrite (Σ ceil(rows_v/target)). */
+  val MaxSplitFiles = 16384
+
+  /** Stage the IDENTITY-SPLIT layout: route every row to a partition
+    * owned by exactly one `(value of c, sub-file)` pair, so each written
+    * file's `c` box is a POINT. One bounded `groupBy(c).count()` collect
+    * sizes the plan (cardinality-capped, loud); routing is the exact
+    * hash-preimage exchange ([[Layout.hashPreimages]]); files keep the
+    * cluster-key sort inside. */
+  private def stageSplitBy(s: SparkSession, table: String, frag: DataFrame,
+      c: String, snapshot: TableManifest,
+      targetRowsPerFile: Long): (String, Seq[DataFileEntry]) = {
+    import scala.jdk.CollectionConverters._
+    val pinned = frag.localCheckpoint()
+    try {
+      val counts = pinned.groupBy(col(c)).count().collect()
+      require(counts.length <= MaxSplitValues,
+        s"OPTIMIZE SPLIT BY $c: ${counts.length} distinct values " +
+          s"(cap $MaxSplitValues) — the identity-split layout is for " +
+          "low-cardinality columns (dates, tenants, shards); higher " +
+          "cardinality wants ZORDER BY")
+      // contiguous partition index ranges per value: (value, base, width)
+      var base = 0
+      val routes = counts.map { r =>
+        val k = math.max(1L,
+          (r.getLong(1) + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+        val e = (r.get(0), base, k); base += k; e
+      }
+      val total = base
+      require(total <= MaxSplitFiles,
+        s"OPTIMIZE SPLIT BY $c would write $total files " +
+          s"(cap $MaxSplitFiles) — raise targetRowsPerFile")
+      val pre = graft.ops.Layout.hashPreimages(total)
+      val dt = DataType.fromJson(snapshot.schemaJson)
+        .asInstanceOf[StructType](c).dataType
+      val dict = s.createDataFrame(
+        routes.map { case (v, b, k) => Row(v, b, k) }.toSeq.asJava,
+        StructType(Seq(StructField("__split_v", dt),
+          StructField("__split_base", IntegerType, nullable = false),
+          StructField("__split_k", IntegerType, nullable = false))))
+      val preDict = s.createDataFrame(
+        pre.zipWithIndex.map { case (p, i) => Row(i, p) }.toSeq.asJava,
+        StructType(Seq(
+          StructField("__split_route", IntegerType, nullable = false),
+          StructField("__split_pre", LongType, nullable = false))))
+      // value → its partition range (null-safe: a NULL group is a group),
+      // sub-file by key hash (keys are non-null by the cluster contract),
+      // route → preimage, ONE exchange, per-partition cluster-key sort
+      val staged = pinned
+        .join(broadcast(dict), pinned(c) <=> dict("__split_v"))
+        .withColumn("__split_route", col("__split_base") +
+          pmod(hash(snapshot.keys.map(col): _*), col("__split_k")))
+        .join(broadcast(preDict), "__split_route")
+        .repartition(total, col("__split_pre"))
+        .sortWithinPartitions(snapshot.clusterBy.map(col): _*)
+        .drop("__split_v", "__split_base", "__split_k",
+          "__split_route", "__split_pre")
+      writeStaged(table, staged, snapshot.clusterBy, snapshot.columnMap)
+    } finally org.apache.spark.sql.graftbridge.Bridge
+      .unpersistLocalCheckpoint(pinned)
+  }
+
   private def writeStaged(
       table: String, toStage: DataFrame,
       logicalClusterBy: Seq[String],
@@ -2128,13 +2193,32 @@ object MergeTable {
     * Merge-key pruning stays sound (boxes are per-file facts regardless
     * of layout; they merely get wider on the cluster key, which is the
     * documented Z-order trade).
+    *
+    * `splitBy = Some(c)` switches the rewrite to the IDENTITY-SPLIT
+    * layout (`OPTIMIZE SPLIT BY` — the per-partition-value file layout
+    * of partitioned lakehouse tables, without directories): every
+    * written file holds exactly ONE value of `c` (a POINT stats box,
+    * zero straddlers), large values splitting across
+    * ceil(rows/targetRowsPerFile) files. This is the state the
+    * manifest's aggregate pushdown answers `GROUP BY c` from with zero
+    * files opened, and it makes single-value predicates on `c` prune to
+    * exactly that value's files. Routing is EXACT, not sampled: each
+    * row computes its target partition, joins the partition's hash
+    * PREIMAGE ([[Layout.hashPreimages]] — probed with Spark's own
+    * partition-id arithmetic), and one hash exchange lands it — fully
+    * codegen'd, no RDD partitioner, no range-sampler boundary
+    * straddling. Low-cardinality columns only (dates, tenants, shards;
+    * capped loudly) — higher cardinality wants ZORDER.
     */
   def optimize(
       s: SparkSession,
       table: String,
       targetRowsPerFile: Long = 4096,
       maxAttempts: Int = 20,
-      zorderBy: Seq[String] = Seq.empty): Int = {
+      zorderBy: Seq[String] = Seq.empty,
+      splitBy: Option[String] = None): Int = {
+    require(zorderBy.isEmpty || splitBy.isEmpty,
+      "OPTIMIZE takes zorderBy OR splitBy, not both — one layout per rewrite")
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -2151,22 +2235,33 @@ object MergeTable {
       }
       require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),
         s"zorderBy takes 2–4 columns, got ${zorderBy.size}")
+      splitBy.foreach { c =>
+        require(schemaForZ.fieldNames.contains(c),
+          s"splitBy column '$c' is not a table column")
+        require(statTagOpt(schemaForZ(c).dataType).nonEmpty,
+          s"splitBy column '$c' must be a stats-indexable type " +
+            s"(got ${schemaForZ(c).dataType}) — the split layout exists " +
+            "for the per-file stats box")
+      }
+      val relayout = zorderBy.nonEmpty || splitBy.nonEmpty
       val small = snapshot.files.filter(_.visibleRows < targetRowsPerFile / 2)
       val dvBearing = snapshot.files.filter(_.dv.nonEmpty)
       // a re-layout rewrites EVERYTHING (the point is the global order);
       // plain compaction touches only fragmentation and DV debt
       val candidates =
-        if (zorderBy.nonEmpty) snapshot.files
+        if (relayout) snapshot.files
         else (small ++ dvBearing).distinct
       // a lone small vector-free file gains nothing from a rewrite; any
       // DV-bearing file does (the read-side anti-join retires)
-      if (zorderBy.isEmpty && small.size < 2 && dvBearing.isEmpty) return 0
+      if (!relayout && small.size < 2 && dvBearing.isEmpty) return 0
       if (candidates.isEmpty) return 0
 
       val schema = schemaForZ
       val frag = readFiles(s, table, schema, candidates, snapshot.columnMap) // DV-aware
       val (commitId, newFiles) =
-        if (zorderBy.isEmpty)
+        if (splitBy.nonEmpty)
+          stageSplitBy(s, table, frag, splitBy.get, snapshot, targetRowsPerFile)
+        else if (zorderBy.isEmpty)
           writeClusteredFiles(table, frag, snapshot.clusterBy, targetRowsPerFile,
             snapshot.columnMap)
         else {
@@ -3046,6 +3141,58 @@ object MergeTable {
        |  min(event_id % 64) AS min_gx,
        |  max((event_id // 64) % 64) AS max_gy
        |FROM events""".stripMargin
+
+  private val splitOptCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_optimize_split`: events landed in ONE interleaved
+    * commit (every file's `gs` box spans all groups — grouped pushdown
+    * must refuse), then `OPTIMIZE SPLIT BY gs` re-lays every live file
+    * into per-value POINT files via the exact hash-preimage router. The
+    * registered query reads the POST-rewrite head, so the oracle (raw-
+    * table reconstruction that never saw the rewrite) breaks on any row
+    * lost, duplicated, or mutated by the re-layout. */
+  private def buildSplitOptimizedEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(splitOptCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("split-optimize-events")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-splitopt", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+        .withColumn("gs", pmod(col("event_id"), lit(6)))
+      mergeUpsert(s, t, ev, Seq("event_id"), Seq("event_id"),
+        txn = Some(("seed", 0L)))
+      optimize(s, t, splitBy = Some("gs"))
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_optimize_split`: `GROUP BY gs` aggregates over the split-
+    * optimized head — answered from the manifest (every post-rewrite
+    * file is a `gs` point; GraftDataSourceSpec pins the zero-files-
+    * scanned property), hash-matched against the raw table. */
+  def optimizeSplitDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildSplitOptimizedEvents(s, sfDir)
+    s.read.format("graft").load(t)
+      .groupBy(col("gs"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("gs")
+  }
+
+  val optimizeSplitDigestSql: String =
+    s"""SELECT event_id % 6 AS gs, count(*) AS n_rows,
+       |  min(event_id) AS min_id, max(event_id) AS max_id,
+       |  min(value) AS min_value, max(value) AS max_value
+       |FROM events GROUP BY gs ORDER BY gs""".stripMargin
 
   private val groupedAggCache = IndexMemo.cache[(SparkSession, String), String]()
 

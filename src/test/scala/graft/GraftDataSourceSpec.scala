@@ -150,6 +150,60 @@ class GraftDataSourceSpec extends AnyFunSuite {
       "grouped aggregates under DVs must fall back")
   }
 
+  test("OPTIMIZE SPLIT BY re-lays ANY clustered table into point files: " +
+    "grouped pushdown goes from fallback to metadata-only, big groups " +
+    "split across files, single-value predicates prune exactly") {
+    val t = freshTable("splitby")
+    // ONE interleaved commit: every file's `g` box spans several values
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 1100L).map(i => (i, i % 3, s"p$i", i * 1.5))
+        .toDF("event_id", "g", "payload", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
+    val df0 = spark.read.format("graft").load(t)
+    GraftScanAudit.reset()
+    val before = df0.groupBy(col("g")).count().orderBy("g").collect()
+    assert(before.map(_.getLong(1)).toSeq == Seq(366L, 367L, 367L))
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
+      "interleaved layout: grouped pushdown must fall back")
+    // the identity-split rewrite (each ~367-row group → 3 files at 150)
+    val rewritten = MergeTable.optimize(spark, t,
+      targetRowsPerFile = 150, splitBy = Some("g"))
+    assert(rewritten > 0)
+    val m = MergeTable.latestManifest(t).get
+    assert(m.files.size == 9, s"3 groups × ceil(367/150) files, got " +
+      s"${m.files.map(_.numRows)}")
+    m.files.foreach { f =>
+      val cs = f.stats("g")
+      assert(cs.min == cs.max, s"file ${f.path} g-box [${cs.min},${cs.max}]")
+    }
+    // grouped aggregates now answer from the manifest, zero files opened
+    GraftScanAudit.reset()
+    val after = spark.read.format("graft").load(t)
+      .groupBy(col("g"))
+      .agg(count(lit(1)), min(col("value")), max(col("value")))
+      .orderBy("g").collect()
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+      "post-split grouped aggregate must be metadata-only")
+    assert(after.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 366L), (1L, 367L), (2L, 367L)))
+    assert(after.map(_.getDouble(2)).toSeq == Seq(4.5, 1.5, 3.0))
+    // rows survived the rewrite bit-for-bit
+    assert(spark.read.format("graft").load(t).count() == 1100L)
+    // a single-value predicate prunes to exactly that value's files
+    GraftScanAudit.reset()
+    assert(spark.read.format("graft").load(t)
+      .where(col("g") === 1L).count() == 367L)
+    val audit = GraftScanAudit.lastFor(t).get
+    assert(audit.scannedFiles == 3,
+      s"g=1 lives in exactly 3 point files, scanned ${audit.scannedFiles}")
+    // cardinality cap is loud
+    intercept[IllegalArgumentException](MergeTable.optimize(spark, t,
+      splitBy = Some("event_id")))
+    // zorderBy and splitBy are mutually exclusive
+    intercept[IllegalArgumentException](MergeTable.optimize(spark, t,
+      zorderBy = Seq("event_id", "g"), splitBy = Some("g")))
+  }
+
   test("aggregate pushdown REFUSES when it cannot be exact: deletion " +
     "vectors, filters, group-bys, distinct — the normal scan answers") {
     val t = seeded("aggrefuse")
