@@ -1828,12 +1828,17 @@ object MergeTable {
     import scala.jdk.CollectionConverters._
     val pinned = frag.localCheckpoint()
     try {
-      val counts = pinned.groupBy(col(c)).count().collect()
+      // the collect is BOUNDED BEFORE it runs: limit(cap + 1) means an
+      // accidental high-cardinality column pulls at most cap+1 count
+      // rows to the driver and fails loudly — never millions of distinct
+      // values ahead of the check
+      val counts = pinned.groupBy(col(c)).count()
+        .limit(MaxSplitValues + 1).collect()
       require(counts.length <= MaxSplitValues,
-        s"OPTIMIZE SPLIT BY $c: ${counts.length} distinct values " +
-          s"(cap $MaxSplitValues) — the identity-split layout is for " +
-          "low-cardinality columns (dates, tenants, shards); higher " +
-          "cardinality wants ZORDER BY")
+        s"OPTIMIZE SPLIT BY $c: more than $MaxSplitValues distinct " +
+          "values — the identity-split layout is for low-cardinality " +
+          "columns (dates, tenants, shards); higher cardinality wants " +
+          "ZORDER BY")
       // contiguous partition index ranges per value: (value, base, width)
       var base = 0
       val routes = counts.map { r =>
