@@ -94,6 +94,7 @@ object ScaleProbe {
       probeSelectionOps(spark); probeMaintenanceOps(spark)
       probeMergeTable(spark); probeChangeFeed(spark)
       probeStatsPruning(spark)
+      probeSplitLayout(spark)
       probeManifestResolution(spark)
       probeDeletionVectors(spark)
       probeConnectedComponents(spark)
@@ -203,6 +204,49 @@ object ScaleProbe {
           s"""{"probe":"stats_pruning","rows":$n,"files_total":${m.files.size},""" +
             s""""files_kept":${kept.size},"scan_files":${audit.scannedFiles},""" +
             s""""rows_matched":$cnt,"prune_sec":${s1(tPrune)}}""")
+      } finally MergeTable.dropTable(t.toString)
+    }
+  }
+
+  /** The identity-split claims measured at 1× and 10×: (a) after
+    * `OPTIMIZE SPLIT BY g`, a `GROUP BY g` aggregate answers from the
+    * manifest with ZERO files scanned and near-flat wall time (driver
+    * metadata fold — it must not scale with rows); (b) INCREMENTAL
+    * maintenance — an interleaved insert wave drifts the layout by one
+    * file, and the re-optimize rewrites exactly that file, not the
+    * table (O(drifted files), the point of the incremental candidate
+    * filter). */
+  private def probeSplitLayout(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.ops.MergeTable
+    for (n <- Seq(20000, 200000)) {
+      val t = java.nio.file.Files.createTempDirectory(s"graft-probe-split$n")
+      java.nio.file.Files.delete(t)
+      try {
+        val base = (0L until n).map(i => (i, i % 8, i * 0.5))
+          .toDF("event_id", "g", "value")
+        MergeTable.mergeUpsert(spark, t.toString, base,
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500)
+        val (rewrote, tSplit) = time(MergeTable.optimize(spark, t.toString,
+          targetRowsPerFile = 500, splitBy = Some("g")))
+        val filesTotal = MergeTable.latestManifest(t.toString).get.files.size
+        graft.sources.GraftScanAudit.reset()
+        val (groups, tAgg) = time(spark.read.format("graft").load(t.toString)
+          .groupBy(col("g")).count().collect().length)
+        val scanned = graft.sources.GraftScanAudit.last.get.scannedFiles
+        // drift by one interleaved insert wave, re-optimize incrementally
+        MergeTable.mergeUpsert(spark, t.toString,
+          (n.toLong until n + 64L).map(i => (i, i % 8, 1.0))
+            .toDF("event_id", "g", "value"),
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500)
+        val (incr, tIncr) = time(MergeTable.optimize(spark, t.toString,
+          targetRowsPerFile = 500, splitBy = Some("g")))
+        println(
+          s"""{"probe":"split_layout","rows":$n,"files_total":$filesTotal,""" +
+            s""""rewrote":$rewrote,"split_sec":${s1(tSplit)},""" +
+            s""""groups":$groups,"agg_scan_files":$scanned,""" +
+            s""""agg_sec":${s1(tAgg)},""" +
+            s""""incr_rewrote":$incr,"incr_sec":${s1(tIncr)}}""")
       } finally MergeTable.dropTable(t.toString)
     }
   }

@@ -1810,6 +1810,23 @@ object MergeTable {
 
   /** Write the staged frame (one file per range partition) and derive the
     * per-file typed stats from the SAME pinned partitioning. */
+  /** Is physical column `phys` a single NON-NULL value across this whole
+    * file, with no deletion vector? The per-file state the identity-split
+    * layout produces and the grouped aggregate pushdown requires — shared
+    * so [[optimize]]'s incremental SPLIT BY and the manifest's grouped
+    * answers can never disagree about what "already split" means. */
+  private[graft] def isPointFor(e: DataFileEntry, phys: String,
+      tag: String): Boolean = {
+    val p = phys.toLowerCase(java.util.Locale.ROOT)
+    e.dv.isEmpty &&
+      e.nullCounts.collectFirst {
+        case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == p => v
+      }.contains(0L) &&
+      e.stats.collectFirst {
+        case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == p => v
+      }.exists(cs => cs.t == tag && cs.min == cs.max)
+  }
+
   /** Distinct-value cap for [[optimize]]'s `splitBy` — the identity-split
     * layout is for LOW-cardinality columns (a file set per value). */
   val MaxSplitValues = 1024
@@ -2214,6 +2231,13 @@ object MergeTable {
     * codegen'd, no RDD partitioner, no range-sampler boundary
     * straddling. Low-cardinality columns only (dates, tenants, shards;
     * capped loudly) — higher cardinality wants ZORDER.
+    *
+    * SPLIT BY is INCREMENTAL: only files that are not already a clean
+    * point for `c` (box wider than one value, any nulls, missing stats,
+    * or a deletion vector) rewrite — point files carry by reference
+    * untouched, so steady-state maintenance after a few interleaved
+    * merges costs O(drifted files), not O(table), and a re-run on an
+    * already-split table is a commit-free no-op.
     */
   def optimize(
       s: SparkSession,
@@ -2251,10 +2275,18 @@ object MergeTable {
       val relayout = zorderBy.nonEmpty || splitBy.nonEmpty
       val small = snapshot.files.filter(_.visibleRows < targetRowsPerFile / 2)
       val dvBearing = snapshot.files.filter(_.dv.nonEmpty)
-      // a re-layout rewrites EVERYTHING (the point is the global order);
-      // plain compaction touches only fragmentation and DV debt
+      // a z re-layout rewrites EVERYTHING (the point is the global
+      // order); SPLIT BY rewrites only the files that are not already a
+      // clean point (incremental maintenance); plain compaction touches
+      // only fragmentation and DV debt
       val candidates =
-        if (relayout) snapshot.files
+        if (splitBy.nonEmpty) {
+          val c = splitBy.get
+          val phys = physOf(snapshot.columnMap, c)
+          val tag = statTag(schemaForZ(c).dataType)
+          snapshot.files.filterNot(e => isPointFor(e, phys, tag))
+        }
+        else if (zorderBy.nonEmpty) snapshot.files
         else (small ++ dvBearing).distinct
       // a lone small vector-free file gains nothing from a rewrite; any
       // DV-bearing file does (the read-side anti-join retires)

@@ -596,11 +596,12 @@ private[sources] object ManifestAgg {
       val gts = gfs.zip(tags.flatten)
       val keyed = m.files.map { e =>
         val key = gts.map { case (f, tag) =>
-          (statOf(e, f.name), nullsOf(e, f.name)) match {
-            case (Some(cs), Some(0L)) if cs.t == tag && cs.min == cs.max =>
-              Some(cs.min)
-            case _ => None // wide box / nulls / unknown: not point-filed
-          }
+          // the ONE point-file definition, shared with OPTIMIZE SPLIT BY's
+          // incremental candidate filter — the two can never disagree
+          // about what "already split" means
+          if (MergeTable.isPointFor(e, phys(f.name), tag))
+            statOf(e, f.name).map(_.min)
+          else None // wide box / nulls / DV / unknown: not point-filed
         }
         if (key.exists(_.isEmpty)) None else Some((key.flatten, e))
       }

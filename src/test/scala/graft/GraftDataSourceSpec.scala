@@ -202,6 +202,37 @@ class GraftDataSourceSpec extends AnyFunSuite {
     // zorderBy and splitBy are mutually exclusive
     intercept[IllegalArgumentException](MergeTable.optimize(spark, t,
       zorderBy = Seq("event_id", "g"), splitBy = Some("g")))
+
+    // INCREMENTAL maintenance: an interleaved INSERT wave adds ONE
+    // straddling file; re-optimizing rewrites only it — the nine point
+    // files carry by reference untouched
+    MergeTable.mergeUpsert(spark, t,
+      (2000L to 2059L).map(i => (i, i % 3, s"p$i", 1.0))
+        .toDF("event_id", "g", "payload", "value"),
+      Seq("event_id"), Seq("event_id"))
+    val m2 = MergeTable.latestManifest(t).get
+    val points = m2.files.filter(f =>
+      f.stats.get("g").exists(cs => cs.min == cs.max))
+    assert(points.size == 9 && m2.files.size == 10)
+    GraftScanAudit.reset()
+    spark.read.format("graft").load(t).groupBy(col("g")).count().collect()
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
+      "one straddler refuses the grouped answer (exactness first)")
+    val n2 = MergeTable.optimize(spark, t,
+      targetRowsPerFile = 150, splitBy = Some("g"))
+    assert(n2 == 1, s"only the straddler rewrites, got $n2")
+    val m3 = MergeTable.latestManifest(t).get
+    assert(points.forall(p => m3.files.contains(p)),
+      "point files must carry by reference, entry-identical")
+    GraftScanAudit.reset()
+    val counts2 = spark.read.format("graft").load(t)
+      .groupBy(col("g")).count().orderBy("g").collect()
+    assert(counts2.map(_.getLong(1)).toSeq == Seq(386L, 387L, 387L))
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0)
+    // already split: a re-run is a commit-free no-op
+    val v3 = m3.version
+    assert(MergeTable.optimize(spark, t, splitBy = Some("g")) == 0)
+    assert(MergeTable.latestManifest(t).get.version == v3)
   }
 
   test("aggregate pushdown REFUSES when it cannot be exact: deletion " +
