@@ -166,7 +166,14 @@ object Layout {
     val found = new Array[Boolean](n)
     var remaining = n
     var x = 0L
+    // coupon-collector expectation is n·ln n probes; the bound is ~1000×
+    // that — unreachable for a well-distributed hash, and a LOUD stop
+    // instead of an infinite driver loop if the hash ever degenerates
+    val maxProbes = 4096L * n + (1L << 20)
     while (remaining > 0) {
+      require(x < maxProbes,
+        s"hash preimage search for $n partitions did not converge in " +
+          s"$maxProbes probes — the partition hash is degenerate")
       val h = Murmur3Hash(Seq(Literal(x)), 42).eval(null).asInstanceOf[Int]
       val i = java.lang.Math.floorMod(h, n)
       if (!found(i)) { found(i) = true; out(i) = x; remaining -= 1 }

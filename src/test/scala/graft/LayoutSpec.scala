@@ -77,6 +77,24 @@ class LayoutSpec extends AnyFunSuite {
       s"2-D predicate still hits $hit of ${zBoxes.length} z-ordered files")
   }
 
+  test("hashPreimages routes rows to EXACTLY their target partitions " +
+    "through a REAL repartition exchange (the runtime contract, not the " +
+    "probe's own arithmetic)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val n = 37
+    val pre = Layout.hashPreimages(n)
+    assert(pre.distinct.length == n)
+    val rows = (0 until n).flatMap(i => Seq.fill(3)((i, pre(i))))
+      .toDF("target", "pre")
+      .repartition(n, col("pre"))
+      .withColumn("pid", spark_partition_id())
+      .collect()
+    assert(rows.length == 3 * n)
+    assert(rows.forall(r => r.getInt(0) == r.getInt(2)),
+      rows.filter(r => r.getInt(0) != r.getInt(2)).take(3).mkString(", "))
+  }
+
   test("scaleToBits is clamped to the bit budget: a full-long domain's " +
     "extremes land in cell 0 and the TOP cell, never wrap past it") {
     import spark.implicits._
