@@ -575,6 +575,28 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(state(ts)(15L) == (("new", 150.0)), "star update landed")
   }
 
+  test("cross-named keys on a TWO-key table: both source columns rename, " +
+    "any ON order, clause references rewrite per key") {
+    val t = fresh("xn2key")
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, 10L, 1.0), (2L, 20L, 2.0), (3L, 30L, 3.0))
+        .toDF("k1", "k2", "value"),
+      Seq("k1", "k2"), Seq("k1", "k2"))
+    Seq((2L, 20L, 99.0), (4L, 40L, 4.0)).toDF("a", "b", "value")
+      .createOrReplaceTempView("gsql_xn2")
+    // reversed equality order on the second key, both cross-named
+    spark.sql(
+      s"""MERGE INTO graft.`$t` AS t USING gsql_xn2 AS s
+         |ON t.k1 = s.a AND s.b = t.k2
+         |WHEN MATCHED THEN UPDATE SET value = s.value + t.value
+         |WHEN NOT MATCHED THEN INSERT (k1, k2, value)
+         |  VALUES (s.a, s.b, s.value)""".stripMargin)
+    val out = MergeTable.read(spark, t).select("k1", "k2", "value")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map((1L, 10L) -> 1.0, (2L, 20L) -> 101.0,
+      (3L, 30L) -> 3.0, (4L, 40L) -> 4.0))
+  }
+
   test("ON residual conjunct folds into matched AND insert clause " +
     "conditions: a key-matched pair failing it takes no action, a " +
     "key-absent row failing it does not insert") {
