@@ -228,7 +228,7 @@ object ScaleProbe {
         MergeTable.mergeUpsert(spark, t.toString, base,
           Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500)
         val (rewrote, tSplit) = time(MergeTable.optimize(spark, t.toString,
-          targetRowsPerFile = 500, splitBy = Some("g")))
+          targetRowsPerFile = 500, splitBy = Seq("g")))
         val filesTotal = MergeTable.latestManifest(t.toString).get.files.size
         graft.sources.GraftScanAudit.reset()
         val (groups, tAgg) = time(spark.read.format("graft").load(t.toString)
@@ -240,7 +240,7 @@ object ScaleProbe {
             .toDF("event_id", "g", "value"),
           Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500)
         val (incr, tIncr) = time(MergeTable.optimize(spark, t.toString,
-          targetRowsPerFile = 500, splitBy = Some("g")))
+          targetRowsPerFile = 500, splitBy = Seq("g")))
         println(
           s"""{"probe":"split_layout","rows":$n,"files_total":$filesTotal,""" +
             s""""rewrote":$rewrote,"split_sec":${s1(tSplit)},""" +

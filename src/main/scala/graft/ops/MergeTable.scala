@@ -1834,45 +1834,50 @@ object MergeTable {
   val MaxSplitFiles = 16384
 
   /** Stage the IDENTITY-SPLIT layout: route every row to a partition
-    * owned by exactly one `(value of c, sub-file)` pair, so each written
-    * file's `c` box is a POINT. One bounded `groupBy(c).count()` collect
-    * sizes the plan (cardinality-capped, loud); routing is the exact
-    * hash-preimage exchange ([[Layout.hashPreimages]]); files keep the
-    * cluster-key sort inside. */
+    * owned by exactly one `(value tuple of cs, sub-file)` pair, so each
+    * written file's box for EVERY split column is a POINT. One bounded
+    * `groupBy(cs).count()` collect sizes the plan (cardinality-capped,
+    * loud); routing is the exact hash-preimage exchange
+    * ([[Layout.hashPreimages]]); files keep the cluster-key sort
+    * inside. */
   private def stageSplitBy(s: SparkSession, table: String, frag: DataFrame,
-      c: String, snapshot: TableManifest,
+      cs: Seq[String], snapshot: TableManifest,
       targetRowsPerFile: Long): (String, Seq[DataFileEntry]) = {
     import scala.jdk.CollectionConverters._
     val pinned = frag.localCheckpoint()
     try {
       // the collect is BOUNDED BEFORE it runs: limit(cap + 1) means an
-      // accidental high-cardinality column pulls at most cap+1 count
+      // accidental high-cardinality tuple pulls at most cap+1 count
       // rows to the driver and fails loudly — never millions of distinct
       // values ahead of the check
-      val counts = pinned.groupBy(col(c)).count()
+      val counts = pinned.groupBy(cs.map(col): _*).count()
         .limit(MaxSplitValues + 1).collect()
       require(counts.length <= MaxSplitValues,
-        s"OPTIMIZE SPLIT BY $c: more than $MaxSplitValues distinct " +
-          "values — the identity-split layout is for low-cardinality " +
-          "columns (dates, tenants, shards); higher cardinality wants " +
-          "ZORDER BY")
-      // contiguous partition index ranges per value: (value, base, width)
+        s"OPTIMIZE SPLIT BY ${cs.mkString(",")}: more than " +
+          s"$MaxSplitValues distinct value tuples — the identity-split " +
+          "layout is for low-cardinality columns (dates, tenants, " +
+          "shards); higher cardinality wants ZORDER BY")
+      // contiguous partition index ranges per tuple: (values, base, width)
       var base = 0
       val routes = counts.map { r =>
         val k = math.max(1L,
-          (r.getLong(1) + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-        val e = (r.get(0), base, k); base += k; e
+          (r.getLong(cs.size) + targetRowsPerFile - 1) / targetRowsPerFile)
+          .toInt
+        val e = (cs.indices.map(r.get), base, k); base += k; e
       }
       val total = base
       require(total <= MaxSplitFiles,
-        s"OPTIMIZE SPLIT BY $c would write $total files " +
+        s"OPTIMIZE SPLIT BY ${cs.mkString(",")} would write $total files " +
           s"(cap $MaxSplitFiles) — raise targetRowsPerFile")
       val pre = graft.ops.Layout.hashPreimages(total)
-      val dt = DataType.fromJson(snapshot.schemaJson)
-        .asInstanceOf[StructType](c).dataType
+      val schema = DataType.fromJson(snapshot.schemaJson)
+        .asInstanceOf[StructType]
+      val vFields = cs.zipWithIndex.map { case (c, i) =>
+        StructField(s"__split_v_$i", schema(c).dataType) }
       val dict = s.createDataFrame(
-        routes.map { case (v, b, k) => Row(v, b, k) }.toSeq.asJava,
-        StructType(Seq(StructField("__split_v", dt),
+        routes.map { case (vs, b, k) => Row(vs ++ Seq(b, k): _*) }
+          .toSeq.asJava,
+        StructType(vFields ++ Seq(
           StructField("__split_base", IntegerType, nullable = false),
           StructField("__split_k", IntegerType, nullable = false))))
       val preDict = s.createDataFrame(
@@ -1880,18 +1885,20 @@ object MergeTable {
         StructType(Seq(
           StructField("__split_route", IntegerType, nullable = false),
           StructField("__split_pre", LongType, nullable = false))))
-      // value → its partition range (null-safe: a NULL group is a group),
+      // value tuple → its partition range (null-safe: a NULL is a value),
       // sub-file by key hash (keys are non-null by the cluster contract),
       // route → preimage, ONE exchange, per-partition cluster-key sort
+      val joinCond = cs.zipWithIndex.map { case (c, i) =>
+        pinned(c) <=> dict(s"__split_v_$i") }.reduce(_ && _)
       val staged = pinned
-        .join(broadcast(dict), pinned(c) <=> dict("__split_v"))
+        .join(broadcast(dict), joinCond)
         .withColumn("__split_route", col("__split_base") +
           pmod(hash(snapshot.keys.map(col): _*), col("__split_k")))
         .join(broadcast(preDict), "__split_route")
         .repartition(total, col("__split_pre"))
         .sortWithinPartitions(snapshot.clusterBy.map(col): _*)
-        .drop("__split_v", "__split_base", "__split_k",
-          "__split_route", "__split_pre")
+        .drop(vFields.map(_.name) ++ Seq("__split_base", "__split_k",
+          "__split_route", "__split_pre"): _*)
       writeStaged(table, staged, snapshot.clusterBy, snapshot.columnMap)
     } finally org.apache.spark.sql.graftbridge.Bridge
       .unpersistLocalCheckpoint(pinned)
@@ -2216,15 +2223,16 @@ object MergeTable {
     * of layout; they merely get wider on the cluster key, which is the
     * documented Z-order trade).
     *
-    * `splitBy = Some(c)` switches the rewrite to the IDENTITY-SPLIT
+    * `splitBy = Seq(c, ...)` switches the rewrite to the IDENTITY-SPLIT
     * layout (`OPTIMIZE SPLIT BY` — the per-partition-value file layout
     * of partitioned lakehouse tables, without directories): every
-    * written file holds exactly ONE value of `c` (a POINT stats box,
-    * zero straddlers), large values splitting across
-    * ceil(rows/targetRowsPerFile) files. This is the state the
-    * manifest's aggregate pushdown answers `GROUP BY c` from with zero
-    * files opened, and it makes single-value predicates on `c` prune to
-    * exactly that value's files. Routing is EXACT, not sampled: each
+    * written file holds exactly ONE value TUPLE of the split columns (a
+    * POINT stats box per column, zero straddlers), large tuples
+    * splitting across ceil(rows/targetRowsPerFile) files. This is the
+    * state the manifest's aggregate pushdown answers `GROUP BY` over the
+    * split columns (or any subset) from with zero files opened, and it
+    * makes single-value predicates on them prune to exactly the matching
+    * files. Routing is EXACT, not sampled: each
     * row computes its target partition, joins the partition's hash
     * PREIMAGE ([[Layout.hashPreimages]] — probed with Spark's own
     * partition-id arithmetic), and one hash exchange lands it — fully
@@ -2233,8 +2241,8 @@ object MergeTable {
     * capped loudly) — higher cardinality wants ZORDER.
     *
     * SPLIT BY is INCREMENTAL: only files that are not already a clean
-    * point for `c` (box wider than one value, any nulls, missing stats,
-    * or a deletion vector) rewrite — point files carry by reference
+    * point for EVERY split column (box wider than one value, any nulls,
+    * missing stats, or a deletion vector) rewrite — point files carry by reference
     * untouched, so steady-state maintenance after a few interleaved
     * merges costs O(drifted files), not O(table), and a re-run on an
     * already-split table is a commit-free no-op.
@@ -2245,9 +2253,13 @@ object MergeTable {
       targetRowsPerFile: Long = 4096,
       maxAttempts: Int = 20,
       zorderBy: Seq[String] = Seq.empty,
-      splitBy: Option[String] = None): Int = {
+      splitBy: Seq[String] = Seq.empty): Int = {
     require(zorderBy.isEmpty || splitBy.isEmpty,
       "OPTIMIZE takes zorderBy OR splitBy, not both — one layout per rewrite")
+    require(splitBy.size <= 4,
+      s"splitBy takes at most 4 columns, got ${splitBy.size}")
+    require(splitBy.distinct.size == splitBy.size,
+      s"splitBy lists a column twice: ${splitBy.mkString(",")}")
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -2280,12 +2292,10 @@ object MergeTable {
       // clean point (incremental maintenance); plain compaction touches
       // only fragmentation and DV debt
       val candidates =
-        if (splitBy.nonEmpty) {
-          val c = splitBy.get
-          val phys = physOf(snapshot.columnMap, c)
-          val tag = statTag(schemaForZ(c).dataType)
-          snapshot.files.filterNot(e => isPointFor(e, phys, tag))
-        }
+        if (splitBy.nonEmpty)
+          snapshot.files.filterNot(e => splitBy.forall(c =>
+            isPointFor(e, physOf(snapshot.columnMap, c),
+              statTag(schemaForZ(c).dataType))))
         else if (zorderBy.nonEmpty) snapshot.files
         else (small ++ dvBearing).distinct
       // a lone small vector-free file gains nothing from a rewrite; any
@@ -2297,7 +2307,7 @@ object MergeTable {
       val frag = readFiles(s, table, schema, candidates, snapshot.columnMap) // DV-aware
       val (commitId, newFiles) =
         if (splitBy.nonEmpty)
-          stageSplitBy(s, table, frag, splitBy.get, snapshot, targetRowsPerFile)
+          stageSplitBy(s, table, frag, splitBy, snapshot, targetRowsPerFile)
         else if (zorderBy.isEmpty)
           writeClusteredFiles(table, frag, snapshot.clusterBy, targetRowsPerFile,
             snapshot.columnMap)
@@ -3202,7 +3212,7 @@ object MergeTable {
         .withColumn("gs", pmod(col("event_id"), lit(6)))
       mergeUpsert(s, t, ev, Seq("event_id"), Seq("event_id"),
         txn = Some(("seed", 0L)))
-      optimize(s, t, splitBy = Some("gs"))
+      optimize(s, t, splitBy = Seq("gs"))
       t
     }
     touchTable(t)

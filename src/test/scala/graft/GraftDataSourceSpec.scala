@@ -167,7 +167,7 @@ class GraftDataSourceSpec extends AnyFunSuite {
       "interleaved layout: grouped pushdown must fall back")
     // the identity-split rewrite (each ~367-row group → 3 files at 150)
     val rewritten = MergeTable.optimize(spark, t,
-      targetRowsPerFile = 150, splitBy = Some("g"))
+      targetRowsPerFile = 150, splitBy = Seq("g"))
     assert(rewritten > 0)
     val m = MergeTable.latestManifest(t).get
     assert(m.files.size == 9, s"3 groups × ceil(367/150) files, got " +
@@ -198,10 +198,10 @@ class GraftDataSourceSpec extends AnyFunSuite {
       s"g=1 lives in exactly 3 point files, scanned ${audit.scannedFiles}")
     // cardinality cap is loud
     intercept[IllegalArgumentException](MergeTable.optimize(spark, t,
-      splitBy = Some("event_id")))
+      splitBy = Seq("event_id")))
     // zorderBy and splitBy are mutually exclusive
     intercept[IllegalArgumentException](MergeTable.optimize(spark, t,
-      zorderBy = Seq("event_id", "g"), splitBy = Some("g")))
+      zorderBy = Seq("event_id", "g"), splitBy = Seq("g")))
 
     // INCREMENTAL maintenance: an interleaved INSERT wave adds ONE
     // straddling file; re-optimizing rewrites only it — the nine point
@@ -219,7 +219,7 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
       "one straddler refuses the grouped answer (exactness first)")
     val n2 = MergeTable.optimize(spark, t,
-      targetRowsPerFile = 150, splitBy = Some("g"))
+      targetRowsPerFile = 150, splitBy = Seq("g"))
     assert(n2 == 1, s"only the straddler rewrites, got $n2")
     val m3 = MergeTable.latestManifest(t).get
     assert(points.forall(p => m3.files.contains(p)),
@@ -231,8 +231,44 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0)
     // already split: a re-run is a commit-free no-op
     val v3 = m3.version
-    assert(MergeTable.optimize(spark, t, splitBy = Some("g")) == 0)
+    assert(MergeTable.optimize(spark, t, splitBy = Seq("g")) == 0)
     assert(MergeTable.latestManifest(t).get.version == v3)
+  }
+
+  test("multi-column SPLIT BY: every file is a point for EVERY split " +
+    "column, and GROUP BY the pair OR any subset answers metadata-only") {
+    val t = freshTable("splitby2")
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 1200L).map(i => (i, i % 2, i % 3, i * 1.5))
+        .toDF("event_id", "g", "h", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
+    val n = MergeTable.optimize(spark, t,
+      targetRowsPerFile = 300, splitBy = Seq("g", "h"))
+    assert(n > 0)
+    val m = MergeTable.latestManifest(t).get
+    // 6 (g,h) tuples × ceil(200/300) = 6 point files
+    assert(m.files.size == 6, m.files.map(_.numRows).toString)
+    m.files.foreach { f =>
+      assert(f.stats("g").min == f.stats("g").max)
+      assert(f.stats("h").min == f.stats("h").max)
+    }
+    // GROUP BY the full pair: metadata-only
+    GraftScanAudit.reset()
+    val pair = spark.read.format("graft").load(t)
+      .groupBy(col("g"), col("h")).count().orderBy("g", "h").collect()
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0)
+    assert(pair.length == 6 && pair.forall(_.getLong(2) == 200L))
+    // GROUP BY a SUBSET: each file is a point for g alone too
+    GraftScanAudit.reset()
+    val gOnly = spark.read.format("graft").load(t)
+      .groupBy(col("g")).count().orderBy("g").collect()
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0)
+    assert(gOnly.map(_.getLong(1)).toSeq == Seq(600L, 600L))
+    // engine truth
+    assert(spark.read.format("graft").load(t).count() == 1200L)
+    val truth = MergeTable.read(spark, t)
+      .groupBy(col("g"), col("h")).count().orderBy("g", "h").collect()
+    assert(pair.toSeq == truth.toSeq)
   }
 
   test("aggregate pushdown REFUSES when it cannot be exact: deletion " +
