@@ -270,6 +270,26 @@ class GraftTable(val tablePath: String, val manifest: TableManifest)
   override def name(): String = s"graft.`$tablePath`@v${manifest.version}"
   override def schema(): StructType = schemaStruct
 
+  /** `SHOW TBLPROPERTIES graft.`/p`` / `DESCRIBE TABLE EXTENDED` — the
+    * pinned snapshot's manifest facts as read-only table properties
+    * (observability only; nothing here is consulted by the read path). */
+  override def properties(): util.Map[String, String] = {
+    val p = new util.HashMap[String, String]()
+    p.put("format", "graft")
+    p.put("version", manifest.version.toString)
+    p.put("keys", manifest.keys.mkString(","))
+    p.put("clusterBy", manifest.clusterBy.mkString(","))
+    p.put("numFiles", manifest.files.size.toString)
+    p.put("numRows", manifest.files.map(_.visibleRows).sum.toString)
+    p.put("sizeBytes", manifest.files.map(_.bytes).sum.toString)
+    p.put("deletionVectors",
+      manifest.files.count(_.dv.nonEmpty).toString)
+    if (manifest.columnMap.nonEmpty)
+      p.put("columnMapping", manifest.columnMap
+        .map { case (l, ph) => s"$l->$ph" }.mkString(","))
+    p
+  }
+
   /** The BaseRelation a `df.write.format("graft")` call returns — schema
     * of the just-committed head; reads still go through the V2 scan. */
   private[sources] def toWrittenRelation(ctx: SQLContext): BaseRelation =

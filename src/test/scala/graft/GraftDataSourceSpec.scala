@@ -235,6 +235,24 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(MergeTable.latestManifest(t).get.version == v3)
   }
 
+  test("SHOW TBLPROPERTIES / DESCRIBE surface the pinned manifest facts " +
+    "(version, keys, clustering, file/row/byte counts) through plain SQL") {
+    val t = seeded("props")
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$t`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("format") == "graft")
+    assert(props("version") == "0")
+    assert(props("keys") == "event_id" && props("clusterBy") == "event_id")
+    assert(props("numRows") == "1000")
+    assert(props("numFiles").toInt >= 8)
+    assert(props("sizeBytes").toLong > 0L)
+    assert(props("deletionVectors") == "0")
+    // DESCRIBE lists the schema through the same catalog door
+    val desc = spark.sql(s"DESCRIBE TABLE graft.`$t`")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("event_id", "label", "payload", "value").subsetOf(desc))
+  }
+
   test("multi-column SPLIT BY: every file is a point for EVERY split " +
     "column, and GROUP BY the pair OR any subset answers metadata-only") {
     val t = freshTable("splitby2")
