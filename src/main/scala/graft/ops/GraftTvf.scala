@@ -107,6 +107,7 @@ object GraftTvf {
     StructField("physical_rows", LongType, nullable = false),
     StructField("visible_rows", LongType, nullable = false),
     StructField("dv_files", IntegerType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
     StructField("keys", StringType, nullable = false),
     StructField("cluster_by", StringType, nullable = false),
     StructField("columns", StringType, nullable = false),
@@ -126,6 +127,7 @@ object GraftTvf {
       m.files.map(_.numRows).sum,
       m.files.map(_.visibleRows).sum,
       m.files.count(_.dv.nonEmpty),
+      m.files.map(_.bytes).sum,
       m.keys.mkString(","),
       m.clusterBy.mkString(","),
       schema.fieldNames.mkString(","),

@@ -558,8 +558,9 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(d.getLong(2) == 1000L)               // physical rows
     assert(d.getLong(3) == 990L)                // visible rows (10 DV'd)
     assert(d.getInt(4) >= 1)                    // dv files
-    assert(d.getString(5) == "event_id")
-    assert(d.getString(7).contains("payload"))
+    assert(d.getLong(5) > 0L)                   // size bytes (manifest sum)
+    assert(d.getString(6) == "event_id")
+    assert(d.getString(8).contains("payload"))
     // composes with ordinary SQL
     assert(spark.sql(
       s"SELECT max(version) FROM graft_history('$t')").as[Long].head() == 1L)
