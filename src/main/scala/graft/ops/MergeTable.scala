@@ -2385,6 +2385,7 @@ object MergeTable {
             .unpersistLocalCheckpoint(pinned)
         }
       val candPaths = candidates.map(_.path).toSet
+      testPrecommitHook()
       if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
         snapshot.keys, snapshot.clusterBy, newFiles,
         candPaths.toSeq.sorted, snapshot.txns,

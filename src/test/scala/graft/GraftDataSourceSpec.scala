@@ -235,6 +235,47 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(MergeTable.latestManifest(t).get.version == v3)
   }
 
+  test("SPLIT BY vs a concurrent merge: a winner rewriting a candidate " +
+    "file between staging and commit forces the full re-derive — no row " +
+    "lost, the winner's update lands, the layout completes") {
+    val t = freshTable("splitrace")
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 300L).map(i => (i, i % 3, i * 1.5))
+        .toDF("event_id", "g", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 50)
+    // the winner updates key 1 (touching a candidate file) exactly once,
+    // between the split's staging and its commit
+    var fired = false
+    MergeTable.testPrecommitHook = () => if (!fired) {
+      fired = true
+      MergeTable.mergeUpsert(spark, t,
+        Seq((1L, 1L, 999.0)).toDF("event_id", "g", "value"),
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 50)
+    }
+    try MergeTable.optimize(spark, t,
+      targetRowsPerFile = 50, splitBy = Seq("g"))
+    finally MergeTable.testPrecommitHook = () => ()
+    assert(fired, "the race must actually have run")
+    // the winner's update survived the re-laid table…
+    val out = spark.read.format("graft").load(t)
+      .where(col("event_id") === 1L).select("g", "value")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 999.0)))
+    // …no row lost or duplicated…
+    assert(spark.read.format("graft").load(t).count() == 300L)
+    // …and the retry completed the layout: every file is a g-point
+    val m = MergeTable.latestManifest(t).get
+    m.files.foreach { f =>
+      val cs = f.stats("g")
+      assert(cs.min == cs.max, s"${f.path} straddles [${cs.min},${cs.max}]")
+    }
+    GraftScanAudit.reset()
+    val counts = spark.read.format("graft").load(t)
+      .groupBy(col("g")).count().orderBy("g").collect()
+    assert(counts.map(_.getLong(1)).toSeq == Seq(100L, 100L, 100L))
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0)
+  }
+
   test("SHOW TBLPROPERTIES / DESCRIBE surface the pinned manifest facts " +
     "(version, keys, clustering, file/row/byte counts) through plain SQL") {
     val t = seeded("props")
