@@ -3242,6 +3242,32 @@ object MergeTable {
        |  min(value) AS min_value, max(value) AS max_value
        |FROM events GROUP BY gs ORDER BY gs""".stripMargin
 
+  /** `q_agg_pushdown_filtered`: a WHERE on the split column UNDER the
+    * grouped aggregate — the filter is row-exact at the file level on
+    * the point-filed layout, so the scan CLAIMS it and the whole query
+    * (filter + GROUP BY + aggregates) answers from the manifest with
+    * zero files opened (GraftDataSourceSpec pins the zero-scan
+    * property). The oracle replays filter and aggregation over the raw
+    * table. */
+  def aggPushdownFilteredDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildSplitOptimizedEvents(s, sfDir)
+    s.read.format("graft").load(t)
+      .where(col("gs") >= 2L && col("gs") < 5L)
+      .groupBy(col("gs"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        max(col("value")).as("max_value"))
+      .orderBy("gs")
+  }
+
+  val aggPushdownFilteredDigestSql: String =
+    s"""SELECT event_id % 6 AS gs, count(*) AS n_rows,
+       |  min(event_id) AS min_id, max(event_id) AS max_id,
+       |  max(value) AS max_value
+       |FROM events WHERE event_id % 6 >= 2 AND event_id % 6 < 5
+       |GROUP BY gs ORDER BY gs""".stripMargin
+
   private val groupedAggCache = IndexMemo.cache[(SparkSession, String), String]()
 
   /** Fixture behind `q_agg_pushdown_group`: events landed PER GROUP — one

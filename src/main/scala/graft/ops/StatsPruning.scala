@@ -53,6 +53,42 @@ object StatsPruning {
     case _ => false
   }
 
+  /** Is file-level [[canMatch]] ROW-exact for this filter, given that
+    * every referenced column is POINT-FILED (one non-null value per
+    * file, no DVs — [[MergeTable.isPointFor]])? On point files every row
+    * of a file shares each leaf's verdict, so file-level boolean algebra
+    * equals row-level — PROVIDED each leaf actually decides: a null
+    * literal, an inconvertible literal, an empty IN list, or an
+    * unhandled shape keeps the file conservatively and is NOT exact.
+    * A filter passing this check may be CLAIMED by the scan (returned as
+    * fully handled from pushFilters): pruning alone keeps exactly the
+    * matching rows, which also makes metadata aggregate answers over the
+    * pruned file set exact. */
+  def rowExactOnPoints(filter: Filter, pointCol: String => Boolean,
+      tagOf: String => Option[String]): Boolean = {
+    def conv(a: String, v: Any): Boolean =
+      v != null && pointCol(a) &&
+        tagOf(a).exists(t => toStatValue(t, v).nonEmpty)
+    filter match {
+      case EqualTo(a, v) => conv(a, v)
+      case EqualNullSafe(a, v) => if (v == null) pointCol(a) else conv(a, v)
+      case GreaterThan(a, v) => conv(a, v)
+      case GreaterThanOrEqual(a, v) => conv(a, v)
+      case LessThan(a, v) => conv(a, v)
+      case LessThanOrEqual(a, v) => conv(a, v)
+      case In(a, vs) => vs != null && vs.nonEmpty && vs.forall(conv(a, _))
+      case IsNull(a) => pointCol(a)
+      case IsNotNull(a) => pointCol(a)
+      case StringStartsWith(a, p) =>
+        p != null && pointCol(a) && tagOf(a).contains("string")
+      case And(l, r) => rowExactOnPoints(l, pointCol, tagOf) &&
+        rowExactOnPoints(r, pointCol, tagOf)
+      case Or(l, r) => rowExactOnPoints(l, pointCol, tagOf) &&
+        rowExactOnPoints(r, pointCol, tagOf)
+      case _ => false
+    }
+  }
+
   /** Can any visible row of `f` satisfy `filter`? (false = provably no) */
   def canMatch(f: DataFileEntry, filter: Filter,
       resolve: String => String = identity): Boolean = {

@@ -310,18 +310,41 @@ class GraftScanBuilder(table: String, m: TableManifest, full: StructType)
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var received: Array[Filter] = Array.empty
+  private var claimed: Array[Filter] = Array.empty
   private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
 
-  /** Keep the stats-consultable shapes for file skipping; return EVERY
-    * filter as residual — min/max skipping is file-granular, so the
-    * engine must still evaluate each predicate row-wise (the standard
-    * skipping contract: pushed = "consulted", residual = "re-checked").
-    * ALL received filters are additionally re-applied inside the inner
-    * plan so the parquet reader sees them (row-group skipping). */
+  /** Columns whose every file is a POINT (one non-null value, no DV) —
+    * the identity-split / per-group-ingested state, where file-level
+    * stats pruning is ROW-exact for single-column predicate shapes. */
+  private lazy val pointCols: Set[String] =
+    full.fields.iterator.filter { fld =>
+      MergeTable.statTagOpt(fld.dataType).exists { tag =>
+        m.files.forall(e => MergeTable.isPointFor(e,
+          MergeTable.physOf(m.columnMap, fld.name), tag))
+      }
+    }.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+  private def tagOf(a: String): Option[String] =
+    full.fields.find(_.name.equalsIgnoreCase(a))
+      .flatMap(f => MergeTable.statTagOpt(f.dataType))
+
+  /** Keep the stats-consultable shapes for file skipping; return as
+    * residual every filter EXCEPT the provably ROW-exact ones — min/max
+    * skipping is file-granular in general, so the engine re-checks each
+    * predicate row-wise (the standard skipping contract: pushed =
+    * "consulted", residual = "re-checked"). On POINT-FILED columns,
+    * though, file-level pruning IS row-level evaluation
+    * ([[StatsPruning.rowExactOnPoints]]): those filters are CLAIMED
+    * (fully handled), which both drops the redundant outer re-check and
+    * lets a filtered aggregate stay metadata-only. ALL received filters
+    * — claimed included — are additionally re-applied inside the inner
+    * plan so the parquet reader sees them (row-group skipping; for
+    * claimed ones it is a second, independent guarantee). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     received = filters
     pushed = filters.filter(StatsPruning.prunable)
-    filters
+    claimed = filters.filter(f => StatsPruning.rowExactOnPoints(f,
+      a => pointCols.contains(a.toLowerCase(java.util.Locale.ROOT)), tagOf))
+    filters.filterNot(claimed.contains)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -330,12 +353,19 @@ class GraftScanBuilder(table: String, m: TableManifest, full: StructType)
   // re-aggregates) has no cheaper representation here than the full scan,
   // so anything [[ManifestAgg]] cannot answer EXACTLY from driver-side
   // metadata falls back to the normal scan. Both hooks share one
-  // computed answer.
+  // computed answer. Filters are compatible ONLY when every one was
+  // CLAIMED (row-exact on point files): the answer then folds over the
+  // exactly-matching file subset.
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    if (received.isEmpty)
-      aggAnswer = ManifestAgg.answer(m, full, agg)
+    if (received.forall(claimed.contains)) {
+      val eff =
+        if (claimed.isEmpty) m
+        else m.copy(files = StatsPruning.prune(m.files, claimed.toSeq,
+          c => MergeTable.physOf(m.columnMap, c)))
+      aggAnswer = ManifestAgg.answer(eff, full, agg)
+    }
     aggAnswer.nonEmpty
   }
   override def pushAggregation(

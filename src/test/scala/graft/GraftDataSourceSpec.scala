@@ -189,10 +189,16 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(after.map(_.getDouble(2)).toSeq == Seq(4.5, 1.5, 3.0))
     // rows survived the rewrite bit-for-bit
     assert(spark.read.format("graft").load(t).count() == 1100L)
-    // a single-value predicate prunes to exactly that value's files
+    // a single-value COUNT is now a claimed-filter aggregate: metadata-only
     GraftScanAudit.reset()
     assert(spark.read.format("graft").load(t)
       .where(col("g") === 1L).count() == 367L)
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+      "count under a claimed point-column filter answers from the manifest")
+    // a single-value ROW read prunes to exactly that value's files
+    GraftScanAudit.reset()
+    assert(spark.read.format("graft").load(t)
+      .where(col("g") === 1L).select("event_id").collect().length == 367)
     val audit = GraftScanAudit.lastFor(t).get
     assert(audit.scannedFiles == 3,
       s"g=1 lives in exactly 3 point files, scanned ${audit.scannedFiles}")
@@ -233,6 +239,58 @@ class GraftDataSourceSpec extends AnyFunSuite {
     val v3 = m3.version
     assert(MergeTable.optimize(spark, t, splitBy = Seq("g")) == 0)
     assert(MergeTable.latestManifest(t).get.version == v3)
+  }
+
+  test("FILTERED aggregate pushdown: a WHERE on a point-filed column is " +
+    "row-exact at the file level — claimed by the scan, the aggregate " +
+    "stays metadata-only; non-point filters fall back") {
+    val t = freshTable("fagg")
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 900L).map(i => (i, i % 3, i * 1.5))
+        .toDF("event_id", "g", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
+    MergeTable.optimize(spark, t, targetRowsPerFile = 150,
+      splitBy = Seq("g"))
+    val df = spark.read.format("graft").load(t)
+    // filtered GLOBAL aggregate: zero files opened
+    GraftScanAudit.reset()
+    val one = df.where(col("g") === 1L)
+      .agg(count(lit(1)), min(col("event_id")), max(col("event_id"))).head()
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+      "claimed-filter aggregate must be metadata-only")
+    assert(one.getLong(0) == 300L)
+    assert(one.getLong(1) == 1L && one.getLong(2) == 898L)
+    // filtered GROUPED aggregate: zero files opened, exact groups
+    GraftScanAudit.reset()
+    val ge = df.where(col("g") >= 1L).groupBy(col("g")).count()
+      .orderBy("g").collect()
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0)
+    assert(ge.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 300L), (2L, 300L)))
+    // a PLAIN scan with the claimed filter reads only the matching files
+    // and returns exactly the engine's filtered rows
+    GraftScanAudit.reset()
+    val rows = df.where(col("g") === 1L).select("event_id")
+      .as[Long].collect().toSet
+    val audit = GraftScanAudit.lastFor(t).get
+    assert(audit.scannedFiles == 2, s"g=1 point files only, " +
+      s"scanned ${audit.scannedFiles}")
+    assert(rows == MergeTable.read(spark, t).where(col("g") === 1L)
+      .select("event_id").as[Long].collect().toSet)
+    // a filter on a NON-point column cannot be claimed: fallback, correct
+    GraftScanAudit.reset()
+    val nonPoint = df.where(col("value") > 1000.0).agg(count(lit(1)))
+      .head().getLong(0)
+    assert(nonPoint == MergeTable.read(spark, t)
+      .where(col("value") > 1000.0).count())
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0)
+    // mixed claimed + unclaimed: fallback, correct
+    GraftScanAudit.reset()
+    val mixed = df.where(col("g") === 1L && col("value") > 1000.0)
+      .agg(count(lit(1))).head().getLong(0)
+    assert(mixed == MergeTable.read(spark, t)
+      .where(col("g") === 1L && col("value") > 1000.0).count())
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0)
   }
 
   test("SPLIT BY vs a concurrent merge: a winner rewriting a candidate " +
