@@ -56,15 +56,19 @@ import graft.sources.GraftTable
   *    has no `id`) — use explicit column lists there, or the
   *    [[mergeInto]] parse door, which renames before analysis.
   *  - RESIDUAL conjuncts — `ON t.id = s.id AND s.ts > X`: every non-key
-  *    conjunct folds into each clause's condition (`AND <residual>`).
-  *    In the key-unique table model "matched" is KEY-scoped, so a
-  *    key-matched pair failing the residual takes NO action — where
-  *    strict SQL would call the source row unmatched and duplicate-insert
-  *    its key, which this table model cannot represent. Two shapes are
-  *    rejected loudly instead of silently re-read: a residual alongside
-  *    `WHEN NOT MATCHED BY SOURCE` clauses (the fold would change which
-  *    rows count as NMBS), and a TARGET-side residual alongside
-  *    `WHEN NOT MATCHED` inserts (no target row exists to evaluate it).
+  *    conjunct folds into each MATCHED clause's condition
+  *    (`AND <residual>`). In the key-unique table model "matched" is
+  *    KEY-scoped, so a key-matched pair failing the residual takes NO
+  *    action — where strict SQL would call the source row unmatched and
+  *    duplicate-insert its key, which this table model cannot represent
+  *    (the one documented divergence). `WHEN NOT MATCHED` inserts are
+  *    NOT gated by the residual: a source row whose key exists nowhere
+  *    in the target is unmatched under ANY residual value (no target row
+  *    satisfies the full ON), so standard MERGE inserts it — and so does
+  *    this translator. One shape is rejected loudly instead of silently
+  *    re-read: a residual alongside `WHEN NOT MATCHED BY SOURCE` clauses
+  *    (strict SQL would count a key-matched-but-residual-failing target
+  *    row as not-matched-by-source; the key-scoped engine cannot).
   *
   * Rejected loudly: rekeying UPDATEs, duplicate SET columns, an
   * unconditional clause followed by more clauses of its group (dead code
@@ -421,16 +425,12 @@ object GraftSql {
     def render(e: Expression): String = rewrite(e).sql
     def renderOpt(c: Option[Expression]): Option[String] = c.map(render)
 
-    def refsTarget(e: Expression): Boolean = e.exists {
-      case ar: AttributeReference => tgtIds.contains(ar)
-      case ua: UnresolvedAttribute => ua.nameParts.length >= 2 &&
-        tAlias.exists(_.equalsIgnoreCase(ua.nameParts.head))
-      case _ => false
-    }
-    // the residual folds as `AND (...)` into every clause condition: in
-    // the key-unique table model "matched" stays KEY-scoped and the
-    // residual gates which matched pairs ACT (see the class doc for why
-    // strict SQL's duplicate-insert reading cannot exist here)
+    // the residual folds as `AND (...)` into every MATCHED clause
+    // condition: in the key-unique table model "matched" stays KEY-scoped
+    // and the residual gates which matched pairs ACT (see the class doc
+    // for why strict SQL's duplicate-insert reading cannot exist here).
+    // Inserts are NOT folded: a never-key-matched source row is unmatched
+    // under any residual value, and standard MERGE inserts it.
     val residualSql: Option[String] =
       if (residualExprs.isEmpty) None
       else Some(residualExprs.map(r => s"(${render(r)})").mkString(" AND "))
@@ -554,31 +554,22 @@ object GraftSql {
     rejectDeadClauses("WHEN NOT MATCHED BY SOURCE",
       nmbsClauses.map(_.condition))
 
-    // residual guards: the fold is sound for MATCHED clauses (both sides
-    // in scope) and for source-side-only residuals on inserts; the two
-    // shapes it would silently re-read are rejected with the rewrite
-    // spelled out
-    if (residualSql.nonEmpty) {
-      if (nmbsClauses.nonEmpty) unsupported(
-        "ON carries non-key predicates " +
-          s"(${residualExprs.map(_.sql).mkString(" AND ")}) and the " +
-          "statement has WHEN NOT MATCHED BY SOURCE clauses — in the " +
-          "key-unique table model the residual gates clause ACTIONS while " +
-          "NMBS stays key-scoped, which silently disagrees with strict " +
-          "SQL's reading; move the predicate into explicit clause " +
-          "conditions instead")
-      if (insertClauses.nonEmpty && residualExprs.exists(refsTarget))
-        unsupported(
-          "ON carries a target-side predicate " +
-            s"(${residualExprs.filter(refsTarget).map(_.sql).mkString(" AND ")}) " +
-            "and the statement has WHEN NOT MATCHED inserts — no target " +
-            "row exists to evaluate it for an insert; move it into the " +
-            "WHEN MATCHED conditions")
-    }
+    // residual guard: the fold is sound for MATCHED clauses (both sides
+    // in scope); the one shape it would silently re-read is rejected with
+    // the rewrite spelled out
+    if (residualSql.nonEmpty && nmbsClauses.nonEmpty) unsupported(
+      "ON carries non-key predicates " +
+        s"(${residualExprs.map(_.sql).mkString(" AND ")}) and the " +
+        "statement has WHEN NOT MATCHED BY SOURCE clauses — in the " +
+        "key-unique table model the residual gates clause ACTIONS while " +
+        "NMBS stays key-scoped, which silently disagrees with strict " +
+        "SQL's reading; move the predicate into explicit clause " +
+        "conditions instead")
     val foldedMatched = matchedClauses.map(c =>
       c.copy(condition = withResidual(c.condition)))
-    val foldedInserts = insertClauses.map(c =>
-      c.copy(condition = withResidual(c.condition)))
+    // inserts pass through UNfolded — never-key-matched source rows are
+    // NOT MATCHED in standard SQL regardless of the residual's value
+    val foldedInserts = insertClauses
 
     // ---- source frame + table-aligned keys ---------------------------------
     // cross-named keys: rename the source's key columns to the target key

@@ -1852,6 +1852,12 @@ object MergeTable {
       // values ahead of the check
       val counts = pinned.groupBy(cs.map(col): _*).count()
         .limit(MaxSplitValues + 1).collect()
+      // zero VISIBLE rows in the drifted candidates (every row deletion-
+      // vector-masked): there is nothing to route — return an empty adds
+      // list, and the caller's commit retires the fully-deleted files
+      // (hashPreimages(0) would otherwise throw on a legitimate state)
+      if (counts.isEmpty)
+        return (java.util.UUID.randomUUID().toString.take(12), Seq.empty)
       require(counts.length <= MaxSplitValues,
         s"OPTIMIZE SPLIT BY ${cs.mkString(",")}: more than " +
           s"$MaxSplitValues distinct value tuples — the identity-split " +
@@ -3575,10 +3581,11 @@ object MergeTable {
     * real `spark.sql` MERGE — a CROSS-NAMED key (`ON t.event_id =
     * s.src_id`: the source column renames onto the target key, and every
     * `s.src_id` clause reference rewrites with it) and a RESIDUAL
-    * conjunct (`AND s.value >= 20.0`) folding into both the matched and
-    * the insert clause conditions. A matched row whose redelivery fails
-    * the residual must stay UNTOUCHED; an insert-wave row failing it
-    * must not insert. */
+    * conjunct (`AND s.value >= 20.0`) folding into the MATCHED clause
+    * condition only. A matched row whose redelivery fails the residual
+    * must stay UNTOUCHED; an insert-wave row (key matched nowhere) is
+    * NOT MATCHED under any residual value — standard SQL — and must
+    * insert regardless of it. */
   private def buildSqlOnMergedEvents(s: SparkSession, sfDir: String): String = {
     val t = IndexMemo(sqlOnMergeCache, (s, sfDir)) {
       IndexStore.recordFixtureBuild("merge-sql-on")
@@ -3616,11 +3623,12 @@ object MergeTable {
   }
 
   /** `q_merge_sql_on`: digest of the cross-named-ON merged head. A wrong
-    * key mapping breaks every group; a residual folded into only ONE of
-    * the two clause kinds breaks the matched or the inserted boundary
-    * rows independently; the NULL-fill of unlisted insert columns is
-    * `n_null_user`. The oracle replays the identical float arithmetic
-    * (`value * 3 >= 20`) over the raw table. */
+    * key mapping breaks every group; a residual wrongly folded into the
+    * INSERT clauses (the pre-round-15 divergence from standard MERGE)
+    * drops the insert-wave rows below 20.0 and breaks `n_events`; the
+    * NULL-fill of unlisted insert columns is `n_null_user`. The oracle
+    * replays the identical float arithmetic (`value * 3 >= 20`) over the
+    * raw table. */
   def mergeSqlOnDigest(s: SparkSession, sfDir: String): DataFrame =
     read(s, buildSqlOnMergedEvents(s, sfDir))
       .groupBy(col("event_type"))
@@ -3638,7 +3646,7 @@ object MergeTable {
        |ins AS (
        |  SELECT event_id + (SELECT max(event_id) + 1 FROM events) AS event_id,
        |    NULL AS user_id, event_type, value
-       |  FROM events WHERE event_id % 23 = 0 AND value >= 20.0),
+       |  FROM events WHERE event_id % 23 = 0),
        |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
        |SELECT event_type, count(*) AS n_events,
        |  round(sum(value), 2) AS value_sum,

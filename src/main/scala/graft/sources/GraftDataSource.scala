@@ -644,13 +644,20 @@ private[sources] object ManifestAgg {
       val tags = gfs.map(f => MergeTable.statTagOpt(f.dataType))
       if (tags.exists(_.isEmpty)) return None
       val gts = gfs.zip(tags.flatten)
+      // group keys come from the RENDERED stat strings, and doubles render
+      // signed zeros distinctly ("-0.0" vs "0.0") while Spark's GROUP BY
+      // normalizes them into ONE group — canonicalize before keying, or
+      // two point files holding -0.0 and 0.0 would answer two groups
+      // (a wrong answer, not a refusal)
+      def keyNorm(tag: String, s: String): String =
+        if (tag == "double" && s.toDouble == 0.0) "0.0" else s
       val keyed = m.files.map { e =>
         val key = gts.map { case (f, tag) =>
           // the ONE point-file definition, shared with OPTIMIZE SPLIT BY's
           // incremental candidate filter — the two can never disagree
           // about what "already split" means
           if (MergeTable.isPointFor(e, phys(f.name), tag))
-            statOf(e, f.name).map(_.min)
+            statOf(e, f.name).map(cs => keyNorm(tag, cs.min))
           else None // wide box / nulls / DV / unknown: not point-filed
         }
         if (key.exists(_.isEmpty)) None else Some((key.flatten, e))
@@ -661,7 +668,7 @@ private[sources] object ManifestAgg {
       val aggFields = evalAggs(Seq.empty).getOrElse(return None).map(_._1)
       val outSchema = StructType(
         gfs.map(_.copy(nullable = false)) ++ aggFields)
-      val groups = keyed.flatten.groupBy(_._1).toSeq.sortBy(_._1.mkString(" "))
+      val groups = keyed.flatten.groupBy(_._1).toSeq.sortBy(_._1.mkString("\u0000"))
       val rows = groups.map { case (k, fs) =>
         evalAggs(fs.map(_._2)).map { rs =>
           gts.zip(k).map { case ((f, tag), v) =>

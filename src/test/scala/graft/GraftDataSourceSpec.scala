@@ -241,6 +241,29 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(MergeTable.latestManifest(t).get.version == v3)
   }
 
+  test("SPLIT BY over candidates whose every row is DV-deleted commits " +
+    "the dead files' removal instead of crashing on an empty route set") {
+    val t = freshTable("splitEmpty")
+    // one interleaved commit → every file straddles g values (non-point)
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 300L).map(i => (i, i % 3, s"p$i")).toDF("event_id", "g", "payload"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
+    // DV-delete EVERY row: the files stay, fully masked
+    MergeTable.mergeDelete(spark, t, (1L to 300L).toDF("event_id"),
+      deletionVectors = true)
+    val before = MergeTable.latestManifest(t).get
+    assert(before.files.nonEmpty && before.files.forall(_.visibleRows == 0L))
+    // all files are non-point candidates with zero visible rows — the
+    // rewrite must retire them via an empty adds list, not throw
+    val n = MergeTable.optimize(spark, t, splitBy = Seq("g"))
+    assert(n == before.files.size)
+    val after = MergeTable.latestManifest(t).get
+    assert(after.files.isEmpty, "fully-deleted candidates must retire")
+    assert(spark.read.format("graft").load(t).count() == 0L)
+    // and the now-empty table is a stable fixpoint
+    assert(MergeTable.optimize(spark, t, splitBy = Seq("g")) == 0)
+  }
+
   test("FILTERED aggregate pushdown: a WHERE on a point-filed column is " +
     "row-exact at the file level — claimed by the scan, the aggregate " +
     "stays metadata-only; non-point filters fall back") {

@@ -224,12 +224,6 @@ class GraftSqlSpec extends AnyFunSuite {
            |ON t.event_id = s.event_id AND s.value > 100.0
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-    // target-side ON residual + NOT MATCHED insert: no target row exists
-    // to evaluate it for an insert
-    bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
-           |ON t.event_id = s.event_id AND t.event_type = 'ok'
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     // rekeying UPDATE
     bad(s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
            |ON t.event_id = s.event_id
@@ -388,8 +382,10 @@ class GraftSqlSpec extends AnyFunSuite {
       MCond("t.tag = 'a'", (t, _) => t._1 == "a"))
     case class ICond(sql: String, holds: Double => Boolean)
     val insertConds = Seq(ICond("s.value >= 4.0", _ >= 4.0))
-    // residuals: source-side always foldable; target-side legal only
-    // without insert clauses (the translator rejects that shape)
+    // residuals gate MATCHED actions only (inserts are residual-blind —
+    // standard MERGE classifies a never-key-matched source row as
+    // NOT MATCHED under any residual value); both sides legal with any
+    // clause mix except NMBS (rejected shape, not generated here)
     case class Resid(sql: String,
         holds: (Option[(String, Double)], Double) => Boolean,
         refsTarget: Boolean)
@@ -438,9 +434,7 @@ class GraftSqlSpec extends AnyFunSuite {
       cross <- Gen.oneOf(true, false)
       ms <- mClauses
       is <- iClauses
-      resid <- Gen.oneOf(
-        None, Some(residuals.head),
-        if (is.isEmpty) Some(residuals(1)) else None)
+      resid <- Gen.oneOf(None, Some(residuals.head), Some(residuals(1)))
       keys <- Gen.nonEmptyListOf(Gen.choose(0L, 25L)).map(_.distinct)
       v <- Gen.choose(0.0, 10.0).map(x => math.rint(x * 4) / 4)
       sqlDoor <- Gen.oneOf(true, false)
@@ -502,8 +496,9 @@ class GraftSqlSpec extends AnyFunSuite {
           }
           bMap.foreach { case (k, (sTag, sv)) =>
             if (!ref.contains(k)) {
-              val rOk = resid.forall(_.holds(None, sv))
-              is.find { case (c, _) => rOk && c.forall(_.holds(sv)) }
+              // inserts are residual-blind: a key matching no target row
+              // is NOT MATCHED no matter what the residual evaluates to
+              is.find { case (c, _) => c.forall(_.holds(sv)) }
                 .foreach {
                   case (_, IStar) => next(k) = (sTag, sv)
                   case (_, IDouble) => next(k) = (null, sv * 2.0)
@@ -597,9 +592,10 @@ class GraftSqlSpec extends AnyFunSuite {
       (3L, 30L) -> 3.0, (4L, 40L) -> 4.0))
   }
 
-  test("ON residual conjunct folds into matched AND insert clause " +
-    "conditions: a key-matched pair failing it takes no action, a " +
-    "key-absent row failing it does not insert") {
+  test("ON residual conjunct folds into MATCHED clause conditions only: " +
+    "a key-matched pair failing it takes no action, while a key-absent " +
+    "row is NOT MATCHED under any residual value and inserts — standard " +
+    "MERGE semantics") {
     mkBatch()
     val t = seedTable("resid")
     GraftSql.mergeInto(spark,
@@ -610,10 +606,31 @@ class GraftSqlSpec extends AnyFunSuite {
     val out = state(t)
     // matched 15..20 redeliver value 10i, all < 220 → every one untouched
     assert((15L to 20L).forall(i => out(i)._2 == i * 1.0))
-    // key-absent 21..25: only 22..25 (220..250) pass the residual
-    assert(!out.contains(21L))
-    assert((22L to 25L).forall(i => out(i) == (("new", i * 10.0))))
-    assert(out.size == 24)
+    // key-absent 21..25 ALL insert: no target row satisfies the full ON
+    // for them no matter the residual, so strict SQL classifies each
+    // not-matched (21's value 210 < 220 included — dropping it was the
+    // pre-round-15 divergence)
+    assert((21L to 25L).forall(i => out(i) == (("new", i * 10.0))))
+    assert(out.size == 25)
+  }
+
+  test("target-side ON residual composes with NOT MATCHED inserts: the " +
+    "residual gates matched actions, inserts are residual-blind") {
+    mkBatch()
+    val t = seedTable("tresins")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` AS t USING gsql_batch AS s
+         |ON t.event_id = s.event_id AND t.event_type = 'error'
+         |WHEN MATCHED THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = state(t)
+    // of the key-matched 15..20, only the 'error' rows (16, 20) update
+    assert(out(16L) == (("error", 160.0)) && out(20L) == (("error", 200.0)))
+    assert(out(15L) == (("ok", 15.0)) && out(18L) == (("ok", 18.0)))
+    // key-absent 21..25 insert — no target row exists, so the target-side
+    // residual can never hold for them and they are NOT MATCHED
+    assert((21L to 25L).forall(i => out(i) == (("new", i * 10.0))))
+    assert(out.size == 25)
   }
 
   test("target-side ON residual gates matched clauses — match stays " +

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MergeTable
+import graft.ops.MergeTable.{ColStat, DataFileEntry, TableManifest}
+
+/** Driver-side unit coverage of [[ManifestAgg]]'s edge semantics that no
+  * Spark-written fixture can reach: Spark's UnsafeWriter normalizes -0.0
+  * to +0.0 before any file lands, but a manifest written by another tool
+  * (or a future writer change) can carry "-0.0" stat strings, and the
+  * grouped answer must mirror Spark's GROUP BY (which folds signed zeros
+  * into ONE group), never key on the rendered string verbatim. */
+class ManifestAggSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("g", DoubleType)))
+
+  private def entry(path: String, rows: Long, gStat: String): DataFileEntry =
+    DataFileEntry(path, rows,
+      stats = Map("g" -> ColStat("double", gStat, gStat)),
+      nullCounts = Map("g" -> 0L, "id" -> 0L), bytes = 1L)
+
+  private def manifest(files: Seq[DataFileEntry]): TableManifest =
+    TableManifest(0L, schema.json, Seq("id"), Seq("id"), files, Map.empty)
+
+  private val groupByG = new Aggregation(
+    Array(new CountStar()), Array(Expressions.column("g")))
+
+  test("grouped answer folds -0.0 and 0.0 point files into ONE group " +
+    "keyed +0.0 — Spark's GROUP BY normalization, not the stat string") {
+    val m = manifest(Seq(
+      entry("f1", 10L, "-0.0"), entry("f2", 7L, "0.0")))
+    val Some((out, rows)) = ManifestAgg.answer(m, schema, groupByG)
+    assert(out.fieldNames.toSeq == Seq("g", "count(*)"))
+    assert(rows.size == 1, s"signed zeros must share one group, got $rows")
+    assert(rows.head == Seq(0.0, 17L))
+    assert(java.lang.Double.doubleToRawLongBits(
+      rows.head.head.asInstanceOf[Double]) == 0L,
+      "the group key must be +0.0, the canonical form Spark groups under")
+  }
+
+  test("distinct non-zero double points still answer distinct groups") {
+    val m = manifest(Seq(
+      entry("f1", 3L, "1.5"), entry("f2", 4L, "-1.5"), entry("f3", 5L, "1.5")))
+    val Some((_, rows)) = ManifestAgg.answer(m, schema, groupByG)
+    assert(rows.map(r => (r.head, r(1))).toSet ==
+      Set((-1.5, 4L), (1.5, 8L)))
+  }
+
+  test("a wide-box file refuses the grouped answer entirely") {
+    val wide = DataFileEntry("fw", 5L,
+      stats = Map("g" -> ColStat("double", "-0.0", "2.0")),
+      nullCounts = Map("g" -> 0L), bytes = 1L)
+    val m = manifest(Seq(entry("f1", 10L, "0.0"), wide))
+    assert(ManifestAgg.answer(m, schema, groupByG).isEmpty)
+  }
+}
