@@ -313,16 +313,33 @@ class GraftScanBuilder(table: String, m: TableManifest, full: StructType)
   private var claimed: Array[Filter] = Array.empty
   private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
 
-  /** Columns whose every file is a POINT (one non-null value, no DV) —
-    * the identity-split / per-group-ingested state, where file-level
-    * stats pruning is ROW-exact for single-column predicate shapes. */
-  private lazy val pointCols: Set[String] =
-    full.fields.iterator.filter { fld =>
-      MergeTable.statTagOpt(fld.dataType).exists { tag =>
-        m.files.forall(e => MergeTable.isPointFor(e,
-          MergeTable.physOf(m.columnMap, fld.name), tag))
+  /** Is this column POINT-filed across the snapshot — one non-null value
+    * per file, no DV (the identity-split / per-group-ingested state,
+    * where file-level stats pruning is ROW-exact for single-column
+    * predicate shapes)? Probed LAZILY per referenced column and memoized:
+    * each probe walks every manifest entry, so precomputing all schema
+    * columns up front (the pre-round-15 shape) costs O(files × cols)
+    * driver work on the first pushFilters of EVERY scan build — real
+    * planning latency at 10⁵–10⁶ files × 32 columns — when the received
+    * filters typically name one or two columns. */
+  private val pointColMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def isPointCol(lc: String): Boolean =
+    pointColMemo.computeIfAbsent(lc, { _ =>
+      full.fields.find(
+        _.name.toLowerCase(java.util.Locale.ROOT) == lc).exists { fld =>
+        MergeTable.statTagOpt(fld.dataType).exists { tag =>
+          m.files.forall(e => MergeTable.isPointFor(e,
+            MergeTable.physOf(m.columnMap, fld.name), tag))
+        }
       }
-    }.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    })
+  /** Spec hook: which columns the point probe actually walked the
+    * manifest for (must stay bounded by the filters' references). */
+  private[sources] def probedPointCols: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    pointColMemo.keySet.asScala.toSet
+  }
   private def tagOf(a: String): Option[String] =
     full.fields.find(_.name.equalsIgnoreCase(a))
       .flatMap(f => MergeTable.statTagOpt(f.dataType))
@@ -343,7 +360,7 @@ class GraftScanBuilder(table: String, m: TableManifest, full: StructType)
     received = filters
     pushed = filters.filter(StatsPruning.prunable)
     claimed = filters.filter(f => StatsPruning.rowExactOnPoints(f,
-      a => pointCols.contains(a.toLowerCase(java.util.Locale.ROOT)), tagOf))
+      a => isPointCol(a.toLowerCase(java.util.Locale.ROOT)), tagOf))
     filters.filterNot(claimed.contains)
   }
   override def pushedFilters(): Array[Filter] = pushed

@@ -58,4 +58,25 @@ class ManifestAggSpec extends AnyFunSuite {
     val m = manifest(Seq(entry("f1", 10L, "0.0"), wide))
     assert(ManifestAgg.answer(m, schema, groupByG).isEmpty)
   }
+
+  test("the point-column probe walks the manifest ONLY for columns the " +
+    "received filters reference — planning cost is O(referenced), not " +
+    "O(schema width)") {
+    import org.apache.spark.sql.sources.{EqualTo, IsNotNull}
+    // a wide schema where an all-columns probe would be visible
+    val wide = StructType((0 until 24).map(i =>
+      StructField(s"c$i", LongType)) :+ StructField("g", DoubleType))
+    val files = Seq(DataFileEntry("f1", 10L,
+      stats = Map("g" -> ColStat("double", "1.5", "1.5"),
+        "c0" -> ColStat("long", "1", "9")),
+      nullCounts = Map("g" -> 0L, "c0" -> 0L), bytes = 1L))
+    val m = TableManifest(0L, wide.json, Seq("c0"), Seq("c0"), files, Map.empty)
+    val sb = new GraftScanBuilder("probe-bound", m, wide)
+    sb.pushFilters(Array(EqualTo("g", 1.5), IsNotNull("g")))
+    assert(sb.probedPointCols == Set("g"),
+      s"probe must stay on referenced columns, walked ${sb.probedPointCols}")
+    // a second filter set extends the memo by exactly its new reference
+    sb.pushFilters(Array(EqualTo("c0", 5L)))
+    assert(sb.probedPointCols == Set("g", "c0"))
+  }
 }
