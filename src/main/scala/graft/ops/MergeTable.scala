@@ -144,7 +144,20 @@ object MergeTable {
       // budget. Additive: legacy entries parse 0, which the budget reads
       // as "volume unknown — don't throttle" (never a wrong result, the
       // cap is pacing, not correctness).
-      bytes: Long = 0L) {
+      bytes: Long = 0L,
+      // per-column EXACT non-null sums for the stats-indexed INTEGRAL
+      // and DECIMAL columns, rendered as plain decimal strings — what
+      // lets SUM/AVG aggregate pushdown answer from the manifest
+      // ([[graft.sources.ManifestAgg]]). Exactness by construction: the
+      // writer folds in decimal(38) (a per-file integral sum provably
+      // cannot overflow it: < 2⁶³ rows × |value| ≤ 2⁶³ ≈ 8.5e37 < 1e38)
+      // and OMITS the entry on decimal-input overflow (try_sum → null)
+      // or an all-null file. Float/double columns never carry one —
+      // their sum is evaluation-order-dependent, so no single metadata
+      // answer is "the" exact value. Additive: legacy entries parse
+      // empty, and the aggregate answer refuses (falls back to the
+      // scan) rather than guessing.
+      sums: Map[String, String] = Map.empty) {
     /** Convenience for specs / long-keyed callers. */
     def minLong(c: String): Long = stats(c).min.toLong
     def maxLong(c: String): Long = stats(c).max.toLong
@@ -1945,6 +1958,17 @@ object MergeTable {
         case FloatType | DoubleType => true
         case _ => false
       }
+      // exact-summable domains: integral sums fold losslessly in
+      // decimal(38,0); a decimal(p,s) column widens to (38,s). try_sum
+      // (never plain sum) so a decimal-input overflow yields NULL — the
+      // entry is simply omitted and SUM pushdown refuses — instead of an
+      // ANSI runtime error failing the WRITE over a statistic.
+      val sumType: Seq[Option[DecimalType]] = dts.map {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(DecimalType(38, 0))
+        case d: DecimalType => Some(DecimalType(38, d.scale))
+        case _ => None // float/double: order-dependent; others: unordered
+      }
       val aggsB = Seq.newBuilder[Column]
       val off = new Array[Int](idxCols.size)
       var pos = 0 // positions within the agg output, AFTER the pid key
@@ -1954,7 +1978,12 @@ object MergeTable {
         aggsB += min(c).as(s"mn_$i") += max(c).as(s"mx_$i") +=
           count(c).as(s"nn_$i")
         pos += 3
+        // floaty and summable are disjoint, so position base+3 is
+        // unambiguous per column (NaN flag OR sum, never both)
         if (floaty(i)) { aggsB += max(isnan(c)).as(s"nan_$i"); pos += 1 }
+        sumType(i).foreach { wide =>
+          aggsB += try_sum(c.cast(wide)).as(s"sm_$i"); pos += 1
+        }
       }
       aggsB += count(lit(1)).as("cnt")
       val cntPos = pos
@@ -1967,6 +1996,7 @@ object MergeTable {
           val cnt = r.getLong(1 + cntPos)
           val statsB = Map.newBuilder[String, ColStat]
           val nullsB = Map.newBuilder[String, Long]
+          val sumsB = Map.newBuilder[String, String]
           idxCols.indices.foreach { i =>
             val base = 1 + off(i)
             val nonNull = r.getLong(base + 2)
@@ -1977,8 +2007,12 @@ object MergeTable {
               statsB += idxCols(i) -> ColStat(statTag(dts(i)),
                 renderStat(dts(i), r.get(base)),
                 renderStat(dts(i), r.get(base + 1)))
+            if (sumType(i).nonEmpty && nonNull > 0 && !r.isNullAt(base + 3))
+              sumsB += idxCols(i) ->
+                r.getDecimal(base + 3).toPlainString
           }
-          r.getInt(0) -> ((statsB.result(), nullsB.result(), cnt))
+          r.getInt(0) -> ((statsB.result(), nullsB.result(), cnt,
+            sumsB.result()))
         }.toMap
       val newFiles = {
         val stream = Files.list(Paths.get(table, "data", commitId))
@@ -1989,9 +2023,10 @@ object MergeTable {
         finally stream.close()
       }.flatMap { f =>
         val idx = f.stripPrefix("part-").takeWhile(_.isDigit).toInt
-        stats.get(idx).map { case (m, nulls, cnt) =>
+        stats.get(idx).map { case (m, nulls, cnt, sums) =>
           DataFileEntry(s"$rel/$f", cnt, m, nullCounts = nulls,
-            bytes = Files.size(Paths.get(table, "data", commitId, f)))
+            bytes = Files.size(Paths.get(table, "data", commitId, f)),
+            sums = sums)
         }
       }
       (commitId, newFiles)
@@ -3194,6 +3229,34 @@ object MergeTable {
        |  min(value) AS min_value, max(value) AS max_value,
        |  min(event_id % 64) AS min_gx,
        |  max((event_id // 64) % 64) AS max_gy
+       |FROM events""".stripMargin
+
+  /** `q_agg_pushdown_sum`: SUM and AVG through the DSv2 door over the
+    * same DV-free fixture — answered from the manifest's per-file EXACT
+    * sums ([[graft.sources.ManifestAgg]]; zero parquet files opened,
+    * GraftDataSourceSpec pins the zero-scan property). The round(avg)
+    * sits ABOVE the aggregate, so the pushdown still sees the bare Avg;
+    * the oracle recomputes both from the raw table (DuckDB sums integers
+    * in hugeint — the CAST matches Spark's LongType sum). */
+  def aggPushdownSumDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildZorderedEvents(s, sfDir)
+    s.read.format("graft").load(t).agg(
+        sum(col("event_id")).as("sum_id"),
+        avg(col("event_id")).as("avg_id_raw"),
+        sum(col("gx")).as("sum_gx"),
+        avg(col("gy")).as("avg_gy_raw"),
+        count(lit(1)).as("n_rows"))
+      .select(col("sum_id"), round(col("avg_id_raw"), 4).as("avg_id"),
+        col("sum_gx"), round(col("avg_gy_raw"), 4).as("avg_gy"),
+        col("n_rows"))
+  }
+
+  val aggPushdownSumDigestSql: String =
+    s"""SELECT CAST(sum(event_id) AS BIGINT) AS sum_id,
+       |  round(avg(event_id), 4) AS avg_id,
+       |  CAST(sum(event_id % 64) AS BIGINT) AS sum_gx,
+       |  round(avg((event_id // 64) % 64), 4) AS avg_gy,
+       |  count(*) AS n_rows
        |FROM events""".stripMargin
 
   private val splitOptCache = IndexMemo.cache[(SparkSession, String), String]()

@@ -616,6 +616,84 @@ private[sources] object ManifestAgg {
       f.stats.collectFirst {
         case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == p => v }
     }
+    def sumOf(f: MergeTable.DataFileEntry, c: String): Option[String] = {
+      val p = phys(c).toLowerCase(java.util.Locale.ROOT)
+      f.sums.collectFirst {
+        case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == p => v }
+    }
+    /** SUM/AVG over one file subset from the per-file exact sums.
+      * Answerable domains are the ones the writer records — integral
+      * (result: Spark's LongType sum / DoubleType avg) and decimal
+      * (widened decimal sum / HALF_UP avg). Per file: a `sums` entry
+      * contributes its exact value; a PROVABLY all-null file contributes
+      * nothing; anything else (legacy manifest, overflow-omitted entry,
+      * float/double column) refuses. The FOLD is overflow-checked too:
+      * an integral total outside Long range refuses rather than
+      * reproducing Spark's overflow behavior from metadata. */
+    def summed(files: Seq[MergeTable.DataFileEntry], f: StructField,
+        isAvg: Boolean): Option[(StructField, Any)] = {
+      import java.math.{BigDecimal => JBig, RoundingMode}
+      val decimalIn = f.dataType match {
+        case d: DecimalType => Some(d)
+        case ByteType | ShortType | IntegerType | LongType => None
+        case _ => return None // float/double/other: never answered
+      }
+      val perFile: Seq[Option[Option[(JBig, Long)]]] = files.map { e =>
+        sumOf(e, f.name) match {
+          case Some(s) => nullsOf(e, f.name).map(n =>
+            Some((new JBig(s), e.numRows - n)))
+          case None => nullsOf(e, f.name) match {
+            case Some(n) if n == e.numRows => Some(None) // all-null file
+            case _ => None // legacy / overflow-omitted — refuse
+          }
+        }
+      }
+      if (perFile.exists(_.isEmpty)) return None
+      val present = perFile.flatten.flatten
+      val cnt = present.map(_._2).sum
+      val total = present.map(_._1)
+        .foldLeft(JBig.ZERO)(_.add(_))
+      val (outType, value): (DataType, Any) = (decimalIn, isAvg) match {
+        case (None, false) => // sum(integral) → LongType, refuse overflow
+          if (cnt == 0L) (LongType, null)
+          else {
+            val l = try total.longValueExact()
+            catch { case _: ArithmeticException => return None }
+            (LongType, l)
+          }
+        case (None, true) => // avg(integral) → DoubleType
+          if (cnt == 0L) (DoubleType, null)
+          else {
+            // exact operands only: a |sum| beyond 2⁵³ would make the
+            // double quotient depend on the rounding of the operand
+            // itself — refuse instead of answering inexactly
+            val l = try total.longValueExact()
+            catch { case _: ArithmeticException => return None }
+            if (math.abs(l) > (1L << 53) || cnt > (1L << 53)) return None
+            (DoubleType, l.toDouble / cnt.toDouble)
+          }
+        case (Some(d), false) => // sum(decimal(p,s)) → decimal(min(38,p+10),s)
+          val rt = DecimalType(math.min(38, d.precision + 10), d.scale)
+          if (cnt == 0L) (rt, null)
+          else {
+            val v = total.setScale(d.scale)
+            if (v.precision > rt.precision) return None
+            (rt, v)
+          }
+        case (Some(d), true) => // avg(decimal(p,s)) → Spark's bounded p+4/s+4
+          val rt = DecimalType(math.min(38, d.precision + 4),
+            math.min(38, d.scale + 4))
+          if (cnt == 0L) (rt, null)
+          else {
+            val v = total.divide(new JBig(cnt), rt.scale,
+              RoundingMode.HALF_UP)
+            if (v.precision > rt.precision) return None
+            (rt, v)
+          }
+      }
+      val name = s"${if (isAvg) "avg" else "sum"}(${f.name})"
+      Some((StructField(name, outType, nullable = true), value))
+    }
     /** Every aggregate expression evaluated over ONE file subset (the
       * whole table for a global aggregate, one group's files for a
       * grouped one) — exactness or refusal per expression. */
@@ -637,6 +715,10 @@ private[sources] object ManifestAgg {
           statOf, nullsOf)
         case mx: Max if noDv => bound(files, colOf(mx.column), isMin = false,
           statOf, nullsOf)
+        case s: Sum if !s.isDistinct && noDv =>
+          colOf(s.column).flatMap(f => summed(files, f, isAvg = false))
+        case a: Avg if !a.isDistinct && noDv =>
+          colOf(a.column).flatMap(f => summed(files, f, isAvg = true))
         case _ => None
       }
       if (results.exists(_.isEmpty)) None else Some(results.flatten)

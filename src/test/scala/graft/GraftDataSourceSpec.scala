@@ -98,6 +98,68 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(row == truth)
   }
 
+  test("SUM/AVG aggregate pushdown: integral sums answer from the " +
+    "manifest's exact per-file sums with ZERO files scanned; a DOUBLE " +
+    "column's sum (order-dependent) and a sums-less legacy manifest " +
+    "fall back to the real scan") {
+    val t = seeded("sumpush")
+    val df = spark.read.format("graft").load(t)
+    GraftScanAudit.reset()
+    val row = df.agg(sum(col("event_id")), avg(col("event_id")),
+      count(lit(1))).head()
+    val audit = GraftScanAudit.lastFor(t).get
+    assert(audit.scannedFiles == 0,
+      s"metadata-only SUM/AVG must open no files, scanned ${audit.scannedFiles}")
+    assert(row.getLong(0) == 500500L) // Σ 1..1000
+    assert(row.getDouble(1) == 500.5)
+    assert(row.getLong(2) == 1000L)
+    // bit-for-bit against the engine's own scan-based answer
+    val truth = MergeTable.read(spark, t).agg(sum(col("event_id")),
+      avg(col("event_id")), count(lit(1))).head()
+    assert(row == truth)
+    // a scalar Project ABOVE the aggregate (the registered query's
+    // round-the-avg shape) must not break the complete pushdown
+    GraftScanAudit.reset()
+    val rounded = df.agg(avg(col("event_id")).as("a"))
+      .select(round(col("a"), 4).as("avg_id")).head().getDouble(0)
+    assert(rounded == 500.5)
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+      "round-above-aggregate must still answer from the manifest")
+    // GROUPED sums ride the same per-file machinery: point-filed layout
+    val tg = freshTable("sumGroup")
+    (0 until 3).foreach { g =>
+      MergeTable.mergeUpsert(spark, tg,
+        (1L to 50L).map(i => (g * 1000L + i, g.toLong, i * 2L))
+          .toDF("event_id", "g", "w"),
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 20)
+    }
+    GraftScanAudit.reset()
+    val grouped = spark.read.format("graft").load(tg)
+      .groupBy(col("g")).agg(sum(col("w")), avg(col("w")))
+      .orderBy("g").collect()
+    assert(GraftScanAudit.lastFor(tg).get.scannedFiles == 0,
+      "grouped SUM/AVG over point files must stay metadata-only")
+    grouped.foreach { r =>
+      assert(r.getLong(1) == 2550L) // Σ 2,4,…,100
+      assert(r.getDouble(2) == 51.0)
+    }
+    // a double column's sum refuses (order-dependent): the real scan runs
+    GraftScanAudit.reset()
+    val dbl = df.agg(sum(col("value"))).head().getDouble(0)
+    assert(math.abs(dbl - 500500L * 1.5) < 1e-6)
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
+      "sum over a double column must fall back to the scan")
+    // a DV anywhere refuses sums (a masked row's contribution is unknown)
+    MergeTable.mergeDelete(spark, t, Seq(7L).toDF("event_id"),
+      deletionVectors = true)
+    GraftScanAudit.reset()
+    val afterDv = spark.read.format("graft").load(t)
+      .agg(sum(col("event_id"))).head().getLong(0)
+    assert(afterDv == 500500L - 7L)
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
+      "SUM under deletion vectors must fall back")
+  }
+
   test("GROUPED aggregate pushdown: GROUP BY a point-filed column " +
     "answers from the manifest with ZERO files scanned; a wide-box " +
     "group column falls back to the real scan") {

@@ -59,6 +59,51 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(ManifestAgg.answer(m, schema, groupByG).isEmpty)
   }
 
+  test("SUM answers from exact per-file sums; the FOLD is overflow-" +
+    "checked (a total beyond Long range refuses); a legacy entry " +
+    "without sums refuses; an all-null file contributes nothing") {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Sum}
+    def sumAgg = new Aggregation(
+      Array(new Sum(Expressions.column("id"), false)), Array.empty)
+    def withSums(path: String, rows: Long, nulls: Long,
+        sum: Option[String]): DataFileEntry =
+      DataFileEntry(path, rows, stats = Map.empty,
+        nullCounts = Map("id" -> nulls),
+        sums = sum.map(s => Map("id" -> s)).getOrElse(Map.empty))
+    // clean fold: 100 + 23 (+ an all-null file that contributes nothing)
+    val ok = manifest(Seq(withSums("f1", 10L, 0L, Some("100")),
+      withSums("f2", 5L, 1L, Some("23")),
+      withSums("f3", 4L, 4L, None)))
+    val Some((outS, rowsS)) = ManifestAgg.answer(ok, schema, sumAgg)
+    assert(outS.fields.head.dataType == org.apache.spark.sql.types.LongType)
+    assert(rowsS == Seq(Seq(123L)))
+    // avg from the same entries: exact sum / non-null count
+    val avgAgg = new Aggregation(
+      Array(new Avg(Expressions.column("id"), false)), Array.empty)
+    val Some((outA, rowsA)) = ManifestAgg.answer(ok, schema, avgAgg)
+    assert(outA.fields.head.dataType == org.apache.spark.sql.types.DoubleType)
+    assert(rowsA == Seq(Seq(123.0 / 14.0)))
+    // two near-Long.Max per-file sums: the fold overflows Long → refuse
+    val big = Long.MaxValue - 10L
+    val over = manifest(Seq(withSums("f1", 10L, 0L, Some(big.toString)),
+      withSums("f2", 10L, 0L, Some(big.toString))))
+    assert(ManifestAgg.answer(over, schema, sumAgg).isEmpty,
+      "a Long-overflowing fold must refuse, not wrap")
+    // a legacy entry (non-null rows, no sums map) refuses the answer
+    val legacy = manifest(Seq(withSums("f1", 10L, 0L, Some("100")),
+      withSums("f2", 5L, 0L, None)))
+    assert(ManifestAgg.answer(legacy, schema, sumAgg).isEmpty)
+    // only all-null files: SUM answers NULL (metadata-only), not refusal
+    val allNull = manifest(Seq(withSums("f1", 4L, 4L, None)))
+    val Some((_, rowsN)) = ManifestAgg.answer(allNull, schema, sumAgg)
+    assert(rowsN == Seq(Seq(null)))
+    // a double column's sum never answers — order-dependent by domain
+    val gSum = new Aggregation(
+      Array(new Sum(Expressions.column("g"), false)), Array.empty)
+    assert(ManifestAgg.answer(manifest(Seq(
+      entry("f1", 3L, "1.5"))), schema, gSum).isEmpty)
+  }
+
   test("the point-column probe walks the manifest ONLY for columns the " +
     "received filters reference — planning cost is O(referenced), not " +
     "O(schema width)") {
