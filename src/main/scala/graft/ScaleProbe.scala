@@ -92,7 +92,8 @@ object ScaleProbe {
     if (!rangeOnly) {
       probeDedupCandidates(spark); probeNativeKernels(spark)
       probeSelectionOps(spark); probeMaintenanceOps(spark)
-      probeMergeTable(spark); probeChangeFeed(spark)
+      probeMergeTable(spark); probeSourcePrune(spark)
+      probeChangeFeed(spark)
       probeStatsPruning(spark)
       probeSplitLayout(spark)
       probeManifestResolution(spark)
@@ -167,6 +168,42 @@ object ScaleProbe {
           s"""{"probe":"merge_table","rows":$n,"files_before":${before.size},""" +
             s""""files_touched":$touched,"merge_sec":${s1(tMerge)}}""")
       } finally MergeTable.dropTable(t.toString) // probe tables don't outlive the run
+    }
+  }
+
+  /** MERGE source-side pushdown measured (round 15): a matched-only
+    * merge over a source 1× and 10× the table size, where only a narrow
+    * key band overlaps the table — the claim is that join work tracks
+    * the TOUCHED KEY RANGE, not the source: the box prune keeps exactly
+    * the overlapping rows (row-exact count printed), and the merge's
+    * wall time stays near-flat across the 10× source growth because the
+    * dropped rows never reach the full-outer join. */
+  private def probeSourcePrune(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.ops.MergeTable
+    for (n <- Seq(20000, 200000)) {
+      val t = java.nio.file.Files.createTempDirectory(s"graft-probe-srcprune$n")
+      java.nio.file.Files.delete(t)
+      try {
+        val base = (0L until 20000L).map(i => (i, i * 0.5))
+          .toDF("event_id", "value")
+        MergeTable.mergeUpsert(spark, t.toString, base,
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500)
+        // source of n rows, only 20 of which land inside the table's keys
+        val src = ((100L until 120L) ++ (1000000L until (1000000L + n - 20)))
+          .map(i => (i, 9.9)).toDF("event_id", "value")
+        val m = MergeTable.latestManifest(t.toString).get
+        val (kept, tPrune) = time(MergeTable.pruneSourceToBoxes(
+          spark, src, m.files, Seq("event_id"), Map.empty).count())
+        val (_, tMerge) = time(MergeTable.merge(spark, t.toString, src,
+          Seq("event_id"), Seq("event_id"),
+          matched = Seq(MergeTable.MergeClause(None,
+            MergeTable.UpdateSet(Map.empty)))))
+        println(
+          s"""{"probe":"merge_source_prune","source_rows":$n,""" +
+            s""""rows_after_prune":$kept,"prune_sec":${s1(tPrune)},""" +
+            s""""matched_only_merge_sec":${s1(tMerge)}}""")
+      } finally MergeTable.dropTable(t.toString)
     }
   }
 

@@ -1152,16 +1152,11 @@ object MergeTable {
     }.toMap)
   }
 
-  /** Paths of the files whose stats box intersects the batch's key set —
-    * the point-in-box join of the distinct batch cluster tuples against
-    * the broadcast ≤|files|-row box table; collects only the bounded
-    * touched-path list. */
-  private def touchedPaths(
-      s: SparkSession, files: Seq[DataFileEntry], batch: DataFrame,
-      clusterBy: Seq[String],
-      columnMap: Map[String, String] = Map.empty): Set[String] = {
-    if (files.isEmpty) return Set.empty
-    import s.implicits._
+  /** The ≤|files|-row (path, per-cluster-column [mn_i, mx_i]) interval
+    * table — the broadcast side of both the touched-file probe and the
+    * source-side prune. */
+  private def boxIntervalFrame(s: SparkSession, files: Seq[DataFileEntry],
+      clusterBy: Seq[String], columnMap: Map[String, String]): DataFrame = {
     def stat(f: DataFileEntry, c: String) = f.stats(physOf(columnMap, c))
     val tags = clusterBy.map(c => stat(files.head, c).t)
     val schema = StructType(
@@ -1175,7 +1170,20 @@ object MergeTable {
         Seq(statJvm(st.t, st.min), statJvm(st.t, st.max))
       })
     }.asJava
-    val intervals = s.createDataFrame(rows, schema)
+    s.createDataFrame(rows, schema)
+  }
+
+  /** Paths of the files whose stats box intersects the batch's key set —
+    * the point-in-box join of the distinct batch cluster tuples against
+    * the broadcast ≤|files|-row box table; collects only the bounded
+    * touched-path list. */
+  private def touchedPaths(
+      s: SparkSession, files: Seq[DataFileEntry], batch: DataFrame,
+      clusterBy: Seq[String],
+      columnMap: Map[String, String] = Map.empty): Set[String] = {
+    if (files.isEmpty) return Set.empty
+    import s.implicits._
+    val intervals = boxIntervalFrame(s, files, clusterBy, columnMap)
     val probe = batch
       .select(clusterBy.zipWithIndex.map { case (c, i) => col(c).as(s"k_$i") }: _*)
       .distinct()
@@ -1185,6 +1193,36 @@ object MergeTable {
     probe.join(broadcast(intervals), cond)
       .select(col("path")).distinct()
       .as[String].collect().toSet // bounded: ≤ |files| rows
+  }
+
+  /** Spec/probe observability: did the last [[merge]]/[[mergeDelete]]
+    * apply the SOURCE-SIDE box prune? Execution metadata only. */
+  @volatile private[graft] var lastSourcePruned: Boolean = false
+
+  /** SOURCE-SIDE pushdown for merges that cannot insert: a source row
+    * whose cluster tuple falls inside NO touched file's box can match no
+    * target row, and with no insert / not-matched-by-source clause its
+    * only possible outcome is "no action" — so it is dropped BEFORE the
+    * merge join via a broadcast left-semi against the touched files'
+    * interval table. At scale this turns a matched-only merge (SQL
+    * UPDATE/DELETE find-sets, CDC guarded updates) over a huge source
+    * into O(rows within the touched key range) join work instead of
+    * O(source). Sound by the same invariant as file pruning: clusterBy ⊆
+    * keys, cluster values non-null ([[requireClusterable]]), so a
+    * matched pair shares its cluster tuple and an out-of-every-box tuple
+    * has no match; prune-to-touched equals prune-to-all-files for batch
+    * rows (a file overlapping any batch tuple IS touched). */
+  private[graft] def pruneSourceToBoxes(s: SparkSession, batch: DataFrame,
+      files: Seq[DataFileEntry], clusterBy: Seq[String],
+      columnMap: Map[String, String]): DataFrame = {
+    if (files.isEmpty) return batch.limit(0)
+    val intervals =
+      boxIntervalFrame(s, files, clusterBy, columnMap).drop("path")
+    val cond = clusterBy.zipWithIndex
+      .map { case (c, i) =>
+        batch(c) >= intervals(s"mn_$i") && batch(c) <= intervals(s"mx_$i") }
+      .reduce(_ && _)
+    batch.join(broadcast(intervals), cond, "left_semi")
   }
 
   /** Test-only fault injection: runs immediately before every commit
@@ -1463,6 +1501,17 @@ object MergeTable {
       val touched =
         if (nmbs) existingFiles.map(_.path).toSet // O(table) by semantics
         else touchedPaths(s, existingFiles, batch, clusterBy, headMap)
+      // SOURCE-SIDE pushdown: with no insert clause (and no NMBS), a
+      // source row outside every touched box can only no-op — drop it
+      // before the merge join ([[pruneSourceToBoxes]]); the join's left
+      // side becomes O(touched key range), not O(source)
+      val canPruneSource = notMatched.isEmpty && !nmbs
+      lastSourcePruned = canPruneSource && touched.nonEmpty
+      val effBatch =
+        if (!canPruneSource) batch
+        else pruneSourceToBoxes(s, batch,
+          existingFiles.filter(f => touched.contains(f.path)), clusterBy,
+          headMap)
 
       // ADDITIVE schema evolution: a batch may carry columns the table has
       // never seen — they join the schema, and rows from files written
@@ -1591,7 +1640,7 @@ object MergeTable {
         if (touched.isEmpty) {
           // no matched and no target-only rows exist; only the insert
           // clauses can apply
-          val ins = withAllColumns(batch, schema).alias("s")
+          val ins = withAllColumns(effBatch, schema).alias("s")
           if (!conditional) ins
           else {
             val applies = notMatched.map(c => holds(c.condition))
@@ -1615,8 +1664,8 @@ object MergeTable {
           val old = readFiles(s, table, schema,
             existingFiles.filter(f => touched.contains(f.path)), columnMap)
           if (!conditional) {
-            val incomingKeys = batch.select(keys.map(col): _*).distinct()
-            withAllColumns(batch, schema)
+            val incomingKeys = effBatch.select(keys.map(col): _*).distinct()
+            withAllColumns(effBatch, schema)
               .unionByName(old.join(incomingKeys, keys, "left_anti"))
           } else {
             // one full-outer pass builds all outcomes: delete (the row's
@@ -1630,7 +1679,7 @@ object MergeTable {
             // byte-untouched, exactly as SQL MERGE: a merge specifying
             // only insert/NMBS clauses must NOT silently become
             // last-writer-wins on matched rows.
-            val src = withAllColumns(batch, schema)
+            val src = withAllColumns(effBatch, schema)
               .withColumn("__s_present", lit(true)).alias("s")
             val tgt = old.withColumn("__t_present", lit(true)).alias("t")
             val keyCond = keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
@@ -2085,6 +2134,15 @@ object MergeTable {
       val retired = snapshot.retiredPhysical
       if (attempt == 1) requireClusterable(delKeys, clusterBy, "DELETE key set")
       val touched = touchedPaths(s, snapshot.files, delKeys, clusterBy, headMap)
+      // SOURCE-SIDE pushdown (delete form): a key outside every touched
+      // box deletes nothing — drop it before the semi/anti join, so a
+      // scattered purge list joins O(keys within the touched range)
+      lastSourcePruned = touched.nonEmpty
+      val effDelKeys =
+        if (touched.isEmpty) delKeys
+        else pruneSourceToBoxes(s, delKeys,
+          snapshot.files.filter(f => touched.contains(f.path)), clusterBy,
+          headMap)
 
       /** Metadata-only commit: same files, bumped version, watermark
         * advanced — the txn watermark must be recorded even when nothing
@@ -2158,7 +2216,7 @@ object MergeTable {
         val touchedEntries = snapshot.files.filter(f => touched.contains(f.path))
         val marked = readFilesWithPosition(s, table, schema, touchedEntries,
           headMap)
-          .join(delKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .join(effDelKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
         // pin before the stats pass — the per-file counts and the dataset
         // write must see the same rows (the writeClusteredFiles discipline)
@@ -2215,7 +2273,7 @@ object MergeTable {
         // DV-aware: already-deleted rows must not resurrect as survivors
         val old = readFiles(s, table, schema, touchedEntries, headMap)
         val survivors = old.join(
-          delKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          effDelKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
         val oldCount = touchedEntries.map(_.visibleRows).sum
 
         val (commitId, newFiles) =

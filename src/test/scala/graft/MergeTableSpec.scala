@@ -99,6 +99,52 @@ class MergeTableSpec extends AnyFunSuite {
     assert(m.files.map(_.numRows).sum == 12L)
   }
 
+  test("SOURCE-SIDE pushdown: a matched-only merge drops source rows " +
+    "outside every touched file's box before the join; insert-bearing " +
+    "merges never prune; the prune helper is row-exact on the box test") {
+    import MergeTable.{InsertClause, MergeClause, UpdateSet}
+    val t = freshTable("srcprune")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 1000L, 5.0),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
+    val m = MergeTable.latestManifest(t).get
+    assert(m.files.size >= 8)
+    // a huge scattered source: two keys inside the table's range, the
+    // rest far outside every file box — a matched-only merge must treat
+    // the outside rows as no-ops without joining them
+    val batch = rows(Seq(42L, 43L) ++ (100000L to 100500L), 9.0)
+    // the helper is ROW-exact: survivors are exactly the in-box keys
+    val pruned = MergeTable.pruneSourceToBoxes(spark, batch, m.files,
+      Seq("event_id"), Map.empty)
+      .select("event_id").as[Long].collect().toSet
+    assert(pruned == Set(42L, 43L),
+      s"prune must keep exactly the in-box keys, got ${pruned.size} rows")
+    // end-to-end: guarded matched-only merge — updates land, nothing
+    // inserts, and the prune was applied
+    MergeTable.merge(spark, t, batch, Seq("event_id"), Seq("event_id"),
+      matched = Seq(MergeClause(Some("s.value > t.value"),
+        UpdateSet(Map.empty))))
+    assert(MergeTable.lastSourcePruned,
+      "a matched-only merge must take the source-side prune")
+    val after = MergeTable.read(spark, t)
+      .select(col("event_id"), col("value"))
+      .as[(Long, Double)].collect().toMap
+    assert(after.size == 1000, "no source row outside the boxes may insert")
+    assert(after(42L) == 9.0 && after(43L) == 9.0 && after(44L) == 5.0)
+    // an insert-bearing merge must NOT prune: out-of-box rows insert
+    MergeTable.merge(spark, t, rows(Seq(5000L), 1.0),
+      Seq("event_id"), Seq("event_id"),
+      matched = Seq(MergeClause(None, UpdateSet(Map.empty))),
+      notMatched = Seq(InsertClause(None, Map.empty)))
+    assert(!MergeTable.lastSourcePruned,
+      "an insert-bearing merge must not prune the source")
+    assert(MergeTable.read(spark, t).count() == 1001)
+    // the keyed-delete door prunes its scattered purge list the same way
+    val deleted = MergeTable.mergeDelete(spark, t,
+      (Seq(42L) ++ (200000L to 200300L)).toDF("event_id"))
+    assert(deleted == 1L && MergeTable.lastSourcePruned)
+    assert(MergeTable.read(spark, t).count() == 1000)
+  }
+
   test("file pruning: a batch touching one file's key range rewrites only it") {
     val t = freshTable("prune")
     // 4096 rows/file default → force multiple files with a small target
