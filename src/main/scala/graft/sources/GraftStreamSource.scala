@@ -3,10 +3,19 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.StructType
 
 import graft.ops.MergeTable
+
+/** Mid-snapshot offset: the initial snapshot of `version` has delivered
+  * its first `files` manifest files (0 < files < total). The steady
+  * state keeps writing plain [[LongOffset]]s — a checkpoint from any
+  * prior build parses unchanged, and a stream that never configures
+  * `maxBytesPerTrigger` never writes this form at all. */
+private[sources] case class GraftSnapshotOffset(version: Long, files: Long)
+    extends V1Offset {
+  override val json: String = s"""{"version":$version,"file":$files}"""
+}
 
 /** `spark.readStream.format("graft").load(path)` — the streaming CHANGE
   * DATA FEED as a first-class source, with COMMIT VERSIONS as offsets.
@@ -24,7 +33,9 @@ import graft.ops.MergeTable
   * Semantics (each micro-batch may span several commits; every row
   * carries its `_commit_version`):
   *
-  *  - offset `v` = "all changes up to and including version v emitted".
+  *  - offset `v` = "all changes up to and including version v emitted";
+  *    the composite `{"version":v,"file":f}` form additionally means
+  *    "…and the first f files of v's initial snapshot".
   *  - first batch: the full snapshot of the CURRENT version as INSERTs
   *    (`feed_type = "snapshot"`), or — with `startingVersion = N` —
   *    the per-version diffs from N forward (N = 0 boots from its own
@@ -41,8 +52,10 @@ import graft.ops.MergeTable
   *    record is gone is skipped (subsumed by the next readable
   *    version's boot).
   *  - `maxVersionsPerTrigger` caps how many commits one micro-batch
-  *    folds (the recovery-after-lag throttle; the restart batch is
-  *    uncapped because its range was already checkpointed).
+  *    folds. With a `startingVersion` it applies from the FIRST batch
+  *    (the boot range pages like any lag); the restart batch after a
+  *    checkpoint stays uncapped because its range was already
+  *    checkpointed.
   *  - `maxBytesPerTrigger` caps the DATA VOLUME a micro-batch folds:
   *    versions join the batch until their summed diff cost (bytes of
   *    files added + files removed by each commit — both sides are read
@@ -51,6 +64,26 @@ import graft.ops.MergeTable
   *    least one version always delivers (a commit larger than the budget
   *    still flows — pacing, never starvation). Entries written before
   *    the `bytes` manifest field parse as 0 and don't throttle.
+  *  - **paced initial snapshot**: under `maxBytesPerTrigger`, the
+  *    default-start snapshot itself pages FILE BY FILE through
+  *    [[GraftSnapshotOffset]]s — batch 0 of a 100 TB table delivers a
+  *    budget's worth of its manifest files, not the whole table, and a
+  *    mid-snapshot restart resumes at the checkpointed file index
+  *    exactly-once (the manifest's file list is immutable per version,
+  *    so the slice boundaries are stable across restarts). Every slice
+  *    carries the same feed_type as the unpaced snapshot would. The
+  *    BEYOND-RETENTION reset snapshot is intentionally NOT paced: the
+  *    reset contract is "this batch replaces prior state", which only
+  *    holds single-batch. If the snapshot's own manifest is vacuumed
+  *    mid-paging (a stream lagging past retention), delivery resets to
+  *    the head's full snapshot, the standard reset semantics.
+  *
+  * Offset-safety note: a getOffset with NO seen state means a genuinely
+  * FRESH stream — on every restart Spark's MicroBatchExecution first
+  * replays `getBatch` with the checkpointed offsets (the documented V1
+  * source-initialization call in `populateStartOffsets`), which seeds
+  * [[lastSeen]] before any new offset is requested. The paced
+  * first-batch offsets therefore can never regress below a checkpoint.
   *
   * The column set is PINNED at stream start (table columns + `<c>_pre`
   * preimages + `change_type`, `feed_type`, `_commit_version`). A
@@ -80,11 +113,16 @@ class GraftStreamSource(
 
   override val schema: StructType = shape.schema
 
-  /** Highest offset this source has handed to the engine — the anchor
-    * for the per-trigger version cap. None right after (re)start: the
-    * first trigger is uncapped (its range is either the initial batch or
-    * already checkpointed). */
-  @volatile private var lastSeen: Option[Long] = None
+  /** Highest offset this source has handed to the engine, as
+    * (version, filesDeliveredIfMidSnapshot). None ONLY on a genuinely
+    * fresh stream: every restart replays the checkpointed range through
+    * [[getBatch]] (which seeds this) before the next [[getOffset]]. */
+  @volatile private var lastSeen: Option[(Long, Option[Long])] = None
+
+  /** Total order over offsets: a completed version sorts above every
+    * mid-snapshot prefix of it. */
+  private def ord(o: (Long, Option[Long])): (Long, Long) =
+    (o._1, o._2.getOrElse(Long.MaxValue))
 
   /** One version's read volume: bytes of the files its commit added plus
     * the files it removed (the diff reads BOTH sides for preimages); a
@@ -101,75 +139,179 @@ class GraftStreamSource(
     case _ => 0L // version gone: skipped, delivers nothing
   }
 
-  override def getOffset: Option[V1Offset] = {
-    val latest = MergeTable.latestManifest(tablePath).map(_.version)
-    val capped = (latest, lastSeen) match {
-      case (Some(l), Some(seen)) =>
-        val hard = math.min(l, seen + maxVersionsPerTrigger)
-        val end = maxBytesPerTrigger match {
-          case Some(budget) if hard > seen =>
-            // spend the byte budget version by version; the FIRST version
-            // always joins (an over-budget single commit must still flow)
-            var v = seen + 1
-            var cur = tryManifest(v)
-            var spent = diffCost(tryManifest(seen), cur)
-            var stop = false
-            while (!stop && v < hard) {
-              val next = tryManifest(v + 1)
-              val c = diffCost(cur, next)
-              if (spent + c > budget) stop = true
-              else { spent += c; v += 1; cur = next }
-            }
-            v
-          case _ => hard
+  /** The end version of the next diff batch: `seen`+1 onward under the
+    * version cap, then the byte budget version by version; the FIRST
+    * version always joins (an over-budget single commit must still
+    * flow). */
+  private def pacedDiffEnd(seen: Long, head: Long): Long = {
+    val hard = math.min(head, seen + maxVersionsPerTrigger)
+    maxBytesPerTrigger match {
+      case Some(budget) if hard > seen =>
+        var v = seen + 1
+        var cur = tryManifest(v)
+        var spent = diffCost(tryManifest(seen), cur)
+        var stop = false
+        while (!stop && v < hard) {
+          val next = tryManifest(v + 1)
+          val c = diffCost(cur, next)
+          if (spent + c > budget) stop = true
+          else { spent += c; v += 1; cur = next }
         }
-        Some(end)
-      case (l, None) => l
+        v
+      case _ => hard
     }
-    capped.map(v => LongOffset(v))
   }
 
-  private def vOf(o: V1Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // SerializedOffset from the checkpoint
+  /** Walk a snapshot's file list from index `from`, spending the byte
+    * budget; the first file always joins. Returns the exclusive end
+    * index of the slice. */
+  private def paceFiles(files: Seq[MergeTable.DataFileEntry], from: Int,
+      budget: Long): Int = {
+    var i = from
+    var spent = 0L
+    var stop = false
+    while (i < files.size && !stop) {
+      val c = files(i).bytes
+      if (i > from && spent + c > budget) stop = true
+      else { spent += c; i += 1 }
+    }
+    i
+  }
+
+  /** The next offset for (a slice of) version `v`'s initial snapshot:
+    * a [[GraftSnapshotOffset]] while files remain beyond the budget, the
+    * plain completed offset once the slice reaches the end. */
+  private def snapshotEnd(m: MergeTable.TableManifest,
+      from: Int): V1Offset = maxBytesPerTrigger match {
+    case Some(budget) =>
+      val f = paceFiles(m.files, from, budget)
+      if (f >= m.files.size) LongOffset(m.version)
+      else GraftSnapshotOffset(m.version, f)
+    case None => LongOffset(m.version)
+  }
+
+  override def getOffset: Option[V1Offset] = {
+    val latest = MergeTable.latestManifest(tablePath)
+    (latest, lastSeen) match {
+      case (None, _) => None
+      case (Some(l), None) => startingVersion match {
+        // fresh explicit-version start: the boot range pages under the
+        // SAME caps as steady state, anchored one below the start
+        case Some(from) => Some(LongOffset(pacedDiffEnd(from - 1, l.version)))
+        // fresh default start: page the INITIAL SNAPSHOT by bytes
+        case None => Some(snapshotEnd(l, 0))
+      }
+      case (Some(l), Some((seenV, Some(seenF)))) =>
+        // mid-snapshot: finish paging version seenV's snapshot before
+        // any diff (newer commits queue behind it)
+        tryManifest(seenV) match {
+          case Some(m) => Some(snapshotEnd(m, seenF.toInt))
+          case None =>
+            // the snapshot's own manifest was vacuumed mid-paging: the
+            // head snapshot RESETS the consumer (single-batch by the
+            // reset contract, so deliberately unpaced)
+            Some(LongOffset(l.version))
+        }
+      case (Some(l), Some((seenV, None))) =>
+        Some(LongOffset(pacedDiffEnd(seenV, l.version)))
+    }
+  }
+
+  private val SnapJson =
+    """\s*\{\s*"version"\s*:\s*(-?\d+)\s*,\s*"file"\s*:\s*(\d+)\s*\}\s*""".r
+
+  /** Decode any offset form: plain long (this build's steady state AND
+    * every pre-pacing checkpoint — an old checkpoint resumes untouched)
+    * or the composite mid-snapshot JSON. */
+  private def decode(o: V1Offset): (Long, Option[Long]) = o match {
+    case l: LongOffset => (l.offset, None)
+    case s: GraftSnapshotOffset => (s.version, Some(s.files))
+    case other => other.json.trim match {
+      case SnapJson(v, f) => (v.toLong, Some(f.toLong))
+      case plain => (plain.toLong, None)
+    }
   }
 
   private def tryManifest(v: Long): Option[MergeTable.TableManifest] =
-    try MergeTable.manifestAt(tablePath, v)
+    if (v < 0) None
+    else try MergeTable.manifestAt(tablePath, v)
     catch { case _: MergeTable.MissingVersionException => None }
 
   private def versionChanges(v: Long): Option[DataFrame] =
     GraftChangeFeed.versionChanges(spark, shape, v)
 
+  /** `feed_type` of version v's initial snapshot — v0 is its own first
+    * delta ("diff"), anything later is a true snapshot boot. */
+  private def bootFeed(v: Long): String = if (v == 0L) "diff" else "snapshot"
+
   private def snapshotFrame(m: MergeTable.TableManifest,
       feedType: String): DataFrame =
     GraftChangeFeed.snapshotFrame(spark, shape, m, feedType)
 
+  /** Files [from, until) of `m`'s snapshot as INSERTs — the slice IS the
+    * snapshot read over a file subset (deletion vectors and column
+    * mapping apply per file), and the manifest's file order is immutable
+    * for a committed version, so slice boundaries are restart-stable. */
+  private def snapshotSlice(m: MergeTable.TableManifest, from: Long,
+      until: Long, feedType: String): Option[DataFrame] =
+    if (until <= from) None
+    else Some(snapshotFrame(
+      m.copy(files = m.files.slice(from.toInt, until.toInt)), feedType))
+
   private def emptyFrame: DataFrame = GraftChangeFeed.emptyFrame(spark, shape)
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val endV = vOf(end)
-    lastSeen = Some(math.max(endV, lastSeen.getOrElse(Long.MinValue)))
-    val frames: Seq[DataFrame] = start.map(vOf) match {
-      case Some(s) =>
+    val (endV, endF) = decode(end)
+    val startDec = start.map(decode)
+    lastSeen = Some(Seq(Some((endV, endF)), startDec, lastSeen)
+      .flatten.maxBy(ord))
+    val frames: Seq[DataFrame] = startDec match {
+      case Some((sv, sfOpt)) =>
         // an end BELOW the checkpointed start means the table was
         // dropped and recreated under the live checkpoint — its version
         // counter restarted, and treating the new incarnation's commits
         // as diffs of the old one would deliver garbage
-        require(endV >= s,
+        require(endV >= sv,
           s"graft stream over $tablePath: available version v$endV is " +
-            s"below the checkpointed offset v$s — the table was recreated " +
+            s"below the checkpointed offset v$sv — the table was recreated " +
             "under this checkpoint; start a fresh checkpoint")
-        // a startingVersion AHEAD of the head at stream start still
-        // gates later batches: versions below it are never delivered
-        val lo = math.max(s + 1, startingVersion.getOrElse(Long.MinValue))
-        (lo to endV).flatMap(versionChanges)
+        sfOpt match {
+          case Some(sf) => tryManifest(sv) match {
+            case Some(m) =>
+              // mid-snapshot continuation: the next file slice of sv's
+              // snapshot, then (restart only) any diffs through endV
+              val until =
+                if (endV == sv) endF.getOrElse(m.files.size.toLong)
+                else m.files.size.toLong
+              val slice = snapshotSlice(m, sf, until, bootFeed(sv))
+              val diffs =
+                if (endV > sv) (sv + 1 to endV).flatMap(versionChanges)
+                else Seq.empty
+              slice.toSeq ++ diffs
+            case None =>
+              // sv's manifest vacuumed mid-paging: RESET at the end
+              // version (full snapshot; the reset contract is
+              // single-batch)
+              tryManifest(endV).map(m2 =>
+                snapshotFrame(m2, "snapshot")).toSeq
+          }
+          case None =>
+            require(endF.isEmpty,
+              s"graft stream over $tablePath: offset regression — end " +
+                s"$endV@${endF.get} is mid-snapshot below the completed v$sv")
+            // a startingVersion AHEAD of the head at stream start still
+            // gates later batches: versions below it are never delivered
+            val lo = math.max(sv + 1, startingVersion.getOrElse(Long.MinValue))
+            (lo to endV).flatMap(versionChanges)
+        }
       case None => startingVersion match {
         case Some(from) => (from to endV).flatMap(versionChanges)
         case None =>
-          // initial batch: the current snapshot as INSERTs
-          tryManifest(endV).map(m =>
-            snapshotFrame(m, if (endV == 0L) "diff" else "snapshot")).toSeq
+          // initial batch: the current snapshot as INSERTs — all of it,
+          // or the first paced slice under maxBytesPerTrigger
+          tryManifest(endV).flatMap(m =>
+            snapshotSlice(m, 0L, endF.getOrElse(m.files.size.toLong),
+              bootFeed(endV))).toSeq
       }
     }
     val out = if (frames.isEmpty) emptyFrame else frames.reduce(_ unionByName _)

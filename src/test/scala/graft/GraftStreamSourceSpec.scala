@@ -348,6 +348,74 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(all.count(_._1 == 1L) == 8000 && all.count(_._1 == 4L) == 8000)
   }
 
+  test("paced initial snapshot: under maxBytesPerTrigger a default-start " +
+    "stream delivers the snapshot in multiple file-sliced batches — " +
+    "exactly-once across a MID-SNAPSHOT restart, final state equal to " +
+    "the batch read") {
+    val t = fresh("snap-pace")
+    // one commit, many files: ~20 KB across 10 files of irregular doubles
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 2000L).map(i => (i, s"t${i % 7}", i * 2.7182818))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 200,
+      txn = Some(("seed", 0L)))
+    val m0 = MergeTable.latestManifest(t).get
+    assert(m0.files.size == 10)
+    val budget = m0.files.map(_.bytes).sum / 4 // → ≥4 paced batches
+    val opts = Map("maxBytesPerTrigger" -> budget.toString)
+
+    // Trigger.Once = ONE micro-batch per start → every batch boundary is
+    // a full stop/restart of the query, so each slice handoff exercises
+    // the mid-snapshot checkpoint resume path
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = fresh("snap-pace-ckpt")
+    val batches = mutable.Buffer.empty[Seq[Row]]
+    def runOne(): Unit = {
+      val reader = opts.foldLeft(spark.readStream.format("graft")) {
+        case (r, (k, v)) => r.option(k, v) }
+      val q = reader.load(t).writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect().toSeq
+          batches.synchronized { if (rows.nonEmpty) batches += rows }
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    (1 to 12).foreach(_ => runOne()) // more restarts than slices: idempotent
+    assert(batches.size >= 4,
+      s"a quarter-budget must pace the snapshot into ≥4 batches, " +
+        s"got ${batches.size}")
+    val all = batches.flatten.map(key)
+    assert(all.size == 2000 && all.toSet.size == 2000,
+      s"exactly-once across mid-snapshot restarts: ${all.size} rows, " +
+        s"${all.toSet.size} distinct")
+    assert(all.forall(r => r._2 == "INSERT" && r._3 == "diff" && r._1 == 0L))
+    // final state equals the batch read of the same snapshot
+    val batchRead = MergeTable.read(spark, t)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(all.map(r => (r._4, r._5, r._6)).toSet == batchRead)
+
+    // a commit landing AFTER the snapshot streams as a plain diff, and a
+    // continuously-running stream (processAllAvailable) finishes any lag
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "upd", 9.9)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L)))
+    val tail = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, tail, opts)
+    val diff = tail.flatten.map(key)
+    assert(diff == Seq((1L, "UPDATE", "diff", 1L, "upd", 9.9,
+      Some(1.0 * 2.7182818))), diff.toString)
+
+    // without a byte budget the snapshot still arrives in ONE batch
+    // (plain long offsets — the pre-pacing checkpoint format)
+    val one = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, fresh("snap-unpaced-ckpt"), one)
+    assert(one.size == 1 && one.head.size == 2000)
+  }
+
   test("a range wider than the plan-width bar reads batch-wise in bounded " +
     "RDD-stitched chunks, equal to the streamed replay; the analysis-time " +
     "TVF redirects; chunk width is capped by the bar") {
