@@ -69,6 +69,19 @@ import graft.sources.GraftTable
   *    re-read: a residual alongside `WHEN NOT MATCHED BY SOURCE` clauses
   *    (strict SQL would count a key-matched-but-residual-failing target
   *    row as not-matched-by-source; the key-scoped engine cannot).
+  *  - OR-OF-KEY-TUPLES — `ON (t.id = s.primary_id) OR (t.id = s.alias_id)`:
+  *    multi-key batch addressing (update/delete a record by ANY of its
+  *    identifiers in one statement). Each disjunct must be a pure
+  *    key-tuple equality over the same target key set; the source
+  *    EXPLODES into one addressing per disjunct (exact duplicates
+  *    collapse), so standard-MERGE semantics hold — including the
+  *    cardinality violation when two addressings hit one target key.
+  *    Matched-only by construction: `WHEN NOT MATCHED` (which candidate
+  *    key would the new row take?) and `WHEN NOT MATCHED BY SOURCE`
+  *    (quantifies over ALL addressings) are rejected with the rewrite
+  *    spelled out, as are residuals inside disjuncts. Address-only
+  *    source columns are dropped after addressing — clauses reference
+  *    the target key (`t.id`/`s.id`), never a bare alias column.
   *
   * Rejected loudly: rekeying UPDATEs, duplicate SET columns, an
   * unconditional clause followed by more clauses of its group (dead code
@@ -367,42 +380,97 @@ object GraftSql {
         conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    // (target key name, source column name) per key conjunct
-    val (keyPairs, residualExprs) = conjuncts(m.mergeCondition)
-      .foldLeft((Seq.empty[(String, String)], Seq.empty[Expression])) {
-        case ((ks, rs), eq @ EqualTo(l, r)) =>
-          (sideName(l), sideName(r)) match {
-            case (Some((Some(T), tn)), Some((Some(S), sn))) =>
-              (ks :+ (tn -> sn), rs)
-            case (Some((Some(S), sn)), Some((Some(T), tn))) =>
-              (ks :+ (tn -> sn), rs)
-            case (Some((_, ln)), Some((_, rn)))
-                if ln.equalsIgnoreCase(rn) &&
-                  !(sideName(l).get._1 == sideName(r).get._1 &&
-                    sideName(l).get._1.isDefined) =>
-              // same name, at most one side attributed: the classic
-              // t.k = s.k key shape (or its unqualified spelling)
-              (ks :+ (ln -> ln), rs)
-            case (Some((sl, ln)), Some((sr, rn)))
-                if sl.isDefined && sl == sr =>
-              // both columns on ONE side: a predicate, not a key
-              (ks, rs :+ eq)
-            case (Some((_, ln)), Some((_, rn))) => unsupported(
-              s"ON equality ${eq.sql} compares differently-named columns " +
-                "whose sides cannot be attributed — qualify both " +
-                "(t.<col> = s.<col>)")
-            case _ => (ks, rs :+ eq) // literal / expression compare: residual
-          }
-        case ((ks, rs), other) => (ks, rs :+ other)
+    // top-level OR split: each disjunct is one KEY-TUPLE ADDRESSING
+    // (multi-tuple batch addressing — see the OR handling below); a
+    // single disjunct is the ordinary ON shape
+    def disjunctsOf(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        disjunctsOf(l) ++ disjunctsOf(r)
+      case other => Seq(other)
+    }
+    // (target key name, source column name) pairs + residuals of ONE
+    // conjunction
+    def classifyOn(on: Expression): (Seq[(String, String)], Seq[Expression]) =
+      conjuncts(on)
+        .foldLeft((Seq.empty[(String, String)], Seq.empty[Expression])) {
+          case ((ks, rs), eq @ EqualTo(l, r)) =>
+            (sideName(l), sideName(r)) match {
+              case (Some((Some(T), tn)), Some((Some(S), sn))) =>
+                (ks :+ (tn -> sn), rs)
+              case (Some((Some(S), sn)), Some((Some(T), tn))) =>
+                (ks :+ (tn -> sn), rs)
+              case (Some((_, ln)), Some((_, rn)))
+                  if ln.equalsIgnoreCase(rn) &&
+                    !(sideName(l).get._1 == sideName(r).get._1 &&
+                      sideName(l).get._1.isDefined) =>
+                // same name, at most one side attributed: the classic
+                // t.k = s.k key shape (or its unqualified spelling)
+                (ks :+ (ln -> ln), rs)
+              case (Some((sl, ln)), Some((sr, rn)))
+                  if sl.isDefined && sl == sr =>
+                // both columns on ONE side: a predicate, not a key
+                (ks, rs :+ eq)
+              case (Some((_, ln)), Some((_, rn))) => unsupported(
+                s"ON equality ${eq.sql} compares differently-named columns " +
+                  "whose sides cannot be attributed — qualify both " +
+                  "(t.<col> = s.<col>)")
+              case _ => (ks, rs :+ eq) // literal / expression compare: residual
+            }
+          case ((ks, rs), other) => (ks, rs :+ other)
+        }
+    val onDisjuncts = disjunctsOf(m.mergeCondition)
+    val multiTuple = onDisjuncts.size > 1
+    val disjunctParts = onDisjuncts.map(classifyOn)
+    if (multiTuple) {
+      // OR-of-key-tuples — `ON (t.k = s.a) OR (t.k = s.b)`: one source
+      // row ADDRESSES up to one target key per disjunct (update a record
+      // by primary OR alias id in one statement). Semantics are the
+      // standard-MERGE ones via source EXPLOSION below; three shapes are
+      // rejected with their rewrite spelled out because no sound reading
+      // exists in the key-unique model:
+      disjunctParts.zipWithIndex.foreach { case ((ks, rs), i) =>
+        if (rs.nonEmpty) unsupported(
+          s"OR-of-key-tuples ON: disjunct ${i + 1} carries non-key " +
+            s"predicates (${rs.map(_.sql).mkString(" AND ")}) — each " +
+            "disjunct must be a pure key-tuple equality; move predicates " +
+            "into WHEN clause conditions")
+        if (ks.isEmpty) unsupported(
+          s"OR-of-key-tuples ON: disjunct ${i + 1} has no t.<key> = " +
+            "s.<col> equality")
       }
+      val keySets = disjunctParts.map(
+        _._1.map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet)
+      if (keySets.distinct.size > 1) unsupported(
+        "OR-of-key-tuples ON: every disjunct must address the SAME " +
+          s"target key set; got ${keySets.mkString(" vs ")}")
+      if (m.notMatchedActions.nonEmpty) unsupported(
+        "OR-of-key-tuples ON cannot carry WHEN NOT MATCHED inserts — a " +
+          "never-matched source row offers several candidate key tuples " +
+          "and no rule picks one; insert through a second single-tuple " +
+          "MERGE (or INSERT INTO) choosing the address explicitly")
+      if (m.notMatchedBySourceActions.nonEmpty) unsupported(
+        "OR-of-key-tuples ON cannot carry WHEN NOT MATCHED BY SOURCE " +
+          "clauses — a target row is 'not matched' only against ALL " +
+          "addressings of all source rows, which the per-tuple explosion " +
+          "does not quantify; run the NMBS sweep as its own MERGE")
+    }
+    // the single-tuple path's pairs (multi-tuple handles its own below)
+    val (keyPairs, residualExprs) =
+      if (multiTuple) (disjunctParts.head._1, Seq.empty[Expression])
+      else disjunctParts.head
     val parsedKeys = keyPairs.map(_._1)
     require(parsedKeys.nonEmpty,
       "MERGE needs at least one t.<key> = s.<key> equality in ON")
-    // cross-named keys: source column (lower-cased) → target key name
-    val srcRename: Map[String, String] = keyPairs.collect {
-      case (tn, sn) if !tn.equalsIgnoreCase(sn) =>
-        sn.toLowerCase(java.util.Locale.ROOT) -> tn
-    }.toMap
+    // cross-named keys: source column (lower-cased) → target key name.
+    // Multi-tuple ON keeps this EMPTY — the rename is per-disjunct and
+    // happens in the explosion; clause expressions there reference the
+    // target key names (or payload columns), never a bare address column
+    val srcRename: Map[String, String] =
+      if (multiTuple) Map.empty
+      else keyPairs.collect {
+        case (tn, sn) if !tn.equalsIgnoreCase(sn) =>
+          sn.toLowerCase(java.util.Locale.ROOT) -> tn
+      }.toMap
     def mapSrc(n: String): String =
       srcRename.getOrElse(n.toLowerCase(java.util.Locale.ROOT), n)
 
@@ -578,18 +646,68 @@ object GraftSql {
     // column that would additively evolve the table schema
     val source0 =
       org.apache.spark.sql.graftbridge.Bridge.ofRows(s, m.sourceTable)
-    val source = srcRename.foldLeft(source0) { case (df, (srcLower, tgt)) =>
-      val actual = df.columns.find(
-        _.toLowerCase(java.util.Locale.ROOT) == srcLower).getOrElse(
-        unsupported(s"ON references source column '$srcLower' which the " +
+    def actualSrcCol(snLower: String): String =
+      source0.columns.find(
+        _.toLowerCase(java.util.Locale.ROOT) == snLower).getOrElse(
+        unsupported(s"ON references source column '$snLower' which the " +
           "source does not produce"))
-      if (df.columns.exists(c => c.equalsIgnoreCase(tgt) &&
-          !c.equalsIgnoreCase(actual)))
-        unsupported(s"ON maps source column '$actual' onto target key " +
-          s"'$tgt', but the source ALSO has a column named '$tgt' — the " +
-          "rename would clobber it; alias it away in the source")
-      df.withColumnRenamed(actual, tgt)
-    }
+    val source =
+      if (multiTuple) {
+        // EXPLOSION: one frame per disjunct, target keys assigned from
+        // that disjunct's address columns (one select, so swapped
+        // addressings like ON (t.a=s.b AND t.b=s.a) read the ORIGINAL
+        // row), unioned and exact-deduplicated (the same row addressing
+        // the same key through two disjuncts is one merge row, not a
+        // key-uniqueness violation). Address-ONLY columns — source
+        // columns used as addresses that are not table columns — are
+        // DROPPED: carrying them would additively widen the table schema
+        // with every alias column, and a clause referencing one is
+        // ambiguous across disjuncts anyway (it fails clause validation
+        // loudly; reference the target key instead). Two genuinely
+        // distinct source rows addressing one key still collide in the
+        // engine's key-uniqueness check — the standard MERGE cardinality
+        // violation, surfaced with the same error.
+        val tableColsLower = MergeTable.latestManifest(path) match {
+          case Some(h) => org.apache.spark.sql.types.DataType
+            .fromJson(h.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          case None => unsupported(
+            "OR-of-key-tuples ON addresses an EXISTING table's keys " +
+              s"(matched-only semantics); $path has no committed version")
+        }
+        val addressOnly: Set[String] = disjunctParts.flatMap(_._1).collect {
+          case (tn, sn) if !sn.equalsIgnoreCase(tn) =>
+            sn.toLowerCase(java.util.Locale.ROOT)
+        }.toSet -- tableColsLower
+        import org.apache.spark.sql.functions.col
+        val frames = disjunctParts.map { case (ks, _) =>
+          val keyMap = ks.map { case (tn, sn) =>
+            tn.toLowerCase(java.util.Locale.ROOT) ->
+              actualSrcCol(sn.toLowerCase(java.util.Locale.ROOT))
+          }.toMap
+          val kept = source0.columns.toSeq.flatMap { c =>
+            val lc = c.toLowerCase(java.util.Locale.ROOT)
+            if (addressOnly.contains(lc)) None
+            else if (keyMap.contains(lc)) Some(col(keyMap(lc)).as(c))
+            else Some(col(c))
+          }
+          val missing = ks.collect {
+            case (tn, sn) if !source0.columns.exists(_.equalsIgnoreCase(tn)) =>
+              col(actualSrcCol(sn.toLowerCase(java.util.Locale.ROOT))).as(tn)
+          }
+          source0.select(kept ++ missing: _*)
+        }
+        frames.reduce(_ unionByName _).distinct()
+      } else srcRename.foldLeft(source0) { case (df, (srcLower, tgt)) =>
+        val actual = actualSrcCol(srcLower)
+        if (df.columns.exists(c => c.equalsIgnoreCase(tgt) &&
+            !c.equalsIgnoreCase(actual)))
+          unsupported(s"ON maps source column '$actual' onto target key " +
+            s"'$tgt', but the source ALSO has a column named '$tgt' — the " +
+            "rename would clobber it; alias it away in the source")
+        df.withColumnRenamed(actual, tgt)
+      }
     val (keys, clusterBy) = MergeTable.latestManifest(path) match {
       case Some(head) =>
         // the engine pins key ORDER per table; accept any ON order with

@@ -647,4 +647,91 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(out(15L) == (("ok", 15.0)) && out(18L) == (("ok", 18.0)))
     assert(out.size == 20) // no insert clause → nothing inserts
   }
+
+  private def mkOrBatch(): Unit =
+    Seq(
+      (3L, 300L, 7.7),   // primary addresses id 3 ('ok'): update
+      (400L, 8L, 5.5),   // alias addresses id 8 ('error'): delete
+      (500L, 600L, 1.1), // neither address matches: NO action, NO insert
+      (9L, 9L, 2.2))     // both disjuncts address id 9: dedup, one update
+      .toDF("primary_id", "alias_id", "value")
+      .createOrReplaceTempView("gsql_or_batch")
+
+  test("OR-of-key-tuples ON: a row addresses a target by primary OR " +
+    "alias id — matched-only semantics, both doors bit-identical, " +
+    "duplicate addressings of one key collapse") {
+    mkOrBatch()
+    val stmt = (t: String) =>
+      s"""MERGE INTO graft.`$t` AS t USING gsql_or_batch AS s
+         |ON (t.event_id = s.primary_id) OR (t.event_id = s.alias_id)
+         |WHEN MATCHED AND t.event_type = 'error' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin
+    val (t1, t2) = (seedTable("ortuple1"), seedTable("ortuple2"))
+    GraftSql.mergeInto(spark, stmt(t1))
+    spark.sql(stmt(t2))
+    Seq(t1, t2).foreach { t =>
+      val out = state(t)
+      assert(out(3L) == (("ok", 7.7)), "primary addressing updates")
+      assert(!out.contains(8L), "alias addressing reaches the delete clause")
+      assert(out(9L) == (("ok", 2.2)),
+        "both-disjuncts-same-key addressings dedup to one update")
+      assert(!out.contains(500L) && !out.contains(600L),
+        "a never-matched row must NOT insert (matched-only semantics)")
+      assert(out.size == 19)
+      // the alias column must NOT have widened the table schema
+      assert(!MergeTable.read(spark, t).columns.exists(
+        c => c.equalsIgnoreCase("primary_id") || c.equalsIgnoreCase("alias_id")))
+    }
+  }
+
+  test("OR-of-key-tuples ON: cardinality violation — two source rows " +
+    "addressing ONE target key through different disjuncts reject as " +
+    "key-duplication, the standard MERGE multi-match error") {
+    Seq((5L, 900L, 1.0), (901L, 5L, 2.0))
+      .toDF("primary_id", "alias_id", "value")
+      .createOrReplaceTempView("gsql_or_dup")
+    val t = seedTable("ordup")
+    val e = intercept[Exception](GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_or_dup AS s
+         |ON (t.event_id = s.primary_id) OR (t.event_id = s.alias_id)
+         |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin))
+    assert(e.getMessage.contains("key-unique"), e.getMessage)
+  }
+
+  test("OR-of-key-tuples ON: unsupported shapes reject with the rewrite " +
+    "spelled out — inserts, NMBS, in-disjunct residuals, and clauses " +
+    "referencing a dropped address column") {
+    mkOrBatch()
+    val t = seedTable("orreject")
+    def run(sql: String): Exception =
+      intercept[Exception](GraftSql.mergeInto(spark, sql))
+    val on = s"ON (t.event_id = s.primary_id) OR (t.event_id = s.alias_id)"
+    // inserts: which candidate key would a never-matched row take?
+    assert(run(
+      s"""MERGE INTO graft.`$t` AS t USING gsql_or_batch AS s $on
+         |WHEN MATCHED THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED THEN INSERT (event_id, value)
+         |  VALUES (s.primary_id, s.value)""".stripMargin)
+      .getMessage.contains("WHEN NOT MATCHED"))
+    // NMBS quantifies over all addressings
+    assert(run(
+      s"""MERGE INTO graft.`$t` AS t USING gsql_or_batch AS s $on
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      .getMessage.contains("NOT MATCHED BY SOURCE"))
+    // a residual inside a disjunct
+    assert(run(
+      s"""MERGE INTO graft.`$t` AS t USING gsql_or_batch AS s
+         |ON (t.event_id = s.primary_id AND s.value > 0)
+         |  OR (t.event_id = s.alias_id)
+         |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin)
+      .getMessage.contains("pure key-tuple"))
+    // a clause referencing the dropped address column fails loudly at
+    // clause validation (reference the target key instead)
+    assert(run(
+      s"""MERGE INTO graft.`$t` AS t USING gsql_or_batch AS s $on
+         |WHEN MATCHED THEN UPDATE SET value = s.alias_id + 0.0""".stripMargin)
+      .getMessage.toLowerCase.contains("resolve"))
+    // nothing committed by any rejected statement
+    assert(state(t).size == 20)
+  }
 }
