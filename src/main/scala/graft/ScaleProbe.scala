@@ -85,10 +85,13 @@ object ScaleProbe {
     import spark.implicits._
     // optional: "rangejoin <nIntervals>" runs ONLY the range-join probe at
     // the given interval count (points scale 5×) — the 10⁶ measurement the
-    // RangeJoinExec-codegen decision rests on
+    // RangeJoinExec-codegen decision rests on; "sourceprune" runs only the
+    // merge source-prune probe (dev iteration on one claim)
     val rangeOnly = args.headOption.contains("rangejoin")
+    val srcPruneOnly = args.headOption.contains("sourceprune")
     val nIntervals = if (args.length > 1) args(1).toInt else 100000
 
+    if (srcPruneOnly) { probeSourcePrune(spark); spark.stop(); return }
     if (!rangeOnly) {
       probeDedupCandidates(spark); probeNativeKernels(spark)
       probeSelectionOps(spark); probeMaintenanceOps(spark)

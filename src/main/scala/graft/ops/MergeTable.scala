@@ -1196,33 +1196,46 @@ object MergeTable {
   }
 
   /** Spec/probe observability: did the last [[merge]]/[[mergeDelete]]
-    * apply the SOURCE-SIDE box prune? Execution metadata only. */
-  @volatile private[graft] var lastSourcePruned: Boolean = false
+    * AGAINST THIS TABLE apply the source-side box prune? Keyed by table
+    * path so concurrent suites can't clobber each other's observation.
+    * Execution metadata only — never consulted by the merge path. */
+  private val sourcePruneAudit =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def lastSourcePrunedFor(table: String): Boolean =
+    Option(sourcePruneAudit.get(table)).exists(_.booleanValue)
+  private def recordSourcePrune(table: String, pruned: Boolean): Unit =
+    sourcePruneAudit.put(table, pruned)
 
-  /** SOURCE-SIDE pushdown for merges that cannot insert: a source row
-    * whose cluster tuple falls inside NO touched file's box can match no
-    * target row, and with no insert / not-matched-by-source clause its
-    * only possible outcome is "no action" — so it is dropped BEFORE the
-    * merge join via a broadcast left-semi against the touched files'
-    * interval table. At scale this turns a matched-only merge (SQL
-    * UPDATE/DELETE find-sets, CDC guarded updates) over a huge source
-    * into O(rows within the touched key range) join work instead of
-    * O(source). Sound by the same invariant as file pruning: clusterBy ⊆
+  /** SOURCE-SIDE pushdown: a source row whose cluster tuple falls inside
+    * NO touched file's box can match no target row — its only possible
+    * outcomes are "no action" (matched-only merge) or the insert path
+    * (which needs no join). `complement = false` keeps exactly the
+    * possibly-matching rows (broadcast left-semi against the touched
+    * files' interval table — the merge join's left side);
+    * `complement = true` keeps exactly the provably-unmatched rest
+    * (left-anti — fed straight to the insert clauses, bypassing the
+    * join). At scale this turns the join side of ANY non-NMBS merge
+    * into O(rows within the touched key range) instead of O(source):
+    * matched-only merges (SQL UPDATE/DELETE find-sets, CDC guarded
+    * updates) drop the rest entirely, insert-bearing merges route it
+    * map-side. Sound by the same invariant as file pruning: clusterBy ⊆
     * keys, cluster values non-null ([[requireClusterable]]), so a
     * matched pair shares its cluster tuple and an out-of-every-box tuple
     * has no match; prune-to-touched equals prune-to-all-files for batch
-    * rows (a file overlapping any batch tuple IS touched). */
+    * rows (a file overlapping any batch tuple IS touched), and the
+    * semi/anti pair partitions the batch exactly. */
   private[graft] def pruneSourceToBoxes(s: SparkSession, batch: DataFrame,
       files: Seq[DataFileEntry], clusterBy: Seq[String],
-      columnMap: Map[String, String]): DataFrame = {
-    if (files.isEmpty) return batch.limit(0)
+      columnMap: Map[String, String], complement: Boolean = false): DataFrame = {
+    if (files.isEmpty) return if (complement) batch else batch.limit(0)
     val intervals =
       boxIntervalFrame(s, files, clusterBy, columnMap).drop("path")
     val cond = clusterBy.zipWithIndex
       .map { case (c, i) =>
         batch(c) >= intervals(s"mn_$i") && batch(c) <= intervals(s"mx_$i") }
       .reduce(_ && _)
-    batch.join(broadcast(intervals), cond, "left_semi")
+    batch.join(broadcast(intervals), cond,
+      if (complement) "left_anti" else "left_semi")
   }
 
   /** Test-only fault injection: runs immediately before every commit
@@ -1501,17 +1514,28 @@ object MergeTable {
       val touched =
         if (nmbs) existingFiles.map(_.path).toSet // O(table) by semantics
         else touchedPaths(s, existingFiles, batch, clusterBy, headMap)
-      // SOURCE-SIDE pushdown: with no insert clause (and no NMBS), a
-      // source row outside every touched box can only no-op — drop it
-      // before the merge join ([[pruneSourceToBoxes]]); the join's left
-      // side becomes O(touched key range), not O(source)
-      val canPruneSource = notMatched.isEmpty && !nmbs
-      lastSourcePruned = canPruneSource && touched.nonEmpty
-      val effBatch =
-        if (!canPruneSource) batch
-        else pruneSourceToBoxes(s, batch,
-          existingFiles.filter(f => touched.contains(f.path)), clusterBy,
-          headMap)
+      // SOURCE-SIDE pushdown ([[pruneSourceToBoxes]]): for any non-NMBS
+      // merge, only the rows whose cluster tuple falls in SOME touched
+      // box can match — they alone feed the merge join (joinBatch). The
+      // provably-unmatched complement either drops (matched-only merge:
+      // its only outcome is "no action") or routes MAP-SIDE straight to
+      // the insert clauses (insertBatch), bypassing the join shuffle —
+      // the append-mostly conditional merge stops paying a full-outer
+      // join over rows that could never match.
+      val canPruneSource = !nmbs && touched.nonEmpty
+      recordSourcePrune(table, canPruneSource)
+      val touchedFiles = existingFiles.filter(f => touched.contains(f.path))
+      val joinBatch =
+        if (canPruneSource)
+          pruneSourceToBoxes(s, batch, touchedFiles, clusterBy, headMap)
+        else batch
+      // rows that bypass the join; None = nothing bypasses (either no
+      // pruning applied, or a matched-only merge where they just drop)
+      val insertBatch: Option[DataFrame] =
+        if (canPruneSource && notMatched.nonEmpty)
+          Some(pruneSourceToBoxes(s, batch, touchedFiles, clusterBy,
+            headMap, complement = true))
+        else None
 
       // ADDITIVE schema evolution: a batch may carry columns the table has
       // never seen — they join the schema, and rows from files written
@@ -1636,36 +1660,47 @@ object MergeTable {
       def chain(cs: Seq[(Option[String], Column)], default: Column): Column =
         cs.foldRight(default) { case ((cond, v), acc) =>
           when(holds(cond), v).otherwise(acc) }
+      /** Rows KNOWN to have no target match (an empty touched set, or the
+        * box-prune complement): only the insert clauses can apply — the
+        * same first-holding-clause projection the join's tAbsent branch
+        * computes, without the join. */
+      def insertOnlyFrame(frame: DataFrame): DataFrame = {
+        val ins = withAllColumns(frame, schema).alias("s")
+        if (!conditional) ins
+        else {
+          val applies = notMatched.map(c => holds(c.condition))
+            .foldLeft(lit(false))(_ || _)
+          val outCols = schema.fields.map { f =>
+            val sCol = col(s"s.${f.name}")
+            def insValue(set: Map[String, String]): Column =
+              if (set.isEmpty) sCol // INSERT *
+              else set.collectFirst {
+                case (c, e) if c.equalsIgnoreCase(f.name) =>
+                  expr(e).cast(f.dataType)
+              }.getOrElse(lit(null).cast(f.dataType))
+            chain(notMatched.map(c => c.condition -> insValue(c.set)), sCol)
+              .as(f.name)
+          }
+          ins.where(applies).select(outCols.toSeq: _*)
+        }
+      }
       val merged =
         if (touched.isEmpty) {
           // no matched and no target-only rows exist; only the insert
           // clauses can apply
-          val ins = withAllColumns(effBatch, schema).alias("s")
-          if (!conditional) ins
-          else {
-            val applies = notMatched.map(c => holds(c.condition))
-              .foldLeft(lit(false))(_ || _)
-            val outCols = schema.fields.map { f =>
-              val sCol = col(s"s.${f.name}")
-              def insValue(set: Map[String, String]): Column =
-                if (set.isEmpty) sCol // INSERT *
-                else set.collectFirst {
-                  case (c, e) if c.equalsIgnoreCase(f.name) =>
-                    expr(e).cast(f.dataType)
-                }.getOrElse(lit(null).cast(f.dataType))
-              chain(notMatched.map(c => c.condition -> insValue(c.set)), sCol)
-                .as(f.name)
-            }
-            ins.where(applies).select(outCols.toSeq: _*)
-          }
+          insertOnlyFrame(batch)
         } else {
           // DV-aware: a touched file's already-deleted rows must not
           // resurrect into the rewrite
           val old = readFiles(s, table, schema,
             existingFiles.filter(f => touched.contains(f.path)), columnMap)
           if (!conditional) {
-            val incomingKeys = effBatch.select(keys.map(col): _*).distinct()
-            withAllColumns(effBatch, schema)
+            // the anti-join only removes old rows whose key appears in
+            // the batch; keys outside every box can't equal an old row's
+            // key, so the (much smaller) box-pruned side feeds the
+            // distinct — the batch itself lands whole
+            val incomingKeys = joinBatch.select(keys.map(col): _*).distinct()
+            withAllColumns(batch, schema)
               .unionByName(old.join(incomingKeys, keys, "left_anti"))
           } else {
             // one full-outer pass builds all outcomes: delete (the row's
@@ -1679,7 +1714,7 @@ object MergeTable {
             // byte-untouched, exactly as SQL MERGE: a merge specifying
             // only insert/NMBS clauses must NOT silently become
             // last-writer-wins on matched rows.
-            val src = withAllColumns(effBatch, schema)
+            val src = withAllColumns(joinBatch, schema)
               .withColumn("__s_present", lit(true)).alias("s")
             val tgt = old.withColumn("__t_present", lit(true)).alias("t")
             val keyCond = keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _)
@@ -1719,9 +1754,13 @@ object MergeTable {
                 .otherwise(matchedVal) // matched
                 .as(n)
             }
-            src.join(tgt, keyCond, "full_outer")
+            val joined = src.join(tgt, keyCond, "full_outer")
               .where(!dropMatched && !dropNmbs && !dropInsert)
               .select(outCols.toSeq: _*)
+            // the box-prune complement bypasses the join: provably
+            // unmatched, it takes the insert projection map-side
+            insertBatch.fold(joined)(ob =>
+              joined.unionByName(insertOnlyFrame(ob)))
           }
         }
 
@@ -2137,7 +2176,7 @@ object MergeTable {
       // SOURCE-SIDE pushdown (delete form): a key outside every touched
       // box deletes nothing — drop it before the semi/anti join, so a
       // scattered purge list joins O(keys within the touched range)
-      lastSourcePruned = touched.nonEmpty
+      recordSourcePrune(table, touched.nonEmpty)
       val effDelKeys =
         if (touched.isEmpty) delKeys
         else pruneSourceToBoxes(s, delKeys,

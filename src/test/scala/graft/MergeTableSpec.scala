@@ -123,26 +123,47 @@ class MergeTableSpec extends AnyFunSuite {
     MergeTable.merge(spark, t, batch, Seq("event_id"), Seq("event_id"),
       matched = Seq(MergeClause(Some("s.value > t.value"),
         UpdateSet(Map.empty))))
-    assert(MergeTable.lastSourcePruned,
+    assert(MergeTable.lastSourcePrunedFor(t),
       "a matched-only merge must take the source-side prune")
     val after = MergeTable.read(spark, t)
       .select(col("event_id"), col("value"))
       .as[(Long, Double)].collect().toMap
     assert(after.size == 1000, "no source row outside the boxes may insert")
     assert(after(42L) == 9.0 && after(43L) == 9.0 && after(44L) == 5.0)
-    // an insert-bearing merge must NOT prune: out-of-box rows insert
-    MergeTable.merge(spark, t, rows(Seq(5000L), 1.0),
+    // an insert-bearing merge SPLITS instead: the in-box row joins (and
+    // updates), while the provably-unmatched out-of-box row bypasses the
+    // join straight to the insert clauses — both land, the prune applies
+    MergeTable.merge(spark, t, rows(Seq(10L, 5000L), 1.0),
       Seq("event_id"), Seq("event_id"),
       matched = Seq(MergeClause(None, UpdateSet(Map.empty))),
       notMatched = Seq(InsertClause(None, Map.empty)))
-    assert(!MergeTable.lastSourcePruned,
-      "an insert-bearing merge must not prune the source")
-    assert(MergeTable.read(spark, t).count() == 1001)
+    assert(MergeTable.lastSourcePrunedFor(t),
+      "an insert-bearing merge with a touched box must split, not skip")
+    val afterSplit = MergeTable.read(spark, t)
+      .select(col("event_id"), col("value"))
+      .as[(Long, Double)].collect().toMap
+    assert(afterSplit.size == 1001)
+    assert(afterSplit(10L) == 1.0, "in-box row updates through the join")
+    assert(afterSplit(5000L) == 1.0, "out-of-box row inserts via the bypass")
+    // a GUARDED insert gates the bypassed complement exactly like the
+    // join path: of two out-of-box rows, only the passing one inserts,
+    // while an in-box row takes the matched clause through the join
+    MergeTable.merge(spark, t, rows(Seq(7000L, 8001L, 42L), 3.0),
+      Seq("event_id"), Seq("event_id"),
+      matched = Seq(MergeClause(None, UpdateSet(Map.empty))),
+      notMatched = Seq(InsertClause(Some("s.event_id % 2 = 0"), Map.empty)))
+    val after2 = MergeTable.read(spark, t)
+      .select(col("event_id"), col("value"))
+      .as[(Long, Double)].collect().toMap
+    assert(after2.contains(7000L) && !after2.contains(8001L),
+      "the insert guard must gate the bypassed complement")
+    assert(after2(42L) == 3.0, "in-box rows still flow through the join")
+    assert(after2.size == 1002)
     // the keyed-delete door prunes its scattered purge list the same way
     val deleted = MergeTable.mergeDelete(spark, t,
       (Seq(42L) ++ (200000L to 200300L)).toDF("event_id"))
-    assert(deleted == 1L && MergeTable.lastSourcePruned)
-    assert(MergeTable.read(spark, t).count() == 1000)
+    assert(deleted == 1L && MergeTable.lastSourcePrunedFor(t))
+    assert(MergeTable.read(spark, t).count() == 1001)
   }
 
   test("file pruning: a batch touching one file's key range rewrites only it") {
