@@ -25,18 +25,35 @@ import java.nio.file.{Files, Paths}
   *
   * Host-noise calibration: a FIXED workload (md5 over a constant buffer)
   * on EVERY core in parallel is timed before, halfway through, and after
-  * the query loop and reported as `noise_cal_sec` [start, mid, end]. The workload is data- and
-  * Spark-independent; on an uncontended host the parallel wall time
-  * matches the single-thread time (perfect scaling), so any inflation is
-  * pure host contention over the cores the bench needs. (A single-thread
-  * probe measured FLAT 0.25 s while identical-binary totals ranged
-  * 55–163 s across round-5 runs — the contention starves parallel
-  * stages, not one core, hence the all-core probe.)
+  * the query loop and reported as `noise_cal_sec` [start, mid, end]. The
+  * workload is data- and Spark-independent; on an uncontended host the
+  * parallel wall time matches the single-thread time (perfect scaling),
+  * so any inflation is pure host contention over the cores the bench
+  * needs. (A single-thread probe measured FLAT 0.25 s while
+  * identical-binary totals ranged 55–163 s across round-5 runs — the
+  * contention starves parallel stages, not one core, hence the all-core
+  * probe.)
+  *
+  * DETECT-AND-RETRY: four consecutive rounds recorded their official
+  * artifact in a contended window (an end cal of 2.9 vs the quiet 0.36)
+  * while quiet close-out runs of the same binary measured 35% faster —
+  * so the bench now polices its own window. If any of a pass's three cal
+  * probes exceeds `SPARK_GRAFT_CAL_BAR` (default 1.0 s — the quiet band
+  * is ≤0.5), the pass is deemed unjudgeable, the bench WAITS for the
+  * probe to return to the quiet band (poll every 20 s, up to
+  * `SPARK_GRAFT_CAL_WAIT_SEC`, default 600) and measures ONE more full
+  * pass. The reported numbers are the pass with the LOWEST worst-probe;
+  * every discarded pass's cals and total still land in the JSON
+  * (`discarded_passes`) so the retry is auditable, never silent.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val calBar = sys.env.getOrElse("SPARK_GRAFT_CAL_BAR", "1.0").toDouble
+    val calWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_CAL_WAIT_SEC", "600").toLong
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "1").toInt
     // GraftSession registers the engine's extensions (native functions +
     // RangeJoinStrategy) on top of the same configs this main used to set.
     val spark = GraftSession.local(cpus, "graft-bench")
@@ -70,11 +87,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val calStart = noiseCal()
-
-    // warmup: the flagship query end-to-end, result discarded
-    try runOnce("q_classifier") catch { case _: Throwable => () }
-
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) -1.0
@@ -99,25 +111,72 @@ object Bench {
         n == "q_merge_matched_delete" || n == "q_merge_nmbs" ||
         n == "q_merge_restore" ||
         n.startsWith("q_multimodal_") || n == "q_snapshot_diff") 5 else 3
-    // a third calibration HALFWAY through the loop: round-6 observed one
-    // query's samples inflate 3x while the start/end probes sat in the
-    // quiet band — a mid-run spike is otherwise invisible
-    var calMid = -1.0
-    val results = names.zipWithIndex.map { case (n, i) =>
-      if (i == names.size / 2) calMid = noiseCal()
-      val before = graft.ops.IndexStore.events.snapshot()
-      val samples = Seq.fill(nSamples(n))(runOnce(n))
-      // artifacts this query touched FIRST in the session, and whether the
-      // touch loaded the durable parquet or paid the build — makes
-      // cold-build cost attribution explicit in bench.json
-      val touched = graft.ops.IndexStore.events.snapshot().toSeq
-        .filterNot { case (k, v) => before.get(k).contains(v) }
-        .map { case (k, v) => s"$v:$k" }.sorted
-      val ok = samples.filter(_ >= 0)
-      (n, median(ok), samples, touched)
+
+    case class Pass(
+        results: Seq[(String, Double, Seq[Double], Seq[String])],
+        cals: Seq[Double]) {
+      def worstCal: Double = cals.max
+      def total: Double = results.map(_._2).filter(_ >= 0).sum
+      def totalMin: Double = results
+        .map { case (_, _, ss, _) => ss.filter(_ >= 0) }
+        .collect { case ok if ok.nonEmpty => ok.min }.sum
     }
+
+    def runPass(): Pass = {
+      val calStart = noiseCal()
+      // a third calibration HALFWAY through the loop: round-6 observed one
+      // query's samples inflate 3x while the start/end probes sat in the
+      // quiet band — a mid-run spike is otherwise invisible
+      var calMid = -1.0
+      val results = names.zipWithIndex.map { case (n, i) =>
+        if (i == names.size / 2) calMid = noiseCal()
+        val before = graft.ops.IndexStore.events.snapshot()
+        val samples = Seq.fill(nSamples(n))(runOnce(n))
+        // artifacts this query touched FIRST in the session, and whether
+        // the touch loaded the durable parquet or paid the build — makes
+        // cold-build cost attribution explicit in bench.json
+        val touched = graft.ops.IndexStore.events.snapshot().toSeq
+          .filterNot { case (k, v) => before.get(k).contains(v) }
+          .map { case (k, v) => s"$v:$k" }.sorted
+        val ok = samples.filter(_ >= 0)
+        (n, median(ok), samples, touched)
+      }
+      val calEnd = noiseCal()
+      Pass(results, Seq(calStart, calMid, calEnd))
+    }
+
+    /** Poll the probe until it re-enters the quiet band (≤0.7×bar) or the
+      * wait budget runs out; never throws — a still-noisy host just means
+      * the retry pass documents its own contention. */
+    def waitForQuiet(): Unit = {
+      val deadline = System.currentTimeMillis() + calWaitSec * 1000L
+      var c = noiseCal()
+      while (c > calBar * 0.7 && System.currentTimeMillis() < deadline) {
+        System.err.println(f"[bench] host contended (cal $c%.2f s) — " +
+          "waiting for a quiet window")
+        Thread.sleep(20000L)
+        c = noiseCal()
+      }
+    }
+
+    // warmup: the flagship query end-to-end, result discarded
+    try runOnce("q_classifier") catch { case _: Throwable => () }
+
+    var passes = List(runPass())
+    while (passes.head.worstCal > calBar && passes.size <= maxRetries) {
+      System.err.println(
+        f"[bench] pass ${passes.size} cals [${passes.head.cals.map(c =>
+          f"$c%.2f").mkString(", ")}] exceed the $calBar%.1f s quiet bar — " +
+          "re-measuring in a later window")
+      waitForQuiet()
+      passes = runPass() :: passes
+    }
+    val best = passes.minBy(_.worstCal)
+    val discarded = passes.filterNot(_ eq best)
+
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
+    val results = best.results
     val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val samplesJson = results.map { case (k, _, ss, _) =>
@@ -134,18 +193,19 @@ object Bench {
       val ok = ss.filter(_ >= 0)
       "\"" + k + "\":" + fmt(if (ok.isEmpty) -1.0 else ok.min)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val totalMin = results
-      .map { case (_, _, ss, _) => ss.filter(_ >= 0) }
-      .collect { case ok if ok.nonEmpty => ok.min }.sum
-    val calEnd = noiseCal()
-    val cal = s"""[${fmt(calStart)},${fmt(calMid)},${fmt(calEnd)}]"""
+    val total = best.total
+    val totalMin = best.totalMin
+    val cal = "[" + best.cals.map(fmt).mkString(",") + "]"
+    val discardedJson = discarded.map(p =>
+      s"""{"noise_cal_sec":[${p.cals.map(fmt).mkString(",")}],""" +
+        s""""value":${fmt(p.total)},"total_min":${fmt(p.totalMin)}}""")
+      .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"noise_cal_sec":$cal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"noise_cal_sec":$cal,"discarded_passes":$discardedJson,"sf":"$sfDir"}"""
     // durable copy first (stdout can be truncated by the harness); the file
     // additionally carries every raw sample so noise is diagnosable.
     val durable =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"samples":$samplesJson,"n_samples":"3 (5 for the memo tier)","stat":"median","memo_events":$memoJson,"noise_cal_sec":$cal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"samples":$samplesJson,"n_samples":"3 (5 for the memo tier)","stat":"median","memo_events":$memoJson,"noise_cal_sec":$cal,"discarded_passes":$discardedJson,"sf":"$sfDir"}"""
     val out = Paths.get("target", "bench.json")
     Files.createDirectories(out.getParent)
     Files.write(out, (durable + "\n").getBytes(StandardCharsets.UTF_8))
