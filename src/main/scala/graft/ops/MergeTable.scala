@@ -157,7 +157,21 @@ object MergeTable {
       // answer is "the" exact value. Additive: legacy entries parse
       // empty, and the aggregate answer refuses (falls back to the
       // scan) rather than guessing.
-      sums: Map[String, String] = Map.empty) {
+      sums: Map[String, String] = Map.empty,
+      // per-column metadata of the rows this entry's DELETION VECTOR
+      // masks — what keeps COUNT/SUM/AVG pushdown exact under
+      // merge-on-read deletes: `dvNulls` counts the masked NULLs per
+      // stats-indexed column, `dvSums` the masked rows' exact non-null
+      // sums per summable column (rendering as `sums`). Every DV commit
+      // writes the FULL expected column set (zeros included) and
+      // accumulates onto the previous maps; an entry whose maps don't
+      // cover the expected set (legacy DV'd entries parse empty) makes
+      // the aggregate answer refuse — visible sum/count are then
+      // unknown, exactly the exact-or-refuse contract. Min/max stay
+      // refused under DVs regardless (a masked row may hold the
+      // extremum; no delta can repair a bound).
+      dvNulls: Map[String, Long] = Map.empty,
+      dvSums: Map[String, String] = Map.empty) {
     /** Convenience for specs / long-keyed callers. */
     def minLong(c: String): Long = stats(c).min.toLong
     def maxLong(c: String): Long = stats(c).max.toLong
@@ -1050,6 +1064,18 @@ object MergeTable {
       .take(math.max(0, StatsColumnCap - clusterBy.size))
       .toSeq
     clusterBy ++ extra
+  }
+
+  /** The lossless widened decimal a column's EXACT sum folds in — Some
+    * only for the summable domains (integral: decimal(38,0) holds any
+    * per-file fold of longs; decimal(p,s): widened to (38,s)). Shared by
+    * the write-time stats pass and the DV-commit delta pass so the two
+    * can never disagree about which columns carry sums. */
+  private[graft] def sumWideType(dt: DataType): Option[DecimalType] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(DecimalType(38, 0))
+    case d: DecimalType => Some(DecimalType(38, d.scale))
+    case _ => None // float/double: order-dependent; others: unordered
   }
 
   private def statFieldType(tag: String): DataType = tag match {
@@ -2046,17 +2072,11 @@ object MergeTable {
         case FloatType | DoubleType => true
         case _ => false
       }
-      // exact-summable domains: integral sums fold losslessly in
-      // decimal(38,0); a decimal(p,s) column widens to (38,s). try_sum
-      // (never plain sum) so a decimal-input overflow yields NULL — the
-      // entry is simply omitted and SUM pushdown refuses — instead of an
-      // ANSI runtime error failing the WRITE over a statistic.
-      val sumType: Seq[Option[DecimalType]] = dts.map {
-        case ByteType | ShortType | IntegerType | LongType =>
-          Some(DecimalType(38, 0))
-        case d: DecimalType => Some(DecimalType(38, d.scale))
-        case _ => None // float/double: order-dependent; others: unordered
-      }
+      // exact-summable domains ([[sumWideType]]): try_sum (never plain
+      // sum) so a decimal-input overflow yields NULL — the entry is
+      // simply omitted and SUM pushdown refuses — instead of an ANSI
+      // runtime error failing the WRITE over a statistic.
+      val sumType: Seq[Option[DecimalType]] = dts.map(sumWideType)
       val aggsB = Seq.newBuilder[Column]
       val off = new Array[Int](idxCols.size)
       var pos = 0 // positions within the agg output, AFTER the pid key
@@ -2253,16 +2273,62 @@ object MergeTable {
         // ---- merge-on-read: record positions, rewrite nothing ------------
         val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
         val touchedEntries = snapshot.files.filter(f => touched.contains(f.path))
+        // the masked rows' per-column DELTA stats ride the same pinned
+        // frame as the (path, pos) dataset: null counts for every
+        // stats-indexed column, exact sums for the summable ones — what
+        // keeps COUNT/SUM/AVG pushdown exact under merge-on-read deletes
+        val idxCols = statsIndexedColumns(schema, clusterBy)
+        val idxTypes = idxCols.map(c => schema(c).dataType)
         val marked = readFilesWithPosition(s, table, schema, touchedEntries,
           headMap)
           .join(effDelKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
-          .select(col("__dv_path").as("path"), col("__dv_pos").as("pos"))
+          .select(Seq(col("__dv_path").as("path"),
+            col("__dv_pos").as("pos")) ++ idxCols.map(col): _*)
         // pin before the stats pass — the per-file counts and the dataset
         // write must see the same rows (the writeClusteredFiles discipline)
         val pinned = marked.localCheckpoint()
         try {
-          val perFile = pinned.groupBy(col("path")).count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ |touched| rows
+          val deltaAggsB = Seq.newBuilder[Column]
+          deltaAggsB += count(lit(1)).as("cnt")
+          idxCols.zipWithIndex.foreach { case (c, i) =>
+            deltaAggsB += count(col(c)).as(s"nn_$i")
+            sumWideType(idxTypes(i)).foreach(w =>
+              deltaAggsB += try_sum(col(c).cast(w)).as(s"sm_$i"))
+          }
+          val deltaAggs = deltaAggsB.result()
+          // per file: deleted-row count, per-column deleted-null counts
+          // (cnt − non-null) and exact deleted sums — keyed PHYSICAL like
+          // every other per-file stat
+          case class DvDelta(cnt: Long, nulls: Map[String, Long],
+              sums: Option[Map[String, String]])
+          val deltas: Map[String, DvDelta] = pinned.groupBy(col("path"))
+            .agg(deltaAggs.head, deltaAggs.tail: _*)
+            .collect().map { r =>
+              val cnt = r.getLong(1)
+              var pos = 2
+              val nullsB = Map.newBuilder[String, Long]
+              val sumsB = Map.newBuilder[String, String]
+              var sumsExact = true
+              idxCols.zipWithIndex.foreach { case (c, i) =>
+                val phys = physOf(headMap, c)
+                nullsB += phys -> (cnt - r.getLong(pos)); pos += 1
+                if (sumWideType(idxTypes(i)).nonEmpty) {
+                  // null here = every deleted row null in c (record the
+                  // explicit zero — presence signals exactness) OR a
+                  // decimal overflow in the delta fold (refuse: without
+                  // the exact delta the visible sum is unknowable)
+                  val nonNull = r.getLong(pos - 1)
+                  if (r.isNullAt(pos)) {
+                    if (nonNull == 0L) sumsB += phys -> "0"
+                    else sumsExact = false
+                  } else sumsB += phys -> r.getDecimal(pos).toPlainString
+                  pos += 1
+                }
+              }
+              r.getString(0) -> DvDelta(cnt, nullsB.result(),
+                if (sumsExact) Some(sumsB.result()) else None)
+            }.toMap
+          val perFile = deltas.map { case (p, d) => p -> d.cnt }
           if (perFile.isEmpty) {
             if (commitNoop()) return 0L
           } else {
@@ -2280,14 +2346,55 @@ object MergeTable {
               s.read.parquet(s"$table/$d")
                 .where(col("path").isin(es.map(_.path): _*))
             }
-            val allPairs = priorSides.foldLeft(pinned)(_ unionByName _)
+            val allPairs = priorSides
+              .foldLeft(pinned.select(col("path"), col("pos")))(_ unionByName _)
             val dvId = java.util.UUID.randomUUID().toString.take(12)
             val dvRel = s"dv/$dvId"
             // bounded file count; the dataset is O(accumulated deletions)
             allPairs.coalesce(8).write.mode("overwrite")
               .parquet(s"$table/$dvRel")
-            val adds = changed.map(f => f.copy(dv = Some(dvRel),
-              dvRows = f.dvRows + perFile(f.path)))
+            // accumulate the masked-row delta maps — exactness carries
+            // only when the PREVIOUS state was exact too: a fresh DV
+            // starts from zero; maps covering the expected column set
+            // accumulate; a legacy DV'd entry (maps absent) stays
+            // unknown, and the aggregate answer keeps refusing for it
+            val expectNulls = idxCols.map(c =>
+              physOf(headMap, c).toLowerCase(java.util.Locale.ROOT)).toSet
+            val expectSums = idxCols.zipWithIndex.collect {
+              case (c, i) if sumWideType(idxTypes(i)).nonEmpty =>
+                physOf(headMap, c).toLowerCase(java.util.Locale.ROOT)
+            }.toSet
+            def lowerKeys[A](m: Map[String, A]): Set[String] =
+              m.keySet.map(_.toLowerCase(java.util.Locale.ROOT))
+            def baseExact(f: DataFileEntry): Boolean = f.dv.isEmpty ||
+              (expectNulls.subsetOf(lowerKeys(f.dvNulls)) &&
+                expectSums.subsetOf(lowerKeys(f.dvSums)))
+            val adds = changed.map { f =>
+              val d = deltas(f.path)
+              val (nulls2, sums2) =
+                if (!baseExact(f)) (Map.empty[String, Long],
+                  Map.empty[String, String])
+                else {
+                  val n2 = d.nulls.map { case (k, v) =>
+                    k -> (v + f.dvNulls.collectFirst {
+                      case (bk, bv) if bk.equalsIgnoreCase(k) => bv
+                    }.getOrElse(0L))
+                  }
+                  val s2 = d.sums match {
+                    case None => Map.empty[String, String] // delta overflow
+                    case Some(ds) => ds.map { case (k, v) =>
+                      val base = f.dvSums.collectFirst {
+                        case (bk, bv) if bk.equalsIgnoreCase(k) => bv
+                      }.getOrElse("0")
+                      k -> new java.math.BigDecimal(v)
+                        .add(new java.math.BigDecimal(base)).toPlainString
+                    }
+                  }
+                  (n2, s2)
+                }
+              f.copy(dv = Some(dvRel), dvRows = f.dvRows + perFile(f.path),
+                dvNulls = nulls2, dvSums = sums2)
+            }
             val removes = changed.map(_.path).sorted
             val deletedCount = perFile.values.sum
             val untouched = snapshot.files.filterNot(f => perFile.contains(f.path))
@@ -3355,6 +3462,58 @@ object MergeTable {
        |  round(avg((event_id // 64) % 64), 4) AS avg_gy,
        |  count(*) AS n_rows
        |FROM events""".stripMargin
+
+  private val dvAggCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_agg_pushdown_dv`: events seeded in one commit,
+    * then every 97th key DELETED merge-on-read (deletion vectors — no
+    * file rewritten). The DV commit records the masked rows' per-column
+    * deltas, which is exactly what the registered query's metadata-only
+    * answer rests on. */
+  private def buildDvEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(dvAggCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("dv-agg-events")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-dvagg", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+      mergeUpsert(s, t, ev, Seq("event_id"), Seq("event_id"),
+        txn = Some(("seed", 0L)))
+      val purged = mergeDelete(s, t,
+        ev.where(pmod(col("event_id"), lit(97)) === 0).select("event_id"),
+        deletionVectors = true, txn = Some(("purge", 1L)))
+      require(purged > 0, "the DV fixture must mask at least one row")
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_agg_pushdown_dv`: SUM / AVG / count(col) / count(*) over a
+    * snapshot carrying DELETION VECTORS — still answered entirely from
+    * the manifest (the masked rows' recorded deltas subtract; zero
+    * parquet files opened, the spec-pinned property), hash-matched
+    * against the oracle's filtered reconstruction of the raw table. */
+  def aggPushdownDvDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildDvEvents(s, sfDir)
+    s.read.format("graft").load(t).agg(
+        sum(col("event_id")).as("sum_id"),
+        avg(col("event_id")).as("avg_id_raw"),
+        count(col("props")).as("n_props"),
+        count(lit(1)).as("n_rows"))
+      .select(col("sum_id"), round(col("avg_id_raw"), 4).as("avg_id"),
+        col("n_props"), col("n_rows"))
+  }
+
+  val aggPushdownDvDigestSql: String =
+    s"""SELECT CAST(sum(event_id) AS BIGINT) AS sum_id,
+       |  round(avg(event_id), 4) AS avg_id,
+       |  count(props) AS n_props, count(*) AS n_rows
+       |FROM events WHERE event_id % 97 <> 0""".stripMargin
 
   private val splitOptCache = IndexMemo.cache[(SparkSession, String), String]()
 

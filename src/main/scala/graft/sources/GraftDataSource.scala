@@ -570,15 +570,22 @@ class GraftCdfRelation(ctx: SQLContext, shape: GraftChangeFeed.FeedShape,
   *
   *  - `count(*)`: Σ visibleRows — exact even under deletion vectors
   *    (each entry tracks its masked-position count).
-  *  - `count(col)`: Σ (numRows − nullCount) — needs every file's null
-  *    count for the column and NO deletion vectors (a DV'd row's null
-  *    status is unrecorded).
+  *  - `count(col)`: Σ visible non-null — the physical null count minus
+  *    the masked rows' recorded null delta (`dvNulls`); a DV'd entry
+  *    whose commits predate the delta recording refuses.
+  *  - `sum/avg(col)` (integral + decimal only — float/double sums are
+  *    evaluation-order-dependent): fold of the per-file EXACT sums,
+  *    minus the masked rows' recorded sum deltas (`dvSums`) under DVs;
+  *    the FOLD is overflow-checked (a Long-overflowing total refuses
+  *    rather than wraps) and avg refuses beyond 2⁵³ (the double
+  *    quotient would round its operands).
   *  - `min/max(col)`: fold of the per-file bounds — needs NO deletion
-  *    vectors (a DV may have masked the extreme row) and a stats entry
-  *    for every file that can hold a non-null value (an all-null file
-  *    contributes nothing and may lack the entry). Float/double columns
-  *    whose file contains NaN carry no entry by design, so NaN-bearing
-  *    snapshots refuse automatically (Spark's max would return NaN).
+  *    vectors (a DV may have masked the extreme row; no delta can
+  *    repair a bound) and a stats entry for every file that can hold a
+  *    non-null value (an all-null file contributes nothing and may lack
+  *    the entry). Float/double columns whose file contains NaN carry no
+  *    entry by design, so NaN-bearing snapshots refuse automatically
+  *    (Spark's max would return NaN).
   *
   * `GROUP BY <col(s)>` answers exactly when every file's box for every
   * group column is a POINT with zero nulls and no DVs (the identity-
@@ -621,14 +628,55 @@ private[sources] object ManifestAgg {
       f.sums.collectFirst {
         case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == p => v }
     }
-    /** SUM/AVG over one file subset from the per-file exact sums.
-      * Answerable domains are the ones the writer records — integral
-      * (result: Spark's LongType sum / DoubleType avg) and decimal
-      * (widened decimal sum / HALF_UP avg). Per file: a `sums` entry
-      * contributes its exact value; a PROVABLY all-null file contributes
-      * nothing; anything else (legacy manifest, overflow-omitted entry,
-      * float/double column) refuses. The FOLD is overflow-checked too:
-      * an integral total outside Long range refuses rather than
+    def dvNullsOf(f: MergeTable.DataFileEntry, c: String): Option[Long] = {
+      val p = phys(c).toLowerCase(java.util.Locale.ROOT)
+      f.dvNulls.collectFirst {
+        case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == p => v }
+    }
+    def dvSumOf(f: MergeTable.DataFileEntry, c: String): Option[String] = {
+      val p = phys(c).toLowerCase(java.util.Locale.ROOT)
+      f.dvSums.collectFirst {
+        case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == p => v }
+    }
+    /** One file's VISIBLE (non-null count, exact sum) for column c —
+      * the building block COUNT/SUM/AVG share, exact-or-refuse:
+      *
+      *  - DV-free file: physical null count (required) gives the count;
+      *    the sum is the recorded entry, a PROVABLY all-null file
+      *    contributes zero rows, anything else (overflow-omitted,
+      *    legacy) refuses.
+      *  - DV'd file: the masked rows' recorded deltas subtract — needs
+      *    the per-column dvNulls entry (and, when rows remain, both the
+      *    physical sum and the dvSums delta); entries from legacy DV
+      *    commits carry no deltas and refuse.
+      *
+      * Returns None = refuse; Some((n, sum)) with sum None iff n == 0. */
+    def visibleSumOf(e: MergeTable.DataFileEntry, c: String,
+        needSum: Boolean): Option[(Long, Option[java.math.BigDecimal])] = {
+      val physNulls = nullsOf(e, c).getOrElse(return None)
+      val dvN = if (e.dv.isEmpty) 0L
+        else dvNullsOf(e, c).getOrElse(return None)
+      val visNonNull = (e.numRows - e.dvRows) - (physNulls - dvN)
+      if (visNonNull == 0L) Some((0L, None))
+      else if (!needSum) Some((visNonNull, None))
+      else {
+        val full = sumOf(e, c).getOrElse(return None) // overflow/legacy
+        val masked =
+          if (e.dv.isEmpty) java.math.BigDecimal.ZERO
+          else new java.math.BigDecimal(
+            dvSumOf(e, c).getOrElse(return None))
+        Some((visNonNull,
+          Some(new java.math.BigDecimal(full).subtract(masked))))
+      }
+    }
+    /** SUM/AVG over one file subset from the per-file exact sums
+      * ([[visibleSumOf]] — DV'd files subtract their recorded masked-row
+      * deltas). Answerable domains are the ones the writer records —
+      * integral (result: Spark's LongType sum / DoubleType avg) and
+      * decimal (widened decimal sum / HALF_UP avg); anything
+      * unrecoverable (legacy manifest, overflow-omitted entry, legacy
+      * DV, float/double column) refuses. The FOLD is overflow-checked
+      * too: an integral total outside Long range refuses rather than
       * reproducing Spark's overflow behavior from metadata. */
     def summed(files: Seq[MergeTable.DataFileEntry], f: StructField,
         isAvg: Boolean): Option[(StructField, Any)] = {
@@ -638,20 +686,11 @@ private[sources] object ManifestAgg {
         case ByteType | ShortType | IntegerType | LongType => None
         case _ => return None // float/double/other: never answered
       }
-      val perFile: Seq[Option[Option[(JBig, Long)]]] = files.map { e =>
-        sumOf(e, f.name) match {
-          case Some(s) => nullsOf(e, f.name).map(n =>
-            Some((new JBig(s), e.numRows - n)))
-          case None => nullsOf(e, f.name) match {
-            case Some(n) if n == e.numRows => Some(None) // all-null file
-            case _ => None // legacy / overflow-omitted — refuse
-          }
-        }
-      }
+      val perFile = files.map(e => visibleSumOf(e, f.name, needSum = true))
       if (perFile.exists(_.isEmpty)) return None
-      val present = perFile.flatten.flatten
-      val cnt = present.map(_._2).sum
-      val total = present.map(_._1)
+      val present = perFile.flatten
+      val cnt = present.map(_._1).sum
+      val total = present.flatMap(_._2)
         .foldLeft(JBig.ZERO)(_.add(_))
       val (outType, value): (DataType, Any) = (decimalIn, isAvg) match {
         case (None, false) => // sum(integral) → LongType, refuse overflow
@@ -703,21 +742,25 @@ private[sources] object ManifestAgg {
         case _: CountStar =>
           Some((StructField("count(*)", LongType, nullable = false),
             files.map(_.visibleRows).sum: Any))
-        case c: Count if !c.isDistinct && noDv =>
+        case c: Count if !c.isDistinct =>
+          // exact under DVs too: the masked rows' null deltas recover
+          // each file's VISIBLE non-null count (legacy DV'd entries
+          // without deltas refuse)
           colOf(c.column).flatMap { f =>
-            val perFile = files.map(e => nullsOf(e, f.name).map(e.numRows - _))
+            val perFile =
+              files.map(e => visibleSumOf(e, f.name, needSum = false))
             if (perFile.forall(_.nonEmpty))
               Some((StructField(s"count(${f.name})", LongType,
-                nullable = false), perFile.flatten.sum: Any))
+                nullable = false), perFile.flatten.map(_._1).sum: Any))
             else None
           }
         case mn: Min if noDv => bound(files, colOf(mn.column), isMin = true,
           statOf, nullsOf)
         case mx: Max if noDv => bound(files, colOf(mx.column), isMin = false,
           statOf, nullsOf)
-        case s: Sum if !s.isDistinct && noDv =>
+        case s: Sum if !s.isDistinct =>
           colOf(s.column).flatMap(f => summed(files, f, isAvg = false))
-        case a: Avg if !a.isDistinct && noDv =>
+        case a: Avg if !a.isDistinct =>
           colOf(a.column).flatMap(f => summed(files, f, isAvg = true))
         case _ => None
       }

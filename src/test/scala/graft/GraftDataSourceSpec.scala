@@ -149,15 +149,32 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(math.abs(dbl - 500500L * 1.5) < 1e-6)
     assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
       "sum over a double column must fall back to the scan")
-    // a DV anywhere refuses sums (a masked row's contribution is unknown)
+    // merge-on-read deletes: the DV commit records the masked rows'
+    // exact per-column deltas, so SUM / AVG / count(col) STAY
+    // metadata-only — and repeated DV commits accumulate exactly
     MergeTable.mergeDelete(spark, t, Seq(7L).toDF("event_id"),
       deletionVectors = true)
+    MergeTable.mergeDelete(spark, t, Seq(13L).toDF("event_id"),
+      deletionVectors = true) // 13's payload is NULL: null-delta path
     GraftScanAudit.reset()
     val afterDv = spark.read.format("graft").load(t)
-      .agg(sum(col("event_id"))).head().getLong(0)
-    assert(afterDv == 500500L - 7L)
+      .agg(sum(col("event_id")), avg(col("event_id")),
+        count(col("payload"))).head()
+    assert(afterDv.getLong(0) == 500500L - 7L - 13L)
+    assert(afterDv.getDouble(1) == (500500L - 20L).toDouble / 998L)
+    // payloads: 1000 − 76 nulls − the one non-null deleted (7)
+    assert(afterDv.getLong(2) == 1000L - 76L - 1L)
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+      "SUM/AVG/count(col) under recorded DV deltas must stay metadata-only")
+    // engine truth, bit-for-bit
+    val dvTruth = MergeTable.read(spark, t).agg(sum(col("event_id")),
+      avg(col("event_id")), count(col("payload"))).head()
+    assert(afterDv == dvTruth)
+    // min/max stay refused under DVs — no delta can repair a bound
+    GraftScanAudit.reset()
+    spark.read.format("graft").load(t).agg(max(col("event_id"))).head()
     assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
-      "SUM under deletion vectors must fall back")
+      "MIN/MAX under deletion vectors must still fall back")
   }
 
   test("GROUPED aggregate pushdown: GROUP BY a point-filed column " +

@@ -104,6 +104,39 @@ class ManifestAggSpec extends AnyFunSuite {
       entry("f1", 3L, "1.5"))), schema, gSum).isEmpty)
   }
 
+  test("deletion-vector'd entries answer SUM/COUNT only through the " +
+    "recorded masked-row deltas; a legacy DV (no deltas) refuses") {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, Sum}
+    def sumAgg = new Aggregation(
+      Array(new Sum(Expressions.column("id"), false)), Array.empty)
+    def cntAgg = new Aggregation(
+      Array(new Count(Expressions.column("id"), false)), Array.empty)
+    val plain = DataFileEntry("f1", 10L, stats = Map.empty,
+      nullCounts = Map("id" -> 0L), sums = Map("id" -> "100"))
+    // 8 physical rows (1 null), 3 masked (1 of them the null): visible
+    // non-null = (8-3) - (1-1) = 5, visible sum = 60 - 20 = 40
+    val dvd = DataFileEntry("f2", 8L, stats = Map.empty,
+      dv = Some("dv/x"), dvRows = 3L,
+      nullCounts = Map("id" -> 1L), sums = Map("id" -> "60"),
+      dvNulls = Map("id" -> 1L), dvSums = Map("id" -> "20"))
+    val m = manifest(Seq(plain, dvd))
+    val Some((_, sRows)) = ManifestAgg.answer(m, schema, sumAgg)
+    assert(sRows == Seq(Seq(140L)))
+    val Some((_, cRows)) = ManifestAgg.answer(m, schema, cntAgg)
+    assert(cRows == Seq(Seq(15L)))
+    // a legacy DV'd entry carries no deltas: sum AND count refuse
+    val legacy = dvd.copy(dvNulls = Map.empty, dvSums = Map.empty)
+    assert(ManifestAgg.answer(manifest(Seq(plain, legacy)),
+      schema, sumAgg).isEmpty)
+    assert(ManifestAgg.answer(manifest(Seq(plain, legacy)),
+      schema, cntAgg).isEmpty)
+    // count(*) stays exact regardless (visibleRows needs no deltas)
+    val Some((_, starRows)) = ManifestAgg.answer(
+      manifest(Seq(plain, legacy)), schema,
+      new Aggregation(Array(new CountStar()), Array.empty))
+    assert(starRows == Seq(Seq(15L)))
+  }
+
   test("the point-column probe walks the manifest ONLY for columns the " +
     "received filters reference — planning cost is O(referenced), not " +
     "O(schema width)") {
