@@ -604,7 +604,6 @@ private[sources] object ManifestAgg {
 
   def answer(m: TableManifest, schema: StructType,
       agg: Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
-    val noDv = m.files.forall(_.dv.isEmpty)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -754,10 +753,14 @@ private[sources] object ManifestAgg {
                 nullable = false), perFile.flatten.map(_._1).sum: Any))
             else None
           }
-        case mn: Min if noDv => bound(files, colOf(mn.column), isMin = true,
-          statOf, nullsOf)
-        case mx: Max if noDv => bound(files, colOf(mx.column), isMin = false,
-          statOf, nullsOf)
+        // min/max refuse when THIS subset carries a DV (a masked row may
+        // hold the extremum; no delta repairs a bound) — per subset, so
+        // a grouped/filtered answer over DV-free files still folds even
+        // when some other file of the table is DV'd
+        case mn: Min if files.forall(_.dv.isEmpty) =>
+          bound(files, colOf(mn.column), isMin = true, statOf, nullsOf)
+        case mx: Max if files.forall(_.dv.isEmpty) =>
+          bound(files, colOf(mx.column), isMin = false, statOf, nullsOf)
         case s: Sum if !s.isDistinct =>
           colOf(s.column).flatMap(f => summed(files, f, isAvg = false))
         case a: Avg if !a.isDistinct =>
@@ -772,14 +775,19 @@ private[sources] object ManifestAgg {
         (StructType(rs.map(_._1)), Seq(rs.map(_._2))))
     else {
       // GROUP BY <cluster col(s)>: answerable exactly from the manifest
-      // when every file's box for every group column is a POINT with zero
-      // nulls (the post-OPTIMIZE clustered state) — then each file
-      // belongs to exactly one group, the groups partition the file set,
-      // and every per-group aggregate reuses the global machinery over
-      // the group's files. Any wider box, null, DV, or missing stats
+      // when every VISIBLE-row-bearing file's box for every group column
+      // is a POINT with zero VISIBLE nulls (the post-OPTIMIZE clustered
+      // state) — then each file belongs to exactly one group, the groups
+      // partition the file set, and every per-group aggregate reuses the
+      // global machinery over the group's files. A deletion vector does
+      // NOT widen membership: the masked rows shared the file's point
+      // value, so a DV'd point file whose physical nulls are all masked
+      // (the recorded delta proves it) still belongs to exactly its
+      // group, and a fully-masked file contributes to no group at all —
+      // exactly Spark's GROUP BY, which emits no row for an empty group.
+      // Any wider box, visible null, unrecorded delta, or missing stats
       // entry refuses (a file spanning two groups cannot be split by
       // metadata).
-      if (!noDv) return None
       val groupFields = agg.groupByExpressions.toSeq.map(colOf)
       if (groupFields.exists(_.isEmpty)) return None
       val gfs = groupFields.flatten
@@ -793,14 +801,22 @@ private[sources] object ManifestAgg {
       // (a wrong answer, not a refusal)
       def keyNorm(tag: String, s: String): String =
         if (tag == "double" && s.toDouble == 0.0) "0.0" else s
-      val keyed = m.files.map { e =>
+      /** Point membership for grouping: the strict shared definition for
+        * DV-free files ([[MergeTable.isPointFor]] — also OPTIMIZE SPLIT
+        * BY's candidate filter, which rightly still treats a DV'd file
+        * as rewrite debt); for a DV'd file, a point box with zero
+        * VISIBLE nulls, provable only through the recorded null delta. */
+      def visiblePoint(e: MergeTable.DataFileEntry, c: String,
+          tag: String): Boolean =
+        if (e.dv.isEmpty) MergeTable.isPointFor(e, phys(c), tag)
+        else statOf(e, c).exists(cs => cs.t == tag && cs.min == cs.max) &&
+          (for { pn <- nullsOf(e, c); dn <- dvNullsOf(e, c) }
+            yield pn - dn == 0L).getOrElse(false)
+      val keyed = m.files.filter(_.visibleRows > 0L).map { e =>
         val key = gts.map { case (f, tag) =>
-          // the ONE point-file definition, shared with OPTIMIZE SPLIT BY's
-          // incremental candidate filter — the two can never disagree
-          // about what "already split" means
-          if (MergeTable.isPointFor(e, phys(f.name), tag))
+          if (visiblePoint(e, f.name, tag))
             statOf(e, f.name).map(cs => keyNorm(tag, cs.min))
-          else None // wide box / nulls / DV / unknown: not point-filed
+          else None // wide box / visible nulls / unknown: not point-filed
         }
         if (key.exists(_.isEmpty)) None else Some((key.flatten, e))
       }

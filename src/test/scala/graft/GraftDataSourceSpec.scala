@@ -218,15 +218,26 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(wide == 100L)
     assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
       "a wide-box group column must run the real scan")
-    // a DV anywhere refuses the grouped answer too
+    // a deletion vector does NOT evict a point file from its group: the
+    // masked rows shared the point value, and the recorded delta proves
+    // zero visible nulls — grouped count/sum stay metadata-only
     MergeTable.mergeDelete(spark, t, Seq(1001L).toDF("event_id"),
       deletionVectors = true)
     GraftScanAudit.reset()
     val afterDv = spark.read.format("graft").load(t)
-      .groupBy(col("g")).agg(count(lit(1))).orderBy("g").collect()
+      .groupBy(col("g")).agg(count(lit(1)), sum(col("event_id")))
+      .orderBy("g").collect()
     assert(afterDv.map(_.getLong(1)).toSeq == Seq(100L, 99L, 100L, 100L))
+    assert(afterDv(1).getLong(2) ==
+      (1001L to 1100L).sum - 1001L, "the masked key's sum delta subtracts")
+    assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+      "grouped count/sum under recorded DV deltas stay metadata-only")
+    // grouped MIN/MAX still fall back while any group file is DV'd
+    GraftScanAudit.reset()
+    spark.read.format("graft").load(t)
+      .groupBy(col("g")).agg(max(col("event_id"))).collect()
     assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
-      "grouped aggregates under DVs must fall back")
+      "grouped min/max under DVs must fall back")
   }
 
   test("OPTIMIZE SPLIT BY re-lays ANY clustered table into point files: " +

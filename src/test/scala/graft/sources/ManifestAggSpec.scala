@@ -104,6 +104,28 @@ class ManifestAggSpec extends AnyFunSuite {
       entry("f1", 3L, "1.5"))), schema, gSum).isEmpty)
   }
 
+  test("grouped answers under DVs: a masked point file keeps its group " +
+    "(the delta proves zero visible nulls), a FULLY-masked file's group " +
+    "drops — Spark emits no row for an empty group — and an unrecorded " +
+    "delta refuses") {
+    val live = entry("f1", 10L, "1.5")
+    val partly = entry("f2", 6L, "2.5").copy(dv = Some("dv/x"), dvRows = 2L,
+      dvNulls = Map("g" -> 0L, "id" -> 0L))
+    val gone = entry("f3", 4L, "3.5").copy(dv = Some("dv/y"), dvRows = 4L,
+      dvNulls = Map("g" -> 0L, "id" -> 0L))
+    val m = manifest(Seq(live, partly, gone))
+    val Some((_, rows)) = ManifestAgg.answer(m, schema, groupByG)
+    assert(rows.map(r => (r.head, r(1))).toSet ==
+      Set((1.5, 10L), (2.5, 4L)),
+      s"partly-masked keeps its group at visible count, fully-masked " +
+        s"drops: $rows")
+    // a DV'd point file WITHOUT a recorded null delta cannot prove zero
+    // visible nulls — the whole grouped answer refuses
+    val legacy = entry("f4", 5L, "4.5").copy(dv = Some("dv/z"), dvRows = 1L)
+    assert(ManifestAgg.answer(manifest(Seq(live, legacy)),
+      schema, groupByG).isEmpty)
+  }
+
   test("deletion-vector'd entries answer SUM/COUNT only through the " +
     "recorded masked-row deltas; a legacy DV (no deltas) refuses") {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, Sum}
