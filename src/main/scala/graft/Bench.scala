@@ -34,6 +34,14 @@ import java.nio.file.{Files, Paths}
   * contention starves parallel stages, not one core, hence the all-core
   * probe.)
   *
+  * A SECOND probe (`spark_cal_sec`, same three points) times a fixed
+  * data-independent whole-stage-codegen job — round 15 caught a
+  * slowness mode the md5 probe is blind to (uniform ~1.9× query
+  * inflation with QUIET md5 probes: memory-bandwidth/scheduler
+  * contention a register-resident loop never touches). Reported for
+  * cross-reading; the retry gate below stays on the md5 probe until a
+  * reference band accumulates.
+  *
   * DETECT-AND-RETRY: four consecutive rounds recorded their official
   * artifact in a contended window (an end cal of 2.9 vs the quiet 0.36)
   * while quiet close-out runs of the same binary measured 35% faster —
@@ -87,6 +95,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SECOND, Spark-shaped probe: a fixed data-independent codegen job
+    // (67M xxhash64 folds across every core). Round 15 observed a
+    // PROBE-BLIND slowness mode — every query ~1.9× its band while the
+    // md5 probes read QUIETER than the quiet close-outs — because a
+    // register-resident CPU loop cannot see memory-bandwidth or
+    // scheduler contention that a real Spark pipeline does. This probe
+    // goes through the same whole-stage-codegen machinery as the
+    // queries, so it inflates with them. Reported as `spark_cal_sec`
+    // for cross-reading; the retry decision stays on the md5 probe
+    // until a reference band accumulates (BASELINE.md records the
+    // initial quiet values).
+    def sparkCal(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 26, 1L, cpus)
+        .selectExpr("max(xxhash64(id))").collect() // max: no ANSI overflow
+      (System.nanoTime() - t0) / 1e9
+    }
+
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) -1.0
@@ -114,7 +140,7 @@ object Bench {
 
     case class Pass(
         results: Seq[(String, Double, Seq[Double], Seq[String])],
-        cals: Seq[Double]) {
+        cals: Seq[Double], sparkCals: Seq[Double]) {
       def worstCal: Double = cals.max
       def total: Double = results.map(_._2).filter(_ >= 0).sum
       def totalMin: Double = results
@@ -124,12 +150,14 @@ object Bench {
 
     def runPass(): Pass = {
       val calStart = noiseCal()
+      val sparkCalStart = sparkCal()
       // a third calibration HALFWAY through the loop: round-6 observed one
       // query's samples inflate 3x while the start/end probes sat in the
       // quiet band — a mid-run spike is otherwise invisible
       var calMid = -1.0
+      var sparkCalMid = -1.0
       val results = names.zipWithIndex.map { case (n, i) =>
-        if (i == names.size / 2) calMid = noiseCal()
+        if (i == names.size / 2) { calMid = noiseCal(); sparkCalMid = sparkCal() }
         val before = graft.ops.IndexStore.events.snapshot()
         val samples = Seq.fill(nSamples(n))(runOnce(n))
         // artifacts this query touched FIRST in the session, and whether
@@ -142,7 +170,9 @@ object Bench {
         (n, median(ok), samples, touched)
       }
       val calEnd = noiseCal()
-      Pass(results, Seq(calStart, calMid, calEnd))
+      val sparkCalEnd = sparkCal()
+      Pass(results, Seq(calStart, calMid, calEnd),
+        Seq(sparkCalStart, sparkCalMid, sparkCalEnd))
     }
 
     /** Poll the probe until it re-enters the quiet band (≤0.7×bar) or the
@@ -159,8 +189,11 @@ object Bench {
       }
     }
 
-    // warmup: the flagship query end-to-end, result discarded
+    // warmup: the flagship query end-to-end, result discarded — plus one
+    // throwaway spark-probe so its first-pass start sample measures the
+    // host, not the probe plan's own one-off codegen compile
     try runOnce("q_classifier") catch { case _: Throwable => () }
+    sparkCal()
 
     var passes = List(runPass())
     while (passes.head.worstCal > calBar && passes.size <= maxRetries) {
@@ -196,16 +229,18 @@ object Bench {
     val total = best.total
     val totalMin = best.totalMin
     val cal = "[" + best.cals.map(fmt).mkString(",") + "]"
+    val sparkCalJson = "[" + best.sparkCals.map(fmt).mkString(",") + "]"
     val discardedJson = discarded.map(p =>
       s"""{"noise_cal_sec":[${p.cals.map(fmt).mkString(",")}],""" +
+        s""""spark_cal_sec":[${p.sparkCals.map(fmt).mkString(",")}],""" +
         s""""value":${fmt(p.total)},"total_min":${fmt(p.totalMin)}}""")
       .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"noise_cal_sec":$cal,"discarded_passes":$discardedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"noise_cal_sec":$cal,"spark_cal_sec":$sparkCalJson,"discarded_passes":$discardedJson,"sf":"$sfDir"}"""
     // durable copy first (stdout can be truncated by the harness); the file
     // additionally carries every raw sample so noise is diagnosable.
     val durable =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"samples":$samplesJson,"n_samples":"3 (5 for the memo tier)","stat":"median","memo_events":$memoJson,"noise_cal_sec":$cal,"discarded_passes":$discardedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"samples":$samplesJson,"n_samples":"3 (5 for the memo tier)","stat":"median","memo_events":$memoJson,"noise_cal_sec":$cal,"spark_cal_sec":$sparkCalJson,"discarded_passes":$discardedJson,"sf":"$sfDir"}"""
     val out = Paths.get("target", "bench.json")
     Files.createDirectories(out.getParent)
     Files.write(out, (durable + "\n").getBytes(StandardCharsets.UTF_8))

@@ -416,6 +416,63 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(one.size == 1 && one.head.size == 2000)
   }
 
+  test("a commit landing MID-SNAPSHOT-PAGING queues behind the snapshot: " +
+    "remaining slices keep coming from the PINNED v0 manifest, the diff " +
+    "follows, and an upsert fold of the feed converges to the head") {
+    val t = fresh("snap-race")
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 1200L).map(i => (i, "a", i * 1.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 200,
+      txn = Some(("seed", 0L))) // v0: 6 files
+    val m0 = MergeTable.latestManifest(t).get
+    val opts = Map(
+      "maxBytesPerTrigger" -> (m0.files.map(_.bytes).sum / 3).toString)
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = fresh("snap-race-ckpt")
+    val batches = mutable.Buffer.empty[Seq[Row]]
+    // ONE paced slice, then stop — the snapshot is mid-paging
+    val q1 = opts.foldLeft(spark.readStream.format("graft")) {
+      case (r, (k, v)) => r.option(k, v) }.load(t)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.collect().toSeq
+        batches.synchronized { if (rows.nonEmpty) batches += rows }; ()
+      }.start()
+    q1.awaitTermination()
+    assert(batches.size == 1 && batches.head.size < 1200,
+      s"the first trigger must deliver a strict snapshot slice")
+    // a commit lands while the snapshot is mid-paging: updates of rows
+    // in BOTH already-delivered and not-yet-delivered slices + an insert
+    MergeTable.mergeUpsert(spark, t,
+      (Seq(1L, 600L, 1199L).map(i => (i, "upd", i + 0.5)) :+
+        ((2000L, "new", 9.9))).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L))) // v1
+    // drain: the rest of v0's snapshot (from the pinned manifest), THEN
+    // the v1 diff
+    runStream(t, ckpt, batches, opts)
+    val all = batches.flatten.map(key)
+    val snap = all.filter(_._1 == 0L)
+    assert(snap.size == 1200 && snap.toSet.size == 1200,
+      "v0's snapshot must deliver exactly once, from the pinned manifest")
+    assert(snap.forall(r => r._5 == "a"),
+      "snapshot slices must keep reading v0's content, never v1's")
+    val diff = all.filter(_._1 == 1L)
+    assert(diff.count(_._2 == "UPDATE") == 3 &&
+      diff.count(_._2 == "INSERT") == 1, diff.toString)
+    // the standard consumer fold (upsert by key, in delivered order)
+    // converges to the head snapshot
+    val folded = all.sortBy(_._1)
+      .foldLeft(Map.empty[Long, (String, Double)]) { (acc, r) =>
+        acc + (r._4 -> ((r._5, r._6))) }
+    val head = MergeTable.read(spark, t)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(folded == head)
+  }
+
   test("a range wider than the plan-width bar reads batch-wise in bounded " +
     "RDD-stitched chunks, equal to the streamed replay; the analysis-time " +
     "TVF redirects; chunk width is capped by the bar") {
