@@ -666,7 +666,17 @@ object GraftSql {
         // loudly; reference the target key instead). Two genuinely
         // distinct source rows addressing one key still collide in the
         // engine's key-uniqueness check — the standard MERGE cardinality
-        // violation, surfaced with the same error.
+        // violation, surfaced with the same error. To keep that true for
+        // two EXACT-duplicate source rows (which the dedup would
+        // otherwise silently collapse into one merge row, while the
+        // single-tuple door rejects them), every source row is tagged
+        // with a physical row id BEFORE the explosion: the dedup then
+        // collapses only the same-row-two-disjuncts case, and duplicate
+        // rows reach the engine as two rows for one key. The tag needs a
+        // stable row↔id assignment across the per-disjunct reads, so the
+        // tagged frame is pinned (localCheckpoint) — which also stops
+        // the explosion re-running the source pipeline once per
+        // disjunct.
         val tableColsLower = MergeTable.latestManifest(path) match {
           case Some(h) => org.apache.spark.sql.types.DataType
             .fromJson(h.schemaJson)
@@ -680,25 +690,43 @@ object GraftSql {
           case (tn, sn) if !sn.equalsIgnoreCase(tn) =>
             sn.toLowerCase(java.util.Locale.ROOT)
         }.toSet -- tableColsLower
-        import org.apache.spark.sql.functions.col
-        val frames = disjunctParts.map { case (ks, _) =>
+        import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+        val ridCol = Iterator.iterate("__graft_source_rid")(_ + "_")
+          .find(n => !source0.columns.exists(_.equalsIgnoreCase(n))).get
+        val tagged = source0
+          .withColumn(ridCol, monotonically_increasing_id())
+          .localCheckpoint()
+        val frames = disjunctParts.zipWithIndex.map { case ((ks, _), di) =>
           val keyMap = ks.map { case (tn, sn) =>
             tn.toLowerCase(java.util.Locale.ROOT) ->
               actualSrcCol(sn.toLowerCase(java.util.Locale.ROOT))
           }.toMap
-          val kept = source0.columns.toSeq.flatMap { c =>
+          val kept = tagged.columns.toSeq.flatMap { c =>
             val lc = c.toLowerCase(java.util.Locale.ROOT)
             if (addressOnly.contains(lc)) None
-            else if (keyMap.contains(lc)) Some(col(keyMap(lc)).as(c))
+            else if (keyMap.contains(lc)) {
+              val addr = keyMap(lc)
+              // mirror the single-tuple door's clobber rejection: a
+              // source PAYLOAD column named like the target key would be
+              // silently overwritten by this disjunct's address value —
+              // a clause's `s.<key>` would read the address, not the
+              // source's own column
+              if (!addr.equalsIgnoreCase(c)) unsupported(
+                s"ON disjunct ${di + 1} maps source column '$addr' onto " +
+                  s"target key '$c', but the source ALSO has a column " +
+                  s"named '$c' — the rename would clobber it; alias it " +
+                  "away in the source")
+              Some(col(addr).as(c))
+            }
             else Some(col(c))
           }
           val missing = ks.collect {
-            case (tn, sn) if !source0.columns.exists(_.equalsIgnoreCase(tn)) =>
+            case (tn, sn) if !tagged.columns.exists(_.equalsIgnoreCase(tn)) =>
               col(actualSrcCol(sn.toLowerCase(java.util.Locale.ROOT))).as(tn)
           }
-          source0.select(kept ++ missing: _*)
+          tagged.select(kept ++ missing: _*)
         }
-        frames.reduce(_ unionByName _).distinct()
+        frames.reduce(_ unionByName _).distinct().drop(ridCol)
       } else srcRename.foldLeft(source0) { case (df, (srcLower, tgt)) =>
         val actual = actualSrcCol(srcLower)
         if (df.columns.exists(c => c.equalsIgnoreCase(tgt) &&

@@ -698,6 +698,36 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key-unique"), e.getMessage)
   }
 
+  test("OR-of-key-tuples ON: two EXACT-duplicate source rows addressing " +
+    "one key are a cardinality violation, same as the single-tuple door " +
+    "— the explosion's dedup must not silently collapse them") {
+    Seq((5L, 900L, 1.0), (5L, 900L, 1.0))
+      .toDF("primary_id", "alias_id", "value")
+      .createOrReplaceTempView("gsql_or_exactdup")
+    val t = seedTable("orexactdup")
+    val e = intercept[Exception](GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_or_exactdup AS s
+         |ON (t.event_id = s.primary_id) OR (t.event_id = s.alias_id)
+         |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin))
+    assert(e.getMessage.contains("key-unique"), e.getMessage)
+    assert(state(t).size == 20, "nothing committed")
+  }
+
+  test("OR-of-key-tuples ON: a source payload column named like the " +
+    "target key rejects loudly when a disjunct's address would clobber " +
+    "it — mirroring the single-tuple door") {
+    Seq((7L, 70L, 3.3))
+      .toDF("event_id", "alias_id", "value") // event_id IS the target key
+      .createOrReplaceTempView("gsql_or_clobber")
+    val t = seedTable("orclobber")
+    val e = intercept[Exception](GraftSql.mergeInto(spark,
+      s"""MERGE INTO graft.`$t` AS t USING gsql_or_clobber AS s
+         |ON (t.event_id = s.event_id) OR (t.event_id = s.alias_id)
+         |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin))
+    assert(e.getMessage.contains("clobber"), e.getMessage)
+    assert(state(t).size == 20, "nothing committed")
+  }
+
   test("OR-of-key-tuples ON: unsupported shapes reject with the rewrite " +
     "spelled out — inserts, NMBS, in-disjunct residuals, and clauses " +
     "referencing a dropped address column") {
