@@ -235,12 +235,19 @@ object Bench {
         s""""spark_cal_sec":[${p.sparkCals.map(fmt).mkString(",")}],""" +
         s""""value":${fmt(p.total)},"total_min":${fmt(p.totalMin)}}""")
       .mkString("[", ",", "]")
+    // which pass (chronological, 0-based) the artifact publishes: a
+    // winner_pass > 0 ran in a JVM already warmed (fixtures/index parquet
+    // memoized, JIT hot) by a discarded contended pass — artifact
+    // consumers can see "quiet host" was measured on a warm process, not
+    // a cold one, and weigh the totals accordingly
+    val winnerPass = passes.reverse.indexWhere(_ eq best)
+    val passMeta = s""""winner_pass":$winnerPass,"passes_run":${passes.size}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"noise_cal_sec":$cal,"spark_cal_sec":$sparkCalJson,"discarded_passes":$discardedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"noise_cal_sec":$cal,"spark_cal_sec":$sparkCalJson,$passMeta,"discarded_passes":$discardedJson,"sf":"$sfDir"}"""
     // durable copy first (stdout can be truncated by the harness); the file
     // additionally carries every raw sample so noise is diagnosable.
     val durable =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"samples":$samplesJson,"n_samples":"3 (5 for the memo tier)","stat":"median","memo_events":$memoJson,"noise_cal_sec":$cal,"spark_cal_sec":$sparkCalJson,"discarded_passes":$discardedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$minsJson,"total_min":${fmt(totalMin)},"samples":$samplesJson,"n_samples":"3 (5 for the memo tier)","stat":"median","memo_events":$memoJson,"noise_cal_sec":$cal,"spark_cal_sec":$sparkCalJson,$passMeta,"discarded_passes":$discardedJson,"sf":"$sfDir"}"""
     val out = Paths.get("target", "bench.json")
     Files.createDirectories(out.getParent)
     Files.write(out, (durable + "\n").getBytes(StandardCharsets.UTF_8))
