@@ -184,7 +184,12 @@ object ScaleProbe {
   private def probeSourcePrune(spark: SparkSession): Unit = {
     import spark.implicits._
     import graft.ops.MergeTable
-    for (n <- Seq(20000, 200000)) {
+    // the probe measures the AT-SCALE posture: zero the small-source
+    // gate (a real merge source at 100 TB is far above the broadcast
+    // threshold; the 200k-row fixture is not, and would otherwise
+    // legitimately skip the prune it is here to measure)
+    spark.conf.set("spark.graft.merge.sourcePrune.minBytes", "0")
+    try for (n <- Seq(20000, 200000)) {
       val t = java.nio.file.Files.createTempDirectory(s"graft-probe-srcprune$n")
       java.nio.file.Files.delete(t)
       try {
@@ -207,7 +212,7 @@ object ScaleProbe {
             s""""rows_after_prune":$kept,"prune_sec":${s1(tPrune)},""" +
             s""""matched_only_merge_sec":${s1(tMerge)}}""")
       } finally MergeTable.dropTable(t.toString)
-    }
+    } finally spark.conf.unset("spark.graft.merge.sourcePrune.minBytes")
   }
 
   /** Generalized file-skipping measured (round 12): at 1× and 10× file

@@ -171,7 +171,28 @@ object MergeTable {
       // refused under DVs regardless (a masked row may hold the
       // extremum; no delta can repair a bound).
       dvNulls: Map[String, Long] = Map.empty,
-      dvSums: Map[String, String] = Map.empty) {
+      dvSums: Map[String, String] = Map.empty,
+      // OPT-IN min/max LEDGERS (design note; flag
+      // `spark.graft.stats.ledgerK` > 0 at write time): per
+      // stats-indexed column, the k smallest (`bottomK`, ascending) and
+      // k largest (`topK`, descending) non-null values of the file,
+      // rendered like `stats` — what lets min/max aggregate pushdown
+      // survive SMALL deletion vectors: a bound stays exactly
+      // recoverable while the masked rows leave at least one ledger
+      // entry standing. `dvBottom`/`dvTop` are the masked counterpart,
+      // accumulated across stacked DV commits (the ≤k smallest /
+      // largest masked non-null values, counts implied by
+      // dvRows − dvNulls); the answer side subtracts them from the
+      // ledger (saturating multiset) and refuses the moment the ledger
+      // exhausts or the recorded masked prefix cannot prove in-range
+      // completeness ([[graft.sources.ManifestAgg]]) — the same
+      // exact-or-refuse contract as every other manifest answer.
+      // Absent (legacy manifests / flag off) → min/max keep refusing
+      // under DVs, exactly the pre-ledger behavior.
+      bottomK: Map[String, Seq[String]] = Map.empty,
+      topK: Map[String, Seq[String]] = Map.empty,
+      dvBottom: Map[String, Seq[String]] = Map.empty,
+      dvTop: Map[String, Seq[String]] = Map.empty) {
     /** Convenience for specs / long-keyed callers. */
     def minLong(c: String): Long = stats(c).min.toLong
     def maxLong(c: String): Long = stats(c).max.toLong
@@ -1202,13 +1223,16 @@ object MergeTable {
   /** Paths of the files whose stats box intersects the batch's key set —
     * the point-in-box join of the distinct batch cluster tuples against
     * the broadcast ≤|files|-row box table; collects only the bounded
-    * touched-path list. */
-  private def touchedPaths(
+    * touched-path list. The second return is whether ANY distinct batch
+    * tuple fell OUTSIDE every box — when false, the boxes cover the full
+    * batch key range, the source-prune complement is provably empty, and
+    * the semi/anti prune pair is pure overhead (the gate reads this, for
+    * free, off the same one-job probe). */
+  private def touchedPathsWithCoverage(
       s: SparkSession, files: Seq[DataFileEntry], batch: DataFrame,
       clusterBy: Seq[String],
-      columnMap: Map[String, String] = Map.empty): Set[String] = {
-    if (files.isEmpty) return Set.empty
-    import s.implicits._
+      columnMap: Map[String, String] = Map.empty): (Set[String], Boolean) = {
+    if (files.isEmpty) return (Set.empty, true)
     val intervals = boxIntervalFrame(s, files, clusterBy, columnMap)
     val probe = batch
       .select(clusterBy.zipWithIndex.map { case (c, i) => col(c).as(s"k_$i") }: _*)
@@ -1216,10 +1240,34 @@ object MergeTable {
     val cond = clusterBy.indices
       .map(i => col(s"k_$i") >= col(s"mn_$i") && col(s"k_$i") <= col(s"mx_$i"))
       .reduce(_ && _)
-    probe.join(broadcast(intervals), cond)
-      .select(col("path")).distinct()
-      .as[String].collect().toSet // bounded: ≤ |files| rows
+    val r = probe.join(broadcast(intervals), cond, "left_outer")
+      .agg(collect_set(col("path")), // bounded: ≤ |files| distinct paths
+        sum(when(col("path").isNull, 1L).otherwise(0L))).collect()(0)
+    val paths = r.getSeq[String](0).toSet
+    val outside = !r.isNullAt(1) && r.getLong(1) > 0L
+    (paths, outside)
   }
+
+  private def touchedPaths(
+      s: SparkSession, files: Seq[DataFileEntry], batch: DataFrame,
+      clusterBy: Seq[String],
+      columnMap: Map[String, String] = Map.empty): Set[String] =
+    touchedPathsWithCoverage(s, files, batch, clusterBy, columnMap)._1
+
+  /** Source-prune size gate: a source whose estimated bytes sit at or
+    * under this joins broadcast-cheap anyway, so the semi/anti prune
+    * pair would cost more than it saves. Defaults to the session's own
+    * broadcast threshold; `spark.graft.merge.sourcePrune.minBytes` = 0
+    * forces pruning (the at-scale posture and the spec hook). */
+  private def pruneMinBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.merge.sourcePrune.minBytes").map(_.toLong)
+      .getOrElse(math.max(0L, s.sessionState.conf.autoBroadcastJoinThreshold))
+
+  /** Rough per-row width of `schema` for the size gate — Catalyst's own
+    * defaultSize, the same estimate the planner's broadcast decision
+    * uses. */
+  private def estRowBytes(schema: StructType): Long =
+    math.max(1L, schema.fields.map(_.dataType.defaultSize.toLong).sum)
 
   /** Spec/probe observability: did the last [[merge]]/[[mergeDelete]]
     * AGAINST THIS TABLE apply the source-side box prune? Keyed by table
@@ -1499,6 +1547,20 @@ object MergeTable {
     // no-op without paying two full batch-plan executions first
     var preconditionsChecked = false
     var batchBoxMemo: Option[Option[Map[String, ColStat]]] = None
+    // SINGLE-PASS preconditions: the source pipeline executes ONCE — a
+    // narrow key projection pinned via localCheckpoint — and the dup-key
+    // check, the cluster null/NaN check, the touched-file probe, the
+    // prune gates and the CAS-retry key box all read the pinned frame.
+    // For an expensive source (the common case at scale: a joined or
+    // deduplicated staging pipeline) this removes three of the four
+    // full-source recomputes the merge used to pay; the two prune reads
+    // still evaluate the source (they must produce payload columns).
+    var keyFrameMemo: Option[DataFrame] = None
+    var batchKeyRows = -1L // exact source row count, from the pinned pass
+    def keyFrame: DataFrame = keyFrameMemo.getOrElse {
+      val kf = batch.select(keys.map(col): _*).localCheckpoint()
+      keyFrameMemo = Some(kf); kf
+    }
 
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1525,10 +1587,21 @@ object MergeTable {
             "keys/clustering needs an explicit migration")
       }
       if (!preconditionsChecked) {
-        requireClusterable(batch, clusterBy, "MERGE source")
-        val dupKeys = batch.groupBy(keys.map(col): _*).count()
-          .where(col("count") > 1).limit(1).count()
-        require(dupKeys == 0,
+        // schema/type half is driver-side; the row-level scans fold into
+        // ONE aggregation job over the pinned key frame: total rows (the
+        // prune size gate), max per-key multiplicity (key uniqueness)
+        // and the cluster null/NaN check (cluster ⊆ keys, and grouping
+        // preserves null/NaN key values as their own groups)
+        requireClusterable(batch, clusterBy, "MERGE source", rowCheck = false)
+        val r = keyFrame.groupBy(keys.map(col): _*).count()
+          .agg(coalesce(sum(col("count")), lit(0L)),
+            coalesce(max(col("count")), lit(0L)),
+            coalesce(max(when(badClusterCond(keyFrame.schema, clusterBy),
+              1L).otherwise(0L)), lit(0L)))
+          .collect()(0)
+        batchKeyRows = r.getLong(0)
+        require(r.getLong(2) == 0L, badClusterMsg(clusterBy, "MERGE source"))
+        require(r.getLong(1) <= 1L,
           s"MERGE source is not key-unique on ${keys.mkString(",")} — " +
             "a key with multiple source rows has no deterministic winner")
         preconditionsChecked = true
@@ -1537,9 +1610,10 @@ object MergeTable {
       val existingFiles = snapshot.map(_.files).getOrElse(Seq.empty)
       val headMap = snapshot.map(_.columnMap).getOrElse(Map.empty)
       val retired = snapshot.map(_.retiredPhysical).getOrElse(Seq.empty)
-      val touched =
-        if (nmbs) existingFiles.map(_.path).toSet // O(table) by semantics
-        else touchedPaths(s, existingFiles, batch, clusterBy, headMap)
+      val (touched, batchHasOutsideRows) =
+        if (nmbs) (existingFiles.map(_.path).toSet, false) // O(table) by semantics
+        else touchedPathsWithCoverage(s, existingFiles, keyFrame, clusterBy,
+          headMap)
       // SOURCE-SIDE pushdown ([[pruneSourceToBoxes]]): for any non-NMBS
       // merge, only the rows whose cluster tuple falls in SOME touched
       // box can match — they alone feed the merge join (joinBatch). The
@@ -1548,7 +1622,15 @@ object MergeTable {
       // the insert clauses (insertBatch), bypassing the join shuffle —
       // the append-mostly conditional merge stops paying a full-outer
       // join over rows that could never match.
-      val canPruneSource = !nmbs && touched.nonEmpty
+      //
+      // Two gates keep the prune from being pure overhead at small
+      // scale: (a) the boxes already cover the full batch key range —
+      // the complement is provably empty, the probe showed it for free;
+      // (b) the source is below the broadcast threshold — it joins
+      // broadcast-cheap anyway, and two extra source evaluations cost
+      // more than the join they'd shrink.
+      val canPruneSource = !nmbs && touched.nonEmpty && batchHasOutsideRows &&
+        batchKeyRows * estRowBytes(batch.schema) > pruneMinBytes(s)
       recordSourcePrune(table, canPruneSource)
       val touchedFiles = existingFiles.filter(f => touched.contains(f.path))
       val joinBatch =
@@ -1813,7 +1895,7 @@ object MergeTable {
       // addedSinceBase.isEmpty alone) — don't run the batch min/max
       // aggregation job for it on a CAS loss
       if (batchBoxMemo.isEmpty && !nmbs)
-        batchBoxMemo = Some(batchBox(batch, clusterBy))
+        batchBoxMemo = Some(batchBox(keyFrame, clusterBy))
       lazy val box = batchBoxMemo.get
       val basePaths = existingFiles.map(_.path).toSet
       val baseByPath = existingFiles.map(f => f.path -> f).toMap
@@ -1875,8 +1957,27 @@ object MergeTable {
 
   /** Every cluster column must exist with a supported type and be
     * non-null (and non-NaN for float/double) in every row. */
+  /** The null/NaN predicate over `clusterBy` that [[requireClusterable]]
+    * scans for — exposed so the merge path can fold the same check into
+    * its one-pass precondition aggregate. */
+  private def badClusterCond(schema: StructType,
+      clusterBy: Seq[String]): Column =
+    clusterBy.map { c =>
+      schema(c).dataType match {
+        case FloatType | DoubleType => col(c).isNull || isnan(col(c))
+        case _ => col(c).isNull
+      }
+    }.reduce(_ || _)
+
+  private def badClusterMsg(clusterBy: Seq[String], what: String): String =
+    s"$what: cluster columns ${clusterBy.mkString(",")} must be non-null " +
+      "(and non-NaN) in every row (they are the file-pruning statistics)"
+
+  /** `rowCheck = false` runs only the driver-side schema/type half — the
+    * caller folds the row-level null/NaN scan into a shared aggregation
+    * pass over its pinned key frame ([[badClusterCond]]). */
   private def requireClusterable(df: DataFrame, clusterBy: Seq[String],
-      what: String): Unit = {
+      what: String, rowCheck: Boolean = true): Unit = {
     clusterBy.foreach { c =>
       require(df.columns.contains(c), s"$what: cluster column '$c' missing")
       // decimals are stats-indexable (generalized skipping) but NOT
@@ -1887,16 +1988,10 @@ object MergeTable {
           "string/timestamp key (decimals still get skipping stats)")
       statTag(df.schema(c).dataType) // throws on unsupported types
     }
-    val badCond = clusterBy.map { c =>
-      df.schema(c).dataType match {
-        case FloatType | DoubleType => col(c).isNull || isnan(col(c))
-        case _ => col(c).isNull
-      }
-    }.reduce(_ || _)
-    val bad = df.where(badCond).limit(1).count()
-    require(bad == 0,
-      s"$what: cluster columns ${clusterBy.mkString(",")} must be non-null " +
-        "(and non-NaN) in every row (they are the file-pruning statistics)")
+    if (rowCheck) {
+      val bad = df.where(badClusterCond(df.schema, clusterBy)).limit(1).count()
+      require(bad == 0, badClusterMsg(clusterBy, what))
+    }
   }
 
   /** `df` widened to `schema`'s full column set (missing columns as typed
@@ -2077,8 +2172,16 @@ object MergeTable {
       // simply omitted and SUM pushdown refuses — instead of an ANSI
       // runtime error failing the WRITE over a statistic.
       val sumType: Seq[Option[DecimalType]] = dts.map(sumWideType)
+      // OPT-IN min/max ledgers: k smallest / largest values per column
+      // per file (see [[DataFileEntry.bottomK]]). collect_list is
+      // bounded by the file's own row target, and the flag defaults OFF
+      // so the write path pays nothing unless a table opts in.
+      val ledgerK = staged.sparkSession.conf
+        .getOption("spark.graft.stats.ledgerK").map(_.trim.toInt)
+        .getOrElse(0)
       val aggsB = Seq.newBuilder[Column]
       val off = new Array[Int](idxCols.size)
+      val ledOff = new Array[Int](idxCols.size)
       var pos = 0 // positions within the agg output, AFTER the pid key
       idxCols.indices.foreach { i =>
         off(i) = pos
@@ -2091,6 +2194,14 @@ object MergeTable {
         if (floaty(i)) { aggsB += max(isnan(c)).as(s"nan_$i"); pos += 1 }
         sumType(i).foreach { wide =>
           aggsB += try_sum(c.cast(wide)).as(s"sm_$i"); pos += 1
+        }
+        if (ledgerK > 0) {
+          ledOff(i) = pos
+          aggsB += slice(array_sort(collect_list(c)), 1, ledgerK)
+            .as(s"lo_$i")
+          aggsB += slice(reverse(array_sort(collect_list(c))), 1, ledgerK)
+            .as(s"hi_$i")
+          pos += 2
         }
       }
       aggsB += count(lit(1)).as("cnt")
@@ -2105,6 +2216,8 @@ object MergeTable {
           val statsB = Map.newBuilder[String, ColStat]
           val nullsB = Map.newBuilder[String, Long]
           val sumsB = Map.newBuilder[String, String]
+          val botB = Map.newBuilder[String, Seq[String]]
+          val topB = Map.newBuilder[String, Seq[String]]
           idxCols.indices.foreach { i =>
             val base = 1 + off(i)
             val nonNull = r.getLong(base + 2)
@@ -2118,9 +2231,17 @@ object MergeTable {
             if (sumType(i).nonEmpty && nonNull > 0 && !r.isNullAt(base + 3))
               sumsB += idxCols(i) ->
                 r.getDecimal(base + 3).toPlainString
+            // ledgers share the stats gates (non-empty, NaN-free)
+            if (ledgerK > 0 && nonNull > 0 && !hasNaN) {
+              val lb = 1 + ledOff(i)
+              botB += idxCols(i) ->
+                r.getSeq[Any](lb).map(v => renderStat(dts(i), v))
+              topB += idxCols(i) ->
+                r.getSeq[Any](lb + 1).map(v => renderStat(dts(i), v))
+            }
           }
           r.getInt(0) -> ((statsB.result(), nullsB.result(), cnt,
-            sumsB.result()))
+            sumsB.result(), botB.result(), topB.result()))
         }.toMap
       val newFiles = {
         val stream = Files.list(Paths.get(table, "data", commitId))
@@ -2131,10 +2252,10 @@ object MergeTable {
         finally stream.close()
       }.flatMap { f =>
         val idx = f.stripPrefix("part-").takeWhile(_.isDigit).toInt
-        stats.get(idx).map { case (m, nulls, cnt, sums) =>
+        stats.get(idx).map { case (m, nulls, cnt, sums, bot, top) =>
           DataFileEntry(s"$rel/$f", cnt, m, nullCounts = nulls,
             bytes = Files.size(Paths.get(table, "data", commitId, f)),
-            sums = sums)
+            sums = sums, bottomK = bot, topK = top)
         }
       }
       (commitId, newFiles)
@@ -2172,6 +2293,14 @@ object MergeTable {
       deletionVectors: Boolean = false,
       requireVersion: Option[Long] = None): Long = {
     var boxMemo: Option[Option[Map[String, ColStat]]] = None
+    // the purge-list pipeline executes ONCE: the pinned frame feeds the
+    // row-level precondition, the touched probe, the box prune and the
+    // delete joins (same single-pass discipline as mergeUpsert's
+    // keyFrame)
+    var pinnedKeysMemo: Option[DataFrame] = None
+    def pinnedKeys: DataFrame = pinnedKeysMemo.getOrElse {
+      val p = delKeys.localCheckpoint(); pinnedKeysMemo = Some(p); p
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -2191,15 +2320,21 @@ object MergeTable {
       val clusterBy = snapshot.clusterBy
       val headMap = snapshot.columnMap
       val retired = snapshot.retiredPhysical
-      if (attempt == 1) requireClusterable(delKeys, clusterBy, "DELETE key set")
-      val touched = touchedPaths(s, snapshot.files, delKeys, clusterBy, headMap)
+      if (attempt == 1)
+        requireClusterable(pinnedKeys, clusterBy, "DELETE key set")
+      val (touched, keysOutsideBoxes) = touchedPathsWithCoverage(
+        s, snapshot.files, pinnedKeys, clusterBy, headMap)
       // SOURCE-SIDE pushdown (delete form): a key outside every touched
       // box deletes nothing — drop it before the semi/anti join, so a
-      // scattered purge list joins O(keys within the touched range)
-      recordSourcePrune(table, touched.nonEmpty)
+      // scattered purge list joins O(keys within the touched range).
+      // Gated on coverage: a list whose every key sits inside a touched
+      // box has an empty complement, and the prune join is pure overhead
+      // (no size gate — the pinned list re-reads checkpoint-cheap).
+      val canPrune = touched.nonEmpty && keysOutsideBoxes
+      recordSourcePrune(table, canPrune)
       val effDelKeys =
-        if (touched.isEmpty) delKeys
-        else pruneSourceToBoxes(s, delKeys,
+        if (!canPrune) pinnedKeys
+        else pruneSourceToBoxes(s, pinnedKeys,
           snapshot.files.filter(f => touched.contains(f.path)), clusterBy,
           headMap)
 
@@ -2219,7 +2354,7 @@ object MergeTable {
 
       def delKeyBox(): Option[Map[String, ColStat]] = {
         if (boxMemo.isEmpty) boxMemo = Some(batchBox(
-          delKeys.select(clusterBy.map(col): _*), clusterBy))
+          pinnedKeys.select(clusterBy.map(col): _*), clusterBy))
         boxMemo.get
       }
 
@@ -2288,19 +2423,42 @@ object MergeTable {
         // write must see the same rows (the writeClusteredFiles discipline)
         val pinned = marked.localCheckpoint()
         try {
+          // opt-in min/max ledgers: when a touched entry carries one,
+          // also record the masked rows' extreme-value PREFIXES (the ≤k
+          // smallest / largest masked non-null values per column,
+          // bounded by the largest ledger on any touched file) — what
+          // lets min/max pushdown subtract exactly
+          // ([[DataFileEntry.bottomK]] design note)
+          val ledgerCap: Int = touchedEntries.flatMap(e =>
+            e.bottomK.values.map(_.size) ++ e.topK.values.map(_.size))
+            .maxOption.getOrElse(0)
+          val ledgered: Set[String] = touchedEntries.flatMap(e =>
+            e.bottomK.keySet ++ e.topK.keySet)
+            .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          def hasLedger(c: String): Boolean = ledgerCap > 0 &&
+            ledgered.contains(
+              physOf(headMap, c).toLowerCase(java.util.Locale.ROOT))
           val deltaAggsB = Seq.newBuilder[Column]
           deltaAggsB += count(lit(1)).as("cnt")
           idxCols.zipWithIndex.foreach { case (c, i) =>
             deltaAggsB += count(col(c)).as(s"nn_$i")
             sumWideType(idxTypes(i)).foreach(w =>
               deltaAggsB += try_sum(col(c).cast(w)).as(s"sm_$i"))
+            if (hasLedger(c)) {
+              deltaAggsB += slice(array_sort(collect_list(col(c))), 1,
+                ledgerCap).as(s"lo_$i")
+              deltaAggsB += slice(reverse(array_sort(collect_list(col(c)))),
+                1, ledgerCap).as(s"hi_$i")
+            }
           }
           val deltaAggs = deltaAggsB.result()
           // per file: deleted-row count, per-column deleted-null counts
-          // (cnt − non-null) and exact deleted sums — keyed PHYSICAL like
+          // (cnt − non-null), exact deleted sums, and (ledgered columns)
+          // the masked extreme-value prefixes — keyed PHYSICAL like
           // every other per-file stat
           case class DvDelta(cnt: Long, nulls: Map[String, Long],
-              sums: Option[Map[String, String]])
+              sums: Option[Map[String, String]],
+              bot: Map[String, Seq[String]], top: Map[String, Seq[String]])
           val deltas: Map[String, DvDelta] = pinned.groupBy(col("path"))
             .agg(deltaAggs.head, deltaAggs.tail: _*)
             .collect().map { r =>
@@ -2308,6 +2466,8 @@ object MergeTable {
               var pos = 2
               val nullsB = Map.newBuilder[String, Long]
               val sumsB = Map.newBuilder[String, String]
+              val botB = Map.newBuilder[String, Seq[String]]
+              val topB = Map.newBuilder[String, Seq[String]]
               var sumsExact = true
               idxCols.zipWithIndex.foreach { case (c, i) =>
                 val phys = physOf(headMap, c)
@@ -2324,9 +2484,16 @@ object MergeTable {
                   } else sumsB += phys -> r.getDecimal(pos).toPlainString
                   pos += 1
                 }
+                if (hasLedger(c)) {
+                  botB += phys -> r.getSeq[Any](pos)
+                    .map(v => renderStat(idxTypes(i), v)); pos += 1
+                  topB += phys -> r.getSeq[Any](pos)
+                    .map(v => renderStat(idxTypes(i), v)); pos += 1
+                }
               }
               r.getString(0) -> DvDelta(cnt, nullsB.result(),
-                if (sumsExact) Some(sumsB.result()) else None)
+                if (sumsExact) Some(sumsB.result()) else None,
+                botB.result(), topB.result())
             }.toMap
           val perFile = deltas.map { case (p, d) => p -> d.cnt }
           if (perFile.isEmpty) {
@@ -2369,11 +2536,50 @@ object MergeTable {
             def baseExact(f: DataFileEntry): Boolean = f.dv.isEmpty ||
               (expectNulls.subsetOf(lowerKeys(f.dvNulls)) &&
                 expectSums.subsetOf(lowerKeys(f.dvSums)))
+            // prior masked-prefix soundness per column: a fresh DV
+            // starts empty; an existing recorded prefix accumulates; an
+            // ABSENT prefix under an existing DV is sound ONLY when the
+            // prior masked rows provably held no value in the column
+            // (dvRows − dvNulls = 0) — otherwise the column's history is
+            // unknown, the entry stays absent, and min/max keep refusing
+            def priorLed(f: DataFileEntry, led: Map[String, Seq[String]],
+                physC: String): Option[Seq[String]] =
+              if (f.dv.isEmpty) Some(Seq.empty)
+              else led.collectFirst {
+                case (k, v) if k.equalsIgnoreCase(physC) => v
+              }.orElse {
+                f.dvNulls.collectFirst {
+                  case (k, v) if k.equalsIgnoreCase(physC) => v
+                }.collect { case n if f.dvRows - n == 0L => Seq.empty[String] }
+              }
+            // merge two sorted masked prefixes, keep the k most extreme
+            def mergeLed(tag: String, a: Seq[String], b: Seq[String],
+                k: Int, asc: Boolean): Seq[String] = {
+              def lt(x: String, y: String): Boolean = {
+                val le = statLeq(tag, x, y); val ge = statLeq(tag, y, x)
+                if (asc) le && !ge else ge && !le
+              }
+              (a ++ b).sortWith(lt).take(k)
+            }
+            def accLed(f: DataFileEntry,
+                own: Map[String, Seq[String]], prior: Map[String, Seq[String]],
+                delta: Map[String, Seq[String]], asc: Boolean)
+                : Map[String, Seq[String]] =
+              own.flatMap { case (pc, lv) =>
+                for {
+                  tag <- f.stats.collectFirst {
+                    case (k, v) if k.equalsIgnoreCase(pc) => v.t }
+                  p <- priorLed(f, prior, pc)
+                  dl <- delta.collectFirst {
+                    case (k, v) if k.equalsIgnoreCase(pc) => v }
+                } yield pc -> mergeLed(tag, p, dl, lv.size, asc)
+              }
             val adds = changed.map { f =>
               val d = deltas(f.path)
-              val (nulls2, sums2) =
+              val (nulls2, sums2, bot2, top2) =
                 if (!baseExact(f)) (Map.empty[String, Long],
-                  Map.empty[String, String])
+                  Map.empty[String, String], Map.empty[String, Seq[String]],
+                  Map.empty[String, Seq[String]])
                 else {
                   val n2 = d.nulls.map { case (k, v) =>
                     k -> (v + f.dvNulls.collectFirst {
@@ -2390,10 +2596,13 @@ object MergeTable {
                         .add(new java.math.BigDecimal(base)).toPlainString
                     }
                   }
-                  (n2, s2)
+                  (n2, s2,
+                    accLed(f, f.bottomK, f.dvBottom, d.bot, asc = true),
+                    accLed(f, f.topK, f.dvTop, d.top, asc = false))
                 }
               f.copy(dv = Some(dvRel), dvRows = f.dvRows + perFile(f.path),
-                dvNulls = nulls2, dvSums = sums2)
+                dvNulls = nulls2, dvSums = sums2,
+                dvBottom = bot2, dvTop = top2)
             }
             val removes = changed.map(_.path).sorted
             val deletedCount = perFile.values.sum
@@ -3514,6 +3723,63 @@ object MergeTable {
        |  round(avg(event_id), 4) AS avg_id,
        |  count(props) AS n_props, count(*) AS n_rows
        |FROM events WHERE event_id % 97 <> 0""".stripMargin
+
+  private val ledgerAggCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_agg_pushdown_minmax_dv`: events written with the
+    * OPT-IN min/max ledgers (`spark.graft.stats.ledgerK` = 8), then a
+    * merge-on-read purge masks the three smallest AND three largest
+    * event_ids — exactly the rows whose masking forced the pre-ledger
+    * engine to refuse min/max back to a full scan. */
+  private def buildLedgerEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(ledgerAggCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("ledger-agg-events")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-ledger", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+      s.conf.set("spark.graft.stats.ledgerK", "8")
+      try mergeUpsert(s, t, ev, Seq("event_id"), Seq("event_id"),
+        txn = Some(("seed", 0L)))
+      finally s.conf.unset("spark.graft.stats.ledgerK")
+      val extremes = ev.select("event_id").orderBy(col("event_id")).limit(3)
+        .unionByName(
+          ev.select("event_id").orderBy(col("event_id").desc).limit(3))
+      val purged = mergeDelete(s, t, extremes,
+        deletionVectors = true, txn = Some(("purge", 1L)))
+      require(purged == 6, s"the ledger fixture must mask 6 rows, got $purged")
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_agg_pushdown_minmax_dv`: min/max over a snapshot whose EXTREME
+    * rows are deletion-vector-masked — answered entirely from the
+    * manifest through the opt-in bottom-k/top-k ledgers (the masked
+    * prefixes subtract; zero parquet files opened, the spec-pinned
+    * property), hash-matched against the oracle's reconstruction. */
+  def aggPushdownMinMaxDvDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildLedgerEvents(s, sfDir)
+    s.read.format("graft").load(t).agg(
+      min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+      min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  val aggPushdownMinMaxDvDigestSql: String =
+    s"""SELECT min(event_id) AS min_id, max(event_id) AS max_id,
+       |  min(value) AS min_value, max(value) AS max_value,
+       |  count(*) AS n_rows
+       |FROM events
+       |WHERE event_id NOT IN
+       |  (SELECT event_id FROM events ORDER BY event_id ASC LIMIT 3)
+       |  AND event_id NOT IN
+       |  (SELECT event_id FROM events ORDER BY event_id DESC LIMIT 3)""".stripMargin
 
   private val splitOptCache = IndexMemo.cache[(SparkSession, String), String]()
 

@@ -79,6 +79,25 @@ private[graft] object GraftChangeFeed {
     aligned(shape, MergeTable.readManifest(spark, shape.tablePath, m)
       .withColumn("change_type", lit("INSERT")), feedType, m.version)
 
+  /** The one-row `RESET_END` marker closing a paged mid-stream reset
+    * epoch (`_commit_version = v`): data and preimage columns null,
+    * `change_type = "RESET_END"`, `feed_type = "reset"`. A consumer
+    * staging epoch v's `feed_type = "reset"` rows commits the staging
+    * as its new state at the end of the batch carrying this row
+    * ([[GraftStreamSource]]'s consumer contract). */
+  def resetEndMarker(spark: SparkSession, shape: FeedShape,
+      v: Long): DataFrame = {
+    val row = org.apache.spark.sql.Row.fromSeq(shape.schema.fields.map {
+      f => f.name match {
+        case "change_type" => "RESET_END"
+        case "feed_type" => "reset"
+        case "_commit_version" => java.lang.Long.valueOf(v)
+        case _ => null
+      }
+    }.toSeq)
+    spark.createDataFrame(java.util.List.of(row), shape.schema)
+  }
+
   private def tryManifest(tablePath: String, v: Long)
       : Option[MergeTable.TableManifest] =
     try MergeTable.manifestAt(tablePath, v)

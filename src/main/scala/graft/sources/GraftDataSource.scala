@@ -167,7 +167,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       new GraftStreamSource(ctx, p,
         ci.get("startingversion").map(_.trim.toLong),
         ci.get("maxversionspertrigger").map(_.trim.toLong).getOrElse(100L),
-        ci.get("maxbytespertrigger").map(_.trim.toLong))
+        ci.get("maxbytespertrigger").map(_.trim.toLong),
+        ci.get("maxfilespertrigger").map(_.trim.toLong))
     })
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -297,6 +298,48 @@ class GraftTable(val tablePath: String, val manifest: TableManifest)
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = schemaStruct
     }
+  /** DECISION RECORD — why this table does NOT advertise
+    * `MICRO_BATCH_READ` (kept deliberately; revisit trigger below).
+    *
+    * The V2 contract: `MICRO_BATCH_READ` requires
+    * `Scan.toMicroBatchStream(checkpointLocation)` returning a
+    * `MicroBatchStream` whose `planInputPartitions(start, end)` yields
+    * serializable `InputPartition`s, each read on executors by a
+    * `PartitionReaderFactory` producing `InternalRow`s. The unit of the
+    * API is a ROW SPLIT.
+    *
+    * The engine's micro-batch is a QUERY, not a row split: a file-scoped
+    * version diff (two manifest file-set deltas), stacked deletion-vector
+    * (path, pos) anti-joins, the column-mapping projection, and the
+    * preimage join — one Catalyst plan shared verbatim with the batch CDF
+    * door through [[GraftChangeFeed]], which is what PINS streamed ==
+    * batch row-for-row (spec-enforced). Re-expressing that as
+    * PartitionReaders means re-implementing DV masking, column mapping
+    * and the preimage join imperatively per partition — losing
+    * whole-stage codegen and AQE over the diff, and forking the one
+    * framing into two implementations that can drift.
+    *
+    * The known workaround — materialize the diff DataFrame at
+    * planInputPartitions time and wrap its RDD partitions as
+    * InputPartitions carrying (rdd, splitIndex) — was evaluated and
+    * rejected: the InputPartition must serialize the full lineage to
+    * executors, task retry then recomputes from a driver-built plan
+    * whose validity across micro-batch re-planning is unspecified, and
+    * offset/commit recovery no longer goes through the one documented V1
+    * replay path this source's exactly-once reasoning (and the paced
+    * snapshot/reset offsets of [[GraftStreamSource]]) is built on.
+    *
+    * What V2 would buy: `TableCapability` introspection showing a
+    * streaming face, and `readStream.table()` resolution without the V1
+    * fallback. What it costs: the engine's own plan as the batch. The
+    * fallback to [[GraftDataSource]]'s `StreamSourceProvider` is
+    * automatic and user-invisible (`readStream.format("graft")` just
+    * works), so the introspection gap is the entire user-facing cost.
+    *
+    * REVISIT WHEN: Spark offers a plan-returning micro-batch API (a
+    * DataFrame-valued `getBatch` analog in DSv2), or this engine drops
+    * preimages/DV masking from the feed (removing the inner-plan
+    * advantage). Until one of those happens, V1 stays. */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -732,6 +775,97 @@ private[sources] object ManifestAgg {
       val name = s"${if (isAvg) "avg" else "sum"}(${f.name})"
       Some((StructField(name, outType, nullable = true), value))
     }
+    def seqOf(m2: Map[String, Seq[String]], c: String): Option[Seq[String]] = {
+      val p = phys(c).toLowerCase(java.util.Locale.ROOT)
+      m2.collectFirst {
+        case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == p => v }
+    }
+    /** One DV'd file's visible min/max through the OPT-IN ledgers
+      * ([[MergeTable.DataFileEntry.bottomK]] design note): subtract the
+      * recorded masked prefix from the k-extreme ledger (saturating
+      * multiset); the first survivor is the exact visible bound. Refuses
+      * (None) without a ledger, without the masked prefix, when the
+      * recorded prefix cannot prove in-range completeness, or when the
+      * ledger exhausts; Some(None) = provably contributes nothing. */
+    def dvBound(e: MergeTable.DataFileEntry, f: StructField, tag: String,
+        isMin: Boolean): Option[Option[String]] = {
+      val stat = statOf(e, f.name)
+      if (stat.isEmpty)
+        return nullsOf(e, f.name) match {
+          case Some(n) if n == e.numRows => Some(None) // all-null file
+          case _ => None // unknown (NaN-bearing or legacy) — refuse
+        }
+      if (stat.get.t != tag) return None // stale tag (retype?) — refuse
+      val L = seqOf(if (isMin) e.bottomK else e.topK, f.name)
+        .getOrElse(Seq.empty)
+      if (L.isEmpty) return None // no ledger: the pre-ledger refusal
+      val physNulls = nullsOf(e, f.name).getOrElse(return None)
+      val dvN = dvNullsOf(e, f.name).getOrElse(return None)
+      val maskedNonNull = e.dvRows - dvN
+      // the recorded masked prefix; an ABSENT entry is unknown history
+      // (a ledger-less DV commit happened) — refuse unless no masked
+      // row holds a value at all
+      val D = seqOf(if (isMin) e.dvBottom else e.dvTop, f.name) match {
+        case Some(d) => d
+        case None if maskedNonNull == 0L => Seq.empty[String]
+        case None => return None
+      }
+      // "ahead" = at least as close to the extremum (≤ for min, ≥ max)
+      def ahead(a: String, b: String): Boolean =
+        if (isMin) StatsPruning.leq(tag, a, b)
+        else StatsPruning.leq(tag, b, a)
+      // in-range completeness: every masked value recorded, or the last
+      // recorded one already beyond the ledger's boundary (any
+      // unrecorded masked value is further out by construction — the
+      // prefix holds the k most extreme masked values)
+      val complete = D.size.toLong == maskedNonNull ||
+        (D.nonEmpty && !ahead(D.last, L.last))
+      if (!complete) return None
+      val survivors = scala.collection.mutable.ArrayBuffer(L: _*)
+      D.foreach { v =>
+        val i = survivors.indexOf(v)
+        if (i >= 0) survivors.remove(i)
+      }
+      if (survivors.nonEmpty) Some(Some(survivors.head))
+      // ledger exhausted: decidable only when it held the COLUMN WHOLE
+      // (every non-null value) — then nothing visible remains
+      else if (L.size.toLong == e.numRows - physNulls) Some(None)
+      else None
+    }
+    /** min/max over a file subset — the DV-free fold, with the ledger
+      * repair for DV'd entries (exactness or refusal per file). */
+    def boundOf(files: Seq[MergeTable.DataFileEntry],
+        field: Option[StructField], isMin: Boolean)
+        : Option[(StructField, Any)] =
+      field.flatMap { f =>
+        MergeTable.statTagOpt(f.dataType).flatMap { tag =>
+          // every file must carry a matching stats entry, be PROVABLY
+          // all-null (contributes nothing), or repair through its ledger
+          val perFile: Seq[Option[Option[String]]] = files.map { e =>
+            if (e.dv.nonEmpty) dvBound(e, f, tag, isMin)
+            else statOf(e, f.name) match {
+              case Some(cs) if cs.t == tag =>
+                Some(Some(if (isMin) cs.min else cs.max))
+              case Some(_) => None // stale tag (retype?) — refuse
+              case None => nullsOf(e, f.name) match {
+                case Some(n) if n == e.numRows => Some(None) // all-null
+                case _ => None // unknown — refuse
+              }
+            }
+          }
+          if (perFile.exists(_.isEmpty)) None
+          else {
+            val vals = perFile.flatten.flatten
+            val winner = vals.reduceOption { (a, b) =>
+              val aLeqB = StatsPruning.leq(tag, a, b)
+              if (isMin) (if (aLeqB) a else b) else (if (aLeqB) b else a)
+            }
+            val name = s"${if (isMin) "min" else "max"}(${f.name})"
+            Some((StructField(name, f.dataType, nullable = true),
+              winner.map(statToExternal(tag, _, f.dataType)).orNull))
+          }
+        }
+      }
     /** Every aggregate expression evaluated over ONE file subset (the
       * whole table for a global aggregate, one group's files for a
       * grouped one) — exactness or refusal per expression. */
@@ -753,14 +887,11 @@ private[sources] object ManifestAgg {
                 nullable = false), perFile.flatten.map(_._1).sum: Any))
             else None
           }
-        // min/max refuse when THIS subset carries a DV (a masked row may
-        // hold the extremum; no delta repairs a bound) — per subset, so
-        // a grouped/filtered answer over DV-free files still folds even
-        // when some other file of the table is DV'd
-        case mn: Min if files.forall(_.dv.isEmpty) =>
-          bound(files, colOf(mn.column), isMin = true, statOf, nullsOf)
-        case mx: Max if files.forall(_.dv.isEmpty) =>
-          bound(files, colOf(mx.column), isMin = false, statOf, nullsOf)
+        // min/max under a DV'd subset repair per file through the opt-in
+        // ledgers ([[dvBound]]); a file without one refuses (a masked
+        // row may hold the extremum; no scalar delta repairs a bound)
+        case mn: Min => boundOf(files, colOf(mn.column), isMin = true)
+        case mx: Max => boundOf(files, colOf(mx.column), isMin = false)
         case s: Sum if !s.isDistinct =>
           colOf(s.column).flatMap(f => summed(files, f, isAvg = false))
         case a: Avg if !a.isDistinct =>
@@ -837,40 +968,6 @@ private[sources] object ManifestAgg {
       else Some((outSchema, rows.flatten))
     }
   }
-
-  private def bound(files: Seq[MergeTable.DataFileEntry],
-      field: Option[StructField], isMin: Boolean,
-      statOf: (MergeTable.DataFileEntry, String) => Option[MergeTable.ColStat],
-      nullsOf: (MergeTable.DataFileEntry, String) => Option[Long])
-      : Option[(StructField, Any)] =
-    field.flatMap { f =>
-      MergeTable.statTagOpt(f.dataType).flatMap { tag =>
-        // every file must either carry a matching stats entry or be
-        // PROVABLY all-null for the column (contributes nothing)
-        val perFile: Seq[Option[Option[String]]] = files.map { e =>
-          statOf(e, f.name) match {
-            case Some(cs) if cs.t == tag =>
-              Some(Some(if (isMin) cs.min else cs.max))
-            case Some(_) => None // stale tag (retype?) — refuse
-            case None => nullsOf(e, f.name) match {
-              case Some(n) if n == e.numRows => Some(None) // all-null file
-              case _ => None // unknown — refuse
-            }
-          }
-        }
-        if (perFile.exists(_.isEmpty)) None
-        else {
-          val vals = perFile.flatten.flatten
-          val winner = vals.reduceOption { (a, b) =>
-            val aLeqB = StatsPruning.leq(tag, a, b)
-            if (isMin) (if (aLeqB) a else b) else (if (aLeqB) b else a)
-          }
-          val name = s"${if (isMin) "min" else "max"}(${f.name})"
-          Some((StructField(name, f.dataType, nullable = true),
-            winner.map(statToExternal(tag, _, f.dataType)).orNull))
-        }
-      }
-    }
 
   /** Canonical stat string → the column's EXTERNAL row value. */
   private def statToExternal(tag: String, s: String, dt: DataType): Any =

@@ -537,6 +537,54 @@ class GraftDataSourceSpec extends AnyFunSuite {
       "min/max under DVs must fall back to the real scan")
   }
 
+  test("min/max LEDGER pushdown (spark.graft.stats.ledgerK, opt-in): " +
+    "bounds stay metadata-only and EXACT under small deletion vectors, " +
+    "accumulate across stacked DV commits, and refuse back to the real " +
+    "scan once a file's ledger exhausts") {
+    spark.conf.set("spark.graft.stats.ledgerK", "4")
+    try {
+      val t = freshTable("ledger")
+      val df = (1L to 1000L).map(i => (i, i * 1.5)).toDF("event_id", "value")
+      MergeTable.mergeUpsert(spark, t, df, Seq("event_id"), Seq("event_id"),
+        targetRowsPerFile = 100)
+      val m0 = MergeTable.latestManifest(t).get
+      assert(m0.files.forall(f => f.bottomK.contains("event_id") &&
+        f.topK.contains("value")), "flag-on writes must record ledgers")
+      assert(m0.files.head.bottomK("event_id").size == 4)
+      // mask the global min AND max rows (plus a mid row): the ledgers
+      // repair both bounds — still zero files opened
+      MergeTable.mergeDelete(spark, t,
+        Seq(1L, 500L, 1000L).toDF("event_id"), deletionVectors = true)
+      GraftScanAudit.reset()
+      val r = spark.read.format("graft").load(t)
+        .agg(min(col("event_id")), max(col("event_id")),
+          min(col("value")), max(col("value"))).head()
+      assert(r.getLong(0) == 2L && r.getLong(1) == 999L)
+      assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 999L * 1.5)
+      assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+        "ledger-repaired bounds must stay metadata-only")
+      // a SECOND DV commit stacks: the masked prefixes accumulate
+      MergeTable.mergeDelete(spark, t,
+        Seq(2L, 3L).toDF("event_id"), deletionVectors = true)
+      GraftScanAudit.reset()
+      val r2 = spark.read.format("graft").load(t)
+        .agg(min(col("event_id"))).head()
+      assert(r2.getLong(0) == 4L)
+      assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+        "stacked-DV repair must stay metadata-only")
+      // a FOURTH bottom deletion exhausts the k=4 ledger of the first
+      // file: the answer refuses back to the real scan — and stays right
+      MergeTable.mergeDelete(spark, t,
+        Seq(4L).toDF("event_id"), deletionVectors = true)
+      GraftScanAudit.reset()
+      val r3 = spark.read.format("graft").load(t)
+        .agg(min(col("event_id"))).head()
+      assert(r3.getLong(0) == 5L)
+      assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
+        "an exhausted ledger must refuse to the scan, never guess")
+    } finally spark.conf.unset("spark.graft.stats.ledgerK")
+  }
+
   test("deletion-vector rows are masked through the DSv2 scan") {
     val t = seeded("dv")
     MergeTable.mergeDelete(spark, t,

@@ -558,4 +558,155 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(v1.length == 1 && v1(0).getAs[Double]("score_pre") == 6.0 &&
       v1(0).getAs[Double]("score_pre_pre") == 5.0)
   }
+
+  test("OPTIONLESS default-start snapshot pages by maxFilesPerTrigger — " +
+    "the 100 TB-safe behavior is the default, not a flag; a fresh " +
+    "lagging startingVersion boot pages the same way") {
+    val t = fresh("def-pace")
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 1000L).map(i => (i, "a", i * 1.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100,
+      txn = Some(("seed", 0L))) // v0: 10 files
+    assert(MergeTable.latestManifest(t).get.files.size == 10)
+    // scale the DEFAULT down via the session conf (production default is
+    // 1000 files; the fixture has 10) — the stream itself gets NO option
+    spark.conf.set("spark.graft.stream.maxFilesPerTrigger", "3")
+    try {
+      val got = mutable.Buffer.empty[Seq[Row]]
+      runStream(t, fresh("def-pace-ckpt"), got)
+      assert(got.size == 4, // 10 files / 3 per trigger → 4 batches
+        s"an optionless default-start over a multi-file table must page " +
+          s"by the default file budget; got ${got.size} batches")
+      val all = got.flatten.map(key)
+      assert(all.size == 1000 && all.toSet.size == 1000)
+      assert(all.forall(r => r._2 == "INSERT" && r._3 == "diff" && r._1 == 0L))
+      // a fresh startingVersion=0 stream (the boot IS v0's snapshot-shaped
+      // initial delta) pages identically
+      val got2 = mutable.Buffer.empty[Seq[Row]]
+      runStream(t, fresh("def-pace-ckpt2"), got2,
+        Map("startingVersion" -> "0"))
+      assert(got2.size == 4, s"fresh v0 boot must page: ${got2.size}")
+      assert(got2.flatten.map(key).toSet == all.toSet)
+      // the per-stream option overrides the conf default
+      val got3 = mutable.Buffer.empty[Seq[Row]]
+      runStream(t, fresh("def-pace-ckpt3"), got3,
+        Map("maxFilesPerTrigger" -> "100"))
+      assert(got3.size == 1, s"option must override conf: ${got3.size}")
+    } finally spark.conf.unset("spark.graft.stream.maxFilesPerTrigger")
+  }
+
+  /** The documented reset-epoch consumer: stages `feed_type = "reset"`
+    * rows keyed by epoch, discards stale staging on a new epoch, and at
+    * the end of any batch carrying a RESET_END marker for the staged
+    * epoch atomically replaces state with the staging. Ordinary
+    * diff/snapshot rows fold as upserts/deletes. */
+  private def epochFold(batches: Seq[Seq[Row]]): Map[Long, (String, Double)] = {
+    var state = Map.empty[Long, (String, Double)]
+    var staging = Map.empty[Long, (String, Double)]
+    var epoch = -1L
+    batches.foreach { b =>
+      var sawMarker = false
+      b.foreach { r =>
+        val ct = r.getAs[String]("change_type")
+        val ft = r.getAs[String]("feed_type")
+        if (ft == "reset") {
+          val v = r.getAs[Long]("_commit_version")
+          if (v != epoch) { staging = Map.empty; epoch = v } // new epoch
+          if (ct == "RESET_END") sawMarker = true
+          else staging += (r.getAs[Long]("event_id") ->
+            ((r.getAs[String]("event_type"), r.getAs[Double]("value"))))
+        } else ct match {
+          case "DELETE" => state -= r.getAs[Long]("event_id")
+          case _ => state += (r.getAs[Long]("event_id") ->
+            ((r.getAs[String]("event_type"), r.getAs[Double]("value"))))
+        }
+      }
+      if (sawMarker) { state = staging; staging = Map.empty; epoch = -1L }
+    }
+    state
+  }
+
+  test("paged beyond-retention RESET: a lagging stream over a vacuumed " +
+    "table delivers the head snapshot in multiple feed_type=reset " +
+    "slices sharing the epoch (_commit_version) plus one RESET_END " +
+    "marker — exactly-once across restarts at every boundary, and the " +
+    "documented consumer fold converges to the head") {
+    val t = fresh("reset-page")
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 1000L).map(i => (i, "a", i * 1.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100,
+      txn = Some(("seed", 0L))) // v0: 10 files
+    // consume v0 + v1, then fall behind
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "upd", 9.9)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L))) // v1
+    val batches = mutable.Buffer.empty[Seq[Row]]
+    val ckpt = fresh("reset-page-ckpt")
+    runStream(t, ckpt, batches)
+    assert(batches.flatten.size == 1000) // the v1 head snapshot
+    // while the stream is down: three more commits, then vacuum so the
+    // stream's next version's predecessor is gone → beyond retention
+    (2L to 4L).foreach { i =>
+      MergeTable.mergeUpsert(spark, t,
+        (1L to 1000L).map(j => (j, s"v$i", j + i * 0.1))
+          .toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100,
+        txn = Some(("w", i)))
+    }
+    assert(MergeTable.vacuum(t, graceMs = 0L, retainVersions = 1) > 0)
+    assert(MergeTable.latestManifest(t).get.files.size == 10)
+    // restart with Trigger.Once so EVERY reset slice boundary is a full
+    // stop/restart — the epoch must survive checkpoint resume
+    import org.apache.spark.sql.streaming.Trigger
+    val resetBatches = mutable.Buffer.empty[Seq[Row]]
+    def runOne(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "3").load(t)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect().toSeq
+          resetBatches.synchronized { if (rows.nonEmpty) resetBatches += rows }
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    (1 to 8).foreach(_ => runOne()) // more restarts than slices
+    val rows = resetBatches.flatten
+    val markers = rows.filter(_.getAs[String]("change_type") == "RESET_END")
+    val resets = rows.filter(r => r.getAs[String]("feed_type") == "reset" &&
+      r.getAs[String]("change_type") != "RESET_END")
+    assert(resetBatches.size >= 4, // 10 files / 3 per trigger
+      s"the reset must page in ≥4 batches, got ${resetBatches.size}")
+    assert(markers.size == 1 &&
+      markers.head.getAs[Long]("_commit_version") == 4L,
+      s"exactly one RESET_END for epoch v4: $markers")
+    assert(resets.size == 1000 && resets.map(key).toSet.size == 1000,
+      "reset slices deliver the head snapshot exactly once")
+    assert(resets.forall(r => r.getAs[Long]("_commit_version") == 4L &&
+      r.getAs[String]("change_type") == "INSERT"),
+      "every reset row carries the epoch version")
+    // the marker rides the batch with the FINAL slice (batch-end commit)
+    assert(resetBatches.last.exists(
+      _.getAs[String]("change_type") == "RESET_END"))
+    // the documented consumer protocol converges to the head state
+    val folded = epochFold(batches.toSeq ++ resetBatches.toSeq)
+    val head = MergeTable.read(spark, t)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(folded == head, "epoch fold must equal the head table")
+    // post-reset commits stream as plain diffs on the same checkpoint
+    MergeTable.mergeUpsert(spark, t,
+      Seq((5L, "post", 1.5)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 5L))) // v5
+    val tailB = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, tailB, Map("maxFilesPerTrigger" -> "3"))
+    val tailRows = tailB.flatten.map(key)
+    assert(tailRows.size == 1 && tailRows.head._1 == 5L &&
+      tailRows.head._2 == "UPDATE" && tailRows.head._3 == "diff",
+      s"post-reset diffs must flow: $tailRows")
+  }
 }

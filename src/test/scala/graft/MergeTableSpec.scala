@@ -104,6 +104,11 @@ class MergeTableSpec extends AnyFunSuite {
     "merges never prune; the prune helper is row-exact on the box test") {
     import MergeTable.{InsertClause, MergeClause, UpdateSet}
     val t = freshTable("srcprune")
+    // the spec pins the AT-SCALE posture: zero the size gate (a real
+    // merge source is far above the broadcast threshold; this fixture
+    // is not, and would otherwise legitimately skip the prune)
+    spark.conf.set("spark.graft.merge.sourcePrune.minBytes", "0")
+    try {
     MergeTable.mergeUpsert(spark, t, rows(1L to 1000L, 5.0),
       Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
     val m = MergeTable.latestManifest(t).get
@@ -164,6 +169,53 @@ class MergeTableSpec extends AnyFunSuite {
       (Seq(42L) ++ (200000L to 200300L)).toDF("event_id"))
     assert(deleted == 1L && MergeTable.lastSourcePrunedFor(t))
     assert(MergeTable.read(spark, t).count() == 1001)
+    } finally spark.conf.unset("spark.graft.merge.sourcePrune.minBytes")
+  }
+
+  test("source-prune gates: a fully-covered batch (every key inside a " +
+    "touched box) and a below-threshold tiny batch both SKIP the " +
+    "semi/anti prune pair — correctness identical, overhead gone") {
+    import MergeTable.{InsertClause, MergeClause, UpdateSet}
+    val t = freshTable("srcprunegate")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 1000L, 5.0),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100)
+    // tiny batch, all keys in-range: both gates fire — no prune, same
+    // answer
+    MergeTable.merge(spark, t, rows(Seq(10L, 20L), 9.0),
+      Seq("event_id"), Seq("event_id"),
+      matched = Seq(MergeClause(None, UpdateSet(Map.empty))),
+      notMatched = Seq(InsertClause(None, Map.empty)))
+    assert(!MergeTable.lastSourcePrunedFor(t),
+      "a covered below-threshold batch must skip the prune")
+    val out = MergeTable.read(spark, t)
+      .select(col("event_id"), col("value")).as[(Long, Double)]
+      .collect().toMap
+    assert(out(10L) == 9.0 && out(20L) == 9.0 && out.size == 1000)
+    // force the size gate open: coverage alone still skips when every
+    // key is inside a touched box
+    spark.conf.set("spark.graft.merge.sourcePrune.minBytes", "0")
+    try {
+      MergeTable.merge(spark, t, rows(Seq(30L, 40L), 7.0),
+        Seq("event_id"), Seq("event_id"),
+        matched = Seq(MergeClause(None, UpdateSet(Map.empty))))
+      assert(!MergeTable.lastSourcePrunedFor(t),
+        "full box coverage must skip the prune even with the size gate off")
+      // and with an out-of-box key present the prune engages again
+      MergeTable.merge(spark, t, rows(Seq(50L, 99999L), 3.0),
+        Seq("event_id"), Seq("event_id"),
+        matched = Seq(MergeClause(None, UpdateSet(Map.empty))))
+      assert(MergeTable.lastSourcePrunedFor(t))
+      val out2 = MergeTable.read(spark, t)
+        .select(col("event_id"), col("value")).as[(Long, Double)]
+        .collect().toMap
+      assert(out2(30L) == 7.0 && out2(50L) == 3.0 &&
+        !out2.contains(99999L) && out2.size == 1000)
+    } finally spark.conf.unset("spark.graft.merge.sourcePrune.minBytes")
+    // a fully-covered DELETE key list also skips its prune
+    val d = MergeTable.mergeDelete(spark, t, Seq(10L, 20L).toDF("event_id"))
+    assert(d == 2L && !MergeTable.lastSourcePrunedFor(t),
+      "a covered delete key list must skip the prune")
+    assert(MergeTable.read(spark, t).count() == 998)
   }
 
   test("file pruning: a batch touching one file's key range rewrites only it") {

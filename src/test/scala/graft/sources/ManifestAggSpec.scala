@@ -159,6 +159,71 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(starRows == Seq(Seq(15L)))
   }
 
+  test("min/max LEDGER calculus: saturating boundary-tie subtraction, " +
+    "beyond-boundary completeness, unknown masked history, and the " +
+    "whole-column-ledger empty case — exact or refuse, never wrong") {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+    def minAgg = new Aggregation(
+      Array(new Min(Expressions.column("id"))), Array.empty)
+    def maxAgg = new Aggregation(
+      Array(new Max(Expressions.column("id"))), Array.empty)
+    def led(rows: Long, dvRows: Long, bot: Seq[String], dBot: Seq[String],
+        top: Seq[String], dTop: Seq[String]): DataFileEntry =
+      DataFileEntry("f1", rows,
+        stats = Map("id" -> ColStat("long", "1", "9")),
+        nullCounts = Map("id" -> 0L, "g" -> 0L), bytes = 1L,
+        dv = Some("dv/x"), dvRows = dvRows,
+        dvNulls = Map("id" -> 0L, "g" -> 0L),
+        bottomK = Map("id" -> bot), topK = Map("id" -> top),
+        dvBottom = Map("id" -> dBot), dvTop = Map("id" -> dTop))
+    def ans(e: DataFileEntry, a: Aggregation): Option[Any] =
+      ManifestAgg.answer(manifest(Seq(e)), schema, a).map(_._2.head.head)
+    // file {1,2,2,…}: masking ONE of the tied 2s keeps min = 1; the
+    // subtraction saturates by value, never removes two for one
+    assert(ans(led(10L, 1L, Seq("1", "2", "2"), Seq("2"),
+      Seq("9", "8", "7"), Seq("2")), minAgg) == Some(1L))
+    // masking the extreme row repairs to the next survivor (the one
+    // masked row's value appears in BOTH prefixes, as recorded)
+    assert(ans(led(10L, 1L, Seq("1", "2", "2"), Seq("1"),
+      Seq("9", "8", "7"), Seq("1")), minAgg) == Some(2L))
+    assert(ans(led(10L, 1L, Seq("1", "2", "2"), Seq("9"),
+      Seq("9", "8", "7"), Seq("9")), maxAgg) == Some(8L))
+    // ARM 2 completeness: 5 masked rows, only 3 recorded — but the 3rd
+    // recorded (6) is already beyond the ledger boundary (2), so every
+    // unrecorded one is too: the bottom ledger is untouched, min = 1
+    assert(ans(led(20L, 5L, Seq("1", "2", "2"), Seq("4", "5", "6"),
+      Seq("9", "9", "9"), Seq("9", "9", "6")), minAgg) == Some(1L))
+    // incomplete prefix INSIDE the range refuses: 5 masked, 3 recorded,
+    // 3rd recorded (2) not beyond the boundary (2) — the 4th could be a
+    // 2 too, the visible multiset is unknowable
+    assert(ans(led(20L, 5L, Seq("1", "2", "2"), Seq("1", "2", "2"),
+      Seq("9", "9", "9"), Seq("9", "9", "2")), minAgg).isEmpty)
+    // unknown masked history (DV'd, prefix entry ABSENT, masked rows
+    // hold values) refuses
+    val unknown = led(10L, 2L, Seq("1", "2", "2"), Seq.empty,
+      Seq("9", "8", "7"), Seq.empty)
+      .copy(dvBottom = Map.empty, dvTop = Map.empty)
+    assert(ans(unknown, minAgg).isEmpty)
+    // …but an absent prefix with ZERO masked non-null rows is complete
+    val allNullMasked = unknown.copy(dvNulls = Map("id" -> 2L, "g" -> 2L),
+      nullCounts = Map("id" -> 2L, "g" -> 2L))
+    assert(ans(allNullMasked, minAgg) == Some(1L))
+    // a ledger that held the WHOLE column (3 non-null rows, k ≥ 3) and
+    // is fully masked contributes nothing — the other file answers
+    val whole = led(3L, 3L, Seq("1", "2", "2"), Seq("1", "2", "2"),
+      Seq("2", "2", "1"), Seq("2", "2", "1"))
+    val live = DataFileEntry("f2", 5L,
+      stats = Map("id" -> ColStat("long", "5", "9")),
+      nullCounts = Map("id" -> 0L, "g" -> 0L), bytes = 1L)
+    val Some((_, r)) = ManifestAgg.answer(
+      manifest(Seq(whole, live)), schema, minAgg)
+    assert(r == Seq(Seq(5L)))
+    // …and alone it exhausts without the whole-column proof → refuse
+    val exhausted = led(10L, 3L, Seq("1", "2", "2"), Seq("1", "2", "2"),
+      Seq("9", "8", "7"), Seq("9", "8", "7"))
+    assert(ans(exhausted, minAgg).isEmpty)
+  }
+
   test("the point-column probe walks the manifest ONLY for columns the " +
     "received filters reference — planning cost is O(referenced), not " +
     "O(schema width)") {
