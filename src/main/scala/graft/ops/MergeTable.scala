@@ -1270,15 +1270,20 @@ object MergeTable {
     math.max(1L, schema.fields.map(_.dataType.defaultSize.toLong).sum)
 
   /** Spec/probe observability: did the last [[merge]]/[[mergeDelete]]
-    * AGAINST THIS TABLE apply the source-side box prune? Keyed by table
-    * path so concurrent suites can't clobber each other's observation.
-    * Execution metadata only — never consulted by the merge path. */
+    * AGAINST THIS TABLE apply the source-side box prune, and if not,
+    * WHICH gate skipped it ("applied" / "skipped-size" /
+    * "skipped-coverage" / "nmbs" / "no-touched-files") — the plan-debug
+    * face of the round-16 gates. Keyed by table path so concurrent
+    * suites can't clobber each other's observation. Execution metadata
+    * only — never consulted by the merge path. */
   private val sourcePruneAudit =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def lastSourcePrunedFor(table: String): Boolean =
-    Option(sourcePruneAudit.get(table)).exists(_.booleanValue)
-  private def recordSourcePrune(table: String, pruned: Boolean): Unit =
-    sourcePruneAudit.put(table, pruned)
+    Option(sourcePruneAudit.get(table)).contains("applied")
+  private[graft] def lastSourcePruneReasonFor(table: String): Option[String] =
+    Option(sourcePruneAudit.get(table))
+  private def recordSourcePrune(table: String, reason: String): Unit =
+    sourcePruneAudit.put(table, reason)
 
   /** SOURCE-SIDE pushdown: a source row whose cluster tuple falls inside
     * NO touched file's box can match no target row — its only possible
@@ -1555,10 +1560,18 @@ object MergeTable {
     // deduplicated staging pipeline) this removes three of the four
     // full-source recomputes the merge used to pay; the two prune reads
     // still evaluate the source (they must produce payload columns).
+    // The pin itself is GATED on the planner's own size estimate: a
+    // below-broadcast-threshold source re-scans cheaper than one
+    // checkpoint materialization costs (same knob as the prune gate —
+    // `spark.graft.merge.sourcePrune.minBytes` = 0 pins always, the
+    // at-scale posture), and the combined one-job precondition aggregate
+    // below is kept either way.
     var keyFrameMemo: Option[DataFrame] = None
     var batchKeyRows = -1L // exact source row count, from the pinned pass
     def keyFrame: DataFrame = keyFrameMemo.getOrElse {
-      val kf = batch.select(keys.map(col): _*).localCheckpoint()
+      val proj = batch.select(keys.map(col): _*)
+      val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+      val kf = if (est > pruneMinBytes(s)) proj.localCheckpoint() else proj
       keyFrameMemo = Some(kf); kf
     }
 
@@ -1629,9 +1642,16 @@ object MergeTable {
       // (b) the source is below the broadcast threshold — it joins
       // broadcast-cheap anyway, and two extra source evaluations cost
       // more than the join they'd shrink.
-      val canPruneSource = !nmbs && touched.nonEmpty && batchHasOutsideRows &&
+      val sourceBigEnough =
         batchKeyRows * estRowBytes(batch.schema) > pruneMinBytes(s)
-      recordSourcePrune(table, canPruneSource)
+      val canPruneSource = !nmbs && touched.nonEmpty && batchHasOutsideRows &&
+        sourceBigEnough
+      recordSourcePrune(table,
+        if (canPruneSource) "applied"
+        else if (nmbs) "nmbs"
+        else if (touched.isEmpty) "no-touched-files"
+        else if (!batchHasOutsideRows) "skipped-coverage"
+        else "skipped-size")
       val touchedFiles = existingFiles.filter(f => touched.contains(f.path))
       val joinBatch =
         if (canPruneSource)
@@ -2295,11 +2315,14 @@ object MergeTable {
     var boxMemo: Option[Option[Map[String, ColStat]]] = None
     // the purge-list pipeline executes ONCE: the pinned frame feeds the
     // row-level precondition, the touched probe, the box prune and the
-    // delete joins (same single-pass discipline as mergeUpsert's
-    // keyFrame)
+    // delete joins (same single-pass discipline — and the same
+    // size-gated pin — as mergeUpsert's keyFrame)
     var pinnedKeysMemo: Option[DataFrame] = None
     def pinnedKeys: DataFrame = pinnedKeysMemo.getOrElse {
-      val p = delKeys.localCheckpoint(); pinnedKeysMemo = Some(p); p
+      val est = delKeys.queryExecution.optimizedPlan.stats.sizeInBytes
+      val p = if (est > pruneMinBytes(s)) delKeys.localCheckpoint()
+        else delKeys
+      pinnedKeysMemo = Some(p); p
     }
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -2331,7 +2354,10 @@ object MergeTable {
       // box has an empty complement, and the prune join is pure overhead
       // (no size gate — the pinned list re-reads checkpoint-cheap).
       val canPrune = touched.nonEmpty && keysOutsideBoxes
-      recordSourcePrune(table, canPrune)
+      recordSourcePrune(table,
+        if (canPrune) "applied"
+        else if (touched.isEmpty) "no-touched-files"
+        else "skipped-coverage")
       val effDelKeys =
         if (!canPrune) pinnedKeys
         else pruneSourceToBoxes(s, pinnedKeys,

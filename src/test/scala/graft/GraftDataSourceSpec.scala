@@ -582,6 +582,19 @@ class GraftDataSourceSpec extends AnyFunSuite {
       assert(r3.getLong(0) == 5L)
       assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
         "an exhausted ledger must refuse to the scan, never guess")
+      // OPTIMIZE rewrites the DV-bearing files, retires their vectors
+      // and (flag still on) writes FRESH ledgers — the exhausted bound
+      // answers metadata-only again
+      assert(MergeTable.optimize(spark, t, targetRowsPerFile = 100) > 0)
+      val mOpt = MergeTable.latestManifest(t).get
+      assert(mOpt.files.forall(_.dv.isEmpty))
+      assert(mOpt.files.forall(_.bottomK.contains("event_id")))
+      GraftScanAudit.reset()
+      val r4 = spark.read.format("graft").load(t)
+        .agg(min(col("event_id")), max(col("event_id"))).head()
+      assert(r4.getLong(0) == 5L && r4.getLong(1) == 999L)
+      assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+        "a compaction must refresh the ledgers back to metadata-only")
     } finally spark.conf.unset("spark.graft.stats.ledgerK")
   }
 

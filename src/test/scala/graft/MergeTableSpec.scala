@@ -187,10 +187,20 @@ class MergeTableSpec extends AnyFunSuite {
       notMatched = Seq(InsertClause(None, Map.empty)))
     assert(!MergeTable.lastSourcePrunedFor(t),
       "a covered below-threshold batch must skip the prune")
+    assert(MergeTable.lastSourcePruneReasonFor(t)
+      .contains("skipped-coverage"))
     val out = MergeTable.read(spark, t)
       .select(col("event_id"), col("value")).as[(Long, Double)]
       .collect().toMap
     assert(out(10L) == 9.0 && out(20L) == 9.0 && out.size == 1000)
+    // a tiny batch WITH an out-of-box key under the DEFAULT size gate:
+    // the size gate is the one that skips, and the audit says so
+    MergeTable.merge(spark, t, rows(Seq(15L, 77777L), 6.0),
+      Seq("event_id"), Seq("event_id"),
+      matched = Seq(MergeClause(None, UpdateSet(Map.empty))))
+    assert(MergeTable.lastSourcePruneReasonFor(t).contains("skipped-size"))
+    assert(MergeTable.read(spark, t).where(col("event_id") === 15L)
+      .select("value").as[Double].head() == 6.0)
     // force the size gate open: coverage alone still skips when every
     // key is inside a touched box
     spark.conf.set("spark.graft.merge.sourcePrune.minBytes", "0")
@@ -205,6 +215,7 @@ class MergeTableSpec extends AnyFunSuite {
         Seq("event_id"), Seq("event_id"),
         matched = Seq(MergeClause(None, UpdateSet(Map.empty))))
       assert(MergeTable.lastSourcePrunedFor(t))
+      assert(MergeTable.lastSourcePruneReasonFor(t).contains("applied"))
       val out2 = MergeTable.read(spark, t)
         .select(col("event_id"), col("value")).as[(Long, Double)]
         .collect().toMap
