@@ -709,4 +709,78 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       tailRows.head._2 == "UPDATE" && tailRows.head._3 == "diff",
       s"post-reset diffs must flow: $tailRows")
   }
+
+  test("GraftReplicator: reset-safe CDC replication — the replica " +
+    "converges across a paged snapshot boot, diffs, a vacuum-forced " +
+    "PAGED reset epoch with restarts at slice boundaries (stale replica " +
+    "rows deleted via the full-sync swap), and post-reset diffs; no " +
+    "staging tables remain") {
+    import graft.streaming.GraftReplicator
+    val src = fresh("replr-src")
+    val dst = fresh("replr-dst")
+    def commit(ids: Seq[Long], tag: String, txnV: Long): Unit =
+      MergeTable.mergeUpsert(spark, src,
+        ids.map(i => (i, tag, i * 1.0)).toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 100,
+        txn = Some(("w", txnV)))
+    commit(1L to 600L, "a", 0L) // v0: 6 files
+    commit(Seq(1L), "b", 1L) // v1 diff
+    def snap(t: String) = MergeTable.read(spark, t)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    val ckpt = fresh("replr-ckpt")
+    val opts = Map("maxFilesPerTrigger" -> "2")
+    def runRepl(): Unit = {
+      val q = GraftReplicator.replicate(spark, src, dst, ckpt, opts)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runRepl() // paged v0 boot (3 slices) + v1 diff
+    assert(snap(dst) == snap(src) && snap(dst).size == 600)
+    // while the replica lags: two full rewrites, a copy-on-write DELETE
+    // of 501..600, then vacuum → the replica's next delivery is a PAGED
+    // reset epoch whose swap must REMOVE the stale 501..600
+    commit(1L to 600L, "v2", 2L)
+    MergeTable.mergeDelete(spark, src, (501L to 600L).toDF("event_id"),
+      txn = Some(("w", 3L))) // v3
+    commit(1L to 500L, "v4", 4L) // v4: 5 files
+    assert(MergeTable.vacuum(src, graceMs = 0L, retainVersions = 1) > 0)
+    // drive the reset via applyBatch in a Trigger.Once loop — a full
+    // restart at EVERY slice boundary (staging durability across
+    // restarts is the point); replicate() shares this exact applyBatch
+    import org.apache.spark.sql.streaming.Trigger
+    val keys = Seq("event_id")
+    val dataCols = Seq("event_id", "event_type", "value")
+    var batches = 0
+    def runOne(): Unit = {
+      val q = opts.foldLeft(spark.readStream.format("graft")) {
+        case (r, (k, v)) => r.option(k, v) }.load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) batches += 1
+          GraftReplicator.applyBatch(b.sparkSession, dst, keys, dataCols,
+            b, id)
+        }.start()
+      q.awaitTermination()
+    }
+    (1 to 6).foreach(_ => runOne())
+    assert(batches >= 3, s"the 5-file reset must page at 2/trigger: $batches")
+    assert(snap(dst) == snap(src) && snap(dst).size == 500,
+      "the swap must converge the replica AND drop the stale 501..600")
+    assert(snap(dst).forall(_._2 == "v4"))
+    // post-reset diffs flow on the same checkpoint through replicate()
+    commit(Seq(5L), "post", 5L) // v5
+    runRepl()
+    assert(snap(dst) == snap(src))
+    assert(snap(dst).exists(r => r._1 == 5L && r._2 == "post"))
+    // no staging residue
+    val parent = java.nio.file.Paths.get(dst).toAbsolutePath.getParent
+    val stream2 = java.nio.file.Files.list(parent)
+    val leftover = try {
+      import scala.jdk.CollectionConverters._
+      stream2.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.contains("_resetstage_")).toList
+    } finally stream2.close()
+    assert(leftover.isEmpty, s"staging tables must be dropped: $leftover")
+  }
 }
