@@ -89,13 +89,16 @@ object ScaleProbe {
     // merge source-prune probe (dev iteration on one claim)
     val rangeOnly = args.headOption.contains("rangejoin")
     val srcPruneOnly = args.headOption.contains("sourceprune")
+    val streamResetOnly = args.headOption.contains("streamreset")
     val nIntervals = if (args.length > 1) args(1).toInt else 100000
 
     if (srcPruneOnly) { probeSourcePrune(spark); spark.stop(); return }
+    if (streamResetOnly) { probeStreamReset(spark); spark.stop(); return }
     if (!rangeOnly) {
       probeDedupCandidates(spark); probeNativeKernels(spark)
       probeSelectionOps(spark); probeMaintenanceOps(spark)
       probeMergeTable(spark); probeSourcePrune(spark)
+      probeStreamReset(spark)
       probeChangeFeed(spark)
       probeStatsPruning(spark)
       probeSplitLayout(spark)
@@ -172,6 +175,68 @@ object ScaleProbe {
             s""""files_touched":$touched,"merge_sec":${s1(tMerge)}}""")
       } finally MergeTable.dropTable(t.toString) // probe tables don't outlive the run
     }
+  }
+
+  /** The round-16 paged-reset claim measured: a lagging stream over a
+    * vacuumed table at 1× and 10× file counts delivers its FIRST reset
+    * slice in O(file budget) wall time — the epoch needs 10× the
+    * BATCHES, but each batch stays flat, so a 100 TB reset never hands
+    * the consumer (or the driver's planner) one O(table) batch. */
+  private def probeStreamReset(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.ops.MergeTable
+    import org.apache.spark.sql.streaming.Trigger
+    for (n <- Seq(20000L, 200000L)) {
+      val t = java.nio.file.Files.createTempDirectory(s"graft-probe-reset$n")
+      java.nio.file.Files.delete(t)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-probe-reset-ck$n")
+      try {
+        def wave(tag: String, v: Long): Unit = MergeTable.mergeUpsert(
+          spark, t.toString,
+          (0L until n).map(i => (i, tag, i * 0.5))
+            .toDF("event_id", "event_type", "value"),
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500,
+          txn = Some(("w", v)))
+        wave("a", 0L) // v0: n/500 files
+        // consume v0 (unpaced — setup, not the measurement)
+        var rows = 0L
+        def runOnce(maxFiles: String): Long = {
+          var got = 0L
+          val q = spark.readStream.format("graft")
+            .option("maxFilesPerTrigger", maxFiles).load(t.toString)
+            .writeStream.option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.Once())
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+              { got = b.count(); () })
+            .start()
+          q.awaitTermination(); got
+        }
+        runOnce(maxFiles = (n / 500 + 1).toString)
+        // the replica lags: a full rewrite, then vacuum → reset epoch
+        wave("b", 1L)
+        assert(MergeTable.vacuum(t.toString, graceMs = 0L,
+          retainVersions = 1) > 0)
+        // the measurement: ONE trigger of the paged reset at 8 files
+        val (sliceRows, tSlice) = time(runOnce("8"))
+        println(
+          s"""{"probe":"stream_reset_page","rows":$n,""" +
+            s""""table_files":${n / 500},"first_slice_rows":$sliceRows,""" +
+            s""""first_slice_sec":${s1(tSlice)}}""")
+      } finally {
+        MergeTable.dropTable(t.toString)
+        deleteRecursively(ckpt)
+      }
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator(); while (it.hasNext) deleteRecursively(it.next())
+      } finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
   }
 
   /** MERGE source-side pushdown measured (round 15): a matched-only

@@ -708,6 +708,19 @@ object MergeTable {
   def readAsOf(s: SparkSession, table: String, tsMillis: Long): DataFrame =
     readVersion(s, table, versionAsOf(table, tsMillis))
 
+  /** CDC starting point from a wall-clock instant: the EARLIEST version
+    * committed at or after `tsMillis` — the changes-since-T reading
+    * (the `startingTimestamp` option on both change-feed doors), dual
+    * to [[versionAsOf]]'s at-or-before. None when every retained commit
+    * is older: the caller starts past the head (only future commits
+    * flow — asking for changes since a future instant is a valid
+    * subscription, not an error). */
+  def versionSinceTimestamp(table: String, tsMillis: Long): Option[Long] = {
+    val times = commitTimes(table)
+    if (times.isEmpty) missingVersion(s"no committed version under $table")
+    times.find(_._2 >= tsMillis).map(_._1)
+  }
+
   /** RESTORE the table head to the exact state of `toVersion`, committed
     * as a NEW version (history is preserved — the rollback rolls
     * FORWARD, Delta-style, so the bad interval stays auditable and CDF
@@ -3256,6 +3269,11 @@ object MergeTable {
       // and the DV-aware CDF (v0→v4 spans this boundary) against oracles
       // that know nothing about the strategy — strategy-independence of
       // the visible rows is exactly the DV contract.
+      // a beat before the delete: v3's commit INSTANT must be strictly
+      // after v2's (commit times are record mtimes, millisecond-grained)
+      // so `q_cdf_since_ts`'s startingTimestamp resolution is
+      // deterministic at any build speed
+      Thread.sleep(15L)
       mergeDelete(s, t,
         ev.where(pmod(col("event_id"), lit(11)) === 3).select(col("event_id")),
         txn = Some(("seed", 3L)), deletionVectors = true)
@@ -3964,6 +3982,24 @@ object MergeTable {
          |FROM graft_changes('$t', 3, 4)
          |GROUP BY _commit_version, change_type
          |ORDER BY _commit_version, change_type""".stripMargin)
+  }
+
+  /** `q_cdf_since_ts`: the batch CDF door started by WALL-CLOCK instant
+    * — `startingTimestamp` = v3's recorded commit time resolves to the
+    * earliest version committed at or after it (v3; the fixture
+    * guarantees a strict instant gap below it), so the digest equals
+    * the version-ranged v3..head read and hash-matches the same
+    * reconstruction oracle as the TVF digest. */
+  def cdfSinceTsDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildMergedEvents(s, sfDir)
+    val ts = history(t).find(_.version == 3L).get.timestampMs
+    s.read.format("graft").option("readChangeFeed", "true")
+      .option("startingTimestamp", ts.toString).load(t)
+      .groupBy(col("_commit_version"), col("change_type"))
+      .agg(count(lit(1)).as("n_changes"),
+        round(sum(coalesce(col("value"), lit(0.0))), 2).as("value_sum"),
+        round(sum(coalesce(col("value_pre"), lit(0.0))), 2).as("pre_sum"))
+      .orderBy(col("_commit_version"), col("change_type"))
   }
 
   val cdfTvfDigestSql: String =

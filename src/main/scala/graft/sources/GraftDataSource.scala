@@ -78,7 +78,7 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
   private val resolved =
     new java.util.concurrent.ConcurrentHashMap[(String, Option[String],
       Option[String], Option[String], Option[String], Option[String],
-      Option[String]), Table]()
+      Option[String], Option[String], Option[String]), Table]()
 
   private def resolveOnce(options: CaseInsensitiveStringMap): Table = {
     val key = (path(options), Option(options.get("versionasof")),
@@ -86,24 +86,41 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       Option(options.get("readchangefeed")),
       Option(options.get("startingversion")),
       Option(options.get("endingversion")),
-      Option(options.get("maxversionsperread")))
+      Option(options.get("maxversionsperread")),
+      Option(options.get("startingtimestamp")),
+      Option(options.get("endingtimestamp")))
     resolved.computeIfAbsent(key, { k =>
       val cdf = k._4.exists(_.trim.equalsIgnoreCase("true"))
       if (!cdf) GraftTable.resolve(k._1, k._2, k._3)
       else {
         // batch CHANGE DATA FEED: option("readChangeFeed", "true") with
-        // startingVersion (required) and endingVersion (default: the
+        // a start — startingVersion, or startingTimestamp (epoch
+        // millis, the earliest version committed at or after it: the
+        // changes-since-T reading) — and an optional end
+        // (endingVersion / endingTimestamp = at-or-before; default the
         // head at resolve time) — the same per-version framing as the
         // streaming source, pinned at lookup
         require(k._2.isEmpty && k._3.isEmpty,
           "readChangeFeed composes with startingVersion/endingVersion, " +
             "not versionAsOf/timestampAsOf")
-        val from = k._5.map(_.trim.toLong).getOrElse(sys.error(
-          "readChangeFeed needs .option(\"startingVersion\", n)"))
+        require(k._5.isEmpty || k._8.isEmpty,
+          "use startingVersion OR startingTimestamp, not both")
+        require(k._6.isEmpty || k._9.isEmpty,
+          "use endingVersion OR endingTimestamp, not both")
         val head = MergeTable.latestManifest(k._1).getOrElse(
           throw new NoSuchTableException(
             Identifier.of(Array.empty, k._1)))
-        val to = k._6.map(_.trim.toLong).getOrElse(head.version)
+        val from = k._5.map(_.trim.toLong)
+          .orElse(k._8.map(ts =>
+            MergeTable.versionSinceTimestamp(k._1, ts.trim.toLong)
+              .getOrElse(head.version + 1)))
+          .getOrElse(sys.error(
+            "readChangeFeed needs .option(\"startingVersion\", n) or " +
+              ".option(\"startingTimestamp\", epochMillis)"))
+        val to = k._6.map(_.trim.toLong)
+          .orElse(k._9.map(ts =>
+            MergeTable.versionAsOf(k._1, ts.trim.toLong)))
+          .getOrElse(head.version)
         require(from >= 0 && from <= to,
           s"readChangeFeed range [$from, $to] is empty or negative")
         require(to <= head.version,
@@ -164,11 +181,78 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       val p = ci.getOrElse("path", sys.error(
         "graft stream reads need a path: " +
           "spark.readStream.format(\"graft\").load(path)"))
-      new GraftStreamSource(ctx, p,
-        ci.get("startingversion").map(_.trim.toLong),
-        ci.get("maxversionspertrigger").map(_.trim.toLong).getOrElse(100L),
-        ci.get("maxbytespertrigger").map(_.trim.toLong),
-        ci.get("maxfilespertrigger").map(_.trim.toLong))
+      require(!(ci.contains("startingversion") &&
+          ci.contains("startingtimestamp")),
+        "use startingVersion OR startingTimestamp, not both")
+      mkStreamSource(ctx, ci,
+        // schema-door instance: a timestamp start resolves tentatively
+        // (the schema doesn't depend on it); createSource PINS the real
+        // one under the checkpoint's metadata path
+        ci.get("startingtimestamp").map(ts =>
+          resolveSinceTimestamp(p, ts.trim.toLong)))
+    })
+
+  private def mkStreamSource(ctx: SQLContext, ci: Map[String, String],
+      tsStart: Option[Long]): GraftStreamSource = {
+    val p = ci.getOrElse("path", sys.error(
+      "graft stream reads need a path: " +
+        "spark.readStream.format(\"graft\").load(path)"))
+    new GraftStreamSource(ctx, p,
+      ci.get("startingversion").map(_.trim.toLong).orElse(tsStart),
+      ci.get("maxversionspertrigger").map(_.trim.toLong).getOrElse(100L),
+      ci.get("maxbytespertrigger").map(_.trim.toLong),
+      ci.get("maxfilespertrigger").map(_.trim.toLong))
+  }
+
+  /** `startingTimestamp` (epoch millis) → the earliest version committed
+    * at or after it — the changes-since-T subscription; a FUTURE instant
+    * resolves past the head, so only commits landing after subscription
+    * flow. */
+  private def resolveSinceTimestamp(p: String, tsMillis: Long): Long =
+    MergeTable.versionSinceTimestamp(p, tsMillis).getOrElse(
+      MergeTable.latestManifest(p).map(_.version + 1).getOrElse(0L))
+
+  /** Timestamp-started streams PIN their resolved starting version under
+    * the query's checkpoint metadata path on FIRST start (atomic
+    * write-once file), exactly the discipline Spark's own file sources
+    * use: a restart — even in a fresh session, even after the resolved
+    * version's commit time relation to the instant has been overtaken by
+    * new commits — resumes from the SAME subscription point instead of
+    * silently re-resolving and skipping commits. */
+  private val pinnedStreamSources = new java.util.concurrent.ConcurrentHashMap[
+    (Map[String, String], String), GraftStreamSource]()
+
+  private def pinnedStreamSource(ctx: SQLContext, metadataPath: String,
+      parameters: Map[String, String]): GraftStreamSource =
+    pinnedStreamSources.computeIfAbsent((parameters, metadataPath), { _ =>
+      val ci = parameters.map { case (k, v) =>
+        k.toLowerCase(java.util.Locale.ROOT) -> v }
+      val p = ci("path")
+      val ts = ci("startingtimestamp").trim.toLong
+      // metadataPath arrives as a URI string (file:/…) from the engine's
+      // checkpoint resolution — map it back to a filesystem path
+      val metaDir =
+        if (metadataPath.startsWith("file:"))
+          java.nio.file.Paths.get(java.net.URI.create(metadataPath))
+        else java.nio.file.Paths.get(metadataPath)
+      val pin = metaDir.resolve("graft-starting-version")
+      val startV =
+        if (java.nio.file.Files.isRegularFile(pin))
+          new String(java.nio.file.Files.readAllBytes(pin), "UTF-8").trim.toLong
+        else {
+          val v = resolveSinceTimestamp(p, ts)
+          java.nio.file.Files.createDirectories(pin.getParent)
+          val tmp = pin.resolveSibling(pin.getFileName.toString + ".tmp")
+          java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+          try java.nio.file.Files.move(tmp, pin,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { // a concurrent starter won the pin: adopt theirs
+            case _: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.deleteIfExists(tmp)
+          }
+          new String(java.nio.file.Files.readAllBytes(pin), "UTF-8").trim.toLong
+        }
+      mkStreamSource(ctx, ci, Some(startV))
     })
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -180,7 +264,10 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
-    streamSource(sqlContext, parameters)
+    if (parameters.keySet.exists(
+        _.equalsIgnoreCase("startingtimestamp")))
+      pinnedStreamSource(sqlContext, metadataPath, parameters)
+    else streamSource(sqlContext, parameters)
 
   // ---- write doors: df.write / df.writeStream .format("graft") ------------
   // Same fallback shape as the reads: the table's capabilities carry no

@@ -710,6 +710,85 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       s"post-reset diffs must flow: $tailRows")
   }
 
+  test("startingTimestamp / endingTimestamp (epoch millis) on both feed " +
+    "doors: start = earliest version at-or-after the instant, end = " +
+    "newest at-or-before; the stream PINS its resolved start under the " +
+    "checkpoint metadata (restarts never re-resolve); a future instant " +
+    "subscribes to only NEW commits; both-options rejects") {
+    val t = fresh("ts-doors")
+    seed(t) // v0
+    def commitOne(id: Long, tag: String, v: Long): Unit = {
+      Thread.sleep(40) // separate commit mtimes (they key the instant)
+      MergeTable.mergeUpsert(spark, t,
+        Seq((id, tag, id * 1.0)).toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"), txn = Some(("w", v)))
+    }
+    commitOne(1L, "v1", 1L) // v1
+    commitOne(2L, "v2", 2L) // v2
+    val hist = MergeTable.history(t)
+    val t1 = hist.find(_.version == 1L).get.timestampMs
+    // batch door: start at v1's instant → exactly v1..v2, equal to the
+    // version-ranged read
+    def versionsOf(df: DataFrame): Seq[Long] =
+      df.select("_commit_version").distinct().as[Long].collect().sorted.toSeq
+    val byTs = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingTimestamp", t1.toString).load(t)
+    assert(versionsOf(byTs) == Seq(1L, 2L))
+    val byV = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(t)
+    assert(byTs.collect().map(key).toSet == byV.collect().map(key).toSet)
+    // endingTimestamp bounds at-or-before the instant
+    val bounded = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .option("endingTimestamp", t1.toString).load(t)
+    assert(versionsOf(bounded) == Seq(0L, 1L))
+    // both-options reject, both sides
+    assert(intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("startingTimestamp", t1.toString).load(t))
+      .getMessage.contains("not both"))
+    assert(intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("endingVersion", "1")
+      .option("endingTimestamp", t1.toString).load(t))
+      .getMessage.contains("not both"))
+    // stream door: same instant → v1..v2, and the resolved start is
+    // PINNED under the checkpoint's source metadata
+    val ckpt = fresh("ts-doors-ckpt")
+    val got = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, got, Map("startingTimestamp" -> t1.toString))
+    assert(got.flatten.map(key(_)._1).toSet == Set(1L, 2L))
+    val pins = {
+      val s2 = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      try {
+        import scala.jdk.CollectionConverters._
+        s2.iterator().asScala.filter(
+          _.getFileName.toString == "graft-starting-version").toList
+      } finally s2.close()
+    }
+    assert(pins.size == 1 && new String(
+      java.nio.file.Files.readAllBytes(pins.head), "UTF-8").trim == "1",
+      s"the resolved start must pin under the checkpoint: $pins")
+    // FUTURE instant: nothing yet — then a later commit flows on the
+    // SAME checkpoint even though its commit time is below the instant
+    // (the PINNED subscription point rules, not a re-resolution)
+    val future = (System.currentTimeMillis() + 86400000L).toString
+    val ckpt2 = fresh("ts-doors-ckpt2")
+    val got2 = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt2, got2, Map("startingTimestamp" -> future))
+    assert(got2.isEmpty, s"a future instant must deliver nothing: $got2")
+    commitOne(3L, "v3", 3L) // v3 — commit time far below `future`
+    runStream(t, ckpt2, got2, Map("startingTimestamp" -> future))
+    val late = got2.flatten.map(key)
+    assert(late.size == 1 && late.head._1 == 3L && late.head._5 == "v3",
+      s"the pinned subscription must deliver the post-subscribe commit: $late")
+    // stream both-options reject
+    assert(intercept[Exception](spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .option("startingTimestamp", t1.toString).load(t))
+      .getMessage.contains("not both"))
+  }
+
   test("GraftReplicator: reset-safe CDC replication — the replica " +
     "converges across a paged snapshot boot, diffs, a vacuum-forced " +
     "PAGED reset epoch with restarts at slice boundaries (stale replica " +

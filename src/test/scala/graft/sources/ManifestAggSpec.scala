@@ -224,6 +224,41 @@ class ManifestAggSpec extends AnyFunSuite {
     assert(ans(exhausted, minAgg).isEmpty)
   }
 
+  test("GROUPED min/max under DVs repair through the ledgers too — the " +
+    "per-group file subset reuses the same calculus; a group whose " +
+    "file lacks a ledger refuses the whole grouped answer") {
+    import org.apache.spark.sql.connector.expressions.aggregate.Min
+    val minByG = new Aggregation(
+      Array(new Min(Expressions.column("id"))),
+      Array(Expressions.column("g")))
+    def pointFile(path: String, g: String, rows: Long): DataFileEntry =
+      DataFileEntry(path, rows,
+        stats = Map("g" -> ColStat("double", g, g),
+          "id" -> ColStat("long", "1", "9")),
+        nullCounts = Map("g" -> 0L, "id" -> 0L), bytes = 1L)
+    val live = pointFile("f1", "1.5", 10L)
+    // group 2.5's file is DV'd with a ledger: min repairs 1 → 2
+    val dvd = pointFile("f2", "2.5", 10L).copy(
+      dv = Some("dv/x"), dvRows = 1L,
+      dvNulls = Map("g" -> 0L, "id" -> 0L),
+      bottomK = Map("id" -> Seq("1", "2", "2"),
+        "g" -> Seq("2.5", "2.5", "2.5")),
+      topK = Map("id" -> Seq("9", "8", "7"),
+        "g" -> Seq("2.5", "2.5", "2.5")),
+      dvBottom = Map("id" -> Seq("1"), "g" -> Seq("2.5")),
+      dvTop = Map("id" -> Seq("1"), "g" -> Seq("2.5")))
+    val Some((_, rows)) = ManifestAgg.answer(
+      manifest(Seq(live, dvd)), schema, minByG)
+    assert(rows.map(r => (r.head, r(1))).toSet ==
+      Set((1.5, 1L), (2.5, 2L)),
+      s"the DV'd group must answer its ledger-repaired min: $rows")
+    // the same entry WITHOUT a ledger refuses the grouped answer
+    val bare = dvd.copy(bottomK = Map.empty, topK = Map.empty,
+      dvBottom = Map.empty, dvTop = Map.empty)
+    assert(ManifestAgg.answer(manifest(Seq(live, bare)),
+      schema, minByG).isEmpty)
+  }
+
   test("the point-column probe walks the manifest ONLY for columns the " +
     "received filters reference — planning cost is O(referenced), not " +
     "O(schema width)") {
