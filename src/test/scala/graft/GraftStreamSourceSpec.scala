@@ -789,6 +789,57 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       .getMessage.contains("not both"))
   }
 
+  test("property: random commit/delete/vacuum/drain interleavings — the " +
+    "replicated state always converges to the source head (diffs, " +
+    "boots and reset epochs mixed freely, random file budgets)") {
+    import graft.streaming.GraftReplicator
+    val rnd = new scala.util.Random(20160816L)
+    for (trial <- 1 to 2) {
+      val src = fresh(s"replp-src$trial")
+      val dst = fresh(s"replp-dst$trial")
+      val ckpt = fresh(s"replp-ckpt$trial")
+      var txnV = 0L
+      def nextV(): Long = { txnV += 1; txnV }
+      MergeTable.mergeUpsert(spark, src,
+        (1L to 300L).map(i => (i, "seed", i * 1.0))
+          .toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"), targetRowsPerFile = 50,
+        txn = Some(("w", nextV())))
+      def drain(): Unit = {
+        val q = GraftReplicator.replicate(spark, src, dst, ckpt,
+          Map("maxFilesPerTrigger" -> (1 + rnd.nextInt(4)).toString))
+        try q.processAllAvailable() finally q.stop()
+      }
+      def snap(t: String) = MergeTable.read(spark, t)
+        .select("event_id", "event_type", "value")
+        .as[(Long, String, Double)].collect().toSet
+      drain() // replica boots
+      (1 to 8).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => // random upsert wave
+            val ids = (1 to 1 + rnd.nextInt(120))
+              .map(_ => 1L + rnd.nextInt(400)).distinct
+            MergeTable.mergeUpsert(spark, src,
+              ids.map(i => (i, s"t$step", i + step * 0.1))
+                .toDF("event_id", "event_type", "value"),
+              Seq("event_id"), Seq("event_id"), targetRowsPerFile = 50,
+              txn = Some(("w", nextV())))
+          case 1 => // random keyed delete (copy-on-write rewrite)
+            val ids = (1 to 1 + rnd.nextInt(40))
+              .map(_ => 1L + rnd.nextInt(400)).distinct
+            MergeTable.mergeDelete(spark, src, ids.toDF("event_id"),
+              txn = Some(("w", nextV())))
+          case 2 => // vacuum to the head — the reset-forcing move
+            MergeTable.vacuum(src, graceMs = 0L, retainVersions = 1)
+          case 3 => drain()
+        }
+      }
+      drain() // final convergence
+      assert(snap(dst) == snap(src),
+        s"trial $trial diverged after $txnV source commits")
+    }
+  }
+
   test("GraftReplicator: reset-safe CDC replication — the replica " +
     "converges across a paged snapshot boot, diffs, a vacuum-forced " +
     "PAGED reset epoch with restarts at slice boundaries (stale replica " +
