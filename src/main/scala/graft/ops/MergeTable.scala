@@ -1394,6 +1394,131 @@ object MergeTable {
     * `clusterBy` names the clustering columns (typed stats + range
     * clustering + file pruning); each must be one of the merge keys.
     */
+  /** FULL-REPLACE commit — the physical form behind `SaveMode.Overwrite`,
+    * SQL `INSERT OVERWRITE`, streaming Complete mode and the
+    * replicator's reset swap: `batch` becomes the table's ENTIRE new
+    * state in one transaction, the previous file set retiring wholesale
+    * with NO join against it. Cost is O(batch write); the equivalent
+    * unconditional NMBS merge pays a full-outer join over
+    * table ∪ batch and rewrites every file anyway — at 100 TB that
+    * join is the difference between "write the new state" and "read
+    * the old state too".
+    *
+    * Semantics match the unconditional full-sync merge exactly: the
+    * batch must be key-unique; the schema follows the additive
+    * evolution rules (existing columns the batch lacks stay in the
+    * schema, all-null in the new state — dropping them would be a
+    * narrowing, which needs an explicit migration); column mapping is
+    * honored; time travel still serves every pre-overwrite version;
+    * the txn watermark makes a crash-replayed batch a no-op. The CAS
+    * retry is trivially valid at ANY head — replace does not depend on
+    * prior state (last-writer-wins wholesale, exactly what overwrite
+    * means) — so a lost race re-commits the SAME files against the new
+    * head, zero recompute. */
+  def replaceAll(
+      s: SparkSession,
+      table: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      clusterBy: Seq[String],
+      targetRowsPerFile: Long = 4096,
+      txn: Option[(String, Long)] = None,
+      maxAttempts: Int = 20): Boolean = {
+    require(clusterBy.nonEmpty && clusterBy.forall(keys.contains),
+      s"clusterBy ${clusterBy.mkString("(", ",", ")")} must be a subset of " +
+        s"the merge keys ${keys.mkString("(", ",", ")")}")
+    var preconditionsChecked = false
+    // the written file set is STATE-INDEPENDENT — reusable across CAS
+    // retries as long as the head's schema/mapping stayed put
+    var written: Option[(Seq[DataFileEntry], String, Map[String, String])] =
+      None
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snapshot = latestManifest(table)
+      val replayed = (snapshot, txn) match {
+        case (Some(m), Some((writer, v))) => m.txns.get(writer).exists(_ >= v)
+        case _ => false
+      }
+      if (replayed) return false
+      snapshot.foreach { m =>
+        require(m.keys == keys && m.clusterBy == clusterBy,
+          s"table $table is keyed ${m.keys.mkString(",")} clustered " +
+            s"${m.clusterBy.mkString(",")}; an overwrite with different " +
+            "keys/clustering needs an explicit migration")
+      }
+      if (!preconditionsChecked) {
+        requireClusterable(batch, clusterBy, "OVERWRITE batch",
+          rowCheck = false)
+        val r = batch.select(keys.map(col): _*)
+          .groupBy(keys.map(col): _*).count()
+          .agg(coalesce(max(col("count")), lit(0L)),
+            coalesce(max(when(badClusterCond(batch.schema, clusterBy),
+              1L).otherwise(0L)), lit(0L)))
+          .collect()(0)
+        require(r.getLong(1) == 0L, badClusterMsg(clusterBy, "OVERWRITE batch"))
+        require(r.getLong(0) <= 1L,
+          s"OVERWRITE batch is not key-unique on ${keys.mkString(",")} — " +
+            "a key with multiple rows has no deterministic winner")
+        preconditionsChecked = true
+      }
+      // additive schema evolution + column mapping: identical rules to
+      // MERGE (old columns stay, new columns widen, retyping rejected,
+      // retired physicals never resurrect)
+      val headMap = snapshot.map(_.columnMap).getOrElse(Map.empty)
+      val retired = snapshot.map(_.retiredPhysical).getOrElse(Seq.empty)
+      val tableSchema = snapshot
+        .map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+      tableSchema.foreach { ts =>
+        batch.schema.fields.foreach { f =>
+          ts.find(_.name == f.name).foreach { existing =>
+            require(existing.dataType == f.dataType,
+              s"column ${f.name}: batch type ${f.dataType} != table type " +
+                s"${existing.dataType} — retyping needs an explicit migration")
+          }
+        }
+      }
+      val schema = tableSchema match {
+        case None => batch.schema
+        case Some(ts) => StructType(ts.fields ++
+          batch.schema.fields.filterNot(f => ts.exists(_.name == f.name)))
+      }
+      val columnMap = tableSchema match {
+        case None => headMap
+        case Some(ts) =>
+          val usedPhysical =
+            (ts.fields.map(f => physOf(headMap, f.name)) ++
+              headMap.values ++ retired)
+              .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          val newFields = schema.fields.filterNot(f => ts.exists(_.name == f.name))
+          headMap ++ newFields.collect {
+            case f if usedPhysical.contains(
+                f.name.toLowerCase(java.util.Locale.ROOT)) =>
+              f.name -> s"${f.name}_p${java.util.UUID.randomUUID().toString.take(8)}"
+          }
+      }
+      val reusable = written.exists { case (_, sj, cm) =>
+        sj == schema.json && cm == columnMap }
+      if (!reusable) {
+        val (_, files) = writeClusteredFiles(table,
+          withAllColumns(batch, schema), clusterBy, targetRowsPerFile,
+          columnMap)
+        written = Some((files, schema.json, columnMap))
+      }
+      val newFiles = written.get._1
+      val removes = snapshot.map(_.files.map(_.path).sorted).getOrElse(Seq.empty)
+      val newTxns = snapshot.map(_.txns).getOrElse(Map.empty) ++
+        txn.map { case (w, v) => w -> v }
+      testPrecommitHook()
+      if (commitVersion(table, snapshot.map(_.version + 1).getOrElse(0L),
+        schema.json, keys, clusterBy, newFiles, removes,
+        newTxns, newFiles, columnMap, retired)) return true
+      // CAS lost: the loop re-reads the head; the files re-commit as-is
+    }
+    sys.error(s"replaceAll on $table lost the version CAS $maxAttempts " +
+      "times — sustained concurrent commit traffic")
+  }
+
   def mergeUpsert(
       s: SparkSession,
       table: String,

@@ -89,17 +89,16 @@ object GraftWriteDoor {
   private[sources] def rowsPerFile(p: Map[String, String]): Long =
     p.get("targetrowsperfile").map(_.trim.toLong).getOrElse(4096L)
 
-  /** The one full-sync clause set: update-all, insert-all, delete
-    * table rows absent from the batch. */
+  /** Full sync = the batch IS the table's new state. Physically a
+    * [[MergeTable.replaceAll]] FULL-REPLACE commit (write the batch,
+    * retire the old file set wholesale — O(batch), no join), which is
+    * row-for-row what the unconditional update-all / insert-all /
+    * NMBS-delete merge produced while also reading the whole table to
+    * produce it. */
   private[sources] def fullSync(s: SparkSession, path: String,
       data: DataFrame, keys: Seq[String], clusterBy: Seq[String],
       rpf: Long, txn: Option[(String, Long)]): Boolean =
-    MergeTable.merge(s, path, data, keys, clusterBy,
-      matched = Seq(MergeTable.MergeClause(None,
-        MergeTable.UpdateSet(Map.empty))),
-      notMatched = Seq(MergeTable.InsertClause(None, Map.empty)),
-      notMatchedBySource = Seq(MergeTable.MergeClause(None,
-        MergeTable.DeleteRow)),
+    MergeTable.replaceAll(s, path, data, keys, clusterBy,
       targetRowsPerFile = rpf, txn = txn)
 
   private[sources] def writeBatch(s: SparkSession, mode: SaveMode,

@@ -31,19 +31,19 @@ import graft.ops.MergeTable
   *    (`_commit_version` = the epoch). Slice rows STAGE into a
   *    per-epoch staging graft table (`<dst>_resetstage_v<epoch>`,
   *    batch-watermarked); nothing touches the replica until the
-  *    `RESET_END` marker's batch, which FULL-SYNCs the replica from the
-  *    staging (update-all / insert / not-matched-by-source DELETE — one
-  *    transactional merge, batch-watermarked like every other commit)
-  *    and drops the staging. A crash anywhere replays idempotently: the
+  *    `RESET_END` marker's batch, which REPLACES the replica's state from
+  *    the staging in one transactional full-replace commit
+  *    ([[MergeTable.replaceAll]] — O(staging write), no join; the stale
+  *    file set retires wholesale) and drops the staging. A crash anywhere replays idempotently: the
   *    stage merges
   *    and the swap all carry watermarks, and a post-swap replay of the
   *    marker batch no-ops. A NEWER epoch's first slice drops any stale
   *    staging (the superseded-epoch contract).
   *
   * Scale shape: diffs cost O(changed rows) per version; a reset costs
-  * one O(replica ∪ snapshot) full-sync merge — the honest price of a
-  * consumer that lagged past retention, paid once per epoch and paged
-  * on the READ side by the source's file budget.
+  * the staging writes plus ONE O(snapshot-write) replace commit — never
+  * a join against the stale replica — paid once per epoch and paged on
+  * the READ side by the source's file budget.
   */
 object GraftReplicator {
 
@@ -124,11 +124,10 @@ object GraftReplicator {
         case None => // post-swap crash replay: swap below no-ops anyway
           resetData.where(col("_commit_version") === epoch).select(cols: _*)
       }
-      import MergeTable.{DeleteRow, InsertClause, MergeClause, UpdateSet}
-      MergeTable.merge(s, dstTable, staged, keys, keys,
-        matched = Seq(MergeClause(None, UpdateSet(Map.empty))),
-        notMatched = Seq(InsertClause(None, Map.empty)),
-        notMatchedBySource = Seq(MergeClause(None, DeleteRow)),
+      // the swap is a FULL-REPLACE commit: the staged snapshot IS the
+      // replica's new state — O(staging write), no join against the
+      // stale replica (whose entire file set retires wholesale)
+      MergeTable.replaceAll(s, dstTable, staged, keys, keys,
         txn = Some(("graft-repl", tick())))
       MergeTable.dropTable(stage)
     }

@@ -229,6 +229,46 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, t).count() == 998)
   }
 
+  test("replaceAll: the no-join FULL-REPLACE behind Overwrite/INSERT " +
+    "OVERWRITE — the batch becomes the whole state in one commit, the " +
+    "schema widens additively, time travel serves pre-overwrite " +
+    "versions, txn replays no-op, duplicate keys reject") {
+    val t = freshTable("replace")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 100L, 1.0),
+      Seq("event_id"), Seq("event_id"))
+    val nb = (50L to 120L).map(i => (i, s"u$i", 2.0, s"x$i"))
+      .toDF("event_id", "tag", "value", "extra")
+    assert(MergeTable.replaceAll(spark, t, nb, Seq("event_id"),
+      Seq("event_id"), txn = Some(("ow", 1L))))
+    val head = MergeTable.read(spark, t)
+    assert(head.columns.toSet == Set("event_id", "tag", "value", "extra"))
+    val ids = head.select("event_id").as[Long].collect().toSet
+    assert(ids == (50L to 120L).toSet,
+      "the batch IS the new state — no survivors from the old file set")
+    assert(head.where(col("extra").isNull).count() == 0)
+    // the old state is fully retired from the HEAD manifest but time
+    // travel still serves it
+    val m = MergeTable.latestManifest(t).get
+    assert(m.files.map(_.numRows).sum == 71L)
+    assert(MergeTable.readVersion(spark, t, 0L).count() == 100L)
+    // a crash-replayed overwrite no-ops off the txn watermark
+    assert(!MergeTable.replaceAll(spark, t,
+      Seq((999L, "z", 0.0, "z")).toDF("event_id", "tag", "value", "extra"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("ow", 1L))))
+    assert(MergeTable.read(spark, t).count() == 71L)
+    // duplicate keys reject (the table model is key-unique)
+    val e = intercept[Exception](MergeTable.replaceAll(spark, t,
+      Seq((1L, "a", 1.0, "a"), (1L, "b", 2.0, "b"))
+        .toDF("event_id", "tag", "value", "extra"),
+      Seq("event_id"), Seq("event_id")))
+    assert(e.getMessage.contains("key-unique"), e.getMessage)
+    // retyping rejects
+    val e2 = intercept[Exception](MergeTable.replaceAll(spark, t,
+      Seq((1L, 5, 1.0)).toDF("event_id", "tag", "value"),
+      Seq("event_id"), Seq("event_id")))
+    assert(e2.getMessage.contains("retyping"), e2.getMessage)
+  }
+
   test("file pruning: a batch touching one file's key range rewrites only it") {
     val t = freshTable("prune")
     // 4096 rows/file default → force multiple files with a small target
