@@ -3893,6 +3893,59 @@ object MergeTable {
        |  count(props) AS n_props, count(*) AS n_rows
        |FROM events WHERE event_id % 97 <> 0""".stripMargin
 
+  private val insertOwCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Fixture behind `q_insert_overwrite`: a table seeded with every
+    * event, then SQL `INSERT OVERWRITE` (through the analyzer door —
+    * physically a [[replaceAll]] no-join full-replace commit) with a
+    * filtered, value-shifted SELECT. The registered query reads the
+    * post-overwrite head, so the oracle (direct evaluation of the same
+    * SELECT over the raw table) breaks on any row the replace lost,
+    * kept or mutated. */
+  private def buildOverwrittenEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(insertOwCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("insert-overwrite-events")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-merge")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events-insow", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      mergeUpsert(s, t, ev, Seq("event_id"), Seq("event_id"),
+        txn = Some(("seed", 0L)))
+      ev.createOrReplaceTempView("graft_insow_src")
+      s.sql(
+        s"""INSERT OVERWRITE graft.`$t`
+           |SELECT event_id, event_type, value + 1000.0 AS value
+           |FROM graft_insow_src WHERE event_id % 3 = 0""".stripMargin)
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_insert_overwrite`: the post-overwrite head — exactly the
+    * SELECT's rows, nothing from the seeded state surviving. */
+  def insertOverwriteDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildOverwrittenEvents(s, sfDir)
+    s.read.format("graft").load(t).agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("value")), 2).as("sum_value"),
+      min(col("event_id")).as("min_id"),
+      max(col("event_id")).as("max_id"),
+      count(when(col("event_id") % 3 =!= 0, 1)).as("n_leaked"))
+  }
+
+  val insertOverwriteDigestSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  round(sum(value + 1000.0), 2) AS sum_value,
+       |  min(event_id) AS min_id, max(event_id) AS max_id,
+       |  CAST(0 AS BIGINT) AS n_leaked
+       |FROM events WHERE event_id % 3 = 0""".stripMargin
+
   private val ledgerAggCache = IndexMemo.cache[(SparkSession, String), String]()
 
   /** Fixture behind `q_agg_pushdown_minmax_dv`: events written with the
