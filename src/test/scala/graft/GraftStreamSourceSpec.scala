@@ -789,6 +789,51 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       .getMessage.contains("not both"))
   }
 
+  test("GraftReplicator with COMPOSITE keys and a *_pre-named payload " +
+    "column: the pinned source schema drives the apply (no suffix " +
+    "heuristics — note_pre replicates as data), diffs, deletes and a " +
+    "paged reset included") {
+    import graft.streaming.GraftReplicator
+    val src = fresh("replc-src")
+    val dst = fresh("replc-dst")
+    def df(rows: Seq[(String, Long, String, Double)]) =
+      rows.toDF("tenant", "event_id", "note_pre", "value")
+    val keys = Seq("tenant", "event_id")
+    MergeTable.mergeUpsert(spark, src,
+      df((1L to 100L).flatMap(i => Seq(
+        ("a", i, s"n$i", i * 1.0), ("b", i, s"m$i", i * 2.0)))),
+      keys, keys, targetRowsPerFile = 50, txn = Some(("w", 0L))) // 4 files
+    val ckpt = fresh("replc-ckpt")
+    def drain(): Unit = {
+      val q = GraftReplicator.replicate(spark, src, dst, ckpt,
+        Map("maxFilesPerTrigger" -> "2"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def snap(t: String) = MergeTable.read(spark, t)
+      .select("tenant", "event_id", "note_pre", "value")
+      .as[(String, Long, String, Double)].collect().toSet
+    drain()
+    assert(snap(dst) == snap(src) && snap(dst).size == 200)
+    // composite-keyed diff: update one (a, i) pair, delete one (b, i)
+    MergeTable.mergeUpsert(spark, src,
+      df(Seq(("a", 5L, "upd", 99.0))), keys, keys, txn = Some(("w", 1L)))
+    MergeTable.mergeDelete(spark, src,
+      Seq(("b", 7L)).toDF("tenant", "event_id"), txn = Some(("w", 2L)))
+    drain()
+    assert(snap(dst) == snap(src) && snap(dst).size == 199)
+    assert(snap(dst).contains(("a", 5L, "upd", 99.0)))
+    // lag past retention → paged reset with the composite keys
+    MergeTable.mergeUpsert(spark, src,
+      df((1L to 100L).flatMap(i => Seq(
+        ("a", i, s"r$i", i + 0.5), ("b", i, s"s$i", i + 0.25)))),
+      keys, keys, targetRowsPerFile = 50, txn = Some(("w", 3L)))
+    assert(MergeTable.vacuum(src, graceMs = 0L, retainVersions = 1) > 0)
+    drain()
+    assert(snap(dst) == snap(src) && snap(dst).size == 200,
+      "the reset swap must converge the composite-keyed replica")
+    assert(snap(dst).contains(("a", 5L, "r5", 5.5)))
+  }
+
   test("property: random commit/delete/vacuum/drain interleavings — the " +
     "replicated state always converges to the source head (diffs, " +
     "boots and reset epochs mixed freely, random file budgets)") {

@@ -269,6 +269,47 @@ class MergeTableSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("retyping"), e2.getMessage)
   }
 
+  test("replaceAll vs a concurrent commit: the CAS loss re-commits the " +
+    "SAME pre-written files against the new head with zero recompute — " +
+    "overwrite is state-independent, last-writer-wins wholesale") {
+    val t = freshTable("replacecas")
+    MergeTable.mergeUpsert(spark, t, rows(1L to 50L, 1.0),
+      Seq("event_id"), Seq("event_id"))
+    var fired = false
+    var hookDirs = Set.empty[String]
+    MergeTable.testPrecommitHook = () => if (!fired) {
+      fired = true
+      val st = Files.list(Paths.get(t, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        hookDirs = st.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally st.close()
+      MergeTable.mergeUpsert(spark, t, rows(Seq(7L), 9.0),
+        Seq("event_id"), Seq("event_id")) // the interloper wins v1
+    }
+    try assert(MergeTable.replaceAll(spark, t,
+      rows(100L to 120L, 5.0), Seq("event_id"), Seq("event_id"),
+      txn = Some(("ow", 1L))))
+    finally MergeTable.testPrecommitHook = () => ()
+    assert(fired)
+    val m = MergeTable.latestManifest(t).get
+    assert(m.version == 2L, s"winner v1 + replace v2, got v${m.version}")
+    // the replace's committed files were written BEFORE the race (their
+    // commit dir existed at hook time) — the retry re-used them
+    val committedDirs = m.files.map(_.path.split("/")(1)).toSet
+    assert(committedDirs.subsetOf(hookDirs),
+      s"the CAS retry must re-commit the pre-race files: " +
+        s"$committedDirs vs $hookDirs")
+    // overwrite wins wholesale: the interloper's row is gone with the
+    // rest of the old state, but its VERSION is in history
+    val out = MergeTable.read(spark, t)
+      .select("event_id").as[Long].collect().toSet
+    assert(out == (100L to 120L).toSet)
+    assert(MergeTable.readVersion(spark, t, 1L)
+      .where(col("event_id") === 7L)
+      .select("value").as[Double].head() == 9.0)
+  }
+
   test("file pruning: a batch touching one file's key range rewrites only it") {
     val t = freshTable("prune")
     // 4096 rows/file default → force multiple files with a small target
