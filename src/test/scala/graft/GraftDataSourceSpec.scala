@@ -598,6 +598,32 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.stats.ledgerK")
   }
 
+  test("min/max ledgers over STRING and TIMESTAMP columns: the same " +
+    "rendering/ordering as the stats entries, repaired bounds exact " +
+    "and metadata-only under DVs") {
+    spark.conf.set("spark.graft.stats.ledgerK", "4")
+    try {
+      val t = freshTable("ledgerstr")
+      val df = (1L to 500L).map(i => (i, f"s$i%04d",
+        new java.sql.Timestamp(1700000000000L + i * 1000L)))
+        .toDF("event_id", "name", "ts")
+      MergeTable.mergeUpsert(spark, t, df, Seq("event_id"), Seq("event_id"),
+        targetRowsPerFile = 100)
+      // mask the rows holding the global string/timestamp extremes
+      MergeTable.mergeDelete(spark, t,
+        Seq(1L, 500L).toDF("event_id"), deletionVectors = true)
+      GraftScanAudit.reset()
+      val r = spark.read.format("graft").load(t)
+        .agg(min(col("name")), max(col("name")),
+          min(col("ts")), max(col("ts"))).head()
+      assert(r.getString(0) == "s0002" && r.getString(1) == "s0499")
+      assert(r.getTimestamp(2).getTime == 1700000000000L + 2000L)
+      assert(r.getTimestamp(3).getTime == 1700000000000L + 499000L)
+      assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+        "string/timestamp ledger repair must stay metadata-only")
+    } finally spark.conf.unset("spark.graft.stats.ledgerK")
+  }
+
   test("deletion-vector rows are masked through the DSv2 scan") {
     val t = seeded("dv")
     MergeTable.mergeDelete(spark, t,
