@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_changes"),
       new ExpressionInfo(graft.ops.GraftTvf.getClass.getName, "graft_changes"),
       (children: Seq[Expression]) => graft.ops.GraftTvf.changes(children)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_changes_since"),
+      new ExpressionInfo(graft.ops.GraftTvf.getClass.getName,
+        "graft_changes_since"),
+      (children: Seq[Expression]) => graft.ops.GraftTvf.changesSince(children)))
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

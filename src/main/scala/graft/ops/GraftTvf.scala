@@ -101,6 +101,59 @@ object GraftTvf {
       .queryExecution.analyzed
   }
 
+  /** `graft_changes_since(path, tsMillis[, tsMillisEnd])` — the change
+    * data feed addressed by WALL-CLOCK instants: the range starts at the
+    * earliest version committed at or after `tsMillis`
+    * ([[MergeTable.versionSinceTimestamp]]) and ends at the newest
+    * committed at or before `tsMillisEnd` ([[MergeTable.versionAsOf]];
+    * default the head) — the SQL twin of the batch door's
+    * `startingTimestamp`/`endingTimestamp` options, same framing, same
+    * analysis-time lazy-plan construction. An instant past every
+    * retained commit yields the loud empty-range error (a TVF has no
+    * future-subscription reading — stream for that). */
+  def changesSince(children: Seq[Expression]): LogicalPlan = {
+    def tsArg(e: Expression, what: String): Long = {
+      val folded =
+        if (e.foldable && e.deterministic)
+          scala.util.Try(Literal.create(e.eval(null), e.dataType)).getOrElse(e)
+        else e
+      folded match {
+        case Literal(v, LongType) if v != null => v.asInstanceOf[Long]
+        case Literal(v, IntegerType) if v != null => v.asInstanceOf[Int].toLong
+        case other => throw new IllegalArgumentException(
+          s"graft_changes_since: $what must be an epoch-millis integer " +
+            s"literal, got ${other.sql}")
+      }
+    }
+    val (path, fromTs, toTsOpt) = children match {
+      case Seq(Literal(p, StringType), f) if p != null =>
+        (p.toString, tsArg(f, "tsMillis"), None)
+      case Seq(Literal(p, StringType), f, t) if p != null =>
+        (p.toString, tsArg(f, "tsMillis"), Some(tsArg(t, "tsMillisEnd")))
+      case _ => throw new IllegalArgumentException(
+        "graft_changes_since expects (path, tsMillis[, tsMillisEnd]) " +
+          s"literals, got: ${children.map(_.sql).mkString(", ")}")
+    }
+    val head = MergeTable.latestManifest(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_changes_since: no committed version under $path"))
+    val from = MergeTable.versionSinceTimestamp(path, fromTs).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_changes_since: no commit of $path at or after $fromTs — " +
+          s"the head v${head.version} is older; stream with " +
+          "startingTimestamp to subscribe to future commits"))
+    val to = toTsOpt.map(MergeTable.versionAsOf(path, _))
+      .getOrElse(head.version)
+    require(from <= to,
+      s"graft_changes_since: instants [$fromTs, ${toTsOpt.get}] resolve " +
+        s"to the empty version range [$from, $to]")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val shape = graft.sources.GraftChangeFeed.shapeFor(
+      path, head, "graft_changes_since")
+    graft.sources.GraftChangeFeed.framesFor(spark, shape, from, to)
+      .queryExecution.analyzed
+  }
+
   val detailSchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("num_files", IntegerType, nullable = false),

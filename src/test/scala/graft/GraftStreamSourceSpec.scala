@@ -787,6 +787,23 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       .option("startingVersion", "0")
       .option("startingTimestamp", t1.toString).load(t))
       .getMessage.contains("not both"))
+    // the SQL twin: graft_changes_since(path, ts[, tsEnd]) — same rows
+    // as the version-ranged TVF, analysis-time resolution
+    val tvf = spark.sql(
+      s"SELECT * FROM graft_changes_since('$t', $t1)").collect().map(key)
+    val tvfByV = spark.sql(
+      s"SELECT * FROM graft_changes('$t', 1)").collect().map(key)
+    assert(tvf.toSet == tvfByV.toSet && tvf.nonEmpty)
+    val tvfEnd = spark.sql(
+      s"SELECT DISTINCT _commit_version FROM " +
+        s"graft_changes_since('$t', 0, $t1)").collect().map(_.getLong(0))
+    assert(tvfEnd.sorted.toSeq == Seq(0L, 1L),
+      s"tsMillisEnd must bound at-or-before: ${tvfEnd.toSeq}")
+    // an instant past every retained commit is a loud error (no
+    // future-subscription reading for a batch TVF)
+    assert(intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_changes_since('$t', ${future})").collect())
+      .getMessage.contains("at or after"))
   }
 
   test("GraftReplicator with COMPOSITE keys and a *_pre-named payload " +
