@@ -112,7 +112,11 @@ object GraftTvf {
     * retained commit yields the loud empty-range error (a TVF has no
     * future-subscription reading — stream for that). */
   def changesSince(children: Seq[Expression]): LogicalPlan = {
-    def tsArg(e: Expression, what: String): Long = {
+    // `ceil` picks sub-millisecond rounding: a start bound (at-or-after)
+    // rounds up, an end bound (at-or-before) rounds down — commit
+    // instants are millis-grained, and rounding toward the bound would
+    // silently widen the range.
+    def tsArg(e: Expression, what: String, ceil: Boolean): Long = {
       val folded =
         if (e.foldable && e.deterministic)
           scala.util.Try(Literal.create(e.eval(null), e.dataType)).getOrElse(e)
@@ -120,18 +124,35 @@ object GraftTvf {
       folded match {
         case Literal(v, LongType) if v != null => v.asInstanceOf[Long]
         case Literal(v, IntegerType) if v != null => v.asInstanceOf[Int].toLong
+        // TIMESTAMP '…' — internal value is epoch micros
+        case Literal(v, TimestampType) if v != null =>
+          GraftInstants.microsToMillis(v.asInstanceOf[Long], ceil)
+        // DATE '…' — internal value is epoch days, read as local
+        // midnight in the session timezone (CAST(date AS TIMESTAMP))
+        case Literal(v, DateType) if v != null =>
+          val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .daysToMicros(v.asInstanceOf[Int], java.time.ZoneId.of(
+              org.apache.spark.sql.internal.SQLConf.get
+                .sessionLocalTimeZone))
+          GraftInstants.microsToMillis(micros, ceil)
+        // string literal — epoch-millis digits or Spark's
+        // timestamp-string grammar in the session timezone
+        case Literal(v, StringType) if v != null =>
+          GraftInstants.parseMillis(v.toString, s"graft_changes_since: $what",
+            ceil)
         case other => throw new IllegalArgumentException(
-          s"graft_changes_since: $what must be an epoch-millis integer " +
-            s"literal, got ${other.sql}")
+          s"graft_changes_since: $what must be an epoch-millis integer, " +
+            s"TIMESTAMP/DATE, or timestamp-string literal, got ${other.sql}")
       }
     }
     val (path, fromTs, toTsOpt) = children match {
       case Seq(Literal(p, StringType), f) if p != null =>
-        (p.toString, tsArg(f, "tsMillis"), None)
+        (p.toString, tsArg(f, "ts", ceil = true), None)
       case Seq(Literal(p, StringType), f, t) if p != null =>
-        (p.toString, tsArg(f, "tsMillis"), Some(tsArg(t, "tsMillisEnd")))
+        (p.toString, tsArg(f, "ts", ceil = true),
+          Some(tsArg(t, "tsEnd", ceil = false)))
       case _ => throw new IllegalArgumentException(
-        "graft_changes_since expects (path, tsMillis[, tsMillisEnd]) " +
+        "graft_changes_since expects (path, ts[, tsEnd]) " +
           s"literals, got: ${children.map(_.sql).mkString(", ")}")
     }
     val head = MergeTable.latestManifest(path).getOrElse(

@@ -1183,6 +1183,12 @@ object MergeTable {
     case "long" | "timestamp" | "date" => a.toLong <= b.toLong
     case "double" => a.toDouble <= b.toDouble
     case "string" => utf8Compare(a, b) <= 0
+    // decimal never reaches the cluster-key box paths (statTag rejects
+    // it as a cluster type) but DOES reach the ledger merge: ledgers
+    // are recorded for ALL stats-indexed columns, and statTagOpt indexes
+    // DecimalType as "decimal" — mirror StatsPruning.leq's comparison.
+    case "decimal" =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) <= 0
   }
 
   /** Inclusive per-column interval overlap of a key box against a file's

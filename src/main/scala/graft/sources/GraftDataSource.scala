@@ -111,15 +111,28 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
           throw new NoSuchTableException(
             Identifier.of(Array.empty, k._1)))
         val from = k._5.map(_.trim.toLong)
-          .orElse(k._8.map(ts =>
-            MergeTable.versionSinceTimestamp(k._1, ts.trim.toLong)
-              .getOrElse(head.version + 1)))
+          .orElse(k._8.map { ts =>
+            val millis =
+              graft.ops.GraftInstants.parseMillis(
+                ts, "startingTimestamp", ceil = true)
+            MergeTable.versionSinceTimestamp(k._1, millis).getOrElse(
+              // a batch read has no future-subscription reading — say
+              // so (the graft_changes_since TVF's tailored error)
+              // instead of the generic empty-range require below
+              throw new IllegalArgumentException(
+                s"readChangeFeed: no commit of ${k._1} at or after " +
+                  s"startingTimestamp $millis — the head " +
+                  s"v${head.version} is older; stream with " +
+                  "startingTimestamp to subscribe to future commits"))
+          })
           .getOrElse(sys.error(
             "readChangeFeed needs .option(\"startingVersion\", n) or " +
               ".option(\"startingTimestamp\", epochMillis)"))
         val to = k._6.map(_.trim.toLong)
           .orElse(k._9.map(ts =>
-            MergeTable.versionAsOf(k._1, ts.trim.toLong)))
+            MergeTable.versionAsOf(k._1,
+              graft.ops.GraftInstants.parseMillis(
+                ts, "endingTimestamp", ceil = false))))
           .getOrElse(head.version)
         require(from >= 0 && from <= to,
           s"readChangeFeed range [$from, $to] is empty or negative")
@@ -189,7 +202,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
         // (the schema doesn't depend on it); createSource PINS the real
         // one under the checkpoint's metadata path
         ci.get("startingtimestamp").map(ts =>
-          resolveSinceTimestamp(p, ts.trim.toLong)))
+          resolveSinceTimestamp(p, graft.ops.GraftInstants.parseMillis(
+            ts, "startingTimestamp", ceil = true))))
     })
 
   private def mkStreamSource(ctx: SQLContext, ci: Map[String, String],
@@ -228,7 +242,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       val ci = parameters.map { case (k, v) =>
         k.toLowerCase(java.util.Locale.ROOT) -> v }
       val p = ci("path")
-      val ts = ci("startingtimestamp").trim.toLong
+      val ts = graft.ops.GraftInstants.parseMillis(
+        ci("startingtimestamp"), "startingTimestamp", ceil = true)
       // metadataPath arrives as a URI string (file:/…) from the engine's
       // checkpoint resolution — map it back to a filesystem path
       val metaDir =
@@ -242,14 +257,26 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
         else {
           val v = resolveSinceTimestamp(p, ts)
           java.nio.file.Files.createDirectories(pin.getParent)
+          // write-once collision detection must NOT ride ATOMIC_MOVE:
+          // POSIX rename silently REPLACES an existing target, so a
+          // cross-process concurrent starter would overwrite the first
+          // pin. Publish via hard-link (atomic full content + throws on
+          // an existing target); fall back to CREATE_NEW where links
+          // are unsupported. Either way a loser ADOPTS the winner's pin.
           val tmp = pin.resolveSibling(pin.getFileName.toString + ".tmp")
           java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
-          try java.nio.file.Files.move(tmp, pin,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { // a concurrent starter won the pin: adopt theirs
-            case _: java.nio.file.FileAlreadyExistsException =>
-              java.nio.file.Files.deleteIfExists(tmp)
+          try java.nio.file.Files.createLink(pin, tmp)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => // adopt
+            case _: UnsupportedOperationException =>
+              try java.nio.file.Files.write(pin,
+                v.toString.getBytes("UTF-8"),
+                java.nio.file.StandardOpenOption.CREATE_NEW)
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException => // adopt
+              }
           }
+          java.nio.file.Files.deleteIfExists(tmp)
           new String(java.nio.file.Files.readAllBytes(pin), "UTF-8").trim.toLong
         }
       mkStreamSource(ctx, ci, Some(startV))
@@ -336,7 +363,9 @@ object GraftTable {
           Identifier.of(Array.empty, s"$path@v$v")))
       case None => timestampAsOf match {
         case Some(ts) =>
-          val v = MergeTable.versionAsOf(path, ts.trim.toLong)
+          val v = MergeTable.versionAsOf(path,
+            graft.ops.GraftInstants.parseMillis(
+              ts, "timestampAsOf", ceil = false))
           MergeTable.manifestAt(path, v).getOrElse(
             throw new NoSuchTableException(
               Identifier.of(Array.empty, s"$path@ts$ts")))

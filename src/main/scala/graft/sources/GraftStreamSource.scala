@@ -313,6 +313,20 @@ class GraftStreamSource(
               if (isReset) GraftResetOffset(m.version, until.toLong)
               else if (until >= m.files.size) LongOffset(m.version)
               else GraftSnapshotOffset(m.version, until.toLong))
+            else if (l.version == seenV)
+              // the snapshot being paged IS the head and its data is
+              // missing: vacuum always retains head files, so this is
+              // external deletion/corruption, and "reset to head" would
+              // re-emit a same-version offset at or below the delivered
+              // floor — an empty batch forever, a silently idle stream.
+              // Anything else stays loud.
+              throw new IllegalStateException(
+                s"graft stream source: data file(s) of HEAD version " +
+                  s"$seenV under $tablePath are missing while the " +
+                  "initial snapshot was being paged. Vacuum never " +
+                  "removes head files, so the table data was deleted " +
+                  "or corrupted externally; restore the files or " +
+                  "restart the stream from a fresh checkpoint.")
             else
               // the snapshot being paged was vacuumed underneath: the
               // head snapshot RESETS the consumer — paged under the

@@ -624,6 +624,45 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.stats.ledgerK")
   }
 
+  test("min/max ledgers over a DECIMAL column: a DV delete accumulates " +
+    "the ledger without error (decimal is stats-indexed, so the ledger " +
+    "merge must compare it), and the repaired bounds stay exact and " +
+    "metadata-only") {
+    spark.conf.set("spark.graft.stats.ledgerK", "4")
+    try {
+      val t = freshTable("ledgerdec")
+      val df = (1L to 500L).map(i => (i, BigDecimal(i) * BigDecimal("0.01")))
+        .toDF("event_id", "amount")
+      assert(df.schema("amount").dataType.isInstanceOf[
+        org.apache.spark.sql.types.DecimalType])
+      MergeTable.mergeUpsert(spark, t, df, Seq("event_id"), Seq("event_id"),
+        targetRowsPerFile = 100)
+      val m0 = MergeTable.latestManifest(t).get
+      assert(m0.files.forall(_.bottomK.contains("amount")),
+        "decimal columns are stats-indexed, so flag-on writes ledger them")
+      // mask the rows holding the global decimal extremes — the DV
+      // commit's ledger ACCUMULATION walks the decimal comparator
+      // (pre-fix: scala.MatchError in statLeq)
+      MergeTable.mergeDelete(spark, t,
+        Seq(1L, 500L).toDF("event_id"), deletionVectors = true)
+      GraftScanAudit.reset()
+      val r = spark.read.format("graft").load(t)
+        .agg(min(col("amount")), max(col("amount"))).head()
+      assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("0.02")) == 0)
+      assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("4.99")) == 0)
+      assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+        "decimal ledger repair must stay metadata-only")
+      // a SECOND DV commit stacks through the same comparator
+      MergeTable.mergeDelete(spark, t,
+        Seq(2L).toDF("event_id"), deletionVectors = true)
+      GraftScanAudit.reset()
+      val r2 = spark.read.format("graft").load(t)
+        .agg(min(col("amount"))).head()
+      assert(r2.getDecimal(0).compareTo(new java.math.BigDecimal("0.03")) == 0)
+      assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0)
+    } finally spark.conf.unset("spark.graft.stats.ledgerK")
+  }
+
   test("deletion-vector rows are masked through the DSv2 scan") {
     val t = seeded("dv")
     MergeTable.mergeDelete(spark, t,

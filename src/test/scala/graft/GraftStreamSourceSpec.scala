@@ -806,6 +806,102 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       .getMessage.contains("at or after"))
   }
 
+  test("wall-clock doors accept TIMESTAMP/string instants, not just " +
+    "epoch millis: ISO strings on the options doors, TIMESTAMP and " +
+    "string literals on graft_changes_since; sub-millisecond digits " +
+    "round toward the range (start up, end down); garbage rejects " +
+    "loudly; a past-head batch start points at the streaming door") {
+    val t = fresh("ts-str")
+    seed(t) // v0
+    def commitOne(id: Long, tag: String, v: Long): Unit = {
+      Thread.sleep(40)
+      MergeTable.mergeUpsert(spark, t,
+        Seq((id, tag, id * 1.0)).toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"), txn = Some(("w", v)))
+    }
+    commitOne(1L, "v1", 1L) // v1
+    commitOne(2L, "v2", 2L) // v2
+    val t1 = MergeTable.history(t).find(_.version == 1L).get.timestampMs
+    val iso = java.time.Instant.ofEpochMilli(t1).toString // …Z form
+    def versionsOf(df: DataFrame): Seq[Long] =
+      df.select("_commit_version").distinct().as[Long].collect().sorted.toSeq
+    // batch door: the ISO form equals the millis form
+    assert(versionsOf(spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", iso).load(t)) == Seq(1L, 2L))
+    assert(versionsOf(spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("endingTimestamp", iso).load(t)) == Seq(0L, 1L))
+    // time-travel door: timestampAsOf as an ISO string pins v1's snapshot
+    assert(spark.read.format("graft").option("timestampAsOf", iso)
+      .load(t).where(col("event_id") === 1L)
+      .select("event_type").as[String].head() == "v1")
+    // garbage rejects loudly with the accepted-forms message
+    assert(intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "not-a-time").load(t))
+      .getMessage.contains("timestamp string"))
+    // a past-head batch start gets the tailored subscribe-instead error
+    val futureIso = java.time.Instant
+      .ofEpochMilli(System.currentTimeMillis() + 86400000L).toString
+    val pastHead = intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", futureIso).load(t)).getMessage
+    assert(pastHead.contains("at or after") &&
+      pastHead.contains("stream with"), pastHead)
+    // TVF: TIMESTAMP literal ≡ the version-ranged read; string-literal
+    // end bound at-or-before
+    val tvfTs = spark.sql(
+      s"SELECT * FROM graft_changes_since('$t', TIMESTAMP '$iso')")
+      .collect().map(key)
+    val tvfByV = spark.sql(
+      s"SELECT * FROM graft_changes('$t', 1)").collect().map(key)
+    assert(tvfTs.toSet == tvfByV.toSet && tvfTs.nonEmpty)
+    val tvfStrEnd = spark.sql(
+      s"SELECT DISTINCT _commit_version FROM graft_changes_since(" +
+        s"'$t', '1970-01-01T00:00:00Z', '$iso')")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(tvfStrEnd == Seq(0L, 1L), s"string end bound: $tvfStrEnd")
+    // stream door: ISO start delivers v1..v2 and pins like the millis form
+    val ckpt = fresh("ts-str-ckpt")
+    val got = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckpt, got, Map("startingTimestamp" -> iso))
+    assert(got.flatten.map(r =>
+      r.getAs[Long]("_commit_version")).toSet == Set(1L, 2L))
+    // sub-millisecond rounding is conservative: start bounds round UP,
+    // end bounds round DOWN (never widening past the written instant)
+    import graft.ops.GraftInstants
+    assert(GraftInstants.parseMillis(
+      "1970-01-01T00:00:00.0015Z", "t", ceil = true) == 2L)
+    assert(GraftInstants.parseMillis(
+      "1970-01-01T00:00:00.0015Z", "t", ceil = false) == 1L)
+    assert(GraftInstants.parseMillis("  12345  ", "t", ceil = true) == 12345L)
+  }
+
+  test("HEAD data file missing while the initial snapshot is being " +
+    "paged: the source fails LOUDLY (vacuum never removes head files, " +
+    "so this is external corruption) instead of emitting a same-version " +
+    "reset that idles the stream forever") {
+    val t = fresh("headgone")
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 40L).map(i => (i, "ok", i * 1.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 10) // 4 files, v0
+    val src = new graft.sources.GraftStreamSource(
+      spark.sqlContext, t, None, 1000L, None, Some(1L))
+    try {
+      val o1 = src.getOffset.get // first paged slice of the head snapshot
+      src.getBatch(None, o1)     // delivers file 0, seeds the floor
+      // externally delete the NEXT not-yet-delivered head data file
+      val m = MergeTable.latestManifest(t).get
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(t, m.files(1).path))
+      val ex = intercept[IllegalStateException](src.getOffset)
+      assert(ex.getMessage.contains("HEAD") &&
+        ex.getMessage.contains("missing"), ex.getMessage)
+    } finally src.stop()
+  }
+
   test("GraftReplicator with COMPOSITE keys and a *_pre-named payload " +
     "column: the pinned source schema drives the apply (no suffix " +
     "heuristics — note_pre replicates as data), diffs, deletes and a " +
