@@ -1704,18 +1704,20 @@ object MergeTable {
     // deduplicated staging pipeline) this removes three of the four
     // full-source recomputes the merge used to pay; the two prune reads
     // still evaluate the source (they must produce payload columns).
-    // The pin itself is GATED on the planner's own size estimate: a
-    // below-broadcast-threshold source re-scans cheaper than one
-    // checkpoint materialization costs (same knob as the prune gate —
-    // `spark.graft.merge.sourcePrune.minBytes` = 0 pins always, the
-    // at-scale posture), and the combined one-job precondition aggregate
-    // below is kept either way.
+    // The pin is UNCONDITIONAL. A size gate was tried (skip the
+    // checkpoint below the broadcast threshold, on the theory that a
+    // small source re-scans cheaper than it materializes) and measured
+    // ~2× SLOWER end-to-end on small-source merge chains: a small
+    // frame's localCheckpoint is nearly free — one execution plus an
+    // in-memory block write — while skipping it re-runs the whole
+    // source pipeline once per consumer (precondition aggregate,
+    // touched probe, CAS key box), and for small sources the fixed
+    // per-job overhead of those re-runs dominates everything the gate
+    // saved. Cheap at the bottom, necessary at the top: always pin.
     var keyFrameMemo: Option[DataFrame] = None
     var batchKeyRows = -1L // exact source row count, from the pinned pass
     def keyFrame: DataFrame = keyFrameMemo.getOrElse {
-      val proj = batch.select(keys.map(col): _*)
-      val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
-      val kf = if (est > pruneMinBytes(s)) proj.localCheckpoint() else proj
+      val kf = batch.select(keys.map(col): _*).localCheckpoint()
       keyFrameMemo = Some(kf); kf
     }
 
@@ -2460,13 +2462,11 @@ object MergeTable {
     // the purge-list pipeline executes ONCE: the pinned frame feeds the
     // row-level precondition, the touched probe, the box prune and the
     // delete joins (same single-pass discipline — and the same
-    // size-gated pin — as mergeUpsert's keyFrame)
+    // unconditional pin; see keyFrame's note on the measured-and-
+    // rejected size gate — as mergeUpsert's keyFrame)
     var pinnedKeysMemo: Option[DataFrame] = None
     def pinnedKeys: DataFrame = pinnedKeysMemo.getOrElse {
-      val est = delKeys.queryExecution.optimizedPlan.stats.sizeInBytes
-      val p = if (est > pruneMinBytes(s)) delKeys.localCheckpoint()
-        else delKeys
-      pinnedKeysMemo = Some(p); p
+      val p = delKeys.localCheckpoint(); pinnedKeysMemo = Some(p); p
     }
     var attempt = 0
     while (attempt < maxAttempts) {
