@@ -90,15 +90,19 @@ object ScaleProbe {
     val rangeOnly = args.headOption.contains("rangejoin")
     val srcPruneOnly = args.headOption.contains("sourceprune")
     val streamResetOnly = args.headOption.contains("streamreset")
+    val replicatorFoldOnly = args.headOption.contains("replicatorfold")
     val nIntervals = if (args.length > 1) args(1).toInt else 100000
 
     if (srcPruneOnly) { probeSourcePrune(spark); spark.stop(); return }
     if (streamResetOnly) { probeStreamReset(spark); spark.stop(); return }
+    if (replicatorFoldOnly) {
+      probeReplicatorFold(spark); spark.stop(); return }
     if (!rangeOnly) {
       probeDedupCandidates(spark); probeNativeKernels(spark)
       probeSelectionOps(spark); probeMaintenanceOps(spark)
       probeMergeTable(spark); probeSourcePrune(spark)
       probeStreamReset(spark)
+      probeReplicatorFold(spark)
       probeChangeFeed(spark)
       probeStatsPruning(spark)
       probeSplitLayout(spark)
@@ -224,6 +228,54 @@ object ScaleProbe {
             s""""first_slice_sec":${s1(tSlice)}}""")
       } finally {
         MergeTable.dropTable(t.toString)
+        deleteRecursively(ckpt)
+      }
+    }
+  }
+
+  /** Replicator commit amplification (round 17): a replica draining an
+    * N-version lag used to pay ~2 transactional commits per source
+    * VERSION; the LWW fold makes it ~2 per MICRO-BATCH. Measured at a
+    * 10× lag spread — the claim is the replica's commit count stays
+    * FLAT (it tracks micro-batches, which the source's pacing budgets
+    * bound) while the per-version form would grow 10×. */
+  private def probeReplicatorFold(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.ops.MergeTable
+    import graft.streaming.GraftReplicator
+    for (lag <- Seq(10, 100)) {
+      val src = java.nio.file.Files.createTempDirectory(s"graft-probe-rf$lag")
+      val dst = java.nio.file.Files.createTempDirectory(s"graft-probe-rfd$lag")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-probe-rfc$lag")
+      java.nio.file.Files.delete(src); java.nio.file.Files.delete(dst)
+      try {
+        MergeTable.mergeUpsert(spark, src.toString,
+          (0L until 5000L).map(i => (i, "seed", i * 1.0))
+            .toDF("event_id", "event_type", "value"),
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 1000,
+          txn = Some(("w", 0L)))
+        def drain(): Unit = {
+          val q = GraftReplicator.replicate(spark, src.toString,
+            dst.toString, ckpt.toString,
+            Map("maxVersionsPerTrigger" -> "1000"))
+          try q.processAllAvailable() finally q.stop()
+        }
+        drain() // boot
+        val booted = MergeTable.history(dst.toString).size
+        (1 to lag).foreach { v =>
+          MergeTable.mergeUpsert(spark, src.toString,
+            Seq(((v % 5000).toLong, s"u$v", v * 1.0))
+              .toDF("event_id", "event_type", "value"),
+            Seq("event_id"), Seq("event_id"), txn = Some(("w", v.toLong)))
+        }
+        val (_, sec) = time(drain())
+        val commits = MergeTable.history(dst.toString).size - booted
+        println(
+          s"""{"probe":"replicator_fold","lag_versions":$lag,""" +
+            s""""replica_commits":$commits,"drain_sec":${s1(sec)}}""")
+      } finally {
+        MergeTable.dropTable(src.toString)
+        MergeTable.dropTable(dst.toString)
         deleteRecursively(ckpt)
       }
     }

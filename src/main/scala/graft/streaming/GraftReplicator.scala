@@ -15,13 +15,16 @@ import graft.ops.MergeTable
   *
   * Semantics per delivered row:
   *
-  *  - `feed_type` "diff": applied per `_commit_version` ascending —
-  *    INSERT/UPDATE rows upsert, DELETE rows delete. Every commit this
-  *    consumer makes is watermarked under ONE writer (`graft-repl`) at
-  *    `(batchId << 20 | seq)` — BATCH-scoped, not version-scoped,
-  *    because the paged feed delivers several micro-batches of one
-  *    version and several versions in one micro-batch; a replayed
-  *    micro-batch re-issues identical values and no-ops (exactly-once).
+  *  - `feed_type` "diff": FOLDED to last-writer-wins per key across the
+  *    micro-batch (the latest `_commit_version`'s change per key), then
+  *    applied as ONE upsert + ONE delete commit — a replica draining an
+  *    N-version lag pays ~2 commits per micro-batch, not ~2N. Every
+  *    commit this consumer makes is watermarked under ONE writer
+  *    (`graft-repl`) at `(batchId << 20 | seq)` — BATCH-scoped, not
+  *    version-scoped, because the paged feed delivers several
+  *    micro-batches of one version and several versions in one
+  *    micro-batch; a replayed micro-batch re-issues identical values
+  *    and no-ops (exactly-once).
   *  - `feed_type` "snapshot": a FRESH stream's (possibly paged) boot —
   *    rows upsert. With an empty replica (the normal fresh-checkpoint
   *    shape) the slices converge to the boot snapshot; a NON-empty
@@ -40,30 +43,36 @@ import graft.ops.MergeTable
   *    marker batch no-ops. A NEWER epoch's first slice drops any stale
   *    staging (the superseded-epoch contract).
   *
-  * Scale shape: diffs cost O(changed rows) per version; a reset costs
+  * Scale shape: diffs cost O(changed rows in the batch) and TWO commits
+  * per micro-batch regardless of how many versions it spans; a reset costs
   * the staging writes plus ONE O(snapshot-write) replace commit — never
   * a join against the stale replica — paid once per epoch and paged on
   * the READ side by the source's file budget.
   */
 object GraftReplicator {
 
+  /** Staging lives INSIDE the replica directory (`<dst>/.resetstage/
+    * v<epoch>`), never as a sibling: the stale-stage sweep below then
+    * only ever deletes under a directory this replicator owns, so a
+    * user table that happens to be named like a stage can't be
+    * collected. Safe territory by construction — the replica's own
+    * vacuum sweeps only `<dst>/data`, its manifests address files by
+    * exact relative path, and dropping the replica drops its staging
+    * with it. */
   private def stagePath(dstTable: String, epoch: Long): String =
-    s"${dstTable}_resetstage_v$epoch"
+    java.nio.file.Paths.get(dstTable, ".resetstage", s"v$epoch").toString
 
   /** Drop staging tables of epochs other than `keep` (stale epochs were
     * superseded mid-reset; their swap never happened and never will). */
   private def dropStaleStages(dstTable: String, keep: Long): Unit = {
-    val dir = java.nio.file.Paths.get(dstTable).toAbsolutePath.getParent
-    val base = java.nio.file.Paths.get(dstTable).getFileName.toString
-    if (dir == null || !java.nio.file.Files.isDirectory(dir)) return
-    val stream = java.nio.file.Files.list(dir)
+    val root = java.nio.file.Paths.get(dstTable, ".resetstage")
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val stream = java.nio.file.Files.list(root)
     try {
       val it = stream.iterator()
       while (it.hasNext) {
         val p = it.next()
-        val n = p.getFileName.toString
-        if (n.startsWith(s"${base}_resetstage_v") &&
-            n != s"${base}_resetstage_v$keep")
+        if (p.getFileName.toString != s"v$keep")
           MergeTable.dropTable(p.toString)
       }
     } finally stream.close()
@@ -132,15 +141,34 @@ object GraftReplicator {
       MergeTable.dropTable(stage)
     }
 
-    // 3. diffs and (fresh-boot) snapshot slices, per version ascending
+    // 3. diffs and (fresh-boot) snapshot slices: fold the batch to ONE
+    //    last-writer-wins frame — the LATEST change per key across every
+    //    version in the batch (within a version a key appears at most
+    //    once: the feed emits one change per key per commit, and a boot
+    //    snapshot is a keyed table state) — then ONE upsert + ONE delete
+    //    commit. Per-version application was correct but paid ~2
+    //    transactional commits per source VERSION; a replica draining a
+    //    10,000-version lag paid ~20,000 commits even though ordering
+    //    within the batch is deterministic. Commit amplification, not
+    //    data volume, was the replicator's real cost driver at scale —
+    //    the fold makes commits O(micro-batches), and the source's
+    //    pacing budgets bound each batch's row volume.
     val applyRows = batch.where(col("feed_type") =!= "reset")
-    val versions = applyRows.select(col("_commit_version")).distinct()
-      .collect().map(_.getLong(0)).sorted // bounded: versions per batch
-    versions.foreach { v =>
-      val rows = applyRows.where(col("_commit_version") === v)
-      val ups = rows.where(col("change_type").isin("INSERT", "UPDATE"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_version").desc)
+    // pinned once: the emptiness probe, the upsert and the delete all
+    // read this frame (same single-pass discipline as the engine's own
+    // merge preconditions)
+    val folded = applyRows
+      .withColumn("_graft_rn", row_number().over(w))
+      .where(col("_graft_rn") === 1)
+      .select((dataCols :+ "change_type").map(col): _*)
+      .localCheckpoint()
+    if (!folded.isEmpty) {
+      val ups = folded.where(col("change_type").isin("INSERT", "UPDATE"))
         .select(cols: _*)
-      val dels = rows.where(col("change_type") === "DELETE")
+      val dels = folded.where(col("change_type") === "DELETE")
         .select(keys.map(col): _*)
       MergeTable.mergeUpsert(s, dstTable, ups, keys, keys,
         txn = Some(("graft-repl", tick())))

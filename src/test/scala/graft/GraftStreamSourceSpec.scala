@@ -998,6 +998,92 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("replicator LWW fold: a multi-version lag drains as ~2 replica " +
+    "commits per micro-batch (commit amplification is O(batches), not " +
+    "O(source versions)), re-insert-after-delete and delete-after-" +
+    "update fold correctly, and a user table named like the legacy " +
+    "sibling staging survives a reset untouched") {
+    import graft.streaming.GraftReplicator
+    val src = fresh("replf-src")
+    val dst = fresh("replf-dst")
+    val ckpt = fresh("replf-ckpt")
+    MergeTable.mergeUpsert(spark, src,
+      (1L to 200L).map(i => (i, "seed", i * 1.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 50,
+      txn = Some(("w", 0L)))
+    def drain(): Unit = {
+      val q = GraftReplicator.replicate(spark, src, dst, ckpt,
+        Map("maxVersionsPerTrigger" -> "1000"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    def snap(t: String) = MergeTable.read(spark, t)
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    drain() // boot
+    val bootCommits = MergeTable.history(dst).size
+    // a 12-version lag with LWW-sensitive interleavings on single keys:
+    // update→delete (key 3: must END deleted), delete→re-insert (key 4:
+    // must END present with the LAST payload), repeated updates (key 5:
+    // last wins)
+    var v = 0L
+    def nextV(): Long = { v += 1; v }
+    MergeTable.mergeUpsert(spark, src,
+      Seq((3L, "upd", 33.0)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", nextV())))
+    MergeTable.mergeDelete(spark, src, Seq(3L).toDF("event_id"),
+      txn = Some(("w", nextV())))
+    MergeTable.mergeDelete(spark, src, Seq(4L).toDF("event_id"),
+      txn = Some(("w", nextV())))
+    MergeTable.mergeUpsert(spark, src,
+      Seq((4L, "reborn", 44.0)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", nextV())))
+    (1 to 8).foreach { i =>
+      MergeTable.mergeUpsert(spark, src,
+        Seq((5L, s"u$i", i * 5.0)).toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"), txn = Some(("w", nextV())))
+    }
+    drain() // one micro-batch covers the whole 12-version lag
+    val lagCommits = MergeTable.history(dst).size - bootCommits
+    assert(lagCommits <= 2,
+      s"a folded 12-version lag must cost <=2 replica commits, " +
+        s"got $lagCommits")
+    assert(snap(dst) == snap(src), "LWW fold must converge to the head")
+    assert(!snap(dst).exists(_._1 == 3L), "update-then-delete ends deleted")
+    assert(snap(dst).contains((4L, "reborn", 44.0)),
+      "delete-then-reinsert ends present with the last payload")
+    assert(snap(dst).contains((5L, "u8", 40.0)), "last update wins")
+    // replay: a re-drain with nothing new must not commit again
+    val before = MergeTable.history(dst).size
+    drain()
+    assert(MergeTable.history(dst).size == before,
+      "an empty drain must commit nothing")
+    // ---- staging-collision hardening: a USER table named like the
+    // legacy sibling staging must survive a reset epoch
+    val decoy = s"${dst}_resetstage_v7"
+    MergeTable.mergeUpsert(spark, decoy,
+      Seq((1L, "precious", 1.0)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 0L)))
+    // force a reset: full rewrite then vacuum past the replica's offset
+    MergeTable.mergeUpsert(spark, src,
+      (1L to 200L).map(i => (i, "rewrite", i + 0.5))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 50,
+      txn = Some(("w", nextV())))
+    assert(MergeTable.vacuum(src, graceMs = 0L, retainVersions = 1) > 0)
+    drain() // reset epoch: stage under <dst>/.resetstage, swap, drop
+    assert(snap(dst) == snap(src), "the reset swap must converge")
+    assert(snap(decoy) == Set((1L, "precious", 1.0)),
+      "a sibling user table named like a stage must never be dropped")
+    // the staging directory cleaned up after the swap
+    val stageRoot = java.nio.file.Paths.get(dst, ".resetstage")
+    assert(!java.nio.file.Files.isDirectory(stageRoot) ||
+      { val s0 = java.nio.file.Files.list(stageRoot)
+        try !s0.iterator().hasNext finally s0.close() },
+      "completed epochs must not leave staging behind")
+    MergeTable.dropTable(decoy) // shared-/tmp hygiene
+  }
+
   test("GraftReplicator: reset-safe CDC replication — the replica " +
     "converges across a paged snapshot boot, diffs, a vacuum-forced " +
     "PAGED reset epoch with restarts at slice boundaries (stale replica " +
@@ -1061,14 +1147,18 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     runRepl()
     assert(snap(dst) == snap(src))
     assert(snap(dst).exists(r => r._1 == 5L && r._2 == "post"))
-    // no staging residue
-    val parent = java.nio.file.Paths.get(dst).toAbsolutePath.getParent
-    val stream2 = java.nio.file.Files.list(parent)
-    val leftover = try {
-      import scala.jdk.CollectionConverters._
-      stream2.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.contains("_resetstage_")).toList
-    } finally stream2.close()
+    // no staging residue (staging lives INSIDE the replica dir since
+    // round 17 — the sibling layout had a name-collision hazard)
+    val stageRoot = java.nio.file.Paths.get(dst, ".resetstage")
+    val leftover =
+      if (!java.nio.file.Files.isDirectory(stageRoot)) Nil
+      else {
+        val stream2 = java.nio.file.Files.list(stageRoot)
+        try {
+          import scala.jdk.CollectionConverters._
+          stream2.iterator().asScala.map(_.getFileName.toString).toList
+        } finally stream2.close()
+      }
     assert(leftover.isEmpty, s"staging tables must be dropped: $leftover")
   }
 }
