@@ -994,6 +994,28 @@ object MergeTable {
     val tmp = ld.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, org.json4s.jackson.Serialization.write(r).getBytes("UTF-8"))
     val target = ld.resolve(f"v${r.version}%020d.json")
+    // STRICTLY MONOTONIC commit instants: the record's mtime IS the
+    // commit time (see [[CommitInfo]]), and mtimes are millisecond-
+    // grained — two commits inside one millisecond would make a
+    // timestamp-addressed range boundary ambiguous (which version does
+    // "since T" start at?). Stamp max(now, parent_instant + 1) on the
+    // TMP file BEFORE the link: link(2) publishes the inode with its
+    // attributes, so the adjusted instant is atomic with the commit and
+    // no reader ever observes a tied pair. Reading the parent's mtime
+    // here is safe — the committer resolved its snapshot first, so
+    // version r.version−1 already exists. (The read-side monotone clamp
+    // stays, for pre-existing tables and cross-writer clock jitter.)
+    if (r.version > 0) {
+      val parentMt =
+        try Some(Files.getLastModifiedTime(
+          ld.resolve(f"v${r.version - 1}%020d.json")).toMillis)
+        catch { case _: java.io.IOException => None } // vacuumed parent
+      parentMt.foreach { p =>
+        val instant = math.max(System.currentTimeMillis(), p + 1L)
+        Files.setLastModifiedTime(tmp,
+          java.nio.file.attribute.FileTime.fromMillis(instant))
+      }
+    }
     try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); true }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -2339,9 +2361,12 @@ object MergeTable {
       // runtime error failing the WRITE over a statistic.
       val sumType: Seq[Option[DecimalType]] = dts.map(sumWideType)
       // OPT-IN min/max ledgers: k smallest / largest values per column
-      // per file (see [[DataFileEntry.bottomK]]). collect_list is
-      // bounded by the file's own row target, and the flag defaults OFF
-      // so the write path pays nothing unless a table opts in.
+      // per file (see [[DataFileEntry.bottomK]]). Bounded top-k
+      // accumulators (Spark's own BoundedPriorityQueue collect) keep the
+      // agg buffer at O(k) per (file, column) REGARDLESS of file size —
+      // an externally-written million-row file costs the same buffer as
+      // a 4096-row one. The flag defaults OFF so the write path pays
+      // nothing unless a table opts in.
       val ledgerK = staged.sparkSession.conf
         .getOption("spark.graft.stats.ledgerK").map(_.trim.toInt)
         .getOrElse(0)
@@ -2363,10 +2388,10 @@ object MergeTable {
         }
         if (ledgerK > 0) {
           ledOff(i) = pos
-          aggsB += slice(array_sort(collect_list(c)), 1, ledgerK)
-            .as(s"lo_$i")
-          aggsB += slice(reverse(array_sort(collect_list(c))), 1, ledgerK)
-            .as(s"hi_$i")
+          aggsB += array_sort(org.apache.spark.sql.graftbridge.Bridge.boundedTopK(c, ledgerK,
+            reverse = true)).as(s"lo_$i")
+          aggsB += reverse(array_sort(org.apache.spark.sql.graftbridge.Bridge.boundedTopK(c, ledgerK,
+            reverse = false))).as(s"hi_$i")
           pos += 2
         }
       }
@@ -2615,10 +2640,10 @@ object MergeTable {
             sumWideType(idxTypes(i)).foreach(w =>
               deltaAggsB += try_sum(col(c).cast(w)).as(s"sm_$i"))
             if (hasLedger(c)) {
-              deltaAggsB += slice(array_sort(collect_list(col(c))), 1,
-                ledgerCap).as(s"lo_$i")
-              deltaAggsB += slice(reverse(array_sort(collect_list(col(c)))),
-                1, ledgerCap).as(s"hi_$i")
+              deltaAggsB += array_sort(org.apache.spark.sql.graftbridge.Bridge.boundedTopK(col(c),
+                ledgerCap, reverse = true)).as(s"lo_$i")
+              deltaAggsB += reverse(array_sort(org.apache.spark.sql.graftbridge.Bridge.boundedTopK(col(c),
+                ledgerCap, reverse = false))).as(s"hi_$i")
             }
           }
           val deltaAggs = deltaAggsB.result()
@@ -2877,9 +2902,27 @@ object MergeTable {
       targetRowsPerFile: Long = 4096,
       maxAttempts: Int = 20,
       zorderBy: Seq[String] = Seq.empty,
-      splitBy: Seq[String] = Seq.empty): Int = {
+      splitBy: Seq[String] = Seq.empty,
+      ledgerBackfill: Boolean = false): Int = {
     require(zorderBy.isEmpty || splitBy.isEmpty,
       "OPTIMIZE takes zorderBy OR splitBy, not both — one layout per rewrite")
+    // LEDGER BACKFILL: min/max ledgers only exist on files written while
+    // `spark.graft.stats.ledgerK` was set, so a table written before the
+    // flag loses metadata-only min/max forever under any DV — this
+    // policy additionally rewrites every ledger-less file (a rewrite
+    // refreshes stats AND ledgers for free), completing the purge story
+    // for pre-ledger tables: backfill once, then every later DV delete
+    // subtracts exactly. Composes with plain compaction's own
+    // candidates (fragments + DV debt); requires the flag ON so the
+    // rewrite actually produces ledgers.
+    if (ledgerBackfill) {
+      require(zorderBy.isEmpty && splitBy.isEmpty,
+        "ledgerBackfill composes with plain compaction only")
+      require(s.conf.getOption("spark.graft.stats.ledgerK")
+        .exists(_.trim.toInt > 0),
+        "ledgerBackfill needs spark.graft.stats.ledgerK > 0 — without " +
+          "the flag the rewritten files would still carry no ledgers")
+    }
     require(splitBy.size <= 4,
       s"splitBy takes at most 4 columns, got ${splitBy.size}")
     require(splitBy.distinct.size == splitBy.size,
@@ -2911,20 +2954,26 @@ object MergeTable {
       val relayout = zorderBy.nonEmpty || splitBy.nonEmpty
       val small = snapshot.files.filter(_.visibleRows < targetRowsPerFile / 2)
       val dvBearing = snapshot.files.filter(_.dv.nonEmpty)
+      // ledger-less files (backfill policy only): no bottom-k/top-k
+      // recorded at write time — any future DV on them refuses min/max
+      val unledgered =
+        if (!ledgerBackfill) Seq.empty
+        else snapshot.files.filter(f => f.bottomK.isEmpty && f.topK.isEmpty)
       // a z re-layout rewrites EVERYTHING (the point is the global
       // order); SPLIT BY rewrites only the files that are not already a
       // clean point (incremental maintenance); plain compaction touches
-      // only fragmentation and DV debt
+      // only fragmentation and DV debt (+ ledger debt under backfill)
       val candidates =
         if (splitBy.nonEmpty)
           snapshot.files.filterNot(e => splitBy.forall(c =>
             isPointFor(e, physOf(snapshot.columnMap, c),
               statTag(schemaForZ(c).dataType))))
         else if (zorderBy.nonEmpty) snapshot.files
-        else (small ++ dvBearing).distinct
+        else (small ++ dvBearing ++ unledgered).distinct
       // a lone small vector-free file gains nothing from a rewrite; any
-      // DV-bearing file does (the read-side anti-join retires)
-      if (!relayout && small.size < 2 && dvBearing.isEmpty) return 0
+      // DV-bearing (or backfill-target) file does
+      if (!relayout && small.size < 2 && dvBearing.isEmpty &&
+        unledgered.isEmpty) return 0
       if (candidates.isEmpty) return 0
 
       val schema = schemaForZ
@@ -3400,11 +3449,10 @@ object MergeTable {
       // and the DV-aware CDF (v0→v4 spans this boundary) against oracles
       // that know nothing about the strategy — strategy-independence of
       // the visible rows is exactly the DV contract.
-      // a beat before the delete: v3's commit INSTANT must be strictly
-      // after v2's (commit times are record mtimes, millisecond-grained)
-      // so `q_cdf_since_ts`'s startingTimestamp resolution is
-      // deterministic at any build speed
-      Thread.sleep(15L)
+      // v3's commit INSTANT is strictly after v2's BY CONSTRUCTION —
+      // tryCommit stamps max(now, parent + 1ms) on every record — so
+      // `q_cdf_since_ts`'s startingTimestamp resolution is deterministic
+      // at any build speed with no sleep
       mergeDelete(s, t,
         ev.where(pmod(col("event_id"), lit(11)) === 3).select(col("event_id")),
         txn = Some(("seed", 3L)), deletionVectors = true)

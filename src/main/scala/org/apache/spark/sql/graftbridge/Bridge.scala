@@ -64,6 +64,16 @@ object Bridge {
       c.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** Bounded top-k collect over a column: at most `num` values buffered
+    * per group (Spark's own `CollectTopK` BoundedPriorityQueue, surfaced
+    * through the in-package accessor). `reverse = false` keeps the
+    * largest `num`, `reverse = true` the smallest; the returned array is
+    * UNSORTED (heap order) — sort the ≤k elements at the call site. */
+  def boundedTopK(c: Column, num: Int, reverse: Boolean): Column =
+    column(org.apache.spark.sql.catalyst.expressions.aggregate
+      .GraftCollectBridge.collectTopK(expression(c), num, reverse)
+      .toAggregateExpression())
+
   def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed.collectLeaves().foreach {

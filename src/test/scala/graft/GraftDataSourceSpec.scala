@@ -624,6 +624,67 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.stats.ledgerK")
   }
 
+  test("LEDGER BACKFILL (OPTIMIZE policy): a table written BEFORE " +
+    "ledgerK was set loses metadata-only min/max under DVs; one " +
+    "ledgerBackfill rewrite re-ledgerS every file, the purged bounds " +
+    "answer metadata-only again, and FUTURE purges subtract exactly; " +
+    "idempotent re-run is a no-op; flag-off backfill rejects loudly") {
+    val t = freshTable("ledgerbf")
+    // written with the flag OFF: no ledgers anywhere
+    val df = (1L to 1000L).map(i => (i, i * 1.5)).toDF("event_id", "value")
+    MergeTable.mergeUpsert(spark, t, df, Seq("event_id"), Seq("event_id"),
+      targetRowsPerFile = 100)
+    assert(MergeTable.latestManifest(t).get.files.forall(f =>
+      f.bottomK.isEmpty && f.topK.isEmpty))
+    spark.conf.set("spark.graft.stats.ledgerK", "4")
+    try {
+      // a purge on the un-ledgered table: min/max must refuse to the scan
+      MergeTable.mergeDelete(spark, t, Seq(1L, 1000L).toDF("event_id"),
+        deletionVectors = true)
+      GraftScanAudit.reset()
+      val r0 = spark.read.format("graft").load(t)
+        .agg(min(col("event_id")), max(col("event_id"))).head()
+      assert(r0.getLong(0) == 2L && r0.getLong(1) == 999L)
+      assert(GraftScanAudit.lastFor(t).get.scannedFiles > 0,
+        "pre-ledger files must refuse under DVs (nothing to subtract from)")
+      // BACKFILL: one rewrite re-ledgers the whole table and retires DVs
+      assert(MergeTable.optimize(spark, t, targetRowsPerFile = 100,
+        ledgerBackfill = true) > 0)
+      val m1 = MergeTable.latestManifest(t).get
+      assert(m1.files.forall(f => f.dv.isEmpty &&
+        f.bottomK.contains("event_id") && f.topK.contains("value")),
+        "backfill must leave every file ledgered and vector-free")
+      GraftScanAudit.reset()
+      val r1 = spark.read.format("graft").load(t)
+        .agg(min(col("event_id")), max(col("event_id"))).head()
+      assert(r1.getLong(0) == 2L && r1.getLong(1) == 999L)
+      assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+        "post-backfill bounds answer metadata-only")
+      // the completed purge story: a FUTURE GDPR delete now subtracts
+      // exactly — bounds stay metadata-only through the new DV
+      MergeTable.mergeDelete(spark, t, Seq(2L, 999L).toDF("event_id"),
+        deletionVectors = true)
+      GraftScanAudit.reset()
+      val r2 = spark.read.format("graft").load(t)
+        .agg(min(col("event_id")), max(col("event_id"))).head()
+      assert(r2.getLong(0) == 3L && r2.getLong(1) == 998L)
+      assert(GraftScanAudit.lastFor(t).get.scannedFiles == 0,
+        "purges after a backfill must stay metadata-only")
+      // idempotence: nothing left to backfill → no rewrite, version holds.
+      // (The new DV-bearing file IS a compaction candidate, so compare
+      // against a backfill-only target: drop the DV debt first.)
+      assert(MergeTable.optimize(spark, t, targetRowsPerFile = 100) > 0)
+      val vBefore = MergeTable.latestManifest(t).get.version
+      assert(MergeTable.optimize(spark, t, targetRowsPerFile = 100,
+        ledgerBackfill = true) == 0)
+      assert(MergeTable.latestManifest(t).get.version == vBefore)
+    } finally spark.conf.unset("spark.graft.stats.ledgerK")
+    // flag off: the policy rejects (the rewrite would not ledger anything)
+    val e = intercept[IllegalArgumentException](
+      MergeTable.optimize(spark, t, ledgerBackfill = true))
+    assert(e.getMessage.contains("ledgerK"))
+  }
+
   test("min/max ledgers over a DECIMAL column: a DV delete accumulates " +
     "the ledger without error (decimal is stats-indexed, so the ledger " +
     "merge must compare it), and the repaired bounds stay exact and " +

@@ -718,7 +718,7 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     val t = fresh("ts-doors")
     seed(t) // v0
     def commitOne(id: Long, tag: String, v: Long): Unit = {
-      Thread.sleep(40) // separate commit mtimes (they key the instant)
+      // no sleep: commit instants are strictly monotonic by construction
       MergeTable.mergeUpsert(spark, t,
         Seq((id, tag, id * 1.0)).toDF("event_id", "event_type", "value"),
         Seq("event_id"), Seq("event_id"), txn = Some(("w", v)))
@@ -814,7 +814,6 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     val t = fresh("ts-str")
     seed(t) // v0
     def commitOne(id: Long, tag: String, v: Long): Unit = {
-      Thread.sleep(40)
       MergeTable.mergeUpsert(spark, t,
         Seq((id, tag, id * 1.0)).toDF("event_id", "event_type", "value"),
         Seq("event_id"), Seq("event_id"), txn = Some(("w", v)))

@@ -1568,4 +1568,43 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.latestManifest(t).get.version == 0L)
     assert(MergeTable.read(spark, t).count() == 3)
   }
+
+  test("commit instants are STRICTLY monotonic — two commits inside one " +
+    "millisecond (forced: parent record mtime pushed into the future) " +
+    "never tie, so a timestamp-addressed range boundary is unambiguous") {
+    val t = freshTable("monotonic-ts")
+    MergeTable.mergeUpsert(spark, t, rows(Seq(1L), 1.0),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 0L))) // v0
+    // force the tie-pressure case: v0's instant sits AHEAD of the wall
+    // clock, so v1's System.currentTimeMillis() would land at or below
+    // it — the parent+1 tiebreak must win
+    val v0rec = Paths.get(t, "_graft_log", f"v${0L}%020d.json")
+    val future = System.currentTimeMillis() + 30000L
+    Files.setLastModifiedTime(v0rec,
+      java.nio.file.attribute.FileTime.fromMillis(future))
+    MergeTable.mergeUpsert(spark, t, rows(Seq(2L), 2.0),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L))) // v1
+    MergeTable.mergeUpsert(spark, t, rows(Seq(3L), 3.0),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 2L))) // v2
+    val hist = MergeTable.history(t)
+    val ts = hist.map(_.timestampMs)
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"instants must be strictly increasing, got $ts")
+    assert(hist.find(_.version == 1L).get.timestampMs == future + 1L &&
+      hist.find(_.version == 2L).get.timestampMs == future + 2L,
+      "the tiebreak is exactly parent + 1ms when the clock lags")
+    // rapid-fire commits with no forced skew stay strict too
+    val t2 = freshTable("monotonic-burst")
+    (0L to 6L).foreach { v =>
+      MergeTable.mergeUpsert(spark, t2, rows(Seq(v), v * 1.0),
+        Seq("event_id"), Seq("event_id"), txn = Some(("w", v)))
+    }
+    val ts2 = MergeTable.history(t2).map(_.timestampMs)
+    assert(ts2 == ts2.sorted && ts2.distinct == ts2,
+      s"burst commits must never tie: $ts2")
+    // and the wall-clock doors separate adjacent versions exactly
+    val t1i = MergeTable.history(t2).find(_.version == 3L).get.timestampMs
+    assert(MergeTable.versionAsOf(t2, t1i) == 3L)
+    assert(MergeTable.versionAsOf(t2, t1i - 1L) == 2L)
+  }
 }
