@@ -15,6 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.NativeKernelRule)
+    // OPTIMIZE / VACUUM graft.`/path` — grammar Spark doesn't have,
+    // added by a delegating parser (everything else parses verbatim)
+    e.injectParser((_, delegate) => new graft.ops.GraftSqlParser(delegate))
     // MERGE INTO graft.`/path` ... — swap the analyzed MergeIntoTable for
     // the engine's transactional merge command before Spark's row-level
     // rewrite would reject the (non-SupportsRowLevelOperations) target

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+
+/** SQL front end for the MAINTENANCE commands — the `OPTIMIZE` / `VACUUM`
+  * DDL Spark's own grammar doesn't know, intercepted by a delegating
+  * [[ParserInterface]] (the extension-parser pattern every lakehouse
+  * format uses; installed by [[graft.functions.GraftExtensions]]):
+  *
+  * {{{
+  *   OPTIMIZE graft.`/abs/path`                        -- compaction + DV debt
+  *   OPTIMIZE graft.`/abs/path` ZORDER BY (a, b)       -- z re-layout
+  *   OPTIMIZE graft.`/abs/path` SPLIT BY (a)           -- split re-layout
+  *   OPTIMIZE graft.`/abs/path` LEDGERS                -- + ledger backfill
+  *   VACUUM graft.`/abs/path`                          -- default retention
+  *   VACUUM graft.`/abs/path` RETAIN 5 VERSIONS
+  *   VACUUM graft.`/abs/path` RETAIN 5 VERSIONS GRACE 0 MS
+  * }}}
+  *
+  * Both return a one-row metrics frame (`rewritten_files` /
+  * `deleted_files`) so `spark.sql(...).collect()` reports what the
+  * command did. Everything that is NOT one of these two statements
+  * delegates verbatim to Spark's parser — the wrapper adds grammar, it
+  * never changes any.
+  */
+object GraftMaintenanceSql {
+
+  // strict anchored forms; the table is addressed exactly like every
+  // other graft SQL statement (graft.`/abs/path`)
+  private val OptimizeRe =
+    ("""(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+SPLIT\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+(LEDGERS))?\s*;?\s*""").r
+  private val VacuumRe =
+    ("""(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(?:\s+GRACE\s+(\d+)\s+MS)?\s*;?\s*""").r
+
+  private def cols(group: String): Seq[String] =
+    Option(group).toSeq.flatMap(_.split(",").toSeq)
+      .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+
+  /** The two graft maintenance statements, or None → delegate. */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(path, z, sp, led) =>
+      Some(GraftOptimizeCommand(path, cols(z), cols(sp), led != null))
+    case VacuumRe(path, retain, grace) =>
+      Some(GraftVacuumCommand(path,
+        Option(retain).map(_.toInt),
+        Option(grace).map(_.toLong)))
+    case _ => None
+  }
+}
+
+/** Delegating parser: the two maintenance statements short-circuit, every
+  * other string — plans, expressions, identifiers, schemas — is Spark's
+  * parser verbatim. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMaintenanceSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** `OPTIMIZE graft.`p`` — compaction / re-layout / ledger backfill via
+  * [[MergeTable.optimize]]; one metrics row back. */
+case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
+    splitBy: Seq[String], ledgerBackfill: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("rewritten_files", IntegerType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(MergeTable.optimize(sparkSession, path,
+      zorderBy = zorderBy, splitBy = splitBy,
+      ledgerBackfill = ledgerBackfill)))
+}
+
+/** `VACUUM graft.`p`` — age-gated unreferenced-file collection via
+  * [[MergeTable.vacuum]]; one metrics row back. */
+case class GraftVacuumCommand(path: String, retainVersions: Option[Int],
+    graceMs: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(MergeTable.vacuum(path,
+      graceMs = graceMs.getOrElse(30L * 60 * 1000),
+      retainVersions = retainVersions.getOrElse(2))))
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.MergeTable
+
+/** The SQL maintenance front end (`OPTIMIZE` / `VACUUM graft.`p``) — the
+  * delegating-parser grammar, the metrics rows, pass-through of every
+  * other statement, and parity with the API calls the commands wrap.
+  */
+class MaintenanceSqlSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft-maintsql-$tag")
+    Files.delete(p)
+    p.toString
+  }
+
+  private def seed(t: String, n: Long = 400L, perFile: Long = 50L): Unit =
+    MergeTable.mergeUpsert(spark,
+      t, (1L to n).map(i => (i, s"e$i", i * 1.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = perFile)
+
+  test("OPTIMIZE graft.`p` compacts DV debt and returns the metrics row; " +
+    "case-insensitive, trailing semicolon tolerated; other SQL parses " +
+    "verbatim through the delegating parser") {
+    val t = fresh("opt")
+    seed(t)
+    MergeTable.mergeDelete(spark, t,
+      Seq(3L, 7L).toDF("event_id"), deletionVectors = true)
+    val before = MergeTable.latestManifest(t).get
+    assert(before.files.exists(_.dv.nonEmpty))
+    val r = spark.sql(s"optimize graft.`$t` ;").collect()
+    assert(r.map(_.getInt(0)).toSeq.head > 0, "metrics row: rewritten files")
+    assert(r.head.schema.fieldNames.toSeq == Seq("rewritten_files"))
+    val after = MergeTable.latestManifest(t).get
+    assert(after.files.forall(_.dv.isEmpty), "DV debt retired")
+    assert(MergeTable.read(spark, t).count() == 398L)
+    // the wrapper adds grammar, it never changes any: plain SQL works
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    assert(spark.range(3).count() == 3L)
+  }
+
+  test("OPTIMIZE ... ZORDER BY / SPLIT BY route to the re-layouts; both " +
+    "at once rejects with the API's own error") {
+    val t = fresh("optz")
+    seed(t)
+    val rz = spark.sql(
+      s"OPTIMIZE graft.`$t` ZORDER BY (event_id, event_type)").collect()
+    assert(rz.head.getInt(0) > 0)
+    assert(MergeTable.read(spark, t).count() == 400L)
+    val e = intercept[Exception](spark.sql(
+      s"OPTIMIZE graft.`$t` ZORDER BY (event_id, event_type) " +
+        "SPLIT BY (event_id)").collect())
+    assert(e.getMessage.contains("not both"))
+    val t2 = fresh("opts")
+    seed(t2)
+    val rs = spark.sql(s"OPTIMIZE graft.`$t2` SPLIT BY (event_id)").collect()
+    assert(rs.head.getInt(0) >= 0)
+    assert(MergeTable.read(spark, t2).count() == 400L)
+  }
+
+  test("OPTIMIZE ... LEDGERS backfills a pre-ledger table (flag on) and " +
+    "rejects flag-off") {
+    val t = fresh("optl")
+    seed(t)
+    assert(MergeTable.latestManifest(t).get.files.forall(_.bottomK.isEmpty))
+    val eOff = intercept[Exception](
+      spark.sql(s"OPTIMIZE graft.`$t` LEDGERS").collect())
+    assert(eOff.getMessage.contains("ledgerK"))
+    spark.conf.set("spark.graft.stats.ledgerK", "4")
+    try {
+      val r = spark.sql(s"OPTIMIZE graft.`$t` LEDGERS").collect()
+      assert(r.head.getInt(0) > 0)
+      assert(MergeTable.latestManifest(t).get.files.forall(
+        _.bottomK.contains("event_id")), "every file ledgered")
+    } finally spark.conf.unset("spark.graft.stats.ledgerK")
+  }
+
+  test("VACUUM graft.`p` RETAIN n VERSIONS GRACE n MS collects retired " +
+    "files, returns the count, and the head stays readable") {
+    val t = fresh("vac")
+    seed(t, n = 200L, perFile = 50L) // v0
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 200L).map(i => (i, "rewrite", i + 0.5))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 50L) // v1
+    // default retention in a fresh-commit window: nothing age-eligible
+    assert(spark.sql(s"VACUUM graft.`$t`").head().getInt(0) == 0)
+    val r = spark.sql(
+      s"VACUUM graft.`$t` RETAIN 1 VERSIONS GRACE 0 MS").collect()
+    assert(r.head.getInt(0) > 0, "retired v0 files collect")
+    assert(r.head.schema.fieldNames.toSeq == Seq("deleted_files"))
+    assert(MergeTable.read(spark, t).count() == 200L)
+    assert(MergeTable.read(spark, t)
+      .where(col("event_type") === "rewrite").count() == 200L)
+    // v0's data is gone (vacuum keeps log records; data presence decides)
+    val ex = intercept[Exception](
+      MergeTable.readVersion(spark, t, 0L).collect())
+    assert(ex != null)
+  }
+}
