@@ -135,6 +135,33 @@ private[graft] object GraftChangeFeed {
     }
   }
 
+  /** NET changes over (fromV, toV] as ONE plan: the file-scoped diff of
+    * the two ENDPOINT snapshots — semantically the last-writer-wins fold
+    * of the per-version changes. Intermediate versions' transient states
+    * are NOT delivered (a key inserted then deleted inside the range
+    * emits nothing; a key updated twice emits once, with the final
+    * payload) and every change row carries `_commit_version = toV` —
+    * the deep-drain reading behind the stream door's `coalesceDiffs`
+    * opt-in: a 10,000-version lag reads as one diff of the changed-file
+    * sets instead of 10,000 unioned sub-plans. None when either
+    * endpoint's manifest or data is gone — the caller falls back to the
+    * per-version walk, whose boot/skip/reset classification owns those
+    * cases. */
+  def rangeChanges(spark: SparkSession, shape: FeedShape,
+      fromV: Long, toV: Long): Option[DataFrame] = {
+    import graft.streaming.StreamingChangeFeed.isMissingData
+    if (fromV < 0) return None // v0 boots per-version (no from-side)
+    if (toV == fromV + 1) return versionChanges(spark, shape, toV)
+    (tryManifest(shape.tablePath, fromV),
+      tryManifest(shape.tablePath, toV)) match {
+      case (Some(mp), Some(mv)) =>
+        try Some(aligned(shape, MergeTable.changesBetweenManifests(
+          spark, shape.tablePath, mp, mv, preimages = true), "diff", toV))
+        catch { case e: Throwable if isMissingData(e) => None }
+      case _ => None
+    }
+  }
+
   /** A batch CDF read is ONE plan unioning one diff per version — a
     * range of tens of thousands of commits would build a planner-hostile
     * tree. The guard is LOUD, never a silent truncation. The batch

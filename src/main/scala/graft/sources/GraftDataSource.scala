@@ -215,7 +215,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       ci.get("startingversion").map(_.trim.toLong).orElse(tsStart),
       ci.get("maxversionspertrigger").map(_.trim.toLong).getOrElse(100L),
       ci.get("maxbytespertrigger").map(_.trim.toLong),
-      ci.get("maxfilespertrigger").map(_.trim.toLong))
+      ci.get("maxfilespertrigger").map(_.trim.toLong),
+      ci.get("coalescediffs").exists(_.trim.equalsIgnoreCase("true")))
   }
 
   /** `startingTimestamp` (epoch millis) → the earliest version committed

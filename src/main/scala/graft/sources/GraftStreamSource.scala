@@ -107,6 +107,17 @@ private[sources] case class GraftResetOffset(version: Long, files: Long)
   *    ON, a default-start `readStream` over a 100 TB table pages its
   *    initial snapshot with NO option set — the 100 TB-safe behavior is
   *    the default, not a flag (the production-lakehouse precedent).
+  *  - `coalesceDiffs` (opt-in, default false): a batch spanning several
+  *    versions delivers ONE net diff of the endpoint snapshots instead
+  *    of one file-scoped diff per version — O(1) plans for a deep
+  *    drain. SEMANTIC trade: intermediate versions' transient changes
+  *    are folded away (insert-then-delete nets to nothing; the last
+  *    update wins) and all rows carry `_commit_version` = the batch's
+  *    end version — right for consumers that fold to last-writer-wins
+  *    state anyway ([[graft.streaming.GraftReplicator]] turns it on by
+  *    default), wrong for per-commit audit. Boot, reset and snapshot
+  *    paging are untouched; a missing endpoint falls back to the
+  *    per-version walk.
   *  - **paced initial snapshot**: the default-start snapshot pages FILE
   *    BY FILE through [[GraftSnapshotOffset]]s under both budgets —
   *    batch 0 of a huge table delivers a budget's worth of its manifest
@@ -150,7 +161,8 @@ class GraftStreamSource(
     startingVersion: Option[Long],
     maxVersionsPerTrigger: Long,
     maxBytesPerTrigger: Option[Long] = None,
-    maxFilesPerTriggerOpt: Option[Long] = None) extends Source {
+    maxFilesPerTriggerOpt: Option[Long] = None,
+    coalesceDiffs: Boolean = false) extends Source {
 
   require(maxVersionsPerTrigger >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
@@ -425,6 +437,23 @@ class GraftStreamSource(
   private def versionChanges(v: Long): Option[DataFrame] =
     GraftChangeFeed.versionChanges(spark, shape, v)
 
+  /** The diff frames for versions [lo, hi] of one batch. Default: one
+    * file-scoped diff per version (every intermediate change delivered).
+    * With `coalesceDiffs` (opt-in — for consumers that fold to
+    * last-writer-wins anyway, like [[graft.streaming.GraftReplicator]]):
+    * ONE net diff of the endpoint snapshots — O(1) plans for a deep
+    * drain instead of O(versions), rows stamped `_commit_version = hi`.
+    * Any missing endpoint (boot/reset territory) falls back to the
+    * per-version walk, whose classification owns those cases. */
+  private def diffRange(lo: Long, hi: Long): Seq[DataFrame] =
+    if (hi < lo) Seq.empty
+    else if (!coalesceDiffs || hi == lo)
+      (lo to hi).flatMap(versionChanges)
+    else GraftChangeFeed.rangeChanges(spark, shape, lo - 1, hi) match {
+      case Some(f) => Seq(f)
+      case None => (lo to hi).flatMap(versionChanges)
+    }
+
   /** `feed_type` of version v's initial snapshot — v0 is its own first
     * delta ("diff"), anything later is a true snapshot boot. */
   private def bootFeed(v: Long): String = if (v == 0L) "diff" else "snapshot"
@@ -529,9 +558,7 @@ class GraftStreamSource(
                   resetSlice(m, sf, until,
                     withMarker = until >= m.files.size && sf < m.files.size)
                 else snapshotSlice(m, sf, until, bootFeed(sv)).toSeq)
-              val diffs =
-                if (endV > sv) (sv + 1 to endV).flatMap(versionChanges)
-                else Seq.empty
+              val diffs = diffRange(sv + 1, endV)
               slice ++ diffs
             case None =>
               // sv's manifest vacuumed mid-paging and the end is not (yet)
@@ -571,7 +598,7 @@ class GraftStreamSource(
               // gates later batches: versions below it are never delivered
               val lo = math.max(sv + 1,
                 startingVersion.getOrElse(Long.MinValue))
-              (lo to endV).flatMap(versionChanges)
+              diffRange(lo, endV)
             }
         }
       case None => startingVersion match {
@@ -581,7 +608,7 @@ class GraftStreamSource(
             // of endV's snapshot (not a reset — there is no prior state)
             case Some(f) => tolerateMissing(tryManifest(endV).flatMap(m =>
               snapshotSlice(m, 0L, f, bootFeed(endV))).toSeq)
-            case None => (from to endV).flatMap(versionChanges)
+            case None => diffRange(from, endV)
           }
         case None =>
           // initial batch: the current snapshot as INSERTs — the first

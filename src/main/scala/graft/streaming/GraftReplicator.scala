@@ -181,7 +181,11 @@ object GraftReplicator {
   /** Start the replication stream. The source's merge keys pin the
     * replica's; `options` pass through to the source reader
     * (`maxFilesPerTrigger`, `maxBytesPerTrigger`,
-    * `maxVersionsPerTrigger`, `startingVersion`). */
+    * `maxVersionsPerTrigger`, `startingVersion`). `coalesceDiffs`
+    * DEFAULTS ON here (overridable): the apply folds each batch to
+    * last-writer-wins anyway, so the net endpoint diff is semantically
+    * identical and a deep drain reads ONE diff plan instead of one per
+    * lagged version. */
   def replicate(s: SparkSession, srcTable: String, dstTable: String,
       checkpoint: String,
       options: Map[String, String] = Map.empty): StreamingQuery = {
@@ -191,7 +195,10 @@ object GraftReplicator {
     val dataCols = org.apache.spark.sql.types.DataType
       .fromJson(head.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
-    options.foldLeft(s.readStream.format("graft")) {
+    val withDefaults =
+      if (options.keys.exists(_.equalsIgnoreCase("coalesceDiffs"))) options
+      else options + ("coalesceDiffs" -> "true")
+    withDefaults.foldLeft(s.readStream.format("graft")) {
       case (r, (k, v)) => r.option(k, v)
     }.load(srcTable)
       .writeStream

@@ -997,6 +997,65 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("coalesceDiffs: a multi-version batch delivers ONE net endpoint " +
+    "diff — insert-then-delete nets away, the last update wins with a " +
+    "batch-start preimage, rows stamped with the END version; the " +
+    "default per-version feed is unchanged and both fold to the same " +
+    "state") {
+    val t = fresh("coal")
+    seed(t) // v0: ids 1..20
+    val ckptA = fresh("coal-ckptA") // default per-version feed
+    val ckptB = fresh("coal-ckptB") // coalesced feed
+    val gotA = mutable.Buffer.empty[Seq[Row]]
+    val gotB = mutable.Buffer.empty[Seq[Row]]
+    runStream(t, ckptA, gotA)
+    runStream(t, ckptB, gotB, Map("coalesceDiffs" -> "true"))
+    gotA.clear(); gotB.clear()
+    // v1: update id 1 + insert id 100; v2: update id 1 again;
+    // v3: delete id 100 — net over (v0, v3]: ONE update of id 1
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "a", 1.0), (100L, "new", 9.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L)))
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "b", 2.0)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 2L)))
+    MergeTable.mergeDelete(spark, t, Seq(100L).toDF("event_id"),
+      txn = Some(("w", 3L)))
+    runStream(t, ckptA, gotA)
+    runStream(t, ckptB, gotB, Map("coalesceDiffs" -> "true"))
+    val perVersion = gotA.flatten.map(key)
+    val net = gotB.flatten.map(key)
+    // the default feed delivers every intermediate change
+    assert(perVersion.exists(r => r._4 == 100L && r._2 == "INSERT"))
+    assert(perVersion.exists(r => r._4 == 100L && r._2 == "DELETE"))
+    assert(perVersion.count(r => r._4 == 1L && r._2 == "UPDATE") == 2)
+    // the coalesced feed delivers the NET change only
+    assert(net.size == 1, s"net diff must fold the lag: $net")
+    val r = net.head
+    assert(r._1 == 3L && r._2 == "UPDATE" && r._3 == "diff" &&
+      r._4 == 1L && r._5 == "b" && r._6 == 2.0 && r._7.contains(1.0),
+      s"net row must carry the end version, last payload and the " +
+        s"batch-start preimage: $r")
+    // both feeds fold to the same final state
+    def fold(rows: Seq[(Long, String, String, Long, String, Double,
+        Option[Double])]): Map[Long, (String, Double)] =
+      rows.sortBy(_._1).foldLeft(Map.empty[Long, (String, Double)]) {
+        case (m, row) =>
+          if (row._2 == "DELETE") m - row._4
+          else m + (row._4 -> ((row._5, row._6)))
+      }
+    val base = (1L to 20L)
+      .map(i => i -> ((if (i % 4 == 0) "error" else "ok", i * 1.0))).toMap
+    assert(fold(base.map { case (k, (e, v)) =>
+      (0L, "INSERT", "snapshot", k, e, v, None: Option[Double]) }.toSeq ++
+      perVersion) ==
+      fold(base.map { case (k, (e, v)) =>
+        (0L, "INSERT", "snapshot", k, e, v, None: Option[Double]) }.toSeq ++
+        net),
+      "per-version and coalesced feeds must fold to the same state")
+  }
+
   test("replicator LWW fold: a multi-version lag drains as ~2 replica " +
     "commits per micro-batch (commit amplification is O(batches), not " +
     "O(source versions)), re-insert-after-delete and delete-after-" +
