@@ -105,6 +105,7 @@ case class GraftVacuumCommand(path: String, retainVersions: Option[Int],
     Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] =
     Seq(Row(MergeTable.vacuum(path,
-      graceMs = graceMs.getOrElse(30L * 60 * 1000),
-      retainVersions = retainVersions.getOrElse(2))))
+      graceMs = graceMs.getOrElse(MergeTable.DefaultVacuumGraceMs),
+      retainVersions =
+        retainVersions.getOrElse(MergeTable.DefaultVacuumRetainVersions))))
 }

@@ -3119,8 +3119,14 @@ object MergeTable {
     * see the retention contract spec in MergeTableSpec.
     * Returns the deleted file count.
     */
-  def vacuum(table: String, graceMs: Long = 30L * 60 * 1000,
-      retainVersions: Int = 2): Int = {
+  /** Default vacuum policy — ONE definition shared by the API door and
+    * the SQL door (`VACUUM graft.`p``), so a future tuning can't
+    * silently diverge the two. */
+  val DefaultVacuumGraceMs: Long = 30L * 60 * 1000
+  val DefaultVacuumRetainVersions: Int = 2
+
+  def vacuum(table: String, graceMs: Long = DefaultVacuumGraceMs,
+      retainVersions: Int = DefaultVacuumRetainVersions): Int = {
     val m = latestManifest(table).getOrElse(return 0)
     val keepFloor = math.max(0L, m.version - math.max(1, retainVersions) + 1)
     // retained delta records resolve by walking back to a checkpoint at or

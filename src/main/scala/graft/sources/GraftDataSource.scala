@@ -261,10 +261,15 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
           // write-once collision detection must NOT ride ATOMIC_MOVE:
           // POSIX rename silently REPLACES an existing target, so a
           // cross-process concurrent starter would overwrite the first
-          // pin. Publish via hard-link (atomic full content + throws on
-          // an existing target); fall back to CREATE_NEW where links
-          // are unsupported. Either way a loser ADOPTS the winner's pin.
-          val tmp = pin.resolveSibling(pin.getFileName.toString + ".tmp")
+          // pin. Publish via hard-link from a PER-ATTEMPT tmp (UUID
+          // suffix — a shared tmp name would let starter B truncate the
+          // inode starter A is linking, or race A's cleanup into a
+          // NoSuchFileException; same discipline as the commit CAS) —
+          // atomic full content + throws on an existing target; fall
+          // back to CREATE_NEW where links are unsupported. Either way
+          // a loser ADOPTS the winner's pin.
+          val tmp = pin.resolveSibling(pin.getFileName.toString + ".tmp-" +
+            java.util.UUID.randomUUID().toString.take(8))
           java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
           try java.nio.file.Files.createLink(pin, tmp)
           catch {

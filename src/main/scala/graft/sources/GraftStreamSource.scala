@@ -326,19 +326,30 @@ class GraftStreamSource(
               else if (until >= m.files.size) LongOffset(m.version)
               else GraftSnapshotOffset(m.version, until.toLong))
             else if (l.version == seenV)
-              // the snapshot being paged IS the head and its data is
-              // missing: vacuum always retains head files, so this is
-              // external deletion/corruption, and "reset to head" would
-              // re-emit a same-version offset at or below the delivered
-              // floor — an empty batch forever, a silently idle stream.
-              // Anything else stays loud.
-              throw new IllegalStateException(
-                s"graft stream source: data file(s) of HEAD version " +
-                  s"$seenV under $tablePath are missing while the " +
-                  "initial snapshot was being paged. Vacuum never " +
-                  "removes head files, so the table data was deleted " +
-                  "or corrupted externally; restore the files or " +
-                  "restart the stream from a fresh checkpoint.")
+              // the snapshot being paged LOOKED like the head when this
+              // getOffset started and its data is missing. Re-resolve
+              // before going loud: a concurrent commit+vacuum between
+              // our manifest read and the slice probe legitimately
+              // retires seenV's files — if the head moved, that's the
+              // ordinary reset shape, not corruption. Only a STILL-head
+              // version with missing data is external deletion (vacuum
+              // never removes head files), and "reset to head" there
+              // would re-emit a same-version offset at or below the
+              // delivered floor — an empty batch forever, a silently
+              // idle stream. Anything else stays loud.
+              MergeTable.latestManifest(tablePath) match {
+                case Some(l2) if l2.version > seenV =>
+                  Some(resetSnapshotEnd(l2, 0))
+                case _ =>
+                  throw new IllegalStateException(
+                    s"graft stream source: data file(s) of HEAD version " +
+                      s"$seenV under $tablePath are missing while its " +
+                      s"snapshot was being paged (${if (isReset) "reset"
+                      else "initial"} feed). Vacuum never removes head " +
+                      "files, so the table data was deleted or corrupted " +
+                      "externally; restore the files or restart the " +
+                      "stream from a fresh checkpoint.")
+              }
             else
               // the snapshot being paged was vacuumed underneath: the
               // head snapshot RESETS the consumer — paged under the

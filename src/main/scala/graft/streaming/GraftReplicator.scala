@@ -165,17 +165,20 @@ object GraftReplicator {
       .where(col("_graft_rn") === 1)
       .select((dataCols :+ "change_type").map(col): _*)
       .localCheckpoint()
-    if (!folded.isEmpty) {
-      val ups = folded.where(col("change_type").isin("INSERT", "UPDATE"))
-        .select(cols: _*)
-      val dels = folded.where(col("change_type") === "DELETE")
-        .select(keys.map(col): _*)
-      MergeTable.mergeUpsert(s, dstTable, ups, keys, keys,
-        txn = Some(("graft-repl", tick())))
-      if (MergeTable.latestManifest(dstTable).nonEmpty)
-        MergeTable.mergeDelete(s, dstTable, dels,
+    try {
+      if (!folded.isEmpty) {
+        val ups = folded.where(col("change_type").isin("INSERT", "UPDATE"))
+          .select(cols: _*)
+        val dels = folded.where(col("change_type") === "DELETE")
+          .select(keys.map(col): _*)
+        MergeTable.mergeUpsert(s, dstTable, ups, keys, keys,
           txn = Some(("graft-repl", tick())))
-    }
+        if (MergeTable.latestManifest(dstTable).nonEmpty)
+          MergeTable.mergeDelete(s, dstTable, dels,
+            txn = Some(("graft-repl", tick())))
+      }
+    } finally // release the pinned blocks — one leak per micro-batch adds up
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(folded)
   }
 
   /** Start the replication stream. The source's merge keys pin the
