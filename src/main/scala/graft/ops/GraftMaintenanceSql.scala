@@ -50,6 +50,12 @@ object GraftMaintenanceSql {
   /** The two graft maintenance statements, or None → delegate. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(path, z, sp, led) =>
+      // an EMPTY column list must not silently degrade to plain
+      // compaction — the user asked for a re-layout and named no axis
+      require(z == null || cols(z).nonEmpty,
+        "OPTIMIZE ... ZORDER BY () names no columns")
+      require(sp == null || cols(sp).nonEmpty,
+        "OPTIMIZE ... SPLIT BY () names no columns")
       Some(GraftOptimizeCommand(path, cols(z), cols(sp), led != null))
     case VacuumRe(path, retain, grace) =>
       Some(GraftVacuumCommand(path,

@@ -65,6 +65,13 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     val rs = spark.sql(s"OPTIMIZE graft.`$t2` SPLIT BY (event_id)").collect()
     assert(rs.head.getInt(0) >= 0)
     assert(MergeTable.read(spark, t2).count() == 400L)
+    // an empty re-layout list never silently degrades to plain compaction
+    assert(intercept[Exception](spark.sql(
+      s"OPTIMIZE graft.`$t2` ZORDER BY ()")).getMessage
+      .contains("names no columns"))
+    assert(intercept[Exception](spark.sql(
+      s"OPTIMIZE graft.`$t2` SPLIT BY ( )")).getMessage
+      .contains("names no columns"))
   }
 
   test("OPTIMIZE ... LEDGERS backfills a pre-ledger table (flag on) and " +
