@@ -110,8 +110,16 @@ private[graft] object GraftChangeFeed {
     * the next readable version's boot). Only PROVABLY-missing-data
     * conditions downgrade ([[graft.streaming.StreamingChangeFeed
     * .isMissingData]], typed) — anything else fails loudly. */
+  /** Spec/probe observability: per-version plan constructions since JVM
+    * start — what lets a test assert that a `_commit_version`-filtered
+    * batch read planned ONE version's diff, not the whole range. Never
+    * consulted by any read path. */
+  private[graft] val planBuildCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   def versionChanges(spark: SparkSession, shape: FeedShape,
       v: Long): Option[DataFrame] = {
+    planBuildCount.incrementAndGet()
     import graft.streaming.StreamingChangeFeed.isMissingData
     // resolve v−1 FIRST (a cache hit from the previous version's
     // delivery), then v as a one-delta forward fold — the same

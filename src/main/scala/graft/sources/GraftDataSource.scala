@@ -687,20 +687,79 @@ class GraftCdfTable(tablePath: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private var required: StructType = shape.schema
+      private var verLo: Long = from
+      private var verHi: Long = to
+      private var recognized: Array[Filter] = Array.empty
+
+      /** `_commit_version` predicates NARROW THE VERSION RANGE before a
+        * single per-version plan is built — `WHERE _commit_version = N`
+        * over a 1000-commit feed plans ONE version's diff, not 1000.
+        * Every filter stays residual (the return value): Spark
+        * re-applies them above, so the narrowing is a pruning
+        * optimization the way the snapshot scan's file skipping is,
+        * never a correctness dependence (an `In` with gaps narrows to
+        * its envelope and the residual drops the gap versions). */
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        import org.apache.spark.sql.sources._
+        def ver(v: Any): Option[Long] = v match {
+          case n: java.lang.Number => Some(n.longValue)
+          case _ => None
+        }
+        val rec = Array.newBuilder[Filter]
+        filters.foreach {
+          case f @ EqualTo("_commit_version", v) => ver(v).foreach { n =>
+            verLo = math.max(verLo, n); verHi = math.min(verHi, n)
+            rec += f
+          }
+          case f @ GreaterThan("_commit_version", v) => ver(v).foreach { n =>
+            verLo = math.max(verLo, n + 1); rec += f
+          }
+          case f @ GreaterThanOrEqual("_commit_version", v) =>
+            ver(v).foreach { n => verLo = math.max(verLo, n); rec += f }
+          case f @ LessThan("_commit_version", v) => ver(v).foreach { n =>
+            verHi = math.min(verHi, n - 1); rec += f
+          }
+          case f @ LessThanOrEqual("_commit_version", v) =>
+            ver(v).foreach { n => verHi = math.min(verHi, n); rec += f }
+          case f @ In("_commit_version", vs) if vs.nonEmpty =>
+            val ns = vs.flatMap(ver)
+            if (ns.length == vs.length) {
+              verLo = math.max(verLo, ns.min)
+              verHi = math.min(verHi, ns.max)
+              rec += f
+            }
+          case _ => ()
+        }
+        recognized = rec.result()
+        filters // ALL residual — re-applied above, narrowing is bonus
+      }
+      override def pushedFilters(): Array[Filter] = recognized
+
+      /** Column pruning THROUGH the V1 boundary: the inner per-version
+        * plans project to the outer query's required columns, so a
+        * 4-column digest over a wide feed no longer materializes every
+        * payload + preimage column across the RDD hand-off. */
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): Scan =
-        new GraftCdfScan(tablePath, shape, from, to, chunk)
+        new GraftCdfScan(tablePath, shape, verLo, verHi, chunk, required)
     }
 }
 
 class GraftCdfScan(tablePath: String, shape: GraftChangeFeed.FeedShape,
-    from: Long, to: Long, chunk: Long) extends V1Scan {
-  override def readSchema(): StructType = shape.schema
+    from: Long, to: Long, chunk: Long, required: StructType) extends V1Scan {
+  override def readSchema(): StructType = required
   override def description(): String =
-    s"GraftCdfScan $tablePath v$from..v$to"
+    s"GraftCdfScan $tablePath v$from..v$to " +
+      s"columns=[${required.fieldNames.mkString(", ")}]"
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftCdfRelation(context, shape, from, to, chunk).asInstanceOf[T]
+    new GraftCdfRelation(context, shape, from, to, chunk, required)
+      .asInstanceOf[T]
 }
 
 /** The batch CDF relation. A range wider than `chunk` versions is read
@@ -710,15 +769,28 @@ class GraftCdfScan(tablePath: String, shape: GraftChangeFeed.FeedShape,
   * — no thousand-way logical plan, no silent truncation, every version
   * delivered exactly once. */
 class GraftCdfRelation(ctx: SQLContext, shape: GraftChangeFeed.FeedShape,
-    from: Long, to: Long, chunk: Long) extends BaseRelation with TableScan {
+    from: Long, to: Long, chunk: Long, required: StructType)
+    extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
-  override def schema: StructType = shape.schema
+  override def schema: StructType = required
   override val needConversion: Boolean = false
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
-    def rddOf(lo: Long, hi: Long): RDD[Row] =
-      GraftChangeFeed.framesFor(spark, shape, lo, hi)
-        .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    // a filter-narrowed empty range delivers nothing (never a negative
+    // `to - from` walk)
+    if (to < from)
+      return spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
+        .asInstanceOf[RDD[Row]]
+    def rddOf(lo: Long, hi: Long): RDD[Row] = {
+      val frame = GraftChangeFeed.framesFor(spark, shape, lo, hi)
+      // project INSIDE the inner plan — Catalyst prunes the per-version
+      // reads down to the outer query's columns before the RDD hand-off
+      val pruned =
+        if (required.fieldNames.sameElements(shape.schema.fieldNames)) frame
+        else frame.select(required.fieldNames.map(col).toSeq: _*)
+      pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    }
     if (to - from < chunk) rddOf(from, to)
     else {
       val rdds = (from to to by chunk).map(lo =>

@@ -997,6 +997,59 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("batch CDF pushdown: _commit_version predicates narrow the " +
+    "planned version range (one diff plan for an equality, the envelope " +
+    "for IN-with-gaps whose residual drops the gap versions) and column " +
+    "pruning reaches INSIDE the V1 boundary") {
+    import graft.sources.GraftChangeFeed
+    val t = fresh("cdfpush")
+    seed(t) // v0
+    (1L to 4L).foreach { v =>
+      MergeTable.mergeUpsert(spark, t,
+        Seq((v, s"wave$v", v * 10.0)).toDF("event_id", "event_type", "value"),
+        Seq("event_id"), Seq("event_id"), txn = Some(("w", v)))
+    }
+    def feed() = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0").load(t)
+    // EqualTo plans exactly ONE version's diff
+    val b1 = GraftChangeFeed.planBuildCount.get
+    val r1 = feed().where(col("_commit_version") === 3L).collect()
+    val built1 = GraftChangeFeed.planBuildCount.get - b1
+    assert(r1.nonEmpty && r1.forall(_.getAs[Long]("_commit_version") == 3L))
+    assert(built1 == 1L,
+      s"an equality must plan one version's diff, planned $built1")
+    // a lower bound narrows the walk to the tail
+    val b2 = GraftChangeFeed.planBuildCount.get
+    val r2 = feed().where(col("_commit_version") >= 3L).collect()
+    val built2 = GraftChangeFeed.planBuildCount.get - b2
+    assert(r2.map(_.getAs[Long]("_commit_version")).toSet == Set(3L, 4L))
+    assert(built2 == 2L, s"a bound must plan the tail only, got $built2")
+    // IN with a gap: envelope narrowing + residual drops the gap version
+    val b3 = GraftChangeFeed.planBuildCount.get
+    val r3 = feed().where(col("_commit_version").isin(1L, 4L)).collect()
+    val built3 = GraftChangeFeed.planBuildCount.get - b3
+    assert(r3.map(_.getAs[Long]("_commit_version")).toSet == Set(1L, 4L),
+      "the residual must drop the gap versions")
+    assert(built3 == 4L, s"IN narrows to its envelope [1,4], got $built3")
+    // an impossible bound pair delivers empty without planning anything
+    val b4 = GraftChangeFeed.planBuildCount.get
+    assert(feed().where(col("_commit_version") === 99L).count() == 0L)
+    assert(GraftChangeFeed.planBuildCount.get - b4 == 0L,
+      "a version outside the range must plan nothing")
+    // column pruning reaches the inner plans through the V1 boundary:
+    // the physical scan node's OUTPUT is the pruned pair, not the full
+    // feed schema (table + preimages + meta)
+    val dfPruned = feed().select("event_id", "_commit_version")
+    val scanOutputs = dfPruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+        s.output.map(_.name)
+    }
+    assert(scanOutputs.nonEmpty &&
+      scanOutputs.head == Seq("event_id", "_commit_version"),
+      s"the scan must carry the pruned column set: $scanOutputs")
+    assert(dfPruned.count() == 24L) // v0 snapshot (20) + four diffs
+  }
+
   test("coalesceDiffs: a multi-version batch delivers ONE net endpoint " +
     "diff — insert-then-delete nets away, the last update wins with a " +
     "batch-start preimage, rows stamped with the END version; the " +
