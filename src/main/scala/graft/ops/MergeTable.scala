@@ -3098,6 +3098,12 @@ object MergeTable {
     sys.error(s"optimize of $table lost the commit race $maxAttempts times")
   }
 
+  /** Default vacuum policy — ONE definition shared by the API door and
+    * the SQL door (`VACUUM graft.`p``), so a future tuning can't
+    * silently diverge the two. */
+  val DefaultVacuumGraceMs: Long = 30L * 60 * 1000
+  val DefaultVacuumRetainVersions: Int = 2
+
   /** VACUUM: delete data files referenced by no RETAINED version, and the
     * retired log records themselves. Retention is by VERSION COUNT first,
     * then age: the newest `retainVersions` versions are always kept, and
@@ -3119,12 +3125,6 @@ object MergeTable {
     * see the retention contract spec in MergeTableSpec.
     * Returns the deleted file count.
     */
-  /** Default vacuum policy — ONE definition shared by the API door and
-    * the SQL door (`VACUUM graft.`p``), so a future tuning can't
-    * silently diverge the two. */
-  val DefaultVacuumGraceMs: Long = 30L * 60 * 1000
-  val DefaultVacuumRetainVersions: Int = 2
-
   def vacuum(table: String, graceMs: Long = DefaultVacuumGraceMs,
       retainVersions: Int = DefaultVacuumRetainVersions): Int = {
     val m = latestManifest(table).getOrElse(return 0)

@@ -103,6 +103,14 @@ private[graft] object GraftChangeFeed {
     try MergeTable.manifestAt(tablePath, v)
     catch { case _: MergeTable.MissingVersionException => None }
 
+  /** Spec/probe observability: [[versionChanges]] INVOCATIONS since JVM
+    * start (a vacuumed-away version counts even though it builds no
+    * frame) — what lets a test assert that a `_commit_version`-filtered
+    * batch read walked ONE version, not the whole range. Never
+    * consulted by any read path. */
+  private[graft] val planBuildCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One version's changes: the file-scoped diff against v−1, the
     * snapshot boot when v−1 is beyond retention (manifest OR the data
     * files underneath it — a retained log record is no proof the files
@@ -110,13 +118,6 @@ private[graft] object GraftChangeFeed {
     * the next readable version's boot). Only PROVABLY-missing-data
     * conditions downgrade ([[graft.streaming.StreamingChangeFeed
     * .isMissingData]], typed) — anything else fails loudly. */
-  /** Spec/probe observability: per-version plan constructions since JVM
-    * start — what lets a test assert that a `_commit_version`-filtered
-    * batch read planned ONE version's diff, not the whole range. Never
-    * consulted by any read path. */
-  private[graft] val planBuildCount =
-    new java.util.concurrent.atomic.AtomicLong(0L)
-
   def versionChanges(spark: SparkSession, shape: FeedShape,
       v: Long): Option[DataFrame] = {
     planBuildCount.incrementAndGet()

@@ -270,19 +270,21 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
           // a loser ADOPTS the winner's pin.
           val tmp = pin.resolveSibling(pin.getFileName.toString + ".tmp-" +
             java.util.UUID.randomUUID().toString.take(8))
-          java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
-          try java.nio.file.Files.createLink(pin, tmp)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException => // adopt
-            case _: UnsupportedOperationException =>
-              try java.nio.file.Files.write(pin,
-                v.toString.getBytes("UTF-8"),
-                java.nio.file.StandardOpenOption.CREATE_NEW)
-              catch {
-                case _: java.nio.file.FileAlreadyExistsException => // adopt
-              }
-          }
-          java.nio.file.Files.deleteIfExists(tmp)
+          try {
+            java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+            try java.nio.file.Files.createLink(pin, tmp)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException => // adopt
+              case _: UnsupportedOperationException =>
+                try java.nio.file.Files.write(pin,
+                  v.toString.getBytes("UTF-8"),
+                  java.nio.file.StandardOpenOption.CREATE_NEW)
+                catch {
+                  case _: java.nio.file.FileAlreadyExistsException => // adopt
+                }
+            }
+          } finally // unique-named orphans would otherwise accrete forever
+            java.nio.file.Files.deleteIfExists(tmp)
           new String(java.nio.file.Files.readAllBytes(pin), "UTF-8").trim.toLong
         }
       mkStreamSource(ctx, ci, Some(startV))
@@ -704,8 +706,13 @@ class GraftCdfTable(tablePath: String,
         * its envelope and the residual drops the gap versions). */
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         import org.apache.spark.sql.sources._
+        // INTEGRAL values only: a fractional comparand truncated via
+        // longValue would narrow unsoundly (LessThan 3.5 must keep v3)
         def ver(v: Any): Option[Long] = v match {
-          case n: java.lang.Number => Some(n.longValue)
+          case n: java.lang.Long => Some(n.longValue)
+          case n: java.lang.Integer => Some(n.longValue)
+          case n: java.lang.Short => Some(n.longValue)
+          case n: java.lang.Byte => Some(n.longValue)
           case _ => None
         }
         val rec = Array.newBuilder[Filter]
@@ -724,7 +731,7 @@ class GraftCdfTable(tablePath: String,
           }
           case f @ LessThanOrEqual("_commit_version", v) =>
             ver(v).foreach { n => verHi = math.min(verHi, n); rec += f }
-          case f @ In("_commit_version", vs) if vs.nonEmpty =>
+          case f @ In("_commit_version", vs) if vs != null && vs.nonEmpty =>
             val ns = vs.flatMap(ver)
             if (ns.length == vs.length) {
               verLo = math.max(verLo, ns.min)
