@@ -24,6 +24,12 @@ import graft.ops.MergeTable.TableManifest
   *   spark.read.format("graft").load(path)                    // latest snapshot
   *   spark.read.format("graft").option("versionAsOf", 3).load(path)
   *   spark.read.format("graft").option("timestampAsOf", ms).load(path)
+  *   // change data feed (per-version rows; instants accept epoch millis
+  *   // or timestamp strings; coalesceDiffs = ONE net endpoint diff,
+  *   // the stream door's deep-drain opt-in, same fold semantics):
+  *   spark.read.format("graft").option("readChangeFeed", "true")
+  *     .option("startingTimestamp", "2026-08-16 12:00:00")
+  *     .option("coalesceDiffs", "true").load(path)
   *   // with spark.sql.catalog.graft=graft.sources.GraftCatalog:
   *   spark.sql("SELECT * FROM graft.`/abs/path` VERSION AS OF 3")
   * }}}
@@ -78,7 +84,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
   private val resolved =
     new java.util.concurrent.ConcurrentHashMap[(String, Option[String],
       Option[String], Option[String], Option[String], Option[String],
-      Option[String], Option[String], Option[String]), Table]()
+      Option[String], Option[String], Option[String], Option[String]),
+      Table]()
 
   private def resolveOnce(options: CaseInsensitiveStringMap): Table = {
     val key = (path(options), Option(options.get("versionasof")),
@@ -88,7 +95,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
       Option(options.get("endingversion")),
       Option(options.get("maxversionsperread")),
       Option(options.get("startingtimestamp")),
-      Option(options.get("endingtimestamp")))
+      Option(options.get("endingtimestamp")),
+      Option(options.get("coalescediffs")))
     resolved.computeIfAbsent(key, { k =>
       val cdf = k._4.exists(_.trim.equalsIgnoreCase("true"))
       if (!cdf) GraftTable.resolve(k._1, k._2, k._3)
@@ -147,7 +155,8 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
           s"maxVersionsPerRead must be in [1, $bar], got $chunk")
         new GraftCdfTable(k._1,
           GraftChangeFeed.shapeFor(k._1, head, "batch change feed"),
-          from, to, chunk)
+          from, to, chunk,
+          k._10.exists(_.trim.equalsIgnoreCase("true")))
       }
     })
   }
@@ -682,7 +691,8 @@ object GraftV1Relation {
   * evaluate above the diff (the diff is itself a join — there is no
   * per-file box to consult). */
 class GraftCdfTable(tablePath: String,
-    shape: GraftChangeFeed.FeedShape, from: Long, to: Long, chunk: Long)
+    shape: GraftChangeFeed.FeedShape, from: Long, to: Long, chunk: Long,
+    coalesce: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft.`$tablePath` changes v$from..v$to"
   override def schema(): StructType = shape.schema
@@ -753,20 +763,23 @@ class GraftCdfTable(tablePath: String,
         required = requiredSchema
 
       override def build(): Scan =
-        new GraftCdfScan(tablePath, shape, verLo, verHi, chunk, required)
+        new GraftCdfScan(tablePath, shape, verLo, verHi, chunk, required,
+          coalesce)
     }
 }
 
 class GraftCdfScan(tablePath: String, shape: GraftChangeFeed.FeedShape,
-    from: Long, to: Long, chunk: Long, required: StructType) extends V1Scan {
+    from: Long, to: Long, chunk: Long, required: StructType,
+    coalesce: Boolean = false) extends V1Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftCdfScan $tablePath v$from..v$to " +
+      (if (coalesce) "net " else "") +
       s"columns=[${required.fieldNames.mkString(", ")}]"
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftCdfRelation(context, shape, from, to, chunk, required)
-      .asInstanceOf[T]
+    new GraftCdfRelation(context, shape, from, to, chunk, required,
+      coalesce).asInstanceOf[T]
 }
 
 /** The batch CDF relation. A range wider than `chunk` versions is read
@@ -776,7 +789,8 @@ class GraftCdfScan(tablePath: String, shape: GraftChangeFeed.FeedShape,
   * — no thousand-way logical plan, no silent truncation, every version
   * delivered exactly once. */
 class GraftCdfRelation(ctx: SQLContext, shape: GraftChangeFeed.FeedShape,
-    from: Long, to: Long, chunk: Long, required: StructType)
+    from: Long, to: Long, chunk: Long, required: StructType,
+    coalesce: Boolean = false)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
@@ -790,7 +804,15 @@ class GraftCdfRelation(ctx: SQLContext, shape: GraftChangeFeed.FeedShape,
         .emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
         .asInstanceOf[RDD[Row]]
     def rddOf(lo: Long, hi: Long): RDD[Row] = {
-      val frame = GraftChangeFeed.framesFor(spark, shape, lo, hi)
+      // coalesceDiffs (same opt-in as the stream door): ONE net diff of
+      // the endpoint snapshots — transient intermediate changes fold
+      // away, rows carry _commit_version = hi. from = 0 (no from-side)
+      // or a vacuumed endpoint falls back to the per-version walk.
+      val frame =
+        (if (coalesce && lo > 0)
+          GraftChangeFeed.rangeChanges(spark, shape, lo - 1, hi)
+        else None).getOrElse(
+          GraftChangeFeed.framesFor(spark, shape, lo, hi))
       // project INSIDE the inner plan — Catalyst prunes the per-version
       // reads down to the outer query's columns before the RDD hand-off
       val pruned =

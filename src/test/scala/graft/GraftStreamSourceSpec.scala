@@ -1050,6 +1050,43 @@ class GraftStreamSourceSpec extends AnyFunSuite {
     assert(dfPruned.count() == 24L) // v0 snapshot (20) + four diffs
   }
 
+  test("batch-door coalesceDiffs: readChangeFeed delivers the net " +
+    "endpoint diff (zero per-version walks), composes with version " +
+    "narrowing, and a v0 start falls back to the per-version boot") {
+    import graft.sources.GraftChangeFeed
+    val t = fresh("cdfnet")
+    seed(t) // v0: ids 1..20
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "a", 1.0), (100L, "new", 9.0))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 1L)))
+    MergeTable.mergeUpsert(spark, t,
+      Seq((1L, "b", 2.0)).toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), txn = Some(("w", 2L)))
+    MergeTable.mergeDelete(spark, t, Seq(100L).toDF("event_id"),
+      txn = Some(("w", 3L)))
+    def net(fromV: String) = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", fromV)
+      .option("coalesceDiffs", "true").load(t)
+    // the net of (v0, v3]: ONE update of id 1 — and no per-version walk
+    val b0 = GraftChangeFeed.planBuildCount.get
+    val rows = net("1").collect().map(key)
+    assert(GraftChangeFeed.planBuildCount.get == b0,
+      "the net read must not walk per-version plans")
+    assert(rows.toSeq == Seq((3L, "UPDATE", "diff", 1L, "b", 2.0,
+      Some(1.0))), s"net rows: ${rows.toSeq}")
+    // version narrowing composes: bound the net at v2 — id 100 is alive
+    val r2 = net("1").where(col("_commit_version") <= 2L).collect().map(key)
+    assert(r2.map(r => (r._4, r._2, r._5)).toSet ==
+      Set((1L, "UPDATE", "b"), (100L, "INSERT", "new")),
+      s"narrowed net: ${r2.toSeq}")
+    assert(r2.forall(_._1 == 2L), "net rows carry the narrowed end version")
+    // a v0 start has no from-side: the per-version boot walk serves it
+    val all = net("0").collect()
+    assert(all.length == 20 + 2 + 1 + 1, // v0 boot + v1(2) + v2(1) + v3(1)
+      s"v0 start must fall back to the full per-version feed: ${all.length}")
+  }
+
   test("coalesceDiffs: a multi-version batch delivers ONE net endpoint " +
     "diff — insert-then-delete nets away, the last update wins with a " +
     "batch-start preimage, rows stamped with the END version; the " +
