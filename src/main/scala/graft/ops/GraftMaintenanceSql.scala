@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   VACUUM graft.`/abs/path`                          -- default retention
   *   VACUUM graft.`/abs/path` RETAIN 5 VERSIONS
   *   VACUUM graft.`/abs/path` RETAIN 5 VERSIONS GRACE 0 MS
+  *   VACUUM graft.`/abs/path` RETAIN 5 VERSIONS GRACE 0 MS DRY RUN
   * }}}
   *
   * Both return a one-row metrics frame (`rewritten_files` /
@@ -41,7 +42,8 @@ object GraftMaintenanceSql {
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`""" +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
-      """(?:\s+GRACE\s+(\d+)\s+MS)?\s*;?\s*""").r
+      """(?:\s+GRACE\s+(\d+)\s+MS)?""" +
+      """(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
 
   private def cols(group: String): Seq[String] =
     Option(group).toSeq.flatMap(_.split(",").toSeq)
@@ -57,10 +59,11 @@ object GraftMaintenanceSql {
       require(sp == null || cols(sp).nonEmpty,
         "OPTIMIZE ... SPLIT BY () names no columns")
       Some(GraftOptimizeCommand(path, cols(z), cols(sp), led != null))
-    case VacuumRe(path, retain, grace) =>
+    case VacuumRe(path, retain, grace, dry) =>
       Some(GraftVacuumCommand(path,
         Option(retain).map(_.toInt),
-        Option(grace).map(_.toLong)))
+        Option(grace).map(_.toLong),
+        dryRun = dry != null))
     case _ => None
   }
 }
@@ -106,12 +109,16 @@ case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
 /** `VACUUM graft.`p`` — age-gated unreferenced-file collection via
   * [[MergeTable.vacuum]]; one metrics row back. */
 case class GraftVacuumCommand(path: String, retainVersions: Option[Int],
-    graceMs: Option[Long]) extends LeafRunnableCommand {
+    graceMs: Option[Long], dryRun: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[AttributeReference] =
-    Seq(AttributeReference("deleted_files", IntegerType, nullable = false)())
+    Seq(AttributeReference(
+      if (dryRun) "would_delete_files" else "deleted_files",
+      IntegerType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] =
     Seq(Row(MergeTable.vacuum(path,
       graceMs = graceMs.getOrElse(MergeTable.DefaultVacuumGraceMs),
       retainVersions =
-        retainVersions.getOrElse(MergeTable.DefaultVacuumRetainVersions))))
+        retainVersions.getOrElse(MergeTable.DefaultVacuumRetainVersions),
+      dryRun = dryRun)))
 }

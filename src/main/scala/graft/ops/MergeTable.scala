@@ -3123,10 +3123,14 @@ object MergeTable {
     * (registered queries, reproducibility audits) must size
     * `retainVersions` to cover the OLDEST version those readers pin —
     * see the retention contract spec in MergeTableSpec.
-    * Returns the deleted file count.
+    * Returns the deleted file count. `dryRun = true` walks the same
+    * sweep with the same age gates and returns the count it WOULD
+    * collect without touching a single file — the operator preflight
+    * (`VACUUM … DRY RUN` in SQL).
     */
   def vacuum(table: String, graceMs: Long = DefaultVacuumGraceMs,
-      retainVersions: Int = DefaultVacuumRetainVersions): Int = {
+      retainVersions: Int = DefaultVacuumRetainVersions,
+      dryRun: Boolean = false): Int = {
     val m = latestManifest(table).getOrElse(return 0)
     val keepFloor = math.max(0L, m.version - math.max(1, retainVersions) + 1)
     // retained delta records resolve by walking back to a checkpoint at or
@@ -3182,6 +3186,11 @@ object MergeTable {
         catch { case _: Exception => false }
       }
     var deleted = 0
+    // DRY RUN: count every file the sweep WOULD collect, touch nothing —
+    // the operator-facing preflight (`VACUUM … DRY RUN` in SQL). The
+    // walk, the age gates and the counting are the real ones.
+    def reap(p: java.nio.file.Path): Unit =
+      if (!dryRun) { Files.deleteIfExists(p); () }
     val dataRoot = Paths.get(table, "data")
     if (Files.isDirectory(dataRoot)) {
       val commits = { val s0 = Files.list(dataRoot)
@@ -3197,7 +3206,7 @@ object MergeTable {
             catch { case _: Exception => false }
           if (!live.contains(rel) && old &&
             f.getFileName.toString.endsWith(".parquet")) {
-            Files.deleteIfExists(f); deleted += 1
+            reap(f); deleted += 1
           }
         }
         // a commit dir with no live reference left also sheds its
@@ -3212,8 +3221,9 @@ object MergeTable {
         if (!anyLive && remaining.nonEmpty &&
           !remaining.exists(_.getFileName.toString.endsWith(".parquet")) &&
           allAgedOut(remaining)) {
-          remaining.foreach(f => deleteDir(f)); Files.deleteIfExists(c)
-        } else if (remaining.isEmpty) Files.deleteIfExists(c)
+          if (!dryRun) { remaining.foreach(f => deleteDir(f)); () }
+          reap(c)
+        } else if (remaining.isEmpty) reap(c)
       }
     }
     // deletion-vector datasets: a whole dv/<id> dir retires once no
@@ -3227,10 +3237,10 @@ object MergeTable {
         if (!liveDv.contains(s"dv/${c.getFileName}")) {
           val fs0 = { val s5 = Files.list(c)
             try s5.iterator().asScala.toSeq finally s5.close() }
-          if (fs0.isEmpty) Files.deleteIfExists(c)
+          if (fs0.isEmpty) reap(c)
           else if (allAgedOut(fs0)) {
             deleted += fs0.count(_.getFileName.toString.endsWith(".parquet"))
-            deleteDir(c)
+            if (!dryRun) deleteDir(c)
           }
         }
       }
@@ -3244,7 +3254,7 @@ object MergeTable {
           catch { case _: Exception => false }
         versionOf(p.getFileName.toString) match {
           case Some(v) =>
-            if (v < cpFloor && old) { Files.deleteIfExists(p); deleted += 1 }
+            if (v < cpFloor && old) { reap(p); deleted += 1 }
           case None => cpVersionOf(p.getFileName.toString)
             .orElse(addsVersionOf(p.getFileName.toString)) match {
             case Some(v) =>
@@ -3253,12 +3263,12 @@ object MergeTable {
               // externalized-adds side file retires exactly with its
               // record (a crashed loser's above-floor orphan waits for
               // the floor to pass it — bounded, crash-rare garbage)
-              if (v < cpFloor && old) { Files.deleteIfExists(p); deleted += 1 }
+              if (v < cpFloor && old) { reap(p); deleted += 1 }
             case None =>
               // crash-orphaned staging records (writer died between the
               // tmp write and the link/move) age out here too
               if (p.getFileName.toString.startsWith(".tmp-") && old) {
-                Files.deleteIfExists(p); deleted += 1
+                reap(p); deleted += 1
               }
           }
         }

@@ -101,9 +101,19 @@ class MaintenanceSqlSpec extends AnyFunSuite {
       Seq("event_id"), Seq("event_id"), targetRowsPerFile = 50L) // v1
     // default retention in a fresh-commit window: nothing age-eligible
     assert(spark.sql(s"VACUUM graft.`$t`").head().getInt(0) == 0)
+    // DRY RUN: the preflight reports the exact would-collect count and
+    // touches NOTHING — v0 stays fully readable afterwards
+    val dry = spark.sql(
+      s"VACUUM graft.`$t` RETAIN 1 VERSIONS GRACE 0 MS DRY RUN").collect()
+    assert(dry.head.schema.fieldNames.toSeq == Seq("would_delete_files"))
+    val wouldDelete = dry.head.getInt(0)
+    assert(wouldDelete > 0, "the preflight must report the retired files")
+    assert(MergeTable.readVersion(spark, t, 0L).count() == 200L,
+      "a dry run must not collect anything")
     val r = spark.sql(
       s"VACUUM graft.`$t` RETAIN 1 VERSIONS GRACE 0 MS").collect()
-    assert(r.head.getInt(0) > 0, "retired v0 files collect")
+    assert(r.head.getInt(0) == wouldDelete,
+      "the real sweep must collect exactly what the preflight reported")
     assert(r.head.schema.fieldNames.toSeq == Seq("deleted_files"))
     assert(MergeTable.read(spark, t).count() == 200L)
     assert(MergeTable.read(spark, t)

@@ -290,4 +290,72 @@ class PropertySpec extends AnyFunSuite {
       assert(out.forall(_._2 >= 0), out.mkString(","))
     }
   }
+
+  test("GraftInstants: integer strings round-trip exactly; ISO instants " +
+    "parse to their epoch millis; sub-millisecond rounding is monotone " +
+    "and conservative (ceil >= floor, both within 1ms of micros/1000)") {
+    import graft.ops.GraftInstants
+    forAllSampled(Gen.choose(-4102444800000L, 4102444800000L), 40) { ms =>
+      assert(GraftInstants.parseMillis(ms.toString, "t", ceil = true) == ms)
+      assert(GraftInstants.parseMillis(s"  $ms ", "t", ceil = false) == ms)
+    }
+    forAllSampled(Gen.choose(0L, 4102444800000L), 40) { ms =>
+      val iso = java.time.Instant.ofEpochMilli(ms).toString
+      assert(GraftInstants.parseMillis(iso, "t", ceil = true) == ms)
+      assert(GraftInstants.parseMillis(iso, "t", ceil = false) == ms)
+    }
+    forAllSampled(Gen.choose(Long.MinValue / 2000, Long.MaxValue / 2000), 60) { micros =>
+      val lo = GraftInstants.microsToMillis(micros, ceil = false)
+      val hi = GraftInstants.microsToMillis(micros, ceil = true)
+      assert(lo <= hi && hi - lo <= 1,
+        s"rounding must differ by at most the sub-ms digit: $micros")
+      assert(lo * 1000 <= micros && micros <= hi * 1000,
+        s"the true instant must sit inside [floor, ceil]: $micros")
+      if (micros % 1000 == 0) assert(lo == hi, s"exact millis never split")
+    }
+  }
+
+  test("maintenance parser: arbitrary non-maintenance SQL is NEVER " +
+    "intercepted, and random whitespace/case variants of the two " +
+    "statements always are") {
+    import graft.ops.GraftMaintenanceSql
+    val sqlGen = Gen.oneOf(
+      "SELECT 1", "SELECT * FROM t WHERE optimize = 1",
+      "select vacuum from optimize_results",
+      "CREATE TABLE optimize (vacuum INT)",
+      "-- OPTIMIZE graft.`/x`\nSELECT 2",
+      "WITH vacuum AS (SELECT 1 AS optimize) SELECT * FROM vacuum",
+      "INSERT INTO t VALUES ('OPTIMIZE graft.`/x`')",
+      "OPTIMIZE delta.`/x`", "VACUUM '/x'", "OPTIMIZE t1", "VACUUM t2",
+      "MERGE INTO graft.`/x` t USING s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    forAllSampled(sqlGen, 24) { sql =>
+      assert(GraftMaintenanceSql.parse(sql).isEmpty,
+        s"must delegate verbatim: $sql")
+    }
+    val wsGen = for {
+      kw <- Gen.oneOf("OPTIMIZE", "optimize", "Optimize", "oPtImIzE")
+      pad <- Gen.oneOf(" ", "  ", "\t", "\n ")
+      semi <- Gen.oneOf("", ";", " ;")
+    } yield s"$pad$kw${pad}graft.`/some/path`$semi"
+    forAllSampled(wsGen, 16) { sql =>
+      val parsed = GraftMaintenanceSql.parse(sql)
+      assert(parsed.exists(_.isInstanceOf[graft.ops.GraftOptimizeCommand]),
+        s"must intercept: <$sql>")
+      assert(parsed.get.asInstanceOf[graft.ops.GraftOptimizeCommand]
+        .path == "/some/path")
+    }
+    val vacGen = for {
+      kw <- Gen.oneOf("VACUUM", "vacuum", "Vacuum")
+      retain <- Gen.option(Gen.choose(1, 9))
+      dry <- Gen.oneOf("", " DRY RUN", " dry  run")
+    } yield (retain, dry,
+      s"$kw graft.`/p`${retain.map(n => s" RETAIN $n VERSIONS").getOrElse("")}$dry")
+    forAllSampled(vacGen, 16) { case (retain, dry, sql) =>
+      val cmd = GraftMaintenanceSql.parse(sql)
+        .get.asInstanceOf[graft.ops.GraftVacuumCommand]
+      assert(cmd.retainVersions == retain, s"<$sql>")
+      assert(cmd.dryRun == dry.trim.nonEmpty, s"<$sql>")
+    }
+  }
 }
