@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
 
-/** SQL front end for the MAINTENANCE commands — the `OPTIMIZE` / `VACUUM`
+/** SQL front end for the MAINTENANCE commands — the `OPTIMIZE` /
+  * `VACUUM` / `RESTORE`
   * DDL Spark's own grammar doesn't know, intercepted by a delegating
   * [[ParserInterface]] (the extension-parser pattern every lakehouse
   * format uses; installed by [[graft.functions.GraftExtensions]]):
@@ -22,6 +23,8 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   VACUUM graft.`/abs/path` RETAIN 5 VERSIONS
   *   VACUUM graft.`/abs/path` RETAIN 5 VERSIONS GRACE 0 MS
   *   VACUUM graft.`/abs/path` RETAIN 5 VERSIONS GRACE 0 MS DRY RUN
+  *   RESTORE graft.`/abs/path` TO VERSION AS OF 3
+  *   RESTORE graft.`/abs/path` TO TIMESTAMP AS OF '2026-08-16 12:00:00'
   * }}}
   *
   * Both return a one-row metrics frame (`rewritten_files` /
@@ -39,6 +42,13 @@ object GraftMaintenanceSql {
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+SPLIT\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+(LEDGERS))?\s*;?\s*""").r
+  private val RestoreRe =
+    ("""(?is)\s*RESTORE\s+graft\s*\.\s*`([^`]+)`""" +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private val RestoreTsRe =
+    ("""(?is)\s*RESTORE\s+graft\s*\.\s*`([^`]+)`""" +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
+
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`""" +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
@@ -49,7 +59,7 @@ object GraftMaintenanceSql {
     Option(group).toSeq.flatMap(_.split(",").toSeq)
       .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
 
-  /** The two graft maintenance statements, or None → delegate. */
+  /** The graft maintenance statements, or None → delegate. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(path, z, sp, led) =>
       // an EMPTY column list must not silently degrade to plain
@@ -59,6 +69,10 @@ object GraftMaintenanceSql {
       require(sp == null || cols(sp).nonEmpty,
         "OPTIMIZE ... SPLIT BY () names no columns")
       Some(GraftOptimizeCommand(path, cols(z), cols(sp), led != null))
+    case RestoreRe(path, v) =>
+      Some(GraftRestoreCommand(path, Left(v.toLong)))
+    case RestoreTsRe(path, instant) =>
+      Some(GraftRestoreCommand(path, Right(instant)))
     case VacuumRe(path, retain, grace, dry) =>
       Some(GraftVacuumCommand(path,
         Option(retain).map(_.toInt),
@@ -104,6 +118,28 @@ case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
     Seq(Row(MergeTable.optimize(sparkSession, path,
       zorderBy = zorderBy, splitBy = splitBy,
       ledgerBackfill = ledgerBackfill)))
+}
+
+/** `RESTORE graft.`p` TO VERSION|TIMESTAMP AS OF …` — roll the head
+  * FORWARD to an exact historical state via [[MergeTable.restore]]
+  * (Delta-style: history is preserved, the bad interval stays auditable
+  * and CDF-consumable); timestamps accept epoch millis or timestamp
+  * strings like every other wall-clock door. One metrics row back: the
+  * NEW head version the restore committed. */
+case class GraftRestoreCommand(path: String,
+    to: Either[Long, String]) extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("restored_to_version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val v = to match {
+      case Left(version) => version
+      case Right(instant) => MergeTable.versionAsOf(path,
+        GraftInstants.parseMillis(instant, "RESTORE … TIMESTAMP AS OF",
+          ceil = false))
+    }
+    Seq(Row(MergeTable.restore(path, v)))
+  }
 }
 
 /** `VACUUM graft.`p`` — age-gated unreferenced-file collection via

@@ -91,6 +91,43 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.stats.ledgerK")
   }
 
+  test("RESTORE graft.`p` TO VERSION/TIMESTAMP AS OF rolls the head " +
+    "forward to the exact historical state, preserving history; a " +
+    "vacuumed target rejects loudly") {
+    val t = fresh("restore")
+    seed(t, n = 100L, perFile = 50L) // v0
+    MergeTable.mergeUpsert(spark, t,
+      (1L to 100L).map(i => (i, "wave1", i + 0.5))
+        .toDF("event_id", "event_type", "value"),
+      Seq("event_id"), Seq("event_id"), targetRowsPerFile = 50L) // v1
+    val t1 = MergeTable.history(t).find(_.version == 1L).get.timestampMs
+    MergeTable.mergeDelete(spark, t, (1L to 50L).toDF("event_id")) // v2
+    assert(MergeTable.read(spark, t).count() == 50L)
+    // restore by VERSION: back to the full v1 state, committed as v3
+    val r = spark.sql(s"RESTORE graft.`$t` TO VERSION AS OF 1").collect()
+    assert(r.head.schema.fieldNames.toSeq == Seq("restored_to_version"))
+    assert(r.head.getLong(0) == 3L, "the restore commits a NEW head")
+    assert(MergeTable.read(spark, t).count() == 100L)
+    assert(MergeTable.read(spark, t)
+      .where(col("event_type") === "wave1").count() == 100L)
+    // history preserved: the deleted interval stays auditable
+    assert(MergeTable.history(t).map(_.version) == Seq(0L, 1L, 2L, 3L))
+    // restore by TIMESTAMP string (v1's instant) → the same state, v4
+    MergeTable.mergeDelete(spark, t, Seq(7L).toDF("event_id")) // v4
+    val iso = java.time.Instant.ofEpochMilli(t1).toString
+    val r2 = spark.sql(
+      s"RESTORE graft.`$t` TO TIMESTAMP AS OF '$iso'").collect()
+    assert(r2.head.getLong(0) == 5L)
+    assert(MergeTable.read(spark, t).count() == 100L)
+    // a vacuumed target rejects loudly instead of publishing a head
+    // that references deleted files
+    assert(MergeTable.vacuum(t, graceMs = 0L, retainVersions = 1) > 0)
+    val ex = intercept[Exception](
+      spark.sql(s"RESTORE graft.`$t` TO VERSION AS OF 0").collect())
+    assert(ex.getMessage.contains("restore") ||
+      ex.getMessage.contains("vacuum"), ex.getMessage)
+  }
+
   test("VACUUM graft.`p` RETAIN n VERSIONS GRACE n MS collects retired " +
     "files, returns the count, and the head stays readable") {
     val t = fresh("vac")
