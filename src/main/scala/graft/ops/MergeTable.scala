@@ -4250,6 +4250,49 @@ object MergeTable {
       .orderBy(col("_commit_version"), col("change_type"))
   }
 
+  /** `q_cdf_net`: the batch CDF door with `coalesceDiffs` — ONE net
+    * endpoint diff of (v0, head] instead of four per-version plans.
+    * Classification, the last-writer-wins value fold (wave 2's +200
+    * overwrites wave 1's +100 where both hit), NULL delete payloads and
+    * v0-side preimages all sit on the oracle path; the oracle
+    * reconstructs the same net outcome from the raw table with the wave
+    * CASEs. The transient states the net folds away (wave 1's value on
+    * a wave-2 key) must NOT appear — a per-version leak breaks the
+    * hash. */
+  def cdfNetDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildMergedEvents(s, sfDir)
+    s.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("coalesceDiffs", "true")
+      .load(t)
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_changes"),
+        round(sum(coalesce(col("value"), lit(0.0))), 2).as("value_sum"),
+        round(sum(coalesce(col("value_pre"), lit(0.0))), 2).as("pre_sum"))
+      .orderBy("change_type")
+  }
+
+  val cdfNetDigestSql: String =
+    s"""WITH upd AS (
+       |  SELECT 'UPDATE' AS change_type, count(*) AS n_changes,
+       |    round(sum(CASE WHEN event_id % 7 = 0 THEN value + 200.0
+       |                   ELSE value + 100.0 END), 2) AS value_sum,
+       |    round(sum(value), 2) AS pre_sum
+       |  FROM events
+       |  WHERE (event_id % 5 < 2 OR event_id % 7 = 0)
+       |    AND event_id % 11 <> 3),
+       |del AS (
+       |  SELECT 'DELETE' AS change_type, count(*) AS n_changes,
+       |    round(sum(0.0), 2) AS value_sum,
+       |    round(sum(value), 2) AS pre_sum
+       |  FROM events WHERE event_id % 11 = 3),
+       |ins AS (
+       |  SELECT 'INSERT' AS change_type, count(*) AS n_changes,
+       |    round(sum(value + 500.0), 2) AS value_sum,
+       |    round(sum(0.0), 2) AS pre_sum
+       |  FROM events WHERE event_id % 13 = 0)
+       |SELECT * FROM upd UNION ALL SELECT * FROM del
+       |UNION ALL SELECT * FROM ins ORDER BY change_type""".stripMargin
+
   val cdfTvfDigestSql: String =
     s"""WITH v2 AS (
        |  SELECT event_id,
