@@ -1012,8 +1012,13 @@ object MergeTable {
         catch { case _: java.io.IOException => None } // vacuumed parent
       parentMt.foreach { p =>
         val instant = math.max(System.currentTimeMillis(), p + 1L)
-        Files.setLastModifiedTime(tmp,
+        // best-effort: a filesystem that rejects attribute writes (or
+        // rounds mtime granularity) must not fail the COMMIT — the
+        // read-side monotone clamp already disambiguates tied instants
+        try Files.setLastModifiedTime(tmp,
           java.nio.file.attribute.FileTime.fromMillis(instant))
+        catch { case _: java.io.IOException | _: SecurityException |
+                     _: UnsupportedOperationException => () }
       }
     }
     try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); true }

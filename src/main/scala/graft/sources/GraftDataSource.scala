@@ -713,9 +713,20 @@ class GraftCdfTable(tablePath: String,
         * re-applies them above, so the narrowing is a pruning
         * optimization the way the snapshot scan's file skipping is,
         * never a correctness dependence (an `In` with gaps narrows to
-        * its envelope and the residual drops the gap versions). */
+        * its envelope and the residual drops the gap versions).
+        *
+        * coalesceDiffs DISABLES narrowing entirely: a net endpoint diff
+        * stamps every row with the RANGE END version, so narrowing the
+        * range would redefine the diff window AND restamp the rows —
+        * then whether Spark managed to push the predicate (vs. a
+        * non-translatable form like `_commit_version + 0 <= 2`, or a
+        * filter above a cached frame) would change the result. Under
+        * coalesce the net window is bound ONLY by the reader's
+        * startingVersion/endingVersion options; version predicates are
+        * ordinary residual filters over the stamped rows. */
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         import org.apache.spark.sql.sources._
+        if (coalesce) return filters // all residual, no narrowing
         // INTEGRAL values only: a fractional comparand truncated via
         // longValue would narrow unsoundly (LessThan 3.5 must keep v3)
         def ver(v: Any): Option[Long] = v match {
@@ -803,23 +814,30 @@ class GraftCdfRelation(ctx: SQLContext, shape: GraftChangeFeed.FeedShape,
       return spark.sparkContext
         .emptyRDD[org.apache.spark.sql.catalyst.InternalRow]
         .asInstanceOf[RDD[Row]]
-    def rddOf(lo: Long, hi: Long): RDD[Row] = {
-      // coalesceDiffs (same opt-in as the stream door): ONE net diff of
-      // the endpoint snapshots — transient intermediate changes fold
-      // away, rows carry _commit_version = hi. from = 0 (no from-side)
-      // or a vacuumed endpoint falls back to the per-version walk.
-      val frame =
-        (if (coalesce && lo > 0)
-          GraftChangeFeed.rangeChanges(spark, shape, lo - 1, hi)
-        else None).getOrElse(
-          GraftChangeFeed.framesFor(spark, shape, lo, hi))
-      // project INSIDE the inner plan — Catalyst prunes the per-version
-      // reads down to the outer query's columns before the RDD hand-off
+    // project INSIDE the inner plan — Catalyst prunes the per-version
+    // reads down to the outer query's columns before the RDD hand-off
+    def prune(frame: org.apache.spark.sql.DataFrame): RDD[Row] = {
       val pruned =
         if (required.fieldNames.sameElements(shape.schema.fieldNames)) frame
         else frame.select(required.fieldNames.map(col).toSeq: _*)
       pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
     }
+    // coalesceDiffs (same opt-in as the stream door): ONE net diff of
+    // the RANGE ENDPOINT snapshots — transient intermediate changes
+    // fold away, every row carries _commit_version = `to`. The chunk
+    // loop is BYPASSED: rangeChanges is a single bounded two-snapshot
+    // plan regardless of range width, and chunking it would deliver
+    // cross-chunk transients with per-chunk stamps, contradicting the
+    // one-net-diff contract. from = 0 (no from-side snapshot) or a
+    // vacuumed endpoint falls back to the (chunked) per-version walk.
+    if (coalesce && from > 0) {
+      GraftChangeFeed.rangeChanges(spark, shape, from - 1, to) match {
+        case Some(net) => return prune(net)
+        case None => () // endpoint missing → per-version walk below
+      }
+    }
+    def rddOf(lo: Long, hi: Long): RDD[Row] =
+      prune(GraftChangeFeed.framesFor(spark, shape, lo, hi))
     if (to - from < chunk) rddOf(from, to)
     else {
       val rdds = (from to to by chunk).map(lo =>

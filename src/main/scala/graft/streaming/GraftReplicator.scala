@@ -20,11 +20,19 @@ import graft.ops.MergeTable
   *    applied as ONE upsert + ONE delete commit — a replica draining an
   *    N-version lag pays ~2 commits per micro-batch, not ~2N. Every
   *    commit this consumer makes is watermarked under ONE writer
-  *    (`graft-repl`) at `(batchId << 20 | seq)` — BATCH-scoped, not
+  *    (`graft-repl2`) at `(batchId << 20 | seq)` — BATCH-scoped, not
   *    version-scoped, because the paged feed delivers several
   *    micro-batches of one version and several versions in one
   *    micro-batch; a replayed micro-batch re-issues identical values
-  *    and no-ops (exactly-once).
+  *    and no-ops (exactly-once). The writer id is `graft-repl2`: the
+  *    PRE-FOLD scheme (writer `graft-repl`) ticked ~2 per source
+  *    VERSION, so a checkpoint whose in-flight batch was partially
+  *    applied under it can hold a watermark HIGHER than the folded
+  *    scheme's per-batch ticks — replaying that batch under the old
+  *    writer id would no-op the folded commits and silently drop the
+  *    batch's unapplied tail. A fresh writer id starts a fresh
+  *    watermark namespace: the replayed batch applies fully, which is
+  *    safe because the LWW fold is idempotent at the data level.
   *  - `feed_type` "snapshot": a FRESH stream's (possibly paged) boot —
   *    rows upsert. With an empty replica (the normal fresh-checkpoint
   *    shape) the slices converge to the boot snapshot; a NON-empty
@@ -120,7 +128,7 @@ object GraftReplicator {
       dropStaleStages(dstTable, epoch)
       MergeTable.mergeUpsert(s, stagePath(dstTable, epoch),
         resetData.where(col("_commit_version") === epoch).select(cols: _*),
-        keys, keys, txn = Some(("graft-repl", tick())))
+        keys, keys, txn = Some(("graft-repl2", tick())))
     }
 
     // 2. a marker completes its epoch: full-sync the replica from the
@@ -137,7 +145,7 @@ object GraftReplicator {
       // replica's new state — O(staging write), no join against the
       // stale replica (whose entire file set retires wholesale)
       MergeTable.replaceAll(s, dstTable, staged, keys, keys,
-        txn = Some(("graft-repl", tick())))
+        txn = Some(("graft-repl2", tick())))
       MergeTable.dropTable(stage)
     }
 
@@ -172,10 +180,10 @@ object GraftReplicator {
         val dels = folded.where(col("change_type") === "DELETE")
           .select(keys.map(col): _*)
         MergeTable.mergeUpsert(s, dstTable, ups, keys, keys,
-          txn = Some(("graft-repl", tick())))
+          txn = Some(("graft-repl2", tick())))
         if (MergeTable.latestManifest(dstTable).nonEmpty)
           MergeTable.mergeDelete(s, dstTable, dels,
-            txn = Some(("graft-repl", tick())))
+            txn = Some(("graft-repl2", tick())))
       }
     } finally // release the pinned blocks — one leak per micro-batch adds up
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(folded)

@@ -1075,12 +1075,39 @@ class GraftStreamSourceSpec extends AnyFunSuite {
       "the net read must not walk per-version plans")
     assert(rows.toSeq == Seq((3L, "UPDATE", "diff", 1L, "b", 2.0,
       Some(1.0))), s"net rows: ${rows.toSeq}")
-    // version narrowing composes: bound the net at v2 — id 100 is alive
-    val r2 = net("1").where(col("_commit_version") <= 2L).collect().map(key)
+    // version predicates are FILTER-STABLE over the net rows (all
+    // stamped with the window end version): a pushable and a
+    // non-pushable form of the same predicate agree, because narrowing
+    // is DISABLED under coalesce — whether Spark manages to push the
+    // filter can never redefine the net window or the stamps
+    assert(net("1").where(col("_commit_version") <= 2L).count() == 0L,
+      "a version filter must NOT re-window the net diff")
+    assert(net("1").where(col("_commit_version") + lit(0L) <= 2L)
+      .count() == 0L, "the non-pushable form must agree")
+    assert(net("1").where(col("_commit_version") === 3L).collect().map(key)
+      .toSeq == rows.toSeq, "filtering at the stamp keeps every net row")
+    // bounding the net WINDOW is the reader option's job: endingVersion
+    // nets (v0, v2] — id 100 is alive there, rows stamped v2
+    val r2 = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("endingVersion", "2").option("coalesceDiffs", "true")
+      .load(t).collect().map(key)
     assert(r2.map(r => (r._4, r._2, r._5)).toSet ==
       Set((1L, "UPDATE", "b"), (100L, "INSERT", "new")),
-      s"narrowed net: ${r2.toSeq}")
-    assert(r2.forall(_._1 == 2L), "net rows carry the narrowed end version")
+      s"bounded net: ${r2.toSeq}")
+    assert(r2.forall(_._1 == 2L), "net rows carry the window end version")
+    // a range wider than maxVersionsPerRead still delivers ONE net diff:
+    // the chunk loop is bypassed under coalesce (chunking a net read
+    // would deliver cross-chunk transients with per-chunk stamps)
+    val bC = GraftChangeFeed.planBuildCount.get
+    val rC = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("maxVersionsPerRead", "1").option("coalesceDiffs", "true")
+      .load(t).collect().map(key)
+    assert(GraftChangeFeed.planBuildCount.get == bC,
+      "a chunk-width net read must still be ONE two-snapshot plan")
+    assert(rC.toSeq == rows.toSeq,
+      s"chunk width must not change the net: ${rC.toSeq}")
     // a v0 start has no from-side: the per-version boot walk serves it
     val all = net("0").collect()
     assert(all.length == 20 + 2 + 1 + 1, // v0 boot + v1(2) + v2(1) + v3(1)
