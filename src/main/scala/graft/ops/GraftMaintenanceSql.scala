@@ -32,6 +32,13 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * command did. Everything that is NOT one of these two statements
   * delegates verbatim to Spark's parser — the wrapper adds grammar, it
   * never changes any.
+  *
+  * DELIBERATELY NOT HERE: `ALTER TABLE … ADD/DROP CONSTRAINT`. Spark
+  * 4.1's own grammar parses it and routes through
+  * [[graft.sources.GraftCatalog.alterTable]] (advertised via
+  * `SUPPORT_TABLE_CONSTRAINT`), so the engine gets the native DDL, the
+  * analyzer's checks, and `DESCRIBE`-level reporting for free — a regex
+  * twin would only shadow it.
   */
 object GraftMaintenanceSql {
 

@@ -212,8 +212,10 @@ object GraftSql {
     }
     val filters = resolved.toSeq.map(fold).flatMap(conjuncts).flatMap(
       org.apache.spark.sql.graftbridge.Bridge.translateFilter)
-    val kept = StatsPruning.prune(head.files, filters,
-      c => MergeTable.physOf(head.columnMap, c))
+    val kept = BloomIndex.prune(s, path,
+      StatsPruning.prune(head.files, filters,
+        c => MergeTable.physOf(head.columnMap, c)),
+      filters, c => MergeTable.physOf(head.columnMap, c))
     val scan =
       if (kept.size == head.files.size) full
       else MergeTable.readManifest(s, path, head.copy(files = kept))

@@ -192,7 +192,15 @@ object MergeTable {
       bottomK: Map[String, Seq[String]] = Map.empty,
       topK: Map[String, Seq[String]] = Map.empty,
       dvBottom: Map[String, Seq[String]] = Map.empty,
-      dvTop: Map[String, Seq[String]] = Map.empty) {
+      dvTop: Map[String, Seq[String]] = Map.empty,
+      // OPT-IN per-file BLOOM POINT INDEX (flag
+      // `spark.graft.stats.bloomCols` at write time): names the
+      // table-relative `bloom/<commitId>` parquet dataset holding this
+      // file's per-column bloom filters — equality/IN probes on
+      // non-cluster high-cardinality columns refute whole files the
+      // min/max boxes can't ([[graft.ops.BloomIndex]]). Additive:
+      // legacy entries parse None and simply never bloom-prune.
+      bloom: Option[String] = None) {
     /** Convenience for specs / long-keyed callers. */
     def minLong(c: String): Long = stats(c).min.toLong
     def maxLong(c: String): Long = stats(c).max.toLong
@@ -219,7 +227,14 @@ object MergeTable {
       // physical names retired by DROP COLUMN — a later re-ADD of the
       // same logical name must take a FRESH physical name, or old
       // files' bytes would resurrect under the new column
-      retiredPhysical: Seq[String] = Seq.empty)
+      retiredPhysical: Seq[String] = Seq.empty,
+      // CHECK constraints: name → boolean predicate SQL over LOGICAL
+      // column names, enforced on every staged data-file write
+      // (violation = predicate evaluates FALSE; NULL passes, the SQL
+      // standard). State like the schema: carried in full on every
+      // record, versioned, restored by RESTORE. Additive: legacy
+      // records parse empty.
+      constraints: Map[String, String] = Map.empty)
 
   /** A record whose adds list exceeds this count externalizes it to a
     * streamed `adds-v<N>-<uuid>.ndjson.gz` side file instead of inlining
@@ -265,7 +280,12 @@ object MergeTable {
       // ignoring the map would read the wrong physical columns, so it
       // must fail loudly instead; map-free tables keep writing v2.
       columnMap: Map[String, String] = Map.empty,
-      retiredPhysical: Seq[String] = Seq.empty)
+      retiredPhysical: Seq[String] = Seq.empty,
+      // CHECK constraints, carried in full like the schema (bounded
+      // metadata); non-empty → formatVersion 3 (an older writer
+      // silently skipping enforcement would break the table's declared
+      // contract — the same loud-failure rule as column mapping)
+      constraints: Map[String, String] = Map.empty)
 
   private implicit val jsonFormats: org.json4s.Formats =
     org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
@@ -546,7 +566,7 @@ object MergeTable {
       val files = resolveListing(table, v, head)
       val m = TableManifest(
         v, head.schemaJson, head.keys, head.clusterBy, files, head.txns,
-        head.columnMap, head.retiredPhysical)
+        head.columnMap, head.retiredPhysical, head.constraints)
       cachePut(table, m, tok)
       m
     }
@@ -780,7 +800,8 @@ object MergeTable {
       testPrecommitHook()
       if (commitVersion(table, head.version + 1, target.schemaJson,
         target.keys, target.clusterBy, adds, removes.sorted, head.txns,
-        target.files, target.columnMap, head.retiredPhysical)) {
+        target.files, target.columnMap, head.retiredPhysical,
+        target.constraints)) {
         // Post-win audit: if vacuum raced between the pre-check and the
         // winning link, the published head references dead files — fail
         // LOUDLY now (the commit is already visible; silence would be
@@ -794,6 +815,110 @@ object MergeTable {
     }
     sys.error(s"restore of $table to v$toVersion lost the commit race " +
       s"$maxAttempts times — sustained concurrent writes; retry or quiesce")
+  }
+
+  // ---- CHECK constraints: declarative write-side invariants ----------------
+
+  /** Top-level column names a constraint predicate references (parsed,
+    * not regexed — `value > 0 AND upper(tag) <> 'X'` yields value, tag).
+    * Used to block renaming/dropping a referenced column: the stored
+    * predicate is SQL TEXT, and silently re-pointing or orphaning it
+    * would turn the declared contract into a lie. */
+  private def constraintRefs(predicateSql: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(predicateSql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+      }.toSet
+
+  private def constraintsReferencing(
+      constraints: Map[String, String], column: String): Seq[String] = {
+    val lc = column.toLowerCase(java.util.Locale.ROOT)
+    constraints.collect {
+      case (n, e) if constraintRefs(e).contains(lc) => n
+    }.toSeq.sorted
+  }
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (predicate)` — the
+    * write-side twin of the reference's construction-time row validation
+    * (`categorize-trail-conditions/src/client.py:41-55`, Pydantic
+    * raising on bad rows): from this commit on, EVERY staged data-file
+    * write (merge, insert, overwrite, SQL UPDATE — one aggregate over
+    * the already-pinned staged frame) rejects a violating batch
+    * atomically, before anything is published.
+    *
+    * Adding VALIDATES the whole current table first (one scan counting
+    * `NOT predicate` rows — NULL passes, the SQL standard) and rejects
+    * when violations exist: no grandfathered bad rows, so every later
+    * rewrite of old data re-passes by construction. The find-then-commit
+    * loop re-validates against each new head (same TOCTOU discipline as
+    * DELETE). Constraints are versioned state: time travel shows each
+    * version's own set, RESTORE restores the target's, rename/drop of a
+    * referenced column is rejected until the constraint is dropped.
+    * Returns the committed version. */
+  def addConstraint(s: SparkSession, table: String, name: String,
+      predicateSql: String, maxAttempts: Int = 20): Long = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_'), s"constraint name '$name' must be " +
+      "a bare identifier (letters, digits, underscores)")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = latestManifest(table).getOrElse(
+        sys.error(s"no committed version under $table"))
+      require(!head.constraints.keys.exists(_.equalsIgnoreCase(name)),
+        s"constraint '$name' already exists on $table (drop it first)")
+      // analyze against THIS snapshot: unknown columns / non-boolean
+      // predicates fail here, loudly, before any validation scan runs
+      val snap = readManifest(s, table, head)
+      val cond = expr(predicateSql)
+      val analyzed = snap.where(cond).queryExecution.analyzed
+      val deterministic = analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.deterministic
+      }.getOrElse(true)
+      require(deterministic, s"CHECK ($predicateSql) is non-deterministic " +
+        "— a constraint must judge a row the same way every time")
+      val violations = snap.where(not(cond)).count()
+      require(violations == 0L,
+        s"cannot add CHECK constraint '$name' ($predicateSql) to $table: " +
+          s"$violations existing row(s) violate it")
+      if (commitVersion(table, head.version + 1, head.schemaJson, head.keys,
+        head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
+        head.columnMap, head.retiredPhysical,
+        head.constraints + (name -> predicateSql))) return head.version + 1
+      // CAS lost: loop — re-validate against the new head's rows
+    }
+    sys.error(s"addConstraint on $table lost the commit race " +
+      s"$maxAttempts times")
+  }
+
+  /** `ALTER TABLE … DROP CONSTRAINT name` — metadata-only commit
+    * removing the named constraint; unknown names fail loudly unless
+    * `ifExists`. Returns the committed version (or the head version
+    * unchanged for a no-op `ifExists` drop). */
+  def dropConstraint(table: String, name: String, ifExists: Boolean = false,
+      maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = latestManifest(table).getOrElse(
+        sys.error(s"no committed version under $table"))
+      val actual = head.constraints.keys.find(_.equalsIgnoreCase(name))
+      actual match {
+        case None =>
+          if (ifExists) return head.version
+          sys.error(s"no CHECK constraint '$name' on $table " +
+            s"(declared: ${head.constraints.keys.toSeq.sorted.mkString(", ")})")
+        case Some(key) =>
+          if (commitVersion(table, head.version + 1, head.schemaJson,
+            head.keys, head.clusterBy, Seq.empty, Seq.empty, head.txns,
+            head.files, head.columnMap, head.retiredPhysical,
+            head.constraints - key)) return head.version + 1
+      }
+    }
+    sys.error(s"dropConstraint on $table lost the commit race " +
+      s"$maxAttempts times")
   }
 
   // ---- column mapping: metadata-only RENAME / DROP -------------------------
@@ -827,6 +952,10 @@ object MergeTable {
       require(!head.keys.contains(from) && !head.clusterBy.contains(from),
         s"cannot rename $from: it is a merge key / cluster column — " +
           "the pruning identity; that migration is a re-key, not a rename")
+      val refs = constraintsReferencing(head.constraints, from)
+      require(refs.isEmpty, s"cannot rename $from: referenced by CHECK " +
+        s"constraint(s) ${refs.mkString(", ")} — drop them first (the " +
+        "stored predicate is SQL text; a silent re-point would lie)")
       val phys = physOf(head.columnMap, from)
       // identity entries stay omitted (a→b→a lands back on an empty map)
       val newMap = (head.columnMap - from) ++
@@ -835,7 +964,8 @@ object MergeTable {
         if (f.name == from) f.copy(name = to) else f))
       if (commitVersion(table, head.version + 1, newSchema.json, head.keys,
         head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
-        newMap, head.retiredPhysical)) return head.version + 1
+        newMap, head.retiredPhysical,
+        head.constraints)) return head.version + 1
     }
     sys.error(s"rename on $table lost the commit race $maxAttempts times")
   }
@@ -858,6 +988,9 @@ object MergeTable {
         s"cannot drop $c: no such column in $table")
       require(!head.keys.contains(c) && !head.clusterBy.contains(c),
         s"cannot drop $c: it is a merge key / cluster column")
+      val refs = constraintsReferencing(head.constraints, c)
+      require(refs.isEmpty, s"cannot drop $c: referenced by CHECK " +
+        s"constraint(s) ${refs.mkString(", ")} — drop them first")
       require(schema.fields.length > head.keys.size,
         s"cannot drop $c: a table of only key columns remains required")
       val phys = physOf(head.columnMap, c)
@@ -865,7 +998,8 @@ object MergeTable {
       if (commitVersion(table, head.version + 1, newSchema.json, head.keys,
         head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
         head.columnMap - c,
-        (head.retiredPhysical :+ phys).distinct)) return head.version + 1
+        (head.retiredPhysical :+ phys).distinct,
+        head.constraints)) return head.version + 1
     }
     sys.error(s"drop of $c on $table lost the commit race $maxAttempts times")
   }
@@ -902,7 +1036,8 @@ object MergeTable {
         schema.fields :+ StructField(c, dt, nullable = true))
       if (commitVersion(table, head.version + 1, newSchema.json, head.keys,
         head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
-        newMap, head.retiredPhysical)) return head.version + 1
+        newMap, head.retiredPhysical,
+        head.constraints)) return head.version + 1
     }
     sys.error(s"add of $c on $table lost the commit race $maxAttempts times")
   }
@@ -1042,7 +1177,11 @@ object MergeTable {
       table: String, version: Long, schemaJson: String, keys: Seq[String],
       clusterBy: Seq[String], adds: Seq[DataFileEntry], removes: Seq[String],
       txns: Map[String, Long], resolved: Seq[DataFileEntry],
-      columnMap: Map[String, String], retiredPhysical: Seq[String]): Boolean = {
+      columnMap: Map[String, String], retiredPhysical: Seq[String],
+      // REQUIRED (no default): every commit must consciously carry the
+      // table's constraint state forward — a defaulted empty map would
+      // silently drop declared constraints on the next ordinary commit
+      constraints: Map[String, String]): Boolean = {
     // an oversized adds list (the initial bulk load) externalizes to a
     // streamed side file; a CAS loser deletes its own file (a crashed
     // loser's orphan ages out with the log retention sweep)
@@ -1057,13 +1196,16 @@ object MergeTable {
     val won = tryCommit(table,
       LogRecord(version, "delta", schemaJson, keys, clusterBy,
         inlineAdds, removes, txns,
-        // mapping-free commits stay v2-readable by pre-mapping readers
+        // mapping- and constraint-free commits stay v2-readable by
+        // pre-feature readers
         formatVersion =
-          if (columnMap.isEmpty && retiredPhysical.isEmpty) 2
+          if (columnMap.isEmpty && retiredPhysical.isEmpty &&
+            constraints.isEmpty) 2
           else LogFormatVersion,
         addsRef = addsRef,
         addsCount = addsRef.map(_ => adds.size),
-        columnMap = columnMap, retiredPhysical = retiredPhysical))
+        columnMap = columnMap, retiredPhysical = retiredPhysical,
+        constraints = constraints))
     if (!won)
       addsRef.foreach(n => Files.deleteIfExists(logDir(table).resolve(n)))
     if (won) {
@@ -1075,7 +1217,7 @@ object MergeTable {
       // to delete this fresh record first, failing the stat — safe)
       cachePut(table,
         TableManifest(version, schemaJson, keys, clusterBy, resolved, txns,
-          columnMap, retiredPhysical),
+          columnMap, retiredPhysical, constraints),
         recordIdent(table, version))
     }
     won
@@ -1368,6 +1510,24 @@ object MergeTable {
     * to force a deterministic CAS loss. */
   @volatile private[graft] var testPrecommitHook: () => Unit = () => ()
 
+  /** Probe instrumentation (ScaleProbe `cas_contention`): merge commit
+    * outcome counters — first-attempt wins, conflict-scoped fast-path
+    * re-commits (same files, zero recompute), CAS losses, and full
+    * replays (files dropped, merge recomputed). Atomics off every hot
+    * decision path; read only by probes/specs. */
+  private[graft] object casStats {
+    import java.util.concurrent.atomic.AtomicLong
+    val slowWins = new AtomicLong
+    val fastWins = new AtomicLong
+    val casLosses = new AtomicLong
+    val fullReplays = new AtomicLong
+    def reset(): Unit =
+      Seq(slowWins, fastWins, casLosses, fullReplays).foreach(_.set(0L))
+    def snapshot(): Map[String, Long] = Map(
+      "slow_wins" -> slowWins.get, "fast_wins" -> fastWins.get,
+      "cas_losses" -> casLosses.get, "full_replays" -> fullReplays.get)
+  }
+
   /** MERGE INTO `table` USING `batch` ON `keys`. Default clauses: WHEN
     * MATCHED THEN UPDATE ALL (incoming row wins whole) / WHEN NOT MATCHED
     * THEN INSERT ALL. The batch must be key-unique (the standard MERGE
@@ -1535,7 +1695,7 @@ object MergeTable {
       if (!reusable) {
         val (_, files) = writeClusteredFiles(table,
           withAllColumns(batch, schema), clusterBy, targetRowsPerFile,
-          columnMap)
+          columnMap, snapshot.map(_.constraints).getOrElse(Map.empty))
         written = Some((files, schema.json, columnMap))
       }
       val newFiles = written.get._1
@@ -1545,7 +1705,8 @@ object MergeTable {
       testPrecommitHook()
       if (commitVersion(table, snapshot.map(_.version + 1).getOrElse(0L),
         schema.json, keys, clusterBy, newFiles, removes,
-        newTxns, newFiles, columnMap, retired)) return true
+        newTxns, newFiles, columnMap, retired,
+        snapshot.map(_.constraints).getOrElse(Map.empty))) return true
       // CAS lost: the loop re-reads the head; the files re-commit as-is
     }
     sys.error(s"replaceAll on $table lost the version CAS $maxAttempts " +
@@ -2067,14 +2228,18 @@ object MergeTable {
 
       val (commitId, newFiles) =
         writeClusteredFiles(table, merged, clusterBy, targetRowsPerFile,
-          columnMap)
+          columnMap, snapshot.map(_.constraints).getOrElse(Map.empty))
       val untouched = existingFiles.filterNot(f => touched.contains(f.path))
       val newTxns = snapshot.map(_.txns).getOrElse(Map.empty) ++
         txn.map { case (w, v) => w -> v }
       testPrecommitHook()
       if (commitVersion(table, snapshot.map(_.version + 1).getOrElse(0L),
         schema.json, keys, clusterBy, newFiles, touched.toSeq.sorted,
-        newTxns, untouched ++ newFiles, columnMap, retired)) return true
+        newTxns, untouched ++ newFiles, columnMap, retired,
+        snapshot.map(_.constraints).getOrElse(Map.empty))) {
+        casStats.slowWins.incrementAndGet(); return true
+      }
+      casStats.casLosses.incrementAndGet()
 
       // ---- lost the version CAS ------------------------------------------
       // CONFLICT-SCOPED retry first: our delta (adds = newFiles, removes =
@@ -2136,13 +2301,15 @@ object MergeTable {
           fastDone = commitVersion(table, head.version + 1, mergedSchema.json,
             keys, clusterBy, newFiles, touched.toSeq.sorted,
             head.txns ++ txn.map { case (w, v) => w -> v }, resolved,
-            columnMap, retired)
-          if (fastDone) return true
+            columnMap, retired, head.constraints)
+          if (fastDone) { casStats.fastWins.incrementAndGet(); return true }
+          casStats.casLosses.incrementAndGet()
           // another writer won again — loop: re-evaluate against newer head
         }
       }
       // real overlap: drop this attempt's files and replay the merge
       // against the winner's snapshot
+      casStats.fullReplays.incrementAndGet()
       deleteDir(Paths.get(table, "data", commitId))
     }
     sys.error(s"merge into $table lost the commit race $maxAttempts times")
@@ -2207,7 +2374,8 @@ object MergeTable {
   private def writeClusteredFiles(
       table: String, df: DataFrame, clusterBy: Seq[String],
       targetRowsPerFile: Long,
-      columnMap: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
+      columnMap: Map[String, String] = Map.empty,
+      constraints: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
     // checkpoint the MERGED frame before counting: count() would
     // otherwise execute the full plan (touched-file reads + anti join)
     // once, and the range-repartition below a second time — doubling
@@ -2218,7 +2386,7 @@ object MergeTable {
       val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
       writeStaged(table,
         pinned.repartitionByRange(nFiles, clusterBy.map(c => col(c).asc): _*),
-        clusterBy, columnMap)
+        clusterBy, columnMap, constraints)
     } finally org.apache.spark.sql.graftbridge.Bridge
       .unpersistLocalCheckpoint(pinned)
   }
@@ -2320,7 +2488,8 @@ object MergeTable {
         .sortWithinPartitions(snapshot.clusterBy.map(col): _*)
         .drop(vFields.map(_.name) ++ Seq("__split_base", "__split_k",
           "__split_route", "__split_pre"): _*)
-      writeStaged(table, staged, snapshot.clusterBy, snapshot.columnMap)
+      writeStaged(table, staged, snapshot.clusterBy, snapshot.columnMap,
+        snapshot.constraints)
     } finally org.apache.spark.sql.graftbridge.Bridge
       .unpersistLocalCheckpoint(pinned)
   }
@@ -2328,11 +2497,39 @@ object MergeTable {
   private def writeStaged(
       table: String, toStage: DataFrame,
       logicalClusterBy: Seq[String],
-      columnMap: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
+      columnMap: Map[String, String] = Map.empty,
+      constraints: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
     // files are written — and their stats keyed — under PHYSICAL names,
     // so a later metadata-only rename never invalidates a single byte of
     // data or statistics (the incoming frame is logical-named)
     val stagedLogical = toStage.localCheckpoint()
+    // CHECK-constraint enforcement — the ONE rule every data-file write
+    // obeys: no file is ever published whose rows violate a declared
+    // constraint. ONE aggregate pass over the already-pinned frame (all
+    // constraints in one job, reading the checkpoint blocks), BEFORE any
+    // parquet is written — a violating batch aborts with nothing staged
+    // and the commit loop untouched (atomic rejection). Violation =
+    // predicate FALSE; NULL passes (the SQL standard). Rewrite paths
+    // (OPTIMIZE, split) re-check rows that already passed — redundant by
+    // construction (addConstraint validated the whole table) and cheap
+    // next to the rewrite itself, but it keeps the rule unconditional.
+    if (constraints.nonEmpty) {
+      val ordered = constraints.toSeq.sortBy(_._1)
+      val checks = ordered.map { case (n, e) =>
+        sum(when(not(expr(e)), 1L).otherwise(0L)).as(n)
+      }
+      val row = stagedLogical.select(checks: _*).collect()(0)
+      ordered.zipWithIndex.foreach { case ((n, e), i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (bad > 0) {
+          org.apache.spark.sql.graftbridge.Bridge
+            .unpersistLocalCheckpoint(stagedLogical)
+          throw new IllegalStateException(
+            s"CHECK constraint '$n' (CHECK ($e)) violated by $bad staged " +
+              s"row(s) on $table — commit aborted, nothing published")
+        }
+      }
+    }
     val staged = stagedLogical.select(stagedLogical.schema.fields.map(f =>
       col(f.name).as(physOf(columnMap, f.name))).toSeq: _*)
     val clusterBy = logicalClusterBy.map(c => physOf(columnMap, c))
@@ -2454,7 +2651,32 @@ object MergeTable {
             sums = sums, bottomK = bot, topK = top)
         }
       }
-      (commitId, newFiles)
+      // OPT-IN per-file bloom point indexes: one extra map-side pass
+      // over the SAME pinned frame (no shuffle — the partition that
+      // wrote part-<pid> builds its blooms), one side dataset per
+      // commit, every entry stamped with the ref. Flag off → zero cost.
+      val bloomCols = BloomIndex.indexedColumns(
+        staged.sparkSession, staged.schema, columnMap)
+      val withBloom =
+        if (bloomCols.isEmpty || newFiles.isEmpty) newFiles
+        else {
+          val conf = staged.sparkSession.conf
+          val expected = conf
+            .getOption("spark.graft.stats.bloomExpectedItems")
+            .map(_.trim.toLong).getOrElse(8192L)
+          val fpp = conf.getOption("spark.graft.stats.bloomFpp")
+            .map(_.trim.toDouble).getOrElse(0.03)
+          val bloomRel = s"bloom/$commitId"
+          val pathOfPid = newFiles.map { e =>
+            val name = e.path.split('/').last
+            name.stripPrefix("part-").takeWhile(_.isDigit).toInt -> e.path
+          }.toMap
+          if (BloomIndex.writeBlooms(staged, bloomCols, expected, fpp,
+            table, bloomRel, pathOfPid))
+            newFiles.map(_.copy(bloom = Some(bloomRel)))
+          else newFiles
+        }
+      (commitId, withBloom)
     } finally org.apache.spark.sql.graftbridge.Bridge
       .unpersistLocalCheckpoint(stagedLogical)
   }
@@ -2549,7 +2771,8 @@ object MergeTable {
         case Some((w, v)) =>
           commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
             keys, clusterBy, Seq.empty, Seq.empty,
-            snapshot.txns + (w -> v), snapshot.files, headMap, retired)
+            snapshot.txns + (w -> v), snapshot.files, headMap, retired,
+            snapshot.constraints)
       }
 
       def delKeyBox(): Option[Map[String, ColStat]] = {
@@ -2595,7 +2818,7 @@ object MergeTable {
             if (commitVersion(table, head.version + 1, head.schemaJson,
               keys, clusterBy, adds, removes,
               head.txns ++ txn.map { case (w, v) => w -> v }, resolved,
-              headMap, retired))
+              headMap, retired, head.constraints))
               return Some(true)
           }
         }
@@ -2811,7 +3034,8 @@ object MergeTable {
             if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
               keys, clusterBy, adds, removes,
               snapshot.txns ++ txn.map { case (w, v) => w -> v },
-              untouched ++ adds, headMap, retired)) return deletedCount
+              untouched ++ adds, headMap, retired,
+              snapshot.constraints)) return deletedCount
             fastRetry(changed, adds, removes) match {
               case Some(true) => return deletedCount
               case Some(false) =>
@@ -2833,14 +3057,15 @@ object MergeTable {
 
         val (commitId, newFiles) =
           writeClusteredFiles(table, survivors, clusterBy, targetRowsPerFile,
-            headMap)
+            headMap, snapshot.constraints)
         val untouched = snapshot.files.filterNot(f => touched.contains(f.path))
         val deletedCount = oldCount - newFiles.map(_.numRows).sum
         testPrecommitHook()
         if (commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
           keys, clusterBy, newFiles, touched.toSeq.sorted,
           snapshot.txns ++ txn.map { case (w, v) => w -> v },
-          untouched ++ newFiles, headMap, retired)) return deletedCount
+          untouched ++ newFiles, headMap, retired,
+          snapshot.constraints)) return deletedCount
         fastRetry(touchedEntries, newFiles, touched.toSeq.sorted) match {
           case Some(true) => return deletedCount
           case Some(false) =>
@@ -2988,7 +3213,7 @@ object MergeTable {
           stageSplitBy(s, table, frag, splitBy, snapshot, targetRowsPerFile)
         else if (zorderBy.isEmpty)
           writeClusteredFiles(table, frag, snapshot.clusterBy, targetRowsPerFile,
-            snapshot.columnMap)
+            snapshot.columnMap, snapshot.constraints)
         else {
           // stage the z layout with the same pin-count-stage discipline
           // as writeClusteredFiles; _z never reaches disk or stats
@@ -3054,7 +3279,8 @@ object MergeTable {
                   .sortWithinPartitions("__graft_z")
                   .drop("__graft_z")
                   .drop(stringDims.map(c => s"__rank_$c"): _*),
-                snapshot.clusterBy, snapshot.columnMap)
+                snapshot.clusterBy, snapshot.columnMap,
+                snapshot.constraints)
             } finally dicts.values.foreach { case (dict, _) =>
               org.apache.spark.sql.graftbridge.Bridge
                 .unpersistLocalCheckpoint(dict)
@@ -3068,7 +3294,7 @@ object MergeTable {
         snapshot.keys, snapshot.clusterBy, newFiles,
         candPaths.toSeq.sorted, snapshot.txns,
         snapshot.files.filterNot(f => candPaths.contains(f.path)) ++ newFiles,
-        snapshot.columnMap, snapshot.retiredPhysical))
+        snapshot.columnMap, snapshot.retiredPhysical, snapshot.constraints))
         return candidates.size
 
       // conflict-scoped retry: a compaction rewrites rows unchanged, so
@@ -3094,7 +3320,8 @@ object MergeTable {
           val resolved = head.files.filterNot(f => candPaths.contains(f.path)) ++ newFiles
           fastDone = commitVersion(table, head.version + 1, head.schemaJson,
             head.keys, head.clusterBy, newFiles, candPaths.toSeq.sorted,
-            head.txns, resolved, snapshot.columnMap, snapshot.retiredPhysical)
+            head.txns, resolved, snapshot.columnMap,
+            snapshot.retiredPhysical, snapshot.constraints)
           if (fastDone) return candidates.size
         }
       }
@@ -3174,6 +3401,10 @@ object MergeTable {
     // unreferenced ones (their files were rewritten by OPTIMIZE, or the
     // referencing versions aged out) collect age-gated like data commits
     val liveDv = retained.flatMap(_.files.flatMap(_.dv)).toSet
+    // bloom index datasets follow the same rule as DVs: referenced by
+    // any retained version → stay; orphaned (files rewritten, versions
+    // aged out) → collect age-gated
+    val liveBloom = retained.flatMap(_.files.flatMap(_.bloom)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     // `_temporary` (an in-flight Spark job's staging) gets a DAY of
     // grace, not the sweep's: a live writer is protected, while a
@@ -3242,6 +3473,24 @@ object MergeTable {
         if (!liveDv.contains(s"dv/${c.getFileName}")) {
           val fs0 = { val s5 = Files.list(c)
             try s5.iterator().asScala.toSeq finally s5.close() }
+          if (fs0.isEmpty) reap(c)
+          else if (allAgedOut(fs0)) {
+            deleted += fs0.count(_.getFileName.toString.endsWith(".parquet"))
+            if (!dryRun) deleteDir(c)
+          }
+        }
+      }
+    }
+    // bloom index datasets: same sweep shape as DVs (whole bloom/<id>
+    // dir retires once unreferenced and aged out)
+    val bloomRoot = Paths.get(table, "bloom")
+    if (Files.isDirectory(bloomRoot)) {
+      val sets = { val s6 = Files.list(bloomRoot)
+        try s6.iterator().asScala.toSeq finally s6.close() }
+      sets.foreach { c =>
+        if (!liveBloom.contains(s"bloom/${c.getFileName}")) {
+          val fs0 = { val s7 = Files.list(c)
+            try s7.iterator().asScala.toSeq finally s7.close() }
           if (fs0.isEmpty) reap(c)
           else if (allAgedOut(fs0)) {
             deleted += fs0.count(_.getFileName.toString.endsWith(".parquet"))
@@ -3527,6 +3776,79 @@ object MergeTable {
        |  count(DISTINCT user_id) AS n_users,
        |  round(sum(value), 2) AS value_sum
        |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private val bloomCache = IndexMemo.cache[(SparkSession, String), String]()
+
+  /** Bloom point-index fixture: `events` keyed by `event_id` but
+    * CLUSTERED BY `user_id` — the layout that defeats min/max skipping
+    * for event_id equality probes (each user's file spans nearly the
+    * whole event_id range), which is exactly the gap the opt-in
+    * per-file blooms (`spark.graft.stats.bloomCols = event_id`) close.
+    * Two commits (initial load + a user-3 update wave) so the live
+    * snapshot can reference more than one `bloom/<commit>` dataset. */
+  private def buildBloomEvents(s: SparkSession, sfDir: String): String = {
+    val t = IndexMemo(bloomCache, (s, sfDir)) {
+      IndexStore.recordFixtureBuild("bloom-index")
+      val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+      val root = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft-bloom")
+      sweepScratch(root)
+      val t = root.resolve(
+        s"${IndexStore.scopedName("events", sfDir)}-$appTag").toString
+      dropTable(t)
+      val ev = Tables.read(s, sfDir, "events")
+      val prior = s.conf.getOption("spark.graft.stats.bloomCols")
+      s.conf.set("spark.graft.stats.bloomCols", "event_id")
+      try {
+        // clusterBy ⊆ keys: the composite (user_id, event_id) key keeps
+        // event_id row identity while the LAYOUT follows user_id
+        mergeUpsert(s, t, ev, Seq("user_id", "event_id"), Seq("user_id"),
+          targetRowsPerFile = 1024, txn = Some(("seed", 0L)))
+        mergeUpsert(s, t,
+          ev.where(col("user_id") === 3 && pmod(col("event_id"), lit(5)) === 0)
+            .withColumn("value", col("value") + 1000.0),
+          Seq("user_id", "event_id"), Seq("user_id"),
+          targetRowsPerFile = 1024, txn = Some(("seed", 1L)))
+      } finally prior match {
+        case Some(p) => s.conf.set("spark.graft.stats.bloomCols", p)
+        case None => s.conf.unset("spark.graft.stats.bloomCols")
+      }
+      t
+    }
+    touchTable(t)
+    t
+  }
+
+  /** `q_point_lookup`: equality/IN probes through the per-file BLOOM
+    * index on a table whose clustering (user_id) is uncorrelated with
+    * the probe column (event_id) — min/max boxes cannot refute these
+    * probes, the blooms can. The probe set is derived from the data
+    * (every %97 key, bounded driver metadata) plus three keys past the
+    * id range (the provably-absent path); the oracle recomputes the
+    * same rows from the raw table with the update-wave CASE. Value
+    * correctness is the oracle's half; the files-opened contract
+    * (true-positive files only, flat as the table grows) is pinned by
+    * BloomIndexSpec and the ScaleProbe `bloom_prune` row. */
+  def pointLookupDigest(s: SparkSession, sfDir: String): DataFrame = {
+    val t = buildBloomEvents(s, sfDir)
+    val ev = Tables.read(s, sfDir, "events")
+    val ids = ev.where(pmod(col("event_id"), lit(97)) === 0)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted
+    val absent = ids.lastOption.map(m => Seq(m + 7919L, m + 7920L, m + 7921L))
+      .getOrElse(Seq.empty)
+    read(s, t)
+      .where(col("event_id").isin((ids ++ absent): _*))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value_r"))
+      .orderBy("event_id")
+  }
+
+  val pointLookupDigestSql: String =
+    s"""SELECT event_id, user_id, event_type,
+       |  round(CASE WHEN user_id = 3 AND event_id % 5 = 0
+       |             THEN value + 1000.0 ELSE value END, 2) AS value_r
+       |FROM events WHERE event_id % 97 = 0
+       |ORDER BY event_id""".stripMargin
 
   /** `q_merge_cdf`: the table's CHANGE DATA FEED between version 0 and the
     * latest snapshot, via the file-scoped [[changesBetween]] —

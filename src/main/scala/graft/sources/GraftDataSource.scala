@@ -424,6 +424,22 @@ class GraftTable(val tablePath: String, val manifest: TableManifest)
     p
   }
 
+  /** The snapshot's CHECK constraints as DSv2 [[Constraint]]s — what
+    * `DESCRIBE` surfaces and Spark's own constraint-aware plans consult.
+    * ENFORCED + VALID: the engine validated the whole table at ADD time
+    * and every staged write since ([[MergeTable.addConstraint]]). */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    manifest.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(e)
+        .enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   /** The BaseRelation a `df.write.format("graft")` call returns — schema
     * of the just-committed head; reads still go through the V2 scan. */
   private[sources] def toWrittenRelation(ctx: SQLContext): BaseRelation =
@@ -576,8 +592,16 @@ class GraftScanBuilder(table: String, m: TableManifest, full: StructType)
 class GraftScan(table: String, m: TableManifest, required: StructType,
     pruneFilters: Array[Filter], allFilters: Array[Filter]) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  private lazy val pruned = StatsPruning.prune(m.files, pruneFilters.toSeq,
-    c => MergeTable.physOf(m.columnMap, c))
+  // two skipping tiers stack: min/max boxes refute ranges, then the
+  // opt-in per-file blooms refute equality/IN probes on columns the
+  // boxes can't (high-cardinality, uncorrelated with clustering) —
+  // both refute-only, residual filters still re-check every row
+  private lazy val pruned = {
+    val boxed = StatsPruning.prune(m.files, pruneFilters.toSeq,
+      c => MergeTable.physOf(m.columnMap, c))
+    graft.ops.BloomIndex.prune(SparkSession.active, table, boxed,
+      pruneFilters.toSeq, c => MergeTable.physOf(m.columnMap, c))
+  }
 
   /** Manifest-derived size estimate AFTER file skipping — what lets
     * Catalyst broadcast a small (or small-after-pruning) merge-table
@@ -1314,6 +1338,13 @@ class GraftCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     MergeTable.latestManifest(pathOf(ident)).nonEmpty
 
+  /** Advertise CHECK-constraint DDL — without this Spark rejects
+    * `ALTER TABLE … ADD CONSTRAINT` before it ever reaches alterTable. */
+  override def capabilities():
+      util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** `CREATE TABLE graft.`/abs/path` (cols…) USING graft TBLPROPERTIES
     * ('keys' = 'col[,col]' [, 'clusterBy' = '…'])` — the DDL face of
     * "a graft table is created by its first transactional commit": the
@@ -1372,9 +1403,28 @@ class GraftCatalog extends TableCatalog {
           s"graft ADD COLUMN ${a.fieldNames.head} must be nullable — " +
             "rows written before the widening read back as NULL")
         MergeTable.addColumn(path, a.fieldNames.head, a.dataType)
+      // `ALTER TABLE graft.`p` ADD CONSTRAINT name CHECK (expr)` —
+      // Spark's own constraint grammar lands here; the engine validates
+      // the whole current table, then commits the constraint as
+      // versioned metadata enforced on every later staged write
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(c.predicateSql() != null && c.predicateSql().nonEmpty,
+            "graft CHECK constraints need a SQL predicate")
+          MergeTable.addConstraint(SparkSession.active, path,
+            c.name(), c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"graft supports CHECK constraints only; " +
+            s"${other.getClass.getSimpleName} (PK/FK/UNIQUE) is " +
+            "informational in Spark and a key-unique merge table " +
+            "already enforces key uniqueness transactionally")
+      }
+      case d: TableChange.DropConstraint =>
+        MergeTable.dropConstraint(path, d.name(), ifExists = d.ifExists())
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE supports ADD / RENAME / DROP COLUMN " +
-          s"(metadata-only column mapping); ${other.getClass.getSimpleName} " +
+          s"(metadata-only column mapping) and ADD / DROP CONSTRAINT; " +
+          s"${other.getClass.getSimpleName} " +
           "goes through the merge surface or an explicit migration")
     }
     GraftTable.resolve(path, None, None)

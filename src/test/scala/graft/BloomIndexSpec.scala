@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{BloomIndex, MergeTable}
+import graft.sources.{GraftScanAudit, Tables}
+
+/** Per-file BLOOM point indexes: the oracled `q_point_lookup` pins the
+  * VALUES; this suite pins the pruning contract the oracle cannot see —
+  * which files a probe opens, soundness under saturation (false
+  * positives keep files, never drop rows), the refute-only edges
+  * (no-bloom tables, unindexed columns, untranslatable literals), the
+  * SQL find-phase inheritance, the load memo, and the vacuum lifecycle.
+  */
+class BloomIndexSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_bloom_$tag")
+      .resolve("t").toString
+
+  /** events keyed by event_id, clustered by user_id — each file's
+    * event_id box spans nearly the whole id range, so min/max skipping
+    * keeps every file for an event_id equality probe and any pruning
+    * observed below is the bloom's. */
+  private def writeFixture(t: String, bloom: Boolean,
+      expectedItems: Long = 8192L): Unit = {
+    val ev = Tables.read(spark, dir, "events")
+    val prior = spark.conf.getOption("spark.graft.stats.bloomCols")
+    val priorN = spark.conf.getOption("spark.graft.stats.bloomExpectedItems")
+    if (bloom) {
+      spark.conf.set("spark.graft.stats.bloomCols", "event_id,event_type")
+      spark.conf.set("spark.graft.stats.bloomExpectedItems",
+        expectedItems.toString)
+    }
+    // clusterBy must be a key subset: the composite (user_id, event_id)
+    // key keeps event_id unique row identity while clustering on user
+    try MergeTable.mergeUpsert(spark, t, ev,
+      Seq("user_id", "event_id"), Seq("user_id"),
+      targetRowsPerFile = 64, txn = Some(("seed", 0L)))
+    finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.graft.stats.bloomCols", p)
+        case None => spark.conf.unset("spark.graft.stats.bloomCols")
+      }
+      priorN match {
+        case Some(p) =>
+          spark.conf.set("spark.graft.stats.bloomExpectedItems", p)
+        case None =>
+          spark.conf.unset("spark.graft.stats.bloomExpectedItems")
+      }
+    }
+  }
+
+  private def scanned(t: String): Int =
+    GraftScanAudit.lastFor(t).map(_.scannedFiles).getOrElse(-1)
+
+  test("point probe on a non-cluster column opens only the true-positive " +
+    "file(s); min/max boxes alone keep everything (the gap the bloom " +
+    "closes); absent keys open zero files") {
+    val withB = fresh("on"); val without = fresh("off")
+    writeFixture(withB, bloom = true)
+    writeFixture(without, bloom = false)
+    val m = MergeTable.latestManifest(withB).get
+    assert(m.files.size > 5, s"fixture must fragment: ${m.files.size} files")
+    assert(m.files.forall(_.bloom.nonEmpty), "every entry carries the ref")
+    val total = m.files.size
+
+    // a mid-range key (maximally box-ambiguous under user clustering)
+    val key = 501L
+    val rows = spark.read.format("graft").load(withB)
+      .where(col("event_id") === key).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("event_id") == key)
+    val openedB = scanned(withB)
+    // the no-bloom twin proves the boxes CAN'T refute this probe shape
+    spark.read.format("graft").load(without)
+      .where(col("event_id") === key).collect()
+    val openedNo = scanned(without)
+    assert(openedNo == MergeTable.latestManifest(without).get.files.size,
+      s"boxes unexpectedly pruned an uncorrelated equality: $openedNo")
+    // true positives: exactly one file holds the key; fpp 3% over
+    // ~16 files adds at most a couple of maybes
+    assert(openedB <= math.max(2, total / 4),
+      s"bloom must prune to near the true-positive set: $openedB/$total")
+
+    // an absent key refutes EVERY file (fpp-bounded)
+    spark.read.format("graft").load(withB)
+      .where(col("event_id") === 999999L).collect()
+    assert(scanned(withB) <= 1,
+      s"absent key must open ~0 files: ${scanned(withB)}/$total")
+  }
+
+  test("soundness: every present key returns exactly its row through the " +
+    "bloom-pruned scan (zero false negatives, structurally)") {
+    val t = fresh("sound")
+    writeFixture(t, bloom = true)
+    val expected = Tables.read(spark, dir, "events")
+      .select(col("event_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every 13th key — a spread sample across the id range
+    val probes = expected.keys.filter(_ % 13 == 0).toSeq.sorted
+    assert(probes.size > 50)
+    val got = spark.read.format("graft").load(t)
+      .where(col("event_id").isin(probes: _*))
+      .select(col("event_id"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == probes.map(k => k -> expected(k)).toMap,
+      "a bloom may only ever keep extra files, never drop a matching row")
+  }
+
+  test("saturated bloom (expectedItems=1, grossly overfilled) degrades " +
+    "pruning, never answers: results identical, files kept ≥ the " +
+    "well-sized index") {
+    val sat = fresh("sat")
+    writeFixture(sat, bloom = true, expectedItems = 1L)
+    val key = 501L
+    val rows = spark.read.format("graft").load(sat)
+      .where(col("event_id") === key)
+      .select(col("event_id"), col("value")).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == key,
+      "an overfilled bloom must still return the exact row")
+  }
+
+  test("refute-only edges: IN keeps any-of files, conjunction with an " +
+    "unindexed column still prunes, a fractional literal never prunes, " +
+    "and a missing dataset keeps everything") {
+    val t = fresh("edges")
+    writeFixture(t, bloom = true)
+    val total = MergeTable.latestManifest(t).get.files.size
+    val df = spark.read.format("graft").load(t)
+
+    // IN: present + absent key — the present key's file must survive
+    val in = df.where(col("event_id").isin(501L, 999999L)).collect()
+    assert(in.length == 1 && in.head.getAs[Long]("event_id") == 501L)
+    assert(scanned(t) <= math.max(2, total / 4))
+
+    // conjunction: the value conjunct is not bloom-indexed (double) and
+    // must not block the event_id prune
+    df.where(col("event_id") === 501L && col("value") > -1e9).collect()
+    assert(scanned(t) <= math.max(2, total / 4),
+      "an unindexed conjunct must not disable the indexed one")
+
+    // fractional literal against a long column: untranslatable — keep all
+    val fr = df.where(col("event_id") === lit(501.5)).collect()
+    assert(fr.isEmpty)
+
+    // dataset removed out-of-band: prune degrades to keep-all, loudly
+    // returning correct rows (refute-only means missing = no refutation)
+    val m = MergeTable.latestManifest(t).get
+    val ref = m.files.head.bloom.get
+    val dest = java.nio.file.Paths.get(t, ref + ".hidden")
+    java.nio.file.Files.move(java.nio.file.Paths.get(t, ref), dest)
+    BloomIndex.resetLoadedForTest()
+    try {
+      val rows = spark.read.format("graft").load(t)
+        .where(col("event_id") === 501L).collect()
+      assert(rows.length == 1, "missing dataset must degrade, not drop rows")
+      assert(scanned(t) == total)
+    } finally {
+      java.nio.file.Files.move(dest, java.nio.file.Paths.get(t, ref))
+      BloomIndex.resetLoadedForTest()
+    }
+  }
+
+  test("string-column probes prune too (event_type indexed): an absent " +
+    "label refutes every file") {
+    val t = fresh("str")
+    writeFixture(t, bloom = true)
+    val total = MergeTable.latestManifest(t).get.files.size
+    spark.read.format("graft").load(t)
+      .where(col("event_type") === "no_such_label").collect()
+    assert(scanned(t) <= 1,
+      s"absent string key must refute files: ${scanned(t)}/$total")
+  }
+
+  test("SQL find phases inherit the index: DELETE WHERE event_id = k " +
+    "removes exactly one row, and the consult actually loaded the index") {
+    val t = fresh("sql")
+    writeFixture(t, bloom = true)
+    val before = BloomIndex.loadCount.get()
+    val n = spark.read.format("graft").load(t).count()
+    spark.sql(s"DELETE FROM graft.`$t` WHERE event_id = 501")
+    assert(BloomIndex.loadCount.get() >= before,
+      "the find phase consults the same index")
+    val after = spark.read.format("graft").load(t)
+    assert(after.count() == n - 1)
+    assert(after.where(col("event_id") === 501L).count() == 0)
+  }
+
+  test("load memo: a second probe against the same commit set reads " +
+    "parquet zero more times") {
+    val t = fresh("memo")
+    writeFixture(t, bloom = true)
+    spark.read.format("graft").load(t)
+      .where(col("event_id") === 77L).collect() // warm
+    val before = BloomIndex.loadCount.get()
+    spark.read.format("graft").load(t)
+      .where(col("event_id") === 333L).collect()
+    assert(BloomIndex.loadCount.get() == before,
+      "the second probe must be served from the memo")
+  }
+
+  test("lifecycle: OPTIMIZE rewrite + VACUUM retires the orphaned bloom " +
+    "dataset; the post-vacuum probe reads the fresh index correctly") {
+    val t = fresh("vac")
+    writeFixture(t, bloom = true)
+    val oldRefs = MergeTable.latestManifest(t).get.files.flatMap(_.bloom).toSet
+    assert(oldRefs.nonEmpty)
+    // rewrite through the normal write path with the conf set → new blooms
+    val prior = spark.conf.getOption("spark.graft.stats.bloomCols")
+    spark.conf.set("spark.graft.stats.bloomCols", "event_id")
+    try MergeTable.optimize(spark, t, targetRowsPerFile = 4096)
+    finally prior match {
+      case Some(p) => spark.conf.set("spark.graft.stats.bloomCols", p)
+      case None => spark.conf.unset("spark.graft.stats.bloomCols")
+    }
+    val newRefs = MergeTable.latestManifest(t).get.files.flatMap(_.bloom).toSet
+    assert(newRefs.nonEmpty && newRefs.intersect(oldRefs).isEmpty,
+      "the rewrite must carry fresh bloom datasets")
+    MergeTable.vacuum(t, graceMs = 0L, retainVersions = 1)
+    oldRefs.foreach { r =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t, r)),
+        s"orphaned dataset must retire: $r")
+    }
+    newRefs.foreach { r =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t, r)),
+        s"live dataset must survive: $r")
+    }
+    BloomIndex.resetLoadedForTest()
+    val rows = spark.read.format("graft").load(t)
+      .where(col("event_id") === 501L).collect()
+    assert(rows.length == 1)
+  }
+}
