@@ -91,8 +91,12 @@ object ScaleProbe {
     val srcPruneOnly = args.headOption.contains("sourceprune")
     val streamResetOnly = args.headOption.contains("streamreset")
     val replicatorFoldOnly = args.headOption.contains("replicatorfold")
+    val bloomPruneOnly = args.headOption.contains("bloomprune")
+    val casOnly = args.headOption.contains("cascontention")
     val nIntervals = if (args.length > 1) args(1).toInt else 100000
 
+    if (casOnly) { probeCasContention(spark); spark.stop(); return }
+    if (bloomPruneOnly) { probeBloomPrune(spark); spark.stop(); return }
     if (srcPruneOnly) { probeSourcePrune(spark); spark.stop(); return }
     if (streamResetOnly) { probeStreamReset(spark); spark.stop(); return }
     if (replicatorFoldOnly) {
@@ -105,6 +109,8 @@ object ScaleProbe {
       probeReplicatorFold(spark)
       probeChangeFeed(spark)
       probeStatsPruning(spark)
+      probeBloomPrune(spark)
+      probeCasContention(spark)
       probeSplitLayout(spark)
       probeManifestResolution(spark)
       probeDeletionVectors(spark)
@@ -367,6 +373,122 @@ object ScaleProbe {
             s""""files_kept":${kept.size},"scan_files":${audit.scannedFiles},""" +
             s""""rows_matched":$cnt,"prune_sec":${s1(tPrune)}}""")
       } finally MergeTable.dropTable(t.toString)
+    }
+  }
+
+  /** CONCURRENT-WRITER throughput under the hard-link CAS, measured at
+    * N = 2 / 8 / 16 sustained writers against ONE table — the
+    * transactional claim that was spec-proven (races are correct) but
+    * never had a measured row. Each writer commits `commitsEach`
+    * batches; EVEN writers hit disjoint key slabs (the fast-path
+    * conflict-scoped re-commit shape: same files revalidate at the new
+    * head, zero recompute), ODD writers straddle two slabs (real
+    * overlap → full merge replay). Reported: wall, commits/sec, and the
+    * outcome counters — retry amplification is
+    * (slow+fast+losses)/commits, the number a pathological livelock
+    * would blow up. */
+  private def probeCasContention(spark: SparkSession): Unit = {
+    import graft.ops.MergeTable
+    for (writers <- Seq(2, 8, 16)) {
+      val t = java.nio.file.Files.createTempDirectory(s"graft-probe-cas$writers")
+      java.nio.file.Files.delete(t)
+      try {
+        import spark.implicits._
+        val slab = 1000L
+        val base = (0L until writers * slab)
+          .map(i => (i, 0.0)).toDF("event_id", "value")
+        MergeTable.mergeUpsert(spark, t.toString, base,
+          Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500)
+        MergeTable.casStats.reset()
+        val commitsEach = 6
+        val failures = new java.util.concurrent.atomic.AtomicInteger
+        val t0 = System.nanoTime()
+        val threads = (0 until writers).map { w =>
+          new Thread(() => {
+            try {
+              var m = 0
+              while (m < commitsEach) {
+                // EVEN writers own their slab (disjoint from everyone);
+                // ODD writers write the SAME 200-key window as their
+                // even neighbor — guaranteed box overlap → full replay
+                val lo = if (w % 2 == 0) w * slab else (w - 1) * slab
+                val batch = spark.range(lo, lo + 200)
+                  .select(col("id").as("event_id"),
+                    (col("id") * 0.5 + lit(m)).as("value"))
+                MergeTable.mergeUpsert(spark, t.toString, batch,
+                  Seq("event_id"), Seq("event_id"), targetRowsPerFile = 500,
+                  txn = Some((s"w$w", m.toLong)), maxAttempts = 200)
+                m += 1
+              }
+            } catch { case _: Throwable => failures.incrementAndGet(); () }
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val wall = (System.nanoTime() - t0) / 1e9
+        val st = MergeTable.casStats.snapshot()
+        val commits = writers * commitsEach
+        val attempts = st("slow_wins") + st("fast_wins") + st("cas_losses")
+        println(
+          s"""{"probe":"cas_contention","writers":$writers,""" +
+            s""""commits":$commits,"failures":${failures.get},""" +
+            s""""wall_sec":${s1(wall)},""" +
+            s""""commits_per_sec":${s1(commits / wall)},""" +
+            s""""fast_wins":${st("fast_wins")},""" +
+            s""""cas_losses":${st("cas_losses")},""" +
+            s""""full_replays":${st("full_replays")},""" +
+            s""""retry_amplification":${s1(attempts.toDouble / commits)}}""")
+      } finally MergeTable.dropTable(t.toString)
+    }
+  }
+
+  /** The BLOOM POINT INDEX claim measured at 1× and 10× file counts: an
+    * equality probe on a column UNCORRELATED with the clustering (the
+    * shape min/max boxes cannot refute — every file's box spans the
+    * probe value) must open a FLAT number of files as the table grows
+    * 10×: the true-positive file plus an fpp-bounded handful of maybes,
+    * not the O(files) the box prune degrades to. Also records the
+    * driver consult cost (one memoized metadata-scale parquet read per
+    * commit dataset). */
+  private def probeBloomPrune(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.ops.MergeTable
+    for (n <- Seq(20000, 200000)) {
+      val t = java.nio.file.Files.createTempDirectory(s"graft-probe-bloom$n")
+      java.nio.file.Files.delete(t)
+      val prior = spark.conf.getOption("spark.graft.stats.bloomCols")
+      spark.conf.set("spark.graft.stats.bloomCols", "event_id")
+      try {
+        // cluster on a coarse group; event_id then scatters across the
+        // full range INSIDE every file (the box-ambiguous layout)
+        val base = (0L until n).map(i => (i % 256, i, i * 0.5))
+          .toDF("g", "event_id", "value")
+        MergeTable.mergeUpsert(spark, t.toString, base,
+          Seq("g", "event_id"), Seq("g"), targetRowsPerFile = 500)
+        val m = MergeTable.latestManifest(t.toString).get
+        graft.ops.BloomIndex.resetLoadedForTest()
+        graft.sources.GraftScanAudit.reset()
+        val probeKey = n / 2L
+        val (cnt, tCold) = time(spark.read.format("graft").load(t.toString)
+          .where(col("event_id") === probeKey).count())
+        val cold = graft.sources.GraftScanAudit.last.get
+        // second probe: the consult must be served from the memo
+        graft.sources.GraftScanAudit.reset()
+        val (_, tWarm) = time(spark.read.format("graft").load(t.toString)
+          .where(col("event_id") === probeKey + 1L).count())
+        val warm = graft.sources.GraftScanAudit.last.get
+        println(
+          s"""{"probe":"bloom_prune","rows":$n,"files_total":${m.files.size},""" +
+            s""""files_opened_cold":${cold.scannedFiles},""" +
+            s""""files_opened_warm":${warm.scannedFiles},""" +
+            s""""rows_matched":$cnt,"lookup_cold_sec":${s1(tCold)},""" +
+            s""""lookup_warm_sec":${s1(tWarm)}}""")
+      } finally {
+        prior match {
+          case Some(p) => spark.conf.set("spark.graft.stats.bloomCols", p)
+          case None => spark.conf.unset("spark.graft.stats.bloomCols")
+        }
+        MergeTable.dropTable(t.toString)
+      }
     }
   }
 
