@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 
 /** Custom-plan-tier (c) operator: a broadcast RANGE (interval) join.
   *
@@ -128,11 +129,25 @@ case class RangeJoinExec(
     lowerStrict: Boolean,
     upper: Expression,
     upperStrict: Boolean,
-    residual: Option[Expression]) extends BinaryExecNode {
+    residual: Option[Expression]) extends BinaryExecNode with CodegenSupport {
 
   override def left: SparkPlan = streamed
   override def right: SparkPlan = broadcast
   override def output: Seq[Attribute] = streamed.output ++ broadcast.output
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
+  private def allIntegral: Boolean = {
+    import org.apache.spark.sql.types._
+    def integral(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+          TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    Seq(point, lower, upper).map(_.dataType).forall(integral)
+  }
 
   // rows pass through the streamed side untouched — keep its partitioning
   // visible so a downstream groupBy on an already-partitioned key doesn't
@@ -148,20 +163,13 @@ case class RangeJoinExec(
     copy(streamed = newLeft, broadcast = newRight)
 
   protected override def doExecute(): RDD[InternalRow] = {
-    import org.apache.spark.sql.types._
     // All three bound expressions evaluate to a JVM integral? → the
     // primitive probe path: bounds in long[] arrays, comparisons on
     // primitives — no per-comparison boxing or Ordering dispatch. This is
     // the dominant shape (timestamps, ids, dates); the boxed interpreted
     // path remains for decimals/strings/doubles (doubles stay boxed so NaN
     // keeps the interpreted total order rather than primitive-< semantics).
-    def integral(dt: DataType): Boolean = dt match {
-      case LongType | IntegerType | ShortType | ByteType | DateType |
-          TimestampType | TimestampNTZType => true
-      case _ => false
-    }
-    if (Seq(point, lower, upper).map(_.dataType).forall(integral))
-      doExecutePrimitive()
+    if (allIntegral) doExecutePrimitive()
     else doExecuteGeneric()
   }
 
@@ -176,6 +184,7 @@ case class RangeJoinExec(
     val loStrict = lowerStrict
     val hiStrict = upperStrict
     val outputAttrs = output
+    val numOutput = longMetric("numOutputRows")
     val subKey = s"gen:${lower.semanticHash()}:${upper.semanticHash()}"
 
     streamed.execute().mapPartitions { iter =>
@@ -251,7 +260,7 @@ case class RangeJoinExec(
           matches.iterator
             .map(i => joined(srow, intervals(i)._3))
             .filter(jr => boundResidual.forall(r => r.eval(jr) == true))
-            .map(toUnsafe)
+            .map { jr => numOutput.add(1); toUnsafe(jr) }
         }
       }
     }
@@ -265,95 +274,209 @@ case class RangeJoinExec(
     */
   private def doExecutePrimitive(): RDD[InternalRow] = {
     val relation = broadcast.executeBroadcast[Array[InternalRow]]()
+    val builder = indexBuilder
     val boundPoint = BindReferences.bindReference(point, streamed.output)
-    val boundLo = BindReferences.bindReference(lower, broadcast.output)
-    val boundHi = BindReferences.bindReference(upper, broadcast.output)
     val boundResidual = residual.map(BindReferences.bindReference(_, output))
     val loStrict = lowerStrict
     val hiStrict = upperStrict
     val outputAttrs = output
+    val numOutput = longMetric("numOutputRows")
 
-    def toLong(v: Any): Long = v match {
-      case l: Long => l
-      case i: Int => i.toLong
-      case s: Short => s.toLong
-      case b: Byte => b.toLong
-    }
-
-    val subKey = s"prim:${lower.semanticHash()}:${upper.semanticHash()}"
     streamed.execute().mapPartitions { iter =>
-      val idx = RangeJoinExec.indexFor[RangeJoinExec.PrimitiveIndex](relation.value, subKey)({
-        val kept = relation.value.flatMap { r =>
-          val lo = boundLo.eval(r)
-          val hi = boundHi.eval(r)
-          if (lo == null || hi == null) None else Some((toLong(lo), toLong(hi), r))
-        }.sortBy(_._1)
-        val n = kept.length
-        val lo = new Array[Long](n)
-        val hi = new Array[Long](n)
-        val rows = new Array[InternalRow](n)
-        var i = 0
-        while (i < n) {
-          lo(i) = kept(i)._1; hi(i) = kept(i)._2; rows(i) = kept(i)._3
-          i += 1
-        }
-        val mh = new Array[Long](4 * math.max(n, 1))
-        def build(node: Int, s: Int, e: Int): Long = {
-          val v =
-            if (s == e) hi(s)
-            else {
-              val m = (s + e) / 2
-              math.max(build(2 * node, s, m), build(2 * node + 1, m + 1, e))
-            }
-          mh(node) = v
-          v
-        }
-        if (n > 0) build(1, 0, n - 1)
-        RangeJoinExec.PrimitiveIndex(lo, hi, rows, mh)
-      })
-      val lo = idx.lo
-      val hi = idx.hi
-      val rows = idx.rows
-      val maxHi = idx.maxHi
-      val n = lo.length
-
+      val probe = new RangeProbe(builder.get(relation.value), loStrict, hiStrict)
       val joined = new JoinedRow
       val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
-      val matches = scala.collection.mutable.ArrayBuffer.empty[Int]
-
-      def query(p: Long): Unit = {
-        def visit(node: Int, s: Int, e: Int): Unit = {
-          // prune: every hi in this subtree is below p
-          if (if (hiStrict) maxHi(node) <= p else maxHi(node) < p) return
-          // prune: every lo in this subtree is above p (lo-sorted array)
-          if (if (loStrict) lo(s) >= p else lo(s) > p) return
-          if (s == e) {
-            val okLo = if (loStrict) lo(s) < p else lo(s) <= p
-            val okHi = if (hiStrict) hi(s) > p else hi(s) >= p
-            if (okLo && okHi) matches += s
-          } else {
-            val m = (s + e) / 2
-            visit(2 * node, s, m)
-            visit(2 * node + 1, m + 1, e)
-          }
-        }
-        if (n > 0) visit(1, 0, n - 1)
-      }
-
       iter.flatMap { srow =>
         val p = boundPoint.eval(srow)
         if (p == null) Iterator.empty
         else {
-          matches.clear()
-          query(toLong(p))
-          matches.toArray.iterator
-            .map(i => joined(srow, rows(i)))
+          val n = probe.query(RangeJoinExec.anyToLong(p))
+          (0 until n).iterator
+            .map(i => joined(srow, probe.row(i)))
             .filter(jr => boundResidual.forall(r => r.eval(jr) == true))
-            .map(toUnsafe)
+            .map { jr => numOutput.add(1); toUnsafe(jr) }
         }
       }
     }
   }
+
+  /** The per-executor-memoizing index builder shipped to tasks (and, on
+    * the codegen path, into the generated class as a reference object). */
+  private def indexBuilder: PrimitiveIndexBuilder =
+    PrimitiveIndexBuilder(
+      BindReferences.bindReference(lower, broadcast.output),
+      BindReferences.bindReference(upper, broadcast.output),
+      s"prim:${lower.semanticHash()}:${upper.semanticHash()}")
+
+  // ---- whole-stage codegen (primitive path only) ---------------------------
+  //
+  // The interpreted doExecute is a per-row iterator chain (eval point →
+  // segment-tree probe → JoinedRow → residual eval → UnsafeProjection) and
+  // a codegen BOUNDARY: upstream and downstream stages materialize rows to
+  // cross it. With CodegenSupport the probe loop fuses into the streamed
+  // side's stage — point evaluation, match loop, broadcast-column loads and
+  // the residual check all compile into the same Java method, and the only
+  // non-generated call per probe is RangeProbe.query (a final method over
+  // primitive arrays, the same shape as the HashedRelation.get call inside
+  // Spark's generated broadcast-hash-join loop). The boxed (non-integral)
+  // path keeps the interpreted exec: supportCodegen gates on the bound types.
+
+  override def supportCodegen: Boolean = allIntegral
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    streamed.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // one stream row can emit many joined rows; downstream must copy
+  override def needCopyResult: Boolean = true
+
+  protected override def doProduce(ctx: CodegenContext): String =
+    streamed.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    // per-partition probe over the per-executor memoized index: built once
+    // in the generated class's init, exactly like BroadcastHashJoin's
+    // relation term
+    val relation = broadcast.executeBroadcast[Array[InternalRow]]()
+    val bcTerm = ctx.addReferenceObj("rangeJoinBroadcast", relation,
+      relation.getClass.getName)
+    val builderTerm = ctx.addReferenceObj("rangeJoinIndexBuilder",
+      indexBuilder, classOf[PrimitiveIndexBuilder].getName)
+    val probeCls = classOf[RangeProbe].getName
+    val probeTerm = ctx.addMutableState(probeCls, "rangeJoinProbe",
+      v => s"$v = new $probeCls($builderTerm.get(" +
+        s"(InternalRow[]) $bcTerm.value()), $lowerStrict, $upperStrict);")
+
+    // evaluate the probe point from the streamed side's current variables
+    ctx.currentVars = input
+    val pointEv =
+      BindReferences.bindReference(point, streamed.output).genCode(ctx)
+
+    // inside the match loop: load the broadcast row's columns
+    val matched = ctx.freshName("rangeJoinMatchedRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matched
+    val buildVars = broadcast.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val buildCode = evaluateVariables(buildVars)
+
+    // residual conjuncts run over streamed + broadcast variables
+    val checkResidual = residual.map { cond =>
+      ctx.currentVars = input ++ buildVars
+      val ev = BindReferences
+        .bindReference(cond, streamed.output ++ broadcast.output).genCode(ctx)
+      s"""
+         |${ev.code}
+         |if (${ev.isNull} || !${ev.value}) continue;
+       """.stripMargin
+    }.getOrElse("")
+
+    val nTerm = ctx.freshName("rangeJoinMatches")
+    val iTerm = ctx.freshName("rangeJoinIdx")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    s"""
+       |${pointEv.code}
+       |if (!${pointEv.isNull}) {
+       |  int $nTerm = $probeTerm.query((long) ${pointEv.value});
+       |  for (int $iTerm = 0; $iTerm < $nTerm; $iTerm++) {
+       |    InternalRow $matched = $probeTerm.row($iTerm);
+       |    $buildCode
+       |    $checkResidual
+       |    $numOutput.add(1);
+       |    ${consume(ctx, input ++ buildVars)}
+       |  }
+       |}
+     """.stripMargin
+  }
+}
+
+/** Per-partition probe state over a shared [[RangeJoinExec.PrimitiveIndex]]:
+  * the iterative-recursive segment-tree descent plus a growable match
+  * buffer. One instance per task/generated-class instance — the INDEX is
+  * shared across tasks (executor-memoized, immutable), the buffer is not.
+  * Final methods over primitive arrays: the JIT compiles the descent tight
+  * whether called from the interpreted iterator or from generated code.
+  */
+final class RangeProbe(idx: RangeJoinExec.PrimitiveIndex,
+    loStrict: Boolean, hiStrict: Boolean) {
+  private[this] val lo = idx.lo
+  private[this] val hi = idx.hi
+  private[this] val maxHi = idx.maxHi
+  private[this] val n = idx.lo.length
+  private[this] var buf = new Array[Int](math.min(math.max(n, 8), 64))
+  private[this] var count = 0
+
+  /** The i-th matched interval's broadcast row (valid after [[query]]). */
+  def row(i: Int): InternalRow = idx.rows(buf(i))
+
+  /** Collect all intervals containing p; returns the match count. */
+  def query(p: Long): Int = {
+    count = 0
+    if (n > 0) visit(1, 0, n - 1, p)
+    count
+  }
+
+  private def visit(node: Int, s: Int, e: Int, p: Long): Unit = {
+    // prune: every hi in this subtree is below p
+    if (if (hiStrict) maxHi(node) <= p else maxHi(node) < p) return
+    // prune: every lo in this subtree is above p (lo-sorted array)
+    if (if (loStrict) lo(s) >= p else lo(s) > p) return
+    if (s == e) {
+      val okLo = if (loStrict) lo(s) < p else lo(s) <= p
+      val okHi = if (hiStrict) hi(s) > p else hi(s) >= p
+      if (okLo && okHi) {
+        if (count == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        buf(count) = s
+        count += 1
+      }
+    } else {
+      val m = (s + e) / 2
+      visit(2 * node, s, m, p)
+      visit(2 * node + 1, m + 1, e, p)
+    }
+  }
+}
+
+/** Builds (or fetches the executor-memoized) primitive interval index for
+  * a broadcast row array — serializable so both the interpreted task
+  * closure and the generated class (as a reference object) can call
+  * [[get]]. The memo key is the broadcast array identity + the bound
+  * expressions, so re-plans and multi-stage reuse share one build.
+  */
+case class PrimitiveIndexBuilder(boundLo: Expression, boundHi: Expression,
+    subKey: String) {
+  def get(rows: Array[InternalRow]): RangeJoinExec.PrimitiveIndex =
+    RangeJoinExec.indexFor[RangeJoinExec.PrimitiveIndex](rows, subKey)({
+      val kept = rows.flatMap { r =>
+        val lo = boundLo.eval(r)
+        val hi = boundHi.eval(r)
+        if (lo == null || hi == null) None
+        else Some((RangeJoinExec.anyToLong(lo), RangeJoinExec.anyToLong(hi), r))
+      }.sortBy(_._1)
+      val n = kept.length
+      val lo = new Array[Long](n)
+      val hi = new Array[Long](n)
+      val rws = new Array[InternalRow](n)
+      var i = 0
+      while (i < n) {
+        lo(i) = kept(i)._1; hi(i) = kept(i)._2; rws(i) = kept(i)._3
+        i += 1
+      }
+      val mh = new Array[Long](4 * math.max(n, 1))
+      def build(node: Int, s: Int, e: Int): Long = {
+        val v =
+          if (s == e) hi(s)
+          else {
+            val m = (s + e) / 2
+            math.max(build(2 * node, s, m), build(2 * node + 1, m + 1, e))
+          }
+        mh(node) = v
+        v
+      }
+      if (n > 0) build(1, 0, n - 1)
+      RangeJoinExec.PrimitiveIndex(lo, hi, rws, mh)
+    })
 }
 
 object RangeJoinExec {
@@ -363,6 +486,14 @@ object RangeJoinExec {
   final case class PrimitiveIndex(
       lo: Array[Long], hi: Array[Long],
       rows: Array[InternalRow], maxHi: Array[Long])
+
+  /** Integral eval result → Long (Int for date, Long for timestamp, …). */
+  def anyToLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+  }
 
   /** Per-JVM (executor) index memo: weak-keyed on the broadcast row array
     * (entries die with their broadcast), sub-keyed by the bound

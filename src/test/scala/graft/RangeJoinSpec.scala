@@ -121,6 +121,39 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(j.count() == 2)
   }
 
+  test("primitive range join fuses into WholeStageCodegen (starred node)") {
+    // codegen'd nodes print as `*(stage) RangeJoin`; a bare `RangeJoin`
+    // means the probe loop fell back to the interpreted iterator and the
+    // exec is a codegen boundary (rows materialize to cross it). Execute
+    // first: AQE only collapses codegen stages in the FINAL plan.
+    val j = pts.join(ivs, $"p" >= $"lo" && $"p" <= $"hi")
+    j.collect()
+    val p = planOf(j)
+    assert("""\*\(\d+\) RangeJoin""".r.findFirstIn(p).nonEmpty, p)
+  }
+
+  test("codegen and interpreted primitive paths agree (incl. residual + strict)") {
+    val j = () => pts.join(ivs, $"p" >= $"lo" && $"p" < $"hi" && $"id" =!= $"w")
+      .select("id", "w")
+    val on = j().collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val off = try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      j().collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    assert(on == off)
+    assert(on == expected(strictHi = true).filter { case (id, w) => id != w })
+  }
+
+  test("boxed (double) bounds stay OUTSIDE WholeStageCodegen, by design") {
+    val dpts = pts.select($"id", $"p".cast("double").as("p"))
+    val divs = ivs.select($"w", $"lo".cast("double").as("lo"),
+      $"hi".cast("double").as("hi"))
+    val p = planOf(dpts.join(divs, $"p" >= $"lo" && $"p" <= $"hi"))
+    assert(p.contains("RangeJoin"), p)
+    assert("""\*\(\d+\) RangeJoin""".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("q_interval_join: windowed rollup matches an independent computation") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.ops.TimeSeriesOps.intervalJoin(spark, dir).collect()
