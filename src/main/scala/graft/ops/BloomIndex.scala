@@ -119,10 +119,16 @@ object BloomIndex {
     }
 
   /** The bloom-indexed (physicalName, tag) pairs of a PHYSICAL-named
-    * write schema under the session's `bloomCols` conf. */
+    * write schema. Resolution order: the TABLE's declared
+    * `graft.stats.bloomCols` property beats the session's
+    * `spark.graft.stats.bloomCols` conf — a declared contract indexes
+    * the same columns from every writer on every cluster; the conf is
+    * the per-session opt-in for tables that never declared one. */
   private[graft] def indexedColumns(s: SparkSession, schema: StructType,
-      columnMap: Map[String, String]): Seq[(String, String)] =
-    s.conf.getOption("spark.graft.stats.bloomCols")
+      columnMap: Map[String, String],
+      tableProps: Map[String, String] = Map.empty): Seq[(String, String)] =
+    tableProps.get("graft.stats.bloomCols")
+      .orElse(s.conf.getOption("spark.graft.stats.bloomCols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
       .flatMap { logical =>
@@ -130,6 +136,19 @@ object BloomIndex {
         schema.fields.find(_.name.equalsIgnoreCase(phys))
           .flatMap(f => tagFor(f.dataType).map(t => (f.name, t)))
       }.distinct
+
+  /** (expectedItems, fpp) sizing, table property first, session conf
+    * second, defaults last. */
+  private[graft] def sizing(s: SparkSession,
+      tableProps: Map[String, String]): (Long, Double) = {
+    val expected = tableProps.get("graft.stats.bloomExpectedItems")
+      .orElse(s.conf.getOption("spark.graft.stats.bloomExpectedItems"))
+      .map(_.trim.toLong).getOrElse(8192L)
+    val fpp = tableProps.get("graft.stats.bloomFpp")
+      .orElse(s.conf.getOption("spark.graft.stats.bloomFpp"))
+      .map(_.trim.toDouble).getOrElse(0.03)
+    (expected, fpp)
+  }
 
   private val rowSchema = StructType(Seq(
     StructField("pid", IntegerType, nullable = false),

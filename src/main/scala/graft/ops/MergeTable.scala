@@ -234,7 +234,14 @@ object MergeTable {
       // standard). State like the schema: carried in full on every
       // record, versioned, restored by RESTORE. Additive: legacy
       // records parse empty.
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // TABLE PROPERTIES (`ALTER TABLE … SET TBLPROPERTIES`): versioned
+      // key→value metadata carried in full like the schema. The engine
+      // consults the `graft.stats.bloom*` keys (a TABLE-DECLARED bloom
+      // index contract beats the session conf, so every writer on every
+      // cluster indexes the same columns); everything else is user
+      // metadata surfaced by DESCRIBE/SHOW TBLPROPERTIES.
+      properties: Map[String, String] = Map.empty)
 
   /** A record whose adds list exceeds this count externalizes it to a
     * streamed `adds-v<N>-<uuid>.ndjson.gz` side file instead of inlining
@@ -285,7 +292,12 @@ object MergeTable {
       // metadata); non-empty → formatVersion 3 (an older writer
       // silently skipping enforcement would break the table's declared
       // contract — the same loud-failure rule as column mapping)
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // table properties, carried in full; non-empty → formatVersion 3
+      // (a writer that cannot see them could stage files that ignore a
+      // declared bloom contract — refute-only-sound but silently
+      // index-less; the loud-failure rule keeps the contract honest)
+      properties: Map[String, String] = Map.empty)
 
   private implicit val jsonFormats: org.json4s.Formats =
     org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
@@ -566,7 +578,8 @@ object MergeTable {
       val files = resolveListing(table, v, head)
       val m = TableManifest(
         v, head.schemaJson, head.keys, head.clusterBy, files, head.txns,
-        head.columnMap, head.retiredPhysical, head.constraints)
+        head.columnMap, head.retiredPhysical, head.constraints,
+        head.properties)
       cachePut(table, m, tok)
       m
     }
@@ -801,7 +814,7 @@ object MergeTable {
       if (commitVersion(table, head.version + 1, target.schemaJson,
         target.keys, target.clusterBy, adds, removes.sorted, head.txns,
         target.files, target.columnMap, head.retiredPhysical,
-        target.constraints)) {
+        target.constraints, target.properties)) {
         // Post-win audit: if vacuum raced between the pre-check and the
         // winning link, the published head references dead files — fail
         // LOUDLY now (the commit is already visible; silence would be
@@ -886,7 +899,8 @@ object MergeTable {
       if (commitVersion(table, head.version + 1, head.schemaJson, head.keys,
         head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
         head.columnMap, head.retiredPhysical,
-        head.constraints + (name -> predicateSql))) return head.version + 1
+        head.constraints + (name -> predicateSql),
+        head.properties)) return head.version + 1
       // CAS lost: loop — re-validate against the new head's rows
     }
     sys.error(s"addConstraint on $table lost the commit race " +
@@ -914,10 +928,120 @@ object MergeTable {
           if (commitVersion(table, head.version + 1, head.schemaJson,
             head.keys, head.clusterBy, Seq.empty, Seq.empty, head.txns,
             head.files, head.columnMap, head.retiredPhysical,
-            head.constraints - key)) return head.version + 1
+            head.constraints - key,
+            head.properties)) return head.version + 1
       }
     }
     sys.error(s"dropConstraint on $table lost the commit race " +
+      s"$maxAttempts times")
+  }
+
+  // ---- table properties: versioned key→value metadata ----------------------
+
+  /** Property keys the engine consults (everything else is user
+    * metadata). `graft.stats.bloomCols` declares the per-file bloom
+    * point-index contract AT THE TABLE — the session conf
+    * `spark.graft.stats.bloomCols` then becomes a local default the
+    * table declaration overrides, so every writer on every cluster
+    * indexes the same columns ([[graft.ops.BloomIndex]]). */
+  private val CanonicalEngineProp = Map(
+    "graft.stats.bloomcols" -> "graft.stats.bloomCols",
+    "graft.stats.bloomexpecteditems" -> "graft.stats.bloomExpectedItems",
+    "graft.stats.bloomfpp" -> "graft.stats.bloomFpp")
+  private val EngineProps = CanonicalEngineProp.keySet
+
+  /** Engine keys are stored under ONE canonical spelling whatever case
+    * the DDL used — the read side looks properties up by exact key. */
+  private def canonicalPropKey(k: String): String =
+    CanonicalEngineProp.getOrElse(k.toLowerCase(java.util.Locale.ROOT), k)
+
+  /** First-class manifest facts that LOOK like properties but are not
+    * settable through this door: keys/clustering are the table's merge
+    * identity (a re-key is a migration, not a property flip). */
+  private val ReservedProps = Set("keys", "clusterby", "format",
+    "version", "provider", "location")
+
+  /** `ALTER TABLE … SET TBLPROPERTIES (k = v, …)` — a metadata-only
+    * commit merging `kv` into the table's versioned property map. The
+    * engine-consulted keys are validated against THIS snapshot's schema
+    * (unknown bloom columns, unparsable sizes fail loudly before any
+    * commit); unknown `graft.*` keys are rejected as probable typos —
+    * a silently ignored engine knob is worse than an error. Returns the
+    * committed version. */
+  def setProperties(s: SparkSession, table: String,
+      kv: Map[String, String], maxAttempts: Int = 20): Long = {
+    kv.keys.foreach { k =>
+      require(k.nonEmpty, "empty property key")
+      require(!ReservedProps.contains(k.toLowerCase(java.util.Locale.ROOT)),
+        s"'$k' is a first-class table fact, not a settable property " +
+          "(keys/clustering changes are migrations)")
+      require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("graft.") ||
+        EngineProps.contains(k.toLowerCase(java.util.Locale.ROOT)),
+        s"unknown engine property '$k' — the graft.* namespace is " +
+          s"reserved; known: ${CanonicalEngineProp.values.toSeq.sorted.mkString(", ")}")
+    }
+    val norm = kv.map { case (k, v) => canonicalPropKey(k) -> v }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = latestManifest(table).getOrElse(
+        sys.error(s"no committed version under $table"))
+      // engine-key validation against the CURRENT schema, re-run per
+      // attempt (a concurrent drop could retire a named bloom column)
+      norm.foreach { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) match {
+        case "graft.stats.bloomcols" =>
+          val schema = DataType.fromJson(head.schemaJson)
+            .asInstanceOf[StructType]
+          v.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+            val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+              .getOrElse(sys.error(s"graft.stats.bloomCols names '$c', " +
+                s"not a column of $table"))
+            require(BloomIndex.tagFor(f.dataType).nonEmpty,
+              s"graft.stats.bloomCols names '$c' (${f.dataType.simpleString})" +
+                " — bloom-indexable types are integral, string, date, " +
+                "timestamp")
+          }
+        case "graft.stats.bloomexpecteditems" =>
+          require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0),
+            s"graft.stats.bloomExpectedItems must be a positive long, got '$v'")
+        case "graft.stats.bloomfpp" =>
+          require(scala.util.Try(v.trim.toDouble).toOption
+            .exists(d => d > 0 && d < 1),
+            s"graft.stats.bloomFpp must be in (0, 1), got '$v'")
+        case _ => ()
+      } }
+      if (commitVersion(table, head.version + 1, head.schemaJson, head.keys,
+        head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
+        head.columnMap, head.retiredPhysical, head.constraints,
+        head.properties ++ norm)) return head.version + 1
+    }
+    sys.error(s"setProperties on $table lost the commit race " +
+      s"$maxAttempts times")
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES (k, …)` — removes the named
+    * keys; unknown names fail loudly unless `ifExists`. Returns the
+    * committed version (head unchanged for a no-op ifExists unset). */
+  def unsetProperties(table: String, keys: Seq[String],
+      ifExists: Boolean = false, maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = latestManifest(table).getOrElse(
+        sys.error(s"no committed version under $table"))
+      val normKeys = keys.map(canonicalPropKey)
+      val missing = normKeys.filterNot(head.properties.contains)
+      if (missing.nonEmpty && !ifExists)
+        sys.error(s"no table propert${if (missing.size == 1) "y" else "ies"} " +
+          s"${missing.mkString(", ")} on $table (set: " +
+          s"${head.properties.keys.toSeq.sorted.mkString(", ")})")
+      if (missing.size == normKeys.size) return head.version
+      if (commitVersion(table, head.version + 1, head.schemaJson, head.keys,
+        head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
+        head.columnMap, head.retiredPhysical, head.constraints,
+        head.properties -- normKeys)) return head.version + 1
+    }
+    sys.error(s"unsetProperties on $table lost the commit race " +
       s"$maxAttempts times")
   }
 
@@ -965,7 +1089,7 @@ object MergeTable {
       if (commitVersion(table, head.version + 1, newSchema.json, head.keys,
         head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
         newMap, head.retiredPhysical,
-        head.constraints)) return head.version + 1
+        head.constraints, head.properties)) return head.version + 1
     }
     sys.error(s"rename on $table lost the commit race $maxAttempts times")
   }
@@ -999,7 +1123,7 @@ object MergeTable {
         head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
         head.columnMap - c,
         (head.retiredPhysical :+ phys).distinct,
-        head.constraints)) return head.version + 1
+        head.constraints, head.properties)) return head.version + 1
     }
     sys.error(s"drop of $c on $table lost the commit race $maxAttempts times")
   }
@@ -1037,7 +1161,7 @@ object MergeTable {
       if (commitVersion(table, head.version + 1, newSchema.json, head.keys,
         head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
         newMap, head.retiredPhysical,
-        head.constraints)) return head.version + 1
+        head.constraints, head.properties)) return head.version + 1
     }
     sys.error(s"add of $c on $table lost the commit race $maxAttempts times")
   }
@@ -1181,7 +1305,9 @@ object MergeTable {
       // REQUIRED (no default): every commit must consciously carry the
       // table's constraint state forward — a defaulted empty map would
       // silently drop declared constraints on the next ordinary commit
-      constraints: Map[String, String]): Boolean = {
+      constraints: Map[String, String],
+      // REQUIRED for the same reason: versioned state never defaults
+      properties: Map[String, String]): Boolean = {
     // an oversized adds list (the initial bulk load) externalizes to a
     // streamed side file; a CAS loser deletes its own file (a crashed
     // loser's orphan ages out with the log retention sweep)
@@ -1196,16 +1322,16 @@ object MergeTable {
     val won = tryCommit(table,
       LogRecord(version, "delta", schemaJson, keys, clusterBy,
         inlineAdds, removes, txns,
-        // mapping- and constraint-free commits stay v2-readable by
-        // pre-feature readers
+        // mapping-, constraint- and property-free commits stay
+        // v2-readable by pre-feature readers
         formatVersion =
           if (columnMap.isEmpty && retiredPhysical.isEmpty &&
-            constraints.isEmpty) 2
+            constraints.isEmpty && properties.isEmpty) 2
           else LogFormatVersion,
         addsRef = addsRef,
         addsCount = addsRef.map(_ => adds.size),
         columnMap = columnMap, retiredPhysical = retiredPhysical,
-        constraints = constraints))
+        constraints = constraints, properties = properties))
     if (!won)
       addsRef.foreach(n => Files.deleteIfExists(logDir(table).resolve(n)))
     if (won) {
@@ -1217,7 +1343,7 @@ object MergeTable {
       // to delete this fresh record first, failing the stat — safe)
       cachePut(table,
         TableManifest(version, schemaJson, keys, clusterBy, resolved, txns,
-          columnMap, retiredPhysical, constraints),
+          columnMap, retiredPhysical, constraints, properties),
         recordIdent(table, version))
     }
     won
@@ -1695,7 +1821,8 @@ object MergeTable {
       if (!reusable) {
         val (_, files) = writeClusteredFiles(table,
           withAllColumns(batch, schema), clusterBy, targetRowsPerFile,
-          columnMap, snapshot.map(_.constraints).getOrElse(Map.empty))
+          columnMap, snapshot.map(_.constraints).getOrElse(Map.empty),
+          snapshot.map(_.properties).getOrElse(Map.empty))
         written = Some((files, schema.json, columnMap))
       }
       val newFiles = written.get._1
@@ -1706,7 +1833,8 @@ object MergeTable {
       if (commitVersion(table, snapshot.map(_.version + 1).getOrElse(0L),
         schema.json, keys, clusterBy, newFiles, removes,
         newTxns, newFiles, columnMap, retired,
-        snapshot.map(_.constraints).getOrElse(Map.empty))) return true
+        snapshot.map(_.constraints).getOrElse(Map.empty),
+        snapshot.map(_.properties).getOrElse(Map.empty))) return true
       // CAS lost: the loop re-reads the head; the files re-commit as-is
     }
     sys.error(s"replaceAll on $table lost the version CAS $maxAttempts " +
@@ -2228,7 +2356,8 @@ object MergeTable {
 
       val (commitId, newFiles) =
         writeClusteredFiles(table, merged, clusterBy, targetRowsPerFile,
-          columnMap, snapshot.map(_.constraints).getOrElse(Map.empty))
+          columnMap, snapshot.map(_.constraints).getOrElse(Map.empty),
+          snapshot.map(_.properties).getOrElse(Map.empty))
       val untouched = existingFiles.filterNot(f => touched.contains(f.path))
       val newTxns = snapshot.map(_.txns).getOrElse(Map.empty) ++
         txn.map { case (w, v) => w -> v }
@@ -2236,7 +2365,8 @@ object MergeTable {
       if (commitVersion(table, snapshot.map(_.version + 1).getOrElse(0L),
         schema.json, keys, clusterBy, newFiles, touched.toSeq.sorted,
         newTxns, untouched ++ newFiles, columnMap, retired,
-        snapshot.map(_.constraints).getOrElse(Map.empty))) {
+        snapshot.map(_.constraints).getOrElse(Map.empty),
+        snapshot.map(_.properties).getOrElse(Map.empty))) {
         casStats.slowWins.incrementAndGet(); return true
       }
       casStats.casLosses.incrementAndGet()
@@ -2301,7 +2431,7 @@ object MergeTable {
           fastDone = commitVersion(table, head.version + 1, mergedSchema.json,
             keys, clusterBy, newFiles, touched.toSeq.sorted,
             head.txns ++ txn.map { case (w, v) => w -> v }, resolved,
-            columnMap, retired, head.constraints)
+            columnMap, retired, head.constraints, head.properties)
           if (fastDone) { casStats.fastWins.incrementAndGet(); return true }
           casStats.casLosses.incrementAndGet()
           // another writer won again — loop: re-evaluate against newer head
@@ -2375,7 +2505,8 @@ object MergeTable {
       table: String, df: DataFrame, clusterBy: Seq[String],
       targetRowsPerFile: Long,
       columnMap: Map[String, String] = Map.empty,
-      constraints: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
+      constraints: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
     // checkpoint the MERGED frame before counting: count() would
     // otherwise execute the full plan (touched-file reads + anti join)
     // once, and the range-repartition below a second time — doubling
@@ -2386,7 +2517,7 @@ object MergeTable {
       val nFiles = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
       writeStaged(table,
         pinned.repartitionByRange(nFiles, clusterBy.map(c => col(c).asc): _*),
-        clusterBy, columnMap, constraints)
+        clusterBy, columnMap, constraints, properties)
     } finally org.apache.spark.sql.graftbridge.Bridge
       .unpersistLocalCheckpoint(pinned)
   }
@@ -2489,7 +2620,7 @@ object MergeTable {
         .drop(vFields.map(_.name) ++ Seq("__split_base", "__split_k",
           "__split_route", "__split_pre"): _*)
       writeStaged(table, staged, snapshot.clusterBy, snapshot.columnMap,
-        snapshot.constraints)
+        snapshot.constraints, snapshot.properties)
     } finally org.apache.spark.sql.graftbridge.Bridge
       .unpersistLocalCheckpoint(pinned)
   }
@@ -2498,7 +2629,8 @@ object MergeTable {
       table: String, toStage: DataFrame,
       logicalClusterBy: Seq[String],
       columnMap: Map[String, String] = Map.empty,
-      constraints: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
+      constraints: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
     // files are written — and their stats keyed — under PHYSICAL names,
     // so a later metadata-only rename never invalidates a single byte of
     // data or statistics (the incoming frame is logical-named)
@@ -2654,18 +2786,16 @@ object MergeTable {
       // OPT-IN per-file bloom point indexes: one extra map-side pass
       // over the SAME pinned frame (no shuffle — the partition that
       // wrote part-<pid> builds its blooms), one side dataset per
-      // commit, every entry stamped with the ref. Flag off → zero cost.
+      // commit, every entry stamped with the ref. Opt-in = the table's
+      // declared `graft.stats.bloomCols` property (beats the session
+      // conf) or the session conf. Neither set → zero cost.
       val bloomCols = BloomIndex.indexedColumns(
-        staged.sparkSession, staged.schema, columnMap)
+        staged.sparkSession, staged.schema, columnMap, properties)
       val withBloom =
         if (bloomCols.isEmpty || newFiles.isEmpty) newFiles
         else {
-          val conf = staged.sparkSession.conf
-          val expected = conf
-            .getOption("spark.graft.stats.bloomExpectedItems")
-            .map(_.trim.toLong).getOrElse(8192L)
-          val fpp = conf.getOption("spark.graft.stats.bloomFpp")
-            .map(_.trim.toDouble).getOrElse(0.03)
+          val (expected, fpp) =
+            BloomIndex.sizing(staged.sparkSession, properties)
           val bloomRel = s"bloom/$commitId"
           val pathOfPid = newFiles.map { e =>
             val name = e.path.split('/').last
@@ -2772,7 +2902,7 @@ object MergeTable {
           commitVersion(table, snapshot.version + 1, snapshot.schemaJson,
             keys, clusterBy, Seq.empty, Seq.empty,
             snapshot.txns + (w -> v), snapshot.files, headMap, retired,
-            snapshot.constraints)
+            snapshot.constraints, snapshot.properties)
       }
 
       def delKeyBox(): Option[Map[String, ColStat]] = {
@@ -2818,7 +2948,7 @@ object MergeTable {
             if (commitVersion(table, head.version + 1, head.schemaJson,
               keys, clusterBy, adds, removes,
               head.txns ++ txn.map { case (w, v) => w -> v }, resolved,
-              headMap, retired, head.constraints))
+              headMap, retired, head.constraints, head.properties))
               return Some(true)
           }
         }
@@ -3035,7 +3165,8 @@ object MergeTable {
               keys, clusterBy, adds, removes,
               snapshot.txns ++ txn.map { case (w, v) => w -> v },
               untouched ++ adds, headMap, retired,
-              snapshot.constraints)) return deletedCount
+              snapshot.constraints,
+          snapshot.properties)) return deletedCount
             fastRetry(changed, adds, removes) match {
               case Some(true) => return deletedCount
               case Some(false) =>
@@ -3057,7 +3188,7 @@ object MergeTable {
 
         val (commitId, newFiles) =
           writeClusteredFiles(table, survivors, clusterBy, targetRowsPerFile,
-            headMap, snapshot.constraints)
+            headMap, snapshot.constraints, snapshot.properties)
         val untouched = snapshot.files.filterNot(f => touched.contains(f.path))
         val deletedCount = oldCount - newFiles.map(_.numRows).sum
         testPrecommitHook()
@@ -3065,7 +3196,8 @@ object MergeTable {
           keys, clusterBy, newFiles, touched.toSeq.sorted,
           snapshot.txns ++ txn.map { case (w, v) => w -> v },
           untouched ++ newFiles, headMap, retired,
-          snapshot.constraints)) return deletedCount
+          snapshot.constraints,
+          snapshot.properties)) return deletedCount
         fastRetry(touchedEntries, newFiles, touched.toSeq.sorted) match {
           case Some(true) => return deletedCount
           case Some(false) =>
@@ -3213,7 +3345,7 @@ object MergeTable {
           stageSplitBy(s, table, frag, splitBy, snapshot, targetRowsPerFile)
         else if (zorderBy.isEmpty)
           writeClusteredFiles(table, frag, snapshot.clusterBy, targetRowsPerFile,
-            snapshot.columnMap, snapshot.constraints)
+            snapshot.columnMap, snapshot.constraints, snapshot.properties)
         else {
           // stage the z layout with the same pin-count-stage discipline
           // as writeClusteredFiles; _z never reaches disk or stats
@@ -3280,7 +3412,7 @@ object MergeTable {
                   .drop("__graft_z")
                   .drop(stringDims.map(c => s"__rank_$c"): _*),
                 snapshot.clusterBy, snapshot.columnMap,
-                snapshot.constraints)
+                snapshot.constraints, snapshot.properties)
             } finally dicts.values.foreach { case (dict, _) =>
               org.apache.spark.sql.graftbridge.Bridge
                 .unpersistLocalCheckpoint(dict)
@@ -3294,7 +3426,8 @@ object MergeTable {
         snapshot.keys, snapshot.clusterBy, newFiles,
         candPaths.toSeq.sorted, snapshot.txns,
         snapshot.files.filterNot(f => candPaths.contains(f.path)) ++ newFiles,
-        snapshot.columnMap, snapshot.retiredPhysical, snapshot.constraints))
+        snapshot.columnMap, snapshot.retiredPhysical, snapshot.constraints,
+        snapshot.properties))
         return candidates.size
 
       // conflict-scoped retry: a compaction rewrites rows unchanged, so
@@ -3321,7 +3454,8 @@ object MergeTable {
           fastDone = commitVersion(table, head.version + 1, head.schemaJson,
             head.keys, head.clusterBy, newFiles, candPaths.toSeq.sorted,
             head.txns, resolved, snapshot.columnMap,
-            snapshot.retiredPhysical, snapshot.constraints)
+            snapshot.retiredPhysical, snapshot.constraints,
+            snapshot.properties)
           if (fastDone) return candidates.size
         }
       }

@@ -409,6 +409,9 @@ class GraftTable(val tablePath: String, val manifest: TableManifest)
     * (observability only; nothing here is consulted by the read path). */
   override def properties(): util.Map[String, String] = {
     val p = new util.HashMap[String, String]()
+    // user/engine table properties first; the built-in manifest facts
+    // below stay authoritative on any key collision
+    manifest.properties.foreach { case (k, v) => p.put(k, v) }
     p.put("format", "graft")
     p.put("version", manifest.version.toString)
     p.put("keys", manifest.keys.mkString(","))
@@ -1372,6 +1375,15 @@ class GraftCatalog extends TableCatalog {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[Row](), schema)
     MergeTable.mergeUpsert(spark, path, empty, keys, clusterBy)
+    // remaining TBLPROPERTIES persist as versioned table properties
+    // (keys/clusterBy are first-class manifest facts; Spark's own
+    // bookkeeping props are not table state)
+    val sparkManaged = Set("keys", "clusterby", "provider", "location",
+      "owner", "external", "option.paths", "transient_lastddltime")
+    val user = props.filterNot { case (k, _) =>
+      sparkManaged.contains(k.toLowerCase(java.util.Locale.ROOT))
+    }.toMap
+    if (user.nonEmpty) MergeTable.setProperties(spark, path, user)
     GraftTable.resolve(path, None, None)
   }
   /** `ALTER TABLE graft.`/p` RENAME COLUMN a TO b` / `DROP COLUMN a` —
@@ -1421,6 +1433,17 @@ class GraftCatalog extends TableCatalog {
       }
       case d: TableChange.DropConstraint =>
         MergeTable.dropConstraint(path, d.name(), ifExists = d.ifExists())
+      // `ALTER TABLE graft.`p` SET TBLPROPERTIES (k = v, …)` — versioned
+      // metadata-only commits; the engine-consulted graft.* keys are
+      // validated against the current schema before committing
+      case sp: TableChange.SetProperty =>
+        MergeTable.setProperties(SparkSession.active, path,
+          Map(sp.property() -> sp.value()))
+      case rp: TableChange.RemoveProperty =>
+        // Spark's UNSET TBLPROPERTIES resolves IF EXISTS itself and
+        // always hands the catalog a plain remove; mirror that laxness
+        MergeTable.unsetProperties(path, Seq(rp.property()),
+          ifExists = true)
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE supports ADD / RENAME / DROP COLUMN " +
           s"(metadata-only column mapping) and ADD / DROP CONSTRAINT; " +
