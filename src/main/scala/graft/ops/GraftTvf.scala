@@ -186,7 +186,13 @@ object GraftTvf {
     StructField("cluster_by", StringType, nullable = false),
     StructField("columns", StringType, nullable = false),
     StructField("renamed_columns", IntegerType, nullable = false),
-    StructField("retired_physical", IntegerType, nullable = false)))
+    StructField("retired_physical", IntegerType, nullable = false),
+    // round-18 additions: the declared write-side contracts and the
+    // bloom index footprint, so one SQL row answers "what does this
+    // table enforce and skip on"
+    StructField("constraints", StringType, nullable = false),
+    StructField("properties", StringType, nullable = false),
+    StructField("bloom_files", IntegerType, nullable = false)))
 
   /** `graft_detail(path)` — one summary row for the head manifest. */
   def detail(children: Seq[Expression]): LogicalPlan = {
@@ -206,7 +212,12 @@ object GraftTvf {
       m.clusterBy.mkString(","),
       schema.fieldNames.mkString(","),
       m.columnMap.size,
-      m.retiredPhysical.size)
+      m.retiredPhysical.size,
+      m.constraints.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; "),
+      m.properties.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(","),
+      m.files.count(_.bloom.nonEmpty))
     LocalRelation.fromExternalRows(
       DataTypeUtils.toAttributes(detailSchema), Seq(row))
   }

@@ -960,9 +960,18 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(d.getLong(5) > 0L)                   // size bytes (manifest sum)
     assert(d.getString(6) == "event_id")
     assert(d.getString(8).contains("payload"))
-    // composes with ordinary SQL
+    // contract columns: no constraints/properties/blooms on this table
+    assert(d.getString(11) == "" && d.getString(12) == "" &&
+      d.getInt(13) == 0)
+    // declared contracts surface in the same row
+    MergeTable.addConstraint(spark, t, "pos_id", "event_id > 0")
+    MergeTable.setProperties(spark, t, Map("team" -> "etl"))
+    val d2 = spark.sql(s"SELECT * FROM graft_detail('$t')").collect().head
+    assert(d2.getString(11) == "pos_id CHECK (event_id > 0)")
+    assert(d2.getString(12) == "team=etl")
+    // composes with ordinary SQL (v1 + the two contract commits)
     assert(spark.sql(
-      s"SELECT max(version) FROM graft_history('$t')").as[Long].head() == 1L)
+      s"SELECT max(version) FROM graft_history('$t')").as[Long].head() == 3L)
   }
 
   private val Row = org.apache.spark.sql.Row
