@@ -113,7 +113,11 @@ object Bench {
       sys.env.get("SPARK_GRAFT_SENTINEL_FLOORS") match {
         case Some(s) => s.split(",").iterator.map(_.trim).filter(_.nonEmpty)
           .map { kv =>
-            val Array(k, v) = kv.split(":"); k -> v.toDouble
+            val parts = kv.split(":")
+            require(parts.length == 2 &&
+              scala.util.Try(parts(1).toDouble).isSuccess,
+              s"SPARK_GRAFT_SENTINEL_FLOORS entry '$kv' is not name:sec")
+            parts(0) -> parts(1).toDouble
           }.toMap
         case None => sentinelFloors
       }

@@ -233,10 +233,10 @@ object BloomIndex {
 
   private type Loaded = Map[(String, String), (String, BloomFilter)]
 
-  /** Bounded LRU of loaded commit datasets keyed by `<table>/<rel>`:
-    * None = unreadable or over the driver cap (skip, sound). Access-
-    * ordered so repeated point lookups over a hot table never re-read
-    * parquet. */
+  /** Bounded LRU of successfully loaded commit datasets keyed by
+    * `<table>/<rel>` (failures/skips are NOT cached — they re-check on
+    * the next consult and heal without eviction). Access-ordered so
+    * repeated point lookups over a hot table never re-read parquet. */
   private val MaxLoadedRefs = 32
   private val loadedRefs =
     new java.util.LinkedHashMap[String, Option[Loaded]](64, 0.75f, true) {
@@ -253,10 +253,16 @@ object BloomIndex {
     loadedRefs.synchronized { loadedRefs.clear() }
 
   private def load(spark: SparkSession, table: String,
-      rel: String): Option[Loaded] = loadedRefs.synchronized {
+      rel: String): Option[Loaded] = {
     val key = s"$table/$rel"
-    val cached = loadedRefs.get(key)
-    if (cached != null) return cached
+    // memo check and insert hold the monitor; the parquet read runs
+    // OUTSIDE it — two concurrent scans of unrelated tables must not
+    // serialize on a global lock for the duration of a driver-side read
+    // (a rare duplicate load is idempotent, last write wins)
+    loadedRefs.synchronized {
+      val cached = loadedRefs.get(key)
+      if (cached != null) return cached
+    }
     val v: Option[Loaded] =
       try {
         val dir = java.nio.file.Paths.get(table, rel)
@@ -283,7 +289,11 @@ object BloomIndex {
             }.toMap)
         }
       } catch { case _: Exception => None } // missing/corrupt: never prune
-    loadedRefs.put(key, v)
+    // cache SUCCESSES only: a skip (over the driver cap, vacuumed dir,
+    // transient read error) re-checks on the next consult — the re-check
+    // is a cheap directory stat, and a raised cap / repaired dataset
+    // heals immediately instead of after 32 evictions
+    if (v.nonEmpty) loadedRefs.synchronized { loadedRefs.put(key, v) }
     v
   }
 

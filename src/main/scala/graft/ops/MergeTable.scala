@@ -968,8 +968,13 @@ object MergeTable {
     * commit); unknown `graft.*` keys are rejected as probable typos —
     * a silently ignored engine knob is worse than an error. Returns the
     * committed version. */
-  def setProperties(s: SparkSession, table: String,
-      kv: Map[String, String], maxAttempts: Int = 20): Long = {
+  /** Key-shape + engine-key validation for a property map against a
+    * schema. Public so CREATE TABLE can validate its TBLPROPERTIES
+    * against the DECLARED schema BEFORE the first commit — a rejected
+    * property must not leave a half-created table behind. Returns the
+    * canonically-keyed map. */
+  def validateProperties(schema: StructType,
+      kv: Map[String, String]): Map[String, String] = {
     kv.keys.foreach { k =>
       require(k.nonEmpty, "empty property key")
       require(!ReservedProps.contains(k.toLowerCase(java.util.Locale.ROOT)),
@@ -981,35 +986,40 @@ object MergeTable {
           s"reserved; known: ${CanonicalEngineProp.values.toSeq.sorted.mkString(", ")}")
     }
     val norm = kv.map { case (k, v) => canonicalPropKey(k) -> v }
+    norm.foreach { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) match {
+      case "graft.stats.bloomcols" =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+            .getOrElse(sys.error(s"graft.stats.bloomCols names '$c', " +
+              "not a table column"))
+          require(BloomIndex.tagFor(f.dataType).nonEmpty,
+            s"graft.stats.bloomCols names '$c' (${f.dataType.simpleString})" +
+              " — bloom-indexable types are integral, string, date, " +
+              "timestamp")
+        }
+      case "graft.stats.bloomexpecteditems" =>
+        require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0),
+          s"graft.stats.bloomExpectedItems must be a positive long, got '$v'")
+      case "graft.stats.bloomfpp" =>
+        require(scala.util.Try(v.trim.toDouble).toOption
+          .exists(d => d > 0 && d < 1),
+          s"graft.stats.bloomFpp must be in (0, 1), got '$v'")
+      case _ => ()
+    } }
+    norm
+  }
+
+  def setProperties(s: SparkSession, table: String,
+      kv: Map[String, String], maxAttempts: Int = 20): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val head = latestManifest(table).getOrElse(
         sys.error(s"no committed version under $table"))
-      // engine-key validation against the CURRENT schema, re-run per
-      // attempt (a concurrent drop could retire a named bloom column)
-      norm.foreach { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) match {
-        case "graft.stats.bloomcols" =>
-          val schema = DataType.fromJson(head.schemaJson)
-            .asInstanceOf[StructType]
-          v.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
-            val f = schema.fields.find(_.name.equalsIgnoreCase(c))
-              .getOrElse(sys.error(s"graft.stats.bloomCols names '$c', " +
-                s"not a column of $table"))
-            require(BloomIndex.tagFor(f.dataType).nonEmpty,
-              s"graft.stats.bloomCols names '$c' (${f.dataType.simpleString})" +
-                " — bloom-indexable types are integral, string, date, " +
-                "timestamp")
-          }
-        case "graft.stats.bloomexpecteditems" =>
-          require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0),
-            s"graft.stats.bloomExpectedItems must be a positive long, got '$v'")
-        case "graft.stats.bloomfpp" =>
-          require(scala.util.Try(v.trim.toDouble).toOption
-            .exists(d => d > 0 && d < 1),
-            s"graft.stats.bloomFpp must be in (0, 1), got '$v'")
-        case _ => ()
-      } }
+      // full validation against the CURRENT schema, re-run per attempt
+      // (a concurrent drop could retire a named bloom column)
+      val norm = validateProperties(
+        DataType.fromJson(head.schemaJson).asInstanceOf[StructType], kv)
       if (commitVersion(table, head.version + 1, head.schemaJson, head.keys,
         head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
         head.columnMap, head.retiredPhysical, head.constraints,
@@ -1046,6 +1056,24 @@ object MergeTable {
   }
 
   // ---- column mapping: metadata-only RENAME / DROP -------------------------
+
+  /** The declared bloom contract follows a METADATA-ONLY rename/drop in
+    * the SAME commit: `graft.stats.bloomCols` naming the renamed column
+    * re-points to the new name; a dropped column leaves the list (the
+    * key disappears when the list empties). The alternative — blocking
+    * like constraints — would make an advisory skipping hint veto a
+    * schema change; rewriting keeps SHOW TBLPROPERTIES truthful and the
+    * next write indexing the right columns. */
+  private def remapBloomCols(props: Map[String, String],
+      f: String => Option[String]): Map[String, String] =
+    props.get("graft.stats.bloomCols") match {
+      case None => props
+      case Some(v) =>
+        val kept = v.split(",").map(_.trim).filter(_.nonEmpty).flatMap(f(_))
+        if (kept.isEmpty) props - "graft.stats.bloomCols"
+        else props + ("graft.stats.bloomCols" -> kept.mkString(","))
+    }
+
 
   /** RENAME COLUMN `from` → `to` as a METADATA-ONLY commit: zero data
     * files are rewritten — the logical→physical map carries the new name
@@ -1089,7 +1117,10 @@ object MergeTable {
       if (commitVersion(table, head.version + 1, newSchema.json, head.keys,
         head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
         newMap, head.retiredPhysical,
-        head.constraints, head.properties)) return head.version + 1
+        head.constraints,
+        remapBloomCols(head.properties,
+          c => Some(if (c.equalsIgnoreCase(from)) to else c))))
+        return head.version + 1
     }
     sys.error(s"rename on $table lost the commit race $maxAttempts times")
   }
@@ -1123,7 +1154,10 @@ object MergeTable {
         head.clusterBy, Seq.empty, Seq.empty, head.txns, head.files,
         head.columnMap - c,
         (head.retiredPhysical :+ phys).distinct,
-        head.constraints, head.properties)) return head.version + 1
+        head.constraints,
+        remapBloomCols(head.properties,
+          bc => if (bc.equalsIgnoreCase(c)) None else Some(bc))))
+        return head.version + 1
     }
     sys.error(s"drop of $c on $table lost the commit race $maxAttempts times")
   }
@@ -1748,9 +1782,13 @@ object MergeTable {
         s"the merge keys ${keys.mkString("(", ",", ")")}")
     var preconditionsChecked = false
     // the written file set is STATE-INDEPENDENT — reusable across CAS
-    // retries as long as the head's schema/mapping stayed put
-    var written: Option[(Seq[DataFileEntry], String, Map[String, String])] =
-      None
+    // retries as long as the head's schema/mapping stayed put AND the
+    // head's CHECK-constraint set equals the one the files were
+    // validated under (a concurrent ADD CONSTRAINT must force a re-stage
+    // through the gate, or unvalidated rows would publish under an
+    // "enforced" constraint)
+    var written: Option[(Seq[DataFileEntry], String, Map[String, String],
+      Map[String, String])] = None
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -1816,14 +1854,15 @@ object MergeTable {
               f.name -> s"${f.name}_p${java.util.UUID.randomUUID().toString.take(8)}"
           }
       }
-      val reusable = written.exists { case (_, sj, cm) =>
-        sj == schema.json && cm == columnMap }
+      val headConstraints = snapshot.map(_.constraints).getOrElse(Map.empty)
+      val reusable = written.exists { case (_, sj, cm, cons) =>
+        sj == schema.json && cm == columnMap && cons == headConstraints }
       if (!reusable) {
         val (_, files) = writeClusteredFiles(table,
           withAllColumns(batch, schema), clusterBy, targetRowsPerFile,
-          columnMap, snapshot.map(_.constraints).getOrElse(Map.empty),
+          columnMap, headConstraints,
           snapshot.map(_.properties).getOrElse(Map.empty))
-        written = Some((files, schema.json, columnMap))
+        written = Some((files, schema.json, columnMap, headConstraints))
       }
       val newFiles = written.get._1
       val removes = snapshot.map(_.files.map(_.path).sorted).getOrElse(Seq.empty)
@@ -2416,6 +2455,12 @@ object MergeTable {
           // adds) but changes the mapping our files were written under —
           // re-committing them with OUR map would clobber the rename
           head.columnMap == headMap && head.retiredPhysical == retired &&
+          // a winner's ADD CONSTRAINT changes the write gate: our files
+          // were validated under the OLD set, so re-committing them at
+          // this head would publish rows the new constraint never saw —
+          // fall to the full replay, whose re-stage re-runs the gate
+          head.constraints == snapshot.map(_.constraints)
+            .getOrElse(Map.empty) &&
           touchedUnchanged &&
           // an NMBS merge quantifies over ABSENT keys: a winner's added
           // file can carry rows the clause never evaluated even when it
@@ -2505,8 +2550,9 @@ object MergeTable {
       table: String, df: DataFrame, clusterBy: Seq[String],
       targetRowsPerFile: Long,
       columnMap: Map[String, String] = Map.empty,
-      constraints: Map[String, String] = Map.empty,
-      properties: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
+      // no defaults — see writeStaged
+      constraints: Map[String, String],
+      properties: Map[String, String]): (String, Seq[DataFileEntry]) = {
     // checkpoint the MERGED frame before counting: count() would
     // otherwise execute the full plan (touched-file reads + anti join)
     // once, and the range-repartition below a second time — doubling
@@ -2629,43 +2675,46 @@ object MergeTable {
       table: String, toStage: DataFrame,
       logicalClusterBy: Seq[String],
       columnMap: Map[String, String] = Map.empty,
-      constraints: Map[String, String] = Map.empty,
-      properties: Map[String, String] = Map.empty): (String, Seq[DataFileEntry]) = {
+      // NO defaults here, mirroring commitVersion's rule: a new write
+      // path that forgot these would compile and silently skip the
+      // CHECK gate / the declared bloom contract
+      constraints: Map[String, String],
+      properties: Map[String, String]): (String, Seq[DataFileEntry]) = {
     // files are written — and their stats keyed — under PHYSICAL names,
     // so a later metadata-only rename never invalidates a single byte of
     // data or statistics (the incoming frame is logical-named)
     val stagedLogical = toStage.localCheckpoint()
-    // CHECK-constraint enforcement — the ONE rule every data-file write
-    // obeys: no file is ever published whose rows violate a declared
-    // constraint. ONE aggregate pass over the already-pinned frame (all
-    // constraints in one job, reading the checkpoint blocks), BEFORE any
-    // parquet is written — a violating batch aborts with nothing staged
-    // and the commit loop untouched (atomic rejection). Violation =
-    // predicate FALSE; NULL passes (the SQL standard). Rewrite paths
-    // (OPTIMIZE, split) re-check rows that already passed — redundant by
-    // construction (addConstraint validated the whole table) and cheap
-    // next to the rewrite itself, but it keeps the rule unconditional.
-    if (constraints.nonEmpty) {
-      val ordered = constraints.toSeq.sortBy(_._1)
-      val checks = ordered.map { case (n, e) =>
-        sum(when(not(expr(e)), 1L).otherwise(0L)).as(n)
-      }
-      val row = stagedLogical.select(checks: _*).collect()(0)
-      ordered.zipWithIndex.foreach { case ((n, e), i) =>
-        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
-        if (bad > 0) {
-          org.apache.spark.sql.graftbridge.Bridge
-            .unpersistLocalCheckpoint(stagedLogical)
-          throw new IllegalStateException(
-            s"CHECK constraint '$n' (CHECK ($e)) violated by $bad staged " +
-              s"row(s) on $table — commit aborted, nothing published")
-        }
-      }
-    }
     val staged = stagedLogical.select(stagedLogical.schema.fields.map(f =>
       col(f.name).as(physOf(columnMap, f.name))).toSeq: _*)
     val clusterBy = logicalClusterBy.map(c => physOf(columnMap, c))
     try {
+      // CHECK-constraint enforcement — the ONE rule every data-file
+      // write obeys: no file is ever published whose rows violate a
+      // declared constraint. ONE aggregate pass over the already-pinned
+      // frame (all constraints in one job, reading the checkpoint
+      // blocks), BEFORE any parquet is written — a violating batch
+      // aborts with nothing staged and the commit loop untouched
+      // (atomic rejection); ANY failure here (violation, executor loss,
+      // an ANSI runtime error inside a predicate) unwinds through the
+      // enclosing finally, so the checkpoint blocks never leak.
+      // Violation = predicate FALSE; NULL passes (the SQL standard).
+      // Rewrite paths (OPTIMIZE, split) re-check rows that already
+      // passed — redundant by construction (addConstraint validated the
+      // whole table) and cheap next to the rewrite itself, but it keeps
+      // the rule unconditional.
+      if (constraints.nonEmpty) {
+        val ordered = constraints.toSeq.sortBy(_._1)
+        val checks = ordered.map { case (n, e) =>
+          sum(when(not(expr(e)), 1L).otherwise(0L)).as(n)
+        }
+        val row = stagedLogical.select(checks: _*).collect()(0)
+        ordered.zipWithIndex.foreach { case ((n, e), i) =>
+          val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+          if (bad > 0) throw new IllegalStateException(
+            s"CHECK constraint '$n' (CHECK ($e)) violated by $bad staged " +
+              s"row(s) on $table — commit aborted, nothing published")
+        }
+      }
       val commitId = java.util.UUID.randomUUID().toString.take(12)
       val rel = s"data/$commitId"
       staged.write.mode("overwrite").parquet(s"$table/$rel")

@@ -1372,17 +1372,21 @@ class GraftCatalog extends TableCatalog {
     require(MergeTable.latestManifest(path).isEmpty,
       s"graft table $path already exists")
     val spark = SparkSession.active
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[Row](), schema)
-    MergeTable.mergeUpsert(spark, path, empty, keys, clusterBy)
     // remaining TBLPROPERTIES persist as versioned table properties
     // (keys/clusterBy are first-class manifest facts; Spark's own
-    // bookkeeping props are not table state)
+    // bookkeeping props are not table state). VALIDATED against the
+    // declared schema BEFORE the first commit: a rejected property must
+    // fail the whole CREATE, not leave a half-created table that blocks
+    // the user's corrected retry with table-already-exists
     val sparkManaged = Set("keys", "clusterby", "provider", "location",
       "owner", "external", "option.paths", "transient_lastddltime")
     val user = props.filterNot { case (k, _) =>
       sparkManaged.contains(k.toLowerCase(java.util.Locale.ROOT))
     }.toMap
+    MergeTable.validateProperties(schema, user)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
+    MergeTable.mergeUpsert(spark, path, empty, keys, clusterBy)
     if (user.nonEmpty) MergeTable.setProperties(spark, path, user)
     GraftTable.resolve(path, None, None)
   }
@@ -1396,6 +1400,22 @@ class GraftCatalog extends TableCatalog {
     * fields) stays rejected — those are migrations, not relabels. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = pathOf(ident)
+    // property changes batch into ONE metadata commit per statement:
+    // Spark hands `SET TBLPROPERTIES ('a'='1','b'='2')` over as one
+    // SetProperty per key, and committing them one-by-one would leave a
+    // rejected statement half-applied (and cost N versions for N keys)
+    val setProps = changes.collect {
+      case sp: TableChange.SetProperty => sp.property() -> sp.value()
+    }.toMap
+    if (setProps.nonEmpty)
+      MergeTable.setProperties(SparkSession.active, path, setProps)
+    val unsetProps = changes.collect {
+      case rp: TableChange.RemoveProperty => rp.property()
+    }
+    if (unsetProps.nonEmpty)
+      // Spark's UNSET TBLPROPERTIES resolves IF EXISTS itself and
+      // always hands the catalog plain removes; mirror that laxness
+      MergeTable.unsetProperties(path, unsetProps, ifExists = true)
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
@@ -1433,17 +1453,8 @@ class GraftCatalog extends TableCatalog {
       }
       case d: TableChange.DropConstraint =>
         MergeTable.dropConstraint(path, d.name(), ifExists = d.ifExists())
-      // `ALTER TABLE graft.`p` SET TBLPROPERTIES (k = v, …)` — versioned
-      // metadata-only commits; the engine-consulted graft.* keys are
-      // validated against the current schema before committing
-      case sp: TableChange.SetProperty =>
-        MergeTable.setProperties(SparkSession.active, path,
-          Map(sp.property() -> sp.value()))
-      case rp: TableChange.RemoveProperty =>
-        // Spark's UNSET TBLPROPERTIES resolves IF EXISTS itself and
-        // always hands the catalog a plain remove; mirror that laxness
-        MergeTable.unsetProperties(path, Seq(rp.property()),
-          ifExists = true)
+      // property changes were batched above
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE supports ADD / RENAME / DROP COLUMN " +
           s"(metadata-only column mapping) and ADD / DROP CONSTRAINT; " +

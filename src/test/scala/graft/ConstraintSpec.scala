@@ -166,6 +166,48 @@ class ConstraintSpec extends AnyFunSuite {
       MergeTable.latestManifest(t).get.version)
   }
 
+  test("a constraint added BETWEEN a merge's stage and its commit forces " +
+    "re-validation — the raced batch cannot slip past the new gate") {
+    val t = fresh("race")
+    seed(t)
+    // the hook fires after the merge staged its (pre-constraint) files
+    // and immediately before its CAS: an interloping ADD CONSTRAINT wins
+    // the version race, so the merge must NOT fast-path its already-
+    // staged files (they were validated under the EMPTY set) — the full
+    // replay re-stages through the gate and rejects the violating batch
+    var fired = false
+    MergeTable.testPrecommitHook = () => if (!fired) {
+      fired = true
+      MergeTable.addConstraint(spark, t, "positive_value", "value > 0")
+    }
+    val e = try intercept[IllegalStateException] {
+      MergeTable.mergeUpsert(spark, t,
+        Seq((9L, "z", -1.0)).toDF("id", "tag", "value"),
+        Seq("id"), Seq("id"), txn = Some(("w", 9L)))
+    } finally MergeTable.testPrecommitHook = () => ()
+    assert(fired && e.getMessage.contains("positive_value"), e.getMessage)
+    assert(MergeTable.read(spark, t).where(col("value") < 0).count() == 0,
+      "the raced violating batch must never publish")
+  }
+
+  test("replaceAll cannot reuse files staged under a superseded " +
+    "constraint set") {
+    val t = fresh("racereplace")
+    seed(t)
+    var fired = false
+    MergeTable.testPrecommitHook = () => if (!fired) {
+      fired = true
+      MergeTable.addConstraint(spark, t, "positive_value", "value > 0")
+    }
+    val e = try intercept[IllegalStateException] {
+      MergeTable.replaceAll(spark, t,
+        Seq((1L, "a", -5.0)).toDF("id", "tag", "value"),
+        Seq("id"), Seq("id"), txn = Some(("ow", 1L)))
+    } finally MergeTable.testPrecommitHook = () => ()
+    assert(fired && e.getMessage.contains("positive_value"), e.getMessage)
+    assert(MergeTable.read(spark, t).where(col("value") < 0).count() == 0)
+  }
+
   test("SQL DDL face: Spark-native ALTER TABLE ADD/DROP CONSTRAINT " +
     "drives the engine through the graft catalog; DESCRIBE-level " +
     "constraints() reports them") {

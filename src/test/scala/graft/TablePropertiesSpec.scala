@@ -130,6 +130,69 @@ class TablePropertiesSpec extends AnyFunSuite {
       "the table declaration must beat the session conf")
   }
 
+  test("multi-key SET TBLPROPERTIES is ONE commit, atomically validated: " +
+    "a bad key rejects the whole statement with nothing applied") {
+    val t = fresh("atomic")
+    seed(t)
+    val v = MergeTable.latestManifest(t).get.version
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` SET TBLPROPERTIES " +
+        "('team' = 'etl', 'graft.stats.bloomCols' = 'no_such')")
+    }
+    val head = MergeTable.latestManifest(t).get
+    assert(head.version == v && head.properties.isEmpty,
+      "a rejected statement must apply NOTHING — not its valid prefix")
+    spark.sql(s"ALTER TABLE graft.`$t` SET TBLPROPERTIES " +
+      "('team' = 'etl', 'env' = 'dev')")
+    val head2 = MergeTable.latestManifest(t).get
+    assert(head2.version == v + 1, "N keys must cost ONE commit, not N")
+    assert(head2.properties == Map("team" -> "etl", "env" -> "dev"))
+  }
+
+  test("CREATE TABLE validates TBLPROPERTIES BEFORE the first commit: a " +
+    "rejected property leaves no half-created table behind") {
+    val t = fresh("createval")
+    intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE graft.`$t` (g BIGINT, event_id BIGINT, tag STRING)
+           |USING graft TBLPROPERTIES (
+           |  'keys' = 'g,event_id', 'graft.stats.bloomCols' = 'no_such')
+           |""".stripMargin)
+    }
+    assert(MergeTable.latestManifest(t).isEmpty,
+      "the failed CREATE must not commit v0")
+    // the corrected retry succeeds — nothing blocks it
+    spark.sql(
+      s"""CREATE TABLE graft.`$t` (g BIGINT, event_id BIGINT, tag STRING)
+         |USING graft TBLPROPERTIES (
+         |  'keys' = 'g,event_id', 'graft.stats.bloomCols' = 'event_id')
+         |""".stripMargin)
+    assert(MergeTable.latestManifest(t).get
+      .properties("graft.stats.bloomCols") == "event_id")
+  }
+
+  test("rename/drop of a bloom-declared column re-points the declared " +
+    "contract in the SAME commit — SHOW TBLPROPERTIES never lies") {
+    val t = fresh("remap")
+    seed(t)
+    MergeTable.setProperties(spark, t,
+      Map("graft.stats.bloomCols" -> "tag,event_id"))
+    MergeTable.renameColumn(t, "tag", "label")
+    assert(MergeTable.latestManifest(t).get
+      .properties("graft.stats.bloomCols") == "label,event_id")
+    MergeTable.dropColumn(t, "label")
+    assert(MergeTable.latestManifest(t).get
+      .properties("graft.stats.bloomCols") == "event_id")
+    // dropping the LAST declared column retires the key entirely
+    val t2 = fresh("remap2")
+    seed(t2)
+    MergeTable.setProperties(spark, t2,
+      Map("graft.stats.bloomCols" -> "tag"))
+    MergeTable.dropColumn(t2, "tag")
+    assert(!MergeTable.latestManifest(t2).get
+      .properties.contains("graft.stats.bloomCols"))
+  }
+
   test("RESTORE restores the target version's property map") {
     val t = fresh("restore")
     seed(t)
