@@ -156,6 +156,12 @@ object BloomIndex {
     StructField("tag", StringType, nullable = false),
     StructField("bits", BinaryType, nullable = false)))
 
+  private val backfillRowSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("col", StringType, nullable = false),
+    StructField("tag", StringType, nullable = false),
+    StructField("bits", BinaryType, nullable = false)))
+
   /** Build one bloom per (written file, indexed column) in a single
     * map-side pass over the pinned staged frame — no shuffle, the
     * partition that wrote `part-<pid>` builds that file's blooms — and
@@ -205,6 +211,78 @@ object BloomIndex {
       .select(col("path"), col("col"), col("tag"), col("bits"))
       .coalesce(8)
       .write.mode("overwrite").parquet(s"$table/$rel")
+    true
+  }
+
+  /** BACKFILL build ([[graft.ops.MergeTable.bloomBackfill]]): one
+    * column-pruned read-only scan over `paths` (table-relative), blooms
+    * built per (file, column) inside each read partition and MERGED
+    * across partitions (same sizing ⇒ compatible bitsets), written as
+    * the standard dataset at `<table>/<rel>`. Missing columns in old
+    * files read as null and contribute nothing (refute-only stays
+    * sound). Returns false (nothing written) when `paths` is empty. */
+  private[graft] def buildBackfill(spark: SparkSession, table: String,
+      paths: Seq[String], cols: Seq[(String, String)], expectedItems: Long,
+      fpp: Double, rel: String): Boolean = {
+    if (paths.isEmpty || cols.isEmpty) return false
+    val names = cols.map(_._1)
+    val tags = cols.map(_._2)
+    // read the TARGET files only, bloom columns only (explicit schema =
+    // column pruning + null-fill for pre-widening files); keep each
+    // row's source file to key the blooms
+    val readSchema = StructType(cols.map { case (n, tag) =>
+      StructField(n, tag match {
+        case "long" => LongType
+        case "string" => StringType
+        case "date" => DateType
+        case "timestamp" => TimestampType
+      }, nullable = true)
+    })
+    // the parquet reader reports absolute/URI file names; entries are
+    // table-relative — match on the last three segments
+    // (data/<commit>/<part-file>), which IS the entry path shape
+    def relOf(abs: String): String =
+      abs.split('/').takeRight(3).mkString("/")
+    val src = spark.read.schema(readSchema)
+      .parquet(paths.map(p => s"$table/$p"): _*)
+      .select(input_file_name().as("__file") +: names.map(col): _*)
+    val partial = src.mapPartitions { it =>
+      val perFile = scala.collection.mutable.HashMap
+        .empty[String, Array[BloomFilter]]
+      while (it.hasNext) {
+        val r = it.next()
+        val bfs = perFile.getOrElseUpdate(relOf(r.getString(0)),
+          tags.map(_ => BloomFilter.create(expectedItems, fpp)).toArray)
+        var i = 0
+        while (i < bfs.length) {
+          val v = r.get(i + 1)
+          if (v != null) put(bfs(i), tags(i), v)
+          i += 1
+        }
+      }
+      perFile.iterator.flatMap { case (p, bfs) =>
+        bfs.indices.iterator.map { i =>
+          val bos = new ByteArrayOutputStream()
+          bfs(i).writeTo(bos)
+          Row(p, names(i), tags(i), bos.toByteArray)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(backfillRowSchema))
+    // a file read across several partitions yields several partial
+    // blooms — OR them into one (typed reduce, no UDF)
+    import spark.implicits._
+    val merged = partial.as[(String, String, String, Array[Byte])]
+      .groupByKey { case (p, c, _, _) => (p, c) }
+      .reduceGroups { (a, b) =>
+        val x = BloomFilter.readFrom(new ByteArrayInputStream(a._4))
+        x.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(b._4)))
+        val bos = new ByteArrayOutputStream()
+        x.writeTo(bos)
+        (a._1, a._2, a._3, bos.toByteArray)
+      }
+      .map(_._2)
+      .toDF("path", "col", "tag", "bits")
+    merged.coalesce(8).write.mode("overwrite").parquet(s"$table/$rel")
     true
   }
 

@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *   OPTIMIZE graft.`/abs/path` ZORDER BY (a, b)       -- z re-layout
   *   OPTIMIZE graft.`/abs/path` SPLIT BY (a)           -- split re-layout
   *   OPTIMIZE graft.`/abs/path` LEDGERS                -- + ledger backfill
+  *   OPTIMIZE graft.`/abs/path` BLOOMS                 -- in-place bloom backfill
   *   VACUUM graft.`/abs/path`                          -- default retention
   *   VACUUM graft.`/abs/path` RETAIN 5 VERSIONS
   *   VACUUM graft.`/abs/path` RETAIN 5 VERSIONS GRACE 0 MS
@@ -48,7 +49,7 @@ object GraftMaintenanceSql {
     ("""(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+SPLIT\s+BY\s*\(([^)]*)\))?""" +
-      """(?:\s+(LEDGERS))?\s*;?\s*""").r
+      """(?:\s+(LEDGERS|BLOOMS))?\s*;?\s*""").r
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+graft\s*\.\s*`([^`]+)`""" +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -75,7 +76,14 @@ object GraftMaintenanceSql {
         "OPTIMIZE ... ZORDER BY () names no columns")
       require(sp == null || cols(sp).nonEmpty,
         "OPTIMIZE ... SPLIT BY () names no columns")
-      Some(GraftOptimizeCommand(path, cols(z), cols(sp), led != null))
+      val mode = Option(led).map(_.trim.toUpperCase(java.util.Locale.ROOT))
+      if (mode.contains("BLOOMS")) {
+        require(z == null && sp == null,
+          "OPTIMIZE ... BLOOMS is an in-place index backfill — it does " +
+            "not compose with a re-layout; run them as two statements")
+        Some(GraftBloomBackfillCommand(path))
+      } else
+        Some(GraftOptimizeCommand(path, cols(z), cols(sp), mode.contains("LEDGERS")))
     case RestoreRe(path, v) =>
       Some(GraftRestoreCommand(path, Left(v.toLong)))
     case RestoreTsRe(path, instant) =>
@@ -125,6 +133,18 @@ case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
     Seq(Row(MergeTable.optimize(sparkSession, path,
       zorderBy = zorderBy, splitBy = splitBy,
       ledgerBackfill = ledgerBackfill)))
+}
+
+/** `OPTIMIZE graft.`p` BLOOMS` — IN-PLACE bloom point-index backfill
+  * via [[MergeTable.bloomBackfill]]: one read-only scan + a
+  * metadata-only commit, zero data bytes rewritten. One metrics row
+  * back: entries stamped. */
+case class GraftBloomBackfillCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("stamped_files", IntegerType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(MergeTable.bloomBackfill(sparkSession, path)))
 }
 
 /** `RESTORE graft.`p` TO VERSION|TIMESTAMP AS OF …` — roll the head

@@ -3307,6 +3307,65 @@ object MergeTable {
     * merges costs O(drifted files), not O(table), and a re-run on an
     * already-split table is a commit-free no-op.
     */
+  /** `OPTIMIZE graft.`p` BLOOMS` — IN-PLACE bloom point-index backfill
+    * for files written before the table declared (or the session set) a
+    * bloom contract. Unlike `LEDGERS` (which rides the rewrite path
+    * because ledgers feed the DV min/max machinery on rewritten bytes),
+    * blooms are a pure side index: backfill is ONE read-only column-
+    * pruned scan over the un-indexed files, one `bloom/backfill-<id>`
+    * side dataset, and a METADATA-ONLY commit re-stamping the entries —
+    * zero data bytes rewritten, which at 100 TB is the difference
+    * between an afternoon rewrite and a single pass. Per-partition
+    * blooms for the same file are merged (same sizing ⇒ mergeable), so
+    * a file split across read partitions still yields ONE bloom.
+    * DV-masked rows stay IN the bloom — identical to the write side
+    * (DVs never touch blooms); they can only cost false-positive file
+    * opens, never wrong rows. Returns the number of entries stamped. */
+  def bloomBackfill(s: SparkSession, table: String,
+      maxAttempts: Int = 20): Int = {
+    val head0 = latestManifest(table).getOrElse(
+      sys.error(s"no committed version under $table"))
+    val logical = DataType.fromJson(head0.schemaJson).asInstanceOf[StructType]
+    val physSchema = StructType(logical.fields.map(f =>
+      f.copy(name = physOf(head0.columnMap, f.name))))
+    val cols = BloomIndex.indexedColumns(s, physSchema, head0.columnMap,
+      head0.properties)
+    require(cols.nonEmpty, "bloom backfill needs a declared bloom " +
+      "contract — set the graft.stats.bloomCols table property (or the " +
+      "spark.graft.stats.bloomCols session conf) first")
+    val targets = head0.files.filter(_.bloom.isEmpty)
+    if (targets.isEmpty) return 0
+    val (expected, fpp) = BloomIndex.sizing(s, head0.properties)
+    val rel = s"bloom/backfill-${java.util.UUID.randomUUID().toString.take(12)}"
+    val built = BloomIndex.buildBackfill(s, table, targets.map(_.path),
+      cols, expected, fpp, rel)
+    if (!built) return 0
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = latestManifest(table).getOrElse(
+        sys.error(s"no committed version under $table"))
+      // the dataset is per-file content: still valid for every scanned
+      // file that is LIVE and still un-indexed at this head; files a
+      // racing writer rewrote simply drop out (their replacements get
+      // write-side blooms or the next backfill)
+      val scanned = targets.map(_.path).toSet
+      val stamp = head.files.filter(f =>
+        f.bloom.isEmpty && scanned.contains(f.path))
+      if (stamp.isEmpty) { deleteDir(Paths.get(table, rel)); return 0 }
+      val stamped = stamp.map(_.copy(bloom = Some(rel)))
+      val untouchedFiles = head.files.filterNot(f =>
+        scanned.contains(f.path) && f.bloom.isEmpty)
+      if (commitVersion(table, head.version + 1, head.schemaJson,
+        head.keys, head.clusterBy, stamped, stamp.map(_.path).sorted,
+        head.txns, untouchedFiles ++ stamped, head.columnMap,
+        head.retiredPhysical, head.constraints, head.properties))
+        return stamped.size
+    }
+    sys.error(s"bloomBackfill on $table lost the commit race " +
+      s"$maxAttempts times")
+  }
+
   def optimize(
       s: SparkSession,
       table: String,

@@ -190,6 +190,45 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(after.where(col("event_id") === 501L).count() == 0)
   }
 
+  test("BLOOMS backfill: in-place index for pre-declaration files — " +
+    "zero bytes rewritten, metadata-only commit, probes prune like " +
+    "write-side blooms; idempotent; vacuum keeps the referenced dataset") {
+    val t = fresh("backfill")
+    writeFixture(t, bloom = false) // files exist, NO blooms
+    val before = MergeTable.latestManifest(t).get
+    assert(before.files.forall(_.bloom.isEmpty))
+    // no contract declared -> loud
+    intercept[Exception] { MergeTable.bloomBackfill(spark, t) }
+    // declare ON THE TABLE, then backfill through the SQL face
+    MergeTable.setProperties(spark, t,
+      Map("graft.stats.bloomCols" -> "event_id,event_type"))
+    val stamped = spark.sql(s"OPTIMIZE graft.`$t` BLOOMS")
+      .collect().head.getInt(0)
+    assert(stamped == before.files.size)
+    val after = MergeTable.latestManifest(t).get
+    assert(after.files.forall(_.bloom.nonEmpty))
+    // IN-PLACE: the data files are the SAME paths (no rewrite)
+    assert(after.files.map(_.path).sorted == before.files.map(_.path).sorted)
+    // and the probe prunes exactly like a write-side index
+    graft.ops.BloomIndex.resetLoadedForTest()
+    val rows = spark.read.format("graft").load(t)
+      .where(col("event_id") === 501L).collect()
+    assert(rows.length == 1)
+    assert(scanned(t) <= math.max(2, after.files.size / 4),
+      s"backfilled bloom must prune: ${scanned(t)}/${after.files.size}")
+    // string column backfilled too: absent label refutes everything
+    spark.read.format("graft").load(t)
+      .where(col("event_type") === "no_such_type").collect()
+    assert(scanned(t) <= 1)
+    // idempotent: nothing left to stamp
+    assert(MergeTable.bloomBackfill(spark, t) == 0)
+    // vacuum keeps the dataset while the stamped version is retained
+    MergeTable.vacuum(t, graceMs = 0L, retainVersions = 1)
+    graft.ops.BloomIndex.resetLoadedForTest()
+    assert(spark.read.format("graft").load(t)
+      .where(col("event_id") === 501L).count() == 1)
+  }
+
   test("load memo: a second probe against the same commit set reads " +
     "parquet zero more times") {
     val t = fresh("memo")

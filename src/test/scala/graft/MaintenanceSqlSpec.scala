@@ -91,6 +91,26 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.stats.ledgerK")
   }
 
+  test("OPTIMIZE ... BLOOMS parses, refuses composing with a re-layout, " +
+    "and needs a declared contract") {
+    val t = fresh("optb")
+    seed(t)
+    // no bloom contract anywhere -> loud
+    assert(intercept[Exception](
+      spark.sql(s"OPTIMIZE graft.`$t` BLOOMS").collect()).getMessage
+      .contains("bloomCols"))
+    // composing with a re-layout is two statements, not one
+    assert(intercept[Exception](spark.sql(
+      s"OPTIMIZE graft.`$t` ZORDER BY (event_id, value) BLOOMS").collect())
+      .getMessage.contains("two statements"))
+    MergeTable.setProperties(spark, t,
+      Map("graft.stats.bloomCols" -> "event_id"))
+    val r = spark.sql(s"OPTIMIZE graft.`$t` BLOOMS").collect()
+    assert(r.head.schema.fieldNames.toSeq == Seq("stamped_files"))
+    assert(r.head.getInt(0) > 0)
+    assert(MergeTable.latestManifest(t).get.files.forall(_.bloom.nonEmpty))
+  }
+
   test("RESTORE graft.`p` TO VERSION/TIMESTAMP AS OF rolls the head " +
     "forward to the exact historical state, preserving history; a " +
     "vacuumed target rejects loudly") {
