@@ -240,7 +240,11 @@ object BloomIndex {
     })
     // the parquet reader reports absolute/URI file names; entries are
     // table-relative — match on the last three segments
-    // (data/<commit>/<part-file>), which IS the entry path shape
+    // (data/<commit>/<part-file>), which IS the entry path shape.
+    // Conversion happens ONCE PER FILE at emit (and the hot loop keys
+    // by the raw reported name, caching the last-seen lookup — the
+    // reader hands long runs of rows from one file, so the per-row cost
+    // is a reference compare, not a string split)
     def relOf(abs: String): String =
       abs.split('/').takeRight(3).mkString("/")
     val src = spark.read.schema(readSchema)
@@ -249,10 +253,17 @@ object BloomIndex {
     val partial = src.mapPartitions { it =>
       val perFile = scala.collection.mutable.HashMap
         .empty[String, Array[BloomFilter]]
+      var lastAbs: String = null
+      var lastBfs: Array[BloomFilter] = null
       while (it.hasNext) {
         val r = it.next()
-        val bfs = perFile.getOrElseUpdate(relOf(r.getString(0)),
-          tags.map(_ => BloomFilter.create(expectedItems, fpp)).toArray)
+        val abs = r.getString(0)
+        if (lastAbs == null || abs != lastAbs) {
+          lastBfs = perFile.getOrElseUpdate(abs,
+            tags.map(_ => BloomFilter.create(expectedItems, fpp)).toArray)
+          lastAbs = abs
+        }
+        val bfs = lastBfs
         var i = 0
         while (i < bfs.length) {
           val v = r.get(i + 1)
@@ -260,7 +271,8 @@ object BloomIndex {
           i += 1
         }
       }
-      perFile.iterator.flatMap { case (p, bfs) =>
+      perFile.iterator.flatMap { case (abs, bfs) =>
+        val p = relOf(abs)
         bfs.indices.iterator.map { i =>
           val bos = new ByteArrayOutputStream()
           bfs(i).writeTo(bos)
@@ -326,9 +338,37 @@ object BloomIndex {
   /** Spec/probe hook: how many dataset loads actually hit parquet. */
   private[graft] val loadCount = new java.util.concurrent.atomic.AtomicLong
 
+  /** Over-cap skips memoized by (dataset, cap): the datasets are
+    * immutable (content-addressed by commit / backfill run), so a size
+    * verdict is deterministic for a given cap — memoizing it avoids an
+    * O(files) directory re-walk per query on a table whose stamped
+    * dataset is oversized, while a RAISED cap changes the key and
+    * re-probes immediately. Transient read errors stay uncached. */
+  private val oversized =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]
+
+  /** Serialized size of one bloom at this sizing (driver-side, exact —
+    * used to shard backfill datasets under the consult cap). */
+  private[graft] def serializedBytes(expectedItems: Long, fpp: Double): Long = {
+    val bos = new ByteArrayOutputStream()
+    BloomFilter.create(expectedItems, fpp).writeTo(bos)
+    bos.size().toLong
+  }
+
+  /** Does `rel` hold an entry for EVERY column in `colsLc` (lowercased
+    * physical names) for this file? Some(false) = provably not covered
+    * (backfill should re-index); Some(true) = covered; None = the
+    * dataset is unreadable/over-cap — coverage unknowable. */
+  private[graft] def covers(spark: SparkSession, table: String, rel: String,
+      path: String, colsLc: Seq[String]): Option[Boolean] =
+    load(spark, table, rel).map(idx =>
+      colsLc.forall(c => idx.contains((path, c))))
+
   /** Spec hook: drop the memo (e.g. after moving datasets on disk). */
-  private[graft] def resetLoadedForTest(): Unit =
+  private[graft] def resetLoadedForTest(): Unit = {
     loadedRefs.synchronized { loadedRefs.clear() }
+    oversized.clear()
+  }
 
   private def load(spark: SparkSession, table: String,
       rel: String): Option[Loaded] = {
@@ -341,12 +381,13 @@ object BloomIndex {
       val cached = loadedRefs.get(key)
       if (cached != null) return cached
     }
+    val cap = spark.conf
+      .getOption("spark.graft.bloom.driverMaxBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    if (oversized.containsKey((key, cap))) return None
     val v: Option[Loaded] =
       try {
         val dir = java.nio.file.Paths.get(table, rel)
-        val cap = spark.conf
-          .getOption("spark.graft.bloom.driverMaxBytes")
-          .map(_.toLong).getOrElse(64L * 1024 * 1024)
         val sz = {
           val st = java.nio.file.Files.list(dir)
           try st.iterator().asScala
@@ -354,7 +395,7 @@ object BloomIndex {
             .map(p => java.nio.file.Files.size(p)).sum
           finally st.close()
         }
-        if (sz > cap) None
+        if (sz > cap) { oversized.put((key, cap), true); None }
         else {
           loadCount.incrementAndGet()
           Some(spark.read.parquet(s"$table/$rel")

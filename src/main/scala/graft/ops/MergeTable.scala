@@ -3333,29 +3333,60 @@ object MergeTable {
     require(cols.nonEmpty, "bloom backfill needs a declared bloom " +
       "contract — set the graft.stats.bloomCols table property (or the " +
       "spark.graft.stats.bloomCols session conf) first")
-    val targets = head0.files.filter(_.bloom.isEmpty)
+    // targets: never-indexed files AND files whose existing dataset does
+    // not cover every DECLARED column — a widened contract ('a' →
+    // 'a,b') re-indexes stamped files instead of silently no-opping
+    // (their new dataset carries ALL declared columns, so the restamp
+    // loses nothing); an unreadable/over-cap dataset reads as covered
+    // (a maintenance heuristic must not re-scan the table on a consult
+    // failure it cannot interpret)
+    val declaredLc = cols.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    val targets = head0.files.filter { f =>
+      f.bloom match {
+        case None => true
+        case Some(r0) =>
+          BloomIndex.covers(s, table, r0, f.path, declaredLc).contains(false)
+      }
+    }
     if (targets.isEmpty) return 0
     val (expected, fpp) = BloomIndex.sizing(s, head0.properties)
-    val rel = s"bloom/backfill-${java.util.UUID.randomUUID().toString.take(12)}"
-    val built = BloomIndex.buildBackfill(s, table, targets.map(_.path),
-      cols, expected, fpp, rel)
-    if (!built) return 0
+    // SHARD the side datasets so every one stays consultable: the read
+    // path skips any dataset over spark.graft.bloom.driverMaxBytes, so
+    // one monolithic whole-table dataset would make the backfill a
+    // silent no-op at exactly the scale it exists for. Chunk size is
+    // derived from the REAL serialized bloom size at this sizing,
+    // targeting half the cap per dataset.
+    val perFileBytes = BloomIndex.serializedBytes(expected, fpp) *
+      cols.size + 256L
+    val cap = s.conf.getOption("spark.graft.bloom.driverMaxBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val chunkFiles = math.max(1L, (cap / 2) / perFileBytes).toInt
+    val runId = java.util.UUID.randomUUID().toString.take(12)
+    val relOfPath = scala.collection.mutable.HashMap.empty[String, String]
+    targets.map(_.path).grouped(chunkFiles).zipWithIndex.foreach {
+      case (chunk, k) =>
+        val rel = s"bloom/backfill-$runId-$k"
+        if (BloomIndex.buildBackfill(s, table, chunk, cols, expected, fpp,
+          rel)) chunk.foreach(p => relOfPath(p) = rel)
+    }
+    if (relOfPath.isEmpty) return 0
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val head = latestManifest(table).getOrElse(
         sys.error(s"no committed version under $table"))
-      // the dataset is per-file content: still valid for every scanned
-      // file that is LIVE and still un-indexed at this head; files a
-      // racing writer rewrote simply drop out (their replacements get
-      // write-side blooms or the next backfill)
-      val scanned = targets.map(_.path).toSet
-      val stamp = head.files.filter(f =>
-        f.bloom.isEmpty && scanned.contains(f.path))
-      if (stamp.isEmpty) { deleteDir(Paths.get(table, rel)); return 0 }
-      val stamped = stamp.map(_.copy(bloom = Some(rel)))
-      val untouchedFiles = head.files.filterNot(f =>
-        scanned.contains(f.path) && f.bloom.isEmpty)
+      // the datasets are per-file content: still valid for every scanned
+      // file that is LIVE at this head; files a racing writer rewrote
+      // simply drop out (their replacements get write-side blooms or the
+      // next backfill)
+      val stamp = head.files.filter(f => relOfPath.contains(f.path))
+      if (stamp.isEmpty) {
+        relOfPath.values.toSet[String]
+          .foreach(r => deleteDir(Paths.get(table, r)))
+        return 0
+      }
+      val stamped = stamp.map(f => f.copy(bloom = Some(relOfPath(f.path))))
+      val untouchedFiles = head.files.filterNot(f => relOfPath.contains(f.path))
       if (commitVersion(table, head.version + 1, head.schemaJson,
         head.keys, head.clusterBy, stamped, stamp.map(_.path).sorted,
         head.txns, untouchedFiles ++ stamped, head.columnMap,

@@ -192,16 +192,17 @@ class BloomIndexSpec extends AnyFunSuite {
 
   test("BLOOMS backfill: in-place index for pre-declaration files — " +
     "zero bytes rewritten, metadata-only commit, probes prune like " +
-    "write-side blooms; idempotent; vacuum keeps the referenced dataset") {
+    "write-side blooms; a WIDENED contract re-indexes; idempotent; " +
+    "vacuum keeps the referenced datasets") {
     val t = fresh("backfill")
     writeFixture(t, bloom = false) // files exist, NO blooms
     val before = MergeTable.latestManifest(t).get
     assert(before.files.forall(_.bloom.isEmpty))
     // no contract declared -> loud
     intercept[Exception] { MergeTable.bloomBackfill(spark, t) }
-    // declare ON THE TABLE, then backfill through the SQL face
+    // declare ONE column on the table, backfill through the SQL face
     MergeTable.setProperties(spark, t,
-      Map("graft.stats.bloomCols" -> "event_id,event_type"))
+      Map("graft.stats.bloomCols" -> "event_id"))
     val stamped = spark.sql(s"OPTIMIZE graft.`$t` BLOOMS")
       .collect().head.getInt(0)
     assert(stamped == before.files.size)
@@ -216,17 +217,56 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(rows.length == 1)
     assert(scanned(t) <= math.max(2, after.files.size / 4),
       s"backfilled bloom must prune: ${scanned(t)}/${after.files.size}")
-    // string column backfilled too: absent label refutes everything
+    // idempotent under the SAME contract: nothing left to stamp
+    assert(MergeTable.bloomBackfill(spark, t) == 0)
+    // WIDEN the contract: a re-run must re-index the stamped files for
+    // the new column instead of silently no-opping
+    MergeTable.setProperties(spark, t,
+      Map("graft.stats.bloomCols" -> "event_id,event_type"))
+    assert(MergeTable.bloomBackfill(spark, t) == before.files.size)
+    graft.ops.BloomIndex.resetLoadedForTest()
     spark.read.format("graft").load(t)
       .where(col("event_type") === "no_such_type").collect()
-    assert(scanned(t) <= 1)
-    // idempotent: nothing left to stamp
+    assert(scanned(t) <= 1,
+      "the widened column must refute after the re-run")
+    // and event_id pruning survived the restamp
+    assert(spark.read.format("graft").load(t)
+      .where(col("event_id") === 501L).count() == 1)
     assert(MergeTable.bloomBackfill(spark, t) == 0)
-    // vacuum keeps the dataset while the stamped version is retained
+    // vacuum keeps the datasets while the stamped version is retained
     MergeTable.vacuum(t, graceMs = 0L, retainVersions = 1)
     graft.ops.BloomIndex.resetLoadedForTest()
     assert(spark.read.format("graft").load(t)
       .where(col("event_id") === 501L).count() == 1)
+  }
+
+  test("BLOOMS backfill shards its side datasets under the consult cap " +
+    "— every shard loads, probes still prune") {
+    val t = fresh("shard")
+    writeFixture(t, bloom = false)
+    val files = MergeTable.latestManifest(t).get.files.size
+    MergeTable.setProperties(spark, t,
+      Map("graft.stats.bloomCols" -> "event_id,event_type"))
+    val prior = spark.conf.getOption("spark.graft.bloom.driverMaxBytes")
+    // a cap small enough to force several shards but large enough that
+    // each shard (≈ cap/2) stays consultable
+    spark.conf.set("spark.graft.bloom.driverMaxBytes", (64 * 1024).toString)
+    try {
+      assert(MergeTable.bloomBackfill(spark, t) == files)
+      val refs = MergeTable.latestManifest(t).get.files
+        .flatMap(_.bloom).distinct
+      assert(refs.size > 1,
+        s"a tiny cap must shard the backfill datasets, got ${refs.size}")
+      graft.ops.BloomIndex.resetLoadedForTest()
+      val got = spark.read.format("graft").load(t)
+        .where(col("event_id") === 501L).collect()
+      assert(got.length == 1)
+      assert(scanned(t) <= math.max(2, files / 4),
+        s"sharded backfill must still prune: ${scanned(t)}/$files")
+    } finally prior match {
+      case Some(p) => spark.conf.set("spark.graft.bloom.driverMaxBytes", p)
+      case None => spark.conf.unset("spark.graft.bloom.driverMaxBytes")
+    }
   }
 
   test("load memo: a second probe against the same commit set reads " +
