@@ -164,18 +164,33 @@ object BloomIndex {
 
   /** Build one bloom per (written file, indexed column) in a single
     * map-side pass over the pinned staged frame — no shuffle, the
-    * partition that wrote `part-<pid>` builds that file's blooms — and
-    * write them as `<table>/<rel>` (parquet: path, col, tag, bits).
+    * partition that wrote `part-<pid>` builds that file's blooms.
     * `pathOfPid` is the commit's pid → relative-path listing (driver-
-    * known, broadcast). Returns false (and writes nothing) when the
-    * partition set is empty. */
+    * known, broadcast). Datasets are SHARDED under the consult cap
+    * exactly like the backfill's: a normal incremental commit fits one
+    * `bloom/<commitId>` dataset, while a bulk-load commit whose single
+    * dataset would exceed `spark.graft.bloom.driverMaxBytes` (and so be
+    * silently skipped by every consult) splits into
+    * `bloom/<commitId>-<k>`, each ≈ half the cap. Returns each written
+    * file's dataset ref (empty when the partition set is empty). */
   private[graft] def writeBlooms(staged: DataFrame,
       cols: Seq[(String, String)], expectedItems: Long, fpp: Double,
-      table: String, rel: String, pathOfPid: Map[Int, String]): Boolean = {
-    if (pathOfPid.isEmpty) return false
+      table: String, commitId: String,
+      pathOfPid: Map[Int, String]): Map[String, String] = {
+    if (pathOfPid.isEmpty) return Map.empty
     val spark = staged.sparkSession
     val names = cols.map(_._1)
     val tags = cols.map(_._2)
+    val perFileBytes = serializedBytes(expectedItems, fpp) * cols.size + 256L
+    val cap = spark.conf.getOption("spark.graft.bloom.driverMaxBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val chunkFiles = math.max(1L, (cap / 2) / perFileBytes).toInt
+    val relOfPath: Map[String, String] =
+      if (pathOfPid.size <= chunkFiles)
+        pathOfPid.values.map(_ -> s"bloom/$commitId").toMap
+      else pathOfPid.values.toSeq.sorted.zipWithIndex.map { case (p, i) =>
+        p -> s"bloom/$commitId-${i / chunkFiles}"
+      }.toMap
     val src = staged.select(
       spark_partition_id().as("__pid") +: names.map(col): _*)
     val bloomRows = src.mapPartitions { it =>
@@ -201,17 +216,38 @@ object BloomIndex {
       }
     }(org.apache.spark.sql.Encoders.row(rowSchema))
     val pidPathRows = new java.util.ArrayList[Row](pathOfPid.size)
-    pathOfPid.toSeq.sortBy(_._1)
-      .foreach { case (p, f) => pidPathRows.add(Row(p, f)) }
+    pathOfPid.toSeq.sortBy(_._1).foreach { case (p, f) =>
+      pidPathRows.add(Row(p, f, relOfPath(f)))
+    }
     val pidPath = spark.createDataFrame(pidPathRows,
       StructType(Seq(
         StructField("pid", IntegerType, nullable = false),
-        StructField("path", StringType, nullable = false))))
-    bloomRows.join(broadcast(pidPath), "pid")
-      .select(col("path"), col("col"), col("tag"), col("bits"))
-      .coalesce(8)
-      .write.mode("overwrite").parquet(s"$table/$rel")
-    true
+        StructField("path", StringType, nullable = false),
+        StructField("rel", StringType, nullable = false))))
+    // ONE job whatever the shard count: rows land under a staging dir
+    // partitioned by target dataset, and the shard dirs then MOVE to
+    // their flat `bloom/<commitId>[-k]` homes (driver-side renames —
+    // the flat layout is what the vacuum sweep and the consult expect)
+    val joined = bloomRows.join(broadcast(pidPath), "pid")
+      .select(col("rel"), col("path"), col("col"), col("tag"), col("bits"))
+    val shards = relOfPath.values.toSeq.distinct
+    if (shards.size == 1) {
+      joined.drop("rel").coalesce(8)
+        .write.mode("overwrite").parquet(s"$table/${shards.head}")
+    } else {
+      val stage = s"bloom/.stage-$commitId"
+      joined.withColumn("rel",
+        element_at(split(col("rel"), "/"), -1))
+        .write.partitionBy("rel").mode("overwrite")
+        .parquet(s"$table/$stage")
+      try shards.foreach { r =>
+        val leaf = r.split('/').last
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(table, stage, s"rel=$leaf"),
+          java.nio.file.Paths.get(table, r))
+      } finally MergeTable.deleteDir(java.nio.file.Paths.get(table, stage))
+    }
+    relOfPath
   }
 
   /** BACKFILL build ([[graft.ops.MergeTable.bloomBackfill]]): one

@@ -2845,15 +2845,14 @@ object MergeTable {
         else {
           val (expected, fpp) =
             BloomIndex.sizing(staged.sparkSession, properties)
-          val bloomRel = s"bloom/$commitId"
           val pathOfPid = newFiles.map { e =>
             val name = e.path.split('/').last
             name.stripPrefix("part-").takeWhile(_.isDigit).toInt -> e.path
           }.toMap
-          if (BloomIndex.writeBlooms(staged, bloomCols, expected, fpp,
-            table, bloomRel, pathOfPid))
-            newFiles.map(_.copy(bloom = Some(bloomRel)))
-          else newFiles
+          val relOfPath = BloomIndex.writeBlooms(staged, bloomCols,
+            expected, fpp, table, commitId, pathOfPid)
+          if (relOfPath.isEmpty) newFiles
+          else newFiles.map(e => e.copy(bloom = relOfPath.get(e.path)))
         }
       (commitId, withBloom)
     } finally org.apache.spark.sql.graftbridge.Bridge
@@ -3848,7 +3847,7 @@ object MergeTable {
       }
     }
 
-  private def deleteDir(p: java.nio.file.Path): Unit =
+  private[graft] def deleteDir(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val stream = Files.walk(p)
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{BloomIndex, MergeTable}
 import graft.sources.{GraftScanAudit, Tables}
+import scala.jdk.CollectionConverters._
 
 /** Per-file BLOOM point indexes: the oracled `q_point_lookup` pins the
   * VALUES; this suite pins the pruning contract the oracle cannot see —
@@ -238,6 +239,35 @@ class BloomIndexSpec extends AnyFunSuite {
     graft.ops.BloomIndex.resetLoadedForTest()
     assert(spark.read.format("graft").load(t)
       .where(col("event_id") === 501L).count() == 1)
+  }
+
+  test("write-side datasets shard under the consult cap too: a bulk-load " +
+    "commit over the cap splits into consultable bloom/<commit>-<k> " +
+    "datasets instead of one silently-skipped monolith") {
+    val t = fresh("wshard")
+    val prior = spark.conf.getOption("spark.graft.bloom.driverMaxBytes")
+    spark.conf.set("spark.graft.bloom.driverMaxBytes", (64 * 1024).toString)
+    try {
+      writeFixture(t, bloom = true)
+      val m = MergeTable.latestManifest(t).get
+      assert(m.files.forall(_.bloom.nonEmpty))
+      val refs = m.files.flatMap(_.bloom).distinct
+      assert(refs.size > 1,
+        s"a bulk commit over the cap must shard: got ${refs.size} dataset(s)")
+      assert(refs.forall(_.matches("bloom/[-0-9a-f]+-\\d+")), refs.toString)
+      graft.ops.BloomIndex.resetLoadedForTest()
+      val got = spark.read.format("graft").load(t)
+        .where(col("event_id") === 501L).collect()
+      assert(got.length == 1)
+      assert(scanned(t) <= math.max(2, m.files.size / 4),
+        s"sharded write-side blooms must prune: ${scanned(t)}/${m.files.size}")
+      // no staging residue
+      assert(!java.nio.file.Files.list(java.nio.file.Paths.get(t, "bloom"))
+        .iterator().asScala.exists(_.getFileName.toString.startsWith(".stage")))
+    } finally prior match {
+      case Some(p) => spark.conf.set("spark.graft.bloom.driverMaxBytes", p)
+      case None => spark.conf.unset("spark.graft.bloom.driverMaxBytes")
+    }
   }
 
   test("BLOOMS backfill shards its side datasets under the consult cap " +
