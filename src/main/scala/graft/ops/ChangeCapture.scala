@@ -46,17 +46,28 @@ object ChangeCapture {
   def snapshotDiffKeys(
       oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       cols: Seq[String], preimages: Boolean = false): DataFrame = {
-    def hashed(df: DataFrame, side: String) =
+    def hashed(df: DataFrame, side: String) = {
+      // NULL is encoded POSITIONALLY as \u0002: xxhash64 SKIPS null
+      // arguments (a null leaves the running hash untouched), so without
+      // the sentinel (NULL,'a') and ('a',NULL) would hash identically and
+      // the UPDATE between them be missed. Each column is a SEPARATE hash
+      // argument (the fold mixes a per-argument boundary), so adjacent
+      // values cannot alias ("ab","c" vs "a","bc") with no separator or
+      // concat buffer needed.
+      val sentineled = cols.map(c => coalesce(col(c).cast("string"), lit("\u0002")))
+      // TWO independent 64-bit draws (the second chain salted by a
+      // constant leading argument) ≈ the 128-bit discrimination the
+      // previous md5 form had — but carried as two longs, not a 32-char
+      // hex string: the diff shuffle moves 16 bytes of row-hash instead
+      // of ~64, and the per-row cost drops from concat_ws allocation +
+      // MD5 digest + hex encode to two allocation-free codegen'd hash
+      // folds (guide §2.3: shuffle fewer bytes, narrower types).
       df.select(
         keys.zipWithIndex.map { case (k, i) => col(k).as(s"${side}_k$i") } ++ Seq(
-          // \u0001 separator so adjacent columns cannot alias ("ab","c" vs
-          // "a","bc"); NULL is encoded POSITIONALLY as \u0002 — concat_ws
-          // SKIPS nulls, so without the sentinel (NULL,'a') and ('a',NULL)
-          // would hash identically and the UPDATE between them be missed
-          md5(concat_ws("\u0001",
-            cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
-            .as(s"${side}_hash"),
+          xxhash64(sentineled: _*).as(s"${side}_h0"),
+          xxhash64(lit("\u0003") +: sentineled: _*).as(s"${side}_h1"),
           lit(true).as(s"${side}_present")): _*)
+    }
     val o = hashed(oldDf, "o")
     val n = hashed(newDf, "n")
     val cond = keys.indices
@@ -65,7 +76,8 @@ object ChangeCapture {
       .withColumn("change_type",
         when(col("o_present").isNull, "INSERT")
           .when(col("n_present").isNull, "DELETE")
-          .when(col("o_hash") =!= col("n_hash"), "UPDATE"))
+          .when(col("o_h0") =!= col("n_h0") || col("o_h1") =!= col("n_h1"),
+            "UPDATE"))
       .where(col("change_type").isNotNull)
       .select(keys.zipWithIndex.map { case (k, i) =>
         coalesce(col(s"n_k$i"), col(s"o_k$i")).as(k)

@@ -669,13 +669,21 @@ object DedupOps {
     * expression — one scan, zero exchanges; bit-parity with the
     * vote-aggregate form is pinned by `q_simhash_row_fp`'s oracle and
     * LlmOpsSpec's lanes/subset cases.
+    *
+    * The fingerprint is [[graft.functions.PinnedEval]]-pinned: the band
+    * join's key-nullability inference (`isnotnull(bv)`) otherwise pushes
+    * below this projection as `isnotnull(simhash_row(…))`, re-running the
+    * whole tokenize-shingle-hash pass a second time per row per join side
+    * (the guide-§4.4 duplication; plan diff in
+    * plans/r18/q_dedup_simhash_pairs_{before,after}.txt).
     */
   private def nativeFingerprints(
       s: SparkSession, dir: String, bits: Int, salt: String = ""): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TextOps.tokens.as("toks"))
-      .select(col("doc_id"), graft.functions.SimhashExpressions
-        .simhash_row(col("toks"), bits, salt).as("simhash"))
+      .select(col("doc_id"), graft.functions.PinnedEval
+        .pinned(graft.functions.SimhashExpressions
+          .simhash_row(col("toks"), bits, salt)).as("simhash"))
 
   /** (doc_id, simhash, n_set_bits) over `bits` fingerprint bits for an
     * arbitrary shingle index — shared by the fingerprint query, the
@@ -889,14 +897,18 @@ object DedupOps {
       }
     }
     // two independent lanes = two native per-row draws (lane 1 salted);
-    // the vote-aggregate twin (simhashLanes128) remains the test surface
+    // the vote-aggregate twin (simhashLanes128) remains the test surface.
+    // Both lanes PinnedEval-pinned like [[nativeFingerprints]]: the band
+    // join's inferred isnotnull(bv) otherwise clones BOTH per-row
+    // fingerprint passes into a pushed filter (4 evaluations per doc per
+    // side instead of 2)
     val fp = docs(s, dir)
       .select(col("doc_id"), TextOps.tokens.as("toks"))
       .select(col("doc_id"),
-        graft.functions.SimhashExpressions
-          .simhash_row(col("toks"), Simhash128LaneBits).as("simhash0"),
-        graft.functions.SimhashExpressions
-          .simhash_row(col("toks"), Simhash128LaneBits, Lane1Salt).as("simhash1"))
+        graft.functions.PinnedEval.pinned(graft.functions.SimhashExpressions
+          .simhash_row(col("toks"), Simhash128LaneBits)).as("simhash0"),
+        graft.functions.PinnedEval.pinned(graft.functions.SimhashExpressions
+          .simhash_row(col("toks"), Simhash128LaneBits, Lane1Salt)).as("simhash1"))
     val bands = fp.select(
       col("doc_id"), col("simhash0"), col("simhash1"),
       explode(array(bandCols: _*)).as("bd"))

@@ -93,11 +93,20 @@ object EventOps {
     * into downstream references, so this shape keeps one parse per row
     * (plus at most the pushed-down filter's) and was measured ~2× faster
     * at sf0.1 on the bench's slowest query.
+    *
+    * The parse is additionally wrapped in [[graft.functions.PinnedEval]]:
+    * without the pin, predicate pushdown clones the parse into the
+    * pushed `isnotnull` filter (`Filter isnotnull(get_json_object(…)) →
+    * Project get_json_object(…)` — both nodes parse), so every surviving
+    * row paid the Jackson walk TWICE. Pinned, the filter stays above the
+    * projection and each row is parsed exactly once (guide §4.4; plan
+    * diff in plans/r18/q_p1_strict_projection_{before,after}.txt).
     */
   def p1StrictProjection(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(col("event_id"), col("ts"),
-        get_json_object(col("props"), "$.k").as("k_raw"))
+        graft.functions.PinnedEval
+          .pinned(get_json_object(col("props"), "$.k")).as("k_raw"))
       .where(col("k_raw").isNotNull)
       .select(
         col("event_id"),

@@ -476,7 +476,49 @@ object MultimodalOps {
     * frames; sample (frame i, channel c) = (id·31 + 7i + 3c) mod 2¹⁶ −
     * 2¹⁵. Synthesized map-side on executors with the JDK's own WAV writer.
     */
-  private[ops] def encodeWav(id: Long): Array[Byte] = {
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val sampleRate = (8000 + (id % 5) * 2000).toInt
+    val channels = (id % 2 + 1).toInt
+    val nFrames = (id % 50 + 20).toInt
+    // Direct RIFF/WAVE construction (optimization round 18): the previous
+    // form synthesized the identical container through AudioSystem.write —
+    // an AudioInputStream + ByteArrayOutputStream + stream-copy per row
+    // that triaged at ~40% of q_multimodal_audio's steady cost. The
+    // canonical 44-byte PCM header written here is BYTE-IDENTICAL to the
+    // JDK WaveFileWriter's output (pinned against AudioSystem.write in
+    // MultimodalSpec), so the read side still exercises the real codec on
+    // the same bytes.
+    val dataLen = nFrames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * 2
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16.toShort) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = (((id * 31 + 7L * i + 3L * c) % 65536L) - 32768L).toInt
+        buf.putShort(v.toShort) // little-endian 16-bit sample
+        c += 1
+      }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** The retired AudioSystem.write form of [[encodeWav]] — kept as the
+    * byte-equality reference MultimodalSpec pins the hand-rolled header
+    * against (the JDK codec is the ground truth for "is this a real WAV"). */
+  private[graft] def encodeWavViaAudioSystem(id: Long): Array[Byte] = {
     val sampleRate = (8000 + (id % 5) * 2000).toInt
     val channels = (id % 2 + 1).toInt
     val nFrames = (id % 50 + 20).toInt

@@ -808,6 +808,16 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
       assert(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
     }
+    // the hand-rolled RIFF writer (round-18 optimization) is BYTE-IDENTICAL
+    // to the JDK WaveFileWriter it replaced — every rate/channel/frame
+    // combination the synthesis rule can produce (id mod 5 × mod 2 × mod 50
+    // cycles within 0..99, plus a large id for 64-bit arithmetic)
+    (0L to 99L) :+ 123456789L foreach { id =>
+      assert(java.util.Arrays.equals(
+        MultimodalOps.encodeWav(id),
+        MultimodalOps.encodeWavViaAudioSystem(id)),
+        s"hand-rolled WAV bytes differ from AudioSystem.write for id $id")
+    }
     // decoded rate/channels/frames/first-sample match the synthesis
     // arithmetic — values only a real WAV parse (lossless PCM) reproduces
     val out = MultimodalOps.decodeWav(spark, dir).collect()
