@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
@@ -32,7 +32,19 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // deployment-parameterized settings: SPARK_GRAFT_CONF is a
+    // semicolon-separated `key=value` list applied LAST, so a cluster
+    // deployment (or an A/B experiment) can override any of the local
+    // defaults above without a rebuild — the mechanism the optimization
+    // guide's "configs are the last 10-30%" tier calls for, kept out of
+    // the code so the bench's driver contract stays comparable by default
+    val extra = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+    val withExtra = extra.split(";").map(_.trim).filter(_.contains("="))
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      }
+    val spark = withExtra.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

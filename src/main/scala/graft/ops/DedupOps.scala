@@ -1069,40 +1069,45 @@ object DedupOps {
           .gram_hash60s(split(col("text"), " "), gram)))
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
 
+  /** The per-doc duplicated-window starts frame (doc_id, ss: array<int>)
+    * — extracted so the parity spec can drive both rewrite forms from the
+    * identical input.
+    *
+    * "in ≥ 2 distinct docs" ⟺ the per-(h, doc_id) PRE-AGGREGATE has ≥ 2
+    * rows for h — NOT a Window.partitionBy(h): a boilerplate gram repeated
+    * across millions of docs makes the window's one-partition-per-key
+    * shape a hot task no optimizer can split, while here the hot h is
+    * spread over its documents in the first aggregate, count partials
+    * collapse it map-side in the second, and the rejoin is an equi-join
+    * AQE skew-split can subdivide. The member-doc count is phrased over
+    * `starts` (non-empty by construction, so least(size, 1) ≡ 1) rather
+    * than count(1): a plain count lets column pruning drop `starts` from
+    * this branch's copy of the pre-aggregate, the two subtrees stop being
+    * identical, and the shared (h, doc_id) exchange is built twice —
+    * referencing starts keeps both branches on ONE exchange
+    * (ReusedExchange, pinned in SkewSpec). */
+  private[graft] def dupStartsOf(d: DataFrame, gram: Int): DataFrame = {
+    val grams = gramPositions(d, gram)
+    val perDoc = grams.groupBy(col("h"), col("doc_id"))
+      .agg(collect_list(col("start")).as("starts"))
+    val dupH = perDoc.groupBy(col("h"))
+      .agg(sum(least(size(col("starts")), lit(1)).cast("long")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("h"))
+    perDoc
+      .join(dupH, "h")
+      .groupBy(col("doc_id"))
+      .agg(flatten(collect_list(col("starts"))).as("ss"))
+  }
+
   private[graft] def duplicateSpanScrubOf(d: DataFrame, gram: Int): DataFrame = {
     // explicit isNotNull (inside gramPositions): the per-doc reassembly
     // join infers it on ITS branch only, which would desynchronize the two
     // copies of the shared pre-aggregate subtree and defeat ReusedExchange
     // — stating it once in the shared scan keeps both branches
     // byte-identical
-    val grams = gramPositions(d, gram)
-    // in ≥ 2 distinct docs ⟺ the per-(h, doc_id) PRE-AGGREGATE has ≥ 2
-    // rows for h — NOT a Window.partitionBy(h): a boilerplate gram
-    // repeated across millions of docs makes the window's
-    // one-partition-per-key shape a hot task no optimizer can split,
-    // while here the hot h is spread over its documents in the first
-    // aggregate, count partials collapse it map-side in the second, and
-    // the rejoin is an equi-join AQE skew-split can subdivide. The count
-    // runs over the aggregate's GROUPS (min/max over doc_id would be
-    // pushed straight through to the raw gram stream, splitting the
-    // branches), so the (h, doc_id) exchange is planned once and reused by
-    // both branches (ReusedExchange, pinned in SkewSpec) — the explode
-    // pipeline still runs ONCE.
-    val perDoc = grams.groupBy(col("h"), col("doc_id"))
-      .agg(collect_list(col("start")).as("starts"))
-    // member-doc count phrased over starts (non-empty by construction, so
-    // least(size, 1) ≡ 1): a plain count(1) lets column pruning drop
-    // `starts` from this branch's copy of the pre-aggregate and the shared
-    // exchange splits in two — same device as [[duplicateSpanStatsOf]]
-    val dupH = perDoc.groupBy(col("h"))
-      .agg(sum(least(size(col("starts")), lit(1)).cast("long")).as("n_docs"))
-      .where(col("n_docs") >= 2)
-      .select(col("h"))
-    val dupStarts = perDoc
-      .join(dupH, "h")
-      .groupBy(col("doc_id"))
-      .agg(flatten(collect_list(col("starts"))).as("ss"))
-    applySpanScrub(d, dupStarts, gram).orderBy("doc_id")
+    // dup-start derivation in [[dupStartsOf]] — see its scale notes
+    applySpanScrub(d, dupStartsOf(d, gram), gram).orderBy("doc_id")
   }
 
   /** The rewrite half of the span scrub, shared with the STREAMING twin:
@@ -1114,6 +1119,26 @@ object DedupOps {
     * position range: O(tokens + covered), not O(tokens × covered).
     */
   private[graft] def applySpanScrub(
+      d: DataFrame, dupStarts: DataFrame, gram: Int): DataFrame =
+    d
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      // one compiled pass over (tokens, duplicated-window starts): cover
+      // mask + survivor join, replacing the interpreted three-lambda chain
+      // (expand covered → array_except → element_at projection) that
+      // allocated three intermediate arrays per doc — same O(tokens +
+      // covered), parity pinned against the composed form in LlmOpsSpec
+      .withColumn("sc", graft.functions.SpanScrubExpressions
+        .span_scrub(col("toks"), col("ss"), gram))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")).cast("long") - col("sc.n_kept")).as("n_removed"),
+        col("sc.clean_text").as("clean_text"))
+
+  /** The retired declarative rewrite — kept as the parity reference the
+    * spec pins [[applySpanScrub]]'s native expression against. */
+  private[graft] def applySpanScrubComposed(
       d: DataFrame, dupStarts: DataFrame, gram: Int): DataFrame =
     d
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1199,21 +1224,28 @@ object DedupOps {
     val bandBits = SimhashWideBandBits
     val nBands = SimhashWideBits / bandBits
     val mask = (1L << bandBits) - 1
-    val fp = docs(s, dir)
+    // Each side filters on source BELOW the fingerprint projection (the
+    // side predicate keeps reaching the parquet scan as a pushed filter)
+    // and the fingerprint itself is PinnedEval-pinned like
+    // [[nativeFingerprints]]: the band join's inferred isnotnull(bv)
+    // otherwise clones the whole fingerprint pass into a pushed filter on
+    // BOTH join sides (the before-plan showed simhash_row twice per side).
+    def bandsOf(sidePred: Column) = docs(s, dir)
+      .where(sidePred)
       .select(col("doc_id"), col("source"), TextOps.tokens.as("toks"))
-      .select(col("doc_id"), col("source"), graft.functions.SimhashExpressions
-        .simhash_row(col("toks"), SimhashWideBits).as("simhash"))
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        expr(s"shiftright(simhash, ${bandBits * b}) & $mask").as("bv"))
-    }
-    val bands = fp.select(
-      col("doc_id"), col("source"), col("simhash"),
-      explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("source"), graft.functions.PinnedEval
+        .pinned(graft.functions.SimhashExpressions
+          .simhash_row(col("toks"), SimhashWideBits)).as("simhash"))
+      .select(
+        col("doc_id"), col("source"), col("simhash"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(simhash, ${bandBits * b}) & $mask").as("bv"))
+        }: _*)).as("bd"))
       .select(col("doc_id"), col("source"), col("simhash"),
         col("bd.band").as("band"), col("bd.bv").as("bv"))
-    val near = bands.where(!isRef).as("n")
-      .join(bands.where(isRef).as("r"),
+    val near = bandsOf(!isRef).as("n")
+      .join(bandsOf(isRef).as("r"),
         col("n.band") === col("r.band") && col("n.bv") === col("r.bv"))
       .where(expr("bit_count(n.simhash ^ r.simhash)") <= maxHamming)
       .select(col("n.doc_id").as("doc_id"), lit("near").as("kind"),

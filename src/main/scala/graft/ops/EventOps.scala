@@ -255,8 +255,13 @@ object EventOps {
     events(s, dir)
       .withColumn(
         "exception_type",
-        when(col("value") > 190.0, "VALUE_OUT_OF_RANGE")
-          .when(get_json_object(col("props"), "$.k").isNull, "MALFORMED_PAYLOAD"))
+        // PinnedEval: the isNotNull routing filter otherwise pushes below
+        // this projection as a clone of the whole CASE — the JSON parse
+        // then runs twice for every in-range row (guide §4.4, same fix as
+        // p1StrictProjection)
+        graft.functions.PinnedEval.pinned(
+          when(col("value") > 190.0, "VALUE_OUT_OF_RANGE")
+            .when(get_json_object(col("props"), "$.k").isNull, "MALFORMED_PAYLOAD")))
       .where(col("exception_type").isNotNull)
       .select(
         col("event_id"), col("user_id"), col("exception_type"),

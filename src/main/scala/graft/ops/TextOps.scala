@@ -133,7 +133,30 @@ object TextOps {
   def qualityRepetition(s: SparkSession, dir: String): DataFrame =
     qualityRepetitionOf(docs(s, dir))
 
-  private[graft] def qualityRepetitionOf(d: DataFrame): DataFrame = {
+  /** One compiled pass per document (round-18 optimization): every output
+    * fraction depends only on the row's own tokens, so the retired
+    * two-pipeline explode/aggregate/join form (four shuffles of the
+    * exploded token stream — kept below as
+    * [[qualityRepetitionComposedOf]], the spec's parity reference) was
+    * pure overhead. [[graft.functions.RepetitionStatsExpr]] computes the
+    * five integer aggregates map-side; division + rounding stay in the
+    * Catalyst projection so float behavior is unchanged. Zero exchanges
+    * before the final sort.
+    */
+  private[graft] def qualityRepetitionOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), graft.functions.RepetitionStatsExpressions
+      .repetition_stats(tokens).as("st"))
+      .select(
+        col("doc_id"),
+        round(col("st.u_top_c").cast("double") / col("st.u_n"), 4)
+          .as("top_token_frac"),
+        round(col("st.u_dup_c").cast("double") / col("st.u_n"), 4)
+          .as("dup_token_frac"),
+        round(col("st.b_top_c").cast("double") / col("st.b_n"), 4)
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+
+  private[graft] def qualityRepetitionComposedOf(d: DataFrame): DataFrame = {
     val base = d.select(col("doc_id"), tokens.as("toks"))
     def gramStats(gram: Column, pfx: String) =
       base.select(col("doc_id"), explode(gram).as("g"))
@@ -196,15 +219,17 @@ object TextOps {
     * 0.05–0.30 with median 0.09; dup_token_frac 0–0.99 median 0.83).
     */
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    // one compiled pass per document (round-18, same device as
+    // [[qualityRepetitionOf]]): every rule input depends only on the
+    // row's own tokens, so the explode → (doc, tok) count → per-doc
+    // aggregate pipeline (two shuffles of the token stream) was pure
+    // overhead; `bigrams = false` skips the half this op never reads
     val stats = docs(s, dir)
-      .select(col("doc_id"), tokens.as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        max(col("c")).as("top_c"),
-        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"),
-        sum(col("c")).as("n_tok"),
-        count(lit(1)).as("n_uniq"))
+      .select(col("doc_id"), graft.functions.RepetitionStatsExpressions
+        .repetition_stats(tokens, bigrams = false).as("st"))
+      .select(col("doc_id"),
+        col("st.u_top_c").as("top_c"), col("st.u_dup_c").as("dup_c"),
+        col("st.u_n").as("n_tok"), col("st.u_uniq").as("n_uniq"))
     stats.select(
       col("doc_id"),
       (col("n_tok") >= 20 && col("n_tok") <= 1000).as("len_ok"),

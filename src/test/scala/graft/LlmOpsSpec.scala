@@ -234,6 +234,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(n2 == 27L && rem2 == 12L && clean2 == uniqA, s"doc2: $rem2 '$clean2'")
   }
 
+  test("span scrub: native expression is row-identical to the composed rewrite") {
+    // the round-18 native span_scrub expression replaced the interpreted
+    // three-lambda rewrite; pin bit-parity over the real corpus AND the
+    // planted corners (full scrub, prefix survival, untouched, overlap)
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val uniqA = (1 to 15).map(i => s"a$i").mkString(" ")
+    val synth = Seq(
+      (9000L, shared, "s0"), (9001L, shared, "s0"),
+      (9002L, s"$uniqA $shared", "s1"),
+      (9003L, s"$shared $uniqA $shared", "s1")) // overlapping covered runs
+      .toDF("doc_id", "text", "source")
+    val corpus = graft.sources.Tables.read(spark, dir, "documents")
+      .select("doc_id", "text", "source").unionByName(synth)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    // drive both rewrites from the SAME dupStarts frame
+    val grams = Seq(10, 3)
+    grams.foreach { g =>
+      val native = graft.ops.DedupOps.duplicateSpanScrubOf(corpus, g)
+        .collect().map(key).sortBy(_._1)
+      val composedStarts = {
+        // recompute dupStarts exactly as duplicateSpanScrubOf does, then
+        // route through the retired composed rewrite
+        val d = corpus
+        val out = graft.ops.DedupOps.applySpanScrubComposed(
+          d, graft.ops.DedupOps.dupStartsOf(d, g), g).orderBy("doc_id")
+        out.collect().map(key).sortBy(_._1)
+      }
+      assert(native.sameElements(composedStarts), s"gram=$g parity broke")
+    }
+  }
+
   test("cluster sample: dense ranks, non-increasing cosine, every kmeans cell covered, group-limited plan") {
     val df = SimilarityOps.clusterSample(spark, dir)
     val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -200,6 +200,24 @@ class SelectionDedupOpsSpec extends AnyFunSuite {
     assert(out(2L).getAs[Double]("dup_token_frac") === 0.6667)
   }
 
+  test("quality repetition: native per-row stats row-identical to the composed form") {
+    // the round-18 native repetition_stats pass replaced the two
+    // explode/aggregate pipelines; pin parity over the real corpus plus
+    // degenerate docs (1 token, all-same, all-distinct, repeated bigrams)
+    import spark.implicits._
+    val synth = Seq(
+      (9000L, "solo"), (9001L, "x x x x"), (9002L, "a b c d e"),
+      (9003L, "p q p q p q"), (9004L, "t"))
+      .toDF("doc_id", "text")
+    val corpus = graft.sources.Tables.read(spark, sf, "documents")
+      .select("doc_id", "text").unionByName(synth)
+    val native = graft.ops.TextOps.qualityRepetitionOf(corpus)
+      .collect().map(_.toString).sorted
+    val composed = graft.ops.TextOps.qualityRepetitionComposedOf(corpus)
+      .collect().map(_.toString).sorted
+    assert(native.sameElements(composed))
+  }
+
   test("DSIR weights are deterministic across runs") {
     val w1 = CorpusOps.dsirWeights(spark, sf).collect().map(_.toString)
     val w2 = CorpusOps.dsirWeights(spark, sf).collect().map(_.toString)
