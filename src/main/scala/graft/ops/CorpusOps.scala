@@ -991,12 +991,30 @@ object CorpusOps {
 
   private[graft] def dsirWeightsOf(
       d: DataFrame, table: Option[Array[Double]] = None): DataFrame = {
-    // SCORING: explode the feature stream, but resolve each feature's
-    // contribution IN THE PROJECTION via element_at on the literal
-    // trained table — md5 + lookup stay inside whole-stage codegen (an
-    // interpreted per-array HOF fold measured 5× slower), there is no
-    // join at all, and the only shuffle is the map-side-combined per-doc
-    // sum. The trained table itself is B collected doubles.
+    // SCORING, one compiled pass per document (round-18): every feature
+    // of a document comes from its own row, so the retired
+    // explode → element_at → per-doc sum pipeline (kept below as
+    // [[dsirWeightsComposedOf]], the spec's parity reference) paid a
+    // generate + a (doc, lang) exchange for a map-side quantity.
+    // [[graft.functions.DsirRowExpr]] folds (n_features, Σ logr) in
+    // feature order — bit-identical to the partial-aggregate fold, since
+    // each doc's exploded features sat in one partition in that order —
+    // and the only remaining exchange is the final sort.
+    val lr = table.getOrElse(dsirTableOf(d))
+    d.select(col("doc_id"), col("lang"), TextOps.tokens.as("toks"))
+      .select(col("doc_id"), col("lang"), graft.functions.DsirRowExpressions
+        .dsir_row(col("toks"), lr).as("st"))
+      .select(col("doc_id"), col("lang"),
+        col("st.n_features").as("n_features"),
+        round(col("st.lw"), 6).as("dsir_logw"),
+        round(col("st.lw") / col("st.n_features"), 6).as("dsir_logw_mean"))
+      .orderBy("doc_id")
+  }
+
+  /** The retired explode/aggregate scoring pass — the parity reference
+    * [[dsirWeightsOf]]'s native fold is pinned against. */
+  private[graft] def dsirWeightsComposedOf(
+      d: DataFrame, table: Option[Array[Double]] = None): DataFrame = {
     val lrArr = typedLit(table.getOrElse(dsirTableOf(d)).toSeq)
     dsirFeatures(d)
       .select(col("doc_id"), col("lang"),

@@ -223,4 +223,21 @@ class SelectionDedupOpsSpec extends AnyFunSuite {
     val w2 = CorpusOps.dsirWeights(spark, sf).collect().map(_.toString)
     assert(w1.toSeq === w2.toSeq)
   }
+
+  test("DSIR weights: native per-row fold row-identical to the composed pass") {
+    // round-18: dsir_row replaced the explode/element_at/aggregate
+    // scoring pipeline; pin parity (incl. the float sum, folded in the
+    // same feature order) over the corpus plus degenerate docs
+    import spark.implicits._
+    val synth = Seq(
+      (9000L, "solo", "en"), (9001L, "a b", "fr"),
+      (9002L, "x y x y x", "en"))
+      .toDF("doc_id", "text", "lang")
+    val corpus = graft.sources.Tables.read(spark, sf, "documents")
+      .select("doc_id", "text", "lang").unionByName(synth)
+    val native = CorpusOps.dsirWeightsOf(corpus).collect().map(_.toString).sorted
+    val composed = CorpusOps.dsirWeightsComposedOf(corpus)
+      .collect().map(_.toString).sorted
+    assert(native.sameElements(composed))
+  }
 }
