@@ -140,12 +140,25 @@ object TimeSeriesOps {
     */
   val HllErrorPctBound = 2.0
 
-  def hllDistinct(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    // SEPARATE aggregates, joined on the group key (round-18
+    // optimization): mixing count(DISTINCT) with approx_count_distinct
+    // in ONE aggregate triggers Catalyst's distinct-expansion, which
+    // carries the 2%-rsd HLL buffer (411 long slots, ~3 KB) PER
+    // (event_type, user_id) GROUP through the first aggregate and its
+    // exchange — the sketch's fixed-size-state promise inverted into a
+    // per-distinct-value buffer shuffle (plan diff in
+    // plans/r18/q_hll_distinct_{before,after}.txt). Split, the exact
+    // side shuffles bare (event_type, user_id) pairs and the sketch
+    // side shuffles ONE buffer per event_type; the rejoin is a
+    // |event_type|-row broadcast. Same aggregates, same rsd, identical
+    // output.
+    val ev = events(s, dir)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val approx = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+    exact.join(approx, Seq("event_type"))
       .withColumn(
         "rel_error_pct",
         round(abs(col("approx_users") - col("exact_users")) * 100.0 /
@@ -154,6 +167,7 @@ object TimeSeriesOps {
         col("event_type"), col("exact_users"),
         (col("rel_error_pct") <= HllErrorPctBound).as("within_bound"))
       .orderBy("event_type")
+  }
 
   val hllDistinctSql: String =
     """SELECT event_type,
