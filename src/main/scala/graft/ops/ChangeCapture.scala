@@ -12,11 +12,13 @@ import graft.sources.Tables
   * whole outputs each run (schedule-jobs/worker_scheduler.py:10-36); at
   * 100 TB the diff IS the product.
   *
-  * Scale shape: ONE shuffle per side on the key; rows compare by an
-  * md5 row-hash computed map-side, so the join carries (key, 32-byte
-  * hash) — never the row bodies — and only emitted changes rejoin their
-  * payload. Unchanged rows (the overwhelming majority at scale) never
-  * leave their scan stage.
+  * Scale shape: ONE shuffle per side on the key; rows compare by a pair
+  * of xxhash64 row-hashes computed map-side, so the join carries (key,
+  * 16-byte hash). A NARROW payload (≤ `spark.graft.cdf.fuseWidthBytes`,
+  * default 64, of schema-estimated width) additionally rides through the
+  * diff join and is projected directly — fewer total bytes than the
+  * rejoin it replaces, and half the stages. A WIDE payload never crosses
+  * the diff exchange: only emitted changes rejoin it.
   */
 object ChangeCapture {
 
@@ -36,17 +38,18 @@ object ChangeCapture {
     * the NEW payload (null for DELETE); with `preimages` also the OLD
     * payload as `<col>_pre` (null for INSERT) — the retraction half an
     * incremental consumer needs to subtract an UPDATE/DELETE's previous
-    * contribution without re-reading version v−1 itself. Cost: one more
-    * SCAN of the old side (which [[MergeTable.changesBetween]] has
-    * already restricted to the changed files) plus a key join of its
-    * payload projection — the hash-only shuffle discipline still governs
-    * the diff itself, and the CONSUMER never re-reads v−1, which is the
-    * O(table) read this option exists to avoid.
+    * contribution without re-reading version v−1 itself. Cost on the
+    * wide-payload path: one more SCAN of the old side (which
+    * [[MergeTable.changesBetween]] has already restricted to the changed
+    * files) plus a key join of its payload projection; on the fused
+    * narrow-payload path the preimage rides the diff join like the new
+    * payload does. Either way the CONSUMER never re-reads v−1, which is
+    * the O(table) read this option exists to avoid.
     */
   def snapshotDiffKeys(
       oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       cols: Seq[String], preimages: Boolean = false): DataFrame = {
-    def hashed(df: DataFrame, side: String) = {
+    def hashed(df: DataFrame, side: String, payload: Seq[Column]) = {
       // NULL is encoded POSITIONALLY as \u0002: xxhash64 SKIPS null
       // arguments (a null leaves the running hash untouched), so without
       // the sentinel (NULL,'a') and ('a',NULL) would hash identically and
@@ -63,32 +66,66 @@ object ChangeCapture {
       // MD5 digest + hex encode to two allocation-free codegen'd hash
       // folds (guide §2.3: shuffle fewer bytes, narrower types).
       df.select(
-        keys.zipWithIndex.map { case (k, i) => col(k).as(s"${side}_k$i") } ++ Seq(
+        keys.zipWithIndex.map { case (k, i) => col(k).as(s"${side}_k$i") } ++
+          payload ++ Seq(
           xxhash64(sentineled: _*).as(s"${side}_h0"),
           xxhash64(lit("\u0003") +: sentineled: _*).as(s"${side}_h1"),
           lit(true).as(s"${side}_present")): _*)
     }
-    val o = hashed(oldDf, "o")
-    val n = hashed(newDf, "n")
+    // FUSED vs REJOIN (guide §2.3/§2.4): the rejoin shape shuffles
+    // hash-only rows and lets only emitted changes rejoin their payload --
+    // right for WIDE payloads, where unchanged rows (the overwhelming
+    // majority at scale) must not drag their bytes through the diff
+    // exchange. But the rejoin is itself one more scan + join of the new
+    // side (two, with preimages), and its join cannot broadcast the small
+    // diff side (LeftOuter builds right), so at scale it re-shuffles the
+    // new side's payload anyway. For a payload no wider than a few
+    // hash-widths, carrying it THROUGH the full-outer join and projecting
+    // it directly moves fewer total bytes and halves the stage count.
+    // Classification stays the same hash pair either way, so the output
+    // is bit-identical; the gate is a deterministic schema-width estimate
+    // (defaultSize per payload column), tunable per deployment.
+    val fuse = cols.map(c => newDf.schema(c).dataType.defaultSize).sum <=
+      oldDf.sparkSession.conf.get("spark.graft.cdf.fuseWidthBytes", "64").toInt
+    val o = hashed(oldDf, "o",
+      if (fuse && preimages)
+        cols.zipWithIndex.map { case (c, i) => col(c).as(s"o_p$i") }
+      else Nil)
+    val n = hashed(newDf, "n",
+      if (fuse) cols.zipWithIndex.map { case (c, i) => col(c).as(s"n_p$i") }
+      else Nil)
     val cond = keys.indices
       .map(i => col(s"o_k$i") === col(s"n_k$i")).reduce(_ && _)
-    val diff = o.join(n, cond, "full_outer")
+    val classified = o.join(n, cond, "full_outer")
       .withColumn("change_type",
         when(col("o_present").isNull, "INSERT")
           .when(col("n_present").isNull, "DELETE")
           .when(col("o_h0") =!= col("n_h0") || col("o_h1") =!= col("n_h1"),
             "UPDATE"))
       .where(col("change_type").isNotNull)
-      .select(keys.zipWithIndex.map { case (k, i) =>
-        coalesce(col(s"n_k$i"), col(s"o_k$i")).as(k)
-      } :+ col("change_type"): _*)
-    // only the changed keys rejoin their (new-side) payload
-    val withNew =
-      diff.join(newDf.select((keys ++ cols).map(col): _*), keys, "left_outer")
-    if (!preimages) withNew
-    else withNew.join(
-      oldDf.select(keys.map(col) ++
-        cols.map(c => col(c).as(s"${c}_pre")): _*), keys, "left_outer")
+    val keyCols = keys.zipWithIndex.map { case (k, i) =>
+      coalesce(col(s"n_k$i"), col(s"o_k$i")).as(k)
+    }
+    if (fuse) {
+      // payload came through the join: new-side values (null for DELETE,
+      // exactly like the rejoin's left_outer against a key absent from
+      // newDf), old-side values as <col>_pre (null for INSERT) when
+      // preimages are on
+      classified.select(keyCols ++ Seq(col("change_type")) ++
+        cols.zipWithIndex.map { case (c, i) => col(s"n_p$i").as(c) } ++
+        (if (preimages)
+          cols.zipWithIndex.map { case (c, i) => col(s"o_p$i").as(s"${c}_pre") }
+        else Nil): _*)
+    } else {
+      val diff = classified.select(keyCols :+ col("change_type"): _*)
+      // only the changed keys rejoin their (new-side) payload
+      val withNew =
+        diff.join(newDf.select((keys ++ cols).map(col): _*), keys, "left_outer")
+      if (!preimages) withNew
+      else withNew.join(
+        oldDf.select(keys.map(col) ++
+          cols.map(c => col(c).as(s"${c}_pre")): _*), keys, "left_outer")
+    }
   }
 
   /** q_snapshot_diff: two deterministic snapshots derived from `events`

@@ -221,4 +221,41 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out == Map(1L -> "UPDATE")) // row 2 unchanged → absent
   }
+
+  test("snapshot diff: fused (narrow) and rejoin (wide-gate) forms are identical, incl. preimages") {
+    import graft.ops.ChangeCapture
+    import spark.implicits._
+    // all three change types + null payloads + an unchanged row
+    val old = Seq(
+      (1L, Option("a"), Option(1.5)),  // UPDATE (value changes)
+      (2L, Option("x"), Option(2.0)),  // unchanged
+      (3L, Option.empty[String], Option(3.0)), // DELETE
+      (5L, Option("n"), Option.empty[Double])  // UPDATE (null -> value)
+    ).toDF("k", "c1", "c2")
+    val neu = Seq(
+      (1L, Option("a"), Option(9.5)),
+      (2L, Option("x"), Option(2.0)),
+      (4L, Option("i"), Option.empty[Double]), // INSERT
+      (5L, Option("n"), Option(5.5))
+    ).toDF("k", "c1", "c2")
+    def run(preimages: Boolean) = {
+      val fused = ChangeCapture.snapshotDiffKeys(
+        old, neu, Seq("k"), Seq("c1", "c2"), preimages)
+      spark.conf.set("spark.graft.cdf.fuseWidthBytes", "0") // force rejoin
+      val rejoin =
+        try ChangeCapture.snapshotDiffKeys(
+          old, neu, Seq("k"), Seq("c1", "c2"), preimages)
+        finally spark.conf.unset("spark.graft.cdf.fuseWidthBytes")
+      // same column names/types in the same order, same rows
+      assert(fused.schema.map(f => (f.name, f.dataType)) ==
+        rejoin.schema.map(f => (f.name, f.dataType)))
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+      assert(key(fused).toSeq == key(rejoin).toSeq)
+      fused.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val expected = Map(1L -> "UPDATE", 3L -> "DELETE", 4L -> "INSERT", 5L -> "UPDATE")
+    assert(run(preimages = false) == expected)
+    assert(run(preimages = true) == expected)
+  }
 }
