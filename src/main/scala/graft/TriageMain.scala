@@ -70,6 +70,49 @@ object TriageMain {
           })
         time("orderBy only")(ev.select(col("event_id"), col("ts"))
           .orderBy("event_id"))
+      case "textstats" =>
+        val d = graft.sources.Tables.read(s, dir, "documents")
+        time("tokenize only")(d.select(col("doc_id"),
+          split(col("text"), " ").as("toks")))
+        time("native one-pass")(graft.ops.TextOps.textStatsOf(d))
+        time("composed (retired)")(graft.ops.TextOps.textStatsComposedOf(d))
+      case "ann_incr2" =>
+        // decompose the incremental-vs-adc gap: same shared tail, codes
+        // from the cached wide fold vs the graft DSv2 read
+        time("incremental full (fixture+q)")(
+          SparkEntry.queries("q_ann_incremental")(s, dir))
+        time("pq_adc full")(
+          SparkEntry.queries("q_ann_pq_adc")(s, dir))
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir", "/tmp"), "graft-merge")
+        val appTag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+        val codesT = java.nio.file.Files.list(root).iterator()
+        val it = new scala.collection.Iterator[java.nio.file.Path] {
+          def hasNext = codesT.hasNext; def next() = codesT.next()
+        }
+        it.filter(p => p.getFileName.toString.startsWith("pqcodes") &&
+            p.getFileName.toString.endsWith(appTag))
+          .toSeq.headOption.foreach { p =>
+            val graftCodes = graft.ops.MergeTable.read(s, p.toString)
+            time("graft codes scan only")(graftCodes)
+            time("incr via override (q only)")(
+              graft.ops.SimilarityOps.annPqAdcIncremental(s, dir))
+          }
+      case "k6" =>
+        val ev = graft.sources.Tables.read(s, dir, "events")
+        def route(pin: Boolean) = {
+          val c = when(col("value") > 190.0, "VALUE_OUT_OF_RANGE")
+            .when(get_json_object(col("props"), "$.k").isNull, "MALFORMED_PAYLOAD")
+          ev.withColumn("exception_type",
+            if (pin) graft.functions.PinnedEval.pinned(c) else c)
+            .where(col("exception_type").isNotNull)
+            .select(col("event_id"), col("user_id"), col("exception_type"),
+              (col("value") <= 500.0).as("safe_to_retry"))
+            .orderBy("event_id")
+        }
+        time("k6 pinned (current)")(route(pin = true))
+        time("k6 unpinned (pre-r18)")(route(pin = false))
+        time("k6 pinned again")(route(pin = true))
       case other =>
         time(other)(SparkEntry.queries(other)(s, dir))
     }

@@ -39,11 +39,45 @@ object TextOps {
     * subword estimate (ceil(len/4) per word — the standard ~4 chars/token
     * heuristic), and a composite quality score.
     */
-  def textStats(s: SparkSession, dir: String): DataFrame = {
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    textStatsOf(docs(s, dir))
+
+  /** One compiled pass per document (round-18 optimization, same device
+    * as [[qualityRepetitionOf]]): the retired per-row form (kept below as
+    * [[textStatsComposedOf]], the spec's parity reference) paid three
+    * interpreted array passes — `array_distinct`, the stopword `filter`
+    * lambda, and the `aggregate(transform(...))` BPE fold.
+    * [[graft.functions.TextStatsRowExpr]] computes the four integer
+    * aggregates map-side in one pass; divisions + rounding stay in the
+    * Catalyst projection so float behavior is unchanged.
+    */
+  private[graft] def textStatsOf(d: DataFrame): DataFrame = {
+    val nL = col("st.n")
+    d.select(col("doc_id"), length(col("text")).as("text_len"),
+      graft.functions.TextStatsRowExpressions
+        .text_stats_row(tokens, Seq("the", "a")).as("st"))
+      .select(
+        col("doc_id"),
+        nL.as("n_tokens"),
+        col("st.uniq").as("n_uniq_tokens"),
+        round(col("st.uniq").cast("double") / nL, 4).as("type_token_ratio"),
+        round(col("st.stop_c").cast("double") / nL, 4).as("stopword_ratio"),
+        // mean token length from arithmetic identity: chars minus (n-1) spaces
+        round((col("text_len") - nL + 1).cast("double") / nL, 4)
+          .as("avg_token_len"),
+        col("st.bpe").as("n_bpe_est"),
+        round(
+          lit(0.5) * (col("st.uniq").cast("double") / nL) +
+            lit(0.5) * (lit(1.0) - col("st.stop_c").cast("double") / nL), 4)
+          .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private[graft] def textStatsComposedOf(d: DataFrame): DataFrame = {
     val n = size(tokens)
     val nUniq = size(array_distinct(tokens))
     val nStop = size(filter(tokens, t => t.isin("the", "a")))
-    docs(s, dir).select(
+    d.select(
       col("doc_id"),
       n.cast("long").as("n_tokens"),
       nUniq.cast("long").as("n_uniq_tokens"),

@@ -20,6 +20,35 @@ class LlmOpsSpec extends AnyFunSuite {
         col("n_tokens") <= 0 || col("n_bpe_est") < col("n_tokens")).count() == 0)
   }
 
+  test("text stats: native one-pass form is bit-parity with the composed form") {
+    import spark.implicits._
+    // real corpus + degenerate corners: 1-token, all-same, all-stopword,
+    // empty string (split('') = ['']), multibyte chars (numChars not
+    // bytes), a null token (BPE sum must go null), and a null text
+    val corners = Seq(
+      (9001L, Option("word")),
+      (9002L, Option("the the the the")),
+      (9003L, Option("a the a the a")),
+      (9004L, Option("")),
+      (9005L, Option("héllo wörld ünïcode tökens")),
+      (9007L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val base = graft.sources.Tables.read(spark, dir, "documents")
+      .select("doc_id", "text").union(corners)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(canon(TextOps.textStatsOf(base)) ==
+      canon(TextOps.textStatsComposedOf(base)))
+    // the null-token corner exercised directly on the array form
+    val arr = Seq(Tuple1(Seq(Option("ab"), Option.empty[String], Option("cdefg"))))
+      .toDF("toks")
+      .select(graft.functions.TextStatsRowExpressions
+        .text_stats_row(col("toks"), Seq("the", "a")).as("st"))
+      .select("st.n", "st.uniq", "st.stop_c", "st.bpe").collect()(0)
+    assert(arr.getLong(0) == 3 && arr.getLong(1) == 3 &&
+      arr.getLong(2) == 0 && arr.isNullAt(3))
+  }
+
   test("quality repetition: fractions match a driver-side recount on a sample") {
     val out = TextOps.qualityRepetition(spark, dir)
     assert(out.count() == 500)
