@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two double arrays.
   *
@@ -237,10 +237,93 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Native ADC (asymmetric-distance-computation) sum — the PQ search inner
+  * loop (round-18 optimization): adc_d2 = Σ_j dtab[j·k + codes[j]] over the
+  * m subspaces, evaluated once per (candidate, query) PAIR. The composed
+  * form — `aggregate(sequence(0, m−1), 0.0, (acc, j) -> acc +
+  * element_at(dtab, j·k + element_at(codes, j+1) + 1))` — is a
+  * HigherOrderFunction: no codegen, a lambda-variable row per step, and a
+  * materialized m-element sequence per PAIR, on the one stream whose row
+  * count is the ADC scan itself (n·q for the flat scan, Σ cell·q for
+  * IVF-PQ). This expression makes the same m lookups in one compiled loop.
+  *
+  * Numeric contract (pinned in VectorExpressionSpec and by the three ADC
+  * oracles): the sum left-folds in subspace order j = 0..m−1 — bit-identical
+  * to the composed fold and to the oracle's ORDER BY j list_sum. A null
+  * codes/dtab element poisons the fold to null exactly like `acc + null`;
+  * an out-of-range slot (impossible against the densified m·k dtab — see
+  * [[graft.ops.SimilarityOps]] pqLutWide) also yields null rather than a
+  * fabricated distance.
+  */
+case class AdcSum(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint> codes, array<double> dtab), " +
+        s"got ${l.sql} and ${r.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val dtab = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val nt = dtab.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val slot = j * k + codes.getLong(j)
+      if (slot < 0 || slot >= nt || dtab.isNullAt(slot.toInt)) return null
+      acc += dtab.getDouble(slot.toInt)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val nt = ctx.freshName("nt")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val slot = ctx.freshName("slot")
+      s"""
+         |int $m = $a.numElements();
+         |int $nt = $b.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  long $slot = (long) $j * $k + $a.getLong($j);
+         |  if ($slot < 0 || $slot >= $nt || $b.isNullAt((int) $slot)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  $acc += $b.getDouble((int) $slot);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "adc_sum"
+}
+
 object VectorExpressions {
   /** Column API for [[CosineSimilarity]]. */
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for [[AdcSum]]. */
+  def adc_sum(codes: Column, dtab: Column, k: Int): Column =
+    Bridge.column(AdcSum(Bridge.expression(codes), Bridge.expression(dtab), k))
 
   /** Column API for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =

@@ -1460,11 +1460,14 @@ object SimilarityOps {
     }
     val shortW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2").asc, col("vec_id"))
+    // native one-loop ADC sum (round-18): the composed fold (kept as
+    // [[adcFoldComposed]], the spec's parity reference) was an interpreted
+    // HigherOrderFunction allocating an m-element sequence + lambda rows
+    // per (candidate, query) PAIR — the exact stream whose row count IS
+    // the ADC scan. Same left-fold order, bit-identical sums.
     val shortlist = pairs
-      .withColumn("adc_d2",
-        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-          (acc, j) => acc + element_at(col("dtab"),
-            (j * PqK + element_at(col("codes"), j + 1) + 1).cast("int"))))
+      .withColumn("adc_d2", graft.functions.VectorExpressions
+        .adc_sum(col("codes"), col("dtab"), PqK))
       .withColumn("srank", row_number().over(shortW))
       .where(col("srank") <= PqShortlist)
     // exact re-rank of the shortlist: fetch the ORIGINAL vectors by key
@@ -1483,6 +1486,13 @@ object SimilarityOps {
         round(col("cos"), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
+
+  /** The RETIRED composed ADC fold — parity reference only (spec-pinned
+    * against [[graft.functions.AdcSum]]; see adcShortlistRerank). */
+  private[graft] def adcFoldComposed(codes: Column, dtab: Column): Column =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (acc, j) => acc + element_at(dtab,
+        (j * PqK + element_at(codes, j + 1) + 1).cast("int")))
 
   // ---- incremental index maintenance --------------------------------------
 

@@ -135,4 +135,33 @@ class VectorExpressionSpec extends AnyFunSuite {
     val res = bad.checkInputDataTypes()
     assert(!res.isSuccess)
   }
+
+  test("adc_sum: native loop is bit-parity with the composed fold; null poisons") {
+    import graft.functions.VectorExpressions.adc_sum
+    val m = SimilarityOps.PqM
+    val k = SimilarityOps.PqK
+    // deterministic synthetic pairs over the full slot space: codes walk
+    // every residue pattern, dtab values are irregular doubles so a wrong
+    // slot or a reassociated sum cannot cancel out
+    val rows = (0 until 64).map { r =>
+      val codes = (0 until m).map(j => ((r * 31 + j * 7) % k).toLong)
+      val dtab = (0 until m * k).map(i => 1.0 / (i + 1) + (r % 5) * 0.137)
+      (r.toLong, codes, dtab)
+    }
+    val df = rows.toDF("id", "codes", "dtab")
+    val drift = df.select(
+      (adc_sum(col("codes"), col("dtab"), k) -
+        SimilarityOps.adcFoldComposed(col("codes"), col("dtab"))).as("d"))
+      .agg(max(abs(col("d")))).first().getDouble(0)
+    assert(drift == 0.0, s"native vs composed ADC drift: $drift")
+    // a null code element poisons the sum to null, like acc + null
+    val withNull = Seq((Seq[java.lang.Long](1L, null, 2L),
+      (0 until 3 * k).map(_.toDouble))).toDF("codes", "dtab")
+      .select(adc_sum(col("codes"), col("dtab"), k).as("d")).first()
+    assert(withNull.isNullAt(0))
+    // an out-of-range slot yields null, never a fabricated distance
+    val oob = Seq((Seq(99L), Seq(1.0, 2.0))).toDF("codes", "dtab")
+      .select(adc_sum(col("codes"), col("dtab"), k).as("d")).first()
+    assert(oob.isNullAt(0))
+  }
 }
