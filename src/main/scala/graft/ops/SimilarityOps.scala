@@ -535,15 +535,27 @@ object SimilarityOps {
     * Scale: per round, one broadcast of k centroids + one shuffle for the
     * per-(cluster, dim) averages. Assignment is map-side.
     */
-  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cid"))
+  private def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    // Argmax as ONE struct-extreme aggregate (the hardNegatives device),
+    // not a row_number window: the window form shuffled the ENTIRE k-way
+    // crossJoin — k rows per vector, each carrying BOTH the vector and
+    // the candidate centroid (~16× the bytes of the input) — through a
+    // vec_id exchange just to keep rank 1. The aggregate form collapses
+    // the k candidates map-side (partial max per vec_id before the
+    // exchange), so the shuffle moves one row per vector and no centroid
+    // payload (guide §2.3 "aggregate before you shuffle"). Ordering is
+    // the same (cos desc, then cid asc, encoded as max over
+    // (cos, -cid)); vec rides in the struct and is never reached by the
+    // comparator (cid is unique per candidate). SimilaritySpec pins
+    // equality against the retired window form.
     e.crossJoin(broadcast(cents))
-      .withColumn("cos", cosine(col("vec"), col("c_vec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("vec"), col("cid"), col("cos"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosine(col("vec"), col("c_vec")).as("cos"),
+        (-col("cid")).as("ncid"),
+        col("vec").as("vec"))).as("best"))
+      .select(col("vec_id"), col("best.vec").as("vec"),
+        (-col("best.ncid")).as("cid"), col("best.cos").as("cos"))
 
   /** The trained quantizer (cid, c_vec), built ONCE per (session, input)
     * and persisted — [[kmeans]], [[annIvf]] and [[annRecall]] all read the
@@ -1064,8 +1076,17 @@ object SimilarityOps {
   def semDedup(
       s: SparkSession, dir: String,
       threshold: Double = EmbDupThreshold): DataFrame = {
+    // assignment referenced THREE times below (both self-join sides + the
+    // left output spine); the subtrees pick up different pushed filters,
+    // so neither Catalyst exchange reuse nor AQE stage reuse can unify
+    // them and the scan+assign pipeline ran three times per execution.
+    // localCheckpoint materializes the bounded (vec_id, vec, cid) frame
+    // once per execution (still recomputed from parquet on every
+    // invocation — nothing crosses runs); all three consumers read the
+    // checkpoint (guide §3.3: materialize to stop duplicate subtrees).
     val assigned = kmeansAssign(emb(s, dir), kmeansCentroids(s, dir))
       .select(col("vec_id"), col("vec"), col("cid"))
+      .localCheckpoint()
     val earlier = assigned.select(
       col("cid").as("b_cid"), col("vec_id").as("b_id"), col("vec").as("b_vec"))
     val maxPrior = assigned
@@ -1104,8 +1125,10 @@ object SimilarityOps {
     * cells surface with a null neighbor rather than vanishing.
     */
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    // same three-consumer checkpoint rationale as [[semDedup]]
     val assigned = kmeansAssign(emb(s, dir), kmeansCentroids(s, dir))
       .select(col("vec_id"), col("vec"), col("cid"))
+      .localCheckpoint()
     val other = assigned.select(
       col("cid").as("o_cid"), col("vec_id").as("o_id"), col("vec").as("o_vec"))
     val nn = assigned

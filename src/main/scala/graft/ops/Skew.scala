@@ -110,7 +110,17 @@ object Skew {
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB"
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+        // size-based post-shuffle coalescing (not parallelism-based): the
+        // demo's 8KB advisory makes parallelism-first AQE keep one tiny
+        // task per core on the post-join aggregate/sort stages, so their
+        // task count scaled with the core count against KB-sized data —
+        // the round-19 quiet-window 32-vs-8-core inversion (0.60 vs
+        // 0.46 s min). Size-based coalescing collapses those stages to
+        // one task at any core count; the skew SPLIT (the thing this
+        // query demonstrates) is governed by the skewJoin confs above
+        // and is unaffected.
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false"
       ).foreach { case (k, v) => c.conf.set(k, v) }
       c
     }
