@@ -25,6 +25,108 @@ object TriageMain {
     }
 
     args.headOption.getOrElse("ann_incr") match {
+      case "diff_ab" =>
+        // REJECTED EXPERIMENT (round 19, kept reproducible): snapshot diff
+        // as tagged-union + one conditional aggregate vs the shipped
+        // full-outer-join form, interleaved on the q_snapshot_diff inputs.
+        // Measured 0.79-0.89 s vs 0.64-0.72 s (agg CONSISTENTLY ~20%
+        // SLOWER): the string payload first() buffers are not
+        // fixed-width-mutable, so the aggregate loses the codegen'd
+        // HashAggregate fast path, which costs more than the two sorts
+        // the union form saves. The join form stays shipped.
+        val ev = graft.sources.Tables.read(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        def band(c: org.apache.spark.sql.Column) =
+          pmod(graft.ops.TextOps.hash60(c.cast("string")), lit(100L))
+        val old = ev.where(band(col("event_id")) < 80)
+        val neu = ev.where(band(col("event_id")) >= 10 && band(col("event_id")) < 90)
+          .withColumn("value",
+            when(band(col("event_id")) >= 70, round(col("value") * 2.0, 2))
+              .otherwise(col("value")))
+        val cols = Seq("event_type", "value")
+        def unionAggForm: DataFrame = {
+          def side(df: DataFrame, isNew: Boolean): DataFrame = {
+            val sentineled = cols.map(c => coalesce(col(c).cast("string"), lit("\u0002")))
+            df.select(
+              Seq(col("event_id").as("k0"),
+                xxhash64(sentineled: _*).as("h0"),
+                xxhash64(lit("\u0003") +: sentineled: _*).as("h1"),
+                lit(isNew).as("is_new")) ++
+                cols.zipWithIndex.map { case (c, i) =>
+                  (if (isNew) col(c)
+                  else lit(null).cast(neu.schema(c).dataType)).as(s"p$i")
+                }: _*)
+          }
+          def only(isNew: Boolean, c: org.apache.spark.sql.Column) =
+            max(when(col("is_new") === isNew, c))
+          side(old, isNew = false).unionAll(side(neu, isNew = true))
+            .groupBy(col("k0"))
+            .agg(
+              only(isNew = false, col("h0")).as("o_h0"),
+              Seq(
+                only(isNew = false, col("h1")).as("o_h1"),
+                only(isNew = false, lit(true)).as("o_present"),
+                only(isNew = true, col("h0")).as("n_h0"),
+                only(isNew = true, col("h1")).as("n_h1"),
+                only(isNew = true, lit(true)).as("n_present")) ++
+                cols.indices.map(i =>
+                  first(col(s"p$i"), ignoreNulls = true).as(s"n_p$i")): _*)
+            .withColumn("change_type",
+              when(col("o_present").isNull, "INSERT")
+                .when(col("n_present").isNull, "DELETE")
+                .when(col("o_h0") =!= col("n_h0") || col("o_h1") =!= col("n_h1"),
+                  "UPDATE"))
+            .where(col("change_type").isNotNull)
+            .select(Seq(col("k0").as("event_id"), col("change_type")) ++
+              cols.zipWithIndex.map { case (c, i) => col(s"n_p$i").as(c) }: _*)
+            .orderBy("event_id")
+        }
+        (1 to 4).foreach { i =>
+          time(s"diff union-agg (rejected) round$i")(unionAggForm)
+          time(s"diff join (shipped)       round$i")(
+            graft.ops.ChangeCapture.snapshotDiff(old, neu, "event_id", cols)
+              .orderBy("event_id"))
+        }
+      case "bloom_ab" =>
+        // shipped map-lookup prefilter vs the retired two-BHJ form
+        val m = 1L << 16
+        def probes(d: DataFrame): DataFrame = d
+          .withColumn("p1", graft.ops.TextOps.bloomP1(col("h"), m))
+          .withColumn("p2", graft.ops.TextOps.bloomP2(col("h"), m))
+        def grams = {
+          val docs = graft.sources.Tables.read(s, dir, "documents")
+          docs.select(col("doc_id"), col("source"),
+            explode(graft.functions.SimhashExpressions.gram_hash60s(
+              split(col("text"), " "), 5)).as("h"))
+            .where(!col("source").isin("src0", "src1"))
+        }
+        def oldForm = {
+          val words = graft.ops.TextOps.bloomWords(s, dir, 16)
+          val b1 = words.select(col("w").as("w1"), col("bits").as("bits1"))
+          val b2 = words.select(col("w").as("w2"), col("bits").as("bits2"))
+          probes(grams)
+            .join(broadcast(b1), expr("shiftright(p1, 6)") === col("w1"))
+            .join(broadcast(b2), expr("shiftright(p2, 6)") === col("w2"))
+            .where(
+              (col("bits1").bitwiseAND(expr("shiftleft(1L, cast(p1 % 64 AS int))")) =!= 0) &&
+                (col("bits2").bitwiseAND(expr("shiftleft(1L, cast(p2 % 64 AS int))")) =!= 0))
+            .select(col("doc_id"), col("h"))
+        }
+        (1 to 4).foreach { i =>
+          time(s"bloom map    round$i")(
+            graft.ops.TextOps.bloomCandidates(s, dir, 16))
+          time(s"bloom 2bhj   round$i")(oldForm)
+        }
+      case "drift_ab" =>
+        // interleaved same-JVM A/B: source-drift KL with the bucket-count
+        // checkpoint (shipped form) vs the plain 4-consumer lineage —
+        // alternating reps cancel window drift between the two arms
+        val d = graft.sources.Tables.read(s, dir, "documents")
+        (1 to 4).foreach { i =>
+          time(s"drift ckpt   round$i")(graft.ops.CorpusOps.sourceDriftOf(d))
+          time(s"drift plain  round$i")(graft.ops.CorpusOps.klFromSourceBucketCounts(
+            graft.ops.CorpusOps.sourceBucketCountsOf(d)))
+        }
       case "ann_incr" =>
         // full query once to build+memoize the fixture
         time("q_ann_incremental full")(

@@ -1084,8 +1084,20 @@ object CorpusOps {
   def sourceDrift(s: SparkSession, dir: String): DataFrame =
     sourceDriftOf(docs(s, dir))
 
+  /** The KL arithmetic references the bucket-count frame FOUR times
+    * (source totals, corpus histogram, corpus total, and the spine join),
+    * and the pushed-down null filters differ per consumer, so neither
+    * exchange reuse nor AQE stage reuse unified them — the full corpus
+    * tokenize+explode+aggregate pipeline ran four times per execution
+    * (4 documents scans in the round-19 before-plan). localCheckpoint
+    * materializes the BOUNDED counts (≤ sources × [[DsirBuckets]] rows)
+    * once per execution — still recomputed from parquet on every
+    * invocation — and every consumer reads the checkpoint (guide §3.3).
+    * The streaming monitor is untouched: its store already holds these
+    * counts materialized.
+    */
   private[graft] def sourceDriftOf(d: DataFrame): DataFrame =
-    klFromSourceBucketCounts(sourceBucketCountsOf(d))
+    klFromSourceBucketCounts(sourceBucketCountsOf(d).localCheckpoint())
 
   /** (source, b, c) hashed-unigram bucket counts — the counting half
     * shared verbatim with the streaming drift store, so streamed == batch

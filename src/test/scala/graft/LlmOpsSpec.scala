@@ -462,6 +462,30 @@ class LlmOpsSpec extends AnyFunSuite {
       s"covered ${out.map(_._2).sum} < ${2 * planted}")
   }
 
+  test("kmeans assignment: aggregate argmax equals the retired window form") {
+    // kmeansAssign replaced a row_number window (which shuffled the whole
+    // k-way crossJoin) with a struct-extreme aggregate; this pins the two
+    // forms equal on (vec_id, cid) over the full corpus so the rewrite can
+    // never drift from the documented (cos desc, cid asc) tie-break.
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.sources.Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val cents = SimilarityOps.kmeansCentroids(spark, dir)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+    val windowForm = e.crossJoin(broadcast(cents))
+      .withColumn("cos", SimilarityOps.cosine(col("vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aggForm = SimilarityOps.coarseCells(spark, dir)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aggForm.size == windowForm.size)
+    assert(aggForm == windowForm)
+  }
+
   test("knn graph: neighbor is the in-cell argmax, cells consistent") {
     val out = SimilarityOps.knnGraph(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1),
