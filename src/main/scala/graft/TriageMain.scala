@@ -25,6 +25,71 @@ object TriageMain {
     }
 
     args.headOption.getOrElse("ann_incr") match {
+      case "ngram" =>
+        // where q_dedup_ngram_jaccard's second actually goes: the memoized
+        // shingle index scan, the per-doc counts, the self-join aggregate,
+        // and the full query — plus the VERDICT-suggested df>=2 prefilter
+        val idx = graft.ops.DedupOps.shingleIndex(s, dir)
+          .select(col("doc_id"), xxhash64(col("source"), col("shingle")).as("k"))
+        time("idx scan only")(idx)
+        time("counts")(idx.groupBy(col("doc_id")).agg(count(lit(1))))
+        time("common self-join")(
+          idx.select(col("doc_id").as("doc_a"), col("k"))
+            .join(idx.select(col("doc_id").as("doc_b"), col("k").as("k_b")),
+              col("k") === col("k_b") && col("doc_a") < col("doc_b"))
+            .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1))))
+        val hot = idx.groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .where(col("n") >= 2).select(col("k"))
+        time("common w/ df>=2 prefilter")(
+          idx.select(col("doc_id").as("doc_a"), col("k"))
+            .join(hot, Seq("k"), "left_semi")
+            .join(idx.select(col("doc_id").as("doc_b"), col("k").as("k_b")),
+              col("k") === col("k_b") && col("doc_a") < col("doc_b"))
+            .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1))))
+        (1 to 3).foreach { i =>
+          time(s"full query round$i")(
+            SparkEntry.queries("q_dedup_ngram_jaccard")(s, dir))
+        }
+      case "q21_ab" =>
+        // TPC-H Q21: shipped EXISTS/NOT-EXISTS text (3 lineitem scans, two
+        // of them broadcast in full) vs a per-order two-level-aggregate
+        // rewrite (n_supp >= 2 replaces EXISTS, n_late = 1 replaces NOT
+        // EXISTS). Equivalence checked row-for-row in-process; the oracle
+        // accepts the same text.
+        Seq("supplier", "lineitem", "orders", "nation")
+          .foreach(n => graft.sources.Tables.read(s, dir, n)
+            .createOrReplaceTempView(n))
+        val rewrite =
+          """SELECT s_name, count(*) AS numwait
+            |FROM supplier
+            |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            |JOIN orders ON o_orderkey = l1.l_orderkey
+            |JOIN nation ON s_nationkey = n_nationkey
+            |JOIN (
+            |  SELECT l_orderkey AS agg_orderkey,
+            |    count(*) AS n_supp, sum(late) AS n_late
+            |  FROM (
+            |    SELECT l_orderkey, l_suppkey,
+            |      max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+            |               THEN 1 ELSE 0 END) AS late
+            |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            |    GROUP BY l_orderkey, l_suppkey) per_supp
+            |  GROUP BY l_orderkey) osupp
+            |  ON agg_orderkey = l1.l_orderkey
+            |WHERE n_name = 'NATION_1'
+            |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+            |  AND n_supp >= 2 AND n_late = 1
+            |GROUP BY s_name
+            |ORDER BY numwait DESC, s_name""".stripMargin
+        val a = SparkEntry.queries("q21_waiting_suppliers")(s, dir)
+          .collect().map(_.toSeq).toSeq
+        val b = s.sql(rewrite).collect().map(_.toSeq).toSeq
+        println(s"[triage] q21 rows equal: ${a == b} (${a.size} rows)")
+        (1 to 4).foreach { i =>
+          time(s"q21 rewrite round$i")(s.sql(rewrite))
+          time(s"q21 shipped round$i")(
+            SparkEntry.queries("q21_waiting_suppliers")(s, dir))
+        }
       case "diff_ab" =>
         // REJECTED EXPERIMENT (round 19, kept reproducible): snapshot diff
         // as tagged-union + one conditional aggregate vs the shipped

@@ -138,7 +138,7 @@ object DedupOps {
     d.select(col("doc_id"), col("source"), TextOps.tokens.as("toks"))
       .select(col("doc_id"), col("source"), explode(bigramShingles).as("shingle"))
 
-  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleIndex(s: SparkSession, dir: String): DataFrame =
     IndexMemo(shingleCache, (s, dir))(shingleIndexOf(docs(s, dir)).persist())
 
   private val shingleIndexSql: String =
