@@ -78,27 +78,34 @@ class PlanAuditScaleSpec extends AnyFunSuite {
     assert(hashExchanges(p) <= 3, p)
   }
 
-  test("sf0.1 q_sem_dedup: intra-cell self-join reuses one exchange") {
-    val p = auditCommon("q_sem_dedup")
-    assert(hashExchanges(p) <= 2, p)
-    // the second side of the cid self-join is a ReusedExchange, not a
-    // recomputation
-    assert("ReusedExchange.*hashpartitioning".r.findFirstIn(p).isDefined, p)
-    // centroid assignment joins the bounded k-row centroid table via
-    // broadcast (BNLJ BuildRight over the broadcast LUT — bounded side)
-    "BroadcastNestedLoopJoin".r.findAllIn(p).size match {
-      case n => assert(n <= 2 &&
-        p.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
-          .forall(_.contains("BuildRight")), p)
-    }
+  /** Shared pins for the two in-cell self-join queries after the round-19
+    * rewrite: the assignment is computed ONCE per execution into a
+    * localCheckpoint, and every consumer (both self-join sides + the
+    * output spine) reads the checkpoint — so the query plan must scan the
+    * checkpoint RDD, never the embeddings parquet, and the k-way
+    * centroid crossJoin (now inside the checkpoint build job) must not
+    * reappear here as a BroadcastNestedLoopJoin. Exchange budget: the cid
+    * self-join pair + the per-vector aggregate + the output-spine
+    * alignment — ≤ 4 key-partitioned shuffles of bounded rows.
+    */
+  private def auditInCellSelfJoin(name: String): Unit = {
+    val p = auditCommon(name)
+    assert(hashExchanges(p) <= 4, p)
+    // the executed plan prints the checkpoint as Scan ExistingRDD (the
+    // "localCheckpoint at ..." provenance only appears in formatted
+    // explain output, not in the executed-plan tree)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("embeddings.parquet"),
+      s"$name recomputes the assignment from parquet:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("sf0.1 q_knn_graph: same co-partitioned in-cell shape as sem_dedup") {
-    val p = auditCommon("q_knn_graph")
-    assert(hashExchanges(p) <= 2, p)
-    assert("ReusedExchange.*hashpartitioning".r.findFirstIn(p).isDefined, p)
-    assert(p.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
-      .forall(_.contains("BuildRight")), p)
+  test("sf0.1 q_sem_dedup: assignment checkpointed once, bounded self-join shuffles") {
+    auditInCellSelfJoin("q_sem_dedup")
+  }
+
+  test("sf0.1 q_knn_graph: same checkpointed in-cell shape as sem_dedup") {
+    auditInCellSelfJoin("q_knn_graph")
   }
 
   test("sf0.1 q_clean_corpus: memoized components, bounded exchange budget") {
